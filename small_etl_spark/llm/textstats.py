@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+All operators are pure column expressions over built-in
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd, zero
+Python in the hot path. At 100 TB each is a single map-only pass over
+the ``documents`` table (no shuffle), so throughput is scan-bound.
+
+No reference equivalent (the reference has no text analytics); these
+are the BASELINE.json north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small + deterministic (mirrors fastText-style heuristics
+# without the model dependency).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+WORD_RE = r"[A-Za-z0-9_]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace/word tokenization: array of word tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(WORD_RE), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count (word-regex tokens; BPE-ish proxy for budgeting)."""
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def lang_id(col: Column | str, langs: tuple[str, ...] = ("en", "es", "fr", "de")) -> Column:
+    """Language ID via stopword-hit argmax; 'und' when no hits.
+
+    Ties break by the order of ``langs`` (greatest strictly-greater
+    wins), which keeps the expression reproducible in ANSI SQL.
+    """
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse so earlier langs win ties (> comparison)
+    for lang in reversed(langs):
+        hits = stopword_hits(col, lang)
+        cond = hits > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blend of length saturation,
+    alpha-token ratio, and mean token length band.
+
+    Kept to exact integer counts + one final division so the same
+    formula is bit-reproducible in the DuckDB oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    # saturating length score: min(n_tok, 200) / 200
+    len_score = F.least(n_tok, F.lit(200.0)) / F.lit(200.0)
+    # mean token length in a healthy 3..10 band
+    mean_tok = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    band = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    # non-empty bonus
+    nonempty = F.when(n_tok > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_score + band + nonempty) / F.lit(3.0)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form used for fingerprinting: lowercase, collapse
+    whitespace runs to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint = md5 hex of the normalized text.
+
+    Content-hash dedup key: stable across engines (md5 is md5), unlike
+    hash-function-of-the-week. For a cheaper 64-bit key at scale use
+    ``F.xxhash64`` (Spark-only, not oracle-portable).
+    """
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats block to a documents frame."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_chars_computed": char_count(text_col),
+            "lang_pred": lang_id(text_col),
+            "quality": quality_score(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )

@@ -1,0 +1,741 @@
+"""Query catalog: every implemented operator exposed as a named query.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL for the DuckDB oracle (``None`` for
+non-SQL-expressible operators → rows-only check). Column names are
+aligned between both sides (the driver sorts columns by name and
+hashes values).
+
+Determinism rules used throughout (so value-hashes match DuckDB):
+- money columns are exact 2-decimal fixed-point → sum via
+  ``CAST(ROUND(col*100) AS BIGINT)`` (exact integer arithmetic), then
+  divide by 100.0 at the end;
+- quantities are integer-valued → sum as BIGINT;
+- LIMIT always follows a total ORDER BY with a unique tie-break;
+- no raw timestamps in outputs (cast to epoch seconds BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from small_etl_spark.functions.text import (
+    clean_text,
+    normalize_fields,
+    remove_html_tags,
+)
+from small_etl_spark.llm import textstats
+from small_etl_spark.operators.dedup import dedup_by_fields_first_wins
+from small_etl_spark.operators.filters import (
+    equality_filter,
+    extract_filters,
+    limit_records,
+    threshold_filter,
+)
+from small_etl_spark.operators.joins import (
+    lookup_enrich,
+    lookup_enrich_stub,
+    merge_with_previous,
+)
+from small_etl_spark.operators.projections import (
+    add_processing_markers,
+    computed_fields,
+    default_fill,
+    exclude_fields,
+    keep_only_fields,
+    rename_fields,
+)
+from small_etl_spark.operators.sets import union_all_by_name
+from small_etl_spark.operators.sort import top_k
+from small_etl_spark.sources.tables import load_table
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Builder
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn: Builder) -> Builder:
+        REGISTRY[name] = QuerySpec(fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# §2.3 projections
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rename_project",
+    """
+    SELECT l_orderkey AS order_id, l_partkey AS part_id,
+           l_quantity AS qty, l_extendedprice AS price
+    FROM lineitem
+    """,
+)
+def q_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 rename + P5 keep-only (mvp_pipeline.rs:85-96; contextual_pipeline.rs:901-924)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li = rename_fields(
+        li,
+        {
+            "l_orderkey": "order_id",
+            "l_partkey": "part_id",
+            "l_quantity": "qty",
+            "l_extendedprice": "price",
+            "not_a_column": "ignored",  # absent source keys silently skipped
+        },
+    )
+    return keep_only_fields(li, ["order_id", "part_id", "qty", "price", "missing_too"])
+
+
+@register(
+    "exclude_fields",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+def q_exclude_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 exclude projection (contextual_pipeline.rs:926-945)."""
+    return exclude_fields(load_table(spark, sf_dir, "documents"), ["text", "absent_col"])
+
+
+@register(
+    "computed_markers",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS record_index,
+           'docs-stage' AS stage,
+           'exec42' AS exec_id,
+           'hello' AS note,
+           TRUE AS processed,
+           'docs-stage' AS processed_by
+    FROM documents
+    """,
+)
+def q_computed_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 computed fields + P8 markers (contextual_pipeline.rs:964-987)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = computed_fields(
+        docs,
+        {
+            "record_index": "record_index",
+            "stage": "pipeline_name",
+            "exec_id": "execution_id",
+            "note": "hello",
+        },
+        pipeline_name="docs-stage",
+        execution_id="exec42",
+        order_by="doc_id",
+    )
+    return add_processing_markers(out, "docs-stage")
+
+
+@register(
+    "default_fill_union",
+    """
+    WITH u AS (
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+             c_mktsegment AS segment
+      FROM customer
+      UNION ALL BY NAME
+      SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal
+      FROM supplier
+    )
+    SELECT id, name, acctbal, coalesce(segment, 'Unknown') AS segment FROM u
+    """,
+)
+def q_default_fill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 heterogeneous union + P9 default-fill
+    (sequence_pipeline.rs:49-54; simple_pipeline.rs:88-100)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return default_fill(union_all_by_name([cust, supp]), {"segment": "Unknown"})
+
+
+@register(
+    "json_path_extract",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+    """,
+)
+def q_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-analog on serialized JSON: dot-path extraction from a JSON
+    column (struct-path variants pinned in tests/test_projections.py
+    — the parquet testdata has no nested struct columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 filters / limits
+# --------------------------------------------------------------------------
+
+
+@register(
+    "threshold_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 20
+    """,
+    headline=True,
+)
+def q_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 threshold → intermediate (simple_pipeline.rs:113-116)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return threshold_filter(li, "l_quantity", 20).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "equality_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    """,
+)
+def q_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 conjunctive equality (contextual_pipeline.rs:1064-1083)."""
+    o = load_table(spark, sf_dir, "orders")
+    return equality_filter(
+        o, {"o_orderstatus": "F", "o_orderpriority": "1-URGENT"}
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "extract_filters",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def q_extract_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 extract.filters — declared-only in the reference
+    (sequence_config.rs:72), enforced here; list value = membership."""
+    ev = load_table(spark, sf_dir, "events")
+    return extract_filters(ev, {"event_type": ["click", "purchase"]}).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "limit_sorted",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10
+    """,
+)
+def q_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 max_records truncation (mvp_pipeline.rs:74-109); ordered for
+    determinism."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return limit_records(o.orderBy("o_orderkey"), max_records=10)
+
+
+# --------------------------------------------------------------------------
+# §2.6 / §2.7 dedup + sort/top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_first_wins",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    headline=True,
+)
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 dedup-by-fields, first occurrence wins
+    (contextual_pipeline.rs:614-629); "first" defined by l_linenumber."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    return dedup_by_fields_first_wins(li, ["l_orderkey"], order_col="l_linenumber")
+
+
+@register(
+    "top_k",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 sort + O2 limit composition (contextual_pipeline.rs:647-672);
+    plans as TakeOrderedAndProject (per-partition top-k, no full sort)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return top_k(o, "o_totalprice", 25, order="desc", tiebreak=["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# §2.5 joins / enrichment
+# --------------------------------------------------------------------------
+
+
+@register(
+    "merge_with_previous",
+    """
+    SELECT a.id, a.qty, coalesce(a.total, p.total) AS total, p.status AS status
+    FROM (
+      SELECT l_orderkey AS id, l_quantity AS qty,
+             CASE WHEN l_quantity > 30 THEN NULL ELSE l_extendedprice END AS total
+      FROM lineitem
+    ) a
+    LEFT JOIN (
+      SELECT o_orderkey AS id, o_totalprice AS total, o_orderstatus AS status
+      FROM orders
+    ) p ON a.id = p.id
+    """,
+    headline=True,
+)
+def q_merge_with_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 merge-with-previous (sequence_pipeline.rs:77-108): api value
+    wins, previous fills nulls, api rows all survive. Broadcast-hash
+    join — zero shuffle on the fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    api = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_quantity").alias("qty"),
+        F.when(F.col("l_quantity") > 30, F.lit(None).cast("double"))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("total"),
+    )
+    prev = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return merge_with_previous(api, prev, key="id")
+
+
+@register(
+    "lookup_enrich",
+    """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    headline=True,
+)
+def q_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (real) + S8 lookup-file join: broadcast dimension enrichment
+    (what contextual_pipeline.rs:950-961 stubs and ports.rs:17 declares)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return lookup_enrich(o, c, on="o_custkey", lookup_key="c_custkey").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "lookup_enrich_stub",
+    """
+    SELECT doc_id, source, 'enriched_' || source AS source_enriched FROM documents
+    """,
+)
+def q_lookup_enrich_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 stub-exact form (contextual_pipeline.rs:950-961)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return lookup_enrich_stub(docs, {"source": "source_enriched"})
+
+
+# --------------------------------------------------------------------------
+# §2.9 text functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "clean_text",
+    """
+    SELECT doc_id, trim(replace(text, chr(10), ' ')) AS text FROM documents
+    """,
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 clean_text (contextual_pipeline.rs:883-889)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return clean_text(docs, ["text"])
+
+
+@register(
+    "normalize_fields",
+    """
+    SELECT c_custkey, lower(c_name) AS c_name, lower(c_mktsegment) AS c_mktsegment
+    FROM customer
+    """,
+)
+def q_normalize_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 normalize_fields (contextual_pipeline.rs:892-898)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return normalize_fields(c, ["c_name", "c_mktsegment"])
+
+
+@register(
+    "remove_html_tags",
+    """
+    SELECT doc_id, regexp_replace(text, '<[^>]*>', '', 'g') AS text FROM documents
+    """,
+)
+def q_remove_html_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 remove_html_tags — declared-only in the reference
+    (sequence_config.rs:93-100), implemented for real."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_html_tags(docs, ["text"])
+
+
+# --------------------------------------------------------------------------
+# North-star analytics (§7.2 P5): group-by / window / rollup / pivot
+# --------------------------------------------------------------------------
+
+
+@register(
+    "groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+             AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style grouped aggregation (north-star; no reference
+    equivalent — reference's only agg is a record count,
+    sequence_pipeline.rs:276-306). Partial (map-side) aggregation +
+    one hash shuffle on the grouping keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_int = F.col("l_quantity").cast("bigint")
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_int).alias("sum_qty"),
+        (F.sum(price_cents).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(qty_int).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber ASC
+             ) AS BIGINT) AS rn
+      FROM lineitem
+    ) WHERE rn <= 2
+    """,
+    headline=True,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window row_number (north-star; closest
+    reference op is record_index, contextual_pipeline.rs:968)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (north-star)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_O,
+           SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (north-star); explicit value list avoids the extra
+    distinct-values job at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("bigint")))
+    )
+    return out.withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) (north-star). Spark expands multi-distinct; for
+    100 TB cardinality estimation prefer approx_distinct (rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@register("approx_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (sketch differs from DuckDB's
+    → rows-only check). The 100 TB path for cardinality estimation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+@register(
+    "sessionize",
+    """
+    SELECT user_id, event_id,
+           SUM(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+    FROM (
+      SELECT user_id, event_id, ts,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap
+      FROM events
+    )
+    """,
+    headline=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap splits sessions (north-star
+    batch twin of streaming session windows). One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800.0), F.lit(1)).otherwise(F.lit(0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(w).alias("session_idx"),
+    )
+
+
+@register(
+    "window_agg_hourly",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def q_window_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation, batch form (north-star; twin of the
+    streaming version in small_etl_spark.streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# North-star text analysis (documents table)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_count",
+    r"""
+    SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS INT)
+             AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for data budgeting (llm.textstats.token_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        textstats.char_count("text").cast("int").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text (llm.textstats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "exact_dedup_docs",
+    r"""
+    SELECT min(doc_id) AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    """,
+    headline=True,
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via fingerprint groupBy: canonical doc per
+    normalized-content hash (the 100 TB exact-dedup shape: one shuffle
+    on a 16-byte key, partial agg map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", textstats.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "fingerprint", "n_copies")
+    )
+
+
+def _stopword_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    return (
+        "CAST(len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),"
+        f" x -> x IN ({words}))) AS INT)"
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {_stopword_sql("en")} AS h_en,
+             {_stopword_sql("es")} AS h_es,
+             {_stopword_sql("fr")} AS h_fr,
+             {_stopword_sql("de")} AS h_de
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0 THEN 'en'
+             WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+             WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+             WHEN h_de > 0 THEN 'de'
+             ELSE 'und'
+           END AS lang_pred
+    FROM hits
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID (llm.textstats.lang_id); ties break
+    by language order en > es > fr > de."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "quality_score",
+    r"""
+    SELECT doc_id,
+           (least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE), 200.0)
+              / 200.0
+            + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                    AND CAST(length(text) AS DOUBLE)
+                        / CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
+                        BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.0 END
+            + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                   THEN 1.0 ELSE 0.0 END
+           ) / 3.0 AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (llm.textstats.quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.quality_score("text").alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# public API used by __spark_entry__ / bench
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Builder]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def headline_queries() -> dict[str, Builder]:
+    return {n: s.builder for n, s in REGISTRY.items() if s.headline}

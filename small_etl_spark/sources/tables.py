@@ -1,0 +1,72 @@
+"""Parquet table catalog for the synthetic star schema.
+
+Supersedes the reference's declared-but-unimplemented lookup-file scan
+(``/root/reference/src/domain/ports.rs:17`` — every impl ignores it):
+here file scans are first-class, columnar, and pushdown-capable.
+
+At 100 TB these reads are partition-pruned parquet scans; keep all
+filtering/projection declarative so Catalyst pushes it into the scan
+(check ``PushedFilters`` / ``ReadSchema`` in ``df.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor —
+# TPC-H dims grow sub-linearly (region/nation are constant-size).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table from a scale-factor directory.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; we read nanos as long and convert to a
+    microsecond timestamp (the data has no sub-microsecond component,
+    and DuckDB reads the same file at microsecond precision — exact
+    oracle parity).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_fields = {
+        f.name
+        for f in df.schema.fields
+        if f.name == "ts" and f.dataType.simpleString() == "bigint"
+    }
+    if ts_fields:
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read several tables; returns ``{name: DataFrame}``."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
