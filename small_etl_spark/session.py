@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ICU case mappings make lower()/upper() collation-aware, but the
+        # one-time CollationAwareUTF8String static init costs minutes of
+        # CPU; JVM simple case mapping is identical for our data (and
+        # matches DuckDB). Also set at runtime in sources.tables.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 128 MB input splits: at 100 TB this is ~800k tasks — fine for
         # a large cluster; locally parquet files are single-split anyway.

@@ -43,6 +43,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle parity).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Defensive: when running under an externally created SparkSession
+    # (the verification driver's), disable ICU case mappings — their
+    # static init costs minutes of CPU on first lower()/upper(); JVM
+    # simple case mapping is equivalent for this data.
+    try:
+        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    except Exception:  # noqa: BLE001 - conf may not exist on other versions
+        pass
     if name != "events":
         return spark.read.parquet(path)
     from pyspark.sql import functions as F
