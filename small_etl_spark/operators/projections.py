@@ -77,19 +77,21 @@ def nested_path_col(path: str) -> Column:
             if col is None:  # pragma: no cover - '[*]' can't lead a path
                 raise ValueError("path cannot start with [*]")
 
-            def apply_rest(x: Column, rest=rest) -> Column:
-                c = x
-                for t in rest:
-                    if t is None:
-                        raise ValueError("nested [*] within [*] not supported; "
-                                         "use flatten() composition")
-                    if isinstance(t, int):
-                        c = _element(c, t)
-                    else:
-                        c = c.getField(t)
-                return c
+            def make_apply(rest_tokens):
+                def apply_rest(x: Column) -> Column:
+                    c = x
+                    for t in rest_tokens:
+                        if t is None:
+                            raise ValueError(
+                                "nested [*] within [*] not supported; "
+                                "use flatten() composition"
+                            )
+                        c = _element(c, t) if isinstance(t, int) else c.getField(t)
+                    return c
 
-            mapped = F.transform(col, apply_rest)
+                return apply_rest
+
+            mapped = F.transform(col, make_apply(rest))
             # reference skips null/non-object entries in [*]
             return F.filter(mapped, lambda x: x.isNotNull())
         if isinstance(tok, int):
