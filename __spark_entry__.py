@@ -51,7 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
     )
     merged = merge_with_previous(api, prev, key="id")
-    deduped = dedup_by_fields_first_wins(merged, ["id"], order_col="l_linenumber")
+    deduped = dedup_by_fields_first_wins(
+        merged, ["id"], order_col=["l_linenumber", "price"]
+    )
     marked = add_processing_markers(deduped, "flagship")
     return top_k(marked, "order_total", 100, order="desc", tiebreak=["id"])
 

@@ -1,0 +1,273 @@
+"""Near-duplicate detection at scale: MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine.
+
+All signature computation is JVM-side (built-in array/hash functions —
+``xxhash64``, ``transform``, ``aggregate``): no Python UDFs in the hot
+path, so signatures cost one map-only pass over the corpus.
+
+The 100 TB shape of MinHash-LSH dedup:
+  1. signature pass (map-only, narrow);
+  2. explode to B bands per doc (B ≈ 8-32 rows per doc — bounded blowup);
+  3. one shuffle on (band_idx, band_hash) to bucket candidates;
+  4. self-join *within buckets only* (candidate pairs ≪ n²);
+  5. exact Jaccard verification on the candidate pairs.
+Never a full n² cross join; skewed buckets (boilerplate docs) are
+split by AQE skew-join handling.
+
+No reference equivalent — the reference's dedup is exact-only
+(/root/reference/src/core/contextual_pipeline.rs:609-644); these are
+the BASELINE.json north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from small_etl_spark.llm.textstats import normalize_text, tokens
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Built entirely from array built-ins: tokens → sliding window via
+    ``sequence`` + ``transform`` + ``slice`` → ``concat_ws`` →
+    ``array_distinct``. Short docs (< n tokens) get one whole-text
+    shingle so they can still match exact copies.
+    """
+    toks = tokens(normalize_text(col))
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of seeded
+    xxhash64 over the shingle set."""
+    mins = [
+        F.array_min(F.transform(shingles, lambda x, s=s: F.xxhash64(x, F.lit(seed + s))))
+        for s in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
+    MinHash banding.
+
+    ``bands`` divides ``num_hashes``; rows_per_band = num_hashes/bands
+    tunes the S-curve (8 bands × 4 rows ≈ catches jaccard ≳ 0.6).
+    Returns columns: ``id_a, id_b, jaccard``.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rpb = num_hashes // bands
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_n).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = base.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rpb + 1, rpb)),
+                        F.lit(seed),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # same pair can share several bands
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard within a blocking group.
+
+    The deterministic (oracle-checkable) sibling of MinHash-LSH:
+    blocking on ``group_col`` replaces probabilistic banding. Use when
+    a natural blocking key exists (source, domain, near-equal length).
+    Returns ``id_a, id_b, jaccard`` for every in-group pair.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
+def simhash64(col: Column | str, seed: int = 42) -> Column:
+    """64-bit SimHash of the token multiset.
+
+    For each bit j, sum over tokens of ±1 according to bit j of the
+    token's xxhash64; bit j of the result = sign of the sum. Built
+    from ``aggregate`` + ``zip_with`` — one pass, JVM-side.
+    """
+    toks = tokens(normalize_text(col))
+    zero = F.array_repeat(F.lit(0), 64)
+
+    def bitvec(h: Column) -> Column:
+        # shiftright's bit count must be a Python int → unroll the 64 bits
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for j in range(64)
+            ]
+        )
+
+    sums = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(acc, bitvec(F.xxhash64(t, F.lit(seed))), lambda a, b: a + b),
+    )
+    # fold bits into a bigint: sum of 2^j where sum_j > 0
+    out = F.lit(0).cast("bigint")
+    for j in range(64):
+        out = out + F.when(
+            F.element_at(sums, j + 1) > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit hash into ``max_hamming + 1`` chunks —
+    any pair within distance ``max_hamming`` must agree exactly on at
+    least one chunk (pigeonhole), so candidates come from equi-joins
+    on (chunk_idx, chunk_value): shuffle-friendly, never n².
+    """
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+
+    base = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col, seed).alias("h")
+    )
+    exploded = base.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("h"), c * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "h", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH buckets, then
+    exact cosine within buckets.
+
+    Hyperplane weights are seeded Python literals (no RNG state to
+    ship); the sign pattern over ``num_planes`` planes is the bucket.
+    Exact cosine verifies candidates. P(candidate at cosine θ) =
+    (1 - acos(θ)/π)^num_planes — sized for the ≥0.9 near-dup regime.
+    """
+    from small_etl_spark.llm.similarity import cosine_sim, hyperplane_bucket
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("v"), num_planes, seed, dim))
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

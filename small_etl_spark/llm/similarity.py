@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+All vector math is JVM-side column expressions — ``zip_with`` +
+``aggregate`` for dot products, no Python in the hot path. Three tiers:
+
+1. ``brute_force_topk`` — exact top-k by cosine; the correctness
+   baseline. Scan-bound: corpus × |queries| pairs, queries broadcast,
+   one shuffle on query_id for the final top-k.
+2. ``hyperplane_bucket`` — random-hyperplane LSH signature (the
+   high-similarity near-dup regime; used by
+   ``llm.dedup.embedding_near_dup_pairs``).
+3. IVF (``ivf_assign`` + ``ivf_topk``) — the 100 TB path: partition
+   the corpus into C centroid cells (one broadcast join + map-side
+   argmax, no iterative training), probe the ``nprobe`` nearest cells
+   per query. Search cost drops to ~nprobe/C of the corpus; persist
+   the assigned corpus partitioned-by-cell so the probe join prunes
+   file partitions instead of shuffling.
+
+Hyperplanes / centroid choice are seeded and deterministic (plane
+weights are Python-literal doubles ⇒ reproducible in the DuckDB
+oracle; no RNG state shipped to executors).
+
+No reference equivalent (kenstt/small-etl has no vector ops); these
+are BASELINE.json north-star extensions.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<double> columns (left-fold, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def random_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic gaussian hyperplanes as plain Python literals.
+
+    Literals (not executor-side RNG) keep the plan reproducible and let
+    the DuckDB oracle embed the identical weights.
+    """
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def hyperplane_bucket(
+    v: Column | str, num_planes: int = 16, seed: int = 42, dim: int = 64
+) -> Column:
+    """LSH bucket id: bit p = sign(v · plane_p), folded into a BIGINT.
+
+    P(two vectors share all ``num_planes`` bits) = (1 - θ/π)^planes —
+    tune ``num_planes`` down for lower-similarity regimes.
+    """
+    planes = random_planes(dim, num_planes, seed)
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        d = dot(v, F.lit(plane).cast("array<double>"))
+        bucket = bucket + F.when(
+            d >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors. Returns ``query_id, vec_id, cosine, rank``.
+
+    Physical shape: broadcast nested-loop join (queries are broadcast —
+    they must be small), cosine evaluated in whole-stage codegen over
+    the corpus scan, then one hash-shuffle on query_id for the
+    row_number top-k. Ties break by vec_id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).cast("array<double>").alias("__qv__"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    pairs = c.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id_col) != F.col(id_col))
+    scored = pairs.select(
+        query_id_col, id_col, cosine_sim("__qv__", "__cv__").alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    num_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: pick C corpus rows as centroids (deterministic
+    hash-sample), assign every corpus vector to its nearest centroid.
+
+    Returns ``(assigned, centroids)``: ``assigned`` = corpus +
+    ``cell`` column; ``centroids`` = (cell, centroid vector).
+
+    One broadcast join corpus × C + map-side ``max_by`` argmax — a
+    single map pass at any scale, no iterative k-means (good-enough
+    cells for pruning; swap in trained centroids without changing the
+    query path). At 100 TB: write ``assigned`` partitioned by
+    ``cell`` so probes read only nprobe/C of the files.
+    """
+    n = corpus.count()
+    stride = max(n // num_centroids, 1)
+    cents = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), stride) == 0)
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("__cent__"),
+        )
+    )
+    c = corpus.withColumn("__v__", F.col(vec_col).cast("array<double>"))
+    pairs = c.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim__", cosine_sim("__v__", "__cent__")
+    )
+    assigned = (
+        pairs.groupBy(id_col)
+        .agg(
+            F.max_by("cell", F.struct("__sim__", "cell")).alias("cell"),
+            F.first("__v__").alias("__v__"),
+        )
+        .select(id_col, "cell", F.col("__v__").alias(vec_col))
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-Flat ANN: probe the ``nprobe`` nearest cells per query, exact
+    cosine within probed cells. Returns ``query_id, vec_id, cosine,
+    rank`` (rank ≤ k; recall < 1.0 by construction — measure vs
+    ``brute_force_topk``).
+
+    Scale shape: queries×C probe ranking is broadcast-local; the probe
+    join shuffles only on ``cell`` (or partition-prunes if ``assigned``
+    is stored partitioned by cell); per-cell scan is ~nprobe/C of the
+    corpus.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv__"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__psim__").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__psim__", cosine_sim("__qv__", "__cent__"))
+        .withColumn("__pr__", F.row_number().over(probe_w))
+        .filter(F.col("__pr__") <= nprobe)
+        .select(query_id_col, "__qv__", "cell")
+    )
+    cand = assigned.withColumnRenamed(vec_col, "__cv__").join(
+        F.broadcast(probes), "cell"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
+    scored = cand.select(
+        query_id_col, id_col, cosine_sim("__qv__", "__cv__").alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

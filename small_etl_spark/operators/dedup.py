@@ -34,11 +34,12 @@ def with_ingest_ordinal(df: DataFrame) -> DataFrame:
 
 
 def dedup_by_fields_first_wins(
-    df: DataFrame, fields: list[str], order_col: str | None = None
+    df: DataFrame, fields: list[str], order_col: str | list[str] | None = None
 ) -> DataFrame:
     """A3: keep the first row per key tuple.
 
-    ``order_col`` defines "first"; if absent an ingest ordinal is
+    ``order_col`` (one column or a list — include a unique tiebreak
+    for determinism) defines "first"; if absent an ingest ordinal is
     attached (valid when ``df`` is a raw source read). Missing key
     columns are treated as "" (reference stringifies missing → "").
 
@@ -55,8 +56,9 @@ def dedup_by_fields_first_wins(
         work = with_ingest_ordinal(work)
         order_col = ORDINAL
         added_ordinal = True
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = Window.partitionBy(*[F.coalesce(F.col(f).cast("string"), F.lit("")) for f in fields]).orderBy(
-        F.col(order_col).asc()
+        *[F.col(c).asc() for c in order_cols]
     )
     out = work.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
     if added_ordinal:

@@ -264,7 +264,8 @@ def q_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
       SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
-             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
@@ -272,11 +273,14 @@ def q_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 dedup-by-fields, first occurrence wins
-    (contextual_pipeline.rs:614-629); "first" defined by l_linenumber."""
+    (contextual_pipeline.rs:614-629); "first" = (l_linenumber,
+    l_partkey) — linenumber alone has ties in the synthetic data."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
-    return dedup_by_fields_first_wins(li, ["l_orderkey"], order_col="l_linenumber")
+    return dedup_by_fields_first_wins(
+        li, ["l_orderkey"], order_col=["l_linenumber", "l_partkey"]
+    )
 
 
 @register(
@@ -722,6 +726,119 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (llm.textstats.quality_score)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.quality_score("text").alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# North-star dedup-at-scale + similarity search (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT source AS g, doc_id AS id,
+             regexp_extract_all(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT g, id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      FROM t
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked on source
+    (llm.dedup.ngram_jaccard_pairs). Integer-ratio doubles are exactly
+    rounded in IEEE → bit-identical across engines, so this is the
+    oracle-checked twin of the probabilistic MinHash path."""
+    from small_etl_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, group_col="source").filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+@register("minhash_lsh_dedup", None, headline=True)
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (llm.dedup.minhash_lsh_pairs):
+    shingle → 32-hash signature → 8 bands → bucket join → exact
+    Jaccard verify. xxhash64 has no DuckDB twin → rows-only check;
+    recall vs the exact path is pinned in tests/test_llm_similarity.py."""
+    from small_etl_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.8).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+@register("simhash_dedup", None)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs, Hamming ≤ 3, pigeonhole-chunk
+    blocking (llm.dedup.simhash_pairs). Rows-only (xxhash64)."""
+    from small_etl_spark.llm.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), s AS (
+      SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS cos
+      FROM q CROSS JOIN c WHERE query_id <> vec_id
+    ), r AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 10
+    """,
+    headline=True,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector
+    (llm.similarity.brute_force_topk) — the exact-ANN baseline.
+    Cosine rounded to 6dp for cross-engine float stability."""
+    from small_etl_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@register("ivf_ann_topk", None)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 (llm.similarity.ivf_topk): 32
+    centroid cells, probe 8 — the 100 TB ANN path (reads ~nprobe/C of
+    the corpus when stored partitioned by cell). Approximate by
+    construction → rows-only; recall pinned in tests."""
+    from small_etl_spark.llm.similarity import ivf_assign, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_assign(emb, num_centroids=32)
+    return ivf_topk(assigned, cents, emb.filter(F.col("vec_id") < 8), k=10, nprobe=8)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,161 @@
+"""Near-dup detection + similarity search (llm.dedup / llm.similarity).
+
+Planted-duplicate fixtures pin detection behavior; recall of the
+approximate paths (MinHash-LSH, SimHash, IVF) is measured against the
+exact baselines on real testdata.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from small_etl_spark.llm.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+    word_shingles,
+)
+from small_etl_spark.llm.similarity import (
+    brute_force_topk,
+    cosine_sim,
+    ivf_assign,
+    ivf_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DOCS = [
+    # pair 1-2: near-identical (one word changed in 20 tokens → j=15/21)
+    (1, "the quick brown fox jumps over the lazy dog in the morning sun while birds sing softly in the trees", "a"),
+    (2, "the quick brown fox jumps over the lazy cat in the morning sun while birds sing softly in the trees", "a"),
+    # 3: unrelated
+    (3, "completely different content about databases and query engines", "a"),
+    # 4-5: exact copies
+    (4, "spark structured streaming handles late data with watermarks", "b"),
+    (5, "spark structured streaming handles late data with watermarks", "b"),
+    # 6: short doc
+    (6, "hi", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "source"])
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], ["text"])
+    rows = df.select(word_shingles("text", 3).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == ["x"]  # short doc → whole-text shingle
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_df):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs_df, jaccard_threshold=0.6).collect()
+    }
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs
+    assert all(3 not in p and 6 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(docs_df):
+    rows = ngram_jaccard_pairs(docs_df, group_col="source").collect()
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert by_pair[(4, 5)] == 1.0
+    # 1 vs 2: 20 tokens → 18 trigrams each, 15 shared (3 contain dog/cat)
+    assert math.isclose(by_pair[(1, 2)], 15 / 21, rel_tol=1e-9)
+    assert by_pair[(1, 3)] == 0.0
+
+
+def test_simhash_near_dups(docs_df):
+    sh = {
+        r.doc_id: r.h
+        for r in docs_df.select("doc_id", simhash64("text").alias("h")).collect()
+    }
+    assert sh[4] == sh[5]  # identical text → identical simhash
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs_df, max_hamming=6).collect()}
+    assert pairs[(4, 5)] == 0
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_minhash_recall_on_testdata(spark):
+    """LSH pairs must recover ≥90% of true jaccard≥0.8 pairs found by
+    exact blocked comparison (documents has planted near-dups)."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, group_col="source")
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    assert exact, "testdata should contain planted near-dup pairs"
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.8).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_embedding_near_dup_planted(spark):
+    base = [1.0, 0.5, -0.25] + [0.0] * 61
+    near = [1.0, 0.5, -0.2] + [0.0] * 61
+    far = ([0.0] * 32) + ([1.0] * 32)
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=base), Row(vec_id=2, embedding=near),
+         Row(vec_id=3, embedding=far)]
+    )
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(df, cosine_threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_cosine_sim_basics(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0]),
+         Row(a=[0.0, 0.0], b=[1.0, 1.0])]
+    )
+    vals = [r.c for r in df.select(cosine_sim("a", "b").alias("c")).collect()]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[1] == pytest.approx(0.0)
+    assert vals[2] == 0.0  # zero-norm guard
+
+
+def test_brute_force_topk(spark):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries × 5
+    for r in rows:
+        assert r.query_id != r.vec_id
+    # ranks are 1..5 per query, cosine non-increasing
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    assigned, cents = ivf_assign(emb, num_centroids=32)
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(assigned, cents, queries, k=10, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 {recall:.2f}"
