@@ -1,0 +1,392 @@
+"""Ordered multi-pipeline execution (SURVEY §3.3 — the flagship).
+
+Ports the reference's `execute_all` loop
+(/root/reference/src/app/pipelines/sequence_pipeline.rs:175-273) to
+DataFrame stages: for each enabled stage, gate (F6) → resolve source
+(S1–S7) → extract-level processing (F4/F5, A2/A3, O1) → transform
+chain (P1–P9, X1–X3, F3, J3, J4) → sinks (K1–K7) → record result in
+the context. Failure policy stop|continue|retry is handled here for
+real (the reference's retry branch is a no-op stub —
+sequence_etl.rs:139-162).
+
+Spark shapes:
+- stage handoff = a named DataFrame (persisted when reused), not a
+  record-vector clone;
+- J1 merge-with-api = broadcast left join (the reference's O(n·m)
+  loop);
+- J4 shared-scalar export = a deliberate single-row `first()`
+  materialization barrier between an auth stage and its consumers
+  (SURVEY §7.3);
+- gating counts use `df.count()` — at scale a parquet-footer rollup or
+  cached-stage metadata, never a full recompute of a hot plan.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from small_etl_spark.functions.text import (
+    clean_text,
+    normalize_fields,
+    remove_html_tags,
+    trim_whitespace,
+)
+from small_etl_spark.operators.dedup import (
+    dedup_by_fields_first_wins,
+    dedup_full_record,
+)
+from small_etl_spark.operators.filters import (
+    equality_filter,
+    extract_filters,
+    limit_records,
+)
+from small_etl_spark.operators.joins import lookup_enrich_stub, merge_with_previous
+from small_etl_spark.operators.projections import (
+    add_processing_markers,
+    computed_fields,
+    default_fill,
+    keep_only_fields,
+    exclude_fields as drop_fields,
+    map_nested_fields,
+    rename_fields,
+)
+from small_etl_spark.operators.sets import union_all_by_name
+from small_etl_spark.operators.sort import sort_by_field
+from small_etl_spark.operators.validation import ValidationSpec, validate_frame
+from small_etl_spark.plans.context import PipelineContext, PipelineResult
+from small_etl_spark.plans.spec import PipelineSpec, SequenceSpec
+from small_etl_spark.sinks.files import render_filename, write_outputs, zip_output_dir
+from small_etl_spark.sources.http import http_scan, records_to_df
+
+
+class PipelineExecutionError(RuntimeError):
+    def __init__(self, pipeline: str, cause: Exception):
+        super().__init__(f"pipeline {pipeline!r} failed: {cause}")
+        self.pipeline = pipeline
+        self.cause = cause
+
+
+# --------------------------------------------------------------------------
+# source resolution (S1–S7 — contextual_pipeline.rs:31-92)
+# --------------------------------------------------------------------------
+
+
+def _resolve_source(
+    spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext
+) -> DataFrame:
+    src = spec.source
+    if src.type == "sample":
+        return records_to_df(spark, src.sample_data)
+    if src.type == "file":
+        reader = spark.read
+        if src.format == "csv":
+            return reader.option("header", True).option("inferSchema", True).csv(src.path)
+        if src.format == "json":
+            return reader.json(src.path)
+        return reader.parquet(src.path)
+    if src.type == "table":
+        return spark.table(src.table)
+    if src.type == "combined":
+        prev = ctx.all_previous()
+        if not prev:
+            raise ValueError("combined source with no previous stages")
+        return union_all_by_name(prev)
+    if src.type == "previous":
+        result = ctx.get(src.previous_pipeline)
+        if result is None:
+            raise ValueError(
+                f"previous source {src.previous_pipeline!r} not found"
+            )
+        base = result.df
+        if src.merge_with_api and src.endpoint:
+            api = _api_fetch(spark, spec, ctx)
+            # J1: api records enriched from previous by key; api wins
+            return merge_with_previous(api, base, key=src.merge_key)
+        if src.endpoint:
+            # union path (contextual_pipeline.rs:34-91): previous then api
+            api = _api_fetch(spark, spec, ctx)
+            return union_all_by_name([base, api])
+        return base
+    # "api"
+    return _api_fetch(spark, spec, ctx)
+
+
+def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) -> DataFrame:
+    src = spec.source
+    if src.parameterized:
+        # S4 fan-out over the previous stage's records
+        from small_etl_spark.sources.http import parameterized_http_fanout
+
+        prev = ctx.get(src.previous_pipeline)
+        if prev is None:
+            raise ValueError("parameterized api source requires a previous stage")
+        return parameterized_http_fanout(
+            prev.df,
+            src.endpoint,
+            method=src.method,
+            headers=src.headers,
+            shared_data=ctx.shared_data,
+            timeout_seconds=src.timeout_seconds,
+            retry_attempts=src.retry_attempts,
+            retry_delay_seconds=src.retry_delay_seconds,
+            rate_limit_ms=src.rate_limit_ms,
+        )
+    return http_scan(
+        spark,
+        src.endpoint,
+        method=src.method,
+        headers=src.headers,
+        query_params=src.query_params,
+        payload_template=src.payload_template,
+        shared_data=ctx.shared_data,
+        timeout_seconds=src.timeout_seconds,
+        retry_attempts=src.retry_attempts,
+        retry_delay_seconds=src.retry_delay_seconds,
+        on_failure=src.on_api_failure,
+        sample_data=src.sample_data,
+    )
+
+
+# --------------------------------------------------------------------------
+# per-stage transform chain (ordering per contextual_pipeline.rs:596-677,
+# 879-1121: extract-processing = dedup → sort; transform = clean →
+# mapping → lookup → keep/exclude → computed → markers)
+# --------------------------------------------------------------------------
+
+
+def _apply_extract(df: DataFrame, spec: PipelineSpec) -> DataFrame:
+    src, tr = spec.source, spec.transform
+    if src.filters:
+        df = extract_filters(df, src.filters)  # F5, enforced
+    df = limit_records(df, src.max_records, src.first_record_only)  # F4
+    if tr.deduplicate_fields:
+        df = dedup_by_fields_first_wins(df, tr.deduplicate_fields)  # A3
+    elif tr.deduplicate:
+        df = dedup_full_record(df)  # A2
+    if tr.sort_by:
+        df = sort_by_field(df, tr.sort_by, tr.sort_order)  # O1 (typed sort)
+    return df
+
+
+def _apply_transform(
+    df: DataFrame, spec: PipelineSpec, ctx: PipelineContext
+) -> DataFrame:
+    tr = spec.transform
+    if tr.clean_text:
+        df = clean_text(df)  # X1
+    if tr.trim_whitespace:
+        df = trim_whitespace(df)  # X3a
+    if tr.remove_html_tags:
+        df = remove_html_tags(df)  # X3b
+    if tr.normalize_fields:
+        df = normalize_fields(df, tr.normalize_fields)  # X2
+    if tr.field_mapping:
+        nested = {p: t for p, t in tr.field_mapping.items() if any(ch in p for ch in ".[")}
+        flat = {p: t for p, t in tr.field_mapping.items() if p not in nested}
+        if nested:
+            df = map_nested_fields(df, nested)  # P2/P3/P4
+        if flat:
+            df = rename_fields(df, flat)  # P1
+    if tr.lookup_data:
+        df = lookup_enrich_stub(df, tr.lookup_data)  # J3 stub form
+    if tr.default_values:
+        df = default_fill(df, tr.default_values)  # P9
+    if tr.keep_only_fields:
+        df = keep_only_fields(df, tr.keep_only_fields)  # P5 (precedence)
+    elif tr.exclude_fields:
+        df = drop_fields(df, tr.exclude_fields)  # P6
+    if tr.computed_fields:
+        df = computed_fields(
+            df,
+            tr.computed_fields,
+            pipeline_name=spec.name,
+            execution_id=ctx.execution_id,
+        )  # P7
+    if tr.add_markers:
+        df = add_processing_markers(df, spec.name)  # P8
+    return df
+
+
+def _should_execute(spec: PipelineSpec, ctx: PipelineContext) -> tuple[bool, str]:
+    """F6 gating (contextual_pipeline.rs:1231-1288)."""
+    cond = spec.conditions
+    if cond.require_previous_success and ctx.results:
+        if not ctx.results[-1].success:
+            return False, "previous pipeline failed"
+    for dep in spec.depends_on:
+        r = ctx.get(dep)
+        if r is None or not r.success:
+            return False, f"dependency {dep!r} not satisfied"
+    if cond.when_pipeline or cond.min_records is not None or cond.max_records is not None:
+        target = ctx.get(cond.when_pipeline)
+        if target is None:
+            return False, f"gating pipeline {cond.when_pipeline!r} missing"
+        n = target.record_count
+        if cond.min_records is not None and n < cond.min_records:
+            return False, f"record count {n} < min {cond.min_records}"
+        if cond.max_records is not None and n > cond.max_records:
+            return False, f"record count {n} > max {cond.max_records}"
+    for key, expected in cond.when_shared_data.items():
+        if ctx.shared_data.get(key) != expected:
+            return False, f"shared_data[{key!r}] != {expected!r}"
+    return True, ""
+
+
+def execute_pipeline(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    ctx: PipelineContext,
+    output_root: str | None = None,
+) -> PipelineResult:
+    """One stage: source → extract processing → transforms → validate →
+    intermediate/shared export → sinks."""
+    t0 = time.time()
+    df = _resolve_source(spark, spec, ctx)
+    df = _apply_extract(df, spec)
+    df = _apply_transform(df, spec, ctx)
+
+    tr = spec.transform
+    validate_frame(
+        df,
+        ValidationSpec(
+            required_fields=tr.required_fields,
+            field_types=tr.field_types,
+            min_records=tr.min_records,
+            max_records=tr.max_records,
+        ),
+    )
+
+    # stage output is consumed ≥2× (count, downstream stages, sinks)
+    df = df.persist()
+    record_count = df.count()
+
+    intermediate = None
+    if tr.intermediate_conditions:
+        intermediate = equality_filter(df, tr.intermediate_conditions)  # F3
+        if tr.shared_data_key:
+            first = intermediate.first()  # J4 barrier (single row by design)
+            if first is not None:
+                ctx.export_shared(tr.shared_data_key, first.asDict())
+
+    output_path = None
+    if output_root and spec.load.formats:
+        out_dir = os.path.join(output_root, spec.name)
+        written = write_outputs(
+            df, out_dir, spec.load.formats,
+            sorted_header=spec.load.sorted_dynamic_header,
+        )
+        output_path = out_dir
+        if spec.load.zip_outputs:
+            zip_name = render_filename(
+                spec.load.filename_pattern or "{pipeline_name}_output.zip",
+                spec.name,
+                ctx.execution_id,
+            )
+            metadata = None
+            if spec.load.include_metadata:
+                metadata = {
+                    "pipeline_name": spec.name,
+                    "execution_id": ctx.execution_id,
+                    "record_count": record_count,
+                }
+            output_path = zip_output_dir(
+                out_dir,
+                written,
+                zip_name,
+                metadata=metadata,
+                intermediate_df=intermediate if spec.load.include_intermediate else None,
+            )
+
+    return PipelineResult(
+        pipeline_name=spec.name,
+        df=df,
+        record_count=record_count,
+        duration_s=round(time.time() - t0, 6),
+        output_path=output_path,
+        success=True,
+        intermediate=intermediate,
+    )
+
+
+def run_sequence(
+    spark: SparkSession,
+    seq: SequenceSpec,
+    only: list[str] | None = None,
+    skip: list[str] | None = None,
+    output_root: str | None = None,
+    dry_run: bool = False,
+) -> PipelineContext:
+    """Execute the enabled stages in ``execution_order``.
+
+    ``dry_run`` echoes each stage's logical plan without executing
+    (toml_etl.rs:154-227's plan print → here the real ``df.explain``
+    is available post-build, so dry-run prints spec summaries only).
+    Failure policy (sequence_etl.rs:139-162): stop aborts, continue
+    records the failure and moves on, retry re-runs the stage up to
+    ``retry_attempts`` times (implemented for real).
+    """
+    ctx = PipelineContext()
+    for spec in seq.enabled_in_order(only, skip):
+        if dry_run:
+            print(f"[dry-run] {spec.name}: source={spec.source.type} "
+                  f"formats={spec.load.formats}")
+            continue
+        ok, reason = _should_execute(spec, ctx)
+        if not ok:
+            ctx.add_result(
+                PipelineResult(
+                    pipeline_name=spec.name,
+                    df=spark.range(0).drop("id"),
+                    record_count=0,
+                    duration_s=0.0,
+                    success=False,
+                    metadata={"skipped": True, "reason": reason},
+                )
+            )
+            continue
+        attempts = seq.retry_attempts if seq.on_pipeline_failure == "retry" else 0
+        last_err: Exception | None = None
+        for _ in range(attempts + 1):
+            try:
+                ctx.add_result(execute_pipeline(spark, spec, ctx, output_root))
+                last_err = None
+                break
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+        if last_err is not None:
+            if seq.on_pipeline_failure == "continue":
+                ctx.add_result(
+                    PipelineResult(
+                        pipeline_name=spec.name,
+                        df=spark.range(0).drop("id"),
+                        record_count=0,
+                        duration_s=0.0,
+                        success=False,
+                        metadata={"error": str(last_err)},
+                    )
+                )
+                continue
+            raise PipelineExecutionError(spec.name, last_err)
+    return ctx
+
+
+def sequence_metrics(ctx: PipelineContext) -> dict[str, Any]:
+    """K7 per-stage + summary metrics (sequence_etl.rs:336-400)."""
+    return {
+        "pipelines": [
+            {
+                "pipeline_name": r.pipeline_name,
+                "records_processed": r.record_count,
+                "duration_ms": round(r.duration_s * 1000, 3),
+                "output_path": r.output_path,
+                "success": r.success,
+                **r.metadata,
+            }
+            for r in ctx.results
+        ],
+        "summary": ctx.summary(),
+    }

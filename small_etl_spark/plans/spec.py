@@ -1,0 +1,330 @@
+"""Pipeline spec: the declarative logical plan (TOML or dict).
+
+Mirrors the reference's config surface
+(/root/reference/src/config/sequence_config.rs:26-175 and
+toml_config.rs:20-117) with the same section names — ``[source]``,
+``[extract]``, ``[transform]``, ``[load]``, ``[[pipelines]]``,
+``execution_order`` — compiled here into dataclasses that the
+sequencer turns into DataFrame chains.
+
+Validation ports the reference's checks for real:
+- execution_order names exist           (sequence_config.rs:279-295)
+- per-pipeline endpoint/path/concurrency (sequence_config.rs:307-348)
+- dependency existence + cycle detection via DFS with a recursion
+  stack                                  (sequence_config.rs:350-394)
+- output format allow-list csv/tsv/json  (toml_config.rs:169-181)
+- ``${VAR}`` env + shared-variable substitution at load time
+  (toml_config.rs:138-149, sequence_config.rs:196-276)
+
+The declared-but-unenforced config of the reference (``validation``,
+``extract.filters``, ``retry_attempts``) is enforced for real by the
+sequencer (SURVEY §7.2 P4).
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+from urllib.parse import urlparse
+
+from small_etl_spark.functions.templating import substitute_env_vars
+
+VALID_FORMATS = ("csv", "tsv", "json", "parquet")
+VALID_SOURCE_TYPES = ("api", "previous", "combined", "file", "table", "sample")
+
+
+class SpecError(ValueError):
+    """Invalid pipeline spec (config-time, before any execution)."""
+
+
+@dataclass
+class SourceSpec:
+    """Where a stage's input DataFrame comes from (SURVEY §2.1).
+
+    type:
+    - ``api``      — HTTP fetch (S1–S4); ``parameterized`` makes it a
+      per-record fan-out against a previous stage's rows (S4).
+    - ``previous`` — a named (or the latest) prior stage (S5).
+    - ``combined`` — union of all prior stages (S6).
+    - ``file``     — parquet/csv/json path scan (supersedes S8).
+    - ``table``    — named table in the sf_dir catalog.
+    - ``sample``   — inline literal records (S7 as a first-class source).
+    """
+
+    type: str = "api"
+    endpoint: str | None = None
+    method: str = "GET"
+    headers: dict[str, str] = field(default_factory=dict)
+    query_params: dict[str, str] = field(default_factory=dict)
+    payload_template: str | None = None
+    template_params: dict[str, str] = field(default_factory=dict)
+    use_previous_data_as_params: bool = False
+    timeout_seconds: int = 30
+    retry_attempts: int = 0
+    retry_delay_seconds: float = 0.0
+    on_api_failure: str = "error"  # "error" | "use_sample_data"
+    sample_data: list[dict[str, Any]] = field(default_factory=list)
+    previous_pipeline: str | None = None  # None ⇒ latest
+    merge_with_api: bool = False
+    merge_key: str = "id"
+    parameterized: bool = False
+    rate_limit_ms: int = 100  # S4 inter-call pacing (reference: fixed 100ms)
+    path: str | None = None  # file source
+    format: str = "parquet"  # file source format
+    table: str | None = None  # table source
+    max_records: int | None = None  # F4 limit pushed into extract
+    first_record_only: bool = False  # "MVP mode"
+    filters: dict[str, Any] = field(default_factory=dict)  # F5, enforced
+
+
+@dataclass
+class TransformSpec:
+    """Row/column transforms of a stage (SURVEY §2.3/§2.4/§2.6/§2.7/§2.9)."""
+
+    field_mapping: dict[str, str] = field(default_factory=dict)  # P1/P2/P3/P4
+    keep_only_fields: list[str] = field(default_factory=list)  # P5
+    exclude_fields: list[str] = field(default_factory=list)  # P6
+    computed_fields: dict[str, str] = field(default_factory=dict)  # P7
+    add_markers: bool = True  # P8 processed/processed_by
+    default_values: dict[str, Any] = field(default_factory=dict)  # P9
+    clean_text: bool = False  # X1
+    normalize_fields: list[str] = field(default_factory=list)  # X2
+    trim_whitespace: bool = False  # X3a (declared-only in reference)
+    remove_html_tags: bool = False  # X3b (declared-only in reference)
+    deduplicate: bool = False  # A2
+    deduplicate_fields: list[str] = field(default_factory=list)  # A3
+    sort_by: str | None = None  # O1
+    sort_order: str = "asc"
+    lookup_data: dict[str, str] = field(default_factory=dict)  # J3 stub
+    intermediate_conditions: dict[str, Any] = field(default_factory=dict)  # F3
+    shared_data_key: str | None = None  # J4 export key
+    # real validation (declared-but-unimplemented in the reference):
+    required_fields: list[str] = field(default_factory=list)
+    field_types: dict[str, str] = field(default_factory=dict)
+    min_records: int | None = None
+    max_records: int | None = None
+
+
+@dataclass
+class LoadSpec:
+    """Stage sink config (SURVEY §2.2)."""
+
+    formats: list[str] = field(default_factory=lambda: ["csv"])  # K8 allow-list
+    output_path: str | None = None
+    filename_pattern: str | None = None  # K5 {pipeline_name}/{execution_id}/{timestamp:..}
+    zip_outputs: bool = False  # K4
+    include_intermediate: bool = True
+    include_metadata: bool = False
+    sorted_dynamic_header: bool = True  # reference header rule (§1.3)
+
+
+@dataclass
+class ConditionsSpec:
+    """F6 stage gating (contextual_pipeline.rs:1231-1288)."""
+
+    when_pipeline: str | None = None  # named stage whose count is checked
+    min_records: int | None = None
+    max_records: int | None = None
+    when_shared_data: dict[str, Any] = field(default_factory=dict)
+    require_previous_success: bool = True
+
+
+@dataclass
+class PipelineSpec:
+    name: str
+    enabled: bool = True
+    depends_on: list[str] = field(default_factory=list)
+    source: SourceSpec = field(default_factory=SourceSpec)
+    transform: TransformSpec = field(default_factory=TransformSpec)
+    load: LoadSpec = field(default_factory=LoadSpec)
+    conditions: ConditionsSpec = field(default_factory=ConditionsSpec)
+
+
+@dataclass
+class SequenceSpec:
+    pipelines: list[PipelineSpec]
+    execution_order: list[str] = field(default_factory=list)
+    shared_variables: dict[str, str] = field(default_factory=dict)
+    on_pipeline_failure: str = "stop"  # stop | continue | retry
+    retry_attempts: int = 1
+    concurrent_requests: int = 1
+
+    def __post_init__(self) -> None:
+        if not self.execution_order:
+            self.execution_order = [p.name for p in self.pipelines]
+
+    def by_name(self) -> dict[str, PipelineSpec]:
+        return {p.name: p for p in self.pipelines}
+
+    def enabled_in_order(
+        self, only: list[str] | None = None, skip: list[str] | None = None
+    ) -> list[PipelineSpec]:
+        """F7 ``--only``/``--skip`` selection preserving execution_order
+        (sequence_etl.rs:215-236; sequence_config.rs:401-409)."""
+        byname = self.by_name()
+        names = [n for n in self.execution_order if byname[n].enabled]
+        if only:
+            names = [n for n in names if n in set(only)]
+        if skip:
+            names = [n for n in names if n not in set(skip)]
+        return [byname[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+
+def _sub(obj: Any, shared_vars: dict[str, str]) -> Any:
+    """Recursive ``${VAR}`` substitution over every string in the config."""
+    if isinstance(obj, str):
+        return substitute_env_vars(obj, shared_vars)
+    if isinstance(obj, dict):
+        return {k: _sub(v, shared_vars) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_sub(v, shared_vars) for v in obj]
+    return obj
+
+
+def _pick(d: dict[str, Any], cls: type, **renames: str) -> dict[str, Any]:
+    names = {f for f in cls.__dataclass_fields__}  # type: ignore[attr-defined]
+    out = {}
+    for k, v in d.items():
+        key = renames.get(k, k)
+        if key in names:
+            out[key] = v
+    return out
+
+
+def pipeline_from_dict(d: dict[str, Any]) -> PipelineSpec:
+    src = d.get("source", d.get("extract", {}))
+    # the reference splits source(endpoint/headers) and extract(limits/
+    # filters/mapping); accept both merged and split layouts
+    if "extract" in d and "source" in d:
+        src = {**d["source"], **d["extract"]}
+    tr = dict(d.get("transform", {}))
+    # nested sub-tables of the reference layout
+    tr.update(_pick(tr.pop("validation", {}) or {}, TransformSpec))
+    inter = tr.pop("intermediate", None)
+    if inter:
+        tr["intermediate_conditions"] = inter.get("conditions", {})
+    fm = d.get("field_mapping")
+    if fm and "field_mapping" not in tr:
+        tr["field_mapping"] = fm
+    return PipelineSpec(
+        name=d["name"],
+        enabled=d.get("enabled", True),
+        depends_on=list(d.get("depends_on", [])),
+        source=SourceSpec(**_pick(src, SourceSpec, api_endpoint="endpoint")),
+        transform=TransformSpec(**_pick(tr, TransformSpec)),
+        load=LoadSpec(**_pick(d.get("load", d.get("output", {})), LoadSpec)),
+        conditions=ConditionsSpec(**_pick(d.get("conditions", {}), ConditionsSpec)),
+    )
+
+
+def sequence_from_dict(d: dict[str, Any]) -> SequenceSpec:
+    shared_vars = {
+        str(k): str(v)
+        for k, v in (d.get("global", {}).get("shared_variables", {}) or {}).items()
+    }
+    d = _sub(d, shared_vars)
+    glob = d.get("global", {})
+    seq = SequenceSpec(
+        pipelines=[pipeline_from_dict(p) for p in d.get("pipelines", [])],
+        execution_order=list(d.get("execution_order", glob.get("execution_order", []))),
+        shared_variables=shared_vars,
+        on_pipeline_failure=glob.get("on_pipeline_failure", "stop"),
+        retry_attempts=int(glob.get("retry_attempts", 1)),
+        concurrent_requests=int(glob.get("concurrent_requests", 1)),
+    )
+    validate_sequence(seq)
+    return seq
+
+
+def sequence_from_toml(path: str) -> SequenceSpec:
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    return sequence_from_dict(raw)
+
+
+# --------------------------------------------------------------------------
+# validation (ported for real)
+# --------------------------------------------------------------------------
+
+
+def _validate_url(url: str, name: str) -> None:
+    parsed = urlparse(url)
+    if parsed.scheme not in ("http", "https") or not parsed.netloc:
+        raise SpecError(f"pipeline {name!r}: invalid endpoint URL {url!r}")
+
+
+def validate_pipeline(p: PipelineSpec) -> None:
+    if p.source.type not in VALID_SOURCE_TYPES:
+        raise SpecError(f"pipeline {p.name!r}: unknown source type {p.source.type!r}")
+    if p.source.type == "api":
+        if not p.source.endpoint:
+            raise SpecError(f"pipeline {p.name!r}: api source requires endpoint")
+        _validate_url(p.source.endpoint, p.name)
+    if p.source.type == "file" and not p.source.path:
+        raise SpecError(f"pipeline {p.name!r}: file source requires path")
+    if p.source.type == "table" and not p.source.table:
+        raise SpecError(f"pipeline {p.name!r}: table source requires table")
+    for fmt in p.load.formats:
+        if fmt not in VALID_FORMATS:
+            raise SpecError(
+                f"pipeline {p.name!r}: invalid output format {fmt!r} "
+                f"(allowed: {', '.join(VALID_FORMATS)})"
+            )
+    if p.transform.sort_order not in ("asc", "desc"):
+        raise SpecError(f"pipeline {p.name!r}: sort_order must be asc|desc")
+
+
+def validate_sequence(seq: SequenceSpec) -> None:
+    byname = seq.by_name()
+    if len(byname) != len(seq.pipelines):
+        raise SpecError("duplicate pipeline names")
+    for n in seq.execution_order:
+        if n not in byname:
+            raise SpecError(f"execution_order references unknown pipeline {n!r}")
+    if seq.concurrent_requests < 1 or seq.concurrent_requests > 100:
+        raise SpecError("concurrent_requests must be in 1..=100")
+    if seq.on_pipeline_failure not in ("stop", "continue", "retry"):
+        raise SpecError("on_pipeline_failure must be stop|continue|retry")
+    for p in seq.pipelines:
+        validate_pipeline(p)
+        for dep in p.depends_on:
+            if dep not in byname:
+                raise SpecError(
+                    f"pipeline {p.name!r} depends on unknown pipeline {dep!r}"
+                )
+        if p.source.type == "previous" and p.source.previous_pipeline:
+            if p.source.previous_pipeline not in byname:
+                raise SpecError(
+                    f"pipeline {p.name!r} sources unknown pipeline "
+                    f"{p.source.previous_pipeline!r}"
+                )
+    _detect_cycles(seq)
+
+
+def _detect_cycles(seq: SequenceSpec) -> None:
+    """DFS with a recursion stack (sequence_config.rs:350-394)."""
+    graph = {p.name: list(p.depends_on) for p in seq.pipelines}
+    visited: set[str] = set()
+    stack: set[str] = set()
+
+    def dfs(node: str, path: list[str]) -> None:
+        visited.add(node)
+        stack.add(node)
+        for dep in graph.get(node, []):
+            if dep in stack:
+                raise SpecError(
+                    "circular dependency: " + " -> ".join(path + [node, dep])
+                )
+            if dep not in visited:
+                dfs(dep, path + [node])
+        stack.discard(node)
+
+    for name in graph:
+        if name not in visited:
+            dfs(name, [])

@@ -265,7 +265,7 @@ def q_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
       SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
              row_number() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber, l_partkey) AS rn
+                                ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
@@ -274,12 +274,13 @@ def q_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 dedup-by-fields, first occurrence wins
     (contextual_pipeline.rs:614-629); "first" = (l_linenumber,
-    l_partkey) — linenumber alone has ties in the synthetic data."""
+    l_partkey, l_quantity) — the synthetic data duplicates shorter
+    prefixes, and a tie across all output columns is value-identical."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
     return dedup_by_fields_first_wins(
-        li, ["l_orderkey"], order_col=["l_linenumber", "l_partkey"]
+        li, ["l_orderkey"], order_col=["l_linenumber", "l_partkey", "l_quantity"]
     )
 
 
@@ -726,6 +727,65 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (llm.textstats.quality_score)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.quality_score("text").alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# §3.3 sequencer end-to-end (the flagship surface, data path only)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sequence_two_stage",
+    """
+    WITH extract_stage AS (
+      SELECT o_orderkey AS id, o_totalprice AS total, o_orderstatus AS status
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT id, total, status,
+           'enriched_' || status AS status_src,
+           TRUE AS processed, 'enrich' AS processed_by
+    FROM extract_stage
+    """,
+)
+def q_sequence_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage declarative sequence through the real sequencer
+    (plans.sequencer.run_sequence): file source + F5 filter + P1
+    rename (stage 1) → S5 previous source + J3 lookup stub + P8
+    markers (stage 2). Oracle = the equivalent CTE chain."""
+    from small_etl_spark.plans.sequencer import run_sequence
+    from small_etl_spark.plans.spec import sequence_from_dict
+
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "extract",
+                    "source": {
+                        "type": "file",
+                        "path": f"{sf_dir}/orders.parquet",
+                        "filters": {"o_orderstatus": "F"},
+                    },
+                    "transform": {
+                        "field_mapping": {
+                            "o_orderkey": "id",
+                            "o_totalprice": "total",
+                            "o_orderstatus": "status",
+                        },
+                        "keep_only_fields": ["id", "total", "status"],
+                        "add_markers": False,
+                    },
+                },
+                {
+                    "name": "enrich",
+                    "depends_on": ["extract"],
+                    "source": {"type": "previous", "previous_pipeline": "extract"},
+                    "transform": {"lookup_data": {"status": "status_src"}},
+                },
+            ]
+        }
+    )
+    ctx = run_sequence(spark, seq)
+    return ctx.results[-1].df
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,153 @@
+"""File sinks (SURVEY §2.2).
+
+Reference parity, Spark-first:
+
+- K1 CSV — ``df.write.csv`` with header; RFC quoting is built in
+  (contextual_pipeline.rs:1017-1041 hand-rolls it).
+- K2 TSV — tab separator; embedded tabs/newlines replaced by spaces
+  *in the data* to match the reference's sanitize-not-quote rule
+  (contextual_pipeline.rs:1043-1061).
+- K3 JSON — JSONL via ``df.write.json`` (the scale form); the
+  reference's pretty-array form is a driver-side option for small
+  outputs (simple_pipeline.rs:153-158).
+- K4 ZIP — driver-side post-pass over the written directory
+  (SURVEY §7.3: Spark writes part-file directories; at 100 TB "zip"
+  becomes directory + manifest, so zipping stays optional).
+- K5 filename templating ``{pipeline_name}``/``{execution_id}``/
+  ``{timestamp:...}`` (contextual_pipeline.rs:1143-1154).
+- K6 storage backends — any Hadoop-FS URI (file://, s3a://) works via
+  ``df.write``; the ZIP post-pass is local-FS only.
+- K7 metrics JSON (sequence_etl.rs:336-400).
+- K8 format allow-list enforced at spec validation.
+
+Dynamic-header rule (§1.3): the reference emits columns as the *first
+record's keys sorted alphabetically*; ``sorted_header=True`` projects
+``sorted(df.columns)`` before writing. Null renders as empty string —
+same as the reference's missing-key fill.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import json
+import os
+import re
+import zipfile
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+_TS_PATTERN = re.compile(r"\{timestamp:([^}]+)\}")
+
+
+def render_filename(
+    pattern: str,
+    pipeline_name: str,
+    execution_id: str,
+    now: _dt.datetime | None = None,
+) -> str:
+    """K5: substitute {pipeline_name}, {execution_id}, {timestamp:FMT}."""
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    out = pattern.replace("{pipeline_name}", pipeline_name).replace(
+        "{execution_id}", execution_id
+    )
+    return _TS_PATTERN.sub(lambda m: now.strftime(m.group(1)), out)
+
+
+def _sorted_projection(df: DataFrame, sorted_header: bool) -> DataFrame:
+    return df.select(*sorted(df.columns)) if sorted_header else df
+
+
+def _sanitize_tsv(df: DataFrame) -> DataFrame:
+    """K2 semantics: tabs/newlines inside values become spaces."""
+    string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    if not string_cols:
+        return df
+    return df.withColumns(
+        {c: F.regexp_replace(F.col(c), "[\t\n\r]", " ") for c in string_cols}
+    )
+
+
+def write_outputs(
+    df: DataFrame,
+    out_dir: str,
+    formats: list[str],
+    sorted_header: bool = True,
+    single_file: bool = True,
+) -> dict[str, str]:
+    """Write ``df`` in each format under ``out_dir/<fmt>/``.
+
+    ``single_file=True`` coalesces to one part file (reference writes
+    one file per format; right for stage outputs that feed a ZIP). At
+    scale pass ``False`` to keep partition-parallel writes.
+    Returns {format: path} of the written directories.
+    """
+    out = _sorted_projection(df, sorted_header)
+    written: dict[str, str] = {}
+    for fmt in formats:
+        path = os.path.join(out_dir, fmt)
+        target = out.coalesce(1) if single_file else out
+        if fmt == "csv":
+            target.write.mode("overwrite").option("header", True).csv(path)
+        elif fmt == "tsv":
+            _sanitize_tsv(target).write.mode("overwrite").option("header", True).option(
+                "sep", "\t"
+            ).csv(path)
+        elif fmt == "json":
+            target.write.mode("overwrite").json(path)
+        elif fmt == "parquet":
+            target.write.mode("overwrite").parquet(path)
+        else:
+            raise ValueError(f"invalid output format {fmt!r}")
+        written[fmt] = path
+    return written
+
+
+def zip_output_dir(
+    out_dir: str,
+    written: dict[str, str],
+    zip_name: str,
+    metadata: dict[str, Any] | None = None,
+    intermediate_df: DataFrame | None = None,
+) -> str:
+    """K4: pack the part files of each written format into one ZIP.
+
+    Members are named ``output.<fmt>`` (+ ``intermediate.json``,
+    ``metadata.json``) like the reference ZIP
+    (simple_pipeline.rs:129-171). Driver-side, local-FS only — at
+    100 TB skip zipping and ship the directory + manifest instead.
+    """
+    zip_path = os.path.join(out_dir, zip_name)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for fmt, path in written.items():
+            parts = sorted(
+                glob.glob(os.path.join(path, "part-*"))
+                + glob.glob(os.path.join(path, "*.csv"))
+                + glob.glob(os.path.join(path, "*.json"))
+            )
+            chunks: list[str] = []
+            header_written = False
+            for p in parts:
+                with open(p, encoding="utf-8") as fh:
+                    text = fh.read()
+                if fmt in ("csv", "tsv") and header_written:
+                    text = text.split("\n", 1)[1] if "\n" in text else ""
+                if text:
+                    chunks.append(text)
+                    header_written = True
+            zf.writestr(f"output.{fmt}", "".join(chunks))
+        if intermediate_df is not None:
+            rows = [r.asDict(recursive=True) for r in intermediate_df.collect()]
+            zf.writestr("intermediate.json", json.dumps(rows, indent=2, default=str))
+        if metadata is not None:
+            zf.writestr("metadata.json", json.dumps(metadata, indent=2, default=str))
+    return zip_path
+
+
+def write_metrics(path: str, metrics: dict[str, Any]) -> None:
+    """K7: execution-metrics JSON (sequence_etl.rs:336-400)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(metrics, f, indent=2, default=str)

@@ -1,0 +1,201 @@
+"""HTTP sources (SURVEY §2.1 S1–S4, S7) — the one operator family with
+no Spark built-in.
+
+Two physical shapes (SURVEY §4):
+
+- **Whole-endpoint scan** (S1–S3): one driver-side request →
+  ``spark.createDataFrame``. The payload is one API response — small by
+  construction — so driver-side fetch is the right plan even at 100 TB
+  (the *output* joins into distributed frames; the fetch itself is not
+  data-parallel work).
+- **Parameterized per-record fan-out** (S4 — contextual_pipeline.rs:
+  95-153): one call per upstream row. Implemented as ``mapInPandas``
+  over the upstream frame — executor-side clients, per-partition rate
+  limiting, Arrow-batched results — so the fan-out scales with
+  partitions instead of the reference's sequential 100 ms-sleep loop.
+
+Retry with delay implements what the reference only declares
+(``retry_attempts``/``retry_delay_seconds``,
+sequence_config.rs:44-45); ``on_api_failure = "use_sample_data"``
+ports the S7 fallback policy (toml_config.rs:106-110).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from small_etl_spark.functions.templating import (
+    substitute_endpoint_params,
+    substitute_template,
+)
+
+
+class HttpFetchError(RuntimeError):
+    pass
+
+
+def _request(
+    url: str,
+    method: str = "GET",
+    headers: dict[str, str] | None = None,
+    query_params: dict[str, str] | None = None,
+    payload: str | None = None,
+    timeout_seconds: float = 30.0,
+) -> str:
+    if query_params:
+        sep = "&" if urllib.parse.urlparse(url).query else "?"
+        url = url + sep + urllib.parse.urlencode(query_params)
+    method = method.upper()
+    if method not in ("GET", "POST", "PUT", "DELETE", "PATCH", "HEAD"):
+        method = "GET"  # unknown → GET fallback (contextual_pipeline.rs:512-520)
+    data = payload.encode() if payload is not None and method != "GET" else None
+    req = urllib.request.Request(url, data=data, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    if data is not None and not any(k.lower() == "content-type" for k in (headers or {})):
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=timeout_seconds) as resp:
+        return resp.read().decode("utf-8", errors="replace")
+
+
+def fetch_records(
+    url: str,
+    method: str = "GET",
+    headers: dict[str, str] | None = None,
+    query_params: dict[str, str] | None = None,
+    payload: str | None = None,
+    timeout_seconds: float = 30.0,
+    retry_attempts: int = 0,
+    retry_delay_seconds: float = 0.0,
+) -> list[dict[str, Any]]:
+    """Fetch + parse one endpoint: JSON array → records; single object
+    wrapped as ``{"response": obj}`` unless it is already flat
+    (simple_pipeline.rs:40-55). Retries for real."""
+    last: Exception | None = None
+    for attempt in range(retry_attempts + 1):
+        try:
+            text = _request(url, method, headers, query_params, payload, timeout_seconds)
+            return parse_json_records(text)
+        except (urllib.error.URLError, TimeoutError, json.JSONDecodeError) as e:
+            last = e
+            if attempt < retry_attempts and retry_delay_seconds > 0:
+                time.sleep(retry_delay_seconds)
+    raise HttpFetchError(f"fetch failed after {retry_attempts + 1} attempts: {last}")
+
+
+def parse_json_records(text: str) -> list[dict[str, Any]]:
+    parsed = json.loads(text)
+    if isinstance(parsed, list):
+        return [r if isinstance(r, dict) else {"value": r} for r in parsed]
+    if isinstance(parsed, dict):
+        # flat object → one record; nested → wrap (simple_pipeline.rs:49-55)
+        if all(not isinstance(v, (dict, list)) for v in parsed.values()):
+            return [parsed]
+        return [{"response": json.dumps(parsed, separators=(",", ":"))}]
+    return [{"value": parsed}]
+
+
+def records_to_df(spark: SparkSession, records: list[dict[str, Any]]) -> DataFrame:
+    """Records → DataFrame via Spark's JSON schema inference (handles
+    heterogeneous keys / nested objects like the reference's schemaless
+    rows)."""
+    if not records:
+        return spark.createDataFrame([], "dummy string").limit(0).drop("dummy")
+    jsonl = [json.dumps(r) for r in records]
+    return spark.read.json(spark.sparkContext.parallelize(jsonl, 1))
+
+
+def http_scan(
+    spark: SparkSession,
+    endpoint: str,
+    method: str = "GET",
+    headers: dict[str, str] | None = None,
+    query_params: dict[str, str] | None = None,
+    payload_template: str | None = None,
+    shared_data: dict[str, Any] | None = None,
+    timeout_seconds: float = 30.0,
+    retry_attempts: int = 0,
+    retry_delay_seconds: float = 0.0,
+    on_failure: str = "error",
+    sample_data: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """S1–S3 whole-endpoint scan with X4 ``{{key}}`` templating on
+    headers/payload and the S7 sample-data fallback policy."""
+    shared = shared_data or {}
+    hdrs = {k: substitute_template(v, shared) for k, v in (headers or {}).items()}
+    payload = (
+        substitute_template(payload_template, shared) if payload_template else None
+    )
+    try:
+        records = fetch_records(
+            endpoint, method, hdrs, query_params, payload,
+            timeout_seconds, retry_attempts, retry_delay_seconds,
+        )
+        if not records and on_failure == "use_sample_data":
+            records = sample_data or []
+    except HttpFetchError:
+        if on_failure != "use_sample_data":
+            raise
+        records = sample_data or []
+    return records_to_df(spark, records)
+
+
+def parameterized_http_fanout(
+    upstream: DataFrame,
+    endpoint_template: str,
+    method: str = "GET",
+    headers: dict[str, str] | None = None,
+    shared_data: dict[str, Any] | None = None,
+    timeout_seconds: float = 30.0,
+    retry_attempts: int = 0,
+    retry_delay_seconds: float = 0.0,
+    rate_limit_ms: int = 100,
+    result_schema: str = "response string, source_row string",
+) -> DataFrame:
+    """S4: one HTTP call per upstream row, executor-side.
+
+    ``mapInPandas`` keeps the fan-out partition-parallel (the reference
+    loops sequentially with a 100 ms sleep — contextual_pipeline.rs:
+    126-145); the rate limit applies *per partition*, so total QPS =
+    partitions × 1000/rate_limit_ms — repartition the upstream to tune.
+    Endpoint templating errors (X5 unresolved ``{param}``) fail the
+    task like the reference fails the pipeline.
+    """
+    import pandas as pd
+
+    shared = dict(shared_data or {})
+    hdrs = {k: substitute_template(v, shared) for k, v in (headers or {}).items()}
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_resp: list[str] = []
+            out_src: list[str] = []
+            for rec in pdf.to_dict("records"):
+                url = substitute_endpoint_params(endpoint_template, {**shared, **rec})
+                last: Exception | None = None
+                text = None
+                for attempt in range(retry_attempts + 1):
+                    try:
+                        text = _request(url, method, hdrs, None, None, timeout_seconds)
+                        break
+                    except (urllib.error.URLError, TimeoutError) as e:
+                        last = e
+                        if attempt < retry_attempts and retry_delay_seconds > 0:
+                            time.sleep(retry_delay_seconds)
+                if text is None:
+                    raise HttpFetchError(f"fan-out fetch failed for {url}: {last}")
+                out_resp.append(text)
+                out_src.append(json.dumps(rec, default=str))
+                if rate_limit_ms > 0:
+                    time.sleep(rate_limit_ms / 1000.0)
+            yield pd.DataFrame({"response": out_resp, "source_row": out_src})
+
+    return upstream.mapInPandas(fetch_partition, schema=result_schema)

@@ -1,0 +1,373 @@
+"""Spec parsing/validation, sequencer execution, sinks, HTTP sources.
+
+Mirrors the reference's integration-test strategy (SURVEY §5):
+mock HTTP server + tempdir outputs + golden ZIP content.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import threading
+import zipfile
+
+import pytest
+
+from small_etl_spark.plans.spec import (
+    SpecError,
+    sequence_from_dict,
+    sequence_from_toml,
+)
+from small_etl_spark.plans.sequencer import (
+    PipelineExecutionError,
+    run_sequence,
+    sequence_metrics,
+)
+from small_etl_spark.sinks.files import render_filename
+from small_etl_spark.sources.http import http_scan, parameterized_http_fanout
+
+SAMPLE = [
+    {"id": 1, "name": "Item 1", "value": 10},
+    {"id": 2, "name": "Item 2", "value": 25},
+    {"id": 3, "name": "Item 3", "value": 30},
+]
+
+
+# --------------------------------------------------------------------------
+# spec parsing + validation
+# --------------------------------------------------------------------------
+
+
+def test_toml_roundtrip(tmp_path):
+    cfg = tmp_path / "seq.toml"
+    cfg.write_text(
+        """
+[global]
+on_pipeline_failure = "continue"
+[global.shared_variables]
+BASE = "http://example.com"
+
+execution_order = ["a", "b"]
+
+[[pipelines]]
+name = "a"
+[pipelines.source]
+type = "api"
+endpoint = "${BASE}/posts"
+[pipelines.load]
+formats = ["csv", "json"]
+
+[[pipelines]]
+name = "b"
+depends_on = ["a"]
+[pipelines.source]
+type = "previous"
+previous_pipeline = "a"
+"""
+    )
+    seq = sequence_from_toml(str(cfg))
+    assert [p.name for p in seq.enabled_in_order()] == ["a", "b"]
+    assert seq.by_name()["a"].source.endpoint == "http://example.com/posts"
+    assert seq.on_pipeline_failure == "continue"
+
+
+def test_cycle_detection():
+    with pytest.raises(SpecError, match="circular"):
+        sequence_from_dict(
+            {
+                "pipelines": [
+                    {"name": "a", "depends_on": ["b"], "source": {"type": "sample"}},
+                    {"name": "b", "depends_on": ["a"], "source": {"type": "sample"}},
+                ]
+            }
+        )
+
+
+def test_validation_errors():
+    with pytest.raises(SpecError, match="unknown pipeline"):
+        sequence_from_dict(
+            {
+                "pipelines": [{"name": "a", "source": {"type": "sample"}}],
+                "execution_order": ["a", "ghost"],
+            }
+        )
+    with pytest.raises(SpecError, match="invalid output format"):
+        sequence_from_dict(
+            {
+                "pipelines": [
+                    {
+                        "name": "a",
+                        "source": {"type": "sample"},
+                        "load": {"formats": ["xml"]},
+                    }
+                ]
+            }
+        )
+    with pytest.raises(SpecError, match="invalid endpoint URL"):
+        sequence_from_dict(
+            {"pipelines": [{"name": "a", "source": {"type": "api", "endpoint": "nope"}}]}
+        )
+
+
+# --------------------------------------------------------------------------
+# sequencer execution
+# --------------------------------------------------------------------------
+
+
+def test_sequence_sample_transform_zip(spark, tmp_path):
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "extract",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "transform": {
+                        "computed_fields": {"stage": "pipeline_name"},
+                        "intermediate": {"conditions": {"value": 25}},
+                    },
+                    "load": {
+                        "formats": ["csv", "tsv"],
+                        "zip_outputs": True,
+                        "filename_pattern": "{pipeline_name}_out.zip",
+                        "include_metadata": True,
+                    },
+                },
+                {
+                    "name": "enrich",
+                    "depends_on": ["extract"],
+                    "source": {"type": "previous", "previous_pipeline": "extract"},
+                    "transform": {
+                        "field_mapping": {"name": "label"},
+                        "keep_only_fields": ["id", "label", "value", "processed"],
+                        "add_markers": False,
+                    },
+                },
+            ]
+        }
+    )
+    ctx = run_sequence(spark, seq, output_root=str(tmp_path))
+    assert [r.pipeline_name for r in ctx.results] == ["extract", "enrich"]
+    assert ctx.results[0].record_count == 3
+    assert ctx.results[0].intermediate.count() == 1
+
+    zpath = tmp_path / "extract" / "extract_out.zip"
+    assert ctx.results[0].output_path == str(zpath)
+    with zipfile.ZipFile(zpath) as zf:
+        names = sorted(zf.namelist())
+        assert names == [
+            "intermediate.json",
+            "metadata.json",
+            "output.csv",
+            "output.tsv",
+        ]
+        csv_text = zf.read("output.csv").decode()
+        header = csv_text.splitlines()[0]
+        # dynamic header = sorted column names (§1.3)
+        assert header == ",".join(sorted(header.split(",")))
+        meta = json.loads(zf.read("metadata.json"))
+        assert meta["pipeline_name"] == "extract"
+        inter = json.loads(zf.read("intermediate.json"))
+        assert [r["id"] for r in inter] == [2]
+
+    enriched = ctx.results[1].df
+    assert set(enriched.columns) == {"id", "label", "value", "processed"}
+    metrics = sequence_metrics(ctx)
+    assert metrics["summary"]["total_records"] == 6
+    assert metrics["summary"]["successful_pipelines"] == 2
+
+
+def test_shared_data_gating(spark):
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "auth",
+                    "source": {
+                        "type": "sample",
+                        "sample_data": [{"access_token": "tok123", "user": "alice"}],
+                    },
+                    "transform": {
+                        "intermediate": {"conditions": {"user": "alice"}},
+                        "shared_data_key": "auth",
+                        "add_markers": False,
+                    },
+                },
+                {
+                    "name": "gated-run",
+                    "source": {"type": "previous"},
+                    "conditions": {"when_shared_data": {"token": "tok123"}},
+                },
+                {
+                    "name": "gated-skip",
+                    "source": {"type": "previous"},
+                    "conditions": {
+                        "when_shared_data": {"token": "wrong"},
+                        "require_previous_success": False,
+                    },
+                },
+            ],
+            "global": {"on_pipeline_failure": "continue"},
+        }
+    )
+    ctx = run_sequence(spark, seq)
+    # J4: access_token exported under "token"; other fields prefixed
+    assert ctx.shared_data["token"] == "tok123"
+    assert ctx.shared_data["auth_user"] == "alice"
+    byname = {r.pipeline_name: r for r in ctx.results}
+    assert byname["gated-run"].success
+    assert not byname["gated-skip"].success
+    assert byname["gated-skip"].metadata["skipped"]
+
+
+def test_combined_source_and_failure_policy(spark):
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {"name": "s1", "source": {"type": "sample", "sample_data": SAMPLE[:2]}},
+                {
+                    "name": "boom",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "transform": {"min_records": 99},
+                    "conditions": {"require_previous_success": False},
+                },
+                {
+                    "name": "all",
+                    "source": {"type": "combined"},
+                    "conditions": {"require_previous_success": False},
+                },
+            ],
+            "global": {"on_pipeline_failure": "continue"},
+        }
+    )
+    ctx = run_sequence(spark, seq)
+    byname = {r.pipeline_name: r for r in ctx.results}
+    assert not byname["boom"].success
+    assert "min_records" in byname["boom"].metadata["error"]
+    # combined = union of all previous incl. the empty failed frame
+    assert byname["all"].record_count == 2
+
+    seq_stop = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "boom",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "transform": {"min_records": 99},
+                }
+            ]
+        }
+    )
+    with pytest.raises(PipelineExecutionError):
+        run_sequence(spark, seq_stop)
+
+
+def test_only_skip_selection(spark):
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {"name": n, "source": {"type": "sample", "sample_data": SAMPLE[:1]},
+                 "conditions": {"require_previous_success": False}}
+                for n in ("a", "b", "c")
+            ]
+        }
+    )
+    ctx = run_sequence(spark, seq, only=["a", "c"], skip=["c"])
+    assert [r.pipeline_name for r in ctx.results] == ["a"]
+
+
+def test_render_filename():
+    import datetime as dt
+
+    now = dt.datetime(2026, 8, 13, 12, 30, 0, tzinfo=dt.timezone.utc)
+    out = render_filename(
+        "{pipeline_name}_{execution_id}_{timestamp:%Y%m%d_%H%M%S}.zip", "p1", "e1", now
+    )
+    assert out == "p1_e1_20260813_123000.zip"
+
+
+# --------------------------------------------------------------------------
+# HTTP sources against a local mock server (reference uses httpmock)
+# --------------------------------------------------------------------------
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    fail_next = 0
+    seen_auth: list[str] = []
+
+    def do_GET(self):  # noqa: N802
+        cls = type(self)
+        if cls.fail_next > 0:
+            cls.fail_next -= 1
+            self.send_error(500)
+            return
+        cls.seen_auth.append(self.headers.get("Authorization", ""))
+        if self.path.startswith("/users/"):
+            uid = int(self.path.rsplit("/", 1)[1])
+            body = json.dumps({"user_id": uid, "name": f"user{uid}"})
+        else:
+            body = json.dumps(SAMPLE)
+        data = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def mock_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_scan_and_retry(spark, mock_server):
+    df = http_scan(spark, f"{mock_server}/posts")
+    rows = {r.id: r.value for r in df.collect()}
+    assert rows == {1: 10, 2: 25, 3: 30}
+
+    # first attempt 500s; retry succeeds (reference declares
+    # retry_attempts but never implements it — we do)
+    _Handler.fail_next = 1
+    df = http_scan(spark, f"{mock_server}/posts", retry_attempts=1)
+    assert df.count() == 3
+
+    # exhausted retries + fallback policy
+    _Handler.fail_next = 5
+    df = http_scan(
+        spark,
+        f"{mock_server}/posts",
+        retry_attempts=1,
+        on_failure="use_sample_data",
+        sample_data=[{"id": 99, "name": "fallback", "value": 0}],
+    )
+    assert [r.id for r in df.collect()] == [99]
+    _Handler.fail_next = 0
+
+
+def test_http_templated_auth_header(spark, mock_server):
+    _Handler.seen_auth.clear()
+    http_scan(
+        spark,
+        f"{mock_server}/posts",
+        headers={"Authorization": "Bearer {{token}}"},
+        shared_data={"token": "tok42"},
+    )
+    assert _Handler.seen_auth == ["Bearer tok42"]
+
+
+def test_parameterized_fanout(spark, mock_server):
+    upstream = spark.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    out = parameterized_http_fanout(
+        upstream.repartition(1),
+        f"{mock_server}/users/{{user_id}}",
+        rate_limit_ms=0,
+    )
+    parsed = sorted(json.loads(r.response)["user_id"] for r in out.collect())
+    assert parsed == [1, 2, 3]
