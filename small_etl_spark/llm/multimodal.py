@@ -1,0 +1,167 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata (north-star, BASELINE.json).
+
+The Spark side is real and tested — schema, partitioning, Arrow batch
+shape, UDF signatures; only the codec itself is stubbed (this
+container has no image/audio libraries). Each ``_decode_*_real``
+raises ``NotImplementedError`` until Pillow/torchaudio/PyAV is
+installed; the deterministic fake decoder keeps the pipeline testable
+end-to-end.
+
+Scale shape (100 TB of media):
+- store media as parquet ``binary`` + sidecar metadata struct, NOT
+  millions of loose files — the scan parallelizes by row group;
+- decode/feature-extract runs in ``mapInPandas``: Arrow moves the
+  bytes to Python in columnar batches (no per-row pickling);
+- size ``spark.sql.files.maxPartitionBytes`` down (e.g. 32 MB) for
+  fat binary rows so one task's Arrow batch fits executor memory, and
+  cap ``spark.sql.execution.arrow.maxRecordsPerBatch`` (e.g. 64) —
+  1000 × 10 MB rows in one batch is an OOM, not a plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, content binary, "
+    "meta struct<width:int, height:int, n_frames:int, sample_rate:int>"
+)
+
+_MAGIC = b"FAKEMEDIA1"  # deterministic fake container format for tests
+
+
+def encode_fake_media(
+    media_id: int, kind: str, width: int, height: int, n_frames: int = 1
+) -> bytes:
+    """Deterministic fake media blob: magic + header + seeded payload.
+
+    Stands in for real JPEG/WAV/MP4 bytes so the binary-column
+    pipeline (schema → partition → Arrow batch → decode → features)
+    is exercised with realistic payload sizes.
+    """
+    header = struct.pack(">III", width, height, n_frames)
+    seed = hashlib.sha256(f"{media_id}:{kind}".encode()).digest()
+    payload = (seed * ((width * height * 3) // len(seed) + 1))[: width * height * 3]
+    return _MAGIC + header + payload
+
+
+def _decode_image_real(content: bytes) -> dict[str, Any]:
+    """Real decoder — requires Pillow; NOT available in this container."""
+    raise NotImplementedError(
+        "real image decode requires Pillow; install and wire PIL.Image.open here"
+    )
+
+
+def decode_header(content: bytes) -> dict[str, Any]:
+    """Decode media header → {width, height, n_frames}.
+
+    Tries the real decoder first (when its library exists), else the
+    deterministic fake format.
+    """
+    try:
+        import PIL  # noqa: F401
+
+        return _decode_image_real(content)
+    except ImportError:
+        pass
+    if not content.startswith(_MAGIC):
+        raise ValueError("unknown media container")
+    width, height, n_frames = struct.unpack(">III", content[len(_MAGIC):len(_MAGIC) + 12])
+    return {"width": width, "height": height, "n_frames": n_frames}
+
+
+def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Synthetic media table (deterministic): n rows of fake blobs."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        w, h = 32 + (i % 8) * 16, 32 + (i % 5) * 16
+        frames = 1 if kind == "image" else 8 + i % 16
+        rows.append((i, kind, bytearray(encode_fake_media(i, kind, w, h, frames)),
+                     (w, h, frames, 16000 if kind == "audio" else 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "media_id bigint, kind string, width int, height int, n_frames int, "
+    "content_sha256 string, features array<float>"
+)
+
+
+def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """Decode + feature-extract over ``mapInPandas``.
+
+    The feature vector is a deterministic byte-histogram projection
+    (stub for a real vision/audio encoder — swap the inner function,
+    the Spark plumbing stays identical). One Arrow batch in, one out;
+    no shuffle — cost is scan + Python decode, partition-parallel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "kind", "width", "height", "n_frames",
+                "content_sha256", "features")}
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                blob = bytes(content)
+                hdr = decode_header(blob)
+                hist = np.bincount(
+                    np.frombuffer(blob[len(_MAGIC) + 12:], dtype=np.uint8),
+                    minlength=256,
+                ).astype(np.float64)
+                total = hist.sum() or 1.0
+                feat = (
+                    hist.reshape(feature_dim, 256 // feature_dim).sum(axis=1) / total
+                )
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(hdr["width"])
+                out["height"].append(hdr["height"])
+                out["n_frames"].append(hdr["n_frames"])
+                out["content_sha256"].append(hashlib.sha256(blob).hexdigest())
+                out["features"].append(feat.astype(np.float32))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Video frame sampling: one output row per kept frame index.
+
+    Real impl would decode frames (PyAV) — here the frame *indices*
+    and per-frame metadata flow through the real ``mapInPandas``
+    explode shape; the pixel payload stays stubbed.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_sha256": []}
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "video":
+                    continue
+                blob = bytes(content)
+                hdr = decode_header(blob)
+                for idx in range(0, hdr["n_frames"], every_k):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_sha256"].append(
+                        hashlib.sha256(blob + idx.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run, schema="media_id bigint, frame_idx int, frame_sha256 string"
+    )

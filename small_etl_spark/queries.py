@@ -607,6 +607,91 @@ def q_window_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_agg",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM g
+    )
+    SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window batch form (streaming twin in
+    small_etl_spark.streaming.windows.session_window_agg; equivalence
+    pinned in tests/test_streaming.py). Session end = last event +
+    gap; money summed in exact cents."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    """
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS w0
+      FROM events
+    ), expanded AS (
+      SELECT event_type, value, w0 AS window_start FROM base
+      UNION ALL
+      SELECT event_type, value, w0 - 1800 FROM base
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM expanded GROUP BY window_start, event_type
+    """,
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min window per event_type (streaming twin:
+    streaming.windows.sliding_window_agg). Each event lands in exactly
+    window/slide = 2 epoch-aligned windows — the oracle enumerates
+    both shifts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # North-star text analysis (documents table)
 # --------------------------------------------------------------------------
@@ -885,6 +970,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@register("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → Arrow-batched mapInPandas decode +
+    feature extraction (llm.multimodal). Deterministic synthetic blobs
+    (no media table in testdata; codec stubbed, plumbing real) →
+    rows-only check."""
+    from small_etl_spark.llm.multimodal import extract_features, synth_media_df
+
+    media = synth_media_df(spark, 64)
+    return extract_features(media).select(
+        "media_id", "kind", "width", "height", "n_frames", "content_sha256"
     )
 
 

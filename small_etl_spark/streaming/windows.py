@@ -1,0 +1,164 @@
+"""Windowed / stateful streaming aggregations (north-star, SURVEY §2.10).
+
+Design rule: every aggregation here is written against a generic
+DataFrame so the SAME function runs in batch (events parquet scan) and
+in streaming (``readStream`` file source) — the batch run is what the
+DuckDB oracle verifies, the streaming run is covered by availableNow
+tests in ``tests/test_streaming.py``.
+
+Scale notes (1000-executor shape):
+- watermarks bound state: without ``withWatermark`` a streaming agg's
+  state grows forever; the watermark also defines the late-data drop
+  policy;
+- state store is per-shuffle-partition — size
+  ``spark.sql.shuffle.partitions`` to the key cardinality, not the
+  default;
+- ``dropDuplicatesWithinWatermark`` is the streaming twin of exact
+  dedup: state holds only ids younger than the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    File sources need an explicit schema (no inference mid-stream);
+    ``nanosAsLong`` handles the TIMESTAMP(NANOS) files the same way
+    ``sources.tables.load_table`` does for batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    df = spark.readStream.schema(nanos_schema).parquet(events_dir)
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling window per event_type: count + min/max(value).
+
+    Batch twin: ``queries.q_window_agg_hourly``. The watermark is a
+    no-op in batch, so both paths share this exact code.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding window per event_type — each event lands in
+    window/slide overlapping windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Batch twin: ``queries.q_sessionize`` (the explicit
+    lag/cumsum formulation — same session boundaries)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state
+    (``dropDuplicatesWithinWatermark`` — state evicts ids older than
+    the watermark; the streaming twin of A2/A3 exact dedup)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain a stream with availableNow into a memory sink table named
+    ``query_name`` (test/bench harness; batch-equivalent final result)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,68 @@
+"""Multimodal binary-column plumbing: schema, Arrow batches, decode
+stub, feature extraction, frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from small_etl_spark.llm.multimodal import (
+    decode_header,
+    encode_fake_media,
+    extract_features,
+    frame_sample,
+    synth_media_df,
+)
+
+
+def test_decode_header_roundtrip():
+    blob = encode_fake_media(7, "image", 64, 48)
+    hdr = decode_header(blob)
+    assert (hdr["width"], hdr["height"], hdr["n_frames"]) == (64, 48, 1)
+    with pytest.raises(ValueError):
+        decode_header(b"not a media blob")
+
+
+def test_extract_features(spark):
+    media = synth_media_df(spark, 12)
+    feats = extract_features(media, feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r.features) == 16
+        # header metadata decoded from the blob matches the sidecar meta
+        assert abs(sum(r.features) - 1.0) < 1e-5  # normalized histogram
+    meta = {r.media_id: (r.width, r.height) for r in rows}
+    side = {r.media_id: (r.meta.width, r.meta.height) for r in media.collect()}
+    assert meta == side
+    # determinism: same blob → same sha/features
+    again = {r.media_id: r.content_sha256 for r in extract_features(media).collect()}
+    assert again == {r.media_id: r.content_sha256 for r in rows}
+
+
+def test_frame_sample(spark):
+    media = synth_media_df(spark, 12)
+    frames = frame_sample(media, every_k=4)
+    rows = frames.collect()
+    assert rows, "video rows should produce sampled frames"
+    vids = {r.media_id: r.meta.n_frames for r in media.collect()
+            if r.kind == "video"}
+    got = {}
+    for r in rows:
+        got.setdefault(r.media_id, []).append(r.frame_idx)
+    assert set(got) == set(vids)
+    for mid, idxs in got.items():
+        assert idxs == list(range(0, vids[mid], 4))
+
+
+def test_features_join_with_embeddings_shape(spark):
+    """Features are a first-class array<float> column — the same shape
+    the similarity/ANN operators consume."""
+    from small_etl_spark.llm.similarity import brute_force_topk
+
+    media = synth_media_df(spark, 9)
+    feats = extract_features(media).withColumnRenamed("media_id", "vec_id")
+    out = brute_force_topk(
+        feats, feats.limit(2), k=3, vec_col="features"
+    )
+    assert out.count() == 6

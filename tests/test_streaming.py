@@ -1,0 +1,83 @@
+"""Streaming ⇄ batch equivalence: the same aggregation code run as an
+availableNow stream must produce exactly the batch result."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from small_etl_spark.sources.tables import load_table
+from small_etl_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory_sink,
+    session_window_agg,
+    sliding_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    batch = tumbling_window_agg(load_table(spark, SF_DIR, "events"))
+    stream = tumbling_window_agg(read_events_stream(spark, events_dir))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "tumbling_sink")
+    assert _rows(spark.table("tumbling_sink")) == _rows(batch)
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    batch = sliding_window_agg(load_table(spark, SF_DIR, "events"))
+    stream = sliding_window_agg(read_events_stream(spark, events_dir))
+    run_to_memory_sink(stream, "sliding_sink")
+    assert _rows(spark.table("sliding_sink")) == _rows(batch)
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    batch = session_window_agg(load_table(spark, SF_DIR, "events"))
+    stream = session_window_agg(read_events_stream(spark, events_dir))
+    run_to_memory_sink(stream, "session_sink")
+    assert _rows(spark.table("session_sink")) == _rows(batch)
+
+
+def test_session_agrees_with_batch_sessionize(spark):
+    """Session-window session count per user == the lag/cumsum batch
+    formulation (queries.q_sessionize) — same 30-min gap rule."""
+    from small_etl_spark.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    via_window = (
+        session_window_agg(ev, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    via_lag = (
+        REGISTRY["sessionize"].builder(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.max("session_idx").alias("n_sessions"))
+    )
+    assert _rows(via_window) == _rows(via_lag)
+
+
+def test_stream_dedup(spark, events_dir):
+    stream = stream_dedup(read_events_stream(spark, events_dir))
+    run_to_memory_sink(stream, "dedup_sink", output_mode="append")
+    n_distinct = (
+        load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    )
+    assert spark.table("dedup_sink").count() == n_distinct
