@@ -26,6 +26,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 from small_etl_spark.llm.textstats import normalize_text, tokens
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy
+    signature math.
+
+    A small corpus arrives as one file split → one task, so 31 of 32
+    cores idle. At 100 TB inputs already have thousands of splits and
+    this is a no-op — we only repartition when the scan has fewer
+    splits than half the default parallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 1):
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text.
 
@@ -42,12 +57,32 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of seeded
-    xxhash64 over the shingle set."""
-    mins = [
-        F.array_min(F.transform(shingles, lambda x, s=s: F.xxhash64(x, F.lit(seed + s))))
-        for s in range(num_hashes)
+    """MinHash signature: array of ``num_hashes`` minima over the
+    shingle set.
+
+    Each shingle string is xxhash64'd ONCE; the ``num_hashes``
+    functions are derived by universal hashing
+    ((h·a_i + b_i) mod p, p = 2^31-1) — 32× less string hashing than
+    hashing per seed, same collision behavior, and every intermediate
+    fits in a bigint (ANSI-safe: h is reduced mod p first, so
+    products stay < 2^62).
+    """
+    import random
+
+    p = (1 << 31) - 1  # Mersenne prime
+    rng = random.Random(seed)
+    params = [
+        (rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)
     ]
+    base = F.transform(
+        shingles, lambda x: F.pmod(F.xxhash64(x, F.lit(seed)), F.lit(p))
+    )
+
+    def affine(a: int, b: int):
+        # closure factory: PySpark reads lambda arity, so no default args
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
+
+    mins = [F.array_min(F.transform(base, affine(a, b))) for a, b in params]
     return F.array(*mins)
 
 
@@ -72,45 +107,49 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_hashes")
     rpb = num_hashes // bands
 
-    base = df.select(
+    # shingle sets are reused by the band join AND the verify join —
+    # persist so the signature pipeline runs exactly once per doc
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+        word_shingles(text_col, shingle_n).alias("sh"),
+    ).persist()
 
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = base.select(
+    # slim (id, band, bucket) rows only — never shuffle the shingle
+    # arrays through the ×bands candidate join
+    banded = sh.withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes, seed)
+    ).select(
         "id",
-        "shingles",
         F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), b * rpb + 1, rpb)),
-                        F.lit(seed),
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice(F.col("sig"), b * rpb + 1, rpb)),
+                            F.lit(seed),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(b, ["band", "bucket"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # same pair can share several bands
     )
+
+    # fetch shingles only for surviving candidate pairs (≪ n²)
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", jac)
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -130,7 +169,7 @@ def ngram_jaccard_pairs(
     a natural blocking key exists (source, domain, near-equal length).
     Returns ``id_a, id_b, jaccard`` for every in-group pair.
     """
-    base = df.select(
+    base = _ensure_parallelism(df).select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_n).alias("sh"),
@@ -155,30 +194,34 @@ def simhash64(col: Column | str, seed: int = 42) -> Column:
     token's xxhash64; bit j of the result = sign of the sum. Built
     from ``aggregate`` + ``zip_with`` — one pass, JVM-side.
     """
-    toks = tokens(normalize_text(col))
-    zero = F.array_repeat(F.lit(0), 64)
+    hs = F.transform(
+        tokens(normalize_text(col)), lambda t: F.xxhash64(t, F.lit(seed))
+    )
+    return _simhash_from_hashes(hs)
 
-    def bitvec(h: Column) -> Column:
-        # shiftright's bit count must be a Python int → unroll the 64 bits
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for j in range(64)
-            ]
+
+def _simhash_from_hashes(hs: Column) -> Column:
+    """Fold an array of 64-bit token hashes into the SimHash.
+
+    bit j is set iff more tokens have bit j set than unset
+    (2·cnt_j > n — equivalent to the classic ±1 sum > 0). Each bit is
+    a scalar ``aggregate`` over the hash array: no per-token array
+    allocation (the naive zip_with-of-±1-vectors formulation allocates
+    a 64-int array per token and is ~50× slower).
+    """
+    n = F.size(hs)
+
+    def bitcnt(j: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
         )
 
-    sums = F.aggregate(
-        toks,
-        zero,
-        lambda acc, t: F.zip_with(acc, bitvec(F.xxhash64(t, F.lit(seed))), lambda a, b: a + b),
-    )
-    # fold bits into a bigint: sum of 2^j where sum_j > 0
     out = F.lit(0).cast("bigint")
     for j in range(64):
         out = out + F.when(
-            F.element_at(sums, j + 1) > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+            bitcnt(j) * 2 > n, F.shiftleft(F.lit(1).cast("bigint"), j)
         ).otherwise(F.lit(0).cast("bigint"))
     return out
 
@@ -200,8 +243,19 @@ def simhash_pairs(
     chunks = max_hamming + 1
     bits = 64 // chunks
 
-    base = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col, seed).alias("h")
+    # stage the token-hash array as a real column so the 64 per-bit
+    # aggregates share ONE tokenize+hash pass (CollapseProject keeps
+    # non-cheap multi-referenced aliases staged, not inlined 64×)
+    base = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                tokens(normalize_text(text_col)),
+                lambda t: F.xxhash64(t, F.lit(seed)),
+            ).alias("__hs__"),
+        )
+        .select("id", _simhash_from_hashes(F.col("__hs__")).alias("h"))
     )
     exploded = base.select(
         "id",
