@@ -189,6 +189,44 @@ def q_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "array_path_extract",
+    """
+    WITH g AS (
+      SELECT l_orderkey AS order_id,
+             list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT order_id, parts[1] AS first_part, parts[-1] AS last_part,
+           len(parts) AS n_parts
+    FROM g
+    """,
+)
+def q_array_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 array indexing incl. negative index + P4 flat-map shape
+    (contextual_pipeline.rs:746-815) on a built array column —
+    ``element_at`` is 1-based and supports -1-from-end exactly like
+    the reference's index rules; struct-path variants are pinned in
+    tests/test_projections.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_partkey"))
+        ),
+        lambda x: x["l_partkey"],
+    )
+    return (
+        li.groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(parts.alias("parts"))
+        .select(
+            "order_id",
+            F.element_at("parts", 1).alias("first_part"),
+            F.element_at("parts", -1).alias("last_part"),
+            F.size("parts").cast("bigint").alias("n_parts"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.4 filters / limits
 # --------------------------------------------------------------------------
@@ -296,6 +334,44 @@ def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as TakeOrderedAndProject (per-partition top-k, no full sort)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return top_k(o, "o_totalprice", 25, order="desc", tiebreak=["o_orderkey"])
+
+
+@register(
+    "lexicographic_sort",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY CAST(o_totalprice AS VARCHAR), o_orderkey LIMIT 50
+    """,
+)
+def q_lexicographic_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 exact reference semantics: comparison is lexicographic on the
+    rendered value — numbers compared as strings
+    (contextual_pipeline.rs:647-672). Our engine sorts typed by
+    default (sort_by_field); this pins the compat mode."""
+    from small_etl_spark.operators.sort import sort_by_field
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = sort_by_field(o, "o_totalprice", order="asc", lexicographic=True)
+    return out.orderBy(
+        F.col("o_totalprice").cast("string"), F.col("o_orderkey")
+    ).limit(50)
+
+
+@register(
+    "full_record_dedup",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem
+    """,
+)
+def q_full_record_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 full-record dedup (contextual_pipeline.rs:630-637). With the
+    whole row as key, "first wins" is indistinguishable from DISTINCT
+    (group members are identical), so the set form — with map-side
+    partial aggregation — is the right plan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate"
+    )
+    return li.dropDuplicates()
 
 
 # --------------------------------------------------------------------------
@@ -476,6 +552,128 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_linenumber", "l_extendedprice")
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 2)
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue,
+           CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (north-star): 3-table join + grouped revenue +
+    top-10. Physical plan: customer filter pushed to scan → broadcast
+    to orders → broadcast result to lineitem (fact side never
+    shuffles for the join), partial agg before the groupBy exchange,
+    TakeOrderedAndProject for the limit. Revenue in exact 1e-4 units
+    (cents × discount-percent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1995-03-15").cast("date")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            F.broadcast(o.filter(F.col("o_orderdate") < cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (north-star): 6-table star join through
+    region→nation→supplier with a same-nation customer constraint.
+    All five dimension sides broadcast — the lineitem scan is the only
+    large input and never shuffles pre-aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both grouping dimensions (north-star; all 2^k
+    grouping sets in one shuffle via grouping-set expansion)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
