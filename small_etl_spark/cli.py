@@ -1,0 +1,73 @@
+"""CLI: run a declarative pipeline sequence from a TOML config.
+
+Mirrors the reference's ``sequence_etl`` binary surface
+(/root/reference/src/bin/sequence_etl.rs:1-400): config path,
+``--only``/``--skip`` stage selection, ``--dry-run`` plan echo, and a
+metrics JSON export. Exit code 0 on success, 1 on spec/validation
+errors, 2 on execution failure — the reference's severity-coded exits
+(main.rs:59-68) collapsed to three meaningful codes.
+
+Usage:
+    python -m small_etl_spark sequence config.toml \
+        --output-root ./out --metrics ./out/metrics.json --only a,b
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="small_etl_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    seq_p = sub.add_parser("sequence", help="run a multi-pipeline TOML sequence")
+    seq_p.add_argument("config")
+    seq_p.add_argument("--only", help="comma-separated pipeline names to keep")
+    seq_p.add_argument("--skip", help="comma-separated pipeline names to drop")
+    seq_p.add_argument("--dry-run", action="store_true")
+    seq_p.add_argument("--output-root", default=None)
+    seq_p.add_argument("--metrics", default=None, help="metrics JSON path")
+    seq_p.add_argument("--master", default=None, help="spark master override")
+
+    args = ap.parse_args(argv)
+
+    from small_etl_spark.plans.spec import SpecError, sequence_from_toml
+
+    try:
+        seq = sequence_from_toml(args.config)
+    except (SpecError, OSError, ValueError) as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 1
+
+    from small_etl_spark.plans.sequencer import (
+        PipelineExecutionError,
+        run_sequence,
+        sequence_metrics,
+    )
+    from small_etl_spark.session import get_spark
+    from small_etl_spark.sinks.files import write_metrics
+
+    spark = get_spark("small_etl_spark.sequence", master=args.master)
+    only = args.only.split(",") if args.only else None
+    skip = args.skip.split(",") if args.skip else None
+    try:
+        ctx = run_sequence(
+            spark, seq, only=only, skip=skip,
+            output_root=args.output_root, dry_run=args.dry_run,
+        )
+    except PipelineExecutionError as e:
+        print(f"execution error: {e}", file=sys.stderr)
+        return 2
+    if not args.dry_run:
+        metrics = sequence_metrics(ctx)
+        print(json.dumps(metrics["summary"], indent=2))
+        if args.metrics:
+            write_metrics(args.metrics, metrics)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -325,3 +325,25 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )
+
+
+def near_dedup_filter(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each pair.
+
+    Greedy canonicalization: any doc appearing as the *larger* side of
+    a pair is removed (pairs are emitted with id_a < id_b, so the
+    minimum of every connected component always survives; some
+    non-minimal members may survive transitively-unlinked chains —
+    the standard greedy trade-off vs. full connected components, which
+    needs an iterative join loop).
+
+    One left-anti join against the distinct larger-side ids — at
+    100 TB the dup-id side is small relative to the corpus and
+    broadcasts.
+    """
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(dups), id_col, "left_anti")

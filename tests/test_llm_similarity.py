@@ -159,3 +159,13 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall@10 {recall:.2f}"
+
+
+def test_near_dedup_filter(docs_df):
+    from small_etl_spark.llm.dedup import near_dedup_filter
+
+    pairs = minhash_lsh_pairs(docs_df, jaccard_threshold=0.6)
+    kept = near_dedup_filter(docs_df, pairs)
+    ids = {r.doc_id for r in kept.collect()}
+    # the larger side of each near-dup pair (2 of 1-2, 5 of 4-5) is gone
+    assert ids == {1, 3, 4, 6}

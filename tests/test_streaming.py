@@ -81,3 +81,26 @@ def test_stream_dedup(spark, events_dir):
         load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
     )
     assert spark.table("dedup_sink").count() == n_distinct
+
+
+def test_stateful_running_user_stats(spark, events_dir):
+    """applyInPandasWithState custom state: running totals equal the
+    batch groupBy result after draining the stream."""
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.streaming.stateful import running_user_stats
+
+    stream = running_user_stats(read_events_stream(spark, events_dir))
+    run_to_memory_sink(stream, "state_sink", output_mode="append")
+    got = {
+        r.user_id: (r.total_events, r.total_value)
+        for r in spark.table("state_sink").collect()
+    }
+    expect = {
+        r.user_id: (r.n, round(r.v, 2))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == expect
