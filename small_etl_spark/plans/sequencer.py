@@ -301,6 +301,11 @@ def execute_pipeline(
                 intermediate_df=intermediate if spec.load.include_intermediate else None,
             )
 
+    # phase monitor (§2.10 — the reference samples its own process,
+    # monitor.rs:9-106; here driver peak RSS + wall time per stage)
+    import resource
+
+    peak_rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
     return PipelineResult(
         pipeline_name=spec.name,
         df=df,
@@ -309,6 +314,7 @@ def execute_pipeline(
         output_path=output_path,
         success=True,
         intermediate=intermediate,
+        metadata={"peak_rss_mb": peak_rss_mb},
     )
 
 
@@ -357,6 +363,10 @@ def run_sequence(
                 break
             except Exception as e:  # noqa: BLE001
                 last_err = e
+                from small_etl_spark.errors import is_retryable
+
+                if not is_retryable(e):
+                    break  # config/validation errors don't burn retries
         if last_err is not None:
             if seq.on_pipeline_failure == "continue":
                 ctx.add_result(

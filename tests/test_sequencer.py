@@ -371,3 +371,33 @@ def test_parameterized_fanout(spark, mock_server):
     )
     parsed = sorted(json.loads(r.response)["user_id"] for r in out.collect())
     assert parsed == [1, 2, 3]
+
+
+def test_error_taxonomy():
+    """§2.10 typed error taxonomy (error.rs:3-225), enforced for real."""
+    from small_etl_spark.errors import Category, Severity, classify, exit_code
+    from small_etl_spark.operators.validation import ValidationError
+    from small_etl_spark.plans.spec import SpecError
+    from small_etl_spark.sources.http import HttpFetchError
+
+    spec = classify(SpecError("bad config"))
+    assert (spec.severity, spec.category, spec.retryable) == (
+        Severity.CRITICAL, Category.CONFIG, False)
+    assert exit_code(SpecError("x")) == 1
+
+    net = classify(HttpFetchError("boom"))
+    assert net.retryable and net.category is Category.NETWORK
+    assert exit_code(HttpFetchError("x")) == 2
+
+    val = classify(ValidationError("missing"))
+    assert not val.retryable and val.category is Category.VALIDATION
+
+
+def test_metrics_include_monitor(spark):
+    seq = sequence_from_dict(
+        {"pipelines": [{"name": "m", "source": {"type": "sample",
+                                                "sample_data": SAMPLE}}]}
+    )
+    ctx = run_sequence(spark, seq)
+    m = sequence_metrics(ctx)["pipelines"][0]
+    assert m["peak_rss_mb"] > 0
