@@ -27,8 +27,14 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
 
-    # JVM/codegen warmup on a trivial job so query 1 isn't charged for it
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm up the JVM, codegen, parquet reader, and shuffle machinery on
+    # a small real scan so query 1 measures the operator, not engine init.
+    from small_etl_spark.sources.tables import load_table
+
+    warm = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():

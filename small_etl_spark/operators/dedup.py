@@ -43,27 +43,38 @@ def dedup_by_fields_first_wins(
     attached (valid when ``df`` is a raw source read). Missing key
     columns are treated as "" (reference stringifies missing → "").
 
-    Physical plan: one hash-shuffle on ``fields``; row_number window
-    with partial sort inside each partition — no global sort, skew
-    handled by AQE.
+    Physical plan: ``min_by(whole-row, order)`` aggregation — partial
+    (map-side) min per key before the single hash shuffle, so the
+    shuffle carries one row per key per input partition instead of
+    every row into a window sort. At 100 TB this is the difference
+    between a combiner-style agg and a full shuffle-sort.
     """
     missing = [f for f in fields if f not in df.columns]
     work = df
-    for m in missing:
-        work = work.withColumn(m, F.lit(""))
     added_ordinal = False
     if order_col is None:
         work = with_ingest_ordinal(work)
         order_col = ORDINAL
         added_ordinal = True
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    w = Window.partitionBy(*[F.coalesce(F.col(f).cast("string"), F.lit("")) for f in fields]).orderBy(
-        *[F.col(c).asc() for c in order_cols]
+
+    out_cols = list(df.columns) + ([ORDINAL] if added_ordinal else [])
+    # group on raw key columns (missing → "" like the reference's
+    # missing-field rule); null keys group separately, matching the
+    # reference's stringify (Null → "null" ≠ "")
+    keys = [
+        (F.col(f) if f not in missing else F.lit("")).alias(f"__k_{i}__")
+        for i, f in enumerate(fields)
+    ]
+    first_row = F.min_by(
+        F.struct(*out_cols), F.struct(*[F.col(c) for c in order_cols])
+    ).alias("__row__")
+    out = (
+        work.groupBy(*keys)
+        .agg(first_row)
+        .select(*[F.col(f"__row__.{c}").alias(c) for c in df.columns])
     )
-    out = work.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
-    if added_ordinal:
-        out = out.drop(ORDINAL)
-    return out.drop(*missing)
+    return out
 
 
 def dedup_full_record(df: DataFrame, order_col: str | None = None) -> DataFrame:
