@@ -890,6 +890,33 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage skew-salted aggregation (operators.skew.salted_agg):
+    a hot key spreads over 16 salt reducers in stage 1, stage 2 merges
+    partials — same result as the plain groupBy, skew-immune plan."""
+    from small_etl_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_agg(
+        ev, ["event_type"], {"n": "count", "cents_sum": "sum:cents"},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", "n",
+        (F.col("cents_sum").cast("double") / 100.0).alias("sum_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # North-star text analysis (documents table)
 # --------------------------------------------------------------------------
@@ -950,6 +977,38 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("doc_id", "fingerprint", "n_copies")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE)/dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by tf·idf (llm.textstats.tfidf_top_terms):
+    explode → two combined aggregations → broadcast df join → window
+    top-k. Scores rounded before ranking for cross-engine order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs, k=3)
 
 
 def _stopword_sql(lang: str) -> str:

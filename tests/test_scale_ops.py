@@ -1,0 +1,82 @@
+"""Scale levers: skew-salted aggregation, bucketed co-located joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from small_etl_spark.operators.skew import salted_agg
+from small_etl_spark.sources.bucketing import (
+    bucketed_join,
+    count_exchanges,
+    write_bucketed,
+)
+from small_etl_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_matches_plain(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    plain = {
+        (r.l_returnflag,): (r.n, r.qty, r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    li2 = li.withColumn("l_qty_int", F.col("l_quantity").cast("bigint"))
+    salted = {
+        (r.l_returnflag,): (r.n, r.qty, r.mx)
+        for r in salted_agg(
+            li2,
+            ["l_returnflag"],
+            {"n": "count", "qty": "sum:l_qty_int", "mx": "max:l_extendedprice"},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_unknown():
+    with pytest.raises(ValueError):
+        salted_agg(None, ["k"], {"x": "median:v"})
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=4)
+        write_bucketed(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "b_orders",
+            ["l_orderkey"],
+            num_buckets=4,
+        )
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", ["l_orderkey"])
+        n = joined.count()
+        assert n == li.count()  # every lineitem matches its order
+        assert count_exchanges(joined) == 0, "bucketed join must not shuffle"
+
+        # control: the same join on plain parquet frames DOES shuffle
+        # (broadcast disabled to emulate fact-x-fact, where bucketing
+        # is the only way to avoid the exchange)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plain = li.join(
+                o.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"]
+            )
+            plain.count()
+            assert count_exchanges(plain) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
