@@ -92,3 +92,71 @@ def lookup_enrich(
     if lk == on:
         return df.join(right, on=on, how=how)
     return df.join(right, df[on] == right[lk], how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key.
+    Right value columns are appended with ``suffix``; unmatched left
+    rows get nulls (left-join semantics).
+
+    No Spark built-in exists (SURVEY §2.5 — the reference has no
+    temporal joins either). The naive formulation — equi-join on the
+    key plus a range predicate, then argmax per left row — explodes to
+    O(|left|·|right|) pairs per key. This implementation is the
+    scalable union-merge shape:
+
+      1. tag and union both inputs (right rows carry a struct of their
+         value columns, left rows a null struct);
+      2. ONE shuffle+sort on (key, ts, side) — right sorts before left
+         at equal ts so ties are inclusive;
+      3. running ``last(value_struct, ignorenulls)`` window fills each
+         left row with the most recent right struct;
+      4. keep left rows, unpack the struct.
+
+    Cost is a single sort-merge pass over |left|+|right| rows — the
+    same plan DuckDB/kdb use natively for ASOF JOIN.
+    """
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lcols = list(left.columns)
+
+    r_tagged = right.select(
+        F.col(on).alias("__key__"),
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rv__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}__") for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("__key__"),
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(r_tagged.schema["__rv__"].dataType).alias("__rv__"),
+        *[F.col(c).alias(f"__l_{c}__") for c in lcols],
+    )
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__key__")
+        .orderBy("__ts__", "__side__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("__match__", F.last("__rv__", ignorenulls=True).over(w))
+        .filter(F.col("__side__") == 1)
+    )
+    out_cols = [F.col(f"__l_{c}__").alias(c) for c in lcols]
+    out_cols += [F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in rcols]
+    return merged.select(*out_cols)

@@ -436,6 +436,62 @@ def q_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_events",
+    """
+    SELECT c.event_id, CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_sec, c.user_id,
+           p.event_id AS purchase_event_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    headline=True,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): each click matched to
+    the user's most recent prior purchase. Union-merge plan — one
+    sort per key over |left|+|right| rows, never a range cross
+    product. Oracle: DuckDB's native ASOF JOIN."""
+    from small_etl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(clicks, purchases, on="user_id", suffix="")
+    return out.select(
+        "event_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "user_id",
+        "purchase_event_id",
+        "purchase_value",
+    )
+
+
+@register(
+    "percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (north-star; at 100 TB
+    switch to approx_percentile — same call shape, sketch-merged,
+    no sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+@register(
     "lookup_enrich_stub",
     """
     SELECT doc_id, source, 'enriched_' || source AS source_enriched FROM documents

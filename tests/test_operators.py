@@ -182,3 +182,23 @@ def test_validation_enforced(spark):
         validate_frame(df, ValidationSpec(field_types={"id": "string"}))
     with pytest.raises(ValidationError, match="min_records"):
         validate_frame(df, ValidationSpec(min_records=2))
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right ts <= left ts per key; equal ts
+    matches (inclusive); no right row before -> nulls."""
+    from small_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 5, "b"), (4, 30, "a")],
+        ["id", "ts", "k"],
+    )
+    right = spark.createDataFrame(
+        [(10, "x", "a"), (20, "y", "a"), (25, "z", "a"), (50, "w", "b")],
+        ["ts", "val", "k"],
+    )
+    out = {
+        r.id: r.val_asof
+        for r in asof_join(left, right, on="k", right_cols=["val"]).collect()
+    }
+    assert out == {1: "x", 2: "y", 4: "z", 3: None}
