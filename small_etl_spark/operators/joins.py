@@ -160,3 +160,61 @@ def asof_join(
     out_cols = [F.col(f"__l_{c}__").alias(c) for c in lcols]
     out_cols += [F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in rcols]
     return merged.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Interval join: pairs within the same ``on`` key where
+    ``right_ts - left_ts ∈ [lower_seconds, upper_seconds]``.
+
+    A bare inequality predicate forces a per-key cross product. This
+    implementation bucketizes time into ``bucket_seconds`` cells
+    (default: the interval width) and equi-joins on
+    (key, bucket) — each left row only meets right rows from the 2-3
+    candidate buckets its interval can touch, then the exact predicate
+    filters. Shuffle is hash(key, bucket): scale-safe, skew split by
+    AQE.
+    """
+    width = upper_seconds - lower_seconds
+    if width <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    bucket = bucket_seconds or width
+
+    l_epoch = F.col(left_ts).cast("double")
+    r_epoch = F.col(right_ts).cast("double")
+
+    # each left interval [ts+lower, ts+upper] can overlap these buckets
+    lo_b = F.floor((l_epoch + F.lit(lower_seconds)) / F.lit(bucket)).cast("long")
+    hi_b = F.floor((l_epoch + F.lit(upper_seconds)) / F.lit(bucket)).cast("long")
+    l_exploded = left.withColumn(
+        "__bucket__", F.explode(F.sequence(lo_b, hi_b))
+    )
+    r_bucketed = right.withColumn(
+        "__bucket__", F.floor(r_epoch / F.lit(bucket)).cast("long")
+    )
+
+    delta = F.col(f"r.{right_ts}").cast("double") - F.col(f"l.{left_ts}").cast("double")
+    return (
+        l_exploded.alias("l")
+        .join(
+            r_bucketed.alias("r"),
+            (F.col(f"l.{on}") == F.col(f"r.{on}"))
+            & (F.col("l.__bucket__") == F.col("r.__bucket__")),
+        )
+        .filter((delta >= lower_seconds) & (delta <= upper_seconds))
+        .select(
+            *[F.col(f"l.{c}") for c in left.columns],
+            *[
+                F.col(f"r.{c}").alias(f"{c}_r" if c in left.columns else c)
+                for c in right.columns
+            ],
+        )
+    )

@@ -472,6 +472,70 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_events",
+    """
+    SELECT c.event_id, p.event_id AS followup_event_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND epoch(p.ts) - epoch(c.ts) BETWEEN 0.0 AND 3600.0
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators.joins.range_join): purchases within
+    1 h after a click, same user. Time-bucketed equi-join — never a
+    per-key cross product (the plan a bare BETWEEN predicate would
+    give)."""
+    from small_etl_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    out = range_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        lower_seconds=0.0, upper_seconds=3600.0,
+    )
+    delta_us = F.unix_micros("ts_r") - F.unix_micros("ts")
+    return out.select(
+        "event_id",
+        F.col("event_id_r").alias("followup_event_id"),
+        delta_us.alias("delta_us"),
+    )
+
+
+@register(
+    "running_total",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(round(value*100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+             / 100.0 AS running_value
+    FROM events
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user running sum (north-star window breadth);
+    exact cents so the prefix sums are order-independent-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("running_value"),
+    )
+
+
+@register(
     "percentiles",
     """
     SELECT event_type,

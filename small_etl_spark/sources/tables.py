@@ -63,7 +63,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if f.name == "ts" and f.dataType.simpleString() == "bigint"
     }
     if ts_fields:
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV, not `/`: bigint/1000 routes through a double,
+        # which cannot represent ~1.7e18 nanos exactly (±1 µs errors)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

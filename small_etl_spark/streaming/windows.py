@@ -60,7 +60,8 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         ]
     )
     df = spark.readStream.schema(nanos_schema).parquet(events_dir)
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer DIV (see sources.tables.load_table): `/` loses µs at e18 nanos
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def tumbling_window_agg(
