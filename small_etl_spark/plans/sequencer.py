@@ -158,11 +158,26 @@ def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) ->
 # --------------------------------------------------------------------------
 
 
+def _apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    nested = {p: t for p, t in mapping.items() if any(ch in p for ch in ".[")}
+    flat = {p: t for p, t in mapping.items() if p not in nested}
+    if nested:
+        df = map_nested_fields(df, nested)  # P2/P3/P4
+    if flat:
+        df = rename_fields(df, flat)  # P1
+    return df
+
+
 def _apply_extract(df: DataFrame, spec: PipelineSpec) -> DataFrame:
     src, tr = spec.source, spec.transform
     if src.filters:
         df = extract_filters(df, src.filters)  # F5, enforced
     df = limit_records(df, src.max_records, src.first_record_only)  # F4
+    if tr.field_mapping:
+        # the reference maps fields DURING extract, before dedup/sort
+        # (contextual_pipeline.rs:530-550 inside the fetch, :609-676
+        # after) — so dedup keys and sort_by use mapped names
+        df = _apply_field_mapping(df, tr.field_mapping)
     if tr.deduplicate_fields:
         df = dedup_by_fields_first_wins(df, tr.deduplicate_fields)  # A3
     elif tr.deduplicate:
@@ -184,13 +199,6 @@ def _apply_transform(
         df = remove_html_tags(df)  # X3b
     if tr.normalize_fields:
         df = normalize_fields(df, tr.normalize_fields)  # X2
-    if tr.field_mapping:
-        nested = {p: t for p, t in tr.field_mapping.items() if any(ch in p for ch in ".[")}
-        flat = {p: t for p, t in tr.field_mapping.items() if p not in nested}
-        if nested:
-            df = map_nested_fields(df, nested)  # P2/P3/P4
-        if flat:
-            df = rename_fields(df, flat)  # P1
     if tr.lookup_data:
         df = lookup_enrich_stub(df, tr.lookup_data)  # J3 stub form
     if tr.default_values:

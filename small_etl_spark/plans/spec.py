@@ -198,7 +198,7 @@ def _pick(d: dict[str, Any], cls: type, **renames: str) -> dict[str, Any]:
 
 
 def pipeline_from_dict(d: dict[str, Any]) -> PipelineSpec:
-    src = d.get("source", d.get("extract", {}))
+    src = dict(d.get("source", d.get("extract", {})))
     # the reference splits source(endpoint/headers) and extract(limits/
     # filters/mapping); accept both merged and split layouts
     if "extract" in d and "source" in d:
@@ -209,7 +209,9 @@ def pipeline_from_dict(d: dict[str, Any]) -> PipelineSpec:
     inter = tr.pop("intermediate", None)
     if inter:
         tr["intermediate_conditions"] = inter.get("conditions", {})
-    fm = d.get("field_mapping")
+    # the reference puts field_mapping under [pipelines.extract]
+    # (sequence_config.rs:66-71); we model it as a transform
+    fm = d.get("field_mapping") or src.pop("field_mapping", None)
     if fm and "field_mapping" not in tr:
         tr["field_mapping"] = fm
     return PipelineSpec(
@@ -230,12 +232,27 @@ def sequence_from_dict(d: dict[str, Any]) -> SequenceSpec:
     }
     d = _sub(d, shared_vars)
     glob = d.get("global", {})
+    # the reference nests execution_order under [sequence] and the
+    # failure policy under [error_handling] (sequence_config.rs:10-24,
+    # :169-175); accept those plus flat/global layouts
+    seq_tbl = d.get("sequence", {})
+    err_tbl = d.get("error_handling", {})
+    order = (
+        d.get("execution_order")
+        or seq_tbl.get("execution_order")
+        or glob.get("execution_order")
+        or []
+    )
     seq = SequenceSpec(
         pipelines=[pipeline_from_dict(p) for p in d.get("pipelines", [])],
-        execution_order=list(d.get("execution_order", glob.get("execution_order", []))),
+        execution_order=list(order),
         shared_variables=shared_vars,
-        on_pipeline_failure=glob.get("on_pipeline_failure", "stop"),
-        retry_attempts=int(glob.get("retry_attempts", 1)),
+        on_pipeline_failure=err_tbl.get(
+            "on_pipeline_failure", glob.get("on_pipeline_failure", "stop")
+        ),
+        retry_attempts=int(
+            err_tbl.get("retry_attempts", glob.get("retry_attempts", 1))
+        ),
         concurrent_requests=int(glob.get("concurrent_requests", 1)),
     )
     validate_sequence(seq)

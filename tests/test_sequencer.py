@@ -401,3 +401,64 @@ def test_metrics_include_monitor(spark):
     ctx = run_sequence(spark, seq)
     m = sequence_metrics(ctx)["pipelines"][0]
     assert m["peak_rss_mb"] > 0
+
+
+def test_reference_layout_toml(tmp_path):
+    """The reference's config layout parses as-is: [sequence]
+    execution_order, [error_handling], field_mapping under
+    [pipelines.extract] (sequence_config.rs:10-24, :66-71, :169-175)."""
+    cfg = tmp_path / "ref_layout.toml"
+    cfg.write_text(
+        """
+[sequence]
+name = "seq"
+execution_order = ["a"]
+
+[error_handling]
+on_pipeline_failure = "continue"
+retry_attempts = 3
+
+[[pipelines]]
+name = "a"
+[pipelines.source]
+type = "api"
+endpoint = "https://example.com/posts"
+[pipelines.extract]
+max_records = 10
+[pipelines.extract.field_mapping]
+id = "post_id"
+userId = "author_id"
+"""
+    )
+    seq = sequence_from_toml(str(cfg))
+    assert seq.on_pipeline_failure == "continue"
+    assert seq.retry_attempts == 3
+    p = seq.by_name()["a"]
+    assert p.source.max_records == 10
+    assert p.transform.field_mapping == {"id": "post_id", "userId": "author_id"}
+
+
+def test_sort_on_mapped_field(spark):
+    """Mapping applies during extract, so sort_by/dedup use mapped
+    names (reference maps inside the fetch, contextual_pipeline.rs:
+    530-550, then dedups/sorts :609-676)."""
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "m",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "transform": {
+                        "field_mapping": {"value": "amount"},
+                        "sort_by": "amount",
+                        "sort_order": "desc",
+                        "deduplicate_fields": ["amount"],
+                        "add_markers": False,
+                    },
+                }
+            ]
+        }
+    )
+    ctx = run_sequence(spark, seq)
+    rows = ctx.results[0].df.collect()
+    assert [r.amount for r in rows] == [30, 25, 10]
