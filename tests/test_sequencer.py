@@ -462,3 +462,10 @@ def test_sort_on_mapped_field(spark):
     ctx = run_sequence(spark, seq)
     rows = ctx.results[0].df.collect()
     assert [r.amount for r in rows] == [30, 25, 10]
+
+
+def test_nested_mapping_example_config(spark):
+    seq = sequence_from_toml("configs/nested-mapping-example.toml")
+    ctx = run_sequence(spark, seq)
+    rows = {r.id: (r.full_name, r.city) for r in ctx.results[0].df.collect()}
+    assert rows == {1: ("Alice", "Zurich"), 2: ("Bob", "Oslo")}
