@@ -79,16 +79,23 @@ def lookup_enrich(
     on: str,
     lookup_key: str | None = None,
     how: str = "left",
+    broadcast: bool | None = None,
 ) -> DataFrame:
-    """J3 (real): enrich via a broadcast dimension join.
+    """J3 (real): enrich via a dimension join.
 
     This is what the reference's placeholder was standing in for
     (and what S8 ``--lookup-files`` was declared for,
-    /root/reference/src/domain/ports.rs:17). Dimension side is
-    broadcast — no shuffle of the fact table.
+    /root/reference/src/domain/ports.rs:17).
+
+    ``broadcast=None`` (default) lets Catalyst/AQE pick the strategy
+    from runtime stats — a forced hint would OOM the executors when
+    the "dimension" is actually large (a 100 TB-scale customer table);
+    AQE already converts to broadcast whenever the built side fits
+    ``autoBroadcastJoinThreshold``. Pass ``True`` only for dimensions
+    known small by construction (region/nation-class tables).
     """
     lk = lookup_key or on
-    right = F.broadcast(lookup_df)
+    right = F.broadcast(lookup_df) if broadcast else lookup_df
     if lk == on:
         return df.join(right, on=on, how=how)
     return df.join(right, df[on] == right[lk], how=how)

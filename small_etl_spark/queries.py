@@ -618,6 +618,66 @@ def q_remove_html_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+             AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))
+                    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)
+             / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H Q1 pricing summary (north-star): 8 aggregates over
+    one scan, all money in exact integer units (cents, cents×pct,
+    cents×pct×pct) so sums are order-independent and oracle-exact.
+    Plan: scan-filter → partial hash agg → 6-group exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)).cast("double") / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(price_c * (100 - disc_c) * (100 + tax_c)).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100.0 / n).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
     "groupby_agg",
     """
     SELECT l_returnflag, l_linestatus,

@@ -160,8 +160,12 @@ def test_lookup_enrich_broadcast_join(spark):
     dim = spark.createDataFrame([(1, "one")], "k long, label string")
     out = {r.k: r for r in lookup_enrich(facts, dim, on="k").collect()}
     assert out[1].label == "one" and out[2].label is None
-    # physical plan should be a broadcast join
-    plan = lookup_enrich(facts, dim, on="k")._jdf.queryExecution().executedPlan().toString()
+    # explicit broadcast=True forces the hint; the default leaves the
+    # strategy to Catalyst/AQE (a forced hint on a big dim would OOM)
+    plan = (
+        lookup_enrich(facts, dim, on="k", broadcast=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "BroadcastHashJoin" in plan
 
 
