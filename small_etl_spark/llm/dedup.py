@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from small_etl_spark.llm.textstats import normalize_text, tokens
+from small_etl_spark.llm.textstats import tokens
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -48,8 +48,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ``sequence`` + ``transform`` + ``slice`` → ``concat_ws`` →
     ``array_distinct``. Short docs (< n tokens) get one whole-text
     shingle so they can still match exact copies.
+
+    Tokenizes ``lower(text)`` directly — the word-regex extraction
+    ignores whitespace, so the normalize_text whitespace-collapse pass
+    would produce identical tokens at 2× the regex cost.
     """
-    toks = tokens(normalize_text(col))
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n_sh)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
@@ -194,9 +199,8 @@ def simhash64(col: Column | str, seed: int = 42) -> Column:
     token's xxhash64; bit j of the result = sign of the sum. Built
     from ``aggregate`` + ``zip_with`` — one pass, JVM-side.
     """
-    hs = F.transform(
-        tokens(normalize_text(col)), lambda t: F.xxhash64(t, F.lit(seed))
-    )
+    c = F.col(col) if isinstance(col, str) else col
+    hs = F.transform(tokens(F.lower(c)), lambda t: F.xxhash64(t, F.lit(seed)))
     return _simhash_from_hashes(hs)
 
 
@@ -251,7 +255,7 @@ def simhash_pairs(
         .select(
             F.col(id_col).alias("id"),
             F.transform(
-                tokens(normalize_text(text_col)),
+                tokens(F.lower(F.col(text_col))),
                 lambda t: F.xxhash64(t, F.lit(seed)),
             ).alias("__hs__"),
         )
