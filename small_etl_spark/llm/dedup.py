@@ -351,3 +351,59 @@ def near_dedup_filter(
     """
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(F.broadcast(dups), id_col, "left_anti")
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc labeled with
+    the minimum doc id of its component (singletons label themselves).
+    Returns ``(id_col, component)``.
+
+    The exact canonicalization ``near_dedup_filter`` approximates:
+    transitive chains (A~B, B~C but not A~C) collapse to one canonical
+    representative.
+
+    Iterative min-label propagation: each round joins labels across
+    the symmetrized edge set and keeps the per-node min; stops when a
+    round changes nothing (or at ``max_iter``). Rounds = component
+    diameter, which for near-dup clusters is tiny (dup groups are
+    near-cliques). Each round is one join + one combiner-style min agg;
+    lineage is cut with localCheckpoint so plans don't snowball.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels, sym["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -1351,6 +1351,49 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_components",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT source AS g, doc_id AS id,
+             regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT g, id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      FROM t
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact near-dup pairs
+    (llm.dedup.connected_components): each doc labeled with its
+    component's min doc id — the rigorous canonicalization (transitive
+    chains collapse). Oracle: recursive-CTE label propagation."""
+    from small_etl_spark.llm.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, group_col="source").filter(
+        F.col("jaccard") >= 0.8
+    )
+    return connected_components(docs, pairs)
+
+
 @register("minhash_lsh_dedup", None, headline=True)
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (llm.dedup.minhash_lsh_pairs):

@@ -169,3 +169,15 @@ def test_near_dedup_filter(docs_df):
     ids = {r.doc_id for r in kept.collect()}
     # the larger side of each near-dup pair (2 of 1-2, 5 of 4-5) is gone
     assert ids == {1, 3, 4, 6}
+
+
+def test_connected_components_transitive_chain(spark):
+    from small_etl_spark.llm.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    # chain 1-2-3, pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    comp = {r.doc_id: r.component for r in connected_components(nodes, pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
