@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale properties the engine
+relies on, asserted from explain output so refactors can't silently
+lose them (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from small_etl_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "threshold_filter")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,20.0)" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "rename_project")
+    # only the 4 projected columns reach the scan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," in plan
+    assert "l_returnflag" not in plan
+
+
+def test_broadcast_joins_in_star_queries(spark):
+    for name in ("merge_with_previous", "q3_shipping_priority",
+                 "q5_local_supplier_volume"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_plans_as_take_ordered(spark):
+    # orderBy+limit must not plan a global sort
+    plan = plan_of(spark, "top_k")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_has_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # two HashAggregate nodes: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "merge_sum" in plan
+
+
+def test_dedup_first_wins_is_aggregation_not_sort(spark):
+    plan = plan_of(spark, "dedup_first_wins")
+    assert "min_by" in plan
+    assert "Window" not in plan
+
+
+def test_limit_pushdown(spark):
+    plan = plan_of(spark, "limit_sorted")
+    assert "TakeOrderedAndProject" in plan or "CollectLimit" in plan
+
+
+@pytest.mark.parametrize("name", ["token_count", "lang_id", "quality_score",
+                                  "fingerprint"])
+def test_text_analysis_is_single_map_pass(spark, name):
+    """Text stats must stay narrow: no exchange at all in the plan."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, name
