@@ -326,6 +326,97 @@ def execute_pipeline(
     )
 
 
+def _dag_levels(specs: list[PipelineSpec]) -> list[list[PipelineSpec]]:
+    """Group stages into dependency levels: every stage in level k
+    depends only on stages in levels < k. Order within a level follows
+    execution_order, so results land deterministically."""
+    placed: dict[str, int] = {}
+    levels: list[list[PipelineSpec]] = []
+    remaining = list(specs)
+    names = {s.name for s in specs}
+    while remaining:
+        this_level = [
+            s
+            for s in remaining
+            if all(d in placed or d not in names for d in s.depends_on)
+        ]
+        if not this_level:  # unsatisfiable deps (validated earlier) — serialize
+            this_level = [remaining[0]]
+        for s in this_level:
+            placed[s.name] = len(levels)
+        levels.append(this_level)
+        remaining = [s for s in remaining if s.name not in placed]
+    return levels
+
+
+def run_sequence_parallel(
+    spark: SparkSession,
+    seq: SequenceSpec,
+    only: list[str] | None = None,
+    skip: list[str] | None = None,
+    output_root: str | None = None,
+    max_workers: int | None = None,
+) -> PipelineContext:
+    """Execute independent DAG branches concurrently.
+
+    The reference validates a ``concurrent_requests`` knob but runs
+    strictly sequentially (SURVEY §2.10; contextual_pipeline.rs:
+    126-145) — here concurrency is real: stages are grouped into
+    dependency levels and each level's stages run on a thread pool
+    (Spark's scheduler interleaves their jobs across the cluster).
+    Stage gating that depends on *sequence position* rather than
+    declared deps (``require_previous_success`` without ``depends_on``)
+    is evaluated against the context as of the level start; declare
+    ``depends_on`` for strict ordering. Results are appended in
+    deterministic ``execution_order``.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    ctx = PipelineContext()
+    workers = max_workers or max(seq.concurrent_requests, 1)
+    for level in _dag_levels(seq.enabled_in_order(only, skip)):
+        outcomes: dict[str, PipelineResult | Exception] = {}
+
+        def run_one(spec: PipelineSpec) -> None:
+            ok, reason = _should_execute(spec, ctx)
+            if not ok:
+                outcomes[spec.name] = PipelineResult(
+                    pipeline_name=spec.name,
+                    df=spark.range(0).drop("id"),
+                    record_count=0,
+                    duration_s=0.0,
+                    success=False,
+                    metadata={"skipped": True, "reason": reason},
+                )
+                return
+            try:
+                outcomes[spec.name] = execute_pipeline(spark, spec, ctx, output_root)
+            except Exception as e:  # noqa: BLE001
+                outcomes[spec.name] = e
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(run_one, level))
+
+        for spec in level:  # deterministic append order
+            result = outcomes[spec.name]
+            if isinstance(result, Exception):
+                if seq.on_pipeline_failure == "continue":
+                    ctx.add_result(
+                        PipelineResult(
+                            pipeline_name=spec.name,
+                            df=spark.range(0).drop("id"),
+                            record_count=0,
+                            duration_s=0.0,
+                            success=False,
+                            metadata={"error": str(result)},
+                        )
+                    )
+                    continue
+                raise PipelineExecutionError(spec.name, result)
+            ctx.add_result(result)
+    return ctx
+
+
 def run_sequence(
     spark: SparkSession,
     seq: SequenceSpec,

@@ -469,3 +469,46 @@ def test_nested_mapping_example_config(spark):
     ctx = run_sequence(spark, seq)
     rows = {r.id: (r.full_name, r.city) for r in ctx.results[0].df.collect()}
     assert rows == {1: ("Alice", "Zurich"), 2: ("Bob", "Oslo")}
+
+
+def test_parallel_sequence_matches_sequential(spark):
+    """Independent stages run concurrently (real concurrency vs the
+    reference's validated-but-sequential knob); diamond DAG results
+    and order match the sequential run."""
+    from small_etl_spark.plans.sequencer import run_sequence_parallel
+
+    spec = {
+        "pipelines": [
+            {"name": "root", "source": {"type": "sample", "sample_data": SAMPLE}},
+            {
+                "name": "left",
+                "depends_on": ["root"],
+                "source": {"type": "previous", "previous_pipeline": "root"},
+                "transform": {"field_mapping": {"value": "v"},
+                              "add_markers": False},
+            },
+            {
+                "name": "right",
+                "depends_on": ["root"],
+                "source": {"type": "previous", "previous_pipeline": "root"},
+                "transform": {"computed_fields": {"tag": "r"},
+                              "add_markers": False},
+            },
+            {
+                "name": "merge",
+                "depends_on": ["left", "right"],
+                "source": {"type": "combined"},
+            },
+        ],
+        "global": {"concurrent_requests": 4},
+    }
+    seq_par = sequence_from_dict(spec)
+    ctx = run_sequence_parallel(spark, seq_par)
+    names = [r.pipeline_name for r in ctx.results]
+    assert names == ["root", "left", "right", "merge"]
+    counts = {r.pipeline_name: r.record_count for r in ctx.results}
+    # combined = union of root+left+right
+    assert counts == {"root": 3, "left": 3, "right": 3, "merge": 9}
+    seq_seq = sequence_from_dict(spec)
+    ctx2 = run_sequence(spark, seq_seq)
+    assert [r.record_count for r in ctx2.results] == [3, 3, 3, 9]
