@@ -556,6 +556,77 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semi_anti_join",
+    """
+    SELECT c_custkey, c_name,
+           (c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000))
+             AS has_big_order
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (customers with any order) + a semi-derived flag
+    (north-star relational breadth; the reference has no semi/anti).
+    Plans as broadcast LeftSemi — existence check without
+    materializing the join product."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    with_orders = c.join(
+        o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_semi"
+    )
+    big = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("big_key")
+    ).distinct()
+    return (
+        with_orders.join(
+            F.broadcast(big), F.col("c_custkey") == F.col("big_key"), "left"
+        )
+        .select(
+            "c_custkey", "c_name", F.col("big_key").isNotNull().alias("has_big_order")
+        )
+    )
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders (LeftAnti — the NOT EXISTS
+    plan; at scale the probe side streams, never materializes)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "intersect_except",
+    """
+    WITH click_users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buy_users   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, 'both' AS cohort FROM (SELECT * FROM click_users INTERSECT SELECT * FROM buy_users)
+    UNION ALL
+    SELECT user_id, 'click_only' AS cohort FROM (SELECT * FROM click_users EXCEPT SELECT * FROM buy_users)
+    """,
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (north-star; the reference
+    has only union, SURVEY §2.8)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(buys).withColumn("cohort", F.lit("both"))
+    only = clicks.exceptAll(buys).withColumn("cohort", F.lit("click_only"))
+    return both.unionByName(only)
+
+
+@register(
     "lookup_enrich_stub",
     """
     SELECT doc_id, source, 'enriched_' || source AS source_enriched FROM documents
