@@ -1057,6 +1057,40 @@ def q_window_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_window_agg_hourly",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_window_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming run under the oracle gate: the
+    tumbling-window agg executes as a readStream file source with a
+    watermark, drains with availableNow into a memory sink, and the
+    drained table is hash-compared against the same ANSI SQL the batch
+    twin uses — streaming results must equal batch results exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from small_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        tumbling_window_agg,
+    )
+
+    # file-source streams read directories; stage the single file
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir)
+    stream = tumbling_window_agg(read_events_stream(spark, stream_dir))
+    sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(stream, sink)
+    return spark.table(sink)
+
+
+@register(
     "session_window_agg",
     """
     WITH g AS (
