@@ -286,6 +286,8 @@ def execute_pipeline(
         written = write_outputs(
             df, out_dir, spec.load.formats,
             sorted_header=spec.load.sorted_dynamic_header,
+            single_file=spec.load.single_file,
+            partition_by=spec.load.partition_by or None,
         )
         output_path = out_dir
         if spec.load.zip_outputs:

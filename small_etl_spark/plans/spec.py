@@ -117,6 +117,8 @@ class LoadSpec:
     include_intermediate: bool = True
     include_metadata: bool = False
     sorted_dynamic_header: bool = True  # reference header rule (§1.3)
+    partition_by: list[str] = field(default_factory=list)  # hive layout
+    single_file: bool = True  # coalesce(1); False = partition-parallel
 
 
 @dataclass

@@ -76,29 +76,37 @@ def write_outputs(
     formats: list[str],
     sorted_header: bool = True,
     single_file: bool = True,
+    partition_by: list[str] | None = None,
 ) -> dict[str, str]:
     """Write ``df`` in each format under ``out_dir/<fmt>/``.
 
     ``single_file=True`` coalesces to one part file (reference writes
     one file per format; right for stage outputs that feed a ZIP). At
-    scale pass ``False`` to keep partition-parallel writes.
+    scale pass ``False`` and set ``partition_by``: hive-style
+    ``col=value`` directories let downstream readers partition-prune —
+    a filter on a partition column skips whole directories instead of
+    scanning 100 TB (verify via ``PartitionFilters`` in the scan node).
     Returns {format: path} of the written directories.
     """
     out = _sorted_projection(df, sorted_header)
     written: dict[str, str] = {}
     for fmt in formats:
         path = os.path.join(out_dir, fmt)
-        target = out.coalesce(1) if single_file else out
+        target = out.coalesce(1) if single_file and not partition_by else out
+        writer = target.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         if fmt == "csv":
-            target.write.mode("overwrite").option("header", True).csv(path)
+            writer.option("header", True).csv(path)
         elif fmt == "tsv":
-            _sanitize_tsv(target).write.mode("overwrite").option("header", True).option(
-                "sep", "\t"
-            ).csv(path)
+            writer = _sanitize_tsv(target).write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.option("header", True).option("sep", "\t").csv(path)
         elif fmt == "json":
-            target.write.mode("overwrite").json(path)
+            writer.json(path)
         elif fmt == "parquet":
-            target.write.mode("overwrite").parquet(path)
+            writer.parquet(path)
         else:
             raise ValueError(f"invalid output format {fmt!r}")
         written[fmt] = path

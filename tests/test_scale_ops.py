@@ -80,3 +80,30 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-layout partitioned write -> a filter on the partition
+    column reads only matching directories (PartitionFilters in the
+    scan, not a data filter over everything)."""
+    import os
+
+    from small_etl_spark.sinks.files import write_outputs
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value", "event_type")
+    write_outputs(
+        ev, str(tmp_path), ["parquet"], sorted_header=False,
+        single_file=False, partition_by=["event_type"],
+    )
+    pq_dir = str(tmp_path / "parquet")
+    assert sorted(
+        d for d in os.listdir(pq_dir) if d.startswith("event_type=")
+    )  # hive layout on disk
+
+    back = spark.read.parquet(pq_dir).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_click = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "click"
+    ).count()
+    assert back.count() == n_click
