@@ -929,6 +929,118 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_functions",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           lag(o_totalprice) OVER w AS prev_total,
+           lead(o_totalprice) OVER w AS next_total,
+           first_value(o_totalprice) OVER w AS max_total,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (north-star): rank/dense_rank/lag/lead/
+    first_value/ntile in one pass — one shuffle on the partition key,
+    single sort serves every frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+        F.lead("o_totalprice").over(w).alias("next_total"),
+        F.first("o_totalprice").over(w).alias("max_total"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(epoch(o_orderdate + INTERVAL 90 DAY) AS BIGINT) AS due_date,
+           CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS BIGINT)
+             AS days_to_eoy
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (north-star — the reference treats
+    dates as opaque strings, SURVEY §2.9): trunc, parts, arithmetic,
+    diffs. DuckDB dayofweek is 0-based Sunday; Spark's is 1-based —
+    aligned via dayofweek-1."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("long").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.date_add("o_orderdate", 90).cast("timestamp").cast("long").alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_eoy"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INT) AS name_len,
+           replace(c_mktsegment, 'AUTO', 'CAR') AS segment_replaced,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           split_part(c_name, '#', 2) AS name_suffix,
+           c_name || '/' || c_mktsegment AS combined
+    FROM customer
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (north-star): case, substring, length,
+    replace, pad, split, concat — all JVM built-ins in one codegen
+    stage."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.replace(F.col("c_mktsegment"), F.lit("AUTO"), F.lit("CAR")).alias(
+            "segment_replaced"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("combined"),
+    )
+
+
+@register("approx_percentiles", None)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (north-star 100 TB path: mergeable
+    KLL-style sketch, no sort; sketch differs from DuckDB → rows-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx")
+    )
+
+
+@register(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,
