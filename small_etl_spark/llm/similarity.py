@@ -218,3 +218,45 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_refine(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd iteration: recompute each cell's centroid as the
+    element-wise mean of its members, then re-assign.
+
+    Pure DataFrame ops: posexplode to (cell, pos, component) rows →
+    per-(cell, pos) mean (map-side combined) → re-fold into arrays →
+    broadcast re-assignment. Each extra iteration repeats this; one is
+    usually enough to fix the worst hash-sampled centroids. Returns
+    ``(assigned, centroids)`` like ``ivf_assign``.
+    """
+    comp = assigned.select(
+        "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    means = comp.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+    cents = (
+        means.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("__cent__"),
+        )
+    )
+    corpus = assigned.drop("cell")
+    c = corpus.withColumn("__v__", F.col(vec_col).cast("array<double>"))
+    pairs = c.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim__", cosine_sim("__v__", "__cent__")
+    )
+    new_assigned = (
+        pairs.groupBy(id_col)
+        .agg(
+            F.max_by("cell", F.struct("__sim__", "cell")).alias("cell"),
+            F.first("__v__").alias("__v__"),
+        )
+        .select(id_col, "cell", F.col("__v__").alias(vec_col))
+    )
+    return new_assigned, cents

@@ -153,3 +153,51 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style corpus quality rules as boolean flag columns.
+
+    The standard pre-training filter recipe (word-count bounds, mean
+    word length band, symbol density, has-common-words), kept to
+    integer counts and exact integer-ratio doubles so every flag is
+    bit-reproducible in the DuckDB oracle. One map-only pass.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(
+        n_words > 0, total_tok_chars.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.length(F.regexp_replace(c, r"[A-Za-z0-9_\s]", ""))
+    symbol_ratio = F.when(
+        F.length(c) > 0, n_symbols.cast("double") / F.length(c).cast("double")
+    ).otherwise(F.lit(0.0))
+    en_hits = stopword_hits(c, "en")
+
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "ok_stopwords": en_hits >= min_stopword_hits,
+    }
+    out = df.withColumns({k: v for k, v in flags.items()})
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else (keep & F.col(k))
+    return out.withColumn("gopher_keep", keep)

@@ -1408,6 +1408,48 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_top_terms(docs, k=3)
 
 
+@register(
+    "gopher_quality",
+    rf"""
+    WITH m AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g')) AS n_sym,
+             len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                 x -> x IN ({", ".join(f"'{w}'" for w in textstats.STOPWORDS["en"])})))
+               AS en_hits
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(toks) BETWEEN 20 AND 100000 AS ok_word_count,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / len(toks) BETWEEN 3.0 AND 10.0
+             ELSE FALSE END AS ok_mean_word_len,
+             CASE WHEN n_chars > 0
+                  THEN CAST(n_sym AS DOUBLE)/n_chars <= 0.3 ELSE TRUE END
+               AS ok_symbol_ratio,
+             en_hits >= 2 AS ok_stopwords
+      FROM m
+    )
+    SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_stopwords,
+           (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_stopwords)
+             AS gopher_keep
+    FROM f
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter flags (llm.textstats.
+    gopher_quality_flags): word-count bounds, mean-word-length band,
+    symbol density, has-common-words — the standard pre-training
+    corpus filter, exact-arithmetic and oracle-checked."""
+    from small_etl_spark.llm.textstats import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_flags(docs).drop("text")
+
+
 def _stopword_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
     return (

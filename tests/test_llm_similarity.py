@@ -181,3 +181,28 @@ def test_connected_components_transitive_chain(spark):
     )
     comp = {r.doc_id: r.component for r in connected_components(nodes, pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_ivf_refine_improves_or_matches_recall(spark):
+    from small_etl_spark.llm.similarity import ivf_refine
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(assigned, cents):
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(assigned, cents, queries, k=10, nprobe=8).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    a0, c0 = ivf_assign(emb, num_centroids=32)
+    r0 = recall(a0, c0)
+    a1, c1 = ivf_refine(a0)
+    r1 = recall(a1, c1)
+    # Lloyd step must not collapse recall; typically improves it
+    assert r1 >= r0 - 0.05, f"refined {r1:.2f} vs initial {r0:.2f}"
