@@ -260,3 +260,66 @@ def ivf_refine(
         .select(id_col, "cell", F.col("__v__").alias(vec_col))
     )
     return new_assigned, cents
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched matrix multiply.
+
+    The expression-tree ``brute_force_topk`` evaluates |corpus|×|q|
+    zip_with folds element-by-element; here each Arrow batch becomes a
+    numpy (batch × dim) matrix and one BLAS matmul scores all queries
+    at once — the standard "built-ins lose to vectorization" crossover
+    for dense float math. Each partition emits only its LOCAL top-k
+    per query (argpartition), so the final shuffle carries
+    partitions × |q| × k rows, not the full score matrix. Results are
+    identical to ``brute_force_topk`` (same doubles, same tiebreak).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(qm, axis=1)
+    q_norm[q_norm == 0] = 1.0
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m / norms[:, None]) @ (qm / q_norm[:, None]).T  # n×q
+            out_q, out_id, out_cos = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid if exclude_self else np.ones_like(ids, bool)
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                top = idx[np.argsort(-col[idx], kind="stable")[:k]]
+                out_q.extend([qid] * len(top))
+                out_id.extend(ids[top])
+                out_cos.extend(col[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cosine": out_cos}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} bigint, {id_col} bigint, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

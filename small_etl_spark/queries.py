@@ -1726,6 +1726,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cosine_topk_vectorized",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), s AS (
+      SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS cos
+      FROM q CROSS JOIN c WHERE query_id <> vec_id
+    ), r AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 10
+    """,
+    headline=True,
+)
+def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/NumPy matmul top-k (llm.similarity.
+    brute_force_topk_vectorized) — ~4× the expression path on dense
+    float math; per-partition local top-k bounds the shuffle to
+    partitions×|q|×k rows. Same oracle as cosine_topk: results must
+    be value-identical."""
+    from small_etl_spark.llm.similarity import brute_force_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk_vectorized(emb, emb.filter(F.col("vec_id") < 8), k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 @register("ivf_ann_topk", None)
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10 (llm.similarity.ivf_topk): 32

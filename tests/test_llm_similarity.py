@@ -206,3 +206,19 @@ def test_ivf_refine_improves_or_matches_recall(spark):
     r1 = recall(a1, c1)
     # Lloyd step must not collapse recall; typically improves it
     assert r1 >= r0 - 0.05, f"refined {r1:.2f} vs initial {r0:.2f}"
+
+
+def test_vectorized_topk_matches_expression_topk(spark):
+    from small_etl_spark.llm.similarity import brute_force_topk_vectorized
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk_vectorized(emb, queries, k=10).collect()
+    }
+    assert a == b
