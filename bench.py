@@ -36,14 +36,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min over reps filters scheduler/host noise out of the comparison —
+    # we are measuring the plan, not the machine's worst moment
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         if not spec.headline:
             continue
-        t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

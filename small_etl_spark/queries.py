@@ -910,6 +910,33 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "having_filter",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+             AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+)
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (north-star; TPC-H Q18 shape): post-aggregate
+    predicate — Catalyst evaluates it after the partial+final agg, no
+    second shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+@register(
     "cube_agg",
     """
     SELECT l_returnflag, l_linestatus,
