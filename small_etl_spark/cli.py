@@ -23,14 +23,18 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="small_etl_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    seq_p = sub.add_parser("sequence", help="run a multi-pipeline TOML sequence")
-    seq_p.add_argument("config")
-    seq_p.add_argument("--only", help="comma-separated pipeline names to keep")
-    seq_p.add_argument("--skip", help="comma-separated pipeline names to drop")
-    seq_p.add_argument("--dry-run", action="store_true")
-    seq_p.add_argument("--output-root", default=None)
-    seq_p.add_argument("--metrics", default=None, help="metrics JSON path")
-    seq_p.add_argument("--master", default=None, help="spark master override")
+    for cmd, help_text in (
+        ("sequence", "run a multi-pipeline TOML sequence"),
+        ("run", "run a single-pipeline TOML config (toml_etl layout)"),
+    ):
+        seq_p = sub.add_parser(cmd, help=help_text)
+        seq_p.add_argument("config")
+        seq_p.add_argument("--only", help="comma-separated pipeline names to keep")
+        seq_p.add_argument("--skip", help="comma-separated pipeline names to drop")
+        seq_p.add_argument("--dry-run", action="store_true")
+        seq_p.add_argument("--output-root", default=None)
+        seq_p.add_argument("--metrics", default=None, help="metrics JSON path")
+        seq_p.add_argument("--master", default=None, help="spark master override")
 
     args = ap.parse_args(argv)
 

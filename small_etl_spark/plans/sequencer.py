@@ -135,6 +135,22 @@ def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) ->
             retry_delay_seconds=src.retry_delay_seconds,
             rate_limit_ms=src.rate_limit_ms,
         )
+    # X7 payload params (contextual_pipeline.rs:270-327): template_params
+    # maps {placeholder: upstream_field}; use_previous_data_as_params
+    # exposes every field of the upstream's first record. Both resolve
+    # AFTER shared_data (X4 priority).
+    shared = dict(ctx.shared_data)
+    if src.template_params or src.use_previous_data_as_params:
+        prev = ctx.get(src.previous_pipeline)
+        first = prev.df.first() if prev is not None else None
+        if first is not None:
+            rec = first.asDict()
+            if src.use_previous_data_as_params:
+                for k, v in rec.items():
+                    shared.setdefault(k, v)
+            for placeholder, field_name in src.template_params.items():
+                if field_name in rec:
+                    shared.setdefault(placeholder, rec[field_name])
     return http_scan(
         spark,
         src.endpoint,
@@ -142,7 +158,7 @@ def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) ->
         headers=src.headers,
         query_params=src.query_params,
         payload_template=src.payload_template,
-        shared_data=ctx.shared_data,
+        shared_data=shared,
         timeout_seconds=src.timeout_seconds,
         retry_attempts=src.retry_attempts,
         retry_delay_seconds=src.retry_delay_seconds,

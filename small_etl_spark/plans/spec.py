@@ -264,7 +264,37 @@ def sequence_from_dict(d: dict[str, Any]) -> SequenceSpec:
 def sequence_from_toml(path: str) -> SequenceSpec:
     with open(path, "rb") as f:
         raw = tomllib.load(f)
+    if "pipelines" not in raw:
+        return single_from_dict(raw)
     return sequence_from_dict(raw)
+
+
+def single_from_dict(d: dict[str, Any]) -> SequenceSpec:
+    """The reference's single-pipeline TOML layout (toml_config.rs:
+    20-117 — top-level [source]/[extract]/[transform]/[output] tables,
+    the ``toml_etl`` binary's config): wrapped as a one-stage
+    sequence. ``mvp_mode`` maps to first_record_only (toml_config.rs:
+    201-209)."""
+    shared_vars = {
+        str(k): str(v)
+        for k, v in (d.get("global", {}).get("shared_variables", {}) or {}).items()
+    }
+    d = _sub(d, shared_vars)
+    name = d.get("pipeline", {}).get("name", d.get("name", "pipeline"))
+    body: dict[str, Any] = {"name": name}
+    for section in ("source", "extract", "transform", "conditions"):
+        if section in d:
+            body[section] = d[section]
+    if "load" in d or "output" in d:
+        body["load"] = d.get("load", d.get("output"))
+    if d.get("pipeline", {}).get("mvp_mode") or d.get("mvp_mode"):
+        body.setdefault("source", {})
+        body["source"] = {**body.get("source", {}), "first_record_only": True}
+    seq = SequenceSpec(
+        pipelines=[pipeline_from_dict(body)], shared_variables=shared_vars
+    )
+    validate_sequence(seq)
+    return seq
 
 
 # --------------------------------------------------------------------------

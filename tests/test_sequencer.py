@@ -294,6 +294,18 @@ def test_render_filename():
 class _Handler(http.server.BaseHTTPRequestHandler):
     fail_next = 0
     seen_auth: list[str] = []
+    seen_posts: list[str] = []
+
+    def do_POST(self):  # noqa: N802
+        cls = type(self)
+        length = int(self.headers.get("Content-Length", 0))
+        cls.seen_posts.append(self.rfile.read(length).decode())
+        data = b'[{"ok": true}]'
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
 
     def do_GET(self):  # noqa: N802
         cls = type(self)
@@ -512,3 +524,71 @@ def test_parallel_sequence_matches_sequential(spark):
     seq_seq = sequence_from_dict(spec)
     ctx2 = run_sequence(spark, seq_seq)
     assert [r.record_count for r in ctx2.results] == [3, 3, 3, 9]
+
+
+def test_single_pipeline_toml_layout(spark, tmp_path):
+    """toml_etl single-pipeline layout: top-level [source]/[transform]/
+    [output], mvp_mode -> first_record_only (toml_config.rs:20-117,
+    :201-209)."""
+    cfg = tmp_path / "mvp.toml"
+    cfg.write_text(
+        """
+[pipeline]
+name = "mvp"
+mvp_mode = true
+
+[source]
+type = "file"
+path = "/root/testdata/sf0.001/orders.parquet"
+
+[transform]
+field_mapping = { o_orderkey = "id" }
+keep_only_fields = ["id", "processed"]
+
+[output]
+formats = ["csv"]
+"""
+    )
+    seq = sequence_from_toml(str(cfg))
+    assert [p.name for p in seq.pipelines] == ["mvp"]
+    assert seq.pipelines[0].source.first_record_only
+    ctx = run_sequence(spark, seq)
+    assert ctx.results[0].record_count == 1
+    assert set(ctx.results[0].df.columns) == {"id", "processed", "processed_by"}
+
+
+def test_payload_template_params(spark, mock_server):
+    """X7: payload placeholders fill from the upstream stage's first
+    record via template_params / use_previous_data_as_params; shared
+    data wins on conflicts (contextual_pipeline.rs:270-327, priority
+    test :1992-2015)."""
+    _Handler.seen_posts.clear()
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "ids",
+                    "source": {
+                        "type": "sample",
+                        "sample_data": [{"user_id": 7, "region": "eu"}],
+                    },
+                    "transform": {"add_markers": False},
+                },
+                {
+                    "name": "post",
+                    "depends_on": ["ids"],
+                    "source": {
+                        "type": "api",
+                        "endpoint": f"{mock_server}/posts",
+                        "method": "POST",
+                        "payload_template": '{"uid": {{uid}}, "region": "{{region}}"}',
+                        "template_params": {"uid": "user_id"},
+                        "use_previous_data_as_params": True,
+                        "previous_pipeline": "ids",
+                    },
+                },
+            ]
+        }
+    )
+    run_sequence(spark, seq)
+    assert _Handler.seen_posts == ['{"uid": 7, "region": "eu"}']
