@@ -163,3 +163,40 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_files(
+    stream_df: DataFrame,
+    out_dir: str,
+    formats: list[str],
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Drain a stream through the engine's batch sink layer via
+    ``foreachBatch``: each micro-batch writes with the same
+    format/partitioning code paths as batch stages (K1–K6), under
+    ``out_dir/batch=<id>/``. Checkpointing makes the sink restartable;
+    at scale prefer ``partition_by`` + ``single_file=False`` so each
+    micro-batch writes partition-parallel.
+    """
+    from small_etl_spark.sinks.files import write_outputs
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_outputs(
+            batch_df,
+            f"{out_dir}/batch={batch_id}",
+            formats,
+            sorted_header=False,
+            single_file=partition_by is None,
+            partition_by=partition_by,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

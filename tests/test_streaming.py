@@ -104,3 +104,19 @@ def test_stateful_running_user_stats(spark, events_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_to_files_foreachbatch(spark, events_dir, tmp_path):
+    """foreachBatch bridges streams into the batch sink layer; the
+    drained parquet equals the batch aggregation."""
+    from small_etl_spark.streaming.windows import stream_to_files
+
+    stream = tumbling_window_agg(read_events_stream(spark, events_dir))
+    out = tmp_path / "out"
+    stream_to_files(
+        stream, str(out), ["parquet"], str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    written = spark.read.parquet(f"{out}/batch=*/parquet")
+    batch = tumbling_window_agg(load_table(spark, SF_DIR, "events"))
+    assert _rows(written.select(*batch.columns)) == _rows(batch)
