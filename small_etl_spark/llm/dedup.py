@@ -247,20 +247,7 @@ def simhash_pairs(
     chunks = max_hamming + 1
     bits = 64 // chunks
 
-    # stage the token-hash array as a real column so the 64 per-bit
-    # aggregates share ONE tokenize+hash pass (CollapseProject keeps
-    # non-cheap multi-referenced aliases staged, not inlined 64×)
-    base = (
-        _ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.transform(
-                tokens(F.lower(F.col(text_col))),
-                lambda t: F.xxhash64(t, F.lit(seed)),
-            ).alias("__hs__"),
-        )
-        .select("id", _simhash_from_hashes(F.col("__hs__")).alias("h"))
-    )
+    base = _simhash_table(_ensure_parallelism(df), id_col, text_col, seed)
     exploded = base.select(
         "id",
         "h",
@@ -407,3 +394,38 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def _simhash_table(
+    df: DataFrame, id_col: str, text_col: str, seed: int = 42
+) -> DataFrame:
+    """(id, simhash) via explode + grouped bit-count sums.
+
+    Whole-stage-codegen'd: tokens explode to (id, hash) rows, 64
+    ``sum((h>>j)&1)`` aggregates fold them back — ~1.5× the staged
+    higher-order-function formulation (``simhash64``), identical
+    output. The groupBy shuffle carries one row per doc (each doc's
+    tokens sit in one partition, so the partial agg combines fully
+    map-side). ``explode_outer`` + null guards keep token-less docs
+    (simhash 0), matching ``simhash64``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    hashed = toks.select(
+        "id",
+        F.when(F.col("t").isNotNull(), F.xxhash64("t", F.lit(seed))).alias("h"),
+    )
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"__c{j}__")
+        for j in range(64)
+    ]
+    cnt = hashed.groupBy("id").agg(F.count("h").alias("__n__"), *aggs)
+    out = F.lit(0).cast("bigint")
+    for j in range(64):
+        out = out + F.when(
+            F.coalesce(F.col(f"__c{j}__"), F.lit(0)) * 2 > F.col("__n__"),
+            F.shiftleft(F.lit(1).cast("bigint"), j),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return cnt.select("id", out.alias("h"))
