@@ -910,6 +910,60 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate, o_totalprice,
+           SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    headline=True,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (north-star): grouped-HAVING subquery feeding a
+    LeftSemi filter on the fact scan, then a 3-table star join + final
+    agg + top-100. The semi side is small by construction → broadcast;
+    lineitem is scanned twice but never shuffled for a join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = F.col("l_quantity").cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("tq"))
+        .filter(F.col("tq") > 250)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    return (
+        li.join(
+            F.broadcast(big), F.col("l_orderkey") == F.col("big_okey"), "left_semi"
+        )
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
     "having_filter",
     """
     SELECT o_custkey, COUNT(*) AS n_orders,
