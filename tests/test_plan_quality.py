@@ -66,3 +66,9 @@ def test_text_analysis_is_single_map_pass(spark, name):
     """Text stats must stay narrow: no exchange at all in the plan."""
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, name
+
+
+def test_q18_semi_join_broadcast(spark):
+    plan = plan_of(spark, "q18_large_orders")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
