@@ -592,3 +592,21 @@ def test_payload_template_params(spark, mock_server):
     )
     run_sequence(spark, seq)
     assert _Handler.seen_posts == ['{"uid": 7, "region": "eu"}']
+
+
+def test_http_json_datasource(spark, mock_server):
+    """Python DataSource: executor-side HTTP scan, one partition per
+    URL, rows aligned to the declared schema."""
+    from small_etl_spark.sources.http_datasource import HttpJsonDataSource
+
+    spark.dataSource.register(HttpJsonDataSource)
+    df = (
+        spark.read.format("http_json")
+        .schema("id long, name string, value long")
+        .option("urls", f"{mock_server}/posts,{mock_server}/posts")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = sorted((r.id, r.name, r.value) for r in df.collect())
+    assert len(rows) == 6  # 3 sample rows x 2 url partitions
+    assert rows[0] == (1, "Item 1", 10)
