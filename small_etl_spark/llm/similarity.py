@@ -323,3 +323,21 @@ def brute_force_topk_vectorized(
         local.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    num_centroids: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index with ``iters`` Lloyd refinements over the hash-sampled
+    seed centroids. Each iteration is one shuffle (per-(cell,pos)
+    means) + one broadcast re-assign; 1-2 iterations capture most of
+    the recall gain. Returns ``(assigned, centroids)``."""
+    assigned, cents = ivf_assign(corpus, num_centroids, id_col, vec_col, seed)
+    for _ in range(iters):
+        assigned, cents = ivf_refine(assigned, id_col, vec_col)
+    return assigned, cents
