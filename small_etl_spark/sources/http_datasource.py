@@ -55,6 +55,9 @@ class HttpJsonDataSource(DataSource):
     def reader(self, schema: StructType) -> "HttpJsonReader":
         return HttpJsonReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "HttpJsonStreamReader":
+        return HttpJsonStreamReader(schema, self.options)
+
 
 class HttpJsonReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -83,3 +86,30 @@ class HttpJsonReader(DataSourceReader):
         )
         for rec in records:
             yield tuple(rec.get(name) for name in self.schema_fields)
+
+
+class HttpJsonStreamReader:
+    """Poll-based micro-batch stream: each batch fetches every URL once
+    (offset = poll counter). At-least-once on replay — an HTTP
+    endpoint cannot be re-read at a past offset, so
+    ``readBetweenOffsets`` re-fetches (document the semantic; for
+    exactly-once land the fetches in files and stream those).
+    Implements the Spark 4 SimpleDataSourceStreamReader protocol.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.inner = HttpJsonReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _fetch_all(self) -> Iterator[tuple]:
+        for part in self.inner.partitions():
+            yield from self.inner.read(part)
+
+    def read(self, start: dict):
+        rows = list(self._fetch_all())
+        return iter(rows), {"poll": int(start["poll"]) + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._fetch_all()

@@ -610,3 +610,28 @@ def test_http_json_datasource(spark, mock_server):
     rows = sorted((r.id, r.name, r.value) for r in df.collect())
     assert len(rows) == 6  # 3 sample rows x 2 url partitions
     assert rows[0] == (1, "Item 1", 10)
+
+
+def test_http_json_stream_reader(spark, mock_server, tmp_path):
+    """The same http_json format under readStream: one poll per
+    micro-batch (availableNow drains a single poll)."""
+    from small_etl_spark.sources.http_datasource import HttpJsonDataSource
+
+    spark.dataSource.register(HttpJsonDataSource)
+    stream = (
+        spark.readStream.format("http_json")
+        .schema("id long, name string, value long")
+        .option("urls", f"{mock_server}/posts")
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("http_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(r.id for r in spark.table("http_stream_sink").collect())
+    assert rows == [1, 2, 3]
