@@ -117,6 +117,21 @@ def _resolve_source(
 
 def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) -> DataFrame:
     src = spec.source
+    if src.urls:
+        # multi-endpoint scan → executor-side Python DataSource
+        # (sources.http_datasource), one partition per URL
+        from small_etl_spark.sources.http_datasource import HttpJsonDataSource
+
+        spark.dataSource.register(HttpJsonDataSource)
+        return (
+            spark.read.format("http_json")
+            .schema(src.schema)
+            .option("urls", ",".join(src.urls))
+            .option("timeout_seconds", str(src.timeout_seconds))
+            .option("retry_attempts", str(src.retry_attempts))
+            .option("retry_delay_seconds", str(src.retry_delay_seconds))
+            .load()
+        )
     if src.parameterized:
         # S4 fan-out over the previous stage's records
         from small_etl_spark.sources.http import parameterized_http_fanout

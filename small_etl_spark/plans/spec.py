@@ -54,6 +54,8 @@ class SourceSpec:
 
     type: str = "api"
     endpoint: str | None = None
+    urls: list[str] = field(default_factory=list)  # multi-endpoint DataSource scan
+    schema: str | None = None  # required with urls (DDL string)
     method: str = "GET"
     headers: dict[str, str] = field(default_factory=dict)
     query_params: dict[str, str] = field(default_factory=dict)
@@ -312,9 +314,17 @@ def validate_pipeline(p: PipelineSpec) -> None:
     if p.source.type not in VALID_SOURCE_TYPES:
         raise SpecError(f"pipeline {p.name!r}: unknown source type {p.source.type!r}")
     if p.source.type == "api":
-        if not p.source.endpoint:
+        if p.source.urls:
+            if not p.source.schema:
+                raise SpecError(
+                    f"pipeline {p.name!r}: multi-url api source requires schema"
+                )
+            for u in p.source.urls:
+                _validate_url(u, p.name)
+        elif not p.source.endpoint:
             raise SpecError(f"pipeline {p.name!r}: api source requires endpoint")
-        _validate_url(p.source.endpoint, p.name)
+        else:
+            _validate_url(p.source.endpoint, p.name)
     if p.source.type == "file" and not p.source.path:
         raise SpecError(f"pipeline {p.name!r}: file source requires path")
     if p.source.type == "table" and not p.source.table:

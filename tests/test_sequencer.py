@@ -635,3 +635,35 @@ def test_http_json_stream_reader(spark, mock_server, tmp_path):
     q.awaitTermination()
     rows = sorted(r.id for r in spark.table("http_stream_sink").collect())
     assert rows == [1, 2, 3]
+
+
+def test_sequence_with_multi_url_source(spark, mock_server):
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "multi",
+                    "source": {
+                        "type": "api",
+                        "urls": [f"{mock_server}/posts", f"{mock_server}/posts"],
+                        "schema": "id long, name string, value long",
+                    },
+                    "transform": {"add_markers": False},
+                }
+            ]
+        }
+    )
+    ctx = run_sequence(spark, seq)
+    assert ctx.results[0].record_count == 6
+
+    with pytest.raises(SpecError, match="requires schema"):
+        sequence_from_dict(
+            {
+                "pipelines": [
+                    {
+                        "name": "bad",
+                        "source": {"type": "api", "urls": ["http://x.example/a"]},
+                    }
+                ]
+            }
+        )
