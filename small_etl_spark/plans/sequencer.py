@@ -102,11 +102,12 @@ def _resolve_source(
                 f"previous source {src.previous_pipeline!r} not found"
             )
         base = result.df
-        if src.merge_with_api and src.endpoint:
+        has_api = bool(src.endpoint or src.urls)
+        if src.merge_with_api and has_api:
             api = _api_fetch(spark, spec, ctx)
             # J1: api records enriched from previous by key; api wins
             return merge_with_previous(api, base, key=src.merge_key)
-        if src.endpoint:
+        if has_api:
             # union path (contextual_pipeline.rs:34-91): previous then api
             api = _api_fetch(spark, spec, ctx)
             return union_all_by_name([base, api])
