@@ -130,10 +130,12 @@ def zip_output_dir(
     zip_path = os.path.join(out_dir, zip_name)
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for fmt, path in written.items():
+            # set-union: a part file like part-00000-*.csv matches both
+            # patterns — duplicating it would duplicate every data row
             parts = sorted(
-                glob.glob(os.path.join(path, "part-*"))
-                + glob.glob(os.path.join(path, "*.csv"))
-                + glob.glob(os.path.join(path, "*.json"))
+                set(glob.glob(os.path.join(path, "part-*")))
+                | set(glob.glob(os.path.join(path, "*.csv")))
+                | set(glob.glob(os.path.join(path, "*.json")))
             )
             chunks: list[str] = []
             header_written = False

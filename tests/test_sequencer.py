@@ -667,3 +667,20 @@ def test_sequence_with_multi_url_source(spark, mock_server):
                 ]
             }
         )
+
+
+def test_zip_members_have_no_duplicated_rows(spark, tmp_path):
+    """Regression: overlapping part-file globs must not duplicate the
+    data rows inside ZIP members."""
+    import zipfile as _zf
+
+    from small_etl_spark.sinks.files import write_outputs, zip_output_dir
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    written = write_outputs(df, str(tmp_path), ["csv", "json"])
+    z = zip_output_dir(str(tmp_path), written, "out.zip")
+    with _zf.ZipFile(z) as zf:
+        csv_lines = zf.read("output.csv").decode().strip().splitlines()
+        json_lines = zf.read("output.json").decode().strip().splitlines()
+    assert csv_lines == ["id,v", "1,a", "2,b", "3,c"]
+    assert len(json_lines) == 3
