@@ -293,6 +293,8 @@ def brute_force_topk_vectorized(
 
     def score(batches):
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch → (0,) array breaks matmul
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             norms = np.linalg.norm(m, axis=1)

@@ -44,7 +44,10 @@ class PipelineContext:
     shared_data: dict[str, Any] = field(default_factory=dict)
 
     def add_result(self, result: PipelineResult) -> None:
-        result.df.createOrReplaceTempView(f"stage_{result.pipeline_name}".replace("-", "_"))
+        import re
+
+        view = "stage_" + re.sub(r"\W", "_", result.pipeline_name)
+        result.df.createOrReplaceTempView(view)
         self.results.append(result)
 
     def get(self, name: str | None = None) -> PipelineResult | None:
