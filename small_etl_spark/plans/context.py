@@ -86,3 +86,13 @@ class PipelineContext:
             ),
             "pipeline_names": [r.pipeline_name for r in self.results],
         }
+
+    def unpersist_all(self) -> None:
+        """Release every stage's cached DataFrame (call when the
+        sequence's outputs are fully consumed — long-lived sessions
+        otherwise hold all stage caches until LRU eviction)."""
+        for r in self.results:
+            try:
+                r.df.unpersist()
+            except Exception:  # noqa: BLE001 - already released / empty frame
+                pass
