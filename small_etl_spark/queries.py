@@ -692,7 +692,7 @@ def q_remove_html_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
              AS sum_base_price,
            CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
@@ -752,7 +752,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_agg",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
              AS sum_base_price,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty,
@@ -914,7 +914,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_name, c_custkey, o_orderkey,
            CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate, o_totalprice,
-           SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
@@ -994,7 +994,8 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_agg",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -1125,7 +1126,8 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -1143,8 +1145,8 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_agg",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_O,
-           SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_F
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1192,8 +1194,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     """
     SELECT user_id, event_id,
-           SUM(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
     FROM (
       SELECT user_id, event_id, ts,
              epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
