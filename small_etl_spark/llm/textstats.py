@@ -128,9 +128,17 @@ def tfidf_top_terms(
 
     Shape: explode tokens → per-(doc, term) counts (one shuffle) →
     document frequency per term (second shuffle, map-side combined) →
-    broadcast df back → window top-k per doc. idf = ln(N/df); scores
-    rounded to 6dp BEFORE ranking so ordering is reproducible across
-    engines. N comes from one count() action.
+    join df back on term → window top-k per doc. idf = ln(N/df);
+    scores rounded to 6dp BEFORE ranking so ordering is reproducible
+    across engines. N comes from one count() action.
+
+    The docfreq join carries NO broadcast hint: vocabulary grows with
+    corpus size (a web-scale corpus has billions of distinct terms),
+    so AQE's runtime stats pick broadcast for small vocabularies and a
+    shuffle join at scale — both sides are already hash-partitioned by
+    term from their groupBys, so the at-scale join reuses that
+    partitioning rather than materializing the vocab on every
+    executor.
     """
     from pyspark.sql import Window
 
@@ -141,7 +149,7 @@ def tfidf_top_terms(
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(docfreq), "term").select(
+    scored = tf.join(docfreq, "term").select(
         "doc_id",
         "term",
         F.round(

@@ -1,0 +1,54 @@
+"""Registry-ordering contract: the driver's correctness gate only
+reaches the first 50 ``queries()`` entries, so every §2 operator family
+and the full LLM-pipeline catalog must sit inside that window (the
+judge reads CORRECTNESS_r{N}.json per-entry)."""
+
+from __future__ import annotations
+
+from small_etl_spark.queries import REGISTRY, oracle_sql, queries
+
+GATE_WINDOW = 50
+
+# Every query that must have a driver CORRECTNESS row (VERDICT r1 item 2).
+MUST_BE_GATED = [
+    # LLM data-pipeline catalog
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "near_dup_components",
+    "cosine_topk",
+    "cosine_topk_vectorized",
+    "tfidf_top_terms",
+    "fingerprint",
+    "exact_dedup_docs",
+    "lang_id",
+    "quality_score",
+    "gopher_quality",
+    "token_count",
+    # multi-stage sequencer behind the oracle gate
+    "sequence_two_stage",
+    # the TPC-H-shape headline analytics
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "sessionize",
+]
+
+
+def test_must_have_queries_inside_gate_window():
+    first = set(list(queries())[:GATE_WINDOW])
+    missing = [n for n in MUST_BE_GATED if n not in first]
+    assert not missing, f"outside the driver gate window: {missing}"
+
+
+def test_deferred_queries_still_registered_and_runnable():
+    names = list(REGISTRY)
+    assert len(names) == len(set(names))
+    for name in names[GATE_WINDOW:]:
+        assert callable(REGISTRY[name].builder), name
+
+
+def test_oracle_keys_subset_of_queries():
+    q = queries()
+    for name in oracle_sql():
+        assert name in q, name
