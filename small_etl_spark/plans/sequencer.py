@@ -134,13 +134,18 @@ def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) ->
             .load()
         )
     if src.parameterized:
-        # S4 fan-out over the previous stage's records
-        from small_etl_spark.sources.http import parameterized_http_fanout
+        # S4 fan-out over the previous stage's records; responses are
+        # parsed into record columns unless parse_response=false, so
+        # the next stage consumes this like any other source.
+        from small_etl_spark.sources.http import (
+            parameterized_http_fanout,
+            parse_fanout_responses,
+        )
 
         prev = ctx.get(src.previous_pipeline)
         if prev is None:
             raise ValueError("parameterized api source requires a previous stage")
-        return parameterized_http_fanout(
+        raw = parameterized_http_fanout(
             prev.df,
             src.endpoint,
             method=src.method,
@@ -151,6 +156,9 @@ def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) ->
             retry_delay_seconds=src.retry_delay_seconds,
             rate_limit_ms=src.rate_limit_ms,
         )
+        if not src.parse_response:
+            return raw
+        return parse_fanout_responses(raw, src.response_schema, spark=spark)
     # X7 payload params (contextual_pipeline.rs:270-327): template_params
     # maps {placeholder: upstream_field}; use_previous_data_as_params
     # exposes every field of the upstream's first record. Both resolve

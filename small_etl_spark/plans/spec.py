@@ -72,6 +72,12 @@ class SourceSpec:
     merge_key: str = "id"
     parameterized: bool = False
     rate_limit_ms: int = 100  # S4 inter-call pacing (reference: fixed 100ms)
+    # S4 response parsing: DDL of the per-record response fields. Set →
+    # fan-out rows become real record columns (object → 1 record, array
+    # → 1/element, contextual_pipeline.rs:530-585) entirely JVM-side;
+    # unset → schema inference over the response strings.
+    response_schema: str | None = None
+    parse_response: bool = True  # False = raw (response, source_row) rows
     path: str | None = None  # file source
     format: str = "parquet"  # file source format
     table: str | None = None  # table source

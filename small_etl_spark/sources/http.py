@@ -148,6 +148,50 @@ def http_scan(
     return records_to_df(spark, records)
 
 
+def parse_fanout_responses(
+    df: DataFrame,
+    response_schema: str | None = None,
+    spark: SparkSession | None = None,
+    response_col: str = "response",
+    keep_source: bool = False,
+) -> DataFrame:
+    """S4 response handling: raw fan-out rows → record columns.
+
+    Mirrors the reference's per-call parsing
+    (contextual_pipeline.rs:530-585): an object response becomes one
+    record, an array response one record per object element. Two
+    execution paths:
+
+    - ``response_schema`` (DDL, e.g. ``"id bigint, name string"``):
+      pure JVM-side ``from_json`` with an ``array<struct<...>>``
+      wrapper — Spark parses a lone object as a one-element array, so
+      one expression covers both shapes — then ``explode``. No Python,
+      no extra pass; this is the 100 TB path (the schema of an API you
+      fan out against is known).
+    - no schema: distributed inference via ``spark.read.json`` over
+      the response strings (top-level arrays already explode in the
+      JSON source). Costs one inference pass; meant for exploratory /
+      small fan-outs.
+
+    ``keep_source`` keeps the ``source_row`` JSON string column for
+    callers that need to re-join upstream context (the reference drops
+    it; its output records carry response fields only).
+    """
+    from pyspark.sql import functions as F
+
+    if response_schema is not None:
+        arr = F.from_json(F.col(response_col), f"array<struct<{response_schema}>>")
+        exploded = df.withColumn("_rec", F.explode(arr))
+        rec_cols = [F.col("_rec." + f) for f in exploded.select("_rec.*").columns]
+        extra = [F.col("source_row")] if keep_source else []
+        return exploded.select(*rec_cols, *extra)
+    if keep_source:
+        raise ValueError("keep_source requires response_schema")
+    sess = spark or df.sparkSession
+    responses = df.select(response_col).rdd.map(lambda r: r[0])
+    return sess.read.json(responses)
+
+
 def parameterized_http_fanout(
     upstream: DataFrame,
     endpoint_template: str,
@@ -159,6 +203,7 @@ def parameterized_http_fanout(
     retry_delay_seconds: float = 0.0,
     rate_limit_ms: int = 100,
     result_schema: str = "response string, source_row string",
+    response_schema: str | None = None,
 ) -> DataFrame:
     """S4: one HTTP call per upstream row, executor-side.
 
@@ -168,6 +213,13 @@ def parameterized_http_fanout(
     partitions × 1000/rate_limit_ms — repartition the upstream to tune.
     Endpoint templating errors (X5 unresolved ``{param}``) fail the
     task like the reference fails the pipeline.
+
+    With ``response_schema`` set, the raw ``(response, source_row)``
+    rows are parsed into real record columns via
+    :func:`parse_fanout_responses` (object → one record, array → one
+    record per element), so downstream stages consume the fan-out like
+    any other source (contextual_pipeline.rs:530-585). Without it the
+    raw rows are returned for the caller to parse.
     """
     import pandas as pd
 
@@ -198,4 +250,7 @@ def parameterized_http_fanout(
                     time.sleep(rate_limit_ms / 1000.0)
             yield pd.DataFrame({"response": out_resp, "source_row": out_src})
 
-    return upstream.mapInPandas(fetch_partition, schema=result_schema)
+    raw = upstream.mapInPandas(fetch_partition, schema=result_schema)
+    if response_schema is not None:
+        return parse_fanout_responses(raw, response_schema)
+    return raw

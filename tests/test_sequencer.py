@@ -316,7 +316,18 @@ class _Handler(http.server.BaseHTTPRequestHandler):
         cls.seen_auth.append(self.headers.get("Authorization", ""))
         if self.path.startswith("/users/"):
             uid = int(self.path.rsplit("/", 1)[1])
-            body = json.dumps({"user_id": uid, "name": f"user{uid}"})
+            body = json.dumps(
+                {"user_id": uid, "name": f"user{uid}", "email": f"u{uid}@x.io"}
+            )
+        elif self.path.startswith("/orders/"):
+            uid = int(self.path.rsplit("/", 1)[1])
+            # array response: 2 orders per user (fan-out must explode)
+            body = json.dumps(
+                [
+                    {"order_id": uid * 10 + i, "user_id": uid, "amount": 5.0 * i}
+                    for i in (1, 2)
+                ]
+            )
         else:
             body = json.dumps(SAMPLE)
         data = body.encode()
@@ -383,6 +394,109 @@ def test_parameterized_fanout(spark, mock_server):
     )
     parsed = sorted(json.loads(r.response)["user_id"] for r in out.collect())
     assert parsed == [1, 2, 3]
+
+
+def test_parameterized_fanout_parses_object_responses(spark, mock_server):
+    """S4 parity: with response_schema the fan-out returns record
+    columns, not raw JSON (contextual_pipeline.rs:530-585)."""
+    upstream = spark.createDataFrame([(1,), (2,)], ["user_id"])
+    out = parameterized_http_fanout(
+        upstream.repartition(1),
+        f"{mock_server}/users/{{user_id}}",
+        rate_limit_ms=0,
+        response_schema="user_id bigint, name string, email string",
+    )
+    rows = {r.user_id: (r.name, r.email) for r in out.collect()}
+    assert rows == {1: ("user1", "u1@x.io"), 2: ("user2", "u2@x.io")}
+
+
+def test_parameterized_fanout_explodes_array_responses(spark, mock_server):
+    """An array response yields one record per element (reference
+    pushes each array item as its own Record)."""
+    from small_etl_spark.sources.http import parse_fanout_responses
+
+    upstream = spark.createDataFrame([(1,), (2,)], ["user_id"])
+    out = parameterized_http_fanout(
+        upstream.repartition(1),
+        f"{mock_server}/orders/{{user_id}}",
+        rate_limit_ms=0,
+        response_schema="order_id bigint, user_id bigint, amount double",
+    )
+    rows = sorted((r.order_id, r.user_id, r.amount) for r in out.collect())
+    assert rows == [(11, 1, 5.0), (12, 1, 10.0), (21, 2, 5.0), (22, 2, 10.0)]
+
+    # schema-inference path (no DDL): same records via spark.read.json
+    raw = parameterized_http_fanout(
+        upstream.repartition(1), f"{mock_server}/orders/{{user_id}}", rate_limit_ms=0
+    )
+    inferred = parse_fanout_responses(raw, spark=spark)
+    assert inferred.count() == 4
+    assert {"order_id", "user_id", "amount"} <= set(inferred.columns)
+
+
+def test_sequence_api_chain_with_fanout(spark, mock_server, tmp_path):
+    """Mirror of /root/reference/tests/simple_api_chain_test.rs:12-299:
+    stage 1 lists users from the API, stage 2 fans out one call per
+    user and its *parsed* response flows through field_mapping into a
+    stage-3 'previous' consumer like any other source."""
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "get-users",
+                    "source": {"type": "api", "endpoint": f"{mock_server}/posts"},
+                    "transform": {
+                        "field_mapping": {"id": "user_id"},
+                        "keep_only_fields": ["user_id"],
+                        "add_markers": False,
+                    },
+                },
+                {
+                    "name": "get-user-details",
+                    "depends_on": ["get-users"],
+                    "source": {
+                        "type": "api",
+                        "endpoint": f"{mock_server}/users/{{user_id}}",
+                        "parameterized": True,
+                        "previous_pipeline": "get-users",
+                        "rate_limit_ms": 0,
+                        "response_schema": "user_id bigint, name string, email string",
+                    },
+                    "transform": {
+                        "field_mapping": {
+                            "user_id": "detail_user_id",
+                            "name": "detail_name",
+                            "email": "detail_email",
+                        },
+                        "add_markers": False,
+                    },
+                },
+                {
+                    "name": "consume",
+                    "depends_on": ["get-user-details"],
+                    "source": {"type": "previous",
+                               "previous_pipeline": "get-user-details"},
+                    "transform": {
+                        "keep_only_fields": ["detail_user_id", "detail_name"],
+                        "add_markers": False,
+                    },
+                },
+            ]
+        }
+    )
+    ctx = run_sequence(spark, seq, output_root=str(tmp_path))
+    details = ctx.results[1].df
+    assert set(details.columns) == {"detail_user_id", "detail_name", "detail_email"}
+    got = {r.detail_user_id: (r.detail_name, r.detail_email)
+           for r in details.collect()}
+    assert got == {
+        1: ("user1", "u1@x.io"),
+        2: ("user2", "u2@x.io"),
+        3: ("user3", "u3@x.io"),
+    }
+    consumed = ctx.results[2].df
+    assert set(consumed.columns) == {"detail_user_id", "detail_name"}
+    assert consumed.count() == 3
 
 
 def test_error_taxonomy():
