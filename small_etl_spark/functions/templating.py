@@ -65,19 +65,26 @@ class UnresolvedParamError(ValueError):
 def substitute_endpoint_params(endpoint: str, record: dict[str, object]) -> str:
     """X5: replace ``{field}`` / ``{{field}}`` from a record's fields;
     any placeholder left unresolved is an error
-    (contextual_pipeline.rs:342-431)."""
+    (contextual_pipeline.rs:342-431).
+
+    Unresolved placeholders are detected *during* substitution (keys
+    missing from the record), never by re-scanning the substituted
+    output — a record value that itself contains braces (e.g. a nested
+    field stringified to compact JSON) must not trip the check."""
+    unresolved: list[str] = []
 
     def repl(m: re.Match[str]) -> str:
         key = (m.group(1) or m.group(2)).strip()
         if key in record:
             return _stringify(record[key])
+        unresolved.append(m.group(0))
         return m.group(0)
 
     out = _SINGLE_OR_DOUBLE.sub(repl, endpoint)
-    leftover = _SINGLE_OR_DOUBLE.search(out)
-    if leftover:
+    if unresolved:
         raise UnresolvedParamError(
-            f"unresolved endpoint parameter {leftover.group(0)!r} in {out!r}"
+            f"unresolved endpoint parameter {unresolved[0]!r} in {out!r} "
+            f"(available fields: {sorted(map(str, record))})"
         )
     return out
 

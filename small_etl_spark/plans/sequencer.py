@@ -23,6 +23,7 @@ Spark shapes:
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Any
@@ -127,7 +128,8 @@ def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) ->
         return (
             spark.read.format("http_json")
             .schema(src.schema)
-            .option("urls", ",".join(src.urls))
+            # JSON-array form: URLs with literal commas survive intact
+            .option("urls_json", json.dumps(src.urls))
             .option("timeout_seconds", str(src.timeout_seconds))
             .option("retry_attempts", str(src.retry_attempts))
             .option("retry_delay_seconds", str(src.retry_delay_seconds))

@@ -124,12 +124,20 @@ def zip_output_dir(
 
     Members are named ``output.<fmt>`` (+ ``intermediate.json``,
     ``metadata.json``) like the reference ZIP
-    (simple_pipeline.rs:129-171). Driver-side, local-FS only — at
+    (simple_pipeline.rs:129-171). Text formats (csv/tsv/json) are
+    concatenated into one member with a single header; binary formats
+    (parquet) can't be concatenated, so each part file is stored as
+    raw bytes under ``output.<fmt>/``. Driver-side, local-FS only — at
     100 TB skip zipping and ship the directory + manifest instead.
     """
     zip_path = os.path.join(out_dir, zip_name)
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for fmt, path in written.items():
+            if fmt not in ("csv", "tsv", "json"):
+                # binary format: one raw-bytes member per part file
+                for p in sorted(glob.glob(os.path.join(path, "part-*"))):
+                    zf.write(p, f"output.{fmt}/{os.path.basename(p)}")
+                continue
             # set-union: a part file like part-00000-*.csv matches both
             # patterns — duplicating it would duplicate every data row
             parts = sorted(

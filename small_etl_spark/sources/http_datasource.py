@@ -62,9 +62,23 @@ class HttpJsonDataSource(DataSource):
 class HttpJsonReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_fields = [f.name for f in schema.fields]
-        self.urls = [u.strip() for u in options.get("urls", "").split(",") if u.strip()]
+        # urls_json (JSON array) is the lossless form — URLs may legally
+        # contain commas in query strings (ids=1,2,3), which the
+        # comma-separated 'urls' option would split apart.
+        if options.get("urls_json"):
+            parsed = json.loads(options["urls_json"])
+            if not isinstance(parsed, list):
+                raise ValueError("http_json option 'urls_json' must be a JSON array")
+            self.urls = [str(u).strip() for u in parsed if str(u).strip()]
+        else:
+            self.urls = [
+                u.strip() for u in options.get("urls", "").split(",") if u.strip()
+            ]
         if not self.urls:
-            raise ValueError("http_json requires option 'urls' (comma-separated)")
+            raise ValueError(
+                "http_json requires option 'urls' (comma-separated) or "
+                "'urls_json' (JSON array)"
+            )
         self.timeout = float(options.get("timeout_seconds", "30"))
         self.retries = int(options.get("retry_attempts", "0"))
         self.retry_delay = float(options.get("retry_delay_seconds", "0"))

@@ -73,6 +73,16 @@ def test_endpoint_unresolved_errors():
         substitute_endpoint_params("/users/{nope}", {"user_id": 7})
 
 
+def test_endpoint_brace_valued_field_is_not_unresolved():
+    """A record value containing braces (nested field stringified to
+    compact JSON) must not trip the unresolved-placeholder check —
+    detection happens during substitution, not by re-scanning output."""
+    out = substitute_endpoint_params(
+        "/search?q={payload}", {"payload": {"a": 1, "b": [2, 3]}}
+    )
+    assert out == '/search?q={"a":1,"b":[2,3]}'
+
+
 def test_env_var_substitution(monkeypatch):
     monkeypatch.setenv("SES_TEST_VAR", "live")
     assert substitute_env_vars("${SES_TEST_VAR}") == "live"

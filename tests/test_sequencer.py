@@ -726,6 +726,23 @@ def test_http_json_datasource(spark, mock_server):
     assert rows[0] == (1, "Item 1", 10)
 
 
+def test_http_json_datasource_urls_json_with_commas(spark, mock_server):
+    """URLs with literal commas in query strings (ids=1,2,3) survive
+    via the JSON-array option; the comma-separated form would split
+    them into invalid fragments."""
+    from small_etl_spark.sources.http_datasource import HttpJsonDataSource
+
+    spark.dataSource.register(HttpJsonDataSource)
+    df = (
+        spark.read.format("http_json")
+        .schema("id long, name string, value long")
+        .option("urls_json", json.dumps([f"{mock_server}/posts?ids=1,2,3"]))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 3
+
+
 def test_http_json_stream_reader(spark, mock_server, tmp_path):
     """The same http_json format under readStream: one poll per
     micro-batch (availableNow drains a single poll)."""
@@ -798,3 +815,26 @@ def test_zip_members_have_no_duplicated_rows(spark, tmp_path):
         json_lines = zf.read("output.json").decode().strip().splitlines()
     assert csv_lines == ["id,v", "1,a", "2,b", "3,c"]
     assert len(json_lines) == 3
+
+
+def test_zip_with_parquet_stores_raw_bytes(spark, tmp_path):
+    """Regression: formats=['parquet'] + zip_outputs must not try to
+    utf-8-decode binary part files; they land as raw-bytes members
+    readable back as parquet."""
+    import io
+    import zipfile as _zf
+
+    from small_etl_spark.sinks.files import write_outputs, zip_output_dir
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    written = write_outputs(df, str(tmp_path), ["parquet", "csv"])
+    z = zip_output_dir(str(tmp_path), written, "out.zip")
+    with _zf.ZipFile(z) as zf:
+        names = zf.namelist()
+        pq_members = [n for n in names if n.startswith("output.parquet/")]
+        assert len(pq_members) == 1
+        assert "output.csv" in names
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(io.BytesIO(zf.read(pq_members[0])))
+        assert table.num_rows == 2
