@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -35,13 +36,33 @@ def main(argv: list[str] | None = None) -> int:
         seq_p.add_argument("--output-root", default=None)
         seq_p.add_argument("--metrics", default=None, help="metrics JSON path")
         seq_p.add_argument("--master", default=None, help="spark master override")
+        # reference CLI surface: toml_etl.rs:54-57 (--mvp overrides
+        # extract.first_record_only), domain/ports.rs:17 +
+        # config/mod.rs:75-77 (--lookup-files, csv|tsv|json)
+        seq_p.add_argument(
+            "--lookup-files",
+            default=None,
+            help="comma-separated csv/tsv/json files preloaded as named "
+            "catalog entries (S8)",
+        )
+        seq_p.add_argument(
+            "--mvp",
+            action=argparse.BooleanOptionalAction,
+            default=None,
+            help="override first_record_only on every stage "
+            "(--mvp / --no-mvp; default: config decides)",
+        )
 
     args = ap.parse_args(argv)
 
     from small_etl_spark.plans.spec import SpecError, sequence_from_toml
 
+    lookups = args.lookup_files.split(",") if args.lookup_files else None
+    lookup_stems = {
+        os.path.splitext(os.path.basename(p))[0] for p in (lookups or [])
+    }
     try:
-        seq = sequence_from_toml(args.config)
+        seq = sequence_from_toml(args.config, external_names=lookup_stems)
     except (SpecError, OSError, ValueError) as e:
         print(f"config error: {e}", file=sys.stderr)
         return 1
@@ -61,7 +82,11 @@ def main(argv: list[str] | None = None) -> int:
         ctx = run_sequence(
             spark, seq, only=only, skip=skip,
             output_root=args.output_root, dry_run=args.dry_run,
+            lookup_files=lookups, mvp=args.mvp,
         )
+    except SpecError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 1
     except PipelineExecutionError as e:
         print(f"execution error: {e}", file=sys.stderr)
         return 2

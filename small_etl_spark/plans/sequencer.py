@@ -294,7 +294,10 @@ def execute_pipeline(
 ) -> PipelineResult:
     """One stage: source → extract processing → transforms → validate →
     intermediate/shared export → sinks."""
+    from small_etl_spark.monitor import PhaseMonitor
+
     t0 = time.time()
+    phase_monitor = PhaseMonitor()
     df = _resolve_source(spark, spec, ctx)
     df = _apply_extract(df, spec)
     df = _apply_transform(df, spec, ctx)
@@ -353,8 +356,8 @@ def execute_pipeline(
                 intermediate_df=intermediate if spec.load.include_intermediate else None,
             )
 
-    # phase monitor (§2.10 — the reference samples its own process,
-    # monitor.rs:9-106; here driver peak RSS + wall time per stage)
+    # phase monitor (§2.10 — the reference samples CPU%/memory per
+    # phase, monitor.rs:9-106; PhaseMonitor covers driver + local JVM)
     import resource
 
     peak_rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
@@ -366,7 +369,10 @@ def execute_pipeline(
         output_path=output_path,
         success=True,
         intermediate=intermediate,
-        metadata={"peak_rss_mb": peak_rss_mb},
+        metadata={
+            "peak_rss_mb": peak_rss_mb,
+            "monitor": phase_monitor.snapshot(spec.name),
+        },
     )
 
 
@@ -461,6 +467,51 @@ def run_sequence_parallel(
     return ctx
 
 
+LOOKUP_FILE_EXTENSIONS = ("csv", "tsv", "json")
+
+
+def load_lookup_files(
+    spark: SparkSession, ctx: PipelineContext, lookup_files: list[str]
+) -> None:
+    """S8 ``--lookup-files``: preload csv/tsv/json files as named
+    stage results so any pipeline can reference them (``previous``
+    source, merge, combined) under the file's basename stem.
+
+    Extension allow-list matches the reference's validation
+    (/root/reference/src/config/mod.rs:75-77, csv|tsv|json); the
+    reference declares the flag (domain/ports.rs:17) but never
+    consumes it — here the files become first-class catalog entries.
+    """
+    from small_etl_spark.plans.spec import SpecError
+
+    for path in lookup_files:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        if ext not in LOOKUP_FILE_EXTENSIONS:
+            raise SpecError(
+                f"lookup_files: {path!r} has extension {ext!r}, "
+                f"allowed: {LOOKUP_FILE_EXTENSIONS}"
+            )
+        if ext == "json":
+            df = spark.read.json(path)
+        else:
+            df = (
+                spark.read.option("header", True)
+                .option("inferSchema", True)
+                .option("sep", "\t" if ext == "tsv" else ",")
+                .csv(path)
+            )
+        name = os.path.splitext(os.path.basename(path))[0]
+        ctx.add_result(
+            PipelineResult(
+                pipeline_name=name,
+                df=df,
+                record_count=df.count(),
+                duration_s=0.0,
+                metadata={"lookup_file": path},
+            )
+        )
+
+
 def run_sequence(
     spark: SparkSession,
     seq: SequenceSpec,
@@ -468,6 +519,8 @@ def run_sequence(
     skip: list[str] | None = None,
     output_root: str | None = None,
     dry_run: bool = False,
+    lookup_files: list[str] | None = None,
+    mvp: bool | None = None,
 ) -> PipelineContext:
     """Execute the enabled stages in ``execution_order``.
 
@@ -477,8 +530,17 @@ def run_sequence(
     Failure policy (sequence_etl.rs:139-162): stop aborts, continue
     records the failure and moves on, retry re-runs the stage up to
     ``retry_attempts`` times (implemented for real).
+
+    ``lookup_files`` preloads csv/tsv/json catalogs (S8); ``mvp``
+    overrides every stage's ``first_record_only``
+    (toml_etl.rs:54-57's CLI override of config.extract).
     """
     ctx = PipelineContext()
+    if lookup_files:
+        load_lookup_files(spark, ctx, lookup_files)
+    if mvp is not None:
+        for spec in seq.pipelines:
+            spec.source.first_record_only = mvp
     for spec in seq.enabled_in_order(only, skip):
         if dry_run:
             print(f"[dry-run] {spec.name}: source={spec.source.type} "

@@ -235,7 +235,9 @@ def pipeline_from_dict(d: dict[str, Any]) -> PipelineSpec:
     )
 
 
-def sequence_from_dict(d: dict[str, Any]) -> SequenceSpec:
+def sequence_from_dict(
+    d: dict[str, Any], external_names: set[str] | None = None
+) -> SequenceSpec:
     shared_vars = {
         str(k): str(v)
         for k, v in (d.get("global", {}).get("shared_variables", {}) or {}).items()
@@ -265,16 +267,20 @@ def sequence_from_dict(d: dict[str, Any]) -> SequenceSpec:
         ),
         concurrent_requests=int(glob.get("concurrent_requests", 1)),
     )
-    validate_sequence(seq)
+    validate_sequence(seq, external_names)
     return seq
 
 
-def sequence_from_toml(path: str) -> SequenceSpec:
+def sequence_from_toml(
+    path: str, external_names: set[str] | None = None
+) -> SequenceSpec:
+    """``external_names``: catalog entries that exist outside the spec
+    (e.g. ``--lookup-files`` stems) and are legal ``previous`` targets."""
     with open(path, "rb") as f:
         raw = tomllib.load(f)
     if "pipelines" not in raw:
         return single_from_dict(raw)
-    return sequence_from_dict(raw)
+    return sequence_from_dict(raw, external_names)
 
 
 def single_from_dict(d: dict[str, Any]) -> SequenceSpec:
@@ -345,8 +351,11 @@ def validate_pipeline(p: PipelineSpec) -> None:
         raise SpecError(f"pipeline {p.name!r}: sort_order must be asc|desc")
 
 
-def validate_sequence(seq: SequenceSpec) -> None:
+def validate_sequence(
+    seq: SequenceSpec, external_names: set[str] | None = None
+) -> None:
     byname = seq.by_name()
+    known = set(byname) | (external_names or set())
     if len(byname) != len(seq.pipelines):
         raise SpecError("duplicate pipeline names")
     for n in seq.execution_order:
@@ -364,7 +373,7 @@ def validate_sequence(seq: SequenceSpec) -> None:
                     f"pipeline {p.name!r} depends on unknown pipeline {dep!r}"
                 )
         if p.source.type == "previous" and p.source.previous_pipeline:
-            if p.source.previous_pipeline not in byname:
+            if p.source.previous_pipeline not in known:
                 raise SpecError(
                     f"pipeline {p.name!r} sources unknown pipeline "
                     f"{p.source.previous_pipeline!r}"

@@ -15,6 +15,35 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# K6 cloud storage (reference: src/config/lambda.rs:173-246 reads and
+# writes S3 directly). Spark-first, everything is a Hadoop-FS URI —
+# the same df.read/df.write works on file://, s3a://, gs://, abfss://.
+# This conf block is what we'd merge into the session for S3: the
+# hadoop-aws + aws-sdk jars ship with a cluster distro (they are not in
+# this container, so tests exercise a second *file://* root instead).
+S3A_CONF = {
+    # executor-wide S3A committer: task commits are O(1) metadata ops,
+    # not directory renames (required for object stores).
+    "spark.sql.sources.commitProtocolClass": (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ),
+    "spark.sql.parquet.output.committer.class": (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    ),
+    "spark.hadoop.fs.s3a.committer.name": "magic",
+    "spark.hadoop.fs.s3a.aws.credentials.provider": (
+        "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider,"
+        "com.amazonaws.auth.EnvironmentVariableCredentialsProvider"
+    ),
+    # connection pool sized for 32-core executors doing parquet range reads
+    "spark.hadoop.fs.s3a.connection.maximum": "96",
+    "spark.hadoop.fs.s3a.threads.max": "64",
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+    # vectored IO (Hadoop 3.3.5+): parquet column chunks in parallel
+    "spark.hadoop.fs.s3a.vectored.read.min.seek.size": "4K",
+    "spark.hadoop.fs.s3a.vectored.read.max.merged.size": "1M",
+}
+
 
 def get_spark(
     app_name: str = "small_etl_spark",
@@ -25,7 +54,9 @@ def get_spark(
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
     On a real cluster ``master`` comes from spark-submit; locally we
-    default to ``local[$SPARK_GRAFT_CPUS]``.
+    default to ``local[$SPARK_GRAFT_CPUS]``. For S3-backed IO pass
+    ``extra_conf=S3A_CONF`` (needs the hadoop-aws jars of a cluster
+    distro; see K6 note above).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

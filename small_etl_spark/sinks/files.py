@@ -42,6 +42,17 @@ from pyspark.sql.types import StringType
 _TS_PATTERN = re.compile(r"\{timestamp:([^}]+)\}")
 
 
+def _local_path(path: str) -> str:
+    """``file://`` URIs → plain local paths for the driver-side
+    glob/zip/open helpers (K6: Spark's writers take any Hadoop-FS URI,
+    but the ZIP/metrics post-passes are explicitly local-FS)."""
+    if path.startswith("file://"):
+        import urllib.parse
+
+        return urllib.parse.urlparse(path).path or "/"
+    return path
+
+
 def render_filename(
     pattern: str,
     pipeline_name: str,
@@ -130,9 +141,10 @@ def zip_output_dir(
     raw bytes under ``output.<fmt>/``. Driver-side, local-FS only — at
     100 TB skip zipping and ship the directory + manifest instead.
     """
-    zip_path = os.path.join(out_dir, zip_name)
+    zip_path = os.path.join(_local_path(out_dir), zip_name)
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for fmt, path in written.items():
+        for fmt, uri in written.items():
+            path = _local_path(uri)
             if fmt not in ("csv", "tsv", "json"):
                 # binary format: one raw-bytes member per part file
                 for p in sorted(glob.glob(os.path.join(path, "part-*"))):
@@ -166,6 +178,7 @@ def zip_output_dir(
 
 def write_metrics(path: str, metrics: dict[str, Any]) -> None:
     """K7: execution-metrics JSON (sequence_etl.rs:336-400)."""
+    path = _local_path(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
         json.dump(metrics, f, indent=2, default=str)

@@ -1,0 +1,81 @@
+"""CLI surface (reference: sequence_etl.rs + toml_etl.rs binaries):
+--only/--skip/--dry-run existed since r1; this adds --lookup-files
+(domain/ports.rs:17, extension allow-list config/mod.rs:75-77) and
+--mvp (toml_etl.rs:54-57 first_record_only override)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from small_etl_spark.cli import main
+
+CONFIG = """
+[[pipelines]]
+name = "base"
+[pipelines.source]
+type = "sample"
+sample_data = [
+  {id = 1, name = "a", value = 10},
+  {id = 2, name = "b", value = 25},
+  {id = 3, name = "c", value = 30},
+]
+[pipelines.transform]
+add_markers = false
+
+[[pipelines]]
+name = "enriched"
+depends_on = ["base"]
+[pipelines.source]
+type = "previous"
+previous_pipeline = "lookup_users"
+[pipelines.transform]
+add_markers = false
+"""
+
+
+@pytest.fixture()
+def config_path(tmp_path):
+    p = tmp_path / "seq.toml"
+    p.write_text(CONFIG)
+    return str(p)
+
+
+@pytest.fixture()
+def lookup_csv(tmp_path):
+    p = tmp_path / "lookup_users.csv"
+    p.write_text("user_id,role\n1,admin\n2,viewer\n")
+    return str(p)
+
+
+def test_cli_lookup_files_preloaded_as_stage(spark, config_path, lookup_csv, capsys):
+    rc = main(["sequence", config_path, "--lookup-files", lookup_csv])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    # 2 lookup rows consumed by 'enriched' via the preloaded catalog
+    # entry + 3 base rows + lookup stage itself
+    assert summary["total_records"] == 2 + 3 + 2
+    assert "lookup_users" in summary["pipeline_names"]
+
+
+def test_cli_lookup_files_bad_extension_is_config_error(config_path, tmp_path, capsys):
+    bad = tmp_path / "lookup_users.parquet"
+    bad.write_bytes(b"PAR1")
+    rc = main(["sequence", config_path, "--lookup-files", str(bad)])
+    assert rc == 1
+    assert "lookup_files" in capsys.readouterr().err
+
+
+def test_cli_mvp_limits_every_stage_to_first_record(spark, config_path, lookup_csv, capsys):
+    rc = main(["sequence", config_path, "--lookup-files", lookup_csv, "--mvp"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    # MVP mode: base and enriched each keep 1 record (the preloaded
+    # lookup stage is a catalog entry, not an executed stage)
+    assert summary["total_records"] == 2 + 1 + 1
+
+    rc = main(["sequence", config_path, "--lookup-files", lookup_csv, "--no-mvp"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["total_records"] == 2 + 3 + 2

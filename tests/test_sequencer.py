@@ -527,6 +527,14 @@ def test_metrics_include_monitor(spark):
     ctx = run_sequence(spark, seq)
     m = sequence_metrics(ctx)["pipelines"][0]
     assert m["peak_rss_mb"] > 0
+    # per-phase CPU/memory sampling (monitor.rs:9-106 parity)
+    mon = m["monitor"]
+    assert mon["phase"] == "m"
+    assert mon["cpu_percent"] >= 0.0
+    assert mon["memory_mb"] > 0
+    assert mon["peak_memory_mb"] >= mon["memory_mb"]
+    assert 0.0 <= mon["memory_percent"] <= 100.0
+    assert mon["elapsed_s"] > 0
 
 
 def test_reference_layout_toml(tmp_path):
@@ -815,6 +823,41 @@ def test_zip_members_have_no_duplicated_rows(spark, tmp_path):
         json_lines = zf.read("output.json").decode().strip().splitlines()
     assert csv_lines == ["id,v", "1,a", "2,b", "3,c"]
     assert len(json_lines) == 3
+
+
+def test_second_storage_root_file_uri(spark, tmp_path):
+    """K6: a non-cwd file:// root works end-to-end — Spark writers take
+    the URI, the driver-side ZIP post-pass resolves it locally, and the
+    output reads back. Proves path handling is not cwd-relative
+    (reference S3 impl: /root/reference/src/config/lambda.rs:173-246;
+    the s3a:// conf block lives in session.S3A_CONF — same code path,
+    different scheme)."""
+    import zipfile as _zf
+
+    from small_etl_spark.sinks.files import write_outputs, zip_output_dir
+
+    root = f"file://{tmp_path}/other-root/stage"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    written = write_outputs(df, root, ["csv", "parquet"])
+    assert written["csv"].startswith("file://")
+    # read back through Spark using the URI (writer side)
+    back = spark.read.option("header", True).csv(written["csv"])
+    assert back.count() == 2
+    # driver-side post-pass resolves the URI to a local path
+    z = zip_output_dir(root, written, "out.zip")
+    assert z == f"{tmp_path}/other-root/stage/out.zip"
+    with _zf.ZipFile(z) as zf:
+        assert "output.csv" in zf.namelist()
+
+
+def test_s3a_conf_block_shape():
+    """K6: the documented S3 conf merges cleanly into a builder conf
+    dict (jars absent in this container, so no live s3a round-trip)."""
+    from small_etl_spark.session import S3A_CONF
+
+    assert all(k.startswith("spark.") for k in S3A_CONF)
+    assert S3A_CONF["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert all(isinstance(v, str) for v in S3A_CONF.values())
 
 
 def test_zip_with_parquet_stores_raw_bytes(spark, tmp_path):
