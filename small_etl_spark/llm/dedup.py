@@ -32,11 +32,37 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
     A small corpus arrives as one file split → one task, so 31 of 32
     cores idle. At 100 TB inputs already have thousands of splits and
-    this is a no-op — we only repartition when the scan has fewer
-    splits than half the default parallelism.
+    this is a no-op. Split estimation uses scan *metadata*
+    (``df.inputFiles()`` + local file sizes vs maxPartitionBytes) —
+    never ``df.rdd``, which would compile the plan to an RDD lineage
+    just to read a partition count.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 1):
+    files = df.inputFiles()
+    if not files:
+        return df  # non-file source: partitioning was set upstream
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    floor = max(target // 2, 1)
+    if len(files) >= floor:
+        return df
+    try:
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except (TypeError, ValueError):
+        max_bytes = 128 * 1024 * 1024
+    import os
+    import urllib.parse
+
+    est_splits = 0
+    for uri in files:
+        parsed = urllib.parse.urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return df  # remote store: trust the scan's own splitting
+        try:
+            size = os.path.getsize(parsed.path)
+        except OSError:
+            size = 0
+        est_splits += max(1, size // max_bytes)
+    if est_splits < floor:
         return df.repartition(target)
     return df
 
