@@ -104,6 +104,32 @@ def test_text_analysis_is_single_map_pass(spark, name):
     assert "Exchange" not in plan, name
 
 
+def test_q6_predicates_reach_scan(spark):
+    """Q6 is scan→filter→1-row agg: every predicate must be pushed to
+    the parquet scan and no Exchange beyond the final single-partition
+    agg may appear."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # explain truncates the PushedFilters list; assert the prefix and
+    # the date bound that leads it
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)" in plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+
+
+def test_q19_or_predicates_push_to_both_scans(spark):
+    """Catalyst must split the OR-of-ANDs: brand/size disjuncts reach
+    the part scan, quantity disjuncts the lineitem scan."""
+    plan = plan_of(spark, "q19_discounted_revenue")
+    assert "Brand#11" in plan
+    # the lineitem-side OR'd quantity bounds survive as a pushed filter
+    assert plan.count("Or(") >= 2
+
+
+def test_q4_semi_join_with_residual(spark):
+    plan = final_plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_tfidf_docfreq_join_is_hint_free(spark):
     """The vocabulary (docfreq) side of the tf·idf join grows with the
     corpus, so it must not carry a broadcast hint; AQE decides. At
