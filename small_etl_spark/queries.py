@@ -1701,6 +1701,81 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnow_fingerprint_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [md5(array_to_string(toks[i:i+4], ' '))
+              for i in range(1, greatest(len(toks)-4, 1)+1)] AS hashes
+      FROM t
+    ), w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               [list_min(hashes[i:i+3])
+                for i in range(1, greatest(len(hashes)-3, 1)+1)])) AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, fps[1] AS fp_min
+    FROM w
+    """,
+)
+def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5-gram, w=4 windows) per document —
+    the md5-hex fingerprint minima match DuckDB's bit-for-bit, so the
+    whole local-fingerprinting pipeline is oracle-exact. Map-only."""
+    from small_etl_spark.llm.dedup import _ensure_parallelism, winnow_fingerprints
+
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints("text", k=5, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fp"),
+        F.get(fps, 0).alias("fp_min"),
+    )
+
+
+@register(
+    "winnowing_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [md5(array_to_string(toks[i:i+4], ' '))
+              for i in range(1, greatest(len(toks)-4, 1)+1)] AS hashes
+      FROM t
+    ), fp AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               [list_min(hashes[i:i+3])
+                for i in range(1, greatest(len(hashes)-3, 1)+1)])) AS f
+      FROM g
+    ), rare AS (
+      SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 20
+    ), slim AS (
+      SELECT fp.id, fp.f FROM fp JOIN rare USING (f)
+    )
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fp
+    FROM slim a JOIN slim b ON a.f = b.f AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs via shared winnowing fingerprints —
+    detects copied passages whole-doc MinHash dilutes. Equi-joins on
+    fingerprint value only (hot fingerprints dropped at df>20), so no
+    all-pairs stage exists at any scale."""
+    from small_etl_spark.llm.dedup import winnowing_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_pairs(docs, k=5, w=4, min_shared=2, max_df=20)
+
+
+@register(
     "near_dup_components",
     r"""
     WITH RECURSIVE t AS (

@@ -75,6 +75,49 @@ def test_ngram_jaccard_exact_values(docs_df):
     assert by_pair[(1, 3)] == 0.0
 
 
+def test_winnowing_detects_partial_overlap(spark):
+    """The winnowing selling point: a paragraph copied into an
+    otherwise-unrelated document still shares fingerprints (whole-doc
+    MinHash would dilute the signal below threshold)."""
+    from small_etl_spark.llm.dedup import winnowing_pairs
+
+    stolen = (
+        "the experimental results demonstrate that distributed query "
+        "engines achieve near linear scaling on analytical workloads "
+        "when partition pruning and predicate pushdown are effective"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"introduction to cooking pasta at home . {stolen} . "
+                "finally season generously and serve immediately with cheese"),
+            (2, f"notes on medieval architecture and cathedrals . {stolen} . "
+                "flying buttresses distribute lateral loads to the ground"),
+            (3, "unrelated text about gardening tomatoes in raised beds "
+                "with drip irrigation and weekly fertilizer schedules"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b): r.shared_fp
+             for r in winnowing_pairs(docs, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """Schleimer et al. guarantee: identical docs share every
+    fingerprint; docs shorter than k tokens still fingerprint."""
+    from small_etl_spark.llm.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [("a b c d e f g h i j",), ("a b c d e f g h i j",), ("hi",), ("",)],
+        ["text"],
+    )
+    rows = df.select(winnow_fingerprints("text", k=5, w=4).alias("f")).collect()
+    assert rows[0].f == rows[1].f and len(rows[0].f) >= 1
+    assert len(rows[2].f) == 1  # short doc → one whole-text gram
+    assert len(rows[3].f) == 1  # empty doc → md5("") fingerprint
+
+
 def test_simhash_near_dups(docs_df):
     sh = {
         r.doc_id: r.h
