@@ -91,6 +91,8 @@ def _resolve_source(
         return reader.parquet(src.path)
     if src.type == "table":
         return spark.table(src.table)
+    if src.type == "stream":
+        return _stream_fetch(spark, spec)
     if src.type == "combined":
         prev = ctx.all_previous()
         if not prev:
@@ -115,6 +117,61 @@ def _resolve_source(
         return base
     # "api"
     return _api_fetch(spark, spec, ctx)
+
+
+def _stream_fetch(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
+    """``type = "stream"``: a Structured Streaming stage inside the
+    sequence.
+
+    ``readStream`` over a file directory (``path`` + ``schema`` DDL,
+    ``format`` parquet/csv/json) or over HTTP endpoints (``urls`` →
+    the http_json stream reader), optionally deduplicated within a
+    ``watermark`` on ``stream_dedup_keys``, drained with
+    ``availableNow`` into a uniquely-named memory sink and returned as
+    a batch frame — so downstream stages, transforms, and sinks
+    compose unchanged. In production the same plan runs unbounded by
+    swapping the drain for ``stream_to_files`` (foreachBatch) with a
+    checkpoint; availableNow here gives the batch-equivalent final
+    result the correctness gate can compare.
+    """
+    import uuid
+
+    from small_etl_spark.streaming.windows import run_to_memory_sink
+
+    src = spec.source
+    if src.urls:
+        from small_etl_spark.sources.http_datasource import HttpJsonDataSource
+
+        spark.dataSource.register(HttpJsonDataSource)
+        stream = (
+            spark.readStream.format("http_json")
+            .schema(src.schema)
+            .option("urls_json", json.dumps(src.urls))
+            .option("timeout_seconds", str(src.timeout_seconds))
+            .load()
+        )
+    else:
+        if not src.path or not src.schema:
+            raise ValueError("stream source requires path+schema or urls")
+        reader = spark.readStream.schema(src.schema)
+        if src.format == "csv":
+            stream = reader.option("header", True).csv(src.path)
+        elif src.format == "json":
+            stream = reader.json(src.path)
+        else:
+            stream = reader.parquet(src.path)
+    if src.stream_dedup_keys:
+        from small_etl_spark.streaming.windows import stream_dedup
+
+        stream = stream_dedup(
+            stream,
+            watermark=src.stream_watermark,
+            keys=src.stream_dedup_keys,
+            ts_col=src.stream_ts_col,
+        )
+    sink = f"stage_stream_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(stream, sink, output_mode="append")
+    return spark.table(sink)
 
 
 def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) -> DataFrame:

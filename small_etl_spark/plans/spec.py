@@ -31,7 +31,9 @@ from urllib.parse import urlparse
 from small_etl_spark.functions.templating import substitute_env_vars
 
 VALID_FORMATS = ("csv", "tsv", "json", "parquet")
-VALID_SOURCE_TYPES = ("api", "previous", "combined", "file", "table", "sample")
+VALID_SOURCE_TYPES = (
+    "api", "previous", "combined", "file", "table", "sample", "stream",
+)
 
 
 class SpecError(ValueError):
@@ -81,6 +83,11 @@ class SourceSpec:
     path: str | None = None  # file source
     format: str = "parquet"  # file source format
     table: str | None = None  # table source
+    # stream source (Structured Streaming stage): dedup-within-watermark
+    # keys, the event-time column, and the watermark delay
+    stream_dedup_keys: list[str] = field(default_factory=list)
+    stream_ts_col: str = "ts"
+    stream_watermark: str = "2 hours"
     max_records: int | None = None  # F4 limit pushed into extract
     first_record_only: bool = False  # "MVP mode"
     filters: dict[str, Any] = field(default_factory=dict)  # F5, enforced
@@ -339,6 +346,15 @@ def validate_pipeline(p: PipelineSpec) -> None:
             _validate_url(p.source.endpoint, p.name)
     if p.source.type == "file" and not p.source.path:
         raise SpecError(f"pipeline {p.name!r}: file source requires path")
+    if p.source.type == "stream":
+        if not (p.source.urls or (p.source.path and p.source.schema)):
+            raise SpecError(
+                f"pipeline {p.name!r}: stream source requires path+schema or urls"
+            )
+        if p.source.urls and not p.source.schema:
+            raise SpecError(
+                f"pipeline {p.name!r}: stream urls source requires schema"
+            )
     if p.source.type == "table" and not p.source.table:
         raise SpecError(f"pipeline {p.name!r}: table source requires table")
     for fmt in p.load.formats:

@@ -137,15 +137,21 @@ def session_window_agg(
     )
 
 
-def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Streaming exact dedup on event_id with bounded state
-    (``dropDuplicatesWithinWatermark`` — state evicts ids older than
+def stream_dedup(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with bounded state
+    (``dropDuplicatesWithinWatermark`` — state evicts keys older than
     the watermark; the streaming twin of A2/A3 exact dedup)."""
+    keys = list(keys or ["event_id"])
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-            ["event_id"]
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
         )
-    return events.dropDuplicates(["event_id"])
+    return events.dropDuplicates(keys)
 
 
 def run_to_memory_sink(

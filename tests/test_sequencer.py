@@ -808,6 +808,76 @@ def test_sequence_with_multi_url_source(spark, mock_server):
         )
 
 
+def test_stream_source_stage(spark, tmp_path):
+    """type='stream': a Structured Streaming stage in the sequence —
+    file stream + dedup-within-watermark drained availableNow, its
+    result consumed by a downstream batch stage like any other."""
+    src_dir = tmp_path / "stream_in"
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 10:00:01", "a-dup"),
+         (2, "2024-01-01 10:05:00", "b"), (3, "2024-01-01 10:06:00", "c")],
+        "id long, ts_s string, v string",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "v")
+    df.coalesce(1).write.parquet(str(src_dir))
+
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "ingest",
+                    "source": {
+                        "type": "stream",
+                        "path": str(src_dir),
+                        "schema": "id long, ts timestamp, v string",
+                        "stream_dedup_keys": ["id"],
+                    },
+                    "transform": {"add_markers": False},
+                },
+                {
+                    "name": "consume",
+                    "depends_on": ["ingest"],
+                    "source": {"type": "previous", "previous_pipeline": "ingest"},
+                    "transform": {
+                        "keep_only_fields": ["id", "v"],
+                        "add_markers": False,
+                    },
+                },
+            ]
+        }
+    )
+    ctx = run_sequence(spark, seq, output_root=str(tmp_path / "out"))
+    assert ctx.results[0].record_count == 3  # id=1 deduped within watermark
+    got = {r.id for r in ctx.results[1].df.collect()}
+    assert got == {1, 2, 3}
+
+
+def test_stream_source_http_urls(spark, mock_server):
+    """type='stream' over HTTP endpoints via the http_json stream
+    reader (one poll drained availableNow)."""
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "http-stream",
+                    "source": {
+                        "type": "stream",
+                        "urls": [f"{mock_server}/posts"],
+                        "schema": "id long, name string, value long",
+                    },
+                    "transform": {"add_markers": False},
+                }
+            ]
+        }
+    )
+    ctx = run_sequence(spark, seq)
+    assert ctx.results[0].record_count == 3
+
+    with pytest.raises(SpecError, match="stream source requires"):
+        sequence_from_dict(
+            {"pipelines": [{"name": "bad", "source": {"type": "stream"}}]}
+        )
+
+
 def test_zip_members_have_no_duplicated_rows(spark, tmp_path):
     """Regression: overlapping part-file globs must not duplicate the
     data rows inside ZIP members."""
