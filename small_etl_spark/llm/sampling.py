@@ -1,0 +1,79 @@
+"""Deterministic hash-based sampling and train/val splitting.
+
+Training-data pipelines need splits that are (a) reproducible across
+runs, engines, and cluster sizes, (b) stable under re-partitioning and
+incremental appends — a doc keeps its split when the corpus grows —
+and (c) free of coordination (no global sort, no RNG state). Seeded
+``df.sample``/``sampleBy`` give none of these: their output depends on
+partitioning and engine RNG internals.
+
+The standard answer is content hashing: bucket = the first 16 bits of
+``md5(salt | id)``; a row is sampled/assigned-val when its bucket falls
+below ``fraction × 2^16``. Pure map-side column expressions — no
+shuffle, no state — and md5 is md5 everywhere, so the same predicate
+is oracle-exact in DuckDB. Changing ``salt`` draws an independent
+split (e.g. one salt for val carve-out, another for subsampling).
+
+No reference equivalent (the reference has no sampling); BASELINE.json
+north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BUCKETS = 1 << 16  # 4 hex chars of md5 → 16-bit bucket
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction ∈ [0,1] → 4-hex-digit bucket threshold."""
+    return format(min(max(round(fraction * BUCKETS), 0), BUCKETS), "04x")
+
+
+def hash_bucket(col: Column | str, salt: str) -> Column:
+    """First 4 md5-hex chars of ``salt|value`` — compares
+    lexicographically against :func:`_hex_threshold` output."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat_ws("|", F.lit(salt), c.cast("string"))
+    return F.substring(F.md5(keyed.cast("binary")), 1, 4)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val assignment: ``split_col`` ∈
+    {'train','val'} with ~``val_fraction`` of rows in 'val'."""
+    thresh = _hex_threshold(val_fraction)
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(id_col, salt) < F.lit(thresh), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ~``fractions[s]`` of
+    each stratum ``s`` (strata absent from the dict are dropped).
+
+    The 100 TB use case: rebalancing a training corpus (downsample the
+    dominant language/domain, keep the tail) with stable membership —
+    a pure filter, so Catalyst pushes it into the scan pipeline and
+    no shuffle ever happens.
+    """
+    thresh = F.lit("0000")  # default: drop unknown strata
+    for stratum, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(id_col, salt) < thresh)

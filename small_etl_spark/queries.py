@@ -1776,6 +1776,122 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_val_split",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(concat_ws('|', 'split-v1',
+                                          CAST(doc_id AS VARCHAR))), 1, 4)
+                     < '1999'
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% val carve-out via 16-bit md5 bucketing
+    (llm.sampling.hash_split): reproducible across engines, partition
+    counts, and corpus growth — unlike seeded df.sample. Map-only.
+    0.1 × 2^16 = 0x1999."""
+    from small_etl_spark.llm.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, val_fraction=0.1).select("doc_id", "lang", "split")
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(concat_ws('|', 'sample-v1',
+                               CAST(doc_id AS VARCHAR))), 1, 4)
+          < CASE lang WHEN 'en' THEN '4000'
+                      WHEN 'de' THEN 'cccd'
+                      WHEN 'zh' THEN '8000'
+                      ELSE '0000' END
+    """,
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus rebalancing: downsample the
+    dominant language (en→25%), keep most of the tail (de→80%,
+    zh→50%), drop the rest — a pure pushed-down filter, no shuffle
+    (llm.sampling.stratified_hash_sample)."""
+    from small_etl_spark.llm.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "lang", {"en": 0.25, "de": 0.8, "zh": 0.5}
+    ).select("doc_id", "lang")
+
+
+@register(
+    "corpus_clean",
+    rf"""
+    WITH m AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g')) AS n_sym,
+             {{en_hits}} AS en_hits,
+             {{es_hits}} AS es_hits,
+             {{fr_hits}} AS fr_hits,
+             {{de_hits}} AS de_hits
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text,
+             (len(toks) BETWEEN 20 AND 100000
+              AND CASE WHEN len(toks) > 0 THEN
+                    CAST(list_sum(list_transform(toks, t -> length(t)))
+                         AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+                  ELSE FALSE END
+              AND CASE WHEN n_chars > 0
+                       THEN CAST(n_sym AS DOUBLE)/n_chars <= 0.3 ELSE TRUE END
+              AND en_hits >= 2) AS gopher_keep,
+             (en_hits >= es_hits AND en_hits >= fr_hits
+              AND en_hits >= de_hits AND en_hits > 0) AS is_en
+      FROM m
+    )
+    SELECT min(doc_id) AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_copies
+    FROM f
+    WHERE gopher_keep AND is_en
+    GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    """.format(
+        en_hits=_stopword_sql("en"),
+        es_hits=_stopword_sql("es"),
+        fr_hits=_stopword_sql("fr"),
+        de_hits=_stopword_sql("de"),
+    ),
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning, the composed training-data recipe:
+    Gopher quality gates AND English lang-ID AND exact dedup (first
+    doc per content fingerprint wins) in ONE plan — the filters fuse
+    into the scan's map stage, so the only shuffle is the final
+    fingerprint groupBy. Composes textstats.gopher_quality_flags,
+    lang_id, and fingerprint unchanged."""
+    from small_etl_spark.llm.textstats import (
+        fingerprint,
+        gopher_quality_flags,
+        lang_id,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        gopher_quality_flags(docs)
+        .filter(F.col("gopher_keep") & (lang_id("text") == "en"))
+    )
+    return (
+        kept.groupBy(fingerprint("text").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "fingerprint", "n_copies")
+    )
+
+
+@register(
     "near_dup_components",
     r"""
     WITH RECURSIVE t AS (

@@ -118,6 +118,51 @@ def test_winnowing_guarantee_and_edges(spark):
     assert len(rows[3].f) == 1  # empty doc → md5("") fingerprint
 
 
+def test_hash_split_is_deterministic_and_partition_stable(spark):
+    from small_etl_spark.llm.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in hash_split(df, val_fraction=0.1).collect()}
+    s2 = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(7), val_fraction=0.1).collect()
+    }
+    assert s1 == s2  # membership survives repartitioning
+    val_frac = sum(v == "val" for v in s1.values()) / len(s1)
+    assert 0.07 < val_frac < 0.13  # ~10% ± sampling noise
+    # growing the corpus never reassigns existing ids
+    s3 = {
+        r.doc_id: r.split
+        for r in hash_split(
+            spark.range(0, 4000).withColumnRenamed("id", "doc_id"),
+            val_fraction=0.1,
+        ).collect()
+    }
+    assert all(s3[k] == v for k, v in s1.items())
+
+
+def test_stratified_hash_sample_fractions(spark):
+    from small_etl_spark.llm.sampling import stratified_hash_sample
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("xx")
+        .alias("lang"),
+    )
+    out = stratified_hash_sample(df, "lang", {"en": 0.5, "de": 0.1}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, 0)
+        by_lang[r.lang] += 1
+    assert "xx" not in by_lang  # unlisted strata dropped
+    assert 0.4 < by_lang["en"] / 1000 < 0.6
+    assert 0.05 < by_lang["de"] / 1000 < 0.16
+
+
 def test_simhash_near_dups(docs_df):
     sh = {
         r.doc_id: r.h
