@@ -135,6 +135,60 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image resize over ``mapInPandas``: binary in → binary out.
+
+    Real impl is ``PIL.Image.open(...).resize(...)`` (library absent in
+    this container); the fake path re-encodes the container with the
+    target dimensions and a nearest-neighbor byte subsample so output
+    payload size matches a true resize (target_w × target_h × 3). The
+    Spark contract this pins is the one a real codec needs: binary →
+    binary with a new meta struct, batch-size-bounded Arrow transfer,
+    non-image rows passed through untouched.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "kind": [], "content": [], "meta": []
+            }
+            for mid, kind, content, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"], pdf["meta"]
+            ):
+                blob = bytes(content)
+                if kind != "image":
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["content"].append(blob)
+                    out["meta"].append(meta)
+                    continue
+                hdr = decode_header(blob)
+                src = np.frombuffer(blob[len(_MAGIC) + 12:], dtype=np.uint8)
+                src = src[: hdr["width"] * hdr["height"] * 3].reshape(
+                    hdr["height"], hdr["width"], 3
+                )
+                ys = (np.arange(target_h) * hdr["height"] // target_h)
+                xs = (np.arange(target_w) * hdr["width"] // target_w)
+                resized = src[ys][:, xs].tobytes()
+                header = struct.pack(">III", target_w, target_h, hdr["n_frames"])
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["content"].append(_MAGIC + header + resized)
+                out["meta"].append(
+                    {
+                        "width": target_w,
+                        "height": target_h,
+                        "n_frames": hdr["n_frames"],
+                        "sample_rate": meta["sample_rate"] if meta is not None else 0,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
     """Video frame sampling: one output row per kept frame index.
 

@@ -40,6 +40,31 @@ def test_extract_features(spark):
     assert again == {r.media_id: r.content_sha256 for r in rows}
 
 
+def test_resize_images(spark):
+    """Resize: binary→binary with updated meta; payload sized
+    target_w × target_h × 3; non-image rows untouched; deterministic;
+    output re-decodes through the same header path."""
+    from small_etl_spark.llm.multimodal import resize_images
+
+    media = synth_media_df(spark, 12)
+    resized = resize_images(media, 16, 16)
+    rows = {r.media_id: r for r in resized.collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    assert set(rows) == set(orig)
+    for mid, r in rows.items():
+        if r.kind != "image":
+            assert bytes(r.content) == bytes(orig[mid].content)
+            continue
+        assert (r.meta.width, r.meta.height) == (16, 16)
+        hdr = decode_header(bytes(r.content))
+        assert (hdr["width"], hdr["height"]) == (16, 16)
+        assert len(bytes(r.content)) == 10 + 12 + 16 * 16 * 3  # magic+hdr+RGB
+    # deterministic + composable: resize(resize(x)) == resize(x) at same dims
+    again = {r.media_id: bytes(r.content)
+             for r in resize_images(resized, 16, 16).collect()}
+    assert again == {mid: bytes(r.content) for mid, r in rows.items()}
+
+
 def test_frame_sample(spark):
     media = synth_media_df(spark, 12)
     frames = frame_sample(media, every_k=4)
