@@ -307,6 +307,44 @@ def winnowing_pairs(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training docs that share ≥
+    ``min_overlap`` distinct word ``n``-grams with any probe
+    (benchmark/eval) document.
+
+    The standard pre-training hygiene step (the GPT-3 paper's 13-gram
+    filter is this exact shape). Plan: distinct n-grams on both sides
+    → equi-join on the gram → per-(doc, probe) overlap count. The
+    probe side is tiny (an eval suite) — AQE broadcasts it — and the
+    doc side streams through without ever materializing doc×doc or
+    doc×probe pairs that share nothing. Returns
+    ``doc_id, probe_id, n_shared``.
+    """
+    d = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.explode(word_shingles(probe_text_col, n)).alias("gram"),
+    )
+    return (
+        d.join(p, "gram")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
 def simhash64(col: Column | str, seed: int = 42) -> Column:
     """64-bit SimHash of the token multiset.
 

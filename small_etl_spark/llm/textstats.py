@@ -105,6 +105,61 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_line_fraction`` — fraction of non-empty lines that are
+      repeats of an earlier line (map-only array expressions);
+    - ``top_gram_fraction`` — share of the document's n-grams taken by
+      its single most frequent n-gram (the 'the the the' detector).
+
+    The top-gram count uses the tf shape (explode → per-(doc, gram)
+    count → per-doc max/sum), one shuffle keyed by (doc, gram) — the
+    same plan tf-idf uses, so it scales identically. Exact integer
+    ratios → oracle-reproducible.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines)
+    dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("double")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(n_lines > 0, dup_lines / n_lines.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_fraction"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size(tokens(F.lower(F.col(text_col)))) - F.lit(gram_n - 1),
+                        F.lit(1),
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tokens(F.lower(F.col(text_col))), i, gram_n)
+                ),
+            )
+        ).alias("gram"),
+    )
+    per_gram = base.groupBy("doc_id", "dup_line_fraction", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy("doc_id", "dup_line_fraction").agg(
+        (
+            F.max("cnt").cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("top_gram_fraction")
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats block to a documents frame."""
     return df.withColumns(

@@ -1892,6 +1892,82 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_stats",
+    """
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        s -> trim(s)), s -> s <> '') AS lines
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+             CASE WHEN len(lines) > 0
+                  THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / len(lines)
+                  ELSE 0.0 END AS dup_line_fraction
+      FROM l
+    ), t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+                             for i in range(1, greatest(len(toks)-1, 1)+1)]) AS gram
+      FROM t
+    ), pg AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+    ), tg AS (
+      SELECT doc_id, CAST(MAX(cnt) AS DOUBLE)/CAST(SUM(cnt) AS DOUBLE)
+               AS top_gram_fraction
+      FROM pg GROUP BY doc_id
+    )
+    SELECT dl.doc_id, dup_line_fraction, top_gram_fraction
+    FROM dl JOIN tg USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (llm.textstats.repetition_stats):
+    duplicate-line fraction + top-2-gram share per doc. The tf-shaped
+    per-(doc,gram) shuffle is the only exchange."""
+    from small_etl_spark.llm.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, gram_n=2)
+
+
+@register(
+    "decontaminate_docs",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), dg AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(toks[i:i+7], ' ')
+                for i in range(1, greatest(len(toks)-7, 1)+1)])) AS gram
+      FROM d
+    ), pg AS (
+      SELECT doc_id AS probe_id, gram FROM dg WHERE probe_id < 5
+    )
+    SELECT dg.doc_id, pg.probe_id, COUNT(*) AS n_shared
+    FROM dg JOIN pg USING (gram)
+    GROUP BY dg.doc_id, pg.probe_id
+    """,
+)
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm.dedup.ngram_contamination):
+    training docs sharing ≥1 distinct 8-gram with a probe set (first
+    5 docs stand in for an eval suite). Equi-join on the gram only —
+    the GPT-3-style 13-gram filter shape at any corpus size."""
+    from small_etl_spark.llm.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return ngram_contamination(docs, probes, n=8, min_overlap=1)
+
+
+@register(
     "near_dup_components",
     r"""
     WITH RECURSIVE t AS (

@@ -118,6 +118,51 @@ def test_winnowing_guarantee_and_edges(spark):
     assert len(rows[3].f) == 1  # empty doc → md5("") fingerprint
 
 
+def test_ngram_contamination_planted(spark):
+    """A training doc embedding a benchmark question verbatim is
+    flagged; clean docs are not."""
+    from small_etl_spark.llm.dedup import ngram_contamination
+
+    question = (
+        "what is the capital of the country directly north of the "
+        "alps bordering both france and austria"
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, f"trivia collection for kids . {question} . answers below"),
+            (101, "a clean document about cooking rice with no benchmark text"),
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [(1, question), (2, "name every prime number between ninety and "
+                            "one hundred twenty in ascending order")],
+        ["probe_id", "text"],
+    )
+    hits = {(r.doc_id, r.probe_id): r.n_shared
+            for r in ngram_contamination(docs, probes, n=8).collect()}
+    assert any(k[0] == 100 and k[1] == 1 for k in hits)
+    assert all(k[0] != 101 for k in hits)
+
+
+def test_repetition_stats_detects_loops(spark):
+    from small_etl_spark.llm.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a varied sentence with mostly unique words appearing once"),
+            (3, "line one\nline one\nline one\nline two"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs, gram_n=2).collect()}
+    assert rows[1].top_gram_fraction == 1.0  # every 2-gram is "spam spam"
+    assert rows[2].top_gram_fraction < 0.3
+    assert rows[3].dup_line_fraction == 0.5  # 2 of 4 lines are repeats
+    assert rows[2].dup_line_fraction == 0.0
+
+
 def test_hash_split_is_deterministic_and_partition_stable(spark):
     from small_etl_spark.llm.sampling import hash_split
 
