@@ -153,13 +153,33 @@ def _stream_fetch(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
     else:
         if not src.path or not src.schema:
             raise ValueError("stream source requires path+schema or urls")
+        if src.stream_ts_from_nanos:
+            # must be set before the scan plans (load_table parity)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         reader = spark.readStream.schema(src.schema)
+        # FileStreamSource requires a directory path — globs are fine
+        # (basePath = the non-glob prefix) but a literal single-file
+        # path is rejected. Turn `…/events.parquet` into the
+        # equivalent one-file glob `…/events.parque[t]` so users can
+        # point a stream at one file like every batch source.
+        path = src.path
+        local = path[7:] if path.startswith("file://") else path
+        if os.path.isfile(local):
+            path = f"{path[:-1]}[{path[-1]}]"
         if src.format == "csv":
-            stream = reader.option("header", True).csv(src.path)
+            stream = reader.option("header", True).csv(path)
         elif src.format == "json":
-            stream = reader.json(src.path)
+            stream = reader.json(path)
         else:
-            stream = reader.parquet(src.path)
+            stream = reader.parquet(path)
+        if src.stream_ts_from_nanos:
+            from pyspark.sql import functions as F2
+
+            # integer DIV: `/` routes through double and loses µs at e18
+            stream = stream.withColumn(
+                src.stream_ts_col,
+                F2.timestamp_micros(F2.expr(f"`{src.stream_ts_col}` DIV 1000")),
+            )
     if src.stream_dedup_keys:
         from small_etl_spark.streaming.windows import stream_dedup
 

@@ -88,6 +88,10 @@ class SourceSpec:
     stream_dedup_keys: list[str] = field(default_factory=list)
     stream_ts_col: str = "ts"
     stream_watermark: str = "2 hours"
+    # TIMESTAMP(NANOS) parquet (see sources.tables.load_table): declare
+    # the ts column as bigint in `schema` and set this to convert
+    # nanos → microsecond timestamp after the scan
+    stream_ts_from_nanos: bool = False
     max_records: int | None = None  # F4 limit pushed into extract
     first_record_only: bool = False  # "MVP mode"
     filters: dict[str, Any] = field(default_factory=dict)  # F5, enforced

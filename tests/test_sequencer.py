@@ -605,6 +605,22 @@ def test_nested_mapping_example_config(spark):
     assert rows == {1: ("Alice", "Zurich"), 2: ("Bob", "Oslo")}
 
 
+def test_streaming_example_config(spark, tmp_path):
+    """configs/streaming-example.toml runs end-to-end: stream stage
+    over the nanos-timestamp events parquet (dedup within watermark),
+    batch consumer, CSV export — record counts match the batch read."""
+    from small_etl_spark.sources.tables import load_table
+
+    seq = sequence_from_toml("configs/streaming-example.toml")
+    ctx = run_sequence(spark, seq, output_root=str(tmp_path))
+    n_batch = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert ctx.results[0].record_count == n_batch  # event_ids are unique
+    assert ctx.results[1].record_count == n_batch
+    assert set(ctx.results[0].df.columns) == {
+        "event_id", "user_id", "event_type", "value"
+    }
+
+
 def test_parallel_sequence_matches_sequential(spark):
     """Independent stages run concurrently (real concurrency vs the
     reference's validated-but-sequential knob); diamond DAG results
