@@ -1968,6 +1968,61 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             unnest([{'idx': i,
+                      'txt': array_to_string(toks[i*56+1 : i*56+64], ' ')}
+                     for i in range(0, greatest(CAST(floor(
+                         (greatest(len(toks)-8, 1)+55)/56) AS INT), 1))]) AS u
+      FROM t
+    )
+    SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx, u.txt AS chunk_text,
+           CAST(len(regexp_extract_all(u.txt, '[A-Za-z0-9_]+')) AS BIGINT)
+             AS n_tokens
+    FROM c
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking, 64 tokens / 8 overlap
+    (llm.chunking.chunk_documents): strided slices + posexplode, one
+    map-only pass — the shape a 100 TB pre-training tokenize step
+    wants."""
+    from small_etl_spark.llm.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+@register(
+    "redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS text
+    FROM documents
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions.text.redact_pii): emails/IPv4s/phone-shaped
+    runs → typed placeholders, chained codegen'd regexp_replace that
+    fuses into the scan stage."""
+    from small_etl_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return redact_pii(docs, ["text"])
+
+
+@register(
     "near_dup_components",
     r"""
     WITH RECURSIVE t AS (

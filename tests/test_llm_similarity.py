@@ -163,6 +163,51 @@ def test_repetition_stats_detects_loops(spark):
     assert rows[2].dup_line_fraction == 0.0
 
 
+def test_chunk_documents_stride_and_overlap(spark):
+    from small_etl_spark.llm.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                               ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=40, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc1: 100 tokens, step 30 → ceil(90/30)=3 chunks: [0:40],[30:70],[60:100]
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c1] == [40, 40, 40]
+    assert c1[0].chunk_text.split()[30:] == c1[1].chunk_text.split()[:10]  # overlap
+    assert c1[1].chunk_text.split()[-1] == "w69"
+    assert c1[2].chunk_text.split()[-1] == "w99"
+    # short + empty docs each yield exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_redact_pii_planted(spark):
+    from small_etl_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+spam@mail.example.co for info"),
+            (2, "server at 192.168.10.250 responded"),
+            (3, "call +1 (415) 555-0199 today"),
+            (4, "version 2.5 of the 3 little pigs"),  # must NOT redact
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.text for r in redact_pii(df, ["text"]).collect()}
+    assert got[1] == "contact <EMAIL> for info"
+    assert got[2] == "server at <IP> responded"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "version 2.5 of the 3 little pigs"
+
+
 def test_hash_split_is_deterministic_and_partition_stable(spark):
     from small_etl_spark.llm.sampling import hash_split
 
