@@ -20,6 +20,41 @@ from pyspark.sql import DataFrame, functions as F
 from small_etl_spark.llm.textstats import tokens
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    context_len: int = 2048,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign documents/chunks to training-sequence packs: the
+    concat-then-cut strategy real pre-training pipelines use — stream
+    the corpus in a deterministic order, accumulate token counts, and
+    start pack ``k`` at token offset ``k·context_len``.
+
+    ``pack_id = floor(tokens_before / context_len)`` from one window
+    cumsum — a single shuffle on the (empty) global ordering at small
+    scale; at 100 TB order by a partition-friendly key instead (e.g.
+    shard hash, then pack per shard: ``Window.partitionBy(shard)``)
+    so no global sort exists. Returns the input plus
+    ``pack_id, pack_offset`` (the doc's token start within its pack's
+    coordinate space).
+    """
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    w = Window.orderBy(order)
+    before = F.coalesce(
+        F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col), F.lit(0)
+    )
+    return df.withColumns(
+        {
+            "pack_id": F.floor(before / F.lit(context_len)).cast("bigint"),
+            "pack_offset": (before % F.lit(context_len)).cast("bigint"),
+        }
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -343,3 +343,39 @@ def ivf_train(
     for _ in range(iters):
         assigned, cents = ivf_refine(assigned, id_col, vec_col)
     return assigned, cents
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column.
+
+    The storage/IO lever for vector corpora: 4× smaller than float32
+    (``q_embedding`` int8 range + one double ``q_scale`` per vector),
+    which at 100 TB is the difference between an index that fits in
+    cluster page cache and one that doesn't. Pure array expressions:
+    scale = max|x|/127, q_i = round(x_i/ (scale)). Dequantized cosine
+    stays within ~1% for typical embedding distributions (pinned by
+    test, and by the reconstruction-error query's oracle).
+
+    All arithmetic is forced to double before dividing so the same
+    expression computes bit-identical values in the DuckDB oracle.
+    """
+    v = _c(vec_col)
+    amax = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    q = F.transform(
+        v, lambda x: F.round(x.cast("double") / amax * 127).cast("int")
+    )
+    return df.withColumns(
+        {"q_embedding": q, "q_scale": (amax / F.lit(127.0)).cast("double")}
+    )
+
+
+def dequantize(q_col: Column | str, scale_col: Column | str) -> Column:
+    """int8 quantized vector + scale → array<double>."""
+    s = _c(scale_col)
+    return F.transform(_c(q_col), lambda x: x.cast("double") * s)

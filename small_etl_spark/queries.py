@@ -2023,6 +2023,91 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantize_embeddings",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS amax
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, embedding,
+             CAST(amax/127.0 AS DOUBLE) AS q_scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)/amax*127) AS INT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, q_scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           round(list_max(list_transform(range(1, len(qv)+1),
+                 i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i]*q_scale))), 6)
+             AS max_err
+    FROM q
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization + per-vector reconstruction error
+    (llm.similarity.quantize_embeddings): the 4× storage/IO lever for
+    vector indexes, oracle-exact through double-forced arithmetic."""
+    from small_etl_spark.llm.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = quantize_embeddings(emb)
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q_embedding"),
+            lambda x, q: F.abs(
+                x.cast("double") - q.cast("double") * F.col("q_scale")
+            ),
+        )
+    )
+    q_sum = F.aggregate(
+        F.col("q_embedding"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return qdf.select(
+        "vec_id",
+        "q_scale",
+        q_sum.alias("q_sum"),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id), 0) - n_tokens
+               AS before
+      FROM n
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(before AS DOUBLE)/2048) AS BIGINT) AS pack_id,
+           CAST(before % 2048 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-cut sequence packing at context 2048
+    (llm.chunking.pack_sequences): one window cumsum assigns every doc
+    a pack id + offset. At 100 TB partition the window by shard hash
+    so no global sort exists."""
+    from small_etl_spark.llm.chunking import pack_sequences
+    from small_etl_spark.llm.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.lower(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(docs, context_len=2048)
+
+
+@register(
     "near_dup_components",
     r"""
     WITH RECURSIVE t AS (

@@ -208,6 +208,41 @@ def test_redact_pii_planted(spark):
     assert got[4] == "version 2.5 of the 3 little pigs"
 
 
+def test_quantized_cosine_fidelity(spark):
+    """Dequantized int8 vectors preserve cosine similarity to ~1%."""
+    from small_etl_spark.llm.similarity import (
+        cosine_sim,
+        dequantize,
+        quantize_embeddings,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    q = quantize_embeddings(emb)
+    errs = q.select(
+        F.abs(
+            cosine_sim("embedding", dequantize("q_embedding", "q_scale"))
+            - cosine_sim("embedding", "embedding")
+        ).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert errs < 0.02
+
+
+def test_pack_sequences_invariants(spark):
+    from small_etl_spark.llm.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(50)], ["doc_id", "n_tokens"]
+    )
+    rows = sorted(pack_sequences(df, context_len=512).collect(),
+                  key=lambda r: r.doc_id)
+    # 100-token docs, ctx 512: doc k starts at 100k → pack floor(100k/512)
+    for r in rows:
+        assert r.pack_id == (r.doc_id * 100) // 512
+        assert r.pack_offset == (r.doc_id * 100) % 512
+    assert rows[-1].pack_id == 4900 // 512
+
+
 def test_hash_split_is_deterministic_and_partition_stable(spark):
     from small_etl_spark.llm.sampling import hash_split
 
