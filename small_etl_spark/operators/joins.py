@@ -225,3 +225,32 @@ def range_join(
             ],
         )
     )
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+) -> DataFrame:
+    """SCD-1 merge: rows from ``updates`` replace same-key rows in
+    ``target``; unmatched update rows are appended (MERGE ... WHEN
+    MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT, as a batch
+    transformation — no reference equivalent; north-star op).
+
+    Plan shape: one LeftAnti join (target minus updated keys) + a
+    by-name union — both sides stay columnar, and when updates are
+    delta-sized (they usually are) AQE broadcasts the anti side, so
+    the target never shuffles. For repeated upserts at 100 TB, write
+    the output bucketed by the key so subsequent merges co-locate
+    without exchange (sources/bucketing.py).
+
+    ``updates`` must carry the same columns as ``target``; duplicate
+    keys WITHIN ``updates`` are the caller's bug (dedup first —
+    ``dedup_by_fields_first_wins``), not silently resolved here.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    missing = [c for c in target.columns if c not in set(updates.columns)]
+    if missing:
+        raise ValueError(f"updates missing target columns: {missing}")
+    kept = target.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates.select(*target.columns))

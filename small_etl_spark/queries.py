@@ -2108,6 +2108,84 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    """
+    SELECT c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS l_ts,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS r_ts,
+           c.value AS l_value, v.value AS r_value
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL stream-stream interval join under the oracle gate
+    (click-attribution shape): both sides are watermarked readStream
+    file sources, the join state is watermark-bounded, availableNow
+    drains to a memory sink, and the drained table must hash-match
+    the plain batch range join DuckDB runs."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from small_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_stream_interval_join,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="events_ssj_")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir)
+    ev = read_events_stream(spark, stream_dir)
+    joined = stream_stream_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(joined, sink, output_mode="append")
+    return spark.table(sink)
+
+
+@register(
+    "upsert_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 100 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+           CAST(CAST(round(o_totalprice*100) AS BIGINT)*2 AS DOUBLE)/100.0
+             AS o_totalprice,
+           CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge (operators.joins.upsert): a delta of repriced
+    orders replaces matched keys, everything else passes through —
+    LeftAnti + unionByName, the broadcast-anti MERGE shape."""
+    from small_etl_spark.operators.joins import upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("P"),
+            "o_totalprice": (
+                F.round(F.col("o_totalprice") * 100).cast("bigint") * 2
+            ).cast("double") / 100.0,
+        }
+    )
+    return upsert(o, updates, "o_orderkey")
+
+
+@register(
     "near_dup_components",
     r"""
     WITH RECURSIVE t AS (

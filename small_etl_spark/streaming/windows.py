@@ -137,6 +137,51 @@ def session_window_agg(
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval: pair each
+    left row with right rows of the same key whose timestamp falls in
+    ``[left.ts - max_delay, left.ts]`` (the click-attribution shape).
+
+    Both sides carry watermarks so Spark bounds the join state: a
+    buffered right row is dropped once the left watermark passes
+    ``right.ts + max_delay``. In batch the same predicate runs as a
+    plain range join — one code path, so the batch twin is the oracle
+    for the streaming run. Returns left ts/key plus the matched right
+    ts and both values.
+    """
+    l_mark = clicks.withWatermark(ts_col, watermark) if clicks.isStreaming else clicks
+    r_mark = views.withWatermark(ts_col, watermark) if views.isStreaming else views
+    left = l_mark.select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    right = r_mark.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {max_delay}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return left.join(right, cond).select(
+        F.col("l_key").alias(key),
+        F.col("l_ts").cast("long").alias("l_ts"),
+        F.col("r_ts").cast("long").alias("r_ts"),
+        "l_value",
+        "r_value",
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     watermark: str = "2 hours",

@@ -206,3 +206,23 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, on="k", right_cols=["val"]).collect()
     }
     assert out == {1: "x", 2: "y", 4: "z", 3: None}
+
+
+def test_upsert_merge_semantics(spark):
+    """SCD-1: matched keys replaced, new keys inserted, others pass
+    through; schema mismatch is an error, not silent column loss."""
+    import pytest as _pytest
+
+    from small_etl_spark.operators.joins import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], ["id", "name", "v"]
+    )
+    got = {r.id: (r.name, r.v) for r in upsert(target, updates, "id").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    with _pytest.raises(ValueError, match="missing target columns"):
+        upsert(target, updates.drop("v"), "id")

@@ -83,6 +83,27 @@ def test_stream_dedup(spark, events_dir):
     assert spark.table("dedup_sink").count() == n_distinct
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (click-attribution shape): the
+    availableNow streaming run equals the identical predicate run as
+    a batch range join. State is bounded by watermarks both sides."""
+    from small_etl_spark.streaming.windows import stream_stream_interval_join
+
+    ev_batch = load_table(spark, SF_DIR, "events")
+    clicks_b = ev_batch.filter("event_type = 'click'")
+    views_b = ev_batch.filter("event_type = 'view'")
+    batch = stream_stream_interval_join(clicks_b, views_b)
+    assert batch.count() > 0, "need click/view pairs in testdata"
+
+    ev_s = read_events_stream(spark, events_dir)
+    stream = stream_stream_interval_join(
+        ev_s.filter("event_type = 'click'"), ev_s.filter("event_type = 'view'")
+    )
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "ss_join_sink", output_mode="append")
+    assert _rows(spark.table("ss_join_sink")) == _rows(batch)
+
+
 def test_stateful_running_user_stats(spark, events_dir):
     """applyInPandasWithState custom state: running totals equal the
     batch groupBy result after draining the stream."""
