@@ -144,6 +144,33 @@ def test_tfidf_docfreq_join_is_hint_free(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+@pytest.mark.parametrize("name", ["chunk_documents", "redact_pii",
+                                  "train_val_split"])
+def test_map_only_llm_ops_have_no_exchange(spark, name):
+    """Chunking, PII scrub and hash split are scan-fused map passes:
+    any Exchange in their plan is a regression. (Winnowing stats is
+    excluded — _ensure_parallelism deliberately repartitions a
+    single-file input before the CPU-heavy fingerprint math.)"""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, name
+
+
+def test_corpus_clean_single_shuffle(spark):
+    """The composed clean recipe must keep exactly one Exchange (the
+    fingerprint groupBy) — the quality/lang filters fuse into the
+    scan stage."""
+    plan = plan_of(spark, "corpus_clean")
+    assert plan.count("Exchange") == 1
+
+
+def test_stratified_sample_filter_reaches_scan(spark):
+    """The md5-bucket sampling predicate is a plain filter — no
+    Exchange, no Python, evaluated in the scan pipeline."""
+    plan = plan_of(spark, "stratified_sample_docs")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_q18_semi_join_broadcast(spark):
     # AQE must convert the hint-free semi join to broadcast at this SF
     plan = final_plan_of(spark, "q18_large_orders")
