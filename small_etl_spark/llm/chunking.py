@@ -55,6 +55,77 @@ def pack_sequences(
     )
 
 
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    context_len: int = 2048,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Distributed first-fit-decreasing bin packing: group whole
+    documents into packs of ≤ ``context_len`` tokens without
+    splitting any document (the quality alternative to
+    :func:`pack_sequences`' concat-then-cut, which splits docs at
+    pack boundaries).
+
+    Scale shape: hash-shard the corpus (``num_shards`` × the usual
+    executor count at 100 TB), run classic FFD *within* each shard via
+    ``applyInPandas`` — packing is a sequential algorithm, so the
+    distribution axis is shards, not the algorithm. FFD guarantees
+    ≤ 11/9·OPT + 1 bins per shard; sharding costs at most one
+    partially-filled pack per shard, negligible when shards hold
+    thousands of docs. One shuffle (the shard groupBy).
+
+    Documents longer than ``context_len`` get a singleton pack
+    (truncation/chunking is :func:`chunk_documents`' job, upstream).
+    Pack ids are globally unique: ``shard * 2^32 + local``.
+    Returns ``id_col, n_tokens, pack_id, pack_tokens`` (pack_tokens =
+    the pack's total after assignment, for fill-factor audits).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} bigint, {n_tokens_col} bigint, "
+        "pack_id bigint, pack_tokens bigint"
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values([n_tokens_col, id_col], ascending=[False, True])
+        shard = int(order["_shard"].iloc[0])
+        bins: list[int] = []  # remaining capacity per local pack
+        assign: list[int] = []
+        for n in order[n_tokens_col]:
+            n = int(n)
+            placed = None
+            for b, cap in enumerate(bins):
+                if cap >= n:
+                    placed = b
+                    bins[b] = cap - n
+                    break
+            if placed is None:
+                placed = len(bins)
+                bins.append(max(context_len - n, 0))
+            assign.append(placed)
+        base = shard << 32
+        sums: dict[int, int] = {}
+        for b, n in zip(assign, order[n_tokens_col]):
+            sums[b] = sums.get(b, 0) + int(n)
+        return pd.DataFrame(
+            {
+                id_col: order[id_col].to_numpy(),
+                n_tokens_col: order[n_tokens_col].to_numpy(),
+                "pack_id": [base + b for b in assign],
+                "pack_tokens": [sums[b] for b in assign],
+            }
+        )
+
+    sharded = df.select(
+        F.col(id_col), F.col(n_tokens_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).alias("_shard"),
+    )
+    return sharded.groupBy("_shard").applyInPandas(ffd, schema=out_schema)
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

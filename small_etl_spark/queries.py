@@ -2185,6 +2185,22 @@ def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(o, updates, "o_orderkey")
 
 
+@register("pack_sequences_ffd", None)
+def q_pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing whole-document packing, sharded FFD via
+    applyInPandas (llm.chunking.pack_sequences_ffd). Sequential
+    algorithm per shard → rows-only check; invariants (no multi-doc
+    pack over context, ≥80% fill, singleton oversize) pinned in
+    tests/test_llm_similarity.py."""
+    from small_etl_spark.llm.chunking import pack_sequences_ffd
+    from small_etl_spark.llm.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences_ffd(docs, context_len=2048, num_shards=8)
+
+
 @register(
     "near_dup_components",
     r"""

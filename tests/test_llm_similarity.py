@@ -243,6 +243,36 @@ def test_pack_sequences_invariants(spark):
     assert rows[-1].pack_id == 4900 // 512
 
 
+def test_pack_sequences_ffd_invariants(spark):
+    """FFD packing: every doc assigned exactly once; no multi-doc pack
+    exceeds the context; fill is materially better than naive; long
+    docs land in singleton packs."""
+    import random
+
+    from small_etl_spark.llm.chunking import pack_sequences_ffd
+
+    rng = random.Random(7)
+    docs = [(i, rng.randint(50, 900)) for i in range(500)] + [(9999, 5000)]
+    df = spark.createDataFrame(docs, ["doc_id", "n_tokens"])
+    rows = pack_sequences_ffd(df, context_len=2048, num_shards=4).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(d for d, _ in docs)
+    packs: dict[int, list] = {}
+    for r in rows:
+        packs.setdefault(r.pack_id, []).append(r)
+    for members in packs.values():
+        total = sum(r.n_tokens for r in members)
+        assert members[0].pack_tokens == total
+        if len(members) > 1:
+            assert total <= 2048
+    # the oversize doc is alone in its pack
+    big = next(r for r in rows if r.doc_id == 9999)
+    assert len(packs[big.pack_id]) == 1
+    # fill factor: FFD on ~475-token-avg docs should pack well past 80%
+    multi = [p for p in packs.values() if sum(r.n_tokens for r in p) <= 2048]
+    fill = sum(sum(r.n_tokens for r in p) for p in multi) / (2048 * len(multi))
+    assert fill > 0.8
+
+
 def test_hash_split_is_deterministic_and_partition_stable(spark):
     from small_etl_spark.llm.sampling import hash_split
 
