@@ -160,6 +160,34 @@ def repetition_stats(
     )
 
 
+ROLLING_BASE = 131
+ROLLING_MOD = (1 << 31) - 1  # Mersenne prime; products stay < 2^62 (ANSI-safe)
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Rabin–Karp polynomial rolling hash of the normalized text:
+    ``h = Σ c_i·B^(n-i) mod p`` folded left in O(n).
+
+    The incremental-update property (drop a leading char, append a
+    trailing one in O(1)) is what makes this the classic streaming
+    fingerprint; as a whole-document fingerprint it is a cheap 31-bit
+    content key whose exact integer arithmetic reproduces in any
+    engine — unlike engine-specific hash builtins. For collision-
+    critical dedup use :func:`fingerprint` (md5, 128-bit); this is
+    the budget key for sketches and sharding.
+    """
+    chars = F.split(normalize_text(col), "")
+    codes = F.transform(
+        F.filter(chars, lambda c: c != ""),
+        lambda c: F.ascii(c).cast("bigint"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: F.pmod(acc * F.lit(ROLLING_BASE) + c, F.lit(ROLLING_MOD)),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats block to a documents frame."""
     return df.withColumns(

@@ -2202,6 +2202,31 @@ def q_pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_hash_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c) AS BIGINT)
+                for c in regexp_extract_all(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '.')]),
+             (acc, c) -> (acc * 131 + c) % 2147483647
+           ) AS rhash
+    FROM documents
+    """,
+)
+def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin–Karp polynomial rolling hash per document
+    (llm.textstats.rolling_hash): exact mod-2^31-1 integer fold, so
+    the Spark expression and the DuckDB list_reduce produce the same
+    31-bit key — the engine-portable budget fingerprint."""
+    from small_etl_spark.llm.textstats import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("rhash"))
+
+
+@register(
     "near_dup_components",
     r"""
     WITH RECURSIVE t AS (

@@ -465,3 +465,25 @@ def test_vectorized_topk_matches_expression_topk(spark):
         for r in brute_force_topk_vectorized(emb, queries, k=10).collect()
     }
     assert a == b
+
+
+def test_rolling_hash_fingerprint(spark):
+    from small_etl_spark.llm.textstats import rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello World"), (3, "hello worlds"),
+         (4, "中文 文本")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.h
+           for r in df.select("doc_id", rolling_hash("text").alias("h")).collect()}
+    # normalization: case + whitespace collapse -> same key
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    # matches the reference fold computed in plain Python
+    expect = 0
+    for ch in "hello world":
+        expect = (expect * 131 + ord(ch)) % ((1 << 31) - 1)
+    assert got[1] == expect
+    # non-ASCII codepoints hash (not dropped)
+    assert got[4] != 0
