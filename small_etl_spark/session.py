@@ -71,6 +71,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom filters: a selective dimension filter is turned
+        # into a bloom filter pushed into the fact-side scan, pruning
+        # row groups before the join — inert at test SF (creation
+        # thresholds), a major scan saver on selective star joins at
+        # the 100 TB point.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # ICU case mappings make lower()/upper() collation-aware, but the
         # one-time CollationAwareUTF8String static init costs minutes of
