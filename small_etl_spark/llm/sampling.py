@@ -77,3 +77,37 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
         ).otherwise(thresh)
     return df.filter(hash_bucket(id_col, salt) < thresh)
+
+
+def hash_topk_per_group(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "reservoir-v1",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample — the distributed,
+    re-runnable replacement for reservoir sampling: rank rows within
+    each stratum by a salted md5 of their id and keep the k smallest.
+
+    Unlike a sequential reservoir (order-dependent, single-pass
+    state) or seeded ``df.sample`` (partition-layout-dependent),
+    membership is a pure function of (id, salt, k): stable across
+    runs, partitionings, and engines — the DuckDB oracle reproduces
+    it exactly. One shuffle (the per-stratum window); for a
+    pathological giant stratum, pre-filter with
+    :func:`hash_bucket` < a generous threshold first so the window
+    input is ~k·fudge rows per stratum, the same two-phase trick as
+    ``operators/sort.top_k``.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    w = Window.partitionBy(strata_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )

@@ -379,3 +379,33 @@ def dequantize(q_col: Column | str, scale_col: Column | str) -> Column:
     """int8 quantized vector + scale → array<double>."""
     s = _c(scale_col)
     return F.transform(_c(q_col), lambda x: x.cast("double") * s)
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic k-means document clustering over an embedding
+    column: Lloyd's algorithm via the IVF machinery (hash-picked
+    seeds → ``iters`` refine rounds of per-(cell,position) means +
+    broadcast re-assign), summarized as one row per cluster
+    ``(cell, size, mean_norm)``.
+
+    The corpus-organization pass of a training-data pipeline (topic
+    balancing, per-cluster sampling caps). Per iteration: one shuffle
+    (centroid means) + one broadcast map re-assign — no pairwise
+    anything; cluster count and seeds are hash-deterministic, so
+    reruns produce identical assignments (pinned by test).
+    """
+    assigned, _cents = ivf_train(
+        corpus, num_centroids=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.round(F.avg(l2_norm(vec_col)), 6).alias("mean_norm"),
+    )

@@ -292,3 +292,47 @@ def gopher_quality_flags(
     for k in flags:
         keep = F.col(k) if keep is None else (keep & F.col(k))
     return out.withColumn("gopher_keep", keep)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary with cumulative token coverage — the
+    tokenizer-design query ("what share of all tokens does a k-term
+    vocab cover"). Returns the ``top_n`` terms by frequency with
+    ``(rank, term, cnt, coverage)``, coverage rounded to 6 decimals.
+
+    Plan shape: explode → term counts (ONE corpus-scale shuffle,
+    map-side combined, vocabulary-sized output) → TakeOrderedAndProject
+    top_n → cumulative window over the top_n rows only. The unbounded
+    window is deliberately applied AFTER the limit, so its single
+    partition holds top_n rows, not the vocabulary; the global total
+    is a 1-row broadcast cross join. Exact integer counts throughout;
+    the coverage division is the only float.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total__"))
+    top = counts.orderBy(F.col("cnt").desc(), "term").limit(top_n)
+    order = [F.col("cnt").desc(), F.col("term")]
+    w_rank = Window.orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(w_rank).cast("bigint").alias("rank"),
+            "term",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w_cum).cast("double")
+                / F.col("__total__").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

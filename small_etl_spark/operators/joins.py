@@ -254,3 +254,79 @@ def upsert(
         raise ValueError(f"updates missing target columns: {missing}")
     kept = target.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates.select(*target.columns))
+
+
+def scd2_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    compare_cols: list[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """SCD type-2 merge: where an update row differs from the open
+    version on any of ``compare_cols``, the open row is closed
+    (``valid_to = effective``, flag cleared) and a new open version is
+    appended (``valid_from = effective``); unchanged keys and all
+    historical rows pass through untouched (MERGE with history, as a
+    batch transformation — north-star op; complements the SCD-1
+    :func:`upsert`).
+
+    ``current`` carries business columns + the three SCD columns
+    (dates as 'YYYY-MM-DD' strings, open rows have NULL ``valid_to``);
+    ``updates`` carries business columns only. Duplicate keys within
+    ``updates`` are the caller's bug (dedup first).
+
+    Plan shape: the changed-key set is one inner join (delta-sized,
+    AQE broadcasts it) filtered on the compare columns; the four
+    legs — untouched keys (LeftAnti), prior history (LeftSemi),
+    closed rows, new versions — are unions over that broadcast
+    probe, so the big ``current`` side never shuffles. For repeated
+    merges at 100 TB, store bucketed by the key.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    scd_cols = {valid_from, valid_to, current_flag}
+    business = [c for c in current.columns if c not in scd_cols]
+    missing = [c for c in business if c not in set(updates.columns)]
+    if missing:
+        raise ValueError(f"updates missing business columns: {missing}")
+
+    open_rows = current.filter(F.col(current_flag))
+    upd = updates.select(*business)
+    upd_cmp = upd.select(
+        *[F.col(k).alias(f"__u_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in compare_cols],
+    )
+    join_cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__u_{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        differs = d if differs is None else (differs | d)
+    changed_keys = (
+        open_rows.join(upd_cmp, join_cond).filter(differs).select(*keys)
+    )
+
+    untouched = current.join(changed_keys, keys, "left_anti")
+    history = current.filter(~F.col(current_flag)).join(
+        changed_keys, keys, "left_semi"
+    )
+    closed = (
+        open_rows.join(changed_keys, keys, "left_semi")
+        .withColumn(valid_to, F.lit(effective))
+        .withColumn(current_flag, F.lit(False))
+    )
+    new_rows = (
+        upd.join(changed_keys, keys, "left_semi")
+        .withColumn(valid_from, F.lit(effective))
+        .withColumn(valid_to, F.lit(None).cast("string"))
+        .withColumn(current_flag, F.lit(True))
+        .select(*current.columns)
+    )
+    return (
+        untouched.unionByName(history).unionByName(closed).unionByName(new_rows)
+    )

@@ -3306,6 +3306,230 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_steps",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(1 AS INT) AS step_index, 'view' AS step,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS users
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel over the events
+    table (operators/events.py::funnel). Strictly-ordered semantics:
+    each step's clock starts at the user's previous-step conversion
+    time."""
+    from small_etl_spark.operators.events import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('week', MIN(ts))) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS act_week
+      FROM events
+    )
+    SELECT cohort_week,
+           (act_week - cohort_week) // 604800 AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY cohort_week, (act_week - cohort_week) // 604800
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events
+    (operators/events.py::cohort_retention): users grouped by
+    first-seen week, counted per active week offset."""
+    from small_etl_spark.operators.events import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+@register(
+    "grouped_trend",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx
+      FROM (SELECT event_type,
+                   -- floor() before the cast: epoch() is a fractional-
+                   -- second DOUBLE and CAST..BIGINT rounds, while
+                   -- Spark's timestamp→long cast truncates
+                   (CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)) // 3600 AS x,
+                   CAST(round(value*100) AS BIGINT) AS y
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope_cents_per_hour,
+           round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept_cents
+    FROM s
+    """,
+)
+def q_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value vs time
+    (operators/events.py::grouped_trend): regression via exact-integer
+    sufficient statistics, one shuffle."""
+    from small_etl_spark.operators.events import grouped_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_trend(ev)
+
+
+@register(
+    "scd2_customers",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             'WEB' AS c_mktsegment
+      FROM customer WHERE c_nationkey = 5
+    ), chg AS (
+      SELECT cur.c_custkey AS k FROM cur
+      JOIN upd ON cur.c_custkey = upd.c_custkey
+      WHERE cur.c_mktsegment <> upd.c_mktsegment
+    )
+    SELECT * FROM cur WHERE c_custkey NOT IN (SELECT k FROM chg)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           valid_from, '2024-06-01', FALSE
+    FROM cur WHERE c_custkey IN (SELECT k FROM chg)
+    UNION ALL
+    SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
+           '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+    FROM upd u WHERE u.c_custkey IN (SELECT k FROM chg)
+    """,
+)
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/joins.py::scd2_upsert): nation-5
+    customers move to the WEB segment effective 2024-06-01 — changed
+    open rows are closed, new versions appended, history preserved."""
+    from small_etl_spark.operators.joins import scd2_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_nationkey") == 5).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("WEB").alias("c_mktsegment"),
+    )
+    return scd2_upsert(
+        current,
+        updates,
+        key="c_custkey",
+        compare_cols=["c_mktsegment"],
+        effective="2024-06-01",
+    )
+
+
+@register(
+    "reservoir_sample_docs",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat_ws('|', 'reservoir-v1',
+                                      CAST(doc_id AS VARCHAR))), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def q_reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-docs-per-language sample
+    (llm/sampling.py::hash_topk_per_group) — the reproducible,
+    engine-portable replacement for reservoir sampling."""
+    from small_etl_spark.llm.sampling import hash_topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_topk_per_group(docs, "lang", 20).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok WHERE term <> '' GROUP BY term
+    ), top AS (
+      SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 100
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+           term, cnt,
+           round(CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS DOUBLE)
+                 / CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM counts) AS DOUBLE),
+                 6) AS coverage
+    FROM top
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary with cumulative token coverage
+    (llm/textstats.py::vocab_coverage) — the tokenizer-design query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.vocab_coverage(docs, top_n=100)
+
+
+@register("kmeans_clusters", None)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means clustering of the embeddings corpus
+    (llm/similarity.py::kmeans_clusters): 8 clusters, 3 Lloyd rounds;
+    rows-only check (iterative algorithm — not SQL-expressible), with
+    determinism and mass conservation pinned by pytest."""
+    from small_etl_spark.llm.similarity import kmeans_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, k=8, iters=3)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
