@@ -336,3 +336,48 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def bigram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-``top_n`` corpus bigrams with conditional probability
+    p(w2|w1) — the n-gram-LM / tokenizer-merge-rule query. Returns
+    ``(w1, w2, cnt, cond_p)`` ordered by frequency.
+
+    Bigrams come from one zip_with of the token array against its
+    own 1-shifted slice (the winnowing lesson: shift-composition
+    beats per-position slicing — two O(n) array ops per doc, no
+    quadratic reslicing), exploded once. Two vocabulary-sized
+    aggregations (pair counts, left-token totals) whose join is
+    pair-vocab × unigram-vocab — AQE broadcasts the unigram side.
+    """
+    toks = df.select(F.split(F.col(text_col), " ").alias("__toks__"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__toks__"), 1, F.greatest(F.size("__toks__") - 1, F.lit(0))),
+                F.slice(F.col("__toks__"), 2, F.greatest(F.size("__toks__") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__p__")
+    ).select("__p__.w1", "__p__.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy(F.col("w1").alias("__w1__")).agg(
+        F.sum("cnt").alias("__w1_total__")
+    )
+    return (
+        counts.join(totals, F.col("w1") == F.col("__w1__"))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("__w1_total__").cast("double"), 6
+            ).alias("cond_p"),
+        )
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(top_n)
+    )

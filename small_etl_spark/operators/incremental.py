@@ -1,0 +1,53 @@
+"""Incremental aggregate maintenance: partial-aggregate states that
+merge associatively, so a materialized aggregate is updated from a
+delta without rescanning the base.
+
+North-star operator (no reference equivalent — the reference
+recomputes every pipeline run end-to-end). This is the 100 TB
+operational pattern: keep ``(key, cnt, sum)`` partials materialized
+(bucketed by key), fold each day's delta in with one delta-sized
+shuffle, and derive final averages/totals at read time. Works for
+any algebraic aggregate (sum/count/min/max, and mergeable sketches
+like HLL); explicitly NOT for holistic aggregates (exact median)
+— those need the raw data.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def partial_counts_sums(
+    df: DataFrame,
+    key: str | list[str],
+    val_cents: str,
+) -> DataFrame:
+    """Partial-aggregate state ``(keys..., cnt, sum_cents)`` for one
+    slice of the data. ``val_cents`` is a 2-decimal money column,
+    accumulated as exact integer cents so partials merge without
+    float drift."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col(val_cents) * 100).cast("bigint")).alias("sum_cents"),
+    )
+
+
+def merge_partials(*parts: DataFrame) -> DataFrame:
+    """Merge partial states: union + re-aggregate (sum of counts, sum
+    of sums). Associative and commutative, so any merge tree gives
+    the same result — merge yesterday's materialized state with
+    today's delta, or a year of daily partials in one go. The shuffle
+    is keyed like the partials themselves; if the stored state is
+    bucketed by key, AQE sees co-located sides and skips the
+    exchange."""
+    if not parts:
+        raise ValueError("need at least one partial state")
+    keys = [c for c in parts[0].columns if c not in ("cnt", "sum_cents")]
+    u = reduce(DataFrame.unionByName, parts)
+    return u.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_cents").alias("sum_cents"),
+    )

@@ -3530,6 +3530,198 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_clusters(emb, k=8, iters=3)
 
 
+@register(
+    "profile_customer",
+    """
+    SELECT 'c_custkey' AS "column",
+           CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(c_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(c_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+           CAST(COUNT(DISTINCT c_name) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(c_name), MAX(c_name)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+           CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(c_mktsegment), MAX(c_mktsegment)
+    FROM customer
+    """,
+)
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the customer table
+    (operators/profiling.py::profile_columns): nulls, exact distinct,
+    min/max per column — the pre-ingest data-quality check."""
+    from small_etl_spark.operators.profiling import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "histogram_totalprice",
+    """
+    SELECT bucket,
+           CAST((0 + bucket * 2500000) AS DOUBLE) / 100.0 AS lo_edge,
+           CAST((0 + (bucket + 1) * 2500000) AS DOUBLE) / 100.0 AS hi_edge,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT LEAST(CAST(round(o_totalprice*100) AS BIGINT) // 2500000,
+                   CAST(19 AS BIGINT)) AS bucket
+      FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20-bucket equi-width histogram of o_totalprice in
+    [0, 500k] (operators/profiling.py::histogram_cents) — integer
+    bucket math on cents, no float-edge ambiguity."""
+    from small_etl_spark.operators.profiling import histogram_cents
+
+    o = load_table(spark, sf_dir, "orders")
+    return histogram_cents(o, "o_totalprice", 0, 50_000_000, 20)
+
+
+@register(
+    "heavy_hitter_users",
+    """
+    WITH counts AS (
+      SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    )
+    SELECT key, cnt,
+           round(CAST(cnt AS DOUBLE)
+                 / CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM counts) AS DOUBLE),
+                 6) AS share
+    FROM counts
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 users by event count with global share
+    (operators/profiling.py::heavy_hitters) — the skew diagnosis you
+    run before picking a salting factor."""
+    from small_etl_spark.operators.profiling import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", 10)
+
+
+@register(
+    "zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type AS g,
+             CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+             sqrt(CAST(SUM(y*y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  - (CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * (CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS std
+      FROM (SELECT event_type, CAST(round(value*100) AS BIGINT) AS y FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_id, event_type, value,
+           round((CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) - mean) / std,
+                 6) AS zscore
+    FROM events JOIN stats ON event_type = g
+    WHERE std > 0
+      AND abs((CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) - mean) / std)
+          > 2.5
+    """,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers
+    (operators/profiling.py::zscore_outliers): group moments from
+    exact integer sufficient statistics, float math once per group —
+    partitioning-independent and oracle-reproducible."""
+    from small_etl_spark.operators.profiling import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_outliers(ev, "event_type", "value", "event_id", 2.5)
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance
+    (operators/incremental.py): per-customer (cnt, sum) partials for
+    the pre-1999 base and the 1999+ delta merged WITHOUT rescanning —
+    the oracle recomputes from scratch, proving merge ≡ recompute."""
+    from small_etl_spark.operators.incremental import (
+        merge_partials,
+        partial_counts_sums,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("date")
+    base = partial_counts_sums(
+        o.filter(F.col("o_orderdate") < cut), "o_custkey", "o_totalprice"
+    )
+    delta = partial_counts_sums(
+        o.filter(F.col("o_orderdate") >= cut), "o_custkey", "o_totalprice"
+    )
+    return merge_partials(base, delta)
+
+
+@register(
+    "bigram_stats",
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS l FROM documents
+    ), zipped AS (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:])) AS pr FROM toks
+    ), pairs AS (
+      SELECT pr[1] AS w1, pr[2] AS w2 FROM zipped
+      WHERE pr[1] <> '' AND pr[2] <> ''
+    ), counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY w1, w2
+    ), tot AS (
+      SELECT w1 AS tw1, CAST(SUM(cnt) AS BIGINT) AS w1_total
+      FROM counts GROUP BY w1
+    )
+    SELECT w1, w2, cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(w1_total AS DOUBLE), 6) AS cond_p
+    FROM counts JOIN tot ON w1 = tw1
+    ORDER BY cnt DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with p(w2|w1)
+    (llm/textstats.py::bigram_stats) — the n-gram-LM/tokenizer-merge
+    query; shift-composed zip_with bigrams, no per-position slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bigram_stats(docs, top_n=50)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

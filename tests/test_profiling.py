@@ -1,0 +1,121 @@
+"""Profiling / diagnostics operators and incremental aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from small_etl_spark.llm.textstats import bigram_stats
+from small_etl_spark.operators.incremental import (
+    merge_partials,
+    partial_counts_sums,
+)
+from small_etl_spark.operators.profiling import (
+    heavy_hitters,
+    histogram_cents,
+    profile_columns,
+    zscore_outliers,
+)
+
+
+class TestProfileColumns:
+    def test_nulls_distinct_minmax(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)],
+            "id bigint, s string, v double",
+        )
+        prof = {r["column"]: r for r in profile_columns(df).collect()}
+        assert prof["id"]["n_nulls"] == 0
+        assert prof["id"]["n_distinct"] == 2
+        assert prof["id"]["min_num"] == 1.0 and prof["id"]["max_num"] == 2.0
+        assert prof["s"]["n_nulls"] == 1
+        assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+        assert prof["s"]["min_num"] is None
+        assert prof["v"]["n_nulls"] == 1
+        assert prof["v"]["max_num"] == 3.5
+
+
+class TestHistogram:
+    def test_edges_clamp_and_mass(self, spark):
+        df = spark.createDataFrame(
+            [(0.0,), (24.99,), (25.0,), (49.99,), (999.0,)], "x double"
+        )
+        out = {r["bucket"]: r for r in histogram_cents(df, "x", 0, 10_000, 4).collect()}
+        assert out[0]["cnt"] == 2  # 0.00, 24.99
+        assert out[1]["cnt"] == 2  # 25.00, 49.99
+        assert out[3]["cnt"] == 1  # 999 clamps into last bucket
+        assert out[0]["lo_edge"] == 0.0 and out[0]["hi_edge"] == 25.0
+        assert sum(r["cnt"] for r in out.values()) == df.count()
+
+
+class TestHeavyHitters:
+    def test_top_and_share(self, spark):
+        rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1
+        df = spark.createDataFrame(rows, "k bigint")
+        out = heavy_hitters(df, "k", 2).orderBy(F.desc("cnt")).collect()
+        assert [(r["key"], r["cnt"]) for r in out] == [(1, 6), (2, 3)]
+        assert out[0]["share"] == 0.6
+
+
+class TestZscoreOutliers:
+    def test_flags_only_outliers(self, spark):
+        rows = [(i, "g", 10.0) for i in range(20)] + [(99, "g", 1000.0)]
+        df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+        out = zscore_outliers(df, "event_type", "value", "event_id", 2.5).collect()
+        assert [r["event_id"] for r in out] == [99]
+        assert out[0]["zscore"] > 2.5
+
+    def test_uniform_group_no_rows(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", 5.0), (2, "g", 5.0)],
+            "event_id bigint, event_type string, value double",
+        )
+        # std == 0 → z is NaN/inf; must not crash and must not flag
+        assert zscore_outliers(df, "event_type", "value", "event_id").count() == 0
+
+
+class TestIncrementalMerge:
+    def test_merge_equals_recompute(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.5), (2, 4.5), (3, 1.0)],
+            "k bigint, v double",
+        )
+        full = partial_counts_sums(df, "k", "v")
+        merged = merge_partials(
+            partial_counts_sums(df.filter(F.col("v") < 10.0), "k", "v"),
+            partial_counts_sums(df.filter(F.col("v") >= 10.0), "k", "v"),
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_three_way_merge_associative(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0), (1, 2.0), (1, 3.0)], "k bigint, v double"
+        )
+        parts = [
+            partial_counts_sums(df.filter(F.col("v") == x), "k", "v")
+            for x in (1.0, 2.0, 3.0)
+        ]
+        a = merge_partials(merge_partials(parts[0], parts[1]), parts[2])
+        b = merge_partials(parts[0], merge_partials(parts[1], parts[2]))
+        assert a.collect() == b.collect() == [
+            type(a.collect()[0])(k=1, cnt=3, sum_cents=600)
+        ]
+
+
+class TestBigramStats:
+    def test_counts_and_cond_p(self, spark):
+        df = spark.createDataFrame(
+            [("a b a b c",), ("a b",)], "text string"
+        )
+        out = {(r["w1"], r["w2"]): r for r in bigram_stats(df, top_n=10).collect()}
+        # bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+        assert out[("a", "b")]["cnt"] == 3
+        assert out[("a", "b")]["cond_p"] == 1.0
+        assert out[("b", "a")]["cnt"] == 1
+        assert out[("b", "a")]["cond_p"] == 0.5
+        assert ("c", None) not in out and len(out) == 3
+
+    def test_single_token_docs_ignored(self, spark):
+        df = spark.createDataFrame([("solo",), ("",)], "text string")
+        assert bigram_stats(df).count() == 0
