@@ -3722,6 +3722,51 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_stats(docs, top_n=50)
 
 
+@register(
+    "stream_stateful_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS total_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL custom stateful streaming operator under the oracle
+    gate (streaming/stateful.py::running_user_totals_exact):
+    applyInPandasWithState accumulates per-user integer-cent totals
+    across micro-batches; the final emission per user (totals are
+    monotone — max picks it, whatever the batch count) must
+    hash-match DuckDB's batch aggregate of the same parquet."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from small_etl_spark.streaming.stateful import running_user_totals_exact
+    from small_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="events_state_")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir)
+    ev = read_events_stream(spark, stream_dir)
+    sink = f"state_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        running_user_totals_exact(ev), sink, output_mode="append"
+    )
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("total_events").alias("total_events"),
+            F.max("total_value_cents").alias("total_value_cents"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -65,3 +65,54 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EXACT_OUTPUT_SCHEMA = (
+    "user_id bigint, total_events bigint, total_value_cents bigint"
+)
+EXACT_STATE_SCHEMA = "total_events bigint, total_value_cents bigint"
+
+
+def _update_user_totals_exact(key, pdfs: Iterator, state: GroupState):
+    import pandas as pd
+
+    n = 0
+    cents = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        # per-row cents BEFORE summing: integer accumulation is
+        # order-insensitive, so cross-batch totals are exact and the
+        # final emission hash-matches a batch SQL aggregate
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    if state.exists:
+        total_n, total_c = state.get
+    else:
+        total_n, total_c = 0, 0
+    total_n += n
+    total_c += cents
+    state.update((total_n, total_c))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "total_events": [total_n],
+            "total_value_cents": [total_c],
+        }
+    )
+
+
+def running_user_totals_exact(events: DataFrame) -> DataFrame:
+    """Per-user running totals with EXACT integer-cent accumulation —
+    the oracle-gated variant of :func:`running_user_stats`: because
+    state is integers, the last emission per user equals the batch
+    aggregate bit-for-bit regardless of micro-batch count or order."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals_exact,
+            outputStructType=EXACT_OUTPUT_SCHEMA,
+            stateStructType=EXACT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

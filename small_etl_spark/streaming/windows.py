@@ -41,7 +41,11 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
     File sources need an explicit schema (no inference mid-stream);
@@ -59,7 +63,12 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
             StructField("props", StringType()),
         ]
     )
-    df = spark.readStream.schema(nanos_schema).parquet(events_dir)
+    reader = spark.readStream.schema(nanos_schema)
+    if max_files_per_trigger is not None:
+        # availableNow honors source limits: N files → ⌈N/limit⌉
+        # micro-batches (how the multi-batch state tests force >1)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(events_dir)
     # integer DIV (see sources.tables.load_table): `/` loses µs at e18 nanos
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

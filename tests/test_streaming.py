@@ -141,3 +141,42 @@ def test_stream_to_files_foreachbatch(spark, events_dir, tmp_path):
     written = spark.read.parquet(f"{out}/batch=*/parquet")
     batch = tumbling_window_agg(load_table(spark, SF_DIR, "events"))
     assert _rows(written.select(*batch.columns)) == _rows(batch)
+
+
+def test_stateful_exact_totals_multibatch(spark, tmp_path):
+    """Exact-cents stateful op across FORCED multiple micro-batches:
+    two source files + maxFilesPerTrigger=1 → two batches; state must
+    carry between them and the final emission per user must equal the
+    batch aggregate exactly (integer cents — no float drift)."""
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.streaming.stateful import running_user_totals_exact
+
+    import glob as _glob
+
+    ev = load_table(spark, SF_DIR, "events")
+    d = tmp_path / "events_split"
+    d.mkdir()
+    for name, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        out = tmp_path / f"half_{name}"
+        ev.filter(pred).coalesce(1).write.parquet(str(out))
+        # the stream source wants plain files in its dir, not
+        # part-file subdirectories
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        shutil.copy(part, d / f"{name}.parquet")
+
+    stream = running_user_totals_exact(
+        read_events_stream(spark, str(d), max_files_per_trigger=1)
+    )
+    run_to_memory_sink(stream, "state_exact_sink", output_mode="append")
+    emissions = spark.table("state_exact_sink")
+    # state crossed batches: users emitted more than once
+    assert emissions.count() > emissions.select("user_id").distinct().count()
+    final = emissions.groupBy("user_id").agg(
+        F.max("total_events").alias("n"), F.max("total_value_cents").alias("c")
+    )
+    expect = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
+    )
+    assert _rows(final) == _rows(expect)
