@@ -2941,16 +2941,20 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, CAST(SUM(val) AS DOUBLE) / 100.0 AS part_value
     FROM v
     GROUP BY l_partkey
-    HAVING SUM(val) * 1000 > (SELECT SUM(val) FROM v)
+    HAVING SUM(val) * (SELECT COUNT(DISTINCT l_partkey) FROM v)
+           > 2 * (SELECT SUM(val) FROM v)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (lineitem value per part plays partsupp stock
-    value): grouped sums kept only when they exceed a fraction of the
-    *global* sum — a scalar subquery. Spark evaluates the global sum
+    value): grouped sums kept only when they exceed 2× the average
+    per-part value — a scalar subquery over the global stats (TPC-H
+    scales its HAVING fraction by 1/SF for the same reason: a fixed
+    fraction degenerates as cardinality grows; the average-relative
+    threshold is scale-invariant). Spark evaluates the global stats
     as a 1-row DataFrame cross-joined (broadcast) onto the grouped
-    result; the fraction test runs on exact integers scaled by the
-    fraction denominator, no floating-point threshold. The value
+    result; the test runs on cross-multiplied exact integers, no
+    floating-point threshold. The value
     stream is computed once per side from the same filtered scan —
     at 100 TB you'd .persist() it; at oracle SF the double scan is
     cheaper than a cache materialization."""
@@ -2965,12 +2969,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("val"),
         )
     )
-    total = v.agg(F.sum("val").alias("total_val"))
+    total = v.agg(
+        F.sum("val").alias("total_val"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
     return (
         v.groupBy("l_partkey")
         .agg(F.sum("val").alias("sum_val"))
         .join(F.broadcast(total))
-        .filter(F.col("sum_val") * 1000 > F.col("total_val"))
+        .filter(F.col("sum_val") * F.col("n_parts") > 2 * F.col("total_val"))
         .select(
             "l_partkey",
             (F.col("sum_val").cast("double") / 100.0).alias("part_value"),
