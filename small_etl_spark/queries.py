@@ -3774,6 +3774,45 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order oracle: the Morton interleave is mechanical, so the SQL is
+# generated from the same (bits, dims) parameters the Spark operator
+# uses — guaranteeing the two sides implement the identical curve.
+_Z_TERMS = " | ".join(
+    f"(((ux >> {b}) & 1) << {2 * b}) | (((uy >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
+
+_ZORDER_ORACLE = f"""
+    WITH bucketed AS (
+      SELECT event_id,
+             GREATEST(0, LEAST(CAST(floor((user_id * 256) / 1024) AS BIGINT),
+                               255)) AS ux,
+             GREATEST(0, LEAST(CAST(floor((CAST(round(value*100) AS BIGINT)
+                                           * 256) / 56100) AS BIGINT),
+                               255)) AS uy
+      FROM events
+    )
+    SELECT event_id, {_Z_TERMS} AS zcode FROM bucketed
+"""
+
+
+@register("zorder_events", _ZORDER_ORACLE)
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value-cents)
+    (operators/layout.py::zorder_by): static-bounds bucketing + bit
+    interleave, all JVM shift/and/or expressions. The oracle SQL is
+    generated from the same curve parameters; the locality payoff
+    (per-file span bounded on BOTH dimensions) is pinned by
+    tests/test_layout.py."""
+    from small_etl_spark.operators.layout import zorder_by
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    z = zorder_by(ev, [("user_id", 0, 1024), ("value_cents", 0, 56100)], bits=8)
+    return z.select("event_id", "zcode")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

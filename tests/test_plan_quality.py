@@ -176,3 +176,63 @@ def test_q18_semi_join_broadcast(spark):
     plan = final_plan_of(spark, "q18_large_orders")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q21_correlations_stay_hint_free_and_broadcast_at_test_sf(spark):
+    """Q21's EXISTS/NOT-EXISTS legs are LeftSemi/LeftAnti on
+    l_orderkey; at this SF AQE must broadcast them (no SortMergeJoin)
+    and the source must not hint any lineitem-sized side."""
+    import inspect
+
+    import small_etl_spark.queries as q
+
+    plan = final_plan_of(spark, "q21_waiting_orders")
+    assert "SortMergeJoin" not in plan
+    for line in inspect.getsource(q.q21_waiting_orders).splitlines():
+        if "F.broadcast" in line:
+            assert "(s)" in line or "(n)" in line or "(r)" in line, line.strip()
+
+
+def test_q2_prunes_lineitem_scan(spark):
+    """The part-supplier relation derives from a 3-column projection
+    of lineitem — the scan must not read the other 8 columns."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "l_extendedprice" in plan
+    assert "l_shipdate" not in plan and "l_returnflag" not in plan
+
+
+def test_heavy_hitters_takes_ordered(spark):
+    plan = plan_of(spark, "heavy_hitter_users")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_histogram_single_shuffle(spark):
+    """Bucket assignment is map-side; the only exchange is the
+    ≤buckets-group aggregation."""
+    plan = plan_of(spark, "histogram_totalprice")
+    assert plan.count("Exchange") == 1
+
+
+def test_funnel_exchanges_key_on_user(spark):
+    """Every exchange in the funnel chain hash-partitions on user_id
+    (no stray repartition on another key)."""
+    plan = plan_of(spark, "funnel_steps")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line.strip()
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """The per-group moments join back onto the fact scan as a
+    broadcast — the fact side must not shuffle for the join."""
+    plan = final_plan_of(spark, "zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_big_side_never_sort_merges(spark):
+    """All four SCD-2 legs probe the delta-derived changed-key set;
+    at this SF every join is broadcast (the 100 TB shape: current
+    stays in place, delta broadcasts)."""
+    plan = final_plan_of(spark, "scd2_customers")
+    assert "SortMergeJoin" not in plan
