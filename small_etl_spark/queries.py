@@ -3774,6 +3774,30 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of pivot_agg, completing the
+    reshape family: wide part metrics to long (key, metric, value)
+    form. Plans as a single Expand over one scan (zero shuffle, k×
+    row multiplication map-side) — NOT the k-scan UNION ALL the
+    oracle spells out."""
+    p = load_table(spark, sf_dir, "part")
+    return p.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
 # Z-order oracle: the Morton interleave is mechanical, so the SQL is
 # generated from the same (bits, dims) parameters the Spark operator
 # uses — guaranteeing the two sides implement the identical curve.

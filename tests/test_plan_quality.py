@@ -236,3 +236,12 @@ def test_scd2_big_side_never_sort_merges(spark):
     stays in place, delta broadcasts)."""
     plan = final_plan_of(spark, "scd2_customers")
     assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_plans_as_expand_not_union(spark):
+    """Melt must be one Expand over one scan — not the k-scan UNION
+    ALL its oracle spells out."""
+    plan = plan_of(spark, "unpivot_part_metrics")
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 0
+    assert plan.count("Scan parquet") == 1
