@@ -3798,6 +3798,72 @@ def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "resample_locf",
+    """
+    WITH keys AS (SELECT DISTINCT user_id AS key FROM events),
+    grid AS (
+      SELECT key, CAST(floor(epoch(gs.g)) AS BIGINT) AS bin_epoch
+      FROM keys, generate_series(TIMESTAMP '2024-01-01',
+                                 TIMESTAMP '2024-01-31' - INTERVAL 1 SECOND,
+                                 INTERVAL 1 HOUR) AS gs(g)
+    ), per_bin AS (
+      SELECT user_id AS key,
+             CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)
+               + 3600 * ((CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT))
+                         // 3600) AS bin_epoch,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+      GROUP BY 1, 2
+    )
+    SELECT key, bin_epoch,
+           last_value(cents IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY bin_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cents_filled
+    FROM grid LEFT JOIN per_bin USING (key, bin_epoch)
+    """,
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + forward fill over January 2024
+    (operators/timeseries.py::resample_locf): dense grid per user,
+    per-bin exact-cent totals, LOCF carry — the metrics/feature
+    densification shape."""
+    from small_etl_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_locf(ev, "2024-01-01", "2024-01-31", 3600)
+    return out.select(
+        "key", F.col("bin_ts").cast("long").alias("bin_epoch"), "cents_filled"
+    )
+
+
+@register(
+    "rolling_range_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER (
+                  PARTITION BY user_id
+                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0 AS trailing_sum
+    FROM events
+    """,
+)
+def q_rolling_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24h per-user spend at every event
+    (operators/timeseries.py::rolling_range_sum): an interval-RANGE
+    window frame (peer-inclusive, time-keyed) — the rate-limit /
+    rolling-feature shape that a ROWS frame gets wrong under bursts
+    and gaps."""
+    from small_etl_spark.operators.timeseries import rolling_range_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_range_sum(ev, 86400)
+
+
 # Z-order oracle: the Morton interleave is mechanical, so the SQL is
 # generated from the same (bits, dims) parameters the Spark operator
 # uses — guaranteeing the two sides implement the identical curve.
