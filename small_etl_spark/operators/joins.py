@@ -330,3 +330,40 @@ def scd2_upsert(
     return (
         untouched.unionByName(history).unionByName(closed).unionByName(new_rows)
     )
+
+
+def apply_cdc(
+    log: DataFrame,
+    key: str | list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC log (I/U/D change events) down to final table
+    state: per key, the latest op wins (``order_cols`` — include a
+    unique sequence tiebreak); a latest 'D' removes the key. Returns
+    the surviving latest row images without the op/order columns
+    (north-star op — the change-log replay half of upsert/SCD;
+    ``/root/reference`` re-extracts from source every run instead).
+
+    Plan shape: ``max_by(whole-row, order)`` aggregation — the same
+    combiner-style partial-agg as dedup_by_fields_first_wins
+    (operators/dedup.py), so the shuffle carries one candidate per
+    key per partition, never a window sort of the full log. The D
+    filter happens after reduction, where 'latest' is already known.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    data_cols = [c for c in log.columns if c != op_col and c not in order_cols]
+    latest = (
+        log.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in data_cols], F.col(op_col)),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("__row__")
+        )
+        .select(
+            *[F.col(f"__row__.{c}").alias(c) for c in data_cols],
+            F.col(f"__row__.{op_col}").alias(op_col),
+        )
+    )
+    return latest.filter(F.col(op_col) != "D").drop(op_col)

@@ -182,3 +182,32 @@ def zscore_outliers(
             F.round(F.col("__z__"), 6).alias("zscore"),
         )
     )
+
+
+def expect(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Data-quality expectations report: each rule is
+    ``(name, boolean_condition_column)``; returns one row per rule —
+    ``(rule, violations, total, passed)`` — computed in a SINGLE
+    pass (one agg evaluates every rule's violation count over one
+    scan; nulls count as violations). The declarative cousin of the
+    reference's declared-but-inert ``transform.validation``
+    (/root/reference/src/config/sequence_config.rs:102-108), and the
+    gate a 100 TB ingest runs before promoting a partition."""
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("bigint")).alias(
+                f"__v_{name}"
+            )
+        )
+    one = df.agg(*aggs)
+    rows = [
+        one.select(
+            F.lit(name).alias("rule"),
+            F.col(f"__v_{name}").alias("violations"),
+            F.col("__total__").alias("total"),
+            (F.col(f"__v_{name}") == 0).alias("passed"),
+        )
+        for name, _ in rules
+    ]
+    return reduce(DataFrame.unionByName, rows)

@@ -3775,6 +3775,160 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "apply_cdc_orders",
+    """
+    WITH log AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS seq, 'I' AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice*100) AS BIGINT) * 2,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) + 1000000, 'U'
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, CAST(0 AS BIGINT),
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) + 2000000, 'D'
+      FROM orders WHERE o_orderstatus = 'P'
+    ), latest AS (
+      SELECT o_orderkey, o_custkey, price_cents, op,
+             ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC)
+               AS rn
+      FROM log
+    )
+    SELECT o_orderkey, o_custkey, price_cents
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_apply_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay (operators/joins.py::apply_cdc): a synthetic
+    I/U/D change log over orders (every order inserted; 'F' orders
+    later updated to doubled price; 'P' orders deleted) reduced to
+    final state with latest-op-wins max_by aggregation — never a
+    window sort of the full log. The oracle spells out the
+    ROW_NUMBER formulation; both must agree row-for-row."""
+    from small_etl_spark.operators.joins import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # o_orderdate reads as TIMESTAMP_NTZ, which has no direct long
+    # cast — hop through TIMESTAMP (session TZ is pinned UTC)
+    seq = F.col("o_orderdate").cast("timestamp").cast("long")
+    ins = o.select(
+        "o_orderkey", "o_custkey", cents.alias("price_cents"),
+        seq.alias("seq"), F.lit("I").alias("op"),
+    )
+    upd = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", (cents * 2).alias("price_cents"),
+        (seq + 1_000_000).alias("seq"), F.lit("U").alias("op"),
+    )
+    dels = o.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", "o_custkey", F.lit(0).cast("bigint").alias("price_cents"),
+        (seq + 2_000_000).alias("seq"), F.lit("D").alias("op"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    return apply_cdc(log, "o_orderkey", ["seq"])
+
+
+@register(
+    "expectations_orders",
+    """
+    SELECT 'price_in_range' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                                 OR o_totalprice < 0
+                                 OR o_totalprice > 1000000) AS BIGINT)
+             AS violations,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 0
+                            OR o_totalprice > 1000000) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'status_known',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                                 OR o_orderstatus NOT IN ('O','F','P'))
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                            OR o_orderstatus NOT IN ('O','F','P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'date_not_null',
+           CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_orderdate IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_positive',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL OR o_custkey < 0)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) FILTER (WHERE o_custkey IS NULL OR o_custkey < 0) = 0
+    FROM orders
+    """,
+)
+def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations gate over orders
+    (operators/profiling.py::expect): four rules evaluated in one
+    scan, null-hostile (a null fails its rule) — the promote/quarantine
+    decision for an ingest partition."""
+    from small_etl_spark.operators.profiling import expect
+
+    o = load_table(spark, sf_dir, "orders")
+    return expect(
+        o,
+        [
+            ("price_in_range", F.col("o_totalprice").between(0, 1_000_000)),
+            ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("date_not_null", F.col("o_orderdate").isNotNull()),
+            ("custkey_positive", F.col("o_custkey") >= 0),
+        ],
+    )
+
+
+@register("pagerank_bigram_terms", None)
+def q_pagerank_bigram_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the corpus bigram graph (w1→w2 edges from
+    llm/textstats.py::bigram_stats machinery;
+    operators/graph.py::pagerank, 10 power iterations): the
+    term-centrality view of the corpus. Rows-only check (iterative
+    float fixpoint — not SQL-expressible); convergence and known-graph
+    values pinned in tests/test_graph.py."""
+    from small_etl_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("__toks__"))
+    edges = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("__toks__"),
+                        1,
+                        F.greatest(F.size("__toks__") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("__toks__"),
+                        2,
+                        F.greatest(F.size("__toks__") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+                )
+            ).alias("__e__")
+        )
+        .select("__e__.src", "__e__.dst")
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=10)
+    return (
+        ranks.select("node", F.round("rank", 4).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+@register(
     "unpivot_part_metrics",
     """
     SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val

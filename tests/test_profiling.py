@@ -119,3 +119,57 @@ class TestBigramStats:
     def test_single_token_docs_ignored(self, spark):
         df = spark.createDataFrame([("solo",), ("",)], "text string")
         assert bigram_stats(df).count() == 0
+
+
+class TestExpect:
+    def test_single_pass_report(self, spark):
+        from small_etl_spark.operators.profiling import expect
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, -5.0), (3, None)], "id bigint, v double"
+        )
+        out = {
+            r["rule"]: r
+            for r in expect(
+                df,
+                [
+                    ("v_nonneg", F.col("v") >= 0),
+                    ("id_positive", F.col("id") > 0),
+                ],
+            ).collect()
+        }
+        # -5 violates; NULL counts as a violation too
+        assert out["v_nonneg"]["violations"] == 2
+        assert out["v_nonneg"]["passed"] is False
+        assert out["id_positive"]["violations"] == 0
+        assert out["id_positive"]["passed"] is True
+        assert out["v_nonneg"]["total"] == 3
+
+
+class TestApplyCdc:
+    def test_latest_op_wins_and_deletes(self, spark):
+        from small_etl_spark.operators.joins import apply_cdc
+
+        log = spark.createDataFrame(
+            [
+                (1, "x", 1, "I"),
+                (1, "y", 2, "U"),   # latest for key 1 → survives as y
+                (2, "a", 1, "I"),
+                (2, "a", 2, "D"),   # latest is D → key 2 gone
+                (3, "z", 5, "D"),
+                (3, "z2", 6, "I"),  # re-insert after delete → survives
+            ],
+            "k bigint, val string, seq bigint, op string",
+        )
+        out = {r["k"]: r["val"] for r in apply_cdc(log, "k", ["seq"]).collect()}
+        assert out == {1: "y", 3: "z2"}
+
+    def test_plan_is_aggregate_not_window(self, spark):
+        from small_etl_spark.operators.joins import apply_cdc
+
+        log = spark.createDataFrame(
+            [(1, "x", 1, "I")], "k bigint, val string, seq bigint, op string"
+        )
+        plan = apply_cdc(log, "k", ["seq"])._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "max_by" in plan or "HashAggregate" in plan
