@@ -367,3 +367,67 @@ def apply_cdc(
         )
     )
     return latest.filter(F.col(op_col) != "D").drop(op_col)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of the same table: one row per key that
+    changed, with ``change`` ∈ {'added', 'removed', 'changed'} and
+    both value images (old_/new_ prefixed). Unchanged keys are
+    dropped. The reconciliation/audit op between pipeline runs
+    (north-star — the reference can only overwrite outputs).
+
+    Plan shape: ONE full-outer join on the key, change classification
+    from null-sides and null-safe column comparison (eqNullSafe — a
+    NULL→value transition counts as a change). Both sides shuffle on
+    the key once; at 100 TB store snapshots bucketed by key and the
+    exchange disappears.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cmp_cols = compare_cols or [c for c in old.columns if c not in keys]
+    missing = [c for c in cmp_cols + keys if c not in set(new.columns)]
+    if missing:
+        raise ValueError(f"new snapshot missing columns: {missing}")
+
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in cmp_cols],
+        F.lit(True).alias("__in_old__"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in cmp_cols],
+        F.lit(True).alias("__in_new__"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+
+    same = None
+    for c in cmp_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__in_old__").isNull(), F.lit("added"))
+        .when(F.col("__in_new__").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    key_out = [
+        F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *key_out,
+            "change",
+            *[F.col(f"old_{c}") for c in cmp_cols],
+            *[F.col(f"new_{c}") for c in cmp_cols],
+        )
+    )

@@ -3886,6 +3886,61 @@ def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderdate < DATE '2000-01-01'
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                  OR old.price_cents IS DISTINCT FROM new.price_cents
+                  THEN 'changed' END AS change,
+           old.o_orderstatus AS old_o_orderstatus,
+           old.price_cents AS old_price_cents,
+           new.o_orderstatus AS new_o_orderstatus,
+           new.price_cents AS new_price_cents
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+       OR old.price_cents IS DISTINCT FROM new.price_cents
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/joins.py::snapshot_diff):
+    two overlapping order snapshots (pre-2000 vs 1997+, with 'P'
+    statuses flipped to 'F' in the new image) diffed into
+    added/removed/changed rows via ONE full-outer join with null-safe
+    comparison."""
+    from small_etl_spark.operators.joins import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("date")
+    ).select("o_orderkey", "o_orderstatus", cents.alias("price_cents"))
+    new = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        cents.alias("price_cents"),
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
 @register("pagerank_bigram_terms", None)
 def q_pagerank_bigram_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the corpus bigram graph (w1→w2 edges from

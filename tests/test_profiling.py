@@ -173,3 +173,24 @@ class TestApplyCdc:
         plan = apply_cdc(log, "k", ["seq"])._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "max_by" in plan or "HashAggregate" in plan
+
+
+class TestSnapshotDiff:
+    def test_classification(self, spark):
+        from small_etl_spark.operators.joins import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            "k bigint, s string, v bigint",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 20), (3, "c2", 30), (4, "now", 40), (5, "e", 50)],
+            "k bigint, s string, v bigint",
+        )
+        out = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+        assert out[1]["change"] == "removed"
+        assert out[3]["change"] == "changed"
+        assert out[3]["old_s"] == "c" and out[3]["new_s"] == "c2"
+        assert out[4]["change"] == "changed"  # NULL → value is a change
+        assert out[5]["change"] == "added"
+        assert 2 not in out  # unchanged key dropped
