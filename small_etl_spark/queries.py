@@ -3941,6 +3941,106 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "o_orderkey")
 
 
+@register(
+    "array_functions",
+    """
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(l, x -> len(x) > 5)) AS BIGINT) AS n_long,
+           l[1] AS first_token,
+           CAST(list_sum(list_transform(l, x -> len(x))) AS BIGINT)
+             AS total_chars
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface (north-star §2.9 breadth,
+    like string_functions/date_functions): size, lambda filter,
+    element access, lambda aggregate — all JVM array expressions in
+    one codegen stage, mapped 1:1 onto DuckDB list functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5))
+        .cast("bigint")
+        .alias("n_long"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup
+    specialize; north-star agg breadth) via the engine's SQL surface
+    over a registered view — one Expand-based aggregation pass, not
+    three unioned scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "argminmax_agg",
+    """
+    SELECT l_returnflag,
+           arg_max(l_orderkey,
+                   CAST(round(l_extendedprice*100) AS BIGINT) * 8589934592
+                   + l_orderkey * 8 + l_linenumber) AS priciest_order,
+           arg_min(l_orderkey,
+                   CAST(round(l_extendedprice*100) AS BIGINT) * 8589934592
+                   + l_orderkey * 8 + l_linenumber) AS cheapest_order,
+           CAST(MAX(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_argminmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by) with a DETERMINISTIC composite
+    ordering key: ties on price are broken by (orderkey, linenumber)
+    folded into one bigint (price_cents·2³³ + orderkey·8 + line — the
+    components can't overlap at any test SF), because a bare
+    arg_max(x, price) is nondeterministic under ties and would flake
+    the oracle hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ordk = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint") * 8589934592
+        + F.col("l_orderkey") * 8
+        + F.col("l_linenumber")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", ordk).alias("priciest_order"),
+        F.min_by("l_orderkey", ordk).alias("cheapest_order"),
+        (
+            F.max(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("max_price"),
+    )
+
+
 @register("pagerank_bigram_terms", None)
 def q_pagerank_bigram_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the corpus bigram graph (w1→w2 edges from
