@@ -116,3 +116,70 @@ def running_user_totals_exact(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class _RunningTotalsProcessor:
+    """Lazy import shim — see running_user_totals_tws below."""
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user exact running totals on the transformWithStateInPandas
+    API (Spark 4 arbitrary-state v2: typed ValueState in a RocksDB
+    state store, timer support, schema evolution) — the modern twin
+    of :func:`running_user_totals_exact`, same integer-cent exactness
+    contract, so the drained stream hash-matches the batch aggregate.
+
+    Requires (a) the RocksDB state store provider (bundled in
+    Spark 4 — set ``spark.sql.streaming.stateStore.providerClass``
+    to RocksDBStateStoreProvider before the query starts) and (b)
+    the ``protobuf`` package, which the state-server protocol
+    imports in its driver worker — absent protobuf the query fails
+    at init with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    (the test suite import-skips accordingly; the
+    applyInPandasWithState twin has no such dependency and stays
+    the oracle-gated default).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            cents = 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            if self._state.exists():
+                pn, pc = self._state.get()
+                n += pn
+                cents += pc
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_events": [n],
+                    "total_value_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=EXACT_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

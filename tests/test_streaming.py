@@ -180,3 +180,34 @@ def test_stateful_exact_totals_multibatch(spark, tmp_path):
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
     )
     assert _rows(final) == _rows(expect)
+
+
+def test_transform_with_state_totals(spark, events_dir):
+    """Spark 4 transformWithStateInPandas (typed ValueState, RocksDB
+    store): drained totals must equal the batch aggregate exactly.
+    The twS state-server protocol imports protobuf in its driver
+    worker — skip where the package isn't available."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.streaming.stateful import running_user_totals_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = running_user_totals_tws(read_events_stream(spark, events_dir))
+        run_to_memory_sink(stream, "tws_sink", output_mode="update")
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = spark.table("tws_sink")
+    final = got.groupBy("user_id").agg(
+        F.max("total_events").alias("n"), F.max("total_value_cents").alias("c")
+    )
+    expect = load_table(spark, SF_DIR, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
+    )
+    assert _rows(final) == _rows(expect)
