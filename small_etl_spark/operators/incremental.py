@@ -51,3 +51,36 @@ def merge_partials(*parts: DataFrame) -> DataFrame:
         F.sum("cnt").alias("cnt"),
         F.sum("sum_cents").alias("sum_cents"),
     )
+
+
+def partial_distinct_sketches(
+    df: DataFrame,
+    key: str | list[str],
+    count_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Partial-aggregate state for DISTINCT counts: a Datasketches
+    HLL sketch per key (``(keys..., hll)``). Unlike exact
+    COUNT(DISTINCT) — which cannot be maintained incrementally
+    without keeping every value — sketches union losslessly, so the
+    materialized state is ~KB per key at ANY cardinality."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(count_col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def merge_distinct_sketches(*parts: DataFrame) -> DataFrame:
+    """Merge per-slice HLL states and estimate:
+    ``(keys..., approx_distinct)``. Union is associative/commutative
+    like the counts-and-sums merge; fold deltas in forever without
+    rescanning the base. ±~2% at lg_k=12 — the consumers of
+    incremental distinct counts (cardinality dashboards, join-size
+    estimation) tolerate that by construction."""
+    if not parts:
+        raise ValueError("need at least one partial state")
+    keys = [c for c in parts[0].columns if c != "hll"]
+    u = reduce(DataFrame.unionByName, parts)
+    return u.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct")
+    )

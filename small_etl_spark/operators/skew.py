@@ -56,3 +56,30 @@ def salted_agg(
     )
     stage1 = salted.groupBy(*keys, "__salt__").agg(*partial_exprs)
     return stage1.groupBy(*keys).agg(*merge_exprs)
+
+
+def null_skew_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Left join that routes NULL-keyed left rows AROUND the join.
+
+    A left join's null keys can never match, yet a plain join ships
+    every one of them through the shuffle — and since they all hash
+    to the same partition, a null-heavy foreign key (the classic
+    "optional dimension" column) creates the worst possible skew:
+    one straggler task holding every null row. Here null-keyed rows
+    short-circuit (null-extended with the right side's columns,
+    exactly what the join would emit) and only non-null keys
+    shuffle; AQE no longer sees a monster partition.
+    """
+    if how != "left":
+        raise ValueError("null short-circuit only preserves LEFT join semantics")
+    matched = left.filter(F.col(on).isNotNull()).join(right, on, "left")
+    right_only = [c for c in matched.columns if c not in left.columns]
+    bypass = left.filter(F.col(on).isNull())
+    for c in right_only:
+        bypass = bypass.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
+    return matched.unionByName(bypass.select(*matched.columns))

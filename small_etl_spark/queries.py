@@ -4041,6 +4041,31 @@ def q_argminmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("incremental_distinct_hll", None)
+def q_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained DISTINCT counts
+    (operators/incremental.py::partial_distinct_sketches /
+    merge_distinct_sketches): per-returnflag distinct-partkey
+    cardinality from two time-slice HLL sketches unioned — the
+    sketch analog of incremental_agg_merge. Rows-only check (sketch
+    estimates aren't SQL-reproducible); merge≡direct and the error
+    bound vs exact are pinned in pytest."""
+    from small_etl_spark.operators.incremental import (
+        merge_distinct_sketches,
+        partial_distinct_sketches,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("date")
+    base = partial_distinct_sketches(
+        li.filter(F.col("l_shipdate") < cut), "l_returnflag", "l_partkey"
+    )
+    delta = partial_distinct_sketches(
+        li.filter(F.col("l_shipdate") >= cut), "l_returnflag", "l_partkey"
+    )
+    return merge_distinct_sketches(base, delta)
+
+
 @register("pagerank_bigram_terms", None)
 def q_pagerank_bigram_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the corpus bigram graph (w1→w2 edges from

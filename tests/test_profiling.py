@@ -194,3 +194,70 @@ class TestSnapshotDiff:
         assert out[4]["change"] == "changed"  # NULL → value is a change
         assert out[5]["change"] == "added"
         assert 2 not in out  # unchanged key dropped
+
+
+class TestDistinctSketches:
+    def test_merge_equals_direct_and_tracks_exact(self, spark):
+        from small_etl_spark.operators.incremental import (
+            merge_distinct_sketches,
+            partial_distinct_sketches,
+        )
+        from small_etl_spark.sources.tables import load_table
+
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        direct = {
+            r["l_returnflag"]: r["approx_distinct"]
+            for r in merge_distinct_sketches(
+                partial_distinct_sketches(li, "l_returnflag", "l_partkey")
+            ).collect()
+        }
+        merged = {
+            r["l_returnflag"]: r["approx_distinct"]
+            for r in merge_distinct_sketches(
+                partial_distinct_sketches(
+                    li.filter("l_orderkey % 2 = 0"), "l_returnflag", "l_partkey"
+                ),
+                partial_distinct_sketches(
+                    li.filter("l_orderkey % 2 = 1"), "l_returnflag", "l_partkey"
+                ),
+            ).collect()
+        }
+        # sketch union is lossless: slicing must not change estimates
+        assert direct == merged
+        exact = {
+            r["l_returnflag"]: r["d"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("d"))
+            .collect()
+        }
+        for k, est in direct.items():
+            assert abs(est - exact[k]) / exact[k] < 0.05
+
+
+class TestNullSkewJoin:
+    def test_semantics_match_plain_left_join(self, spark):
+        from small_etl_spark.operators.skew import null_skew_left_join
+
+        left = spark.createDataFrame(
+            [(1, "a"), (None, "b"), (2, "c"), (None, "d"), (9, "e")],
+            "k bigint, lv string",
+        )
+        right = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "k bigint, rv string"
+        )
+        from collections import Counter
+
+        got = Counter(map(tuple, null_skew_left_join(left, right, "k").collect()))
+        want = Counter(map(tuple, left.join(right, "k", "left").collect()))
+        assert got == want
+
+    def test_nulls_do_not_reach_the_join(self, spark):
+        from small_etl_spark.operators.skew import null_skew_left_join
+
+        left = spark.createDataFrame([(None, "b")], "k bigint, lv string")
+        right = spark.createDataFrame([(1, "x")], "k bigint, rv string")
+        plan = (
+            null_skew_left_join(left, right, "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "isnotnull(k" in plan  # join branch filters nulls out
