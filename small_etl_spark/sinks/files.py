@@ -118,6 +118,10 @@ def write_outputs(
             writer.json(path)
         elif fmt == "parquet":
             writer.parquet(path)
+        elif fmt == "orc":
+            # second bundled columnar format (zlib default codec) —
+            # same binary-member handling as parquet in the ZIP pass
+            writer.orc(path)
         else:
             raise ValueError(f"invalid output format {fmt!r}")
         written[fmt] = path

@@ -967,3 +967,22 @@ def test_zip_with_parquet_stores_raw_bytes(spark, tmp_path):
 
         table = pq.read_table(io.BytesIO(zf.read(pq_members[0])))
         assert table.num_rows == 2
+
+
+def test_orc_roundtrip_and_zip(spark, tmp_path):
+    """K8 extension: ORC is the second bundled columnar format —
+    write, read back identical, and ZIP stores it as raw-bytes
+    members like parquet."""
+    import zipfile
+
+    from small_etl_spark.plans.spec import VALID_FORMATS
+    from small_etl_spark.sinks.files import write_outputs, zip_output_dir
+
+    assert "orc" in VALID_FORMATS
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    written = write_outputs(df, str(tmp_path), ["orc"])
+    back = spark.read.orc(written["orc"])
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+    z = zip_output_dir(str(tmp_path), written, "out.zip")
+    names = zipfile.ZipFile(z).namelist()
+    assert any(n.startswith("output.orc/") for n in names)
