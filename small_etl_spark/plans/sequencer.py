@@ -93,6 +93,18 @@ def _resolve_source(
         return spark.table(src.table)
     if src.type == "stream":
         return _stream_fetch(spark, spec)
+    if src.type == "query":
+        # analytics-catalog source: any registered query is a stage
+        # input — the declarative bridge between the TOML sequencer
+        # and the engine's query surface
+        import os as _os
+
+        from small_etl_spark.queries import REGISTRY as _QR
+
+        sf_dir = src.sf_dir or _os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        return _QR[src.query].builder(spark, sf_dir)
     if src.type == "combined":
         prev = ctx.all_previous()
         if not prev:

@@ -33,6 +33,7 @@ from small_etl_spark.functions.templating import substitute_env_vars
 VALID_FORMATS = ("csv", "tsv", "json", "parquet", "orc")
 VALID_SOURCE_TYPES = (
     "api", "previous", "combined", "file", "table", "sample", "stream",
+    "query",
 )
 
 
@@ -92,6 +93,12 @@ class SourceSpec:
     # the ts column as bigint in `schema` and set this to convert
     # nanos → microsecond timestamp after the scan
     stream_ts_from_nanos: bool = False
+    # query source: a named entry from the analytics catalog
+    # (small_etl_spark.queries.REGISTRY) run against `sf_dir` — lets a
+    # TOML sequence stage consume any of the engine's 124 registered
+    # queries as its input frame
+    query: str | None = None
+    sf_dir: str | None = None  # default: $SPARK_GRAFT_SF_DIR
     max_records: int | None = None  # F4 limit pushed into extract
     first_record_only: bool = False  # "MVP mode"
     filters: dict[str, Any] = field(default_factory=dict)  # F5, enforced
@@ -358,6 +365,15 @@ def validate_pipeline(p: PipelineSpec) -> None:
         if p.source.urls and not p.source.schema:
             raise SpecError(
                 f"pipeline {p.name!r}: stream urls source requires schema"
+            )
+    if p.source.type == "query":
+        if not p.source.query:
+            raise SpecError(f"pipeline {p.name!r}: query source needs 'query'")
+        from small_etl_spark.queries import REGISTRY as _QR
+
+        if p.source.query not in _QR:
+            raise SpecError(
+                f"pipeline {p.name!r}: unknown query {p.source.query!r}"
             )
     if p.source.type == "table" and not p.source.table:
         raise SpecError(f"pipeline {p.name!r}: table source requires table")

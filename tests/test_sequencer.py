@@ -986,3 +986,58 @@ def test_orc_roundtrip_and_zip(spark, tmp_path):
     z = zip_output_dir(str(tmp_path), written, "out.zip")
     names = zipfile.ZipFile(z).namelist()
     assert any(n.startswith("output.orc/") for n in names)
+
+
+def test_query_catalog_source_stage(spark, tmp_path):
+    """type='query' source: a sequence stage consumes a registered
+    analytics query as its input and downstream stages see it like
+    any other result."""
+    from small_etl_spark.plans.sequencer import run_sequence
+    from small_etl_spark.plans.spec import sequence_from_dict
+
+    seq = sequence_from_dict(
+        {
+            "sequence": {"name": "qsrc", "output_root": str(tmp_path)},
+            "pipelines": [
+                {
+                    "name": "top_customers",
+                    "source": {
+                        "type": "query",
+                        "query": "heavy_hitter_users",
+                        "sf_dir": "/root/testdata/sf0.001",
+                    },
+                    "output": {"formats": ["json"]},
+                },
+                {
+                    "name": "downstream",
+                    "source": {"type": "previous",
+                               "previous_pipeline": "top_customers"},
+                    "transform": {"computed_fields": {"tagged": "'yes'"}},
+                    "output": {"formats": ["csv"]},
+                },
+            ],
+        }
+    )
+    ctx = run_sequence(spark, seq)
+    by_name = {n: ctx.get(n) for n in ("top_customers", "downstream")}
+    assert by_name["top_customers"].record_count == 10
+    assert by_name["downstream"].record_count == 10
+    assert "share" in by_name["downstream"].df.columns
+
+
+def test_query_source_unknown_name_rejected(spark):
+    from small_etl_spark.plans.spec import SpecError, sequence_from_dict
+
+    import pytest as _pytest
+
+    with _pytest.raises(SpecError, match="unknown query"):
+        sequence_from_dict(
+            {
+                "sequence": {"name": "bad"},
+                "pipelines": [
+                    {"name": "x",
+                     "source": {"type": "query", "query": "nope"},
+                     "output": {"formats": ["json"]}},
+                ],
+            }
+        )
