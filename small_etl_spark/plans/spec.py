@@ -53,6 +53,9 @@ class SourceSpec:
     - ``file``     — parquet/csv/json path scan (supersedes S8).
     - ``table``    — named table in the sf_dir catalog.
     - ``sample``   — inline literal records (S7 as a first-class source).
+    - ``query``    — a named analytics-catalog query (queries.REGISTRY)
+      run against ``sf_dir``; bridges the sequencer and the engine's
+      full query surface.
     """
 
     type: str = "api"
