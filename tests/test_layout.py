@@ -82,3 +82,27 @@ def test_zorder_preserves_rows(spark):
     assert sorted(r["event_id"] for r in z.select("event_id").collect()) == sorted(
         r["event_id"] for r in ev.collect()
     )
+
+
+def test_morton_matches_python_reference_exhaustive(spark):
+    """All 16×16 bucket pairs in ONE job vs a pure-Python interleave."""
+
+    def py_morton(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    pairs = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pairs, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton_code([F.col("x"), F.col("y")], bits=4).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == py_morton(x, y)
+    # bijective over the grid
+    assert len(set(got.values())) == len(pairs)

@@ -261,3 +261,29 @@ class TestNullSkewJoin:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "isnotnull(k" in plan  # join branch filters nulls out
+
+
+class TestApplyCdcRandomized:
+    def test_matches_python_replay(self, spark):
+        """A pseudorandom 600-op log (one Spark job) vs a sequential
+        Python replay of the same log."""
+        import random
+
+        from small_etl_spark.operators.joins import apply_cdc
+
+        rng = random.Random(42)
+        rows = []
+        for seq in range(600):
+            k = rng.randrange(40)
+            op = rng.choice(["I", "U", "U", "D"])
+            rows.append((k, f"v{seq}", seq, op))
+        df = spark.createDataFrame(rows, "k bigint, val string, seq bigint, op string")
+        got = {r["k"]: r["val"] for r in apply_cdc(df, "k", ["seq"]).collect()}
+
+        state: dict[int, str] = {}
+        for k, val, seq, op in rows:  # already seq-ordered
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = val
+        assert got == state
