@@ -4198,6 +4198,70 @@ def q_rolling_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_range_sum(ev, 86400)
 
 
+@register(
+    "yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+    )
+    SELECT cur.o_custkey, cur.yr,
+           CAST(cur.rev_cents AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(cur.rev_cents AS DOUBLE)
+                 / CAST(prev.rev_cents AS DOUBLE), 6) AS yoy_ratio
+    FROM yearly cur JOIN yearly prev
+      ON cur.o_custkey = prev.o_custkey AND cur.yr = prev.yr + 1
+    WHERE prev.rev_cents > 0
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per customer (the TPC-DS Q4/Q11 shape:
+    a periodized aggregate self-joined against its own prior
+    period). One aggregation, then a self-join on
+    (custkey, yr = yr+1) — both legs share the aggregate's
+    partitioning, so the join adds no new exchange for the big side
+    at scale. A lag() window over (custkey ORDER BY yr) is the
+    single-pass alternative; the self-join form is the one that
+    generalizes to cross-channel comparisons (DS Q4 joins store vs
+    web years), which is why it's the shape pinned here."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    cur = yearly.select(
+        "o_custkey", "yr", F.col("rev_cents").alias("cur_cents")
+    )
+    prev = yearly.select(
+        F.col("o_custkey").alias("p_custkey"),
+        (F.col("yr") + 1).alias("p_yr"),
+        F.col("rev_cents").alias("prev_cents"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("o_custkey") == F.col("p_custkey"))
+            & (F.col("yr") == F.col("p_yr")),
+        )
+        .filter(F.col("prev_cents") > 0)
+        .select(
+            "o_custkey",
+            "yr",
+            (F.col("cur_cents").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.col("cur_cents").cast("double")
+                / F.col("prev_cents").cast("double"),
+                6,
+            ).alias("yoy_ratio"),
+        )
+    )
+
+
 # Z-order oracle: the Morton interleave is mechanical, so the SQL is
 # generated from the same (bits, dims) parameters the Spark operator
 # uses — guaranteeing the two sides implement the identical curve.
