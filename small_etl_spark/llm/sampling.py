@@ -111,3 +111,29 @@ def hash_topk_per_group(
         .filter(F.col("__rk__") <= k)
         .drop("__rk__")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    scale: float,
+    id_col: str = "doc_id",
+    salt: str = "weighted-v1",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: row ``i`` is kept
+    with probability ``min(1, scale · wᵢ)`` — the quality-upweighting
+    primitive (keep high-quality documents at a higher rate) — but
+    membership is a pure function of (id, salt), so reruns, engines,
+    and partitionings agree exactly.
+
+    Mechanics: the row's 16-bit md5 bucket (uniform on [0, 2¹⁶)) is
+    compared against its own weight-scaled threshold; like
+    stratified_hash_sample this is a pushed-down filter — no shuffle,
+    no RNG state.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    thresh = F.least(
+        F.lit(float(BUCKETS)), w.cast("double") * F.lit(scale) * BUCKETS
+    )
+    bucket = F.conv(hash_bucket(id_col, salt), 16, 10).cast("double")
+    return df.filter(bucket < thresh)

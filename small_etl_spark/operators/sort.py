@@ -49,3 +49,56 @@ def top_k(
     ).asc_nulls_last()
     extra = [F.col(c).asc() for c in (tiebreak or [])]
     return df.orderBy(main, *extra).limit(k)
+
+
+def global_ordinal(
+    df: DataFrame,
+    order_cols: list[str],
+    ordinal_col: str = "ordinal",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign a global 0-based rank by ``order_cols`` (include a
+    unique tiebreak) WITHOUT the single-partition window a bare
+    ``row_number() OVER (ORDER BY ...)`` plans.
+
+    The distributed pattern: range-partition on the order columns
+    (sampled split points keep partitions balanced), count each
+    partition, prefix-sum those counts into per-partition offsets
+    (a partition-count-sized list — driver-trivial), then
+    ``ordinal = offset[pid] + local_rank`` where the local window
+    partitions BY pid — every partition ranks in parallel. Used for
+    curriculum ordering (train on quality-sorted corpora), stable
+    export numbering, and pagination at corpus scale.
+
+    Note: the offsets come from one extra count pass over the
+    range-partitioned frame; at 100 TB persist it first so the scan
+    isn't repeated (left to the caller — a hidden cache here would
+    pin executor memory the caller can't see).
+    """
+    from pyspark.sql import Window
+
+    parts = [num_partitions] if num_partitions else []
+    ranged = df.repartitionByRange(*parts, *order_cols).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    counts = {
+        r["__pid__"]: r["n"]
+        for r in ranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.lit(0).cast("bigint")
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("__pid__") == pid, F.lit(off).cast("bigint")).otherwise(
+            offset_expr
+        )
+    w = Window.partitionBy("__pid__").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        ranged.withColumn(
+            ordinal_col,
+            (offset_expr + F.row_number().over(w) - 1).cast("bigint"),
+        )
+        .drop("__pid__")
+    )

@@ -4262,6 +4262,54 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "global_ordinal_docs",
+    """
+    SELECT doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                AS BIGINT) AS ordinal
+    FROM documents
+    """,
+)
+def q_global_ordinal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a GLOBAL rank over (n_chars desc, doc_id)
+    via operators/sort.py::global_ordinal — range partition + prefix-
+    summed per-partition offsets + parallel local windows, never the
+    single-partition window the oracle's bare ROW_NUMBER plans."""
+    from small_etl_spark.operators.sort import global_ordinal
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__neg_chars__", -F.col("n_chars")
+    )
+    return global_ordinal(docs, ["__neg_chars__", "doc_id"]).select(
+        "doc_id", "n_chars", "ordinal"
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE CAST(('0x' || substr(md5(concat_ws('|', 'weighted-v1',
+                                             CAST(doc_id AS VARCHAR))), 1, 4))
+               AS INT)
+          < LEAST(65536.0, CAST(n_chars AS DOUBLE) * 0.002 * 65536)
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample
+    (llm/sampling.py::weighted_hash_sample): keep probability
+    min(1, 0.002·n_chars) — longer documents upweighted — with
+    membership a pure function of (doc_id, salt): engine-portable,
+    rerun-stable, pushed-down filter."""
+    from small_etl_spark.llm.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_hash_sample(docs, "n_chars", 0.002).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # Z-order oracle: the Morton interleave is mechanical, so the SQL is
 # generated from the same (bits, dims) parameters the Spark operator
 # uses — guaranteeing the two sides implement the identical curve.

@@ -193,3 +193,70 @@ class TestKmeansClusters:
         assert len(out1) <= 4
         out2 = kmeans_clusters(emb, k=4, iters=2).collect()
         assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+class TestGlobalOrdinal:
+    def test_matches_single_partition_window(self, spark):
+        from pyspark.sql import Window
+
+        from small_etl_spark.operators.sort import global_ordinal
+        from small_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        got = {
+            r["doc_id"]: r["ordinal"]
+            for r in global_ordinal(docs, ["n_chars", "doc_id"], num_partitions=7)
+            .select("doc_id", "ordinal")
+            .collect()
+        }
+        w = Window.orderBy("n_chars", "doc_id")
+        want = {
+            r["doc_id"]: r["o"]
+            for r in docs.select(
+                "doc_id", (F.row_number().over(w) - 1).cast("bigint").alias("o")
+            ).collect()
+        }
+        assert got == want
+
+    def test_windows_are_parallel(self, spark):
+        from small_etl_spark.operators.sort import global_ordinal
+        from small_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        plan = (
+            global_ordinal(docs, ["n_chars", "doc_id"], num_partitions=7)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the ranking window partitions by pid — no SinglePartition
+        # exchange feeding a Window node
+        assert "windowspecdefinition(__pid__" in plan
+
+
+class TestWeightedHashSample:
+    def test_monotone_and_deterministic(self, spark):
+        from small_etl_spark.llm.sampling import weighted_hash_sample
+        from small_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        s1 = weighted_hash_sample(docs, "n_chars", 0.002)
+        s2 = weighted_hash_sample(docs, "n_chars", 0.002)
+        ids = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+        assert ids == sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+        # keep-rate for long docs must exceed keep-rate for short docs
+        med = docs.approxQuantile("n_chars", [0.5], 0.01)[0]
+        long_rate = s1.filter(F.col("n_chars") > med).count() / max(
+            docs.filter(F.col("n_chars") > med).count(), 1
+        )
+        short_rate = s1.filter(F.col("n_chars") <= med).count() / max(
+            docs.filter(F.col("n_chars") <= med).count(), 1
+        )
+        assert long_rate > short_rate
+
+    def test_weight_one_always_kept(self, spark):
+        from small_etl_spark.llm.sampling import weighted_hash_sample
+
+        df = spark.createDataFrame(
+            [(i, 1000.0) for i in range(50)], "doc_id bigint, w double"
+        )
+        # scale*w = 1000*0.01 = 10 ≥ 1 → probability clamps to 1
+        assert weighted_hash_sample(df, "w", 0.01).count() == 50
