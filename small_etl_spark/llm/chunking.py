@@ -160,3 +160,49 @@ def chunk_documents(
     ).withColumn(
         "n_tokens", F.size(tokens(F.col("chunk_text"))).cast("bigint")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    token_col: str,
+    batch_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to inference batches of ``batch_size`` within
+    power-of-two length buckets (``bucket = floor(log2(tokens))``), so
+    every batch holds similar-length sequences and padding waste is
+    bounded by 2× instead of max-length. Returns
+    ``(id, bucket, batch_id)``, deterministic (ordered by id within
+    bucket).
+
+    Built on operators/sort.py::global_ordinal over (bucket, id) —
+    range partition + offset prefix sums — then rebased per bucket by
+    a broadcast of each bucket's minimum ordinal. A per-bucket window
+    would put ALL of a bucket's documents (most of the corpus shares
+    a few length buckets) into single window partitions; this
+    composition keeps every step parallel.
+    """
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.operators.sort import global_ordinal
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.floor(F.log2(F.greatest(F.col(token_col), F.lit(1)))).cast(
+            "bigint"
+        ).alias("bucket"),
+    )
+    ranked = global_ordinal(bucketed, ["bucket", id_col])
+    mins = ranked.groupBy(F.col("bucket").alias("__b__")).agg(
+        F.min("ordinal").alias("__min_ord__")
+    )
+    return (
+        ranked.join(F.broadcast(mins), F.col("bucket") == F.col("__b__"))
+        .select(
+            id_col,
+            "bucket",
+            F.floor(
+                (F.col("ordinal") - F.col("__min_ord__")) / batch_size
+            ).cast("bigint").alias("batch_id"),
+        )
+    )

@@ -4310,6 +4310,38 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "length_bucketed_batches",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(floor(log2(GREATEST(
+               len(list_filter(string_split(text, ' '), x -> x <> '')), 1)))
+               AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                // 16 AS BIGINT) AS batch_id
+    FROM toks
+    """,
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference batching by length bucket
+    (llm/chunking.py::length_bucketed_batches): batches of 16 within
+    power-of-two token-length buckets — padding waste bounded 2×. The
+    oracle's per-bucket ROW_NUMBER is what the implementation
+    deliberately avoids (global_ordinal composition keeps the few
+    giant buckets parallel)."""
+    from small_etl_spark.llm.chunking import length_bucketed_batches
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")),
+    )
+    return length_bucketed_batches(docs, "n_tokens", 16)
+
+
 # Z-order oracle: the Morton interleave is mechanical, so the SQL is
 # generated from the same (bits, dims) parameters the Spark operator
 # uses — guaranteeing the two sides implement the identical curve.

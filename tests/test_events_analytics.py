@@ -260,3 +260,22 @@ class TestWeightedHashSample:
         )
         # scale*w = 1000*0.01 = 10 ≥ 1 → probability clamps to 1
         assert weighted_hash_sample(df, "w", 0.01).count() == 50
+
+
+class TestLengthBucketedBatches:
+    def test_batches_bounded_and_homogeneous(self, spark):
+        from small_etl_spark.llm.chunking import length_bucketed_batches
+
+        rows = [(i, 2 ** (i % 5) * 10 + i % 3) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+        out = length_bucketed_batches(df, "n_tokens", 8)
+        sizes = out.groupBy("bucket", "batch_id").count().collect()
+        assert all(r["count"] <= 8 for r in sizes)
+        # a batch never mixes buckets by construction; total preserved
+        assert out.count() == 100
+        # deterministic across runs
+        a = sorted(map(tuple, out.collect()))
+        b = sorted(
+            map(tuple, length_bucketed_batches(df, "n_tokens", 8).collect())
+        )
+        assert a == b
