@@ -4342,6 +4342,48 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucketed_batches(docs, "n_tokens", 16)
 
 
+@register(
+    "copurchase_pairs",
+    """
+    WITH parts_per_order AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM parts_per_order a JOIN parts_per_order b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the Apriori candidate-pair step):
+    parts bought together, top 25. The self-join is keyed on
+    l_orderkey so the pair blow-up is bounded by lines-per-order
+    (≈4-7), never corpus-n² — the same blocking argument as the
+    n-gram dedup joins; `part_a < part_b` halves the pairs and
+    canonicalizes them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    a = ppo.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = ppo.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
 # Z-order oracle: the Morton interleave is mechanical, so the SQL is
 # generated from the same (bits, dims) parameters the Spark operator
 # uses — guaranteeing the two sides implement the identical curve.

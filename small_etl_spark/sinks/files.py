@@ -186,3 +186,37 @@ def write_metrics(path: str, metrics: dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
         json.dump(metrics, f, indent=2, default=str)
+
+
+def compact_dir(
+    spark: "SparkSession",  # noqa: F821 - forward ref, imported lazily by callers
+    path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> str:
+    """Small-file compaction: rewrite a directory of part files so
+    each holds ~``target_rows_per_file`` rows. The table-maintenance
+    op every streaming/incremental sink eventually needs — thousands
+    of per-micro-batch or per-delta files turn scan planning and
+    NameNode/listing into the bottleneck long before data volume
+    does.
+
+    Rewrites into ``<path>__compacted`` then swaps directories (the
+    parquet/orc readers take the swap atomically from the next query;
+    in a real lakehouse the swap is the table format's commit). Row
+    count is preserved exactly; file count becomes
+    ⌈rows / target⌉.
+    """
+    import math
+    import shutil as _shutil
+
+    reader = getattr(spark.read, fmt)
+    df = reader(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compacted"
+    getattr(df.repartition(files).write.mode("overwrite"), fmt)(tmp)
+    local = _local_path(path)
+    _shutil.rmtree(local)
+    _shutil.move(_local_path(tmp), local)
+    return path

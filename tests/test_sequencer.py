@@ -1041,3 +1041,20 @@ def test_query_source_unknown_name_rejected(spark):
                 ],
             }
         )
+
+
+def test_compact_dir_merges_small_files(spark, tmp_path):
+    from small_etl_spark.sinks.files import compact_dir
+
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    p = str(tmp_path / "frag")
+    df.repartition(50).write.parquet(p)
+    import glob as _glob
+
+    assert len(_glob.glob(f"{p}/part-*")) == 50
+    compact_dir(spark, p, target_rows_per_file=500)
+    parts = _glob.glob(f"{p}/part-*")
+    assert len(parts) == 2
+    back = spark.read.parquet(p)
+    assert back.count() == 1000
+    assert sorted(r["v"] for r in back.collect()) == list(range(1000))
