@@ -582,3 +582,75 @@ def _simhash_table(
             F.shiftleft(F.lit(1).cast("bigint"), j),
         ).otherwise(F.lit(0).cast("bigint"))
     return cnt.select("id", out.alias("h"))
+
+
+def cross_doc_segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 3,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus repeated-segment removal (the RefinedWeb /
+    CCNet "line dedup" pass, with fixed ``seg_words``-word windows
+    standing in for lines since the corpus has no newlines): any
+    segment appearing in more than ``max_docs`` distinct documents is
+    boilerplate (headers, navigation chrome, license banners) and is
+    struck from every document; survivors are reassembled in order.
+    Documents whose every segment is boilerplate are dropped.
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)``.
+
+    Plan shape (and why it scales):
+      1. map-only segmentation — ``split`` + strided ``slice`` under
+         ``transform``, all codegen'd, no Python;
+      2. posexplode to (doc, pos, segment) rows;
+      3. ONE shuffle: groupBy(segment) → count distinct docs (partial
+         aggs combine map-side, so hot boilerplate segments collapse
+         early — the skew is absorbed before the exchange);
+      4. segment-keyed equi-join of the counts back onto the exploded
+         rows (AQE picks broadcast when the distinct-segment side is
+         small, shuffle join otherwise — never hinted);
+      5. groupBy(doc) reassembly via sort_array(collect_list(...)) —
+         grouped rows are bounded by segments-per-doc, so the
+         collect_list is O(doc length), not corpus-sized.
+    At 100 TB the only wide ops are the two hash shuffles (3) and (5),
+    both on keys with bounded group sizes. Compare winnow/minhash
+    passes in this module: same explode→agg→join discipline.
+    """
+    words = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    segs = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, (i - 1) * seg_words + 1, seg_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    counts = exploded.groupBy("seg").agg(
+        F.count_distinct(F.col(id_col)).alias("nd")
+    )
+    joined = exploded.join(counts, "seg")
+    keep = F.col("nd") <= F.lit(max_docs)
+    kept_struct = F.when(keep, F.struct(F.col("pos"), F.col("seg")))
+    out = (
+        joined.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.sum((~keep).cast("bigint")).alias("n_dropped"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+    return out

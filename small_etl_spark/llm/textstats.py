@@ -381,3 +381,69 @@ def bigram_stats(
         .orderBy(F.col("cnt").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms.
+
+    Returns ``(doc_id, n_matched, score)`` for documents matching at
+    least one term; ``score`` is rounded to 6dp for cross-engine
+    reproducibility (same discipline as ``tfidf_top_terms``).
+
+    idf uses the standard smoothed form ln(1 + (N - df + 0.5)/(df + 0.5));
+    tf saturation tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+
+    Plan shape: one explode → per-(doc, term) counts restricted to the
+    query vocabulary — the `isin(query_terms)` filter lands BEFORE the
+    shuffle, so the exchange carries only matching terms (|terms| ≪
+    vocab). Document frequency and the (N, avgdl) corpus constants are
+    tiny aggregates joined back by broadcast-sized cross joins. Per-term
+    partial scores are summed per doc in one final bounded-group
+    shuffle. At 100 TB: every wide op is keyed on doc or term with
+    bounded groups; the query-vocabulary filter is the pushdown that
+    keeps this a retrieval scan, not a corpus-wide tf-idf build.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.filter(F.col("term").isin(list(query_terms)))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(docfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 6).alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            (
+                F.sum(F.round(F.col("term_score") * 1e6).cast("bigint")) / F.lit(1e6)
+            ).alias("score"),
+        )
+    )

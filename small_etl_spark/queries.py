@@ -4423,6 +4423,87 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select("event_id", "zcode")
 
 
+@register(
+    "segment_dedup_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ix AS (
+      SELECT doc_id, ws,
+             unnest(range(1, CAST(ceil(len(ws) / 3.0) AS BIGINT) + 1)) AS i
+      FROM w
+    ), seg AS (
+      SELECT doc_id, i,
+             array_to_string(ws[(i - 1) * 3 + 1 : i * 3], ' ') AS seg
+      FROM ix
+    ), cnt AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY 1
+    ), j AS (
+      SELECT s.doc_id, s.i, s.seg, c.nd FROM seg s JOIN cnt c USING (seg)
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY i) FILTER (WHERE nd <= 2)
+             AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE nd <= 2) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE nd > 2) AS BIGINT) AS n_dropped
+    FROM j GROUP BY doc_id HAVING n_kept > 0
+    """,
+)
+def q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate-segment removal
+    (llm.dedup.cross_doc_segment_dedup): the RefinedWeb "line dedup"
+    pass with 3-word windows as line surrogates — segments seen in >2
+    distinct docs are struck everywhere, survivors reassembled in
+    order. Two bounded-group shuffles; the doc-frequency count is
+    map-side combined so boilerplate skew collapses early."""
+    from small_etl_spark.llm.dedup import cross_doc_segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_doc_segment_dedup(docs, seg_words=3, max_docs=2)
+
+
+@register(
+    "bm25_scores_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+               AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), per_term AS (
+      SELECT tf.doc_id,
+             round(ln(1 + (corpus.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)),
+                   6) AS term_score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           SUM(CAST(round(term_score * 1000000) AS BIGINT)) / 1000000.0
+             AS score
+    FROM per_term GROUP BY doc_id
+    """,
+)
+def q_bm25_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring (llm.textstats.bm25_scores) for a
+    3-term query over the documents table. Per-term scores rounded to
+    6dp then summed as exact integer micros, so the aggregate is
+    order-independent and hash-stable across engines. The query-
+    vocabulary filter lands before any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bm25_scores(docs, ["spark", "window", "merge"])
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

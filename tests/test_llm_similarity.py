@@ -487,3 +487,69 @@ def test_rolling_hash_fingerprint(spark):
     assert got[1] == expect
     # non-ASCII codepoints hash (not dropped)
     assert got[4] != 0
+
+
+def test_cross_doc_segment_dedup_strikes_boilerplate(spark):
+    from small_etl_spark.llm.dedup import cross_doc_segment_dedup
+
+    banner = "subscribe to our newsletter"  # 4 words = 2 segments at seg_words=2
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner} unique alpha text one"),
+            (2, f"{banner} unique beta text two"),
+            (3, f"{banner} unique gamma text three"),
+            (4, "totally original content here"),
+            (5, banner),  # all-boilerplate doc → dropped entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = cross_doc_segment_dedup(docs, seg_words=2, max_docs=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the banner appears in 4 docs > max_docs=2 → struck everywhere
+    assert 5 not in rows  # nothing survived
+    assert rows[1]["clean_text"] == "unique alpha text one"
+    assert rows[1]["n_dropped"] == 2 and rows[1]["n_kept"] == 2
+    assert rows[4]["clean_text"] == "totally original content here"
+    assert rows[4]["n_dropped"] == 0
+    # order preserved on reassembly
+    assert rows[2]["clean_text"] == "unique beta text two"
+
+
+def test_cross_doc_segment_dedup_short_tail_segment(spark):
+    from small_etl_spark.llm.dedup import cross_doc_segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           cross_doc_segment_dedup(docs, seg_words=2, max_docs=1).collect()}
+    assert out[1]["clean_text"] == "a b c d e"  # 3 segments incl. short tail
+    assert out[1]["n_kept"] == 3
+    assert out[2]["clean_text"] == "x"
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from small_etl_spark.llm.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "fish fish fish fish")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 matches nothing
+    n, avgdl = 3, 3.0  # dl: 3, 2, 4
+    k1, b = 1.2, 0.75
+
+    def score(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    exp1 = round(
+        (round(score(2, 1, 3) * 1e6) + round(score(1, 2, 3) * 1e6)) / 1e6, 6
+    )
+    assert abs(out[1]["score"] - exp1) < 1e-9
+    assert out[1]["n_matched"] == 2
+    assert out[2]["n_matched"] == 1
+    assert abs(out[2]["score"] - score(1, 2, 2)) < 1e-9
