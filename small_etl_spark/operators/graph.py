@@ -72,3 +72,63 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (edges
+    canonical ``src < dst``, distinct). Returns ``(node,
+    n_triangles)`` for every node in at least one triangle.
+
+    Degree-ordered enumeration (the standard distributed-triangle
+    trick): every edge is oriented from its lower endpoint to its
+    higher endpoint under the total order (degree, node), wedges are
+    enumerated at the LOW-degree apex only, and a final equi-join
+    closes them. Orienting by degree bounds every out-neighborhood by
+    O(√m), so wedge count is O(m^1.5) instead of Σ deg² — the
+    difference between "survives a celebrity node" and "does not".
+    Each triangle x<y<z (by the order) is produced exactly once, as
+    the wedge (y,z) at apex x closed by the oriented edge y→z.
+
+    Shuffles: degree agg, two joins (apex self-join + closing-edge
+    join, both plain equi-joins AQE can re-plan), final count agg.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ann = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    low_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ann.select(
+        F.when(low_u, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(low_u, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(low_u, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint()
+    x = oriented.select("a", F.col("b").alias("b1"), F.col("db").alias("db1"))
+    y = oriented.select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("db").alias("db2")
+    )
+    wedges = x.join(
+        y,
+        (F.col("a") == F.col("a2"))
+        & (
+            (F.col("db1") < F.col("db2"))
+            | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
+        ),
+    )
+    closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"])
+    return (
+        tri.select(F.explode(F.array("a", "b1", "b2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -4504,6 +4504,96 @@ def q_bm25_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_scores(docs, ["spark", "window", "merge"])
 
 
+@register(
+    "association_rules_parts",
+    """
+    WITH ppo AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM ppo
+    ), ic AS (
+      SELECT l_partkey AS item, COUNT(*) AS n_item FROM ppo GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ppo a JOIN ppo b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+           round(n_ab / ca.n_item, 6) AS conf_a_to_b,
+           round(n_ab / cb.n_item, 6) AS conf_b_to_a,
+           round((n_ab * n.n_baskets) / (ca.n_item * cb.n_item), 6) AS lift
+    FROM pairs
+    JOIN ic ca ON ca.item = item_a
+    JOIN ic cb ON cb.item = item_b
+    CROSS JOIN n
+    """,
+)
+def q_association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased parts
+    (operators.market.association_rules): support / confidence / lift
+    for every part pair co-occurring in ≥2 orders. Exact-integer
+    counts; ratios are single IEEE divisions rounded to 6dp. The pair
+    join is order-blocked (bounded by lines-per-order, never n²)."""
+    from small_etl_spark.operators.market import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+    )
+
+
+@register(
+    "triangle_counts_copurchase",
+    """
+    WITH ppo AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM ppo a JOIN ppo b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.pb = e2.pa
+      JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), nodes AS (
+      SELECT unnest([a, b, c]) AS node FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY 1
+    ORDER BY n_triangles DESC, node
+    LIMIT 15
+    """,
+)
+def q_triangle_counts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the frequent-co-purchase graph
+    (operators.graph.triangle_counts): degree-ordered wedge
+    enumeration (out-neighborhoods bounded O(√m) — the oracle's naive
+    a<b three-way join is what the implementation deliberately
+    avoids; both enumerate the identical triangle set)."""
+    from small_etl_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    a = ppo.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = ppo.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(15)
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -47,3 +47,53 @@ def test_star_center_dominates(spark):
     assert ranks["hub"] > 4 * ranks["leaf0"]
     # dangling hub contributes nothing; leaves sit at the floor
     assert ranks["leaf0"] == pytest.approx(0.15, abs=1e-9)
+
+
+def test_triangle_counts_k4(spark):
+    from small_etl_spark.operators.graph import triangle_counts
+
+    # K4: every one of the 4 triangles contains 3 of the 4 nodes →
+    # each node sits in exactly C(3,2)=3 triangles.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_wedge_only_graph(spark):
+    from small_etl_spark.operators.graph import triangle_counts
+
+    # path 1-2-3-4 has wedges but no triangle; plus one triangle 5-6-7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7), (6, 7)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {5: 1, 6: 1, 7: 1}
+
+
+def test_association_rules_hand_computed(spark):
+    from small_etl_spark.operators.market import association_rules
+
+    # baskets: {A,B} ×3, {A,C}, {B,C}, {A} — N=6
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "B"),
+        (4, "A"), (4, "C"),
+        (5, "B"), (5, "C"),
+        (6, "A"),
+    ]
+    baskets = spark.createDataFrame(rows, "basket_id long, item_id string")
+    out = association_rules(
+        baskets, basket_col="basket_id", item_col="item_id", min_pair_count=2
+    ).collect()
+    assert len(out) == 1  # only (A,B) hits min_pair_count=2
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == ("A", "B")
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (3, 5, 4)
+    assert r["conf_a_to_b"] == 0.6           # 3/5
+    assert r["conf_b_to_a"] == 0.75          # 3/4
+    assert r["lift"] == 0.9                  # 3*6/(5*4)
