@@ -17,6 +17,8 @@ Scale-path near-dup variants (MinHash-LSH, SimHash, ...) live in
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 ORDINAL = "__ingest_ordinal__"
@@ -86,3 +88,50 @@ def dedup_full_record(df: DataFrame, order_col: str | None = None) -> DataFrame:
     guarantee.
     """
     return dedup_by_fields_first_wins(df, list(df.columns), order_col=order_col)
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_distance: int = 1,
+) -> DataFrame:
+    """Blocked fuzzy-matching candidate pairs: records whose
+    ``text_col`` values are within ``max_distance`` Levenshtein edits,
+    compared ONLY inside equal-``block_cols`` blocks. Returns
+    ``(id_a, id_b, name_a, name_b, distance)`` with ``id_a < id_b``.
+
+    The entity-resolution staple: an all-pairs edit-distance scan is
+    O(n²) and dead at scale; equality blocking turns it into a
+    self-equi-join whose blow-up is bounded by the largest block. The
+    Levenshtein evaluation is Spark's built-in JVM expression — no
+    Python in the loop — and runs only on in-block pairs that survive
+    the ``id_a < id_b`` canonicalization. At 100 TB: pick block keys
+    with bounded cardinality (here nation), add a length-band or
+    sorted-neighborhood second key when blocks skew; AQE skew-join
+    splits a hot block. Same blocking discipline as the n-gram /
+    MinHash candidate joins in llm.dedup.
+    """
+    keep = [id_col, text_col, *block_cols]
+    a = df.select([F.col(c).alias(f"a_{c}") for c in keep])
+    b = df.select([F.col(c).alias(f"b_{c}") for c in keep])
+    on = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols]
+    cond = reduce(lambda x, y: x & y, on) & (
+        F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+    )
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col(f"a_{text_col}"), F.col(f"b_{text_col}")),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col(f"a_{id_col}").alias("id_a"),
+            F.col(f"b_{id_col}").alias("id_b"),
+            F.col(f"a_{text_col}").alias("name_a"),
+            F.col(f"b_{text_col}").alias("name_b"),
+            F.col("distance").cast("bigint").alias("distance"),
+        )
+    )

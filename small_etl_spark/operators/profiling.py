@@ -211,3 +211,103 @@ def expect(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
         for name, _ in rules
     ]
     return reduce(DataFrame.unionByName, rows)
+
+
+def ab_chi_square(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: "F.Column",
+    outcome_col: "F.Column",
+) -> DataFrame:
+    """2×2 A/B contingency test: one row with per-variant unit counts,
+    conversion counts, and the chi-square statistic (1 dof, no
+    continuity correction).
+
+    ``variant_col``/``outcome_col`` are expressions evaluated per raw
+    row; units are deduplicated first (a unit converts if ANY of its
+    rows has a truthy outcome). chi² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    — every term an exact BIGINT, one final IEEE division rounded to
+    6dp, so the statistic is bit-reproducible.
+
+    Plan: per-unit collapse (one map-side-combined shuffle on the
+    unit key), then a single global 4-counter aggregate — partials
+    combine per partition, the exchange carries one row per
+    partition. No libm, no approximation; scales as a pure
+    two-level aggregation.
+    """
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("unit"),
+            variant_col.alias("variant"),
+            outcome_col.cast("int").alias("outcome"),
+        )
+        .groupBy("unit", "variant")
+        .agg(F.max("outcome").alias("converted"))
+    )
+    counts = per_unit.agg(
+        F.sum(((F.col("variant") == 0) & (F.col("converted") == 1)).cast("bigint")).alias("a_conv"),
+        F.sum(((F.col("variant") == 0) & (F.col("converted") == 0)).cast("bigint")).alias("a_noconv"),
+        F.sum(((F.col("variant") == 1) & (F.col("converted") == 1)).cast("bigint")).alias("b_conv"),
+        F.sum(((F.col("variant") == 1) & (F.col("converted") == 0)).cast("bigint")).alias("b_noconv"),
+    )
+    a, b_, c, d = (F.col(x) for x in ("a_conv", "a_noconv", "b_conv", "b_noconv"))
+    n = a + b_ + c + d
+    num = n * (a * d - b_ * c) * (a * d - b_ * c)
+    den = (a + b_) * (c + d) * (a + c) * (b_ + d)
+    return counts.select(
+        "a_conv", "a_noconv", "b_conv", "b_noconv",
+        F.round(num / den, 6).alias("chi_square"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier summary via median absolute deviation:
+    ``(group, med, mad, n, n_outliers)`` where an outlier has modified
+    z-score 0.6745·|v−med|/MAD above ``z_threshold`` (the Iglewicz-
+    Hoaglin rule). Unlike mean/stddev z-scores (zscore_outliers), a
+    single corrupt extreme cannot drag the threshold.
+
+    Two exact-median passes: group medians, then MAD over absolute
+    deviations, then a counting re-join. Exact interpolated medians
+    over integer inputs land on .5 at worst — exact in binary, so
+    cross-engine reproducible (contrast percentile_approx, which is
+    sketch-dependent). Zero-MAD groups (over half the values
+    identical) report n_outliers = NULL rather than dividing by zero.
+
+    At 100 TB exact medians are the expensive choice — each pass
+    shuffles the full column to its group — and the docstring of
+    approx_percentiles covers the sketch alternative; this operator
+    is the exact twin for when the answer must be reproducible.
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    )
+    med = vals.groupBy("grp").agg(F.median("v").alias("med"))
+    dev = vals.join(med, "grp").withColumn("ad", F.abs(F.col("v") - F.col("med")))
+    mad = dev.groupBy("grp").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(mad, "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("mad") > 0,
+                    (
+                        F.lit(0.6745) * F.col("ad") / F.col("mad")
+                        > F.lit(z_threshold)
+                    ).cast("bigint"),
+                )
+            ).alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "med", "mad", "n", "n_outliers"
+        )
+    )

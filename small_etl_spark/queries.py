@@ -4594,6 +4594,117 @@ def q_triangle_counts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_dup_customers",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_dup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching
+    (operators.dedup.fuzzy_dup_pairs): Levenshtein ≤1 customer-name
+    pairs, compared only inside same-nation blocks — the
+    entity-resolution blocking discipline that keeps edit-distance
+    joins off the n² path. JVM levenshtein expression, exact integer
+    distance."""
+    from small_etl_spark.operators.dedup import fuzzy_dup_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_dup_pairs(
+        cust, id_col="c_custkey", text_col="c_name",
+        block_cols=["c_nationkey"], max_distance=1,
+    )
+
+
+@register(
+    "ab_chi_square_events",
+    """
+    WITH per_unit AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2
+    ), counts AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a_conv,
+        CAST(SUM(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a_noconv,
+        CAST(SUM(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b_conv,
+        CAST(SUM(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b_noconv
+      FROM per_unit
+    )
+    SELECT a_conv, a_noconv, b_conv, b_noconv,
+           round((a_conv + a_noconv + b_conv + b_noconv)
+                 * (a_conv * b_noconv - a_noconv * b_conv)
+                 * (a_conv * b_noconv - a_noconv * b_conv)
+                 / ((a_conv + a_noconv) * (b_conv + b_noconv)
+                    * (a_conv + b_conv) * (a_noconv + b_noconv)),
+                 6) AS chi_square
+    FROM counts
+    """,
+)
+def q_ab_chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 chi-square A/B test (operators.profiling.ab_chi_square):
+    users split by parity of user_id, conversion = any purchase
+    event. Exact BIGINT contingency terms, one IEEE division rounded
+    to 6dp — two-level aggregation, no libm."""
+    from small_etl_spark.operators.profiling import ab_chi_square
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_chi_square(
+        ev,
+        unit_col="user_id",
+        variant_col=F.col("user_id") % 2,
+        outcome_col=F.col("event_type") == "purchase",
+    )
+
+
+@register(
+    "mad_outliers_events",
+    """
+    WITH v AS (
+      SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), med AS (
+      SELECT grp, median(v) AS med FROM v GROUP BY 1
+    ), dev AS (
+      SELECT v.grp, v.v, med.med, abs(v.v - med.med) AS ad
+      FROM v JOIN med USING (grp)
+    ), mad AS (
+      SELECT grp, median(ad) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.grp AS event_type, MIN(dev.med) AS med, MIN(mad.mad) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN mad.mad > 0
+                         THEN CASE WHEN 0.6745 * dev.ad / mad.mad > 3.5
+                                   THEN 1 ELSE 0 END
+                         ELSE NULL END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (grp)
+    GROUP BY 1
+    """,
+)
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier summary per event type
+    (operators.profiling.mad_outliers): exact interpolated medians
+    over integer cents (binary-exact, engine-portable), modified
+    z-score 0.6745·|v−med|/MAD > 3.5. The exact-median twin of the
+    sketch-based approx_percentiles path."""
+    from small_etl_spark.operators.profiling import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    return mad_outliers(ev, group_col="event_type", value_col="value_cents")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
