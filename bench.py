@@ -39,31 +39,38 @@ def main() -> None:
     # min over reps filters scheduler/host noise out of the comparison —
     # we are measuring the plan, not the machine's worst moment
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         if not spec.headline:
             continue
         best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = spec.builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        # Per-query fault isolation: one sick query must never zero the
+        # whole round's perf signal — report it as "error" and move on.
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = spec.builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 - isolate any query failure
+            timings[name] = "error"
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

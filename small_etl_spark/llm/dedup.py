@@ -24,47 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from small_etl_spark.llm.textstats import tokens
-
-
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the cluster before CPU-heavy
-    signature math.
-
-    A small corpus arrives as one file split → one task, so 31 of 32
-    cores idle. At 100 TB inputs already have thousands of splits and
-    this is a no-op. Split estimation uses scan *metadata*
-    (``df.inputFiles()`` + local file sizes vs maxPartitionBytes) —
-    never ``df.rdd``, which would compile the plan to an RDD lineage
-    just to read a partition count.
-    """
-    files = df.inputFiles()
-    if not files:
-        return df  # non-file source: partitioning was set upstream
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    floor = max(target // 2, 1)
-    if len(files) >= floor:
-        return df
-    try:
-        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    except (TypeError, ValueError):
-        max_bytes = 128 * 1024 * 1024
-    import os
-    import urllib.parse
-
-    est_splits = 0
-    for uri in files:
-        parsed = urllib.parse.urlparse(uri)
-        if parsed.scheme not in ("file", ""):
-            return df  # remote store: trust the scan's own splitting
-        try:
-            size = os.path.getsize(parsed.path)
-        except OSError:
-            size = 0
-        est_splits += max(1, size // max_bytes)
-    if est_splits < floor:
-        return df.repartition(target)
-    return df
+# re-exported under the historical name: queries.py imports it from here
+from small_etl_spark.llm.util import ensure_parallelism as _ensure_parallelism
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -87,17 +48,44 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+def minhash_signature(
+    shingles: Column,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> Column:
     """MinHash signature: array of ``num_hashes`` minima over the
     shingle set.
 
-    Each shingle string is xxhash64'd ONCE; the ``num_hashes``
-    functions are derived by universal hashing
-    ((h·a_i + b_i) mod p, p = 2^31-1) — 32× less string hashing than
-    hashing per seed, same collision behavior, and every intermediate
-    fits in a bigint (ANSI-safe: h is reduced mod p first, so
-    products stay < 2^62).
+    ``hash_family="xxhash64"`` (default, the 100 TB path): each shingle
+    string is xxhash64'd ONCE; the ``num_hashes`` functions are derived
+    by universal hashing ((h·a_i + b_i) mod p, p = 2^31-1) — 32× less
+    string hashing than hashing per seed, same collision behavior, and
+    every intermediate fits in a bigint (ANSI-safe: h is reduced mod p
+    first, so products stay < 2^62).
+
+    ``hash_family="md5"`` (portable): hash i of shingle x is
+    ``md5("{i}:" + x)`` and minima compare lexicographically on the hex
+    string. md5 is md5 in every engine, so this family is exactly
+    reproducible in a DuckDB oracle (the same trick
+    ``winnow_fingerprints`` uses) — slower (one digest per shingle per
+    hash), so it's the correctness twin, not the bench path.
     """
+    if hash_family == "md5":
+
+        def salted(i: int):
+            # closure factory: a default-arg lambda would read as
+            # binary (element, index) to F.transform
+            prefix = f"{i}:"
+            return lambda x: F.md5(F.concat(F.lit(prefix), x).cast("binary"))
+
+        return F.array(
+            *[
+                F.array_min(F.transform(shingles, salted(i)))
+                for i in range(num_hashes)
+            ]
+        )
+
     import random
 
     p = (1 << 31) - 1  # Mersenne prime
@@ -126,12 +114,16 @@ def minhash_lsh_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.7,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     MinHash banding.
 
     ``bands`` divides ``num_hashes``; rows_per_band = num_hashes/bands
     tunes the S-curve (8 bands × 4 rows ≈ catches jaccard ≳ 0.6).
+    ``hash_family="md5"`` selects the DuckDB-reproducible signature
+    family (see ``minhash_signature``) — band buckets become
+    md5-of-concat strings instead of xxhash64 bigints.
     Returns columns: ``id_a, id_b, jaccard``.
     """
     if num_hashes % bands:
@@ -145,10 +137,16 @@ def minhash_lsh_pairs(
         word_shingles(text_col, shingle_n).alias("sh"),
     ).persist()
 
+    def bucket_of(sig: Column, b: int) -> Column:
+        joined = F.concat_ws(",", F.slice(sig, b * rpb + 1, rpb))
+        if hash_family == "md5":
+            return F.md5(joined.cast("binary"))
+        return F.xxhash64(joined, F.lit(seed))
+
     # slim (id, band, bucket) rows only — never shuffle the shingle
     # arrays through the ×bands candidate join
     banded = sh.withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes, seed)
+        "sig", minhash_signature(F.col("sh"), num_hashes, seed, hash_family)
     ).select(
         "id",
         F.explode(
@@ -156,10 +154,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.slice(F.col("sig"), b * rpb + 1, rpb)),
-                            F.lit(seed),
-                        ).alias("bucket"),
+                        bucket_of(F.col("sig"), b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -383,24 +378,68 @@ def _simhash_from_hashes(hs: Column) -> Column:
     return out
 
 
+def simhash16_md5(col: Column | str) -> Column:
+    """Portable 16-bit SimHash: token hash = first 4 hex chars of
+    md5(token) (lexicographic hex → integer via base-16 conv), bit j of
+    the result = majority vote of bit j over the token multiset.
+
+    The DuckDB-reproducible twin of ``simhash64`` (same shape as the
+    md5 MinHash family): 16 bits keeps the per-bit aggregate count
+    affordable while exercising the identical majority-vote +
+    pigeonhole-blocking pipeline the 64-bit scale path uses.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hs = F.transform(
+        tokens(F.lower(c)),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 4), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    n = F.size(hs)
+
+    def bitcnt(j: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for j in range(16):
+        out = out + F.when(
+            bitcnt(j) * 2 > n, F.shiftleft(F.lit(1).cast("bigint"), j)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Blocking: split the 64-bit hash into ``max_hamming + 1`` chunks —
+    Blocking: split the hash into ``max_hamming + 1`` chunks —
     any pair within distance ``max_hamming`` must agree exactly on at
     least one chunk (pigeonhole), so candidates come from equi-joins
     on (chunk_idx, chunk_value): shuffle-friendly, never n².
-    """
-    chunks = max_hamming + 1
-    bits = 64 // chunks
 
-    base = _simhash_table(_ensure_parallelism(df), id_col, text_col, seed)
+    ``hash_family="md5"`` switches to the 16-bit portable signature
+    (``simhash16_md5``) whose full pipeline replays in a DuckDB oracle.
+    """
+    total_bits = 16 if hash_family == "md5" else 64
+    chunks = max_hamming + 1
+    bits = total_bits // chunks
+
+    if hash_family == "md5":
+        base = _ensure_parallelism(df).select(
+            F.col(id_col).alias("id"), simhash16_md5(text_col).alias("h")
+        )
+    else:
+        base = _simhash_table(_ensure_parallelism(df), id_col, text_col, seed)
     exploded = base.select(
         "id",
         "h",

@@ -98,14 +98,20 @@ def brute_force_topk(
     they must be small), cosine evaluated in whole-stage codegen over
     the corpus scan, then one hash-shuffle on query_id for the
     row_number top-k. Ties break by vec_id for determinism.
+
+    The corpus side goes through ``ensure_parallelism`` first: a
+    single-split parquet corpus would otherwise score |corpus|×|q|
+    pairs on ONE core (measured 3.4× the whole-query time at sf0.1).
     """
+    from small_etl_spark.llm.util import ensure_parallelism
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).cast("array<double>").alias("__qv__"),
         )
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias("__cv__"),
     )
@@ -143,8 +149,11 @@ def ivf_assign(
     query path). At 100 TB: write ``assigned`` partitioned by
     ``cell`` so probes read only nprobe/C of the files.
     """
+    from small_etl_spark.llm.util import ensure_parallelism
+
     n = corpus.count()
     stride = max(n // num_centroids, 1)
+    corpus = ensure_parallelism(corpus)
     cents = (
         corpus.filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), stride) == 0)
         .limit(num_centroids)
@@ -315,7 +324,9 @@ def brute_force_topk_vectorized(
                 {query_id_col: out_q, id_col: out_id, "cosine": out_cos}
             )
 
-    local = corpus.select(id_col, vec_col).mapInPandas(
+    from small_etl_spark.llm.util import ensure_parallelism
+
+    local = ensure_parallelism(corpus).select(id_col, vec_col).mapInPandas(
         score, schema=f"{query_id_col} bigint, {id_col} bigint, cosine double"
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -254,9 +254,12 @@ def ab_chi_square(
     n = a + b_ + c + d
     num = n * (a * d - b_ * c) * (a * d - b_ * c)
     den = (a + b_) * (c + d) * (a + c) * (b_ + d)
+    # try_divide: a degenerate table (an empty margin — e.g. every unit
+    # converted) has no defined chi²; NULL matches DuckDB's x/0 → NULL
+    # instead of throwing under ANSI mode.
     return counts.select(
         "a_conv", "a_noconv", "b_conv", "b_noconv",
-        F.round(num / den, 6).alias("chi_square"),
+        F.round(F.try_divide(num, den), 6).alias("chi_square"),
     )
 
 

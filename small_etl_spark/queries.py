@@ -2274,7 +2274,9 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (llm.dedup.minhash_lsh_pairs):
     shingle → 32-hash signature → 8 bands → bucket join → exact
     Jaccard verify. xxhash64 has no DuckDB twin → rows-only check;
-    recall vs the exact path is pinned in tests/test_llm_similarity.py."""
+    recall vs the exact path is pinned in tests/test_llm_similarity.py
+    and the full pipeline is oracle-checked via the gated
+    ``minhash_lsh_dedup_md5`` portable-hash variant."""
     from small_etl_spark.llm.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2283,14 +2285,225 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
+) -> str:
+    """Generate the DuckDB twin of the md5-family MinHash-LSH pipeline.
+
+    Same tokenizer/shingles as the ``ngram_jaccard_pairs`` oracle; hash
+    i of shingle x is ``md5('i:' || x)`` with lexicographic minima;
+    band bucket = md5 of the comma-joined band slice — all functions
+    that are bit-identical across Spark and DuckDB.
+    """
+    rpb = num_hashes // bands
+    minima = ",\n             ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({concat}) AS bucket FROM m".format(
+            b=b,
+            concat=" || ',' || ".join(f"m{i}" for i in range(b * rpb, (b + 1) * rpb)),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      FROM t
+    ), m AS (
+      SELECT id, sh,
+             {minima}
+      FROM s
+    ), banded AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+             AS jaccard
+    FROM cand c
+    JOIN s sa ON sa.id = c.id_a
+    JOIN s sb ON sb.id = c.id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= {threshold}
+    """
+
+
+@register("minhash_lsh_dedup_md5", _minhash_md5_oracle())
+def q_minhash_lsh_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the portable md5 hash family
+    (llm.dedup.minhash_lsh_pairs, hash_family="md5"): the full
+    shingle → signature → band → bucket-join → verify pipeline is
+    replayed exactly in DuckDB, so the probabilistic dedup path itself
+    is oracle-checked (not just its recall). The xxhash64 twin
+    (``minhash_lsh_dedup``) stays the bench/scale path."""
+    from small_etl_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.8,
+        hash_family="md5",
+    ).select("id_a", "id_b", "jaccard")
+
+
 @register("simhash_dedup", None)
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs, Hamming ≤ 3, pigeonhole-chunk
-    blocking (llm.dedup.simhash_pairs). Rows-only (xxhash64)."""
+    blocking (llm.dedup.simhash_pairs). Rows-only (xxhash64 has no
+    DuckDB twin); the full pipeline is oracle-checked via the
+    ``simhash_dedup_md5`` portable-hash variant."""
     from small_etl_spark.llm.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of the 16-bit md5-family SimHash pipeline: per-token
+    16-bit hash from the first 4 md5 hex chars, per-bit majority vote,
+    pigeonhole chunk blocking, bit_count Hamming verify."""
+    total_bits, chunks = 16, max_hamming + 1
+    bits = total_bits // chunks
+    mask = (1 << bits) - 1
+    bit_sum = " + ".join(
+        f"CASE WHEN 2*list_sum(list_transform(th, h -> (h >> {j}) & 1)) > n "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(total_bits)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT id, h, {c} AS chunk, (h >> {c * bits}) & {mask} AS val FROM sh"
+        for c in range(chunks)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), hs AS (
+      SELECT id,
+             list_transform(toks,
+               x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT)) AS th,
+             len(toks) AS n
+      FROM t
+    ), sh AS (
+      SELECT id, CAST({bit_sum} AS BIGINT) AS h FROM hs
+    ), banded AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(a.h, b.h)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+@register("simhash_dedup_md5", _simhash_md5_oracle())
+def q_simhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit portable-hash SimHash near-dup pairs
+    (llm.dedup.simhash_pairs, hash_family="md5"): majority-vote
+    signature, pigeonhole blocking, and Hamming verify all replayed
+    exactly in DuckDB — the oracle twin of ``simhash_dedup``."""
+    from small_etl_spark.llm.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, hash_family="md5").select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+@register(
+    "dedup_keep_longest",
+    """
+    WITH fp AS (
+      SELECT doc_id, source, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, f,
+             row_number() OVER (PARTITION BY f
+                                ORDER BY length(text) DESC, doc_id) AS rn
+      FROM fp
+    )
+    SELECT doc_id, source, f AS fingerprint FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with keep-longest canonical selection: group docs by
+    normalized-content fingerprint, keep the longest original (min
+    doc_id tiebreak) — the standard LLM-corpus policy when duplicates
+    differ only in truncation/whitespace (first-wins A2/A3 keeps
+    arrival order instead). One row_number window over the
+    fingerprint shuffle; same shape at 100 TB."""
+    from small_etl_spark.llm.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("f").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("f", fingerprint("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", F.col("f").alias("fingerprint"))
+    )
+
+
+@register(
+    "value_histogram_events",
+    """
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value per event_type (bucket
+    width 50): the profiling primitive behind distribution dashboards.
+    Pure two-key groupBy — map-side partial agg, one shuffle on
+    (event_type, bucket); exact integer-cents sum for cross-engine
+    hash parity."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / 100.0
+            ).alias("sum_value"),
+        )
+    )
 
 
 @register(
@@ -4768,7 +4981,7 @@ _GATED = [
     "sequence_two_stage",
     "ngram_jaccard_pairs",
     "near_dup_components",
-    "minhash_lsh_dedup",
+    "minhash_lsh_dedup_md5",
     "cosine_topk",
     "cosine_topk_vectorized",
 ]

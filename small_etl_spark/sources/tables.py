@@ -33,14 +33,39 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to ``TimestampType`` whatever
+    parquet encoding it arrived in.
+
+    Generator versions have shipped ``ts`` three ways:
+    - TIMESTAMP(NANOS): Spark rejects by default; read with
+      ``nanosAsLong`` → arrives here as ``bigint`` nanos;
+    - ``timestamp[us]`` without timezone → ``TIMESTAMP_NTZ`` (which
+      forbids numeric casts, so every epoch-math operator breaks on it);
+    - plain TIMESTAMP → passthrough.
+    Session TZ is pinned to UTC (session.py), so NTZ→TZ keeps wall-clock
+    == epoch, exactly how DuckDB reads the same file — oracle parity.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = next(
+        (f.dataType.simpleString() for f in df.schema.fields if f.name == col),
+        None,
+    )
+    if ts_type == "bigint":
+        # integer DIV, not `/`: bigint/1000 routes through a double,
+        # which cannot represent ~1.7e18 nanos exactly (±1 µs errors)
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table from a scale-factor directory.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; we read nanos as long and convert to a
-    microsecond timestamp (the data has no sub-microsecond component,
-    and DuckDB reads the same file at microsecond precision — exact
-    oracle parity).
+    ``events.ts`` is normalized to ``TimestampType`` regardless of the
+    file's encoding — see :func:`normalize_ts`.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Defensive: when running under an externally created SparkSession
@@ -53,20 +78,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     if name != "events":
         return spark.read.parquet(path)
-    from pyspark.sql import functions as F
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    ts_fields = {
-        f.name
-        for f in df.schema.fields
-        if f.name == "ts" and f.dataType.simpleString() == "bigint"
-    }
-    if ts_fields:
-        # integer DIV, not `/`: bigint/1000 routes through a double,
-        # which cannot represent ~1.7e18 nanos exactly (±1 µs errors)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_ts(spark.read.parquet(path))
 
 
 def load_tables(

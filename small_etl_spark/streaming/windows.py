@@ -48,29 +48,24 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
-    File sources need an explicit schema (no inference mid-stream);
-    ``nanosAsLong`` handles the TIMESTAMP(NANOS) files the same way
-    ``sources.tables.load_table`` does for batch.
+    File sources need an explicit schema (no inference mid-stream), but
+    the on-disk ``ts`` encoding has varied across generator versions
+    (TIMESTAMP(NANOS) / micros-NTZ / TIMESTAMP). We batch-read the
+    directory's footers once to learn the real schema, feed that to the
+    stream reader, then normalize ``ts`` with the same helper batch
+    reads use (``sources.tables.normalize_ts``) — one-footer-read cost,
+    and the stream analyzes correctly on every encoding.
     """
+    from small_etl_spark.sources.tables import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    reader = spark.readStream.schema(nanos_schema)
+    file_schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger is not None:
         # availableNow honors source limits: N files → ⌈N/limit⌉
         # micro-batches (how the multi-batch state tests force >1)
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(events_dir)
-    # integer DIV (see sources.tables.load_table): `/` loses µs at e18 nanos
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_ts(reader.parquet(events_dir))
 
 
 def tumbling_window_agg(

@@ -11,8 +11,9 @@ GATE_WINDOW = 50
 
 # Every query that must have a driver CORRECTNESS row (VERDICT r1 item 2).
 MUST_BE_GATED = [
-    # LLM data-pipeline catalog
-    "minhash_lsh_dedup",
+    # LLM data-pipeline catalog (md5 variant is the oracled gate twin
+    # of the xxhash64 bench path — VERDICT r2 item 3)
+    "minhash_lsh_dedup_md5",
     "ngram_jaccard_pairs",
     "near_dup_components",
     "cosine_topk",
