@@ -2507,6 +2507,225 @@ def q_value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_scrub_docs",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text_scrubbed,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (llm.pii.scrub_pii): emails → IPs →
+    phone-runs replaced by typed tokens, plus per-category audit
+    counts on the original text. Map-only regexp_replace chain —
+    fuses into the corpus scan, zero shuffles at any scale."""
+    from small_etl_spark.llm.pii import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        scrub_pii("text").alias("text_scrubbed"),
+        *pii_counts("text"),
+    )
+
+
+@register(
+    "corpus_mix_report",
+    r"""
+    WITH m AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE)
+                 / SUM(n_tokens) OVER (), 6) AS token_share
+    FROM m
+    """,
+)
+def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: docs + token budget per
+    (source, lang) cell and each cell's share of total tokens — the
+    table a data-mixing policy (e.g. DoReMi-style reweighting) starts
+    from. One groupBy shuffle; the share is a scalar window over the
+    tiny aggregate, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(textstats.token_count("text").cast("bigint")).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return cells.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total), 6
+        ).alias("token_share"),
+    )
+
+
+@register(
+    "dup_cluster_sizes",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT source AS g, doc_id AS id,
+             regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT g, id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      FROM t
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+    ), comp AS (
+      SELECT node, min(label) AS component FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp
+      GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: connected components over the
+    exact Jaccard pairs, then (cluster size → number of clusters) —
+    the one-glance answer to "how duplicated is this corpus?".
+    Aggregates the tiny component table, so it costs the CC pass plus
+    two small shuffles."""
+    from small_etl_spark.llm.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, group_col="source").filter(
+        F.col("jaccard") >= 0.8
+    )
+    comp = connected_components(docs, pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@register(
+    "quality_funnel",
+    r"""
+    WITH m AS (
+      SELECT doc_id, lang, text,
+             len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g')) AS n_sym,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS fp_rn
+      FROM documents
+    ), b AS (
+      SELECT lang = 'en' AS ok_lang,
+             n_toks BETWEEN 20 AND 100000 AS ok_len,
+             CASE WHEN n_chars > 0
+                  THEN CAST(n_sym AS DOUBLE)/n_chars <= 0.3 ELSE TRUE END
+               AS ok_sym,
+             fp_rn = 1 AS ok_uniq
+      FROM m
+    )
+    SELECT stage_idx, stage, n FROM (
+      SELECT 0 AS stage_idx, 'total' AS stage, CAST(count(*) AS BIGINT) AS n
+      FROM b
+      UNION ALL
+      SELECT 1, 'lang_en', CAST(SUM(CASE WHEN ok_lang THEN 1 ELSE 0 END)
+                                AS BIGINT) FROM b
+      UNION ALL
+      SELECT 2, 'len_ok', CAST(SUM(CASE WHEN ok_lang AND ok_len THEN 1 ELSE 0
+                               END) AS BIGINT) FROM b
+      UNION ALL
+      SELECT 3, 'symbol_ok', CAST(SUM(CASE WHEN ok_lang AND ok_len AND ok_sym
+                                  THEN 1 ELSE 0 END) AS BIGINT) FROM b
+      UNION ALL
+      SELECT 4, 'deduped', CAST(SUM(CASE WHEN ok_lang AND ok_len AND ok_sym
+                                 AND ok_uniq THEN 1 ELSE 0 END) AS BIGINT)
+      FROM b
+    )
+    """,
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning funnel: docs surviving each cumulative stage
+    (language → length → symbol-ratio → exact-dedup). ONE pass: all
+    stage predicates become conditional sums in a single aggregate
+    (plus the fingerprint window for the dedup bit) instead of five
+    separate count jobs — at 100 TB that's one corpus scan, not five."""
+    from small_etl_spark.llm.textstats import fingerprint, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    m = docs.select(
+        (F.col("lang") == "en").alias("ok_lang"),
+        token_count("text").between(20, 100000).alias("ok_len"),
+        F.when(
+            F.length("text") > 0,
+            (
+                F.length(F.regexp_replace("text", r"[A-Za-z0-9_\s]", ""))
+                .cast("double")
+                / F.length("text")
+            )
+            <= 0.3,
+        )
+        .otherwise(F.lit(True))
+        .alias("ok_sym"),
+        (F.row_number().over(w) == 1).alias("ok_uniq"),
+    )
+    agg = m.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("ok_lang").cast("bigint")).alias("n1"),
+        F.sum((F.col("ok_lang") & F.col("ok_len")).cast("bigint")).alias("n2"),
+        F.sum(
+            (F.col("ok_lang") & F.col("ok_len") & F.col("ok_sym")).cast("bigint")
+        ).alias("n3"),
+        F.sum(
+            (
+                F.col("ok_lang")
+                & F.col("ok_len")
+                & F.col("ok_sym")
+                & F.col("ok_uniq")
+            ).cast("bigint")
+        ).alias("n4"),
+    )
+    stages = "0, 'total', n0, 1, 'lang_en', n1, 2, 'len_ok', n2, " \
+             "3, 'symbol_ok', n3, 4, 'deduped', n4"
+    return agg.select(
+        F.expr(f"stack(5, {stages}) AS (stage_idx, stage, n)")
+    ).select(F.col("stage_idx").cast("int"), "stage", "n")
+
+
+@register(
     "cosine_topk",
     """
     WITH q AS (
