@@ -137,3 +137,65 @@ def weighted_hash_sample(
     )
     bucket = F.conv(hash_bucket(id_col, salt), 16, 10).cast("double")
     return df.filter(bucket < thresh)
+
+
+def token_budget_resample(
+    df: DataFrame,
+    strata_cols: list[str],
+    token_count_col: Column,
+    target_shares: dict[tuple, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Rebalance a corpus toward a target token mixture (the
+    DoReMi-style reweighting step): each stratum is down-sampled so its
+    surviving token budget approaches ``target_share × total_tokens``.
+
+    ``target_shares`` maps stratum key tuples to shares; omitted (or
+    None) means a UNIFORM target over observed strata. A stratum
+    already below its target keeps everything (rate capped at 1) — this
+    operator only down-samples; upweighting is epoch repetition at
+    training time, not row duplication here.
+
+    Mechanics: one groupBy over the corpus for per-stratum token
+    totals (tiny result), rates derived on that aggregate, broadcast
+    back, then the usual deterministic md5-bucket Bernoulli filter —
+    the whole pass adds ONE small shuffle and the final filter is a
+    map-side predicate, so it scales like a scan. Membership is a pure
+    function of (id, salt): appends and reruns agree.
+
+    Returns the surviving rows plus ``keep_rate`` (the stratum's
+    applied rate).
+    """
+    from pyspark.sql import Window
+
+    tok = df.withColumn("__tok__", token_count_col.cast("bigint"))
+    cells = tok.groupBy(*strata_cols).agg(F.sum("__tok__").alias("__cell_tok__"))
+    total_w = Window.partitionBy()
+    if target_shares is None:
+        n_cells = Window.partitionBy()
+        share = F.lit(1.0) / F.count(F.lit(1)).over(n_cells).cast("double")
+    else:
+        share = None
+        for key, s in target_shares.items():
+            cond = F.lit(True)
+            for c, v in zip(strata_cols, key):
+                cond = cond & (F.col(c) == F.lit(v))
+            share = F.when(cond, F.lit(float(s))) if share is None else share.when(
+                cond, F.lit(float(s))
+            )
+        share = share.otherwise(F.lit(0.0))
+    rates = cells.select(
+        *strata_cols,
+        F.least(
+            F.lit(1.0),
+            (F.sum("__cell_tok__").over(total_w).cast("double") * share)
+            / F.col("__cell_tok__").cast("double"),
+        ).alias("keep_rate"),
+    )
+    bucket = F.conv(hash_bucket(id_col, salt), 16, 10).cast("double")
+    return (
+        tok.join(F.broadcast(rates), strata_cols)
+        .filter(bucket < F.col("keep_rate") * BUCKETS)
+        .drop("__tok__")
+    )

@@ -2726,6 +2726,49 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_resample",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source, lang,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS t
+      FROM documents
+    ), cells AS (
+      SELECT source, lang, SUM(t) AS cell_tok FROM tok GROUP BY 1, 2
+    ), rates AS (
+      SELECT source, lang,
+             least(1.0,
+                   (CAST(SUM(cell_tok) OVER () AS DOUBLE)
+                    * (1.0 / CAST(COUNT(*) OVER () AS DOUBLE)))
+                   / CAST(cell_tok AS DOUBLE)) AS keep_rate
+      FROM cells
+    )
+    SELECT t.doc_id, t.source, t.lang, round(r.keep_rate, 6) AS keep_rate
+    FROM tok t JOIN rates r ON t.source = r.source AND t.lang = r.lang
+    WHERE CAST(('0x' || substr(md5('mixture-v1|' || CAST(t.doc_id AS VARCHAR)),
+                               1, 4)) AS INTEGER)
+          < r.keep_rate * 65536
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture resampling toward a uniform per-(source,
+    lang) target (llm.sampling.token_budget_resample): over-budget
+    strata are deterministically down-sampled (md5-bucket Bernoulli)
+    so surviving token mass approaches total/n_cells per stratum —
+    the DoReMi-style mixture-rebalancing step downstream of
+    ``corpus_mix_report``. One tiny groupBy + broadcast of the rate
+    table + a map-side filter."""
+    from small_etl_spark.llm.sampling import token_budget_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_resample(
+        docs, ["source", "lang"], textstats.token_count("text")
+    )
+    return out.select(
+        "doc_id", "source", "lang", F.round("keep_rate", 6).alias("keep_rate")
+    )
+
+
+@register(
     "cosine_topk",
     """
     WITH q AS (
