@@ -1,35 +1,24 @@
-"""PII detection / redaction for training-corpus preparation.
+"""PII audit for training-corpus preparation.
 
-Regex-only (no ML NER): emails, IPv4 addresses, phone-like digit runs.
-The patterns deliberately avoid backreferences and lookaround so the
-same strings mean the same thing to Java regex (Spark executors) and
-RE2 (DuckDB oracle) — which is what makes the pipeline oracle-checkable.
+The redaction pass itself lives in ``functions.text.redact_pii``
+(chained ``regexp_replace`` over ``PII_PATTERNS`` — map-only, fuses
+into the corpus scan). This module adds the AUDIT side: per-category
+match counts on the original text, which is what drives keep/drop and
+source-level policy decisions before anything is redacted.
 
-All scrubbing is `regexp_replace` column expressions: JVM-side,
-whole-stage-codegen'd, map-only — at 100 TB this adds zero shuffles to
-a corpus pass and fuses with whatever filter/projection surrounds it.
-
-No reference equivalent (kenstt/small-etl has no redaction); this is a
-north-star LLM-pipeline extension.
+``PII_PATTERNS`` is imported — one source of truth for what counts as
+PII; patterns avoid backreferences and lookaround so Java regex
+(Spark) and RE2 (DuckDB oracle) agree.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-# Ordered: emails first (their local parts contain digit runs a phone
-# pattern could claim), then IPs, then bare phone-like runs. The
-# replacement tokens contain no digits, so later passes cannot re-match
-# earlier redactions.
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+from small_etl_spark.functions.text import PII_PATTERNS
 
-REDACTIONS = (
-    (EMAIL_RE, "<EMAIL>"),
-    (IPV4_RE, "<IP>"),
-    (PHONE_RE, "<PHONE>"),
-)
+# category label per pattern, in PII_PATTERNS order
+_CATEGORIES = ("emails", "ips", "phones")
 
 
 def _c(col: Column | str) -> Column:
@@ -37,9 +26,10 @@ def _c(col: Column | str) -> Column:
 
 
 def scrub_pii(col: Column | str) -> Column:
-    """Redact emails → IPs → phone-like runs (in that order)."""
+    """Column-level redaction (same patterns/order as the DataFrame
+    pass ``functions.text.redact_pii``)."""
     c = _c(col)
-    for pattern, token in REDACTIONS:
+    for pattern, token in PII_PATTERNS:
         c = F.regexp_replace(c, pattern, token)
     return c
 
@@ -49,7 +39,6 @@ def pii_counts(col: Column | str) -> list[Column]:
     how much PII a source carries drives keep/drop policy)."""
     c = _c(col)
     return [
-        F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(c, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
-        F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(c, F.lit(pattern)).cast("bigint").alias(f"n_{cat}")
+        for (pattern, _), cat in zip(PII_PATTERNS, _CATEGORIES)
     ]

@@ -2507,38 +2507,29 @@ def q_value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pii_scrub_docs",
+    "pii_audit",
     r"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text_scrubbed,
+    SELECT doc_id, source,
            CAST(len(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
              AS n_emails,
            CAST(len(regexp_extract_all(text,
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
            CAST(len(regexp_extract_all(text,
-             '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phones
+             '\+?\d[\d\s().-]{7,}\d')) AS BIGINT) AS n_phones
     FROM documents
     """,
 )
-def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction pass (llm.pii.scrub_pii): emails → IPs →
-    phone-runs replaced by typed tokens, plus per-category audit
-    counts on the original text. Map-only regexp_replace chain —
-    fuses into the corpus scan, zero shuffles at any scale."""
-    from small_etl_spark.llm.pii import pii_counts, scrub_pii
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII audit counts (llm.pii.pii_counts over the
+    canonical ``functions.text.PII_PATTERNS`` — the same patterns the
+    ``redact_pii`` scrub query applies): the policy input for
+    source-level keep/drop decisions. Map-only regexp_count — fuses
+    into the corpus scan, zero shuffles at any scale."""
+    from small_etl_spark.llm.pii import pii_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        scrub_pii("text").alias("text_scrubbed"),
-        *pii_counts("text"),
-    )
+    return docs.select("doc_id", "source", *pii_counts("text"))
 
 
 @register(

@@ -145,14 +145,43 @@ def test_tfidf_docfreq_join_is_hint_free(spark):
 
 
 @pytest.mark.parametrize("name", ["chunk_documents", "redact_pii",
-                                  "train_val_split"])
+                                  "train_val_split", "pii_audit"])
 def test_map_only_llm_ops_have_no_exchange(spark, name):
-    """Chunking, PII scrub and hash split are scan-fused map passes:
-    any Exchange in their plan is a regression. (Winnowing stats is
-    excluded — _ensure_parallelism deliberately repartitions a
-    single-file input before the CPU-heavy fingerprint math.)"""
+    """Chunking, PII scrub/audit and hash split are scan-fused map
+    passes: any Exchange in their plan is a regression. (Winnowing
+    stats is excluded — _ensure_parallelism deliberately repartitions
+    a single-file input before the CPU-heavy fingerprint math.)"""
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_dedup", "minhash_lsh_dedup_md5",
+                                  "simhash_dedup", "simhash_dedup_md5"])
+def test_probabilistic_dedup_never_cross_joins(spark, name):
+    """The whole point of LSH banding / pigeonhole chunking is that
+    candidates come from equi-joins on (band, bucket) — a
+    CartesianProduct or BroadcastNestedLoopJoin in any of these plans
+    means the blocking silently degenerated to all-pairs."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_value_histogram_single_exchange(spark):
+    """Bucketing is map-side; the only shuffle is the final
+    (event_type, bucket) aggregate, and the scan reads 2 columns."""
+    plan = plan_of(spark, "value_histogram_events")
+    assert plan.count("Exchange") == 1
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+
+
+def test_mixture_resample_broadcasts_rate_table(spark):
+    """The per-stratum rate table is tiny by construction and must
+    come back to the corpus via a broadcast join — a shuffled join
+    here would re-shuffle the whole corpus at 100 TB."""
+    plan = final_plan_of(spark, "mixture_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_corpus_clean_single_shuffle(spark):
