@@ -2716,6 +2716,63 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("stage_idx").cast("int"), "stage", "n")
 
 
+def _embedding_near_dup_oracle(
+    num_planes: int = 16, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """DuckDB twin of the random-hyperplane embedding near-dup
+    pipeline. The plane weights are seeded Python literals
+    (llm.similarity.random_planes), so the exact same doubles are
+    embedded here; bucket bit p = sign(v · plane_p), candidates join
+    on equal buckets, exact cosine (rounded 6dp in BOTH engines before
+    the threshold, so boundary behavior is identical) verifies."""
+    from small_etl_spark.llm.similarity import random_planes
+
+    planes = random_planes(dim, num_planes, seed=42)
+    bits = "\n       + ".join(
+        "(CASE WHEN list_dot_product(v, [{w}]) >= 0 "
+        "THEN CAST({b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)".format(
+            w=", ".join(repr(x) for x in plane), b=1 << p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT id, v,
+         {bits}
+         AS bucket
+      FROM e
+    )
+    SELECT a.id AS id_a, c.id AS id_b,
+           round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+    WHERE round(list_cosine_similarity(a.v, c.v), 6) >= {threshold}
+    """
+
+
+@register("embedding_near_dup", _embedding_near_dup_oracle())
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs
+    (llm.dedup.embedding_near_dup_pairs): random-hyperplane LSH
+    buckets (16 seeded-literal planes), exact cosine within buckets.
+    Candidates come from a bucket equi-join — never all-pairs — and
+    the full pipeline (planes, signs, verify) replays in DuckDB.
+    Cosine rounded to 6dp in both engines BEFORE the threshold so the
+    boundary set is identical."""
+    from small_etl_spark.llm.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # generous inner threshold, exact filter on the rounded value —
+    # keeps the Spark/oracle comparison boundary-exact
+    pairs = embedding_near_dup_pairs(emb, cosine_threshold=0.9)
+    return (
+        pairs.withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 @register(
     "mixture_resample",
     r"""
@@ -5210,13 +5267,17 @@ _GATED = [
     "normalize_fields",
     "remove_html_tags",
     "q1_pricing_summary",
-    "groupby_agg",
+    # groupby_agg / window_functions were swapped out for the two
+    # remaining dedup-family oracles (both stay registered + locally
+    # swept): q1 is itself the groupby-agg shape, window_topk_per_group
+    # carries the window family.
+    "embedding_near_dup",
     "window_topk_per_group",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "cube_agg",
-    "window_functions",
+    "simhash_dedup_md5",
     "rollup_agg",
     "pivot_agg",
     "distinct_agg",

@@ -71,11 +71,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: when running under an externally created SparkSession
     # (the verification driver's), disable ICU case mappings — their
     # static init costs minutes of CPU on first lower()/upper(); JVM
-    # simple case mapping is equivalent for this data.
-    try:
-        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
-    except Exception:  # noqa: BLE001 - conf may not exist on other versions
-        pass
+    # simple case mapping is equivalent for this data. Session TZ is
+    # pinned to UTC for the same reason: the NTZ→TIMESTAMP
+    # normalization below (and every epoch cast downstream) is only
+    # DuckDB-parity-exact under UTC.
+    for k, v in (
+        ("spark.sql.icu.caseMappings.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 - conf may not exist on other versions
+            pass
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -59,6 +59,11 @@ def read_events_stream(
     from small_etl_spark.sources.tables import normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # NTZ→TIMESTAMP normalization is epoch-exact only under UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001
+        pass
     file_schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger is not None:

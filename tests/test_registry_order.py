@@ -11,9 +11,13 @@ GATE_WINDOW = 50
 
 # Every query that must have a driver CORRECTNESS row (VERDICT r1 item 2).
 MUST_BE_GATED = [
-    # LLM data-pipeline catalog (md5 variant is the oracled gate twin
-    # of the xxhash64 bench path — VERDICT r2 item 3)
+    # LLM data-pipeline catalog: every dedup family member has a
+    # driver-gated oracled row (md5 variants are the oracled gate
+    # twins of the xxhash64 bench paths — VERDICT r2 item 3)
     "minhash_lsh_dedup_md5",
+    "simhash_dedup_md5",
+    "embedding_near_dup",
+    "exact_dedup_docs",
     "ngram_jaccard_pairs",
     "near_dup_components",
     "cosine_topk",
