@@ -239,9 +239,13 @@ def ivf_refine(
 
     Pure DataFrame ops: posexplode to (cell, pos, component) rows →
     per-(cell, pos) mean (map-side combined) → re-fold into arrays →
-    broadcast re-assignment. Each extra iteration repeats this; one is
-    usually enough to fix the worst hash-sampled centroids. Returns
-    ``(assigned, centroids)`` like ``ivf_assign``.
+    broadcast re-assignment. (A per-dimension scalar-SUM variant was
+    measured and is NOT faster here — the iteration cost is dominated
+    by the broadcast re-assign's cosine folds, not the means shuffle,
+    and map-side combine already crushes the explode volume.) Each
+    extra iteration repeats this; one is usually enough to fix the
+    worst hash-sampled centroids. Returns ``(assigned, centroids)``
+    like ``ivf_assign``.
     """
     comp = assigned.select(
         "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
@@ -349,10 +353,15 @@ def ivf_train(
     """IVF index with ``iters`` Lloyd refinements over the hash-sampled
     seed centroids. Each iteration is one shuffle (per-(cell,pos)
     means) + one broadcast re-assign; 1-2 iterations capture most of
-    the recall gain. Returns ``(assigned, centroids)``."""
+    the recall gain. Returns ``(assigned, centroids)``.
+
+    Each round's ``assigned`` is localCheckpoint'ed first:
+    ``ivf_refine`` consumes it twice (centroid means + re-assign), so
+    an uncut lineage would re-execute the whole upstream chain on both
+    branches — 2^iters recompute by the last round."""
     assigned, cents = ivf_assign(corpus, num_centroids, id_col, vec_col, seed)
     for _ in range(iters):
-        assigned, cents = ivf_refine(assigned, id_col, vec_col)
+        assigned, cents = ivf_refine(assigned.localCheckpoint(), id_col, vec_col)
     return assigned, cents
 
 
