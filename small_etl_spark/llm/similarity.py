@@ -130,6 +130,61 @@ def brute_force_topk(
     )
 
 
+def _assign_cells_vectorized(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow ``mapInPandas`` kernel:
+    the centroid table (small by contract — ≤ ~1k cells) is collected
+    and closed over; each Arrow batch becomes one BLAS matmul + argmax.
+
+    This replaces a crossJoin(broadcast) + per-pair ``cosine_sim``
+    fold + ``max_by`` reduction — the same "dense float math belongs
+    in vectorized kernels" crossover as ``brute_force_topk_vectorized``
+    (the expression path evaluated |corpus|×C interpreted zip_with
+    folds). Map-only: no shuffle, scales like a scan. Ties mirror the
+    expression path's ``max_by(struct(sim, cell))``: larger cell id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cents.select("cell", "__cent__").collect(), key=lambda r: r[0])
+    cell_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mn = np.linalg.norm(m, axis=1)
+    mn[mn == 0] = 1.0
+    mhat = (m / mn[:, None]).T  # dim × C
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0] = 1.0
+            sims = (x / xn[:, None]) @ mhat
+            # tie → larger cell id (cells are column-sorted ascending,
+            # so argmax over the reversed columns picks the last max)
+            idx = sims.shape[1] - 1 - sims[:, ::-1].argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell_ids[idx],
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    return src.mapInPandas(
+        assign,
+        schema=f"{id_col} bigint, cell bigint, {vec_col} array<double>",
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     num_centroids: int = 32,
@@ -143,11 +198,12 @@ def ivf_assign(
     Returns ``(assigned, centroids)``: ``assigned`` = corpus +
     ``cell`` column; ``centroids`` = (cell, centroid vector).
 
-    One broadcast join corpus × C + map-side ``max_by`` argmax — a
-    single map pass at any scale, no iterative k-means (good-enough
-    cells for pruning; swap in trained centroids without changing the
-    query path). At 100 TB: write ``assigned`` partitioned by
-    ``cell`` so probes read only nprobe/C of the files.
+    Assignment is the vectorized Arrow kernel
+    (``_assign_cells_vectorized``) — a single map pass at any scale,
+    no iterative k-means (good-enough cells for pruning; swap in
+    trained centroids without changing the query path). At 100 TB:
+    write ``assigned`` partitioned by ``cell`` so probes read only
+    nprobe/C of the files.
     """
     from small_etl_spark.llm.util import ensure_parallelism
 
@@ -162,19 +218,7 @@ def ivf_assign(
             F.col(vec_col).cast("array<double>").alias("__cent__"),
         )
     )
-    c = corpus.withColumn("__v__", F.col(vec_col).cast("array<double>"))
-    pairs = c.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim__", cosine_sim("__v__", "__cent__")
-    )
-    assigned = (
-        pairs.groupBy(id_col)
-        .agg(
-            F.max_by("cell", F.struct("__sim__", "cell")).alias("cell"),
-            F.first("__v__").alias("__v__"),
-        )
-        .select(id_col, "cell", F.col("__v__").alias(vec_col))
-    )
-    return assigned, cents
+    return _assign_cells_vectorized(corpus, cents, id_col, vec_col), cents
 
 
 def ivf_topk(
@@ -260,19 +304,7 @@ def ivf_refine(
         )
     )
     corpus = assigned.drop("cell")
-    c = corpus.withColumn("__v__", F.col(vec_col).cast("array<double>"))
-    pairs = c.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim__", cosine_sim("__v__", "__cent__")
-    )
-    new_assigned = (
-        pairs.groupBy(id_col)
-        .agg(
-            F.max_by("cell", F.struct("__sim__", "cell")).alias("cell"),
-            F.first("__v__").alias("__v__"),
-        )
-        .select(id_col, "cell", F.col("__v__").alias(vec_col))
-    )
-    return new_assigned, cents
+    return _assign_cells_vectorized(corpus, cents, id_col, vec_col), cents
 
 
 def brute_force_topk_vectorized(
