@@ -2817,6 +2817,64 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_plan",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id, t,
+             SUM(t) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - t AS start_off,
+             CAST(ceil(CAST(SUM(t) OVER () AS DOUBLE) / 8.0) AS BIGINT)
+               AS target
+      FROM tok
+    )
+    SELECT CAST(start_off // target AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token shard planning for training output: docs in stable
+    doc_id order are packed greedily into 8 shards of
+    ~total_tokens/8 each (shard = start-offset DIV target — pure
+    BIGINT math, oracle-exact). The report row per shard (docs,
+    tokens, id range) is what a shard-writing job partitions by; at
+    100 TB the cumsum is the only global-order operation and runs on
+    the (doc_id, token_count) projection, not the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_shards = 8
+    w_cum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    tok = docs.select(
+        "doc_id", textstats.token_count("text").cast("bigint").alias("t")
+    )
+    c = tok.select(
+        "doc_id",
+        "t",
+        (F.sum("t").over(w_cum) - F.col("t")).alias("start_off"),
+        F.ceil(F.sum("t").over(w_all).cast("double") / float(n_shards))
+        .cast("bigint")
+        .alias("target"),
+    )
+    return (
+        c.groupBy(F.expr("start_off DIV target").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
     "cosine_topk",
     """
     WITH q AS (
