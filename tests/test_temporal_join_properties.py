@@ -1,0 +1,115 @@
+"""Property-based semantic tests for the hand-built temporal joins.
+
+``asof_join`` / ``range_join`` are custom union-merge / bucketed
+compositions (no Spark built-in to lean on), so their semantics are
+pinned here against a brute-force Python reference over randomized
+inputs — the highest-risk operators get the strongest oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from small_etl_spark.operators.joins import asof_join, range_join
+
+BASE = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _events(draw_rows):
+    # rows: (key, ts_offset_seconds, value) with unique (key, offset)
+    seen = set()
+    out = []
+    for k, off, v in draw_rows:
+        if (k, off) in seen:
+            continue
+        seen.add((k, off))
+        out.append((k, off, v))
+    return out
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=1000),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _df(spark, rows, prefix):
+    return spark.createDataFrame(
+        [
+            (k, BASE + dt.timedelta(seconds=off), float(v))
+            for k, off, v in rows
+        ],
+        f"user_id long, ts timestamp, {prefix}value double",
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=rows_strategy, right=rows_strategy)
+def test_asof_join_matches_reference(spark, left, right):
+    left, right = _events(left), _events(right)
+    ldf = _df(spark, left, "l_")
+    rdf = _df(spark, right, "r_")
+    got = {
+        (r.user_id, r.ts.replace(tzinfo=dt.timezone.utc)): r.r_value_asof
+        for r in asof_join(ldf, rdf, on="user_id").collect()
+    }
+    assert len(got) == len(left)
+    for k, off, _ in left:
+        lts = BASE + dt.timedelta(seconds=off)
+        cands = [(o, v) for (rk, o, v) in right if rk == k and o <= off]
+        want = float(max(cands)[1]) if cands else None
+        assert got[(k, lts)] == want, (k, off, cands)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=rows_strategy,
+    right=rows_strategy,
+    lower=st.integers(min_value=0, max_value=50),
+    width=st.integers(min_value=1, max_value=300),
+)
+def test_range_join_matches_reference(spark, left, right, lower, width):
+    left, right = _events(left), _events(right)
+    ldf = _df(spark, left, "l_")
+    rdf = _df(spark, right, "r_")
+    out = range_join(
+        ldf,
+        rdf,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=float(lower),
+        upper_seconds=float(lower + width),
+    )
+    ts_cols = [c for c in out.columns if "ts" in c]
+    got = sorted(
+        (r.user_id, *(r[c].timestamp() for c in ts_cols))
+        for r in out.collect()
+    )
+    want = sorted(
+        (
+            k,
+            (BASE + dt.timedelta(seconds=lo)).timestamp(),
+            (BASE + dt.timedelta(seconds=ro)).timestamp(),
+        )
+        for (k, lo, _) in left
+        for (rk, ro, _) in right
+        if rk == k and lower <= ro - lo <= lower + width
+    )
+    assert got == want
