@@ -2817,6 +2817,90 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "constraint_report",
+    r"""
+    SELECT rule, violations FROM (
+      SELECT 'orders_pk_unique' AS rule,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'orders_totalprice_positive',
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_discount_range',
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer_nation_fk',
+             CAST(count(*) AS BIGINT)
+      FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+      UNION ALL
+      SELECT 'events_ts_not_null',
+             CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events
+    )
+    """,
+)
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level constraint audit (deequ-shape, distinct from the
+    reference's per-record field validation at
+    operators/validation.py): primary-key uniqueness, referential
+    integrity (anti-join counts), range and non-null rules — one
+    (rule, violations) row each. Each rule is a count aggregate or
+    broadcast-able anti join; the whole report is a handful of
+    independent scans that run as one union job at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(rule).alias("rule"), F.col("violations"))
+
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("violations")
+    )
+    fk_li = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    price = o.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("violations")
+    )
+    disc = li.agg(
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")
+        ).alias("violations")
+    )
+    fk_c = (
+        c.join(n.select("n_nationkey"), c["c_nationkey"] == n["n_nationkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    ts_null = ev.agg(
+        F.sum(F.col("ts").isNull().cast("bigint")).alias("violations")
+    )
+    return (
+        one("orders_pk_unique", pk)
+        .unionByName(one("lineitem_fk_orders", fk_li))
+        .unionByName(one("orders_totalprice_positive", price))
+        .unionByName(one("lineitem_discount_range", disc))
+        .unionByName(one("customer_nation_fk", fk_c))
+        .unionByName(one("events_ts_not_null", ts_null))
+    )
+
+
+@register(
     "shard_plan",
     r"""
     WITH tok AS (
