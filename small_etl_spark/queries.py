@@ -2817,6 +2817,65 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_tiers",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+               AS n_tokens,
+             (least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE),
+                    200.0) / 200.0
+              + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                      AND CAST(length(text) AS DOUBLE)
+                          / CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                                 AS DOUBLE)
+                          BETWEEN 3.0 AND 10.0
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                     THEN 1.0 ELSE 0.0 END
+             ) / 3.0 AS quality
+      FROM documents
+    ), t AS (
+      SELECT doc_id, n_tokens, quality,
+             ntile(4) OVER (ORDER BY quality, doc_id) AS tier
+      FROM q
+    )
+    SELECT CAST(tier AS BIGINT) AS tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           round(min(quality), 6) AS min_quality,
+           round(max(quality), 6) AS max_quality
+    FROM t GROUP BY tier
+    """,
+)
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered corpus breakdown: docs ranked by the heuristic
+    quality score (llm.textstats.quality_score), split into ntile(4)
+    tiers (deterministic: total order with doc_id tiebreak), token
+    budget per tier — the "how much high-quality data do I have"
+    table quality-aware mixing policies start from. One window sort
+    over the slim (doc_id, n_tokens, quality) projection + one tiny
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        textstats.token_count("text").cast("bigint").alias("n_tokens"),
+        textstats.quality_score("text").alias("quality"),
+    )
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        q.withColumn("tier", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+        )
+    )
+
+
+@register(
     "constraint_report",
     r"""
     SELECT rule, violations FROM (
