@@ -1578,6 +1578,46 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_confusion",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {_stopword_sql("en")} AS h_en,
+             {_stopword_sql("es")} AS h_es,
+             {_stopword_sql("fr")} AS h_fr,
+             {_stopword_sql("de")} AS h_de
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE
+               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0
+                 THEN 'en'
+               WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+               WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+               WHEN h_de > 0 THEN 'de'
+               ELSE 'und'
+             END AS lang_pred
+      FROM hits
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-detector language confusion matrix: the declared
+    ``lang`` column against stopword-argmax lang_id — off-diagonal
+    mass = mislabeled or code-switched docs to re-route before
+    training. One groupBy over the map-side detector, no extra
+    scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textstats.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "quality_score",
     r"""
     SELECT doc_id,
