@@ -2857,6 +2857,46 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_dau",
+    r"""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), anchors AS (
+      SELECT DISTINCT day FROM days
+    )
+    SELECT a.day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS dau_7d
+    FROM anchors a JOIN days d
+      ON d.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+    GROUP BY a.day
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day. Distinct-within-
+    window doesn't decompose into a window aggregate, so the exact
+    formulation is the day-grain pre-dedup (events collapse to at
+    most days×users rows — the ONLY corpus-sized shuffle) followed by
+    an anchor-day range join over that tiny day-grain table. At
+    100 TB the pre-dedup is the whole cost; the 7-day join touches
+    |days|×|active users/day| rows, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    anchors = days.select("day").distinct()
+    return (
+        anchors.alias("a")
+        .join(
+            days.alias("d"),
+            F.col("d.day").between(
+                F.date_sub(F.col("a.day"), 6), F.col("a.day")
+            ),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.countDistinct("d.user_id").cast("bigint").alias("dau_7d"))
+    )
+
+
+@register(
     "quality_tiers",
     r"""
     WITH q AS (
