@@ -1018,6 +1018,39 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_shipmode,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_shipmode) AS BIGINT)
+             AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode),
+                            (l_returnflag, l_shipmode))
+    """,
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form CUBE/ROLLUP
+    specialize): three chosen sets in ONE shuffle via grouping-set
+    expansion, with grouping() flags disambiguating real NULLs from
+    subtotal rows — at scale this replaces three separate groupBy jobs
+    and three scans with one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_shipmode"], ["l_returnflag", "l_shipmode"]],
+        "l_returnflag",
+        "l_shipmode",
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_shipmode"))
+        .cast("bigint")
+        .alias("gid"),
+    )
+
+
+@register(
     "window_functions",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,
