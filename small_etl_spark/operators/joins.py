@@ -227,6 +227,64 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    on: str | None = None,
+    bucket_seconds: float = 3600.0,
+) -> DataFrame:
+    """Interval×interval overlap join (the third classic temporal join
+    beside as-of and point-in-range): pairs where
+    ``[l_start, l_end]`` and ``[r_start, r_end]`` intersect
+    (inclusive: ``l_start ≤ r_end AND r_start ≤ l_end``), optionally
+    within the same ``on`` key. Start/end columns are epoch seconds
+    (numeric) or timestamps.
+
+    A bare overlap predicate is a per-key cross product. Scale shape:
+    each interval explodes to the ``bucket_seconds`` cells it covers,
+    candidates equi-join on (key, bucket), duplicates from multi-bucket
+    overlaps collapse via dropDuplicates on the pair identity BEFORE
+    the exact predicate — shuffle is hash(key, bucket), AQE splits hot
+    cells. Blowup per row is interval_length/bucket + 1, so pick a
+    bucket near the typical interval length.
+    """
+
+    def _epoch(col: str) -> Column:
+        return F.col(col).cast("double")
+
+    def _buckets(s: str, e: str) -> Column:
+        lo = F.floor(_epoch(s) / F.lit(bucket_seconds)).cast("long")
+        hi = F.floor(_epoch(e) / F.lit(bucket_seconds)).cast("long")
+        return F.sequence(lo, hi)
+
+    l_x = left.withColumn("__bucket__", F.explode(_buckets(l_start, l_end)))
+    r_x = right.withColumn("__bucket__", F.explode(_buckets(r_start, r_end)))
+    cond = F.col("l.__bucket__") == F.col("r.__bucket__")
+    if on is not None:
+        cond = cond & (F.col(f"l.{on}") == F.col(f"r.{on}"))
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}").alias(f"{c}_r" if c in left.columns else c)
+        for c in right.columns
+    ]
+    overlap = (
+        F.col(f"l.{l_start}").cast("double") <= F.col(f"r.{r_end}").cast("double")
+    ) & (
+        F.col(f"r.{r_start}").cast("double") <= F.col(f"l.{l_end}").cast("double")
+    )
+    return (
+        l_x.alias("l")
+        .join(r_x.alias("r"), cond)
+        .filter(overlap)
+        .select(*out_cols)
+        # an overlapping pair meets once per shared bucket — keep one
+        .dropDuplicates()
+    )
+
+
 def upsert(
     target: DataFrame,
     updates: DataFrame,

@@ -2930,6 +2930,80 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_busy_overlap",
+    r"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ), lagged AS (
+      SELECT user_id, ep,
+             lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev
+      FROM e
+    ), marked AS (
+      SELECT user_id, ep,
+             SUM(CASE WHEN prev IS NULL OR ep - prev > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ep
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM lagged
+    ), sessions AS (
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             min(ep) AS s_start, max(ep) AS s_end
+      FROM marked GROUP BY 1, 2
+    ), busy AS (
+      SELECT (ep // 3600) * 3600 AS b_start, (ep // 3600) * 3600 + 3599 AS b_end
+      FROM e GROUP BY 1, 2 HAVING count(*) >= 20
+    )
+    SELECT s.user_id, s.session_idx, s.s_start, s.s_end, b.b_start
+    FROM sessions s JOIN busy b
+      ON s.s_start <= b.b_end AND b.b_start <= s.s_end
+    """,
+)
+def q_session_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join
+    (operators/joins.py::interval_overlap_join): per-user activity
+    sessions (30-min gap) × global busy hours (≥20 events) — which
+    sessions ran during load peaks. Sessions and busy windows are both
+    intervals, the third classic temporal-join shape beside as-of and
+    point-in-range; candidates come from hour-bucket equi-joins, never
+    a cross product."""
+    from small_etl_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy(ep, F.col("event_id"))
+    gap = ep - F.lag(ep).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(ep, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        ev.select(
+            "user_id",
+            ep.alias("ep"),
+            F.sum(is_new).over(w_cum).alias("session_idx"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ep").alias("s_start"), F.max("ep").alias("s_end"))
+    )
+    busy = (
+        ev.groupBy((ep.cast("long") / 3600).cast("long").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+        .select(
+            (F.col("hr") * 3600).alias("b_start"),
+            (F.col("hr") * 3600 + 3599).alias("b_end"),
+        )
+    )
+    out = interval_overlap_join(
+        sessions, busy, "s_start", "s_end", "b_start", "b_end"
+    )
+    return out.select("user_id", "session_idx", "s_start", "s_end", "b_start")
+
+
+@register(
     "quality_tiers",
     r"""
     WITH q AS (
