@@ -113,3 +113,44 @@ def test_range_join_matches_reference(spark, left, right, lower, width):
         if rk == k and lower <= ro - lo <= lower + width
     )
     assert got == want
+
+
+intervals_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=500),    # start offset s
+        st.integers(min_value=0, max_value=200),    # duration s
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=intervals_st, right=intervals_st)
+def test_interval_overlap_join_matches_reference(spark, left, right):
+    from small_etl_spark.operators.joins import interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, s, s + d) for i, (k, s, d) in enumerate(left)],
+        "lid long, k long, ls long, le long",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, s, s + d) for i, (k, s, d) in enumerate(right)],
+        "rid long, k long, rs long, re long",
+    )
+    out = interval_overlap_join(
+        ldf, rdf, "ls", "le", "rs", "re", on="k", bucket_seconds=60.0
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    want = sorted(
+        (li, ri)
+        for li, (lk, ls, ld) in enumerate(left)
+        for ri, (rk, rs, rd) in enumerate(right)
+        if lk == rk and ls <= rs + rd and rs <= ls + ld
+    )
+    assert got == want
