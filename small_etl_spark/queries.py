@@ -556,6 +556,44 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "key_skew_report",
+    """
+    WITH per_key AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           round(quantile_cont(n, 0.5), 6) AS p50,
+           round(quantile_cont(n, 0.99), 6) AS p99,
+           CAST(max(n) AS BIGINT) AS max_n,
+           round(CAST(max(n) AS DOUBLE) / SUM(n), 6) AS top_key_share
+    FROM per_key
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key row counts for a
+    prospective shuffle key (l_orderkey), summarized as key count,
+    p50/p99/max rows-per-key, and the hottest key's share — the
+    numbers that decide between a plain shuffle, AQE skew-split, and
+    explicit salting (operators/skew.py) BEFORE running the join at
+    100 TB. One groupBy + a 6-number aggregate over the key-grain
+    table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99"),
+        F.max("n").alias("max_n"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias(
+            "top_key_share"
+        ),
+    )
+
+
+@register(
     "semi_anti_join",
     """
     SELECT c_custkey, c_name,
