@@ -3042,6 +3042,49 @@ def q_session_busy_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hashing_tf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'))
+               AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 256
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def q_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (hashing trick): tokens → 256 hash buckets →
+    per-doc term frequencies, with NO vocabulary build — the standard
+    scale path for text vectorization (collision noise in exchange
+    for a fixed-width, coordination-free feature space; cosine the
+    bucket vectors downstream). Portable md5 bucket → the exact
+    pipeline replays in DuckDB. One explode + one (doc, bucket)
+    groupBy — tf-shaped shuffle, map-side combined."""
+    from small_etl_spark.llm.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10)
+                .cast("bigint"),
+                F.lit(256),
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register(
     "quality_tiers",
     r"""
     WITH q AS (
