@@ -199,3 +199,49 @@ def token_budget_resample(
         .filter(bucket < F.col("keep_rate") * BUCKETS)
         .drop("__tok__")
     )
+
+
+def global_shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + round-robin shard
+    striping: the canonical "shuffle the corpus once, write N shard
+    files, stream them in order" step every pretraining pipeline runs
+    before tokenization.
+
+    Order key = ``md5(salt|id)`` — a content-defined permutation that
+    is reproducible across runs, engines, and cluster sizes (changing
+    ``salt`` draws an independent epoch order). Rows are striped
+    round-robin over shards by their global shuffled ordinal, so shard
+    sizes differ by at most 1 and every shard is itself a uniform
+    sample of the corpus (any prefix of training sees an unbiased
+    mix — the property curriculum loaders rely on).
+
+    Returns ``(id, ordinal, shard, position)``: ``ordinal`` is the
+    global 0-based shuffled rank, ``shard = ordinal % n_shards``,
+    ``position = ordinal // n_shards`` (the row's offset inside its
+    shard file).
+
+    Scale: the global rank uses :func:`~small_etl_spark.operators.
+    sort.global_ordinal` — range-exchange on the hash key + per-
+    partition rank + driver-side prefix-summed offsets — NOT a
+    single-partition ``row_number() OVER (ORDER BY …)``; shard/
+    position derive map-side from the ordinal. One range shuffle
+    total, balanced by sampled split points on an (uniform) md5 key.
+    """
+    from small_etl_spark.operators.sort import global_ordinal
+
+    ord_hex = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    keyed = df.select(F.col(id_col), ord_hex.alias("__ord__"))
+    ranked = global_ordinal(keyed, ["__ord__", id_col], ordinal_col="ordinal")
+    return ranked.select(
+        id_col,
+        "ordinal",
+        (F.col("ordinal") % n_shards).cast("int").alias("shard"),
+        F.floor(F.col("ordinal") / n_shards).cast("bigint").alias("position"),
+    )

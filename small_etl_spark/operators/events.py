@@ -66,6 +66,52 @@ def funnel(
     return reduce(DataFrame.unionByName, out)
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive event pair within a user's
+    timeline, count ``prev_type → next_type`` and normalize to a
+    conditional probability within each ``prev_type`` row.
+
+    Returns ``(prev_type, next_type, transitions, prob)`` — the
+    navigation/path-analysis primitive (what do users do after a
+    'view'?).
+
+    Plan shape: the lag window partitions by ``user_col`` — millions
+    of small per-user frames, fully parallel, never a global sort
+    (``id_col`` breaks timestamp ties deterministically). The pair
+    count is one matrix-sized shuffle; the normalizing sum_over
+    window runs on the already-tiny |types|² aggregate. Scale-safe at
+    any corpus size.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.round(
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(total).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

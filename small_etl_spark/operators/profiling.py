@@ -16,6 +16,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
+from small_etl_spark.operators.sort import global_ordinal
+
 _NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
 
 
@@ -100,6 +102,53 @@ def histogram_cents(
             ((F.lit(lo_cents) + F.col("bucket") * w) / 100.0).alias("lo_edge"),
             ((F.lit(lo_cents) + (F.col("bucket") + 1) * w) / 100.0).alias("hi_edge"),
             "cnt",
+        )
+    )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    col: str,
+    tiebreak: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Exact equi-depth (quantile) binning: rows ranked by
+    ``(col, tiebreak)`` are cut into ``bins`` groups of near-equal
+    population (sizes differ by at most 1); per bin report
+    ``(bin, cnt, lo, hi, sum_val)`` with the money sum exact in cents.
+
+    The complement of :func:`histogram_cents` — equi-WIDTH answers
+    "how are values spread over the range", equi-DEPTH answers "where
+    are the quantile cut points" (feature bucketing, score calibration,
+    choosing range-partition split points for a 100 TB sort).
+
+    Bin assignment is ``floor(ordinal × bins / n)`` on the global
+    0-based rank — a pure-integer rule both engines compute
+    identically (ntile() would also work but its ragged-remainder
+    placement differs subtly from the integer rule; we pin ONE rule in
+    both). The rank comes from
+    :func:`~small_etl_spark.operators.sort.global_ordinal` (range
+    exchange + parallel per-partition rank), never a single-partition
+    window; the per-bin aggregate is one bins-sized shuffle.
+    """
+    n_total = df.count()
+    ranked = global_ordinal(
+        df.select(F.col(col).alias("__v__"), F.col(tiebreak).alias("__t__")),
+        ["__v__", "__t__"],
+        ordinal_col="__ord__",
+    )
+    # integer DIV, not floor(double /): bit-exact at any corpus size
+    # (double loses integers past 2^53)
+    b = F.expr(f"CAST((__ord__ * {int(bins)}) DIV {int(n_total)} AS INT)")
+    cents = F.round(F.col("__v__") * 100).cast("bigint")
+    return (
+        ranked.select(b.alias("bin"), F.col("__v__"), cents.alias("__c__"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("__v__").alias("lo"),
+            F.max("__v__").alias("hi"),
+            (F.sum("__c__").cast("double") / 100.0).alias("sum_val"),
         )
     )
 

@@ -5697,6 +5697,99 @@ def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(ev, group_col="event_type", value_col="value_cents")
 
 
+@register(
+    "event_transitions",
+    """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS transitions
+      FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, transitions,
+           round(CAST(transitions AS DOUBLE)
+                 / CAST(SUM(transitions) OVER (PARTITION BY prev_type)
+                        AS DOUBLE), 6) AS prob
+    FROM c
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/events.py::event_transitions): lag window
+    partitioned by user (parallel per-user frames, event_id tiebreak),
+    |types|²-sized count shuffle, probability normalized within
+    prev_type."""
+    from small_etl_spark.operators.events import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+@register(
+    "train_shuffle_shards",
+    """
+    WITH o AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5('shuffle-v1|' || CAST(doc_id AS VARCHAR)),
+                             doc_id) - 1 AS BIGINT) AS ordinal
+      FROM documents
+    )
+    SELECT doc_id, ordinal,
+           CAST(ordinal % 8 AS INT) AS shard,
+           ordinal // 8 AS position
+    FROM o
+    """,
+)
+def q_train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + round-robin shard
+    striping (llm/sampling.py::global_shuffle_shards): md5 content-
+    defined permutation ranked by the distributed global_ordinal
+    (range exchange + prefix-summed offsets, never a single-partition
+    window), shard/position derived map-side — the write-N-shard-files
+    step of a pretraining pipeline, reproducible across engines and
+    cluster sizes."""
+    from small_etl_spark.llm.sampling import global_shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle_shards(docs, id_col="doc_id", n_shards=8)
+
+
+@register(
+    "equidepth_bins_orders",
+    """
+    WITH o AS (
+      SELECT o_totalprice AS v, o_orderkey AS k,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+                  AS BIGINT) AS ord
+      FROM orders
+    ), n AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT CAST((ord * 10) // n.n AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(v) AS lo, MAX(v) AS hi,
+           CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_val
+    FROM o, n
+    GROUP BY 1
+    """,
+)
+def q_equidepth_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (quantile) binning of order totals
+    (operators/profiling.py::equidepth_bins): global rank via the
+    distributed ordinal, bin = (ord*k) DIV n in exact integer
+    arithmetic (pinned identically in both engines — no ntile
+    remainder ambiguity), per-bin count/min/max/cents-exact sum. The
+    cut points double as range-partition split points for a 100 TB
+    sort."""
+    from small_etl_spark.operators.profiling import equidepth_bins
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equidepth_bins(orders, col="o_totalprice", tiebreak="o_orderkey", bins=10)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

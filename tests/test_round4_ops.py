@@ -1,0 +1,134 @@
+"""Round-4 operators: event transitions, global shuffle shards,
+equi-depth binning."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import functions as F
+
+from small_etl_spark.llm.sampling import global_shuffle_shards
+from small_etl_spark.operators.events import event_transitions
+from small_etl_spark.operators.profiling import equidepth_bins
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestEventTransitions:
+    def test_known_matrix(self, spark):
+        rows = [
+            (1, 1, "view", _ts("2024-01-01T00:00:00")),
+            (2, 1, "click", _ts("2024-01-01T01:00:00")),
+            (3, 1, "view", _ts("2024-01-01T02:00:00")),
+            (4, 2, "view", _ts("2024-01-02T00:00:00")),
+            (5, 2, "click", _ts("2024-01-02T01:00:00")),
+            (6, 3, "view", _ts("2024-01-03T00:00:00")),  # single event: no pair
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+        )
+        got = {
+            (r["prev_type"], r["next_type"]): (r["transitions"], r["prob"])
+            for r in event_transitions(ev).collect()
+        }
+        assert got == {
+            ("view", "click"): (2, 1.0),
+            ("click", "view"): (1, 1.0),
+        }
+
+    def test_tiebreak_on_equal_ts(self, spark):
+        # same timestamp: event_id decides order deterministically
+        rows = [
+            (10, 1, "a", _ts("2024-01-01T00:00:00")),
+            (11, 1, "b", _ts("2024-01-01T00:00:00")),
+            (12, 1, "c", _ts("2024-01-01T00:00:00")),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+        )
+        got = {(r["prev_type"], r["next_type"]) for r in event_transitions(ev).collect()}
+        assert got == {("a", "b"), ("b", "c")}
+
+    def test_probs_sum_to_one_per_prev(self, spark):
+        from small_etl_spark.sources.tables import load_table
+
+        ev = load_table(spark, SF_DIR, "events")
+        out = (
+            event_transitions(ev)
+            .groupBy("prev_type")
+            .agg(F.round(F.sum("prob"), 3).alias("s"))
+            .collect()
+        )
+        assert out and all(abs(r["s"] - 1.0) < 0.01 for r in out)
+
+
+class TestGlobalShuffleShards:
+    def test_matches_python_reference(self, spark):
+        df = spark.range(0, 97).withColumnRenamed("id", "doc_id")
+        out = {
+            r["doc_id"]: (r["ordinal"], r["shard"], r["position"])
+            for r in global_shuffle_shards(df, n_shards=5).collect()
+        }
+        ids = sorted(
+            range(97),
+            key=lambda i: (hashlib.md5(f"shuffle-v1|{i}".encode()).hexdigest(), i),
+        )
+        for ordinal, doc_id in enumerate(ids):
+            assert out[doc_id] == (ordinal, ordinal % 5, ordinal // 5)
+
+    def test_shard_sizes_differ_by_at_most_one(self, spark):
+        df = spark.range(0, 97).withColumnRenamed("id", "doc_id")
+        sizes = [
+            r["n"]
+            for r in global_shuffle_shards(df, n_shards=5)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        assert len(sizes) == 5 and max(sizes) - min(sizes) <= 1
+
+    def test_salt_changes_order_not_membership(self, spark):
+        df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+        a = global_shuffle_shards(df, salt="epoch-1")
+        b = global_shuffle_shards(df, salt="epoch-2")
+        assert a.select("doc_id").subtract(b.select("doc_id")).count() == 0
+        joined = a.alias("a").join(b.alias("b"), "doc_id")
+        assert joined.filter(F.col("a.ordinal") != F.col("b.ordinal")).count() > 0
+
+
+class TestEquidepthBins:
+    def test_depths_and_edges(self, spark):
+        # 25 rows into 4 bins by the (ord*k) DIV n rule:
+        # thresholds at ceil(n*j/k) → sizes 7,6,6,6
+        rows = [(float(v), v) for v in range(25)]
+        df = spark.createDataFrame(rows, "val double, k bigint")
+        out = {
+            r["bin"]: (r["cnt"], r["lo"], r["hi"])
+            for r in equidepth_bins(df, "val", "k", bins=4).collect()
+        }
+        assert out == {
+            0: (7, 0.0, 6.0),
+            1: (6, 7.0, 12.0),
+            2: (6, 13.0, 18.0),
+            3: (6, 19.0, 24.0),
+        }
+
+    def test_bins_partition_rows_and_are_ordered(self, spark):
+        from small_etl_spark.sources.tables import load_table
+
+        orders = load_table(spark, SF_DIR, "orders")
+        out = (
+            equidepth_bins(orders, "o_totalprice", "o_orderkey", bins=10)
+            .orderBy("bin")
+            .collect()
+        )
+        assert sum(r["cnt"] for r in out) == orders.count()
+        assert len(out) == 10
+        assert max(r["cnt"] for r in out) - min(r["cnt"] for r in out) <= 1
+        for a, b in zip(out, out[1:]):
+            assert a["hi"] <= b["lo"]
