@@ -151,6 +151,10 @@ def _assign_cells_vectorized(
     import pandas as pd
 
     rows = sorted(cents.select("cell", "__cent__").collect(), key=lambda r: r[0])
+    if not rows:  # empty corpus → no centroids; (0,) arrays break axis=1 math
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, cell bigint, {vec_col} array<double>"
+        )
     cell_ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([list(r[1]) for r in rows], dtype=np.float64)
     mn = np.linalg.norm(m, axis=1)
@@ -331,6 +335,11 @@ def brute_force_topk_vectorized(
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:  # no queries → no pairs; (0,) arrays break axis=1 math
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} bigint, {id_col} bigint, cosine double, rank bigint",
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(qm, axis=1)

@@ -82,6 +82,76 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: joining a partition-layout fact to a
+    FILTERED dim must inject a runtime subquery into the fact scan's
+    PartitionFilters (``dynamicpruning``) so only matching partitions
+    are read — the star-schema scan killer at 100 TB, where the
+    partition list is only knowable after the dim filter runs."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "value", "event_type"
+    )
+    fact_dir = str(tmp_path / "fact")
+    ev.write.partitionBy("event_type").parquet(fact_dir)
+
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "buy")],
+        "event_type string, category string",
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim.filter(F.col("category") == "buy"), "event_type")
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized
+    n_purchase = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert joined.count() == n_purchase
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: with one hot key dominating the build of a
+    sort-merge join, AQE must re-plan the oversized shuffle partition
+    into parallel splits (``skew=true`` in the final plan) instead of
+    letting one task process the whole hot key — the runtime answer
+    to key skew when salting wasn't applied up front."""
+    hot = spark.range(0, 40_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )
+    rest = spark.range(0, 2_000).select(
+        (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("payload")
+    )
+    left = hot.unionAll(rest)
+    right = spark.range(0, 51).select(
+        (F.col("id") + 1).alias("k"), F.col("id").alias("tag")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # coalescing first would merge partitions below the skew
+        # threshold again on this tiny input
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's query execution (count() would plan
+        # a separate query and leave this one un-finalized under AQE)
+        assert len(joined.collect()) == 40_000 + 2_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     """Hive-layout partitioned write -> a filter on the partition
     column reads only matching directories (PartitionFilters in the
