@@ -147,6 +147,91 @@ def cohort_retention(
     )
 
 
+def inter_event_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Distribution of think-time gaps between a user's consecutive
+    events, bucketed on human-scale boundaries (<1m, 1m–10m, 10m–1h,
+    1h–1d, ≥1d). Returns ``(bucket, n, min_gap_s, max_gap_s,
+    avg_gap_s)`` — the histogram that picks a sessionization gap
+    threshold from data instead of folklore.
+
+    Gap seconds are exact integers (truncated-epoch difference), so
+    bucketing is engine-portable; only the final avg divides. Lag
+    window partitions per user (parallel), then one 5-row shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    secs = F.col(ts_col).cast("long")
+    gap = (secs - F.lag(secs).over(w)).alias("gap_s")
+    gaps = events.select(gap).filter(F.col("gap_s").isNotNull())
+    bucket = (
+        F.when(F.col("gap_s") < 60, "a_lt_1m")
+        .when(F.col("gap_s") < 600, "b_1m_10m")
+        .when(F.col("gap_s") < 3600, "c_10m_1h")
+        .when(F.col("gap_s") < 86400, "d_1h_1d")
+        .otherwise("e_ge_1d")
+    )
+    return gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.round(F.sum("gap_s").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_gap_s"
+        ),
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the LAST preceding non-conversion touch in the same
+    user's timeline (conversions with no prior touch fall out).
+    Returns ``(touch_type, conversions, revenue)`` with revenue
+    cents-exact.
+
+    The ``last(non-conversion type, ignorenulls) OVER (… ROWS
+    UNBOUNDED PRECEDING TO 1 PRECEDING)`` window skips over
+    interleaved conversions — two back-to-back purchases both credit
+    the same earlier touch, the standard marketing-attribution rule.
+    Per-user window frames (parallel), one |types|-sized shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    cents = F.round(F.col(val_col) * 100).cast("bigint")
+    return (
+        events.select(
+            F.col(type_col), touch.alias("touch_type"), cents.alias("__c__")
+        )
+        .filter((F.col(type_col) == conversion_type) & F.col("touch_type").isNotNull())
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            (F.sum("__c__").cast("double") / 100.0).alias("revenue"),
+        )
+    )
+
+
 def grouped_trend(
     events: DataFrame,
     group_col: str = "event_type",

@@ -5790,6 +5790,70 @@ def q_equidepth_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_bins(orders, col="o_totalprice", tiebreak="o_orderkey", bins=10)
 
 
+@register(
+    "inter_event_gaps",
+    """
+    WITH g AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT CASE WHEN gap_s < 60 THEN 'a_lt_1m'
+                WHEN gap_s < 600 THEN 'b_1m_10m'
+                WHEN gap_s < 3600 THEN 'c_10m_1h'
+                WHEN gap_s < 86400 THEN 'd_1h_1d'
+                ELSE 'e_ge_1d' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s,
+           round(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*), 6) AS avg_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Think-time gap distribution between consecutive per-user events
+    (operators/events.py::inter_event_gaps): exact integer gap
+    seconds bucketed on human-scale boundaries — the data-driven way
+    to pick a sessionization threshold."""
+    from small_etl_spark.operators.events import inter_event_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    return inter_event_gaps(ev)
+
+
+@register(
+    "last_touch_attribution",
+    """
+    WITH t AS (
+      SELECT event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS conversions,
+           CAST(SUM(c) AS DOUBLE) / 100.0 AS revenue
+    FROM t
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    GROUP BY touch_type
+    """,
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution
+    (operators/events.py::last_touch_attribution): each purchase
+    credits the last preceding non-purchase touch in the user's
+    timeline (ignorenulls window skips interleaved conversions);
+    revenue cents-exact."""
+    from small_etl_spark.operators.events import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(ev)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

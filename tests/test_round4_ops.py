@@ -67,6 +67,59 @@ class TestEventTransitions:
         assert out and all(abs(r["s"] - 1.0) < 0.01 for r in out)
 
 
+class TestInterEventGaps:
+    def test_buckets_and_stats(self, spark):
+        from small_etl_spark.operators.events import inter_event_gaps
+
+        rows = [
+            (1, 1, "view", _ts("2024-01-01T00:00:00")),
+            (2, 1, "view", _ts("2024-01-01T00:00:30")),   # gap 30 → <1m
+            (3, 1, "view", _ts("2024-01-01T00:12:10")),   # gap 700 → 10m–1h
+            (4, 2, "view", _ts("2024-01-02T00:00:00")),
+            (5, 2, "view", _ts("2024-01-04T00:00:00")),   # gap 2d → ≥1d
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+        )
+        got = {
+            r["bucket"]: (r["n"], r["min_gap_s"], r["max_gap_s"])
+            for r in inter_event_gaps(ev).collect()
+        }
+        assert got == {
+            "a_lt_1m": (1, 30, 30),
+            "c_10m_1h": (1, 700, 700),
+            "e_ge_1d": (1, 172800, 172800),
+        }
+
+
+class TestLastTouchAttribution:
+    def test_rules(self, spark):
+        from small_etl_spark.operators.events import last_touch_attribution
+
+        rows = [
+            # u1: view then TWO purchases — both credit the view
+            (1, 1, "view", 0.0, _ts("2024-01-01T00:00:00")),
+            (2, 1, "purchase", 10.0, _ts("2024-01-01T01:00:00")),
+            (3, 1, "purchase", 5.0, _ts("2024-01-01T02:00:00")),
+            # u2: purchase with no prior touch — dropped
+            (4, 2, "purchase", 99.0, _ts("2024-01-02T00:00:00")),
+            # u3: view then click then purchase — credits the click
+            (5, 3, "view", 0.0, _ts("2024-01-03T00:00:00")),
+            (6, 3, "click", 0.0, _ts("2024-01-03T01:00:00")),
+            (7, 3, "purchase", 7.5, _ts("2024-01-03T02:00:00")),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id bigint, user_id bigint, event_type string,"
+            " value double, ts timestamp",
+        )
+        got = {
+            r["touch_type"]: (r["conversions"], r["revenue"])
+            for r in last_touch_attribution(ev).collect()
+        }
+        assert got == {"view": (2, 15.0), "click": (1, 7.5)}
+
+
 class TestGlobalShuffleShards:
     def test_matches_python_reference(self, spark):
         df = spark.range(0, 97).withColumnRenamed("id", "doc_id")
