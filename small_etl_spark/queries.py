@@ -5854,6 +5854,88 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(ev)
 
 
+@register(
+    "length_drift_ks",
+    """
+    WITH a AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ca
+               FROM documents WHERE lang = 'en' GROUP BY 1),
+    b AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM documents WHERE lang = 'fr' GROUP BY 1),
+    m AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb,
+                 COALESCE(a.v, b.v) AS v
+          FROM a FULL OUTER JOIN b ON a.v = b.v),
+    c AS (SELECT CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+                 CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+          FROM m),
+    g AS (SELECT cum_a, cum_b,
+                 MAX(cum_a) OVER () AS n_a, MAX(cum_b) OVER () AS n_b
+          FROM c)
+    SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+           round(MAX(abs(CAST(cum_a AS DOUBLE) / n_a
+                         - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat
+    FROM g
+    """,
+)
+def q_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check between the en and fr
+    document-length distributions (operators/drift.py::ks_statistic):
+    exact max empirical-CDF gap over distinct lengths — the feed-
+    monitoring question "did this source's length profile shift?"."""
+    from small_etl_spark.operators.drift import ks_statistic
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_statistic(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "fr"),
+        "n_chars",
+    )
+
+
+@register(
+    "length_drift_psi",
+    """
+    WITH c AS (SELECT LEAST(GREATEST(CAST(floor((n_chars - 0) / 60)
+                                     AS BIGINT), 0), 9) AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS nc
+               FROM documents WHERE lang = 'en' GROUP BY 1),
+    r AS (SELECT LEAST(GREATEST(CAST(floor((n_chars - 0) / 60)
+                                AS BIGINT), 0), 9) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS nr
+          FROM documents WHERE lang = 'fr' GROUP BY 1),
+    m AS (SELECT COALESCE(nc, 0) AS nc, COALESCE(nr, 0) AS nr
+          FROM c FULL OUTER JOIN r USING (bucket)),
+    t AS (SELECT nc, nr,
+                 GREATEST(CAST(nc AS DOUBLE)
+                          / CAST(SUM(nc) OVER () AS DOUBLE), 1e-6) AS p,
+                 GREATEST(CAST(nr AS DOUBLE)
+                          / CAST(SUM(nr) OVER () AS DOUBLE), 1e-6) AS q
+          FROM m)
+    SELECT CAST(SUM(nc) AS BIGINT) AS n_curr,
+           CAST(SUM(nr) AS BIGINT) AS n_ref,
+           round(SUM((p - q) * ln(p / q)), 6) AS psi
+    FROM t
+    """,
+)
+def q_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of en vs fr document lengths over 10
+    equi-width buckets on [0, 600) (operators/drift.py::psi_report):
+    out-of-range values clamp into edge buckets, empty buckets floor
+    at 1e-6 — the scorecard-industry drift score."""
+    from small_etl_spark.operators.drift import psi_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_report(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "fr"),
+        "n_chars",
+        lo=0,
+        hi=600,
+        buckets=10,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

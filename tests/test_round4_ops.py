@@ -154,6 +154,48 @@ class TestGlobalShuffleShards:
         assert joined.filter(F.col("a.ordinal") != F.col("b.ordinal")).count() > 0
 
 
+class TestDrift:
+    def test_ks_known_value(self, spark):
+        from small_etl_spark.operators.drift import ks_statistic
+
+        a = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+        b = spark.createDataFrame([(3,), (4,)], "v int")
+        (row,) = ks_statistic(a, b, "v").collect()
+        # union values 1,2,3,4 → |F_a−F_b| = 1/3, 2/3, 1/2, 0
+        assert (row["n_a"], row["n_b"]) == (3, 2)
+        assert abs(row["ks_stat"] - 2 / 3) < 1e-6
+
+    def test_ks_identical_is_zero(self, spark):
+        from small_etl_spark.operators.drift import ks_statistic
+
+        a = spark.createDataFrame([(i % 7,) for i in range(50)], "v int")
+        (row,) = ks_statistic(a, a, "v").collect()
+        assert row["ks_stat"] == 0.0
+
+    def test_psi_identical_is_zero_and_shift_registers(self, spark):
+        from small_etl_spark.operators.drift import psi_report
+
+        same = spark.createDataFrame([(i % 100,) for i in range(200)], "v int")
+        (row,) = psi_report(same, same, "v", lo=0, hi=100, buckets=10).collect()
+        assert row["psi"] == 0.0
+
+        lo_side = spark.createDataFrame([(i % 30,) for i in range(200)], "v int")
+        hi_side = spark.createDataFrame(
+            [(70 + i % 30,) for i in range(200)], "v int"
+        )
+        (row,) = psi_report(lo_side, hi_side, "v", lo=0, hi=100, buckets=10).collect()
+        assert row["psi"] > 0.25  # "significant shift" by the standard rule
+
+    def test_psi_out_of_range_clamps(self, spark):
+        from small_etl_spark.operators.drift import psi_report
+
+        inside = spark.createDataFrame([(50,)] * 10, "v int")
+        outside = spark.createDataFrame([(-5,)] * 5 + [(1000,)] * 5, "v int")
+        (row,) = psi_report(outside, inside, "v", lo=0, hi=100, buckets=10).collect()
+        assert (row["n_curr"], row["n_ref"]) == (10, 10)  # nothing dropped
+        assert row["psi"] > 0.25
+
+
 class TestEquidepthBins:
     def test_depths_and_edges(self, spark):
         # 25 rows into 4 bins by the (ord*k) DIV n rule:
