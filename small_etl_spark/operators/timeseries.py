@@ -88,6 +88,108 @@ def resample_locf(
     )
 
 
+def resample_interpolate(
+    events: DataFrame,
+    start: str,
+    end: str,
+    step_seconds: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Dense-grid resampling with LINEAR interpolation: like
+    :func:`resample_locf` but gaps between a key's observed bins take
+    the straight-line value between the surrounding observations
+    instead of carrying the last one (bins before the first / after
+    the last observation stay NULL — extrapolation is a modeling
+    decision, not a resampler's). Returns
+    ``(key, bin_ts, interp_millicents)``.
+
+    Mechanics: same grid + exact-cents per-bin totals as LOCF, then
+    per bin the bracketing observed bins come from two ignorenulls
+    windows (last-preceding and first-following); the interpolation
+    ``(prev·(W−w) + next·w)·1000 DIV W`` (w, W = offsets in whole
+    bins) is PURE INTEGER arithmetic — millicents, truncated. Floats
+    are deliberately absent: interpolation ratios land exactly on
+    .5 decimal ties, where Spark (shortest-decimal HALF_UP) and
+    DuckDB (binary-product rounding) disagree by one ulp; integer DIV
+    is bit-identical everywhere. Assumes non-negative cents (floor
+    and truncating division coincide). Same scale profile as LOCF:
+    per-key windows bounded at grid size regardless of event volume.
+    """
+    start_ts = F.lit(start).cast("timestamp")
+    bin_col = F.to_timestamp(
+        F.floor(
+            (F.col(ts_col).cast("long") - start_ts.cast("long")) / step_seconds
+        )
+        * step_seconds
+        + start_ts.cast("long")
+    )
+    cents = F.round(F.col(val_col) * 100).cast("bigint")
+    per_bin = (
+        events.filter(
+            (F.col(ts_col) >= start_ts)
+            & (F.col(ts_col) < F.lit(end).cast("timestamp"))
+        )
+        .groupBy(F.col(key_col).alias("key"), bin_col.alias("bin_ts"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    grid = (
+        events.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("timestamp"),
+                    F.lit(end).cast("timestamp") - F.expr("INTERVAL 1 SECOND"),
+                    F.expr(f"INTERVAL {step_seconds} SECONDS"),
+                )
+            ).alias("bin_ts"),
+        )
+    )
+    joined = grid.join(per_bin, ["key", "bin_ts"], "left")
+    bin_s = F.col("bin_ts").cast("long")
+    w_prev = (
+        Window.partitionBy("key")
+        .orderBy("bin_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("key")
+        .orderBy("bin_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("cents").isNotNull(), bin_s)
+    obs = joined.select(
+        "key",
+        "bin_ts",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("__pc__"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("__pt__"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("__nc__"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("__nt__"),
+    )
+    s = int(step_seconds)
+    # offsets in whole bins: differences are exact multiples of step
+    obs = obs.withColumns(
+        {
+            "__ofs__": (
+                (F.col("bin_ts").cast("long") - F.col("__pt__")) / s
+            ).cast("bigint"),
+            "__span__": ((F.col("__nt__") - F.col("__pt__")) / s).cast("bigint"),
+        }
+    )
+    interp = F.when(
+        F.col("__pt__") == F.col("__nt__"), F.col("__pc__") * 1000
+    ).otherwise(
+        F.expr(
+            "((__pc__ * (__span__ - __ofs__) + __nc__ * __ofs__) * 1000)"
+            " DIV __span__"
+        )
+    )
+    return obs.select("key", "bin_ts", interp.alias("interp_millicents"))
+
+
 def rolling_range_sum(
     events: DataFrame,
     window_seconds: int,

@@ -5936,6 +5936,70 @@ def q_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "resample_interpolate",
+    """
+    WITH keys AS (SELECT DISTINCT user_id AS key FROM events),
+    grid AS (
+      SELECT key, CAST(floor(epoch(gs.g)) AS BIGINT) AS bin_epoch
+      FROM keys, generate_series(TIMESTAMP '2024-01-01',
+                                 TIMESTAMP '2024-01-31' - INTERVAL 1 SECOND,
+                                 INTERVAL 1 HOUR) AS gs(g)
+    ), per_bin AS (
+      SELECT user_id AS key,
+             CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)
+               + 3600 * ((CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT))
+                         // 3600) AS bin_epoch,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT key, bin_epoch, cents
+      FROM grid LEFT JOIN per_bin USING (key, bin_epoch)
+    ), x AS (
+      SELECT key, bin_epoch,
+             last_value(cents IGNORE NULLS) OVER wprev AS prev_c,
+             last_value(CASE WHEN cents IS NOT NULL THEN bin_epoch END
+                        IGNORE NULLS) OVER wprev AS prev_t,
+             first_value(cents IGNORE NULLS) OVER wnext AS next_c,
+             first_value(CASE WHEN cents IS NOT NULL THEN bin_epoch END
+                         IGNORE NULLS) OVER wnext AS next_t
+      FROM j
+      WINDOW wprev AS (PARTITION BY key ORDER BY bin_epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wnext AS (PARTITION BY key ORDER BY bin_epoch
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT key, bin_epoch,
+           CASE WHEN prev_t = next_t THEN prev_c * 1000
+                ELSE (prev_c * ((next_t - prev_t) // 3600
+                                - (bin_epoch - prev_t) // 3600)
+                      + next_c * ((bin_epoch - prev_t) // 3600)) * 1000
+                     // ((next_t - prev_t) // 3600)
+           END AS interp_millicents
+    FROM x
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation over January 2024
+    (operators/timeseries.py::resample_interpolate): straight-line
+    millicent values between a user's observed bins in pure integer
+    arithmetic (floats hit one-ulp rounding-tie divergence between
+    engines), NULL outside the observed span — the interpolating twin
+    of resample_locf."""
+    from small_etl_spark.operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_interpolate(ev, "2024-01-01", "2024-01-31", 3600)
+    return out.select(
+        "key",
+        F.col("bin_ts").cast("long").alias("bin_epoch"),
+        "interp_millicents",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -154,6 +154,45 @@ class TestGlobalShuffleShards:
         assert joined.filter(F.col("a.ordinal") != F.col("b.ordinal")).count() > 0
 
 
+class TestResampleInterpolate:
+    def test_linear_between_observations(self, spark):
+        from small_etl_spark.operators.timeseries import resample_interpolate
+
+        rows = [
+            (1, 1, "view", 1.0, _ts("2024-01-01T00:10:00")),   # bin h0: 100c
+            (2, 1, "view", 5.0, _ts("2024-01-01T04:20:00")),   # bin h4: 500c
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id bigint, user_id bigint, event_type string,"
+            " value double, ts timestamp",
+        )
+        out = resample_interpolate(ev, "2024-01-01", "2024-01-01T08:00:00", 3600)
+        got = {
+            r["bin_ts"].hour: r["interp_millicents"] for r in out.collect()
+        }
+        assert got[0] == 100_000 and got[4] == 500_000        # observed
+        assert (got[1], got[2], got[3]) == (200_000, 300_000, 400_000)
+        assert got[5] is None and got[7] is None              # no extrapolation
+
+    def test_truncating_division_is_exact(self, spark):
+        from small_etl_spark.operators.timeseries import resample_interpolate
+
+        # 100c at h0, 200c at h3 → h1 = (100*2+200*1)*1000 DIV 3 = 133333
+        rows = [
+            (1, 1, "view", 1.0, _ts("2024-01-01T00:00:00")),
+            (2, 1, "view", 2.0, _ts("2024-01-01T03:00:00")),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id bigint, user_id bigint, event_type string,"
+            " value double, ts timestamp",
+        )
+        out = resample_interpolate(ev, "2024-01-01", "2024-01-01T04:00:00", 3600)
+        got = {r["bin_ts"].hour: r["interp_millicents"] for r in out.collect()}
+        assert got[1] == 133_333 and got[2] == 166_666
+
+
 class TestDrift:
     def test_ks_known_value(self, spark):
         from small_etl_spark.operators.drift import ks_statistic
