@@ -119,7 +119,9 @@ def pack_sequences_ffd(
             }
         )
 
-    sharded = df.select(
+    # a doc with unknown length cannot be packed — drop it before the
+    # Python kernel (int(NaN) throws); upstream QC owns null counts
+    sharded = df.filter(F.col(n_tokens_col).isNotNull()).select(
         F.col(id_col), F.col(n_tokens_col),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).alias("_shard"),
     )

@@ -180,7 +180,7 @@ def _assign_cells_vectorized(
                 }
             )
 
-    src = corpus.select(
+    src = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     )
     return src.mapInPandas(
@@ -211,6 +211,7 @@ def ivf_assign(
     """
     from small_etl_spark.llm.util import ensure_parallelism
 
+    corpus = corpus.filter(F.col(vec_col).isNotNull())  # nulls can't seed or score
     n = corpus.count()
     stride = max(n // num_centroids, 1)
     corpus = ensure_parallelism(corpus)
@@ -333,6 +334,12 @@ def brute_force_topk_vectorized(
     """
     import numpy as np
     import pandas as pd
+
+    # null vectors are unscorable: drop them on BOTH sides (the
+    # expression path yields NULL cosine for them, which a top-k
+    # excludes the same way), instead of letting None reach np.array
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
 
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:  # no queries → no pairs; (0,) arrays break axis=1 math

@@ -82,8 +82,10 @@ def _update_user_totals_exact(key, pdfs: Iterator, state: GroupState):
         n += len(pdf)
         # per-row cents BEFORE summing: integer accumulation is
         # order-insensitive, so cross-batch totals are exact and the
-        # final emission hash-matches a batch SQL aggregate
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # final emission hash-matches a batch SQL aggregate.
+        # dropna = SQL SUM semantics (null values don't contribute;
+        # astype(int64) on NaN throws)
+        cents += int((pdf["value"].dropna() * 100).round().astype("int64").sum())
     if state.exists:
         total_n, total_c = state.get
     else:
@@ -156,7 +158,10 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             cents = 0
             for pdf in rows:
                 n += len(pdf)
-                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+                # dropna = SQL SUM semantics (astype(int64) on NaN throws)
+                cents += int(
+                    (pdf["value"].dropna() * 100).round().astype("int64").sum()
+                )
             if self._state.exists():
                 pn, pc = self._state.get()
                 n += pn

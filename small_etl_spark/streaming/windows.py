@@ -172,6 +172,26 @@ def stream_stream_interval_join(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch against a BATCH
+    dimension table (the lookup-enrichment shape, streaming edition).
+
+    The static side is re-planned per micro-batch — no state store is
+    involved (unlike stream-stream joins), so the join is stateless
+    and the dim can be updated between restarts. ``broadcast()`` pins
+    the hash-join strategy: at 100 TB of stream the dim ships to
+    executors once per batch instead of shuffling the stream.
+    Identical code runs in batch (dim join dim), which is how the
+    equivalence test oracles it.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 def stream_dedup(
     events: DataFrame,
     watermark: str = "2 hours",

@@ -74,6 +74,34 @@ def test_session_agrees_with_batch_sessionize(spark):
     assert _rows(via_window) == _rows(via_lag)
 
 
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static broadcast join per micro-batch: windowed revenue
+    per enrichment tier equals the batch run of the same code."""
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.streaming.windows import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(200)], "user_id bigint, tier string"
+    )
+
+    def agg(ev):
+        return (
+            stream_static_enrich(ev, dim, "user_id")
+            .groupBy("tier")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            )
+        )
+
+    stream = agg(read_events_stream(spark, events_dir).drop("ts"))
+    run_to_memory_sink(stream, "stream_static_sink", output_mode="complete")
+    got = spark.table("stream_static_sink")
+    batch = agg(load_table(spark, SF_DIR, "events"))
+    assert _rows(got.select(*batch.columns)) == _rows(batch)
+
+
 def test_stream_dedup(spark, events_dir):
     stream = stream_dedup(read_events_stream(spark, events_dir))
     run_to_memory_sink(stream, "dedup_sink", output_mode="append")
