@@ -6000,6 +6000,74 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "groupwise_normalize",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c*c) AS BIGINT) AS ss
+      FROM v GROUP BY 1
+    )
+    SELECT v.event_id, v.event_type,
+           CASE WHEN CAST(ss AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+                THEN round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                           / sqrt(CAST(ss AS DOUBLE) / n
+                                  - (CAST(s AS DOUBLE) / n)
+                                    * (CAST(s AS DOUBLE) / n)), 6)
+           END AS z
+    FROM v JOIN s USING (event_type)
+    """,
+)
+def q_groupwise_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score standardization
+    (operators/features.py::groupwise_normalize): exact integer
+    sufficient statistics (n, Σc, Σc²) per group, broadcast back,
+    z = (c−μ)/σ with population σ — the last-mile feature transform."""
+    from small_etl_spark.operators.features import groupwise_normalize
+
+    ev = load_table(spark, sf_dir, "events")
+    return groupwise_normalize(ev, "event_type", "value").select(
+        "event_id", "event_type", "z"
+    )
+
+
+@register(
+    "winsorize_values",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             quantile_cont(c, 0.01) AS lo, quantile_cont(c, 0.99) AS hi
+      FROM v GROUP BY 1
+    )
+    SELECT v.event_id, v.event_type,
+           CASE WHEN c IS NOT NULL THEN
+             round(LEAST(GREATEST(CAST(c AS DOUBLE), lo), hi) / 100.0, 6)
+           END AS clipped
+    FROM v JOIN b USING (event_type)
+    """,
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 1%/99% winsorization
+    (operators/features.py::winsorize): linear-interpolated quantile
+    bounds on integer cents broadcast back, tails clamped map-side —
+    outlier control before a squared-loss model."""
+    from small_etl_spark.operators.features import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorize(ev, "event_type", "value").select(
+        "event_id", "event_type", "clipped"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -235,6 +235,39 @@ class TestDrift:
         assert row["psi"] > 0.25
 
 
+class TestFeatures:
+    def test_groupwise_normalize_known(self, spark):
+        from small_etl_spark.operators.features import groupwise_normalize
+
+        df = spark.createDataFrame(
+            [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+            + [(9, "b", 7.0), (10, "b", 7.0)],
+            "event_id bigint, event_type string, value double",
+        )
+        out = {
+            r["event_id"]: r["z"]
+            for r in groupwise_normalize(df, "event_type", "value").collect()
+        }
+        # group a: μ=3, σ=sqrt(2) (population, in cents: σ=100*sqrt2)
+        assert out[2] == 0.0
+        assert abs(out[4] - 2 / (2**0.5)) < 1e-6
+        assert out[9] is None and out[10] is None  # σ=0 → no scale
+
+    def test_winsorize_clips_tails_only(self, spark):
+        from small_etl_spark.operators.features import winsorize
+
+        vals = [float(v) for v in range(1, 100)] + [1000.0]  # one huge outlier
+        df = spark.createDataFrame(
+            [(i, "a", v) for i, v in enumerate(vals)],
+            "event_id bigint, event_type string, value double",
+        )
+        out = winsorize(df, "event_type", "value", 0.01, 0.99)
+        got = {r["event_id"]: r["clipped"] for r in out.collect()}
+        assert got[99] < 1000.0          # outlier clamped down
+        assert got[50] == vals[50]       # interior untouched
+        assert min(got.values()) >= got[0]  # lower clamp applied
+
+
 class TestEquidepthBins:
     def test_depths_and_edges(self, spark):
         # 25 rows into 4 bins by the (ord*k) DIV n rule:
