@@ -718,3 +718,52 @@ def cross_doc_segment_dedup(
         .filter(F.col("n_kept") > 0)
     )
     return out
+
+
+def doc_ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-order n-gram novelty per document: the fraction of a
+    document's distinct word ``n``-gram shingles whose FIRST corpus
+    occurrence (minimum ``id_col``) is this document. Returns
+    ``(doc_id, n_shingles, n_novel, novelty)``; ``novelty`` is an
+    integer-ratio double (exactly rounded in IEEE → bit-identical
+    across engines).
+
+    The curation diagnostic behind incremental-crawl dedup: a low
+    novelty score means the document is mostly restating n-grams
+    already present earlier in the corpus (boilerplate, syndicated
+    copy) even when no single document clears a pairwise-similarity
+    bar. Plan shape: one explode of the shingle array, a
+    shingle-keyed ``min`` aggregation (tf-shaped, map-side partials),
+    a shingle-keyed equi-join back, and a doc-keyed count — no
+    pairwise comparison anywhere, so it scales like term counting,
+    not like a similarity join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(word_shingles(text_col, n)).alias("__sh__"),
+    )
+    first = sh.groupBy("__sh__").agg(F.min("__id__").alias("__first__"))
+    per = (
+        sh.join(first, "__sh__")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("__first__") == F.col("__id__")).cast("bigint")
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("__id__").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
+    )

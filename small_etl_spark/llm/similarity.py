@@ -477,3 +477,95 @@ def kmeans_clusters(
         F.count(F.lit(1)).alias("size"),
         F.round(F.avg(l2_norm(vec_col)), 6).alias("mean_norm"),
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most cosine-similar corpus vectors carrying a
+    DIFFERENT label. Returns ``query_id, vec_id, neg_label, cosine,
+    rank``.
+
+    The standard pair-construction step when building
+    embedding-training data (a "hard" negative is a wrong-label
+    example the current embedding thinks is close). Physical shape is
+    identical to :func:`brute_force_topk` — broadcast the (small)
+    query side, score against the corpus scan in whole-stage codegen,
+    one hash shuffle on ``query_id`` for the windowed top-k — with the
+    label-mismatch predicate applied BEFORE scoring, so same-label
+    pairs never reach the cosine fold. At 100 TB the corpus side
+    stays a partitioned scan; for larger query sets swap the
+    broadcast nested-loop for the IVF probe path (``ivf_topk``) with
+    a post-probe label filter.
+    """
+    from small_etl_spark.llm.util import ensure_parallelism
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(label_col).alias("__qlabel__"),
+            F.col(vec_col).cast("array<double>").alias("__qv__"),
+        )
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    )
+    pairs = c.crossJoin(q).filter(F.col("__qlabel__") != F.col("neg_label"))
+    scored = pairs.select(
+        query_id_col, id_col, "neg_label",
+        cosine_sim("__qv__", "__cv__").alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    top_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid distance — the mislabeled-example /
+    embedding-outlier detector. Returns the ``top_n`` vectors whose
+    Euclidean distance to their own label's centroid is largest, as
+    ``(vec_id, label, dist)`` with ``dist`` rounded to 6dp (ordering
+    is on the ROUNDED value + vec_id so the cut is reproducible
+    across engines).
+
+    Plan shape: one posexplode → per-(label, position) mean — a
+    |labels|×dim-group aggregation with map-side partials — joined
+    back to the exploded view (the centroid side is broadcast-sized
+    by construction: labels × dim rows), then a per-vector sum of
+    squared deltas. No crossJoin, no window over the full corpus; at
+    100 TB every shuffle is keyed on (label,pos) or vec_id with
+    bounded groups.
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    cents = F.broadcast(
+        pos.groupBy(label_col, "pos").agg(F.avg("x").alias("__c__"))
+    )
+    delta = F.col("x") - F.col("__c__")
+    dists = (
+        pos.join(cents, [label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(F.round(F.sqrt(F.sum(delta * delta)), 6).alias("dist"))
+    )
+    return dists.orderBy(F.col("dist").desc(), F.col(id_col)).limit(top_n)

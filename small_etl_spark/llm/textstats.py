@@ -447,3 +447,71 @@ def bm25_scores(
             ).alias("score"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Pointwise mutual information of corpus bigrams — the
+    collocation / tokenizer-merge-candidate score:
+    ``pmi = ln(p(w1,w2) / (p(w1)·p(w2)))`` over bigram events.
+    Returns ``(w1, w2, cnt, pmi)``: the ``top_n`` highest-PMI
+    bigrams among those seen at least ``min_count`` times, ordered by
+    the ROUNDED pmi (6dp) then (w1, w2) so the cut is stable across
+    engines.
+
+    Built on the same shift-composed ``zip_with`` bigram stream as
+    :func:`bigram_stats`. All marginals come from the pair-count
+    table itself (three bounded aggregations over pair-vocab), so the
+    corpus is tokenized exactly once; the total is a 1-row broadcast
+    cross join. Counts stay integers until the final ln — the product
+    ``cnt·total`` is < 2^53 at any realistic vocab, so the double math
+    is exact until the division and bit-identical across engines.
+    """
+    toks = df.select(F.split(F.col(text_col), " ").alias("__toks__"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("__toks__"),
+                        1,
+                        F.greatest(F.size("__toks__") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("__toks__"),
+                        2,
+                        F.greatest(F.size("__toks__") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__p__")
+        )
+        .select("__p__.w1", "__p__.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    left = counts.groupBy(F.col("w1").alias("__lw__")).agg(
+        F.sum("cnt").alias("__l__")
+    )
+    right = counts.groupBy(F.col("w2").alias("__rw__")).agg(
+        F.sum("cnt").alias("__r__")
+    )
+    total = counts.agg(F.sum("cnt").alias("__total__"))
+    pmi = F.log(
+        F.col("cnt").cast("double")
+        * F.col("__total__").cast("double")
+        / (F.col("__l__").cast("double") * F.col("__r__").cast("double"))
+    )
+    return (
+        counts.filter(F.col("cnt") >= min_count)
+        .join(left, F.col("w1") == F.col("__lw__"))
+        .join(right, F.col("w2") == F.col("__rw__"))
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "cnt", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+    )

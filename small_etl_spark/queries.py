@@ -1190,13 +1190,38 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentiles", None)
+@register(
+    "approx_percentiles",
+    """
+    SELECT event_type, TRUE AS p50_in_band
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (north-star 100 TB path: mergeable
-    KLL-style sketch, no sort; sketch differs from DuckDB → rows-only)."""
+    """Sketch-based median (north-star 100 TB path: mergeable
+    KLL-style sketch, no global sort). The sketch value itself is
+    engine-specific, so the ORACLE CHECKS THE APPROXIMATION CONTRACT:
+    with accuracy=1000 the returned sample's rank error is ≤ n/1000,
+    so its value must lie inside the exact [p49, p51] band — the query
+    emits that boolean per group and the oracle asserts it is TRUE for
+    every group. Deterministic for fixed input (the sketch has no
+    RNG), so the contract row is a stable driver check, not a flaky
+    tolerance."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("__p50__"),
+            F.percentile("value", F.lit(0.49)).alias("__lo__"),
+            F.percentile("value", F.lit(0.51)).alias("__hi__"),
+        )
+        .select(
+            "event_type",
+            (
+                (F.col("__p50__") >= F.col("__lo__"))
+                & (F.col("__p50__") <= F.col("__hi__"))
+            ).alias("p50_in_band"),
+        )
     )
 
 
@@ -1258,13 +1283,38 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct", None)
+@register(
+    "approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (sketch differs from DuckDB's
-    → rows-only check). The 100 TB path for cardinality estimation."""
+    """HyperLogLog++ approximate distinct — the 100 TB cardinality
+    path. The HLL estimate is engine-specific, so the ORACLE CHECKS
+    THE APPROXIMATION CONTRACT: at rsd=0.01 the estimate must land
+    within 5% (5σ) of the exact count, which the oracle computes for
+    real; the query emits the exact count plus the in-tolerance
+    boolean. HLL hashing has no RNG → deterministic for fixed input,
+    so this is a stable driver row, not a flaky tolerance."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("__approx__"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx__") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -6066,6 +6116,153 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(ev, "event_type", "value").select(
         "event_id", "event_type", "clipped"
     )
+
+
+@register(
+    "bigram_pmi",
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS l FROM documents
+    ), zipped AS (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:])) AS pr FROM toks
+    ), pairs AS (
+      SELECT pr[1] AS w1, pr[2] AS w2 FROM zipped
+      WHERE pr[1] <> '' AND pr[2] <> ''
+    ), counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY w1, w2
+    ), lt AS (
+      SELECT w1 AS lw, CAST(SUM(cnt) AS BIGINT) AS l FROM counts GROUP BY w1
+    ), rt AS (
+      SELECT w2 AS rw, CAST(SUM(cnt) AS BIGINT) AS r FROM counts GROUP BY w2
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts
+    )
+    SELECT w1, w2, cnt,
+           round(ln(CAST(cnt AS DOUBLE) * CAST(total AS DOUBLE)
+                    / (CAST(l AS DOUBLE) * CAST(r AS DOUBLE))), 6) AS pmi
+    FROM counts JOIN lt ON w1 = lw JOIN rt ON w2 = rw CROSS JOIN tot
+    WHERE cnt >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 highest-PMI corpus bigrams with support ≥ 5
+    (llm/textstats.py::bigram_pmi) — the collocation /
+    tokenizer-merge-candidate score; all marginals derived from one
+    pair-count table, integers exact until the final ln."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bigram_pmi(docs, min_count=5, top_n=50)
+
+
+@register(
+    "doc_ngram_novelty",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                   for i in range(1, greatest(len(toks)-2, 1)+1)])) AS sh
+      FROM t
+    ), f AS (
+      SELECT sh, min(doc_id) AS first_id FROM s GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM s JOIN f USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order 3-gram novelty per document
+    (llm/dedup.py::doc_ngram_novelty) — fraction of a doc's distinct
+    shingles first seen in that doc; the incremental-crawl boilerplate
+    detector. Shingle-keyed min + equi-join back, no pairwise work."""
+    from small_etl_spark.llm.dedup import doc_ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_ngram_novelty(docs, n=3)
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id, label AS neg_label, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, vec_id, neg_label,
+             list_cosine_similarity(qv, cv) AS cos
+      FROM q CROSS JOIN c WHERE qlabel <> neg_label
+    ), r AS (
+      SELECT query_id, vec_id, neg_label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, CAST(neg_label AS INTEGER) AS neg_label,
+           round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per query vector, the 5 most
+    cosine-similar vectors with a DIFFERENT label
+    (llm/similarity.py::hard_negative_topk). The embedding-training
+    pair-construction step; label-mismatch predicate applied before
+    the cosine fold."""
+    from small_etl_spark.llm.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "query_id", "vec_id", "neg_label",
+        F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
+@register(
+    "embedding_label_outliers",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(emb)+1)) AS pos, unnest(emb) AS x
+      FROM e
+    ), c AS (
+      SELECT label, pos, avg(x) AS cx FROM p GROUP BY label, pos
+    ), d AS (
+      SELECT vec_id, p.label AS label,
+             round(sqrt(sum((x - cx) * (x - cx))), 6) AS dist
+      FROM p JOIN c ON p.label = c.label AND p.pos = c.pos
+      GROUP BY vec_id, p.label
+    )
+    SELECT vec_id, label, dist
+    FROM d ORDER BY dist DESC, vec_id LIMIT 20
+    """,
+)
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vectors farthest from their own label's centroid
+    (llm/similarity.py::label_centroid_outliers) — the
+    mislabeled-example detector. (label,pos)-keyed mean broadcast
+    back; ordering on the rounded distance for a reproducible cut."""
+    from small_etl_spark.llm.similarity import label_centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_outliers(emb, top_n=20)
 
 
 # --------------------------------------------------------------------------
