@@ -3426,12 +3426,60 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10 (llm.similarity.ivf_topk): 32
     centroid cells, probe 8 — the 100 TB ANN path (reads ~nprobe/C of
     the corpus when stored partitioned by cell). Approximate by
-    construction → rows-only; recall pinned in tests."""
+    construction → rows-only; recall pinned in tests and in the
+    oracled contract twin ``ivf_recall_contract``."""
     from small_etl_spark.llm.similarity import ivf_assign, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, cents = ivf_assign(emb, num_centroids=32)
     return ivf_topk(assigned, cents, emb.filter(F.col("vec_id") < 8), k=10, nprobe=8)
+
+
+@register(
+    "ivf_recall_contract",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS recall_ok
+    """,
+)
+def q_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality contract for the IVF path: recall@10 of
+    ``ivf_topk`` (32 cells, nprobe=8) against the exact
+    ``brute_force_topk`` over the same 8 query vectors, asserted to
+    beat the random-probing baseline (nprobe/C = 0.25) with margin —
+    ``avg recall > 0.3``. Measured on the shipped testdata: 0.475 at
+    sf0.01, 0.625 at sf0.1. Both sides are hash-deterministic, so the
+    boolean is a stable driver row; the oracle checks the CONTRACT
+    (the index must beat reading a random corpus fraction), the exact
+    hit-sets live in the rows-only ``ivf_ann_topk`` and pytest."""
+    from small_etl_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    assigned, cents = ivf_assign(emb, num_centroids=32)
+    ivf = ivf_topk(assigned, cents, q, k=10, nprobe=8).select(
+        "query_id", "vec_id"
+    )
+    bf = brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+    # left join from the exact side so queries with zero IVF hits still
+    # count toward n_queries (and correctly drag the average down)
+    marked = bf.join(
+        ivf.withColumn("__hit__", F.lit(1)), ["query_id", "vec_id"], "left"
+    )
+    return marked.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("__hits__"),
+    ).select(
+        "n_queries",
+        (
+            F.col("__hits__").cast("double")
+            / (F.lit(10.0) * F.col("n_queries"))
+            > 0.3
+        ).alias("recall_ok"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5083,15 +5131,27 @@ def q_argminmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("incremental_distinct_hll", None)
+@register(
+    "incremental_distinct_hll",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS merge_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained DISTINCT counts
     (operators/incremental.py::partial_distinct_sketches /
     merge_distinct_sketches): per-returnflag distinct-partkey
     cardinality from two time-slice HLL sketches unioned — the
-    sketch analog of incremental_agg_merge. Rows-only check (sketch
-    estimates aren't SQL-reproducible); merge≡direct and the error
-    bound vs exact are pinned in pytest."""
+    sketch analog of incremental_agg_merge. The sketch estimate is
+    engine-specific, so the ORACLE CHECKS THE APPROXIMATION
+    CONTRACT: at lg_k=12 (rsd ≈ 1.6%) the merged estimate must land
+    within 5% of the exact distinct count over the union, which the
+    oracle computes for real. Datasketches hashing has no RNG →
+    stable driver row; merge≡direct is additionally pinned in
+    pytest."""
     from small_etl_spark.operators.incremental import (
         merge_distinct_sketches,
         partial_distinct_sketches,
@@ -5105,17 +5165,71 @@ def q_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = partial_distinct_sketches(
         li.filter(F.col("l_shipdate") >= cut), "l_returnflag", "l_partkey"
     )
-    return merge_distinct_sketches(base, delta)
+    merged = merge_distinct_sketches(base, delta)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("merge_ok"),
+    )
 
 
-@register("pagerank_bigram_terms", None)
+# The oracle unrolls the 10 power iterations as 10 chained CTE pairs
+# (contribution sum by destination, then damped re-rank over all
+# nodes) — recursive CTEs can't aggregate over the recursive
+# reference, but a FIXED iteration count needs no recursion. Float
+# summation order differs between engines (~1e-13 after 10 rounds);
+# the 4dp rounding in the final projection absorbs it, and ordering is
+# on the ROUNDED rank + node so the top-20 cut is reproducible.
+_PAGERANK_ORACLE = (
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS l FROM documents
+    ), zipped AS (
+      SELECT unnest(list_zip(l[1:len(l)-1], l[2:])) AS pr FROM toks
+    ), edges AS (
+      SELECT DISTINCT pr[1] AS src, pr[2] AS dst FROM zipped
+      WHERE pr[1] <> '' AND pr[2] <> ''
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, 1.0 AS rank FROM nodes
+    )"""
+    + "".join(
+        f""", c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS inflow
+      FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN r{i - 1} r ON e.src = r.node
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT n.node, 0.15 + 0.85 * coalesce(c.inflow, 0.0) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+    )"""
+        for i in range(1, 11)
+    )
+    + """
+    SELECT node, round(rank, 4) AS rank FROM r10
+    ORDER BY round(rank, 4) DESC, node LIMIT 20
+    """
+)
+
+
+@register("pagerank_bigram_terms", _PAGERANK_ORACLE)
 def q_pagerank_bigram_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the corpus bigram graph (w1→w2 edges from
     llm/textstats.py::bigram_stats machinery;
     operators/graph.py::pagerank, 10 power iterations): the
-    term-centrality view of the corpus. Rows-only check (iterative
-    float fixpoint — not SQL-expressible); convergence and known-graph
-    values pinned in tests/test_graph.py."""
+    term-centrality view of the corpus. The fixed iteration count
+    makes the fixpoint SQL-expressible by unrolling — see
+    ``_PAGERANK_ORACLE``; convergence and known-graph values are
+    additionally pinned in tests/test_graph.py."""
     from small_etl_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")

@@ -104,3 +104,7 @@ def test_approx_contract_queries_hold(spark):
     assert ad and all(r["approx_ok"] for r in ad)
     ap = REGISTRY["approx_percentiles"].builder(spark, sf).collect()
     assert ap and all(r["p50_in_band"] for r in ap)
+    hll = REGISTRY["incremental_distinct_hll"].builder(spark, sf).collect()
+    assert hll and all(r["merge_ok"] for r in hll)
+    ivf = REGISTRY["ivf_recall_contract"].builder(spark, sf).collect()
+    assert len(ivf) == 1 and ivf[0]["n_queries"] == 8 and ivf[0]["recall_ok"]
