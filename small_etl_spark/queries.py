@@ -2363,6 +2363,87 @@ def q_pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ffd_pack_contract",
+    r"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                AS BIGINT) AS total_tokens,
+           TRUE AS caps_ok, TRUE AS bins_ok
+    FROM documents
+    """,
+)
+def q_ffd_pack_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packing quality contract for the sharded-FFD packer
+    (llm.chunking.pack_sequences_ffd, context 2048, 8 shards). The
+    pack assignment is a sequential per-shard algorithm (not
+    SQL-expressible), so the ORACLE CHECKS THE PACKING CONTRACT with
+    exact integer arithmetic: every document packed exactly once
+    (n_docs / total_tokens computed for real by the oracle), no
+    multi-document pack over capacity (``caps_ok``), and the global
+    bin count within the FFD guarantee — ≤ ⌈11/9 · OPT_lb⌉ + 1 slack
+    bin per shard, OPT_lb = ⌈Σtokens/2048⌉ (``bins_ok``; measured
+    17 bins vs lower bound 14 at sf0.01, 136 vs 133 at sf0.1).
+    Hash-sharding is deterministic → stable driver row."""
+    from small_etl_spark.llm.chunking import pack_sequences_ffd
+    from small_etl_spark.llm.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    packs = pack_sequences_ffd(docs, context_len=2048, num_shards=8)
+    per_pack = packs.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("__pt__"), F.count(F.lit(1)).alias("__pn__")
+    )
+    lb = F.expr("(total_tokens + 2047) DIV 2048")
+    bound = (F.lit(11) * lb + F.lit(8)) / F.lit(9)
+    return per_pack.agg(
+        F.sum("__pn__").alias("n_docs"),
+        F.sum("__pt__").alias("total_tokens"),
+        F.min(
+            ((F.col("__pt__") <= 2048) | (F.col("__pn__") == 1)).cast("int")
+        ).alias("__capmin__"),
+        F.count(F.lit(1)).alias("__bins__"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        (F.col("__capmin__") == 1).alias("caps_ok"),
+        (F.col("__bins__") <= bound.cast("bigint") + F.lit(8)).alias("bins_ok"),
+    )
+
+
+@register(
+    "kmeans_contract",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS mass_ok
+    FROM embeddings
+    """,
+)
+def q_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering contract for the Lloyd path
+    (llm/similarity.py::kmeans_clusters, k=8, 3 iterations): all 8
+    clusters non-empty and every corpus vector assigned to exactly
+    one cluster (mass conservation) — the vector total is computed
+    for real by the oracle. Seeds and assignment are
+    hash-deterministic → stable driver row; per-cluster contents are
+    pinned by pytest (rows-only ``kmeans_clusters`` carries them)."""
+    from small_etl_spark.llm.similarity import kmeans_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_clusters(emb, k=8, iters=3).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("size").alias("__mass__"),
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return out.crossJoin(tot).select(
+        "n_clusters",
+        "n_vectors",
+        (F.col("__mass__") == F.col("n_vectors")).alias("mass_ok"),
+    )
+
+
+@register(
     "rolling_hash_fingerprint",
     r"""
     SELECT doc_id,
