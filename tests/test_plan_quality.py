@@ -274,3 +274,43 @@ def test_unpivot_plans_as_expand_not_union(spark):
     assert "Expand" in plan
     assert plan.count("Exchange") == 0
     assert plan.count("Scan parquet") == 1
+
+
+def test_doc_ngram_novelty_no_pairwise_work(spark):
+    """Novelty must scale like term counting: shingle-keyed min +
+    equi-join back — never a cross join or nested-loop over docs."""
+    plan = plan_of(spark, "doc_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_centroid_outliers_broadcasts_centroids(spark):
+    """The (label,pos) centroid table is broadcast-sized by
+    construction (labels × dim rows); the join back to the exploded
+    view must be a broadcast hash join, and the final top-n a
+    TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "embedding_label_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_broadcast_query_side(spark):
+    """Hard-negative scoring broadcasts the small query side over the
+    corpus scan (BroadcastNestedLoopJoin — it's a theta join), same
+    shape as cosine_topk; the corpus side must not be shuffled before
+    scoring."""
+    plan = plan_of(spark, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bigram_pmi_single_tokenize_pass(spark):
+    """All three marginals derive from the pair-count table. The
+    static plan repeats the tokenize subtree, but the pair-count
+    exchange is identical in all four usages, so at runtime
+    ReuseExchange must collapse them — the corpus is tokenized and
+    shuffled ONCE, the marginals read the reused shuffle output."""
+    plan = final_plan_of(spark, "bigram_pmi")
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 3
+    # exactly one live scan of the corpus in the executed plan
+    assert final.count("documents.parquet") == 1
