@@ -5260,6 +5260,90 @@ def q_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The BPE oracle replays the greedy merge loop exactly: per iteration,
+# a pair-count CTE + argmax CTE, then the gaps-and-islands rewrite
+# (candidates chain only when the pair is a repeated symbol; greedy
+# keeps even offsets from the chain start — see llm/bpe.py). All
+# integer arithmetic → bit-identical across engines.
+def _bpe_oracle(iters: int) -> str:
+    sql = [
+        """
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), seqs0 AS (
+      SELECT word, cnt, string_split(word, '') AS syms FROM words
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = i - 1
+        sql.append(
+            f""", p{i} AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+        SELECT cnt, unnest(syms[1:len(syms)-1]) AS a, unnest(syms[2:]) AS b
+        FROM seqs{prev}) GROUP BY a, b
+    ), t{i} AS (
+      SELECT a, b, pair_count FROM p{i} ORDER BY pair_count DESC, a, b LIMIT 1
+    )"""
+        )
+        if i < iters:
+            sql.append(
+                f""", ex{i} AS (
+      SELECT word, cnt, unnest(syms) AS sym,
+             unnest(range(1, len(syms)+1)) AS pos
+      FROM seqs{prev}
+    ), c{i} AS (
+      SELECT word, cnt, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM ex{i}
+    ), d{i} AS (
+      SELECT c.*, coalesce(c.sym = t.a AND c.nxt = t.b, FALSE) AS cand
+      FROM c{i} c CROSS JOIN t{i} t
+    ), e{i} AS (
+      SELECT *, sum(CASE WHEN cand THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY word ORDER BY pos) AS rn
+      FROM d{i}
+    ), f{i} AS (
+      SELECT *, CASE WHEN cand THEN pos - rn END AS chain FROM e{i}
+    ), g{i} AS (
+      SELECT *, min(pos) OVER (PARTITION BY word, chain) AS cstart FROM f{i}
+    ), h{i} AS (
+      SELECT *, cand AND ((pos - cstart) % 2 = 0) AS mstart FROM g{i}
+    ), j{i} AS (
+      SELECT *, coalesce(lag(mstart) OVER (PARTITION BY word ORDER BY pos),
+                         FALSE) AS consumed
+      FROM h{i}
+    ), seqs{i} AS (
+      SELECT word, cnt,
+             list(CASE WHEN mstart THEN sym || nxt ELSE sym END
+                  ORDER BY pos) AS syms
+      FROM j{i} WHERE mstart OR NOT consumed GROUP BY word, cnt
+    )"""
+            )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS iter, a AS lhs, b AS rhs, pair_count"
+        f" FROM t{i}"
+        for i in range(1, iters + 1)
+    )
+    sql.append(f"\n    {finals}\n    ORDER BY iter\n    ")
+    return "".join(sql)
+
+
+@register("bpe_merges", _bpe_oracle(3))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merge rules learned from the corpus
+    (llm/bpe.py::bpe_merges) — the tokenizer-training step, fully
+    set-expressed: greedy left-to-right pair merging via the
+    gaps-and-islands even-offset rule, integer-exact in both engines.
+    Corpus touched once (word-frequency table); each round is a
+    pair-vocab aggregation + two word-partitioned window passes."""
+    from small_etl_spark.llm.bpe import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, iters=3)
+
+
 # The oracle unrolls the 10 power iterations as 10 chained CTE pairs
 # (contribution sum by destination, then damped re-rank over all
 # nodes) — recursive CTEs can't aggregate over the recursive

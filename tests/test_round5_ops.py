@@ -108,3 +108,47 @@ def test_approx_contract_queries_hold(spark):
     assert hll and all(r["merge_ok"] for r in hll)
     ivf = REGISTRY["ivf_recall_contract"].builder(spark, sf).collect()
     assert len(ivf) == 1 and ivf[0]["n_queries"] == 8 and ivf[0]["recall_ok"]
+
+
+def test_bpe_merges_hand_computed(spark):
+    from small_etl_spark.llm.bpe import bpe_merges
+
+    # low×2 lower×1: (l,o) and (o,w) tie at 3 → lexicographic (l,o);
+    # then (lo,w)=3; then (low,e)/(e,r) tie at 1 → (e,r)
+    df = spark.createDataFrame([("low low lower",)], ["text"])
+    out = [tuple(r) for r in bpe_merges(df, iters=3).collect()]
+    assert out == [
+        (1, "l", "o", 3),
+        (2, "lo", "w", 3),
+        (3, "e", "r", 1),
+    ]
+
+
+def test_bpe_merges_repeated_symbol_greedy(spark):
+    from small_etl_spark.llm.bpe import bpe_merges
+
+    # 'aaaa' + 'aaa': (a,a) count 5; greedy pairs left-to-right →
+    # aaaa→[aa,aa], aaa→[aa,a]; then (aa,a) beats (aa,aa) on
+    # lexicographic tie-break at count 1
+    df = spark.createDataFrame([("aaaa aaa",)], ["text"])
+    out = [tuple(r) for r in bpe_merges(df, iters=2).collect()]
+    assert out == [(1, "a", "a", 5), (2, "aa", "a", 1)]
+
+
+def test_bpe_merge_application_preserves_word_mass(spark):
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.llm.bpe import bpe_merges, word_frequencies
+
+    df = spark.createDataFrame(
+        [("the quick brown fox the lazy dog the end",)], ["text"]
+    )
+    # learning must not lose or duplicate words: total corpus tokens
+    # seen by the frequency table equals the raw split count
+    n_raw = df.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "").count()
+    n_freq = word_frequencies(df).agg(F.sum("cnt")).collect()[0][0]
+    assert n_raw == n_freq
+    out = bpe_merges(df, iters=1).collect()
+    assert out[0]["iter"] == 1 and out[0]["pair_count"] >= 2
