@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``(word, cnt)`` over space-separated tokens (the same split
-    convention as the bigram/PMI family)."""
+    convention as the bigram/PMI family).
+
+    Deliberately no ensure_parallelism: the split is cheap and feeds
+    a groupBy shuffle immediately — pre-repartitioning measured
+    ~0.4 s slower at sf0.1. (Contrast doc_ngram_novelty, whose
+    per-row shingle construction is heavy enough to win 5× from it.)
+    """
     return (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .filter(F.col("word") != "")
