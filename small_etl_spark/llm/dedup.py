@@ -771,3 +771,48 @@ def doc_ngram_novelty(
             6,
         ).alias("novelty"),
     )
+
+
+def semantic_dedup_keep(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding corpus:
+    cosine-near-duplicate pairs (hyperplane-LSH blocked + exact-cosine
+    verified, ``embedding_near_dup_pairs``) are closed into connected
+    components, and exactly ONE representative per component — the
+    minimum id — is kept. Returns ``(id_col, component, keep)`` for
+    every input vector; singletons keep themselves.
+
+    This is the embedding-space twin of ``near_dup_components`` +
+    ``near_dedup_filter``: where MinHash catches lexical duplicates,
+    cosine components catch paraphrases and re-encodings that share
+    no n-grams (the SemDeDup observation: semantic duplicates cluster
+    tightly in embedding space).
+
+    Scale shape: candidate pairs come from a bucket equi-join (never
+    all-pairs); components are iterative min-label propagation whose
+    rounds equal component diameter (near-dup clusters are
+    near-cliques, so 2-3 rounds); the final keep flag is a column
+    expression. The cosine is rounded to 6dp BEFORE thresholding so
+    the boundary pair-set is reproducible across engines.
+    """
+    pairs = embedding_near_dup_pairs(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        cosine_threshold=cosine_threshold - 0.05,
+    )
+    pairs = pairs.withColumn("cosine", F.round("cosine", 6)).filter(
+        F.col("cosine") >= cosine_threshold
+    )
+    comp = connected_components(
+        emb.select(F.col(id_col)), pairs, id_col=id_col
+    )
+    return comp.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("keep"),
+    )

@@ -20,7 +20,7 @@ north-star extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 BUCKETS = 1 << 16  # 4 hex chars of md5 → 16-bit bucket
 
@@ -244,4 +244,39 @@ def global_shuffle_shards(
         "ordinal",
         (F.col("ordinal") % n_shards).cast("int").alias("shard"),
         F.floor(F.col("ordinal") / n_shards).cast("bigint").alias("position"),
+    )
+
+
+def temperature_weights(
+    df: DataFrame,
+    strata_cols: list[str],
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture weights (the mT5/XLM-R α-sampling
+    rule): stratum i gets sampling weight w_i = n_i^α / Σ_j n_j^α.
+    α=1 preserves the natural distribution; α→0 approaches uniform;
+    0.3 is the multilingual-pretraining default that up-weights
+    low-resource strata without flattening the mix entirely.
+
+    Returns one row per stratum: ``(*strata_cols, n_docs, weight,
+    boost)`` where ``boost`` = weight / natural share (>1 means the
+    stratum is over-sampled relative to raw frequency).
+
+    Scale shape: ONE count aggregation over the corpus (strata
+    cardinality is tiny — sources × languages), then window sums over
+    the stratum table itself. The corpus is scanned once; everything
+    downstream is metadata-sized.
+    """
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    powered = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    weight = powered / F.sum(powered).over(w_all)
+    natural = F.col("n_docs").cast("double") / F.sum(
+        F.col("n_docs").cast("double")
+    ).over(w_all)
+    return counts.select(
+        *strata_cols,
+        "n_docs",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / natural, 6).alias("boost"),
     )

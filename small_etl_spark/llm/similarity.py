@@ -569,3 +569,111 @@ def label_centroid_outliers(
         .agg(F.round(F.sqrt(F.sum(delta * delta)), 6).alias("dist"))
     )
     return dists.orderBy(F.col("dist").desc(), F.col(id_col)).limit(top_n)
+
+
+def embedding_moments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact corpus moments for PCA: (row count, mean vector, Gram
+    matrix Σ v·vᵀ) accumulated distributively.
+
+    Each Arrow batch contributes one partial (n, Σv, Σ v·vᵀ) row — a
+    d + d² payload independent of batch size — and the driver sums
+    the partials. At 100 TB this is a single map-only corpus pass
+    followed by a collect of O(partitions) rows of d(d+1) doubles
+    (d=64 → 4 KB each): the classic "sufficient statistics shrink to
+    the driver" pattern, NOT a data collect. Returns numpy
+    ``(n, mean[d], cov[d,d])`` with the covariance already centered.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .mapInPandas(partials, schema="n bigint, s array<double>, g array<double>")
+        .collect()
+    )
+    import numpy as np  # noqa: F811 - re-import for the empty-input path
+
+    if not rows:
+        raise ValueError("embedding_moments: empty corpus")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_project(
+    corpus: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-``k`` PCA projection of the embedding corpus — the
+    dimensionality-reduction step before visualization, coarse
+    clustering, or whitening.
+
+    Two phases: (1) exact sufficient statistics via
+    :func:`embedding_moments` (one distributed pass; only d×d numbers
+    reach the driver); (2) eigendecomposition of the d×d covariance
+    with numpy on the driver (d=64 — microseconds), then the top-k
+    eigenvectors are embedded as LITERAL arrays in a column expression
+    and every vector is projected JVM-side with ``zip_with``/
+    ``aggregate`` folds — no Python in the per-row path, so phase 2
+    is a map-only codegen'd pass at any corpus size.
+
+    Eigenvector sign is fixed deterministically (largest-|coordinate|
+    made positive, earliest index winning ties) so results are
+    reproducible run-to-run. Returns ``(id_col, pc1..pck)``.
+    """
+    import numpy as np
+
+    _, mean, cov = embedding_moments(corpus, id_col=id_col, vec_col=vec_col)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for j in order:
+        e = vecs[:, j]
+        pivot = int(np.argmax(np.abs(e)))
+        if e[pivot] < 0:
+            e = -e
+        comps.append(e)
+
+    def lit_arr(xs) -> Column:
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), lit_arr(mean), lambda a, b: a - b
+    )
+    out = corpus.filter(F.col(vec_col).isNotNull()).select(
+        id_col,
+        centered.alias("__c__"),
+    )
+    projections = [
+        F.aggregate(
+            F.zip_with(F.col("__c__"), lit_arr(e), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"pc{i + 1}")
+        for i, e in enumerate(comps)
+    ]
+    return out.select(id_col, *projections)

@@ -515,3 +515,60 @@ def bigram_pmi(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/KenLM-style language-model quality scoring, unigram form:
+    train an add-one-smoothed unigram LM on the corpus itself, then
+    score every document by its mean token log-probability. Low
+    scores = improbable token distributions (boilerplate, code dumps,
+    lorem-ipsum, wrong-language text) — the cheap in-engine stand-in
+    for the external-LM perplexity filter in CCNet's pipeline.
+
+    p(tok) = (count(tok) + 1) / (N + V); score = mean over the doc's
+    tokens of ln p(tok). Returns ``(id_col, n_tokens, avg_logprob)``;
+    empty docs get NULL avg_logprob.
+
+    Scale shape: one explode + one token-count aggregation builds the
+    LM (vocab-sized result, orders of magnitude smaller than the
+    corpus), then one explode + equi-join token→logprob + per-doc avg.
+    The LM table shuffles by token; the scoring join is hash-join by
+    token (vocab is ~millions of rows at 100 TB — a plain shuffle
+    join, NO broadcast assumption). Everything is built-in functions.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    sizes = lm.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    lm = lm.crossJoin(F.broadcast(sizes)).select(
+        "tok",
+        F.log(
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("n_total") + F.col("vocab")).cast("double")
+        ).alias("lp"),
+    )
+    scored = (
+        toks.join(lm, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+    )
+    # docs with zero tokens never reach the explode — restore them
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "avg_logprob",
+        )
+    )

@@ -6547,6 +6547,274 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_outliers(emb, top_n=20)
 
 
+@register(
+    "unigram_logprob_score",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+      FROM documents
+    ), lm AS (
+      SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+    ), sizes AS (
+      SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM lm
+    ), lp AS (
+      SELECT tok,
+             ln(CAST(cnt + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE))
+               AS lp
+      FROM lm, sizes
+    ), scored AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, AVG(l.lp) AS alp
+      FROM tok t JOIN lp l USING (tok) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+           round(s.alp, 6) AS avg_logprob
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style LM quality scoring, unigram form
+    (llm/textstats.py::unigram_logprob): an add-one-smoothed unigram
+    LM trained on the corpus itself scores every doc by mean token
+    log-probability — the cheap in-engine stand-in for the external-LM
+    perplexity filter. Two explodes + a vocab-sized hash join, all
+    built-ins; the LM table is orders of magnitude smaller than the
+    corpus, so the scoring join is the only shuffle that matters."""
+    from small_etl_spark.llm.textstats import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
+@register(
+    "temperature_mix",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs,
+           round(pow(n_docs, 0.3) / SUM(pow(n_docs, 0.3)) OVER (), 6)
+             AS weight,
+           round((pow(n_docs, 0.3) / SUM(pow(n_docs, 0.3)) OVER ())
+                 / (CAST(n_docs AS DOUBLE)
+                    / SUM(CAST(n_docs AS DOUBLE)) OVER ()), 6) AS boost
+    FROM c
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights, the mT5/XLM-R α-sampling
+    rule (llm/sampling.py::temperature_weights, α=0.3): stratum weight
+    ∝ n^α, up-weighting low-resource (source, lang) cells. ONE corpus
+    count aggregation; everything downstream is metadata-sized window
+    math over the stratum table."""
+    from small_etl_spark.llm.sampling import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, ["source", "lang"], alpha=0.3)
+
+
+def _semantic_dedup_oracle(
+    num_planes: int = 16, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """DuckDB twin of SemDeDup: the literal-plane LSH bucket join +
+    rounded-cosine verify (same construction as
+    ``_embedding_near_dup_oracle``), closed into components with a
+    recursive CTE, keep = (id == component min)."""
+    from small_etl_spark.llm.similarity import random_planes
+
+    planes = random_planes(dim, num_planes, seed=42)
+    bits = "\n       + ".join(
+        "(CASE WHEN list_dot_product(v, [{w}]) >= 0 "
+        "THEN CAST({b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)".format(
+            w=", ".join(repr(x) for x in plane), b=1 << p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT id, v,
+         {bits}
+         AS bucket
+      FROM e
+    ), pairs AS (
+      SELECT a.id AS id_a, c.id AS id_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+      WHERE round(list_cosine_similarity(a.v, c.v), 6) >= {threshold}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e2.dst, r.label FROM edges e2 JOIN reach r ON e2.src = r.node
+    )
+    SELECT node AS vec_id, min(label) AS component,
+           CAST(node = min(label) AS BIGINT) AS keep
+    FROM reach GROUP BY node
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (llm/dedup.py::semantic_dedup_keep): cosine-near-dup pairs
+    (hyperplane-LSH blocked, exact-cosine verified at ≥0.95 on the
+    6dp-rounded value) closed into connected components; exactly one
+    representative (min vec_id) kept per component. Catches
+    paraphrases/re-encodings that share no n-grams — the embedding-
+    space complement of the MinHash family. Bucket equi-join, never
+    all-pairs; component rounds = cluster diameter (near-cliques →
+    2-3 rounds)."""
+    from small_etl_spark.llm.dedup import semantic_dedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_keep(emb)
+    return out.select(
+        "vec_id", "component", F.col("keep").cast("long").alias("keep")
+    )
+
+
+@register("pca_project", None)  # rows-only: eigendecomposition has no
+# SQL expression — exactness vs numpy full-data PCA is pinned in
+# tests/test_llm_similarity.py, and pca_contract below oracles the
+# invariants that ARE SQL-expressible.
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-2 PCA projection of the embeddings corpus
+    (llm/similarity.py::pca_project): distributed sufficient
+    statistics (one Arrow pass, d×d numbers to the driver), numpy
+    eigh on the 64×64 covariance, then a JVM-side literal-eigenvector
+    projection — no Python in the per-row path. Deterministic sign
+    convention; rounded to 6dp for stable comparison."""
+    from small_etl_spark.llm.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, k=2)
+    return out.select(
+        "vec_id", F.round("pc1", 6).alias("pc1"), F.round("pc2", 6).alias("pc2")
+    )
+
+
+@register(
+    "pca_contract",
+    """
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), dims AS (
+      SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM e
+    ), mean_sq AS (
+      SELECT SUM(p) AS msq FROM (
+        SELECT pow(AVG(x), 2) AS p FROM dims GROUP BY i
+      )
+    ), tot AS (
+      SELECT AVG(list_dot_product(v, v)) AS ess FROM e
+    )
+    SELECT round(tot.ess - mean_sq.msq, 4) AS total_var,
+           CAST(1 AS BIGINT) AS var_ordered,
+           CAST(1 AS BIGINT) AS centered,
+           CAST(1 AS BIGINT) AS uncorrelated,
+           CAST(1 AS BIGINT) AS within_total
+    FROM tot, mean_sq
+    """,
+)
+def q_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA quality contract with real oracle arithmetic: DuckDB
+    recomputes the corpus TOTAL variance (trace of the covariance —
+    fully SQL-expressible) while Spark must independently produce the
+    same number from its sufficient-statistics pass AND prove the
+    eigen-projection invariants that SQL cannot: var(pc1) ≥ var(pc2)
+    (ordering), |mean(pc)| ≈ 0 (centering), |corr(pc1,pc2)| ≈ 0
+    (orthogonality), var(pc1)+var(pc2) ≤ total (captured mass). A
+    wrong eigendecomposition breaks at least one flag."""
+    from small_etl_spark.llm.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, k=2)
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("pc1").alias("m1"),
+        F.avg("pc2").alias("m2"),
+        F.avg(F.col("pc1") * F.col("pc1")).alias("s11"),
+        F.avg(F.col("pc2") * F.col("pc2")).alias("s22"),
+        F.avg(F.col("pc1") * F.col("pc2")).alias("s12"),
+    )
+    v1 = F.col("s11") - F.col("m1") * F.col("m1")
+    v2 = F.col("s22") - F.col("m2") * F.col("m2")
+    cov12 = F.col("s12") - F.col("m1") * F.col("m2")
+    # total variance from the SAME distributed moments pass the
+    # projection used — independently recomputed by the oracle in SQL
+    from small_etl_spark.llm.similarity import embedding_moments
+
+    import numpy as np
+
+    _, _, cov = embedding_moments(emb)
+    total_var = float(np.trace(cov))
+    eps = 1e-9
+    return stats.select(
+        F.round(F.lit(total_var), 4).alias("total_var"),
+        (v1 >= v2 - eps).cast("long").alias("var_ordered"),
+        ((F.abs(F.col("m1")) < 1e-6) & (F.abs(F.col("m2")) < 1e-6))
+        .cast("long")
+        .alias("centered"),
+        (F.abs(cov12 / F.sqrt(v1 * v2)) < 1e-6)
+        .cast("long")
+        .alias("uncorrelated"),
+        (v1 + v2 <= F.lit(total_var) + 1e-6).cast("long").alias("within_total"),
+    )
+
+
+@register(
+    "stream_dedup_events",
+    """
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           user_id, event_type, value
+    FROM events
+    """,
+)
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming exact-dedup under the oracle gate
+    (streaming/windows.py::stream_dedup →
+    ``dropDuplicatesWithinWatermark``): the stream directory holds TWO
+    copies of events.parquet (every row duplicated across files), the
+    stream dedups on event_id with watermark-bounded state, drains
+    with availableNow into a memory sink, and must hash-match DuckDB
+    reading the ORIGINAL file once. The watermark is set far past the
+    data's span so state never evicts mid-drain (multi-batch file
+    splits would otherwise re-emit old keys); production uses a real
+    lateness bound."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from small_etl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_dedup,
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/b.parquet")
+    ev = read_events_stream(spark, stream_dir)
+    deduped = stream_dedup(ev, watermark="365 days", keys=["event_id"])
+    out = deduped.select(
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    sink = f"sdd_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(out, sink, output_mode="append")
+    return spark.table(sink)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -1,0 +1,148 @@
+"""Unit tests for the round-6 additions: unigram-LM scoring,
+temperature mixture weights, SemDeDup semantic dedup, and exact
+distributed PCA."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from small_etl_spark.llm.textstats import unigram_logprob
+
+    # corpus tokens: a a b  → counts {a:2, b:1}, N=3, V=2
+    df = spark.createDataFrame([(1, "a a"), (2, "b"), (3, "")],
+                               ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    p_a = (2 + 1) / (3 + 2)
+    p_b = (1 + 1) / (3 + 2)
+    assert rows[1]["n_tokens"] == 2
+    assert rows[1]["avg_logprob"] == pytest.approx(math.log(p_a))
+    assert rows[2]["avg_logprob"] == pytest.approx(math.log(p_b))
+    # empty doc survives with zero tokens and NULL score
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["avg_logprob"] is None
+
+
+def test_unigram_logprob_orders_quality(spark):
+    """A doc made of corpus-frequent tokens outscores a doc of hapaxes."""
+    from small_etl_spark.llm.textstats import unigram_logprob
+
+    common = "the the the the the"
+    rare = "zqx wvu jkl mno pqr"
+    df = spark.createDataFrame(
+        [(1, common), (2, rare)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+
+
+def test_temperature_weights_sum_and_boost(spark):
+    from small_etl_spark.llm.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("s1", "en")] * 90 + [("s1", "fr")] * 10,
+        ["source", "lang"],
+    )
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in temperature_weights(df, ["source", "lang"], alpha=0.3)
+        .collect()
+    }
+    w_en, w_fr = rows[("s1", "en")], rows[("s1", "fr")]
+    assert w_en["weight"] + w_fr["weight"] == pytest.approx(1.0, abs=2e-6)
+    # α<1 up-weights the low-resource stratum, down-weights the dominant
+    assert w_fr["boost"] > 1.0 > w_en["boost"]
+    expect_en = 90**0.3 / (90**0.3 + 10**0.3)
+    assert w_en["weight"] == pytest.approx(expect_en, abs=1e-6)
+
+
+def test_temperature_alpha_one_is_natural(spark):
+    from small_etl_spark.llm.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("s1", "en")] * 30 + [("s1", "fr")] * 10, ["source", "lang"]
+    )
+    rows = {
+        r["lang"]: r
+        for r in temperature_weights(df, ["source", "lang"], alpha=1.0)
+        .collect()
+    }
+    assert rows["en"]["weight"] == pytest.approx(0.75, abs=1e-6)
+    assert rows["en"]["boost"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_semantic_dedup_keeps_one_per_component(spark):
+    from small_etl_spark.llm.dedup import semantic_dedup_keep
+
+    # vectors 1,2 identical (cosine 1.0); 3 orthogonal-ish
+    rows = [
+        (1, [1.0] + [0.0] * 63),
+        (2, [1.0] + [0.0] * 63),
+        (3, [0.0, 1.0] + [0.0] * 62),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in semantic_dedup_keep(emb).collect()}
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[3]["keep"] and out[3]["component"] == 3
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed sufficient-statistics PCA == numpy full-data PCA."""
+    from small_etl_spark.llm.similarity import pca_project
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca_project(emb, k=2).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mean = m.mean(axis=0)
+    cov = (m - mean).T @ (m - mean) / m.shape[0]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    comps = []
+    for j in order:
+        e = vecs[:, j]
+        piv = int(np.argmax(np.abs(e)))
+        comps.append(-e if e[piv] < 0 else e)
+    ref = (m - mean) @ np.stack(comps, axis=1)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)][0] == pytest.approx(ref[i, 0], abs=1e-8)
+        assert got[int(vid)][1] == pytest.approx(ref[i, 1], abs=1e-8)
+
+
+def test_pca_variance_invariants(spark):
+    from small_etl_spark.llm.similarity import embedding_moments, pca_project
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _, _, cov = embedding_moments(emb)
+    total = float(np.trace(cov))
+    proj = pca_project(emb, k=2).toPandas()
+    v1, v2 = proj["pc1"].var(ddof=0), proj["pc2"].var(ddof=0)
+    assert v1 >= v2 > 0
+    assert v1 + v2 <= total + 1e-9
+    assert abs(proj["pc1"].mean()) < 1e-9
+    assert abs(np.cov(proj["pc1"], proj["pc2"], ddof=0)[0, 1]) < 1e-9
+
+
+def test_stream_dedup_batch_twin(spark):
+    """Batch fallback of stream_dedup is exact first-wins distinct."""
+    from small_etl_spark.streaming.windows import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], ["event_id", "x"]
+    )
+    out = stream_dedup(df, keys=["event_id"]).collect()
+    assert sorted((r["event_id"], r["x"]) for r in out) == [(1, "a"), (2, "b")]
