@@ -154,3 +154,60 @@ def bpe_merges(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("iter")
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = 3,
+) -> DataFrame:
+    """Apply a corpus-learned BPE tokenizer and count pieces per doc —
+    the "how many tokens is my corpus under MY tokenizer" budgeting
+    step (whitespace token counts routinely misestimate BPE budgets
+    by 20-40%).
+
+    Learns ``iters`` merges exactly as :func:`bpe_merges` (same
+    deterministic tie-break), applies EVERY merge (including the
+    last) to the word-frequency table, then joins the resulting
+    word → piece-count map back to the exploded corpus. Returns
+    ``(id_col, n_words, n_pieces)``; docs with no words keep 0/0.
+
+    Scale shape: merges are learned on the word-FREQUENCY table
+    (vocab-sized, not corpus-sized); the per-doc pass is one explode +
+    one vocab-sized equi-join + one sum — the corpus is scanned once
+    regardless of ``iters``.
+    """
+    freqs = word_frequencies(df, text_col)
+    seqs = freqs.select("word", "cnt", F.split(F.col("word"), "").alias("syms"))
+    for _ in range(iters):
+        top = (
+            _pair_counts(seqs)
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
+        seqs = _apply_merge(seqs, top).localCheckpoint()
+    word_len = seqs.select(
+        "word", F.size("syms").cast("bigint").alias("__npw__")
+    )
+    doc_words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    scored = (
+        doc_words.join(word_len, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__npw__").alias("n_pieces"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+        )
+    )

@@ -132,3 +132,55 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected edge list
+    (canonical ``src < dst`` rows): for every NON-adjacent node pair
+    (x, y) with at least one common neighbor, score
+    Σ_z 1/ln(deg(z)) over common neighbors z — frequent shared
+    neighbors count for little, rare hubs for a lot. The classic
+    "who should be connected next" recommender primitive.
+
+    Returns ``(node_a, node_b, score)`` with node_a < node_b.
+
+    Scale shape: symmetrize → wedge enumeration via one equi-join on
+    the shared endpoint (cost Σ deg(z)², the same bound as triangle
+    counting — real co-occurrence graphs keep deg(z) small after the
+    frequency cut), degree table joined once, existing edges removed
+    with a LeftAnti. Never all-pairs.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    deg = sym.groupBy(F.col("a").alias("z")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = sym.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    e2 = sym.select(F.col("a").alias("y"), F.col("b").alias("z2"))
+    wedges = e1.join(
+        e2, (F.col("z") == F.col("z2")) & (F.col("x") < F.col("y"))
+    ).select("x", "y", "z")
+    # ln(deg)=0 for degree-1 hubs is undefined weight — excluded by
+    # construction (a common neighbor has degree >= 2 already, but be
+    # explicit for subgraphs)
+    scored = (
+        wedges.join(deg.filter(F.col("deg") >= 2), "z")
+        .groupBy("x", "y")
+        .agg(F.sum(F.lit(1.0) / F.log(F.col("deg"))).alias("score"))
+    )
+    existing = edges.select(
+        F.col(src_col).alias("x"), F.col(dst_col).alias("y")
+    )
+    return (
+        scored.join(existing, ["x", "y"], "left_anti")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.round("score", 6).alias("score"),
+        )
+    )

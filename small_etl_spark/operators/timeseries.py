@@ -214,3 +214,57 @@ def rolling_range_sum(
         F.col("event_id"),
         (F.sum(cents).over(w).cast("double") / 100.0).alias("trailing_sum"),
     )
+
+
+def ewma(
+    events: DataFrame,
+    alpha: float = 0.5,
+    lookback: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Finite-window exponentially weighted moving average per key:
+    at each event, the trailing ``lookback+1`` values are combined
+    with weights (1-α)^age and normalized — the smoothing primitive
+    behind anomaly baselines and metric dashboards.
+
+    The window is explicitly finite (ROWS BETWEEN lookback PRECEDING)
+    rather than the infinite recurrence: it is expressible as a pure
+    window + higher-order-function pass in ANY engine (and therefore
+    DuckDB-oracle-exact), and at α=0.5 every weight is a power of two,
+    so each weighted term is bit-exact and both engines fold the same
+    doubles in the same order. NULL values are excluded before
+    windowing (both engines' list aggregates would skip them anyway —
+    excluding first makes the frame semantics identical).
+
+    One shuffle on ``key_col``; the HOF arithmetic is JVM-side
+    whole-stage-codegen'd, O(lookback) per row.
+    """
+    decay = 1.0 - alpha
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, 0)
+    )
+    arr = F.collect_list(val_col).over(w)
+    base = events.filter(F.col(val_col).isNotNull()).withColumn("__l__", arr)
+    n = F.size("__l__")
+    terms = F.zip_with(
+        F.col("__l__"),
+        F.sequence(F.lit(1), n),
+        lambda v, i: v * F.pow(F.lit(decay), (n - i).cast("double")),
+    )
+    weights = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pow(F.lit(decay), (n - i).cast("double")),
+    )
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return base.select(
+        id_col,
+        key_col,
+        ts_col,
+        val_col,
+        (fold(terms) / fold(weights)).alias("ewma"),
+    )

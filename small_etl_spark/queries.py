@@ -5265,7 +5265,12 @@ def q_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (candidates chain only when the pair is a repeated symbol; greedy
 # keeps even offsets from the chain start — see llm/bpe.py). All
 # integer arithmetic → bit-identical across engines.
-def _bpe_oracle(iters: int) -> str:
+def _bpe_prefix_sql(iters: int, apply_last: bool) -> list[str]:
+    """Shared CTE prefix for the BPE oracles: word frequencies, then
+    ``iters`` rounds of (pair counts p{i} → winning merge t{i}) with
+    the merge applied to seqs after each round — optionally including
+    the last (learning only inspects t{iters}; encoding needs
+    seqs{iters})."""
     sql = [
         """
     WITH words AS (
@@ -5287,7 +5292,7 @@ def _bpe_oracle(iters: int) -> str:
       SELECT a, b, pair_count FROM p{i} ORDER BY pair_count DESC, a, b LIMIT 1
     )"""
         )
-        if i < iters:
+        if i < iters or apply_last:
             sql.append(
                 f""", ex{i} AS (
       SELECT word, cnt, unnest(syms) AS sym,
@@ -5321,12 +5326,40 @@ def _bpe_oracle(iters: int) -> str:
       FROM j{i} WHERE mstart OR NOT consumed GROUP BY word, cnt
     )"""
             )
+    return sql
+
+
+def _bpe_oracle(iters: int) -> str:
+    sql = _bpe_prefix_sql(iters, apply_last=False)
     finals = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS iter, a AS lhs, b AS rhs, pair_count"
         f" FROM t{i}"
         for i in range(1, iters + 1)
     )
     sql.append(f"\n    {finals}\n    ORDER BY iter\n    ")
+    return "".join(sql)
+
+
+def _bpe_encode_oracle(iters: int) -> str:
+    sql = _bpe_prefix_sql(iters, apply_last=True)
+    sql.append(
+        f""", wl AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS npw FROM seqs{iters}
+    ), dw AS (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ), scored AS (
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(w.npw) AS BIGINT) AS n_pieces
+      FROM dw d JOIN wl w USING (word) GROUP BY d.doc_id
+    )
+    SELECT docs.doc_id, COALESCE(s.n_words, 0) AS n_words,
+           COALESCE(s.n_pieces, 0) AS n_pieces
+    FROM documents docs LEFT JOIN scored s ON docs.doc_id = s.doc_id
+    """
+    )
     return "".join(sql)
 
 
@@ -6813,6 +6846,118 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sdd_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(out, sink, output_mode="append")
     return spark.table(sink)
+
+
+@register("bpe_encode_counts", _bpe_encode_oracle(3))
+def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token budget under the corpus-learned BPE tokenizer
+    (llm/bpe.py::bpe_encode_counts): learn 3 merges (identical
+    deterministic run to ``bpe_merges``), apply ALL of them to the
+    word vocabulary, join the word → piece-count map back to the
+    exploded corpus. Whitespace counts misestimate BPE budgets; this
+    is the exact count, integer arithmetic end-to-end. The corpus is
+    scanned once; merge learning runs on the vocab-sized frequency
+    table."""
+    from small_etl_spark.llm.bpe import bpe_encode_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_counts(docs, iters=3)
+
+
+@register(
+    "ewma_user_values",
+    """
+    WITH b AS (
+      SELECT event_id, ts, user_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           value,
+           round(
+             list_sum(list_transform(l,
+               (x, i) -> x * pow(0.5, len(l) - i)))
+             / list_sum(list_transform(range(1, len(l) + 1),
+               i -> pow(0.5, CAST(len(l) - i AS DOUBLE)))),
+             6) AS ewma
+    FROM b
+    """,
+)
+def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA of events.value per user
+    (operators/timeseries.py::ewma, α=0.5, 8-row window): trailing
+    values weighted by (1-α)^age and normalized — the smoothing
+    baseline behind anomaly detection. At α=0.5 every weight is a
+    power of two, so each term is bit-exact and both engines fold the
+    same doubles in the same order. One shuffle on user_id; the HOF
+    arithmetic is codegen'd, O(window) per row."""
+    from small_etl_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, alpha=0.5, lookback=7)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+@register(
+    "adamic_adar_parts",
+    """
+    WITH ppo AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM ppo a JOIN ppo b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ), deg AS (
+      SELECT a AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY a
+    ), wedges AS (
+      SELECT e1.a AS x, e2.a AS y, e1.b AS z
+      FROM sym e1 JOIN sym e2 ON e1.b = e2.b AND e1.a < e2.a
+    ), scored AS (
+      SELECT w.x, w.y, SUM(1.0 / ln(d.deg)) AS score
+      FROM wedges w JOIN deg d ON w.z = d.z AND d.deg >= 2
+      GROUP BY w.x, w.y
+    )
+    SELECT s.x AS node_a, s.y AS node_b, round(s.score, 6) AS score
+    FROM scored s ANTI JOIN pairs p ON s.x = p.pa AND s.y = p.pb
+    ORDER BY round(s.score, 6) DESC, node_a, node_b
+    LIMIT 25
+    """,
+)
+def q_adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the frequent-co-purchase graph
+    (operators/graph.py::adamic_adar): for non-adjacent part pairs,
+    Σ 1/ln(deg) over common neighbors — rare shared neighbors weigh
+    more. Top-25 predicted edges. Wedge enumeration is one equi-join
+    on the shared endpoint (Σ deg² bounded by the frequency cut),
+    existing edges removed with a LeftAnti — never all-pairs."""
+    from small_etl_spark.operators.graph import adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ppo = li.select("l_orderkey", "l_partkey").distinct()
+    a = ppo.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = ppo.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("src") < F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    out = adamic_adar(edges)
+    return out.orderBy(
+        F.col("score").desc(), "node_a", "node_b"
+    ).limit(25)
 
 
 # --------------------------------------------------------------------------

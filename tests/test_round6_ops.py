@@ -146,3 +146,51 @@ def test_stream_dedup_batch_twin(spark):
     )
     out = stream_dedup(df, keys=["event_id"]).collect()
     assert sorted((r["event_id"], r["x"]) for r in out) == [(1, "a"), (2, "b")]
+
+
+def test_bpe_encode_counts_hand_computed(spark):
+    """Corpus 'ab ab abc': merge1 = (a,b) → words ab→1 piece,
+    abc→2 pieces."""
+    from small_etl_spark.llm.bpe import bpe_encode_counts
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "abc"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode_counts(df, iters=1).collect()}
+    assert rows[1]["n_words"] == 2 and rows[1]["n_pieces"] == 2
+    assert rows[2]["n_words"] == 1 and rows[2]["n_pieces"] == 2
+    assert rows[3]["n_words"] == 0 and rows[3]["n_pieces"] == 0
+
+
+def test_ewma_hand_computed(spark):
+    from small_etl_spark.operators.timeseries import ewma
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "click", 1.0),
+        (2, t0 + dt.timedelta(seconds=1), 7, "click", 3.0),
+        (3, t0 + dt.timedelta(seconds=2), 7, "click", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {r["event_id"]: r["ewma"] for r in ewma(ev, alpha=0.5).collect()}
+    assert out[1] == pytest.approx(1.0)
+    # weights (0.5, 1) → (0.5*1 + 1*3) / 1.5
+    assert out[2] == pytest.approx((0.5 * 1 + 3) / 1.5)
+    # weights (0.25, 0.5, 1) → (0.25 + 1.5 + 5) / 1.75
+    assert out[3] == pytest.approx((0.25 * 1 + 0.5 * 3 + 5) / 1.75)
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Path graph 1-2, 2-3: pair (1,3) shares neighbor 2 (deg 2) →
+    score 1/ln 2; adjacent pairs excluded."""
+    from small_etl_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = adamic_adar(edges).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["node_a"], r["node_b"]) == (1, 3)
+    assert r["score"] == pytest.approx(1.0 / math.log(2.0), abs=1e-6)
