@@ -6960,6 +6960,60 @@ def q_adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(25)
 
 
+@register(
+    "rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(epoch(max(o_orderdate)) AS BIGINT) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey,
+           CAST(ntile(5) OVER (ORDER BY last_order, custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, custkey) AS BIGINT)
+             AS m_score
+    FROM base
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles (5 = most recent / most frequent / highest spend), the
+    canonical marketing-analytics scoring. Monetary is exact integer
+    cents; every ntile ordering carries a unique custkey tiebreak so
+    the quintile boundaries are engine-independent. One groupBy on
+    the fact table; the ntile windows run over the customer-dimension-
+    sized aggregate, not the fact data."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("timestamp").cast("long")).alias(
+            "last_order"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    def quint(col: str) -> Column:
+        return (
+            F.ntile(5)
+            .over(Window.orderBy(col, "custkey"))
+            .cast("bigint")
+        )
+
+    return base.select(
+        "custkey",
+        quint("last_order").alias("r_score"),
+        quint("frequency").alias("f_score"),
+        quint("monetary_cents").alias("m_score"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

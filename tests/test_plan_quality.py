@@ -314,3 +314,59 @@ def test_bigram_pmi_single_tokenize_pass(spark):
     assert final.count("ReusedExchange") >= 3
     # exactly one live scan of the corpus in the executed plan
     assert final.count("documents.parquet") == 1
+
+
+def test_unigram_logprob_no_python_and_vocab_join(spark):
+    """LM scoring is all built-ins: no Python evals in the plan, and
+    the doc→LM join is a hash join (any flavor), never a cartesian."""
+    plan = final_plan_of(spark, "unigram_logprob_score")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_single_corpus_scan(spark):
+    """α-sampling scans the corpus once: exactly one Exchange below
+    the stratum aggregation feeds all the window math."""
+    plan = plan_of(spark, "temperature_mix")
+    assert plan.count("FileScan") == 1
+
+
+def test_semantic_dedup_never_cross_joins(spark):
+    plan = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_projection_is_jvm_side(spark):
+    """Phase 2 of PCA (the per-row projection) must be pure codegen'd
+    expressions — the only Python allowed is the moments pass, which
+    runs during construction, not in the returned plan."""
+    plan = plan_of(spark, "pca_project")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # map-only over the corpus
+
+
+def test_ewma_single_user_shuffle(spark):
+    """EWMA is one window pass: a single shuffle keyed on user_id and
+    zero Python."""
+    plan = plan_of(spark, "ewma_user_values")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adamic_adar_never_cross_joins(spark):
+    plan = plan_of(spark, "adamic_adar_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-25, no global sort
+
+
+def test_bpe_encode_corpus_scanned_twice_not_per_iter(spark):
+    """The doc-level pass adds exactly one more corpus scan on top of
+    the vocab build — merge iterations must not rescan documents.
+    (localCheckpoint materializes the vocab table, so the final plan
+    shows the two corpus scans plus checkpoint reads, regardless of
+    iters.)"""
+    plan = plan_of(spark, "bpe_encode_counts")
+    assert plan.count("FileScan parquet") <= 2
