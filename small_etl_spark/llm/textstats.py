@@ -572,3 +572,47 @@ def unigram_logprob(
             "avg_logprob",
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits):
+    H = -Σ p ln p / ln 2 over the doc's own token frequencies. Low
+    entropy = repetitive/templated text (the signal behind Gopher's
+    repetition cuts, as a single scalar); high entropy = diverse
+    vocabulary. Returns ``(id_col, n_tokens, entropy_bits)``.
+
+    One explode + per-(doc, token) count + per-doc entropy fold —
+    two doc-keyed aggregations, all built-ins, no Python.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        # -Σ c·ln c computed first, then normalized: H = ln n − Σc·ln c / n
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "__clnc__"
+        ),
+    )
+    h_nats = F.log(F.col("n_tokens").cast("double")) - F.col("__clnc__") / F.col(
+        "n_tokens"
+    ).cast("double")
+    scored = per_doc.select(
+        id_col,
+        "n_tokens",
+        (h_nats / F.log(F.lit(2.0))).alias("entropy_bits"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "entropy_bits",
+        )
+    )

@@ -7014,6 +7014,90 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, tok
+    ), per_doc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+      FROM tf GROUP BY doc_id
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             round((ln(CAST(n_tokens AS DOUBLE))
+                    - clnc / CAST(n_tokens AS DOUBLE)) / ln(2.0), 6)
+               AS entropy_bits
+      FROM per_doc
+    )
+    SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.entropy_bits
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution in bits
+    (llm/textstats.py::token_entropy) — repetitive/templated text
+    scores low, diverse vocabulary high; the single-scalar form of
+    Gopher's repetition signals. Two doc-keyed aggregations, all
+    built-ins; the ln n − Σ c·ln c / n formulation keeps both engines'
+    float work identical (one sum of identical doubles)."""
+    from small_etl_spark.llm.textstats import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_entropy(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("entropy_bits", 6).alias("entropy_bits")
+    )
+
+
+@register(
+    "cross_lang_dups",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), multi AS (
+      SELECT fp, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM f GROUP BY fp HAVING COUNT(DISTINCT lang) > 1
+    )
+    SELECT f.fp, f.doc_id, f.lang, m.n_langs, m.n_docs
+    FROM f JOIN multi m ON f.fp = m.fp
+    """,
+)
+def q_cross_lang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate audit: identical normalized content
+    appearing under MORE THAN ONE language label — mislabeled-language
+    docs or untranslated boilerplate that slipt through per-language
+    dedup (per-lang pipelines never see these). One fingerprint
+    groupBy with a distinct-lang count, then a self-join back for the
+    member rows; fingerprint reuses the corpus-wide md5 normalization
+    (llm/textstats.py::fingerprint), so the exact-dedup family and
+    this audit agree on identity."""
+    from small_etl_spark.llm.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", fingerprint("text").alias("fp")
+    )
+    multi = (
+        docs.groupBy("fp")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_langs") > 1)
+    )
+    return docs.join(multi, "fp").select(
+        "fp", "doc_id", "lang", "n_langs", "n_docs"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

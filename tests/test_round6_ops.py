@@ -194,3 +194,42 @@ def test_adamic_adar_hand_computed(spark):
     r = out[0]
     assert (r["node_a"], r["node_b"]) == (1, 3)
     assert r["score"] == pytest.approx(1.0 / math.log(2.0), abs=1e-6)
+
+
+def test_token_entropy_hand_computed(spark):
+    from small_etl_spark.llm.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    # all-same tokens → 0 bits; 4 distinct uniform → 2 bits
+    assert rows[1]["entropy_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert rows[2]["entropy_bits"] == pytest.approx(2.0, abs=1e-9)
+    assert rows[3]["n_tokens"] == 0 and rows[3]["entropy_bits"] is None
+
+
+def test_cross_lang_dups_fires_on_shared_content(spark):
+    from small_etl_spark.queries import REGISTRY  # noqa: F401
+    from small_etl_spark.llm.textstats import fingerprint
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Same   Text here", "en"),
+            (2, "same text HERE", "fr"),  # normalizes identically
+            (3, "unique content", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    f = docs.select("doc_id", "lang", fingerprint("text").alias("fp"))
+    multi = (
+        f.groupBy("fp")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_langs") > 1)
+    )
+    out = f.join(multi, "fp").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    assert all(r["n_langs"] == 2 and r["n_docs"] == 2 for r in out)
