@@ -11,7 +11,7 @@ group-count-sized shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def groupwise_normalize(
@@ -96,3 +96,65 @@ def winsorize(
         ),
     )
     return joined.withColumn(out_col, clipped).drop("__c__", "__lo__", "__hi__")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    ref_group: str,
+) -> DataFrame:
+    """Quantile normalization: map every group's values onto the
+    REFERENCE group's empirical distribution — x becomes the reference
+    value at x's within-group percent-rank. The calibration transform
+    for cross-source score comparability (quality scores from
+    different raters/sources land on one scale; the reference group
+    maps onto itself).
+
+    Returns ``(id_col, group_col, val_col, mapped)`` where ``mapped``
+    is the reference-group value whose percent-rank is the greatest
+    one ≤ this row's rank — an AS-OF match on the rank axis, computed
+    with the union-merge single-sort trick (tag reference quantiles
+    side 0, data rows side 1; one sort by (rank, side); running
+    last-non-null carries the reference value forward). Every rank is
+    (rank-1)/(n-1) with a unique tiebreak, so both engines sort the
+    identical doubles identically.
+
+    Scale: the exact form is one sort over data + reference quantiles
+    (the same shape as ``operators.joins.asof_join``). At 100 TB,
+    compress the reference side to T quantiles first
+    (``approx_percentiles``) and broadcast; the mapping join then
+    stays map-side.
+    """
+    w = Window.partitionBy(group_col).orderBy(val_col, id_col)
+    src = df.select(
+        id_col, group_col, val_col, F.percent_rank().over(w).alias("__pr__")
+    )
+    ref = src.filter(F.col(group_col) == ref_group).select(
+        F.lit(None).cast("bigint").alias(id_col),
+        F.lit(None).cast("string").alias(group_col),
+        F.lit(None).cast(dict(df.dtypes)[val_col]).alias(val_col),
+        F.col("__pr__"),
+        F.lit(0).alias("__side__"),
+        F.col(val_col).alias("__rv__"),
+    )
+    data = src.select(
+        id_col,
+        group_col,
+        val_col,
+        "__pr__",
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(dict(df.dtypes)[val_col]).alias("__rv__"),
+    )
+    u = ref.unionByName(data)
+    carry = Window.orderBy("__pr__", "__side__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        u.withColumn(
+            "mapped", F.last("__rv__", ignorenulls=True).over(carry)
+        )
+        .filter(F.col("__side__") == 1)
+        .select(id_col, group_col, val_col, "mapped")
+    )

@@ -7098,6 +7098,122 @@ def q_cross_lang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_normalize_lengths",
+    """
+    WITH src AS (
+      SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    ), u AS (
+      SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+             CAST(NULL AS BIGINT) AS n_chars, pr, 0 AS side,
+             n_chars AS rv
+      FROM src WHERE lang = 'en'
+      UNION ALL
+      SELECT doc_id, lang, n_chars, pr, 1, NULL FROM src
+    ), carried AS (
+      SELECT *, last_value(rv IGNORE NULLS)
+                  OVER (ORDER BY pr, side
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS mapped
+      FROM u
+    )
+    SELECT doc_id, lang, n_chars, mapped FROM carried WHERE side = 1
+    """,
+)
+def q_quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of doc lengths onto the English
+    distribution (operators/features.py::quantile_normalize): every
+    doc's n_chars maps to the en value at the same within-language
+    percent-rank — the cross-source score-calibration transform (en
+    maps onto itself). AS-OF on the rank axis via the union-merge
+    single-sort trick; ranks are (rank-1)/(n-1) with unique tiebreaks,
+    so both engines sort identical doubles identically and the mapped
+    output is exact integers."""
+    from small_etl_spark.operators.features import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(
+        docs, group_col="lang", val_col="n_chars", id_col="doc_id",
+        ref_group="en",
+    )
+
+
+_MINHASH_MERGE_HASHES = 8
+
+
+def _minhash_merge_oracle(num_hashes: int = _MINHASH_MERGE_HASHES) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, greatest(len(toks)-2, 1)+1)])) AS shingle
+      FROM t
+    )
+    SELECT source, CAST(i AS BIGINT) AS hash_i,
+           min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig,
+           CAST(1 AS BIGINT) AS merged_equal
+    FROM sh CROSS JOIN range(0, {num_hashes}) r(i)
+    GROUP BY source, i
+    """
+
+
+@register("minhash_merge_contract", _minhash_merge_oracle())
+def q_minhash_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash MERGEABILITY contract — the property that makes the
+    sketch family work incrementally at 100 TB: per-source corpus
+    signatures computed over the doc_id-parity HALVES and merged by
+    elementwise minimum must equal the signature computed directly
+    over the whole source. Spark computes both routes and asserts
+    equality per hash; DuckDB independently recomputes the direct
+    md5-minima signature (same portable family as
+    ``minhash_lsh_dedup_md5``) and expects every merged_equal flag
+    to be 1. A broken merge (e.g. max instead of min, or a dropped
+    half) fails the flag or the signature value."""
+    from small_etl_spark.llm.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+
+    def md5i(i: int) -> Column:
+        return F.md5(
+            F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")
+        )
+
+    n = _MINHASH_MERGE_HASHES
+    direct = sh.groupBy("source").agg(
+        *[F.min(md5i(i)).alias(f"d{i}") for i in range(n)]
+    )
+    halves = sh.groupBy("source", "half").agg(
+        *[F.min(md5i(i)).alias(f"h{i}") for i in range(n)]
+    )
+    merged = halves.groupBy("source").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n)]
+    )
+    joined = direct.join(merged, "source")
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), d{i}, CAST(CASE WHEN d{i} = m{i} THEN 1 "
+        f"ELSE 0 END AS BIGINT)"
+        for i in range(n)
+    )
+    return joined.select(
+        "source",
+        F.expr(
+            f"stack({n}, {stack_args}) AS (hash_i, sig, merged_equal)"
+        ),
+    ).select("source", "hash_i", "sig", "merged_equal")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
