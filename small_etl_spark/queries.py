@@ -7214,6 +7214,83 @@ def q_minhash_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "hash_i", "sig", "merged_equal")
 
 
+@register(
+    "zipf_fit",
+    """
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                   '[A-Za-z0-9_]+')) AS tok FROM documents)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                     AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM tf
+      ORDER BY freq DESC, tok LIMIT 200
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM ranked
+    )
+    SELECT n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 4) AS intercept
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(freq) vs ln(rank) on the top-200 terms — natural language sits
+    near slope −1; templated/synthetic corpora deviate, making the
+    slope a one-number corpus-health indicator. One tokenize +
+    vocab-sized aggregation; the regression runs over 200 rows.
+    Rounded to 4dp: the only cross-engine float risk is summation
+    order over 200 ln() terms (≤1e-12 relative)."""
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[A-Za-z0-9_]+"), 0
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # top-200 FIRST (TakeOrderedAndProject — no global sort, no
+    # vocab-wide single-partition window), then rank the 200 survivors
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    ranked = (
+        tf.orderBy(F.col("freq").desc(), "tok")
+        .limit(200)
+        .select(F.row_number().over(w).alias("rank"), "freq")
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
