@@ -677,3 +677,61 @@ def pca_project(
         for i, e in enumerate(comps)
     ]
     return out.select(id_col, *projections)
+
+
+def whiten_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """PCA-whitening (ZCA up to rotation): project every vector onto
+    ALL eigenvectors of the corpus covariance and scale each
+    coordinate by 1/√λ — the whitened corpus has identity covariance,
+    and ‖whitened‖² is exactly the Mahalanobis distance², the
+    principled multivariate-outlier score (per-dimension z-scores
+    miss correlated directions).
+
+    Same two-phase shape as :func:`pca_project` with k = d: one
+    distributed sufficient-statistics pass, driver eigh, then a
+    map-only JVM-side projection (d² multiply-adds per row — 4096 at
+    d=64, well inside codegen). Returns ``(id_col, whitened
+    array<double>, msq)`` where ``msq`` = Mahalanobis².
+    """
+    import numpy as np
+
+    _, mean, cov = embedding_moments(corpus, id_col=id_col, vec_col=vec_col)
+    vals, vecs = np.linalg.eigh(cov)
+    d = len(mean)
+    comps = []
+    for j in range(d - 1, -1, -1):  # descending eigenvalue order
+        e = vecs[:, j]
+        pivot = int(np.argmax(np.abs(e)))
+        if e[pivot] < 0:
+            e = -e
+        comps.append(e / np.sqrt(max(float(vals[j]), eps)))
+
+    def lit_arr(xs) -> Column:
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), lit_arr(mean), lambda a, b: a - b
+    )
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(
+        id_col, centered.alias("__c__")
+    )
+    coords = [
+        F.aggregate(
+            F.zip_with(F.col("__c__"), lit_arr(e), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for e in comps
+    ]
+    out = base.select(id_col, F.array(*coords).alias("whitened"))
+    msq = F.aggregate(
+        F.transform(F.col("whitened"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumn("msq", msq)

@@ -7291,6 +7291,78 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "whitening_contract",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(64.0 AS DOUBLE) AS avg_msq,
+           CAST(1 AS BIGINT) AS centered,
+           CAST(1 AS BIGINT) AS unit_variance,
+           CAST(1 AS BIGINT) AS decorrelated
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def q_whitening_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening / Mahalanobis contract
+    (llm/similarity.py::whiten_embeddings): the whitened corpus must
+    have E[‖w‖²] = d EXACTLY (the empirical-Mahalanobis identity —
+    the oracle asserts the literal 64.0 against Spark's measured
+    average, 4dp), zero mean and unit variance in the first and last
+    whitened coordinates, and zero correlation between them. A wrong
+    eigenbasis, unsorted eigenvalues, or a missing 1/√λ scale breaks
+    at least one figure. n is recomputed by DuckDB from the data."""
+    from small_etl_spark.llm.similarity import whiten_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wdf = whiten_embeddings(emb)
+    first = F.col("whitened")[0]
+    last = F.col("whitened")[63]
+    stats = wdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("msq").alias("avg_msq"),
+        F.avg(first).alias("m1"),
+        F.avg(last).alias("m2"),
+        F.avg(first * first).alias("s11"),
+        F.avg(last * last).alias("s22"),
+        F.avg(first * last).alias("s12"),
+    )
+    v1 = F.col("s11") - F.col("m1") * F.col("m1")
+    v2 = F.col("s22") - F.col("m2") * F.col("m2")
+    cov12 = F.col("s12") - F.col("m1") * F.col("m2")
+    return stats.select(
+        "n",
+        F.round("avg_msq", 4).alias("avg_msq"),
+        ((F.abs(F.col("m1")) < 1e-6) & (F.abs(F.col("m2")) < 1e-6))
+        .cast("long")
+        .alias("centered"),
+        ((F.abs(v1 - 1.0) < 1e-6) & (F.abs(v2 - 1.0) < 1e-6))
+        .cast("long")
+        .alias("unit_variance"),
+        (F.abs(cov12) < 1e-6).cast("long").alias("decorrelated"),
+    )
+
+
+@register("mahalanobis_outliers", None)  # rows-only: the eigenbasis
+# behind the distance has no SQL form; the whitening_contract oracle
+# pins the distance's global invariants and
+# tests/test_round6_ops.py pins per-vector values against numpy.
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 multivariate outliers by Mahalanobis distance²
+    (llm/similarity.py::whiten_embeddings) — the principled
+    correlated-direction anomaly score per-dimension z-scores miss.
+    Map-only JVM projection after the moments pass; ordered on the
+    4dp-rounded distance with a vec_id tiebreak."""
+    from small_etl_spark.llm.similarity import whiten_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wdf = whiten_embeddings(emb)
+    return (
+        wdf.select("vec_id", F.round("msq", 4).alias("mahalanobis_sq"))
+        .orderBy(F.col("mahalanobis_sq").desc(), "vec_id")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -312,3 +312,26 @@ def test_minhash_merge_is_exact_identity(spark):
         ]
     ).collect()[0]
     assert merged == [direct[f"m{i}"] for i in range(8)]
+
+
+def test_whitening_matches_numpy_mahalanobis(spark):
+    """Per-vector Mahalanobis² equals numpy's (v-μ)ᵀ Σ⁻¹ (v-μ)."""
+    from small_etl_spark.llm.similarity import whiten_embeddings
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {
+        r["vec_id"]: r["msq"] for r in whiten_embeddings(emb).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r[0] for r in rows]
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mean = m.mean(axis=0)
+    cov = (m - mean).T @ (m - mean) / m.shape[0]
+    inv = np.linalg.inv(cov)
+    c = m - mean
+    ref = np.einsum("ij,jk,ik->i", c, inv, c)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == pytest.approx(ref[i], rel=1e-6)
+    # empirical-Mahalanobis identity: the mean distance² is exactly d
+    assert np.mean(list(got.values())) == pytest.approx(64.0, abs=1e-6)
