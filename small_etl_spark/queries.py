@@ -7363,6 +7363,34 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "group_kfold",
+    """
+    SELECT doc_id, source,
+           CAST(CAST(('0x' || substr(md5('gkf-v1|' || source), 1, 4))
+                     AS INTEGER) % 5 AS BIGINT) AS fold
+    FROM documents
+    """,
+)
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold assignment: the fold is a deterministic
+    md5 bucket of the SOURCE, so every doc of a source lands in the
+    same fold — the leakage-safe CV split when near-duplicates cluster
+    within sources (plain row hashing would leak dup pairs across
+    train/validation). Same portable-hash machinery as
+    ``llm/sampling.py::hash_split``: pure map-side expression, no
+    shuffle, stable under repartitioning and corpus growth."""
+    from small_etl_spark.llm.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        (F.conv(hash_bucket(F.col("source"), "gkf-v1"), 16, 10).cast("bigint")
+         % 5).alias("fold"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
