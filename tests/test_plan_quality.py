@@ -370,3 +370,31 @@ def test_bpe_encode_corpus_scanned_twice_not_per_iter(spark):
     iters.)"""
     plan = plan_of(spark, "bpe_encode_counts")
     assert plan.count("FileScan parquet") <= 2
+
+
+def test_whitening_projection_is_jvm_map_only(spark):
+    """The 64-coordinate whitening projection must stay codegen'd
+    expressions with no Python eval and no shuffle in the returned
+    plan (the moments pass runs at construction time)."""
+    plan = plan_of(spark, "mahalanobis_outliers")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_ranks_after_takeordered_cut(spark):
+    """Top-200 must come from TakeOrderedAndProject; the row_number
+    window then runs over 200 rows, never the full vocabulary."""
+    plan = plan_of(spark, "zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_group_kfold_is_map_only(spark):
+    plan = plan_of(spark, "group_kfold")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_merge_contract_no_python(spark):
+    plan = plan_of(spark, "minhash_merge_contract")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
