@@ -238,6 +238,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ ``threshold`` via prefix filtering
+    (the PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08) — no blocking key required and never an n² cross join.
+
+    The trick: order every doc's shingles by global rarity (document
+    frequency asc, shingle asc — a total order). If J(x, y) ≥ t, the
+    two docs must share at least one shingle inside their *prefixes*
+    of length |x| − ⌈t·|x|⌉ + 1 — so candidate generation is an
+    equi-join on prefix shingles only. Prefix shingles are by
+    construction the RAREST in the corpus, so bucket sizes stay small
+    exactly where a naive token-join explodes (stopword shingles never
+    reach a prefix). A size filter (min ≥ t·max, from J ≤ min/max)
+    prunes further before the exact verify.
+
+    Unlike ``minhash_lsh_dedup`` this is deterministic and recall-1.0:
+    output is provably identical to the brute-force all-pairs join
+    (property-tested in tests/test_pii_and_dedup_variants.py). Unlike
+    ``ngram_jaccard_pairs`` it needs no blocking column.
+
+    100 TB shape: two shuffles to build the df-ordered shingle lists
+    (explode→count, join-back→collect), one equi-join on (rare) prefix
+    shingles, exact verification on candidates only. Skewed prefix
+    buckets (a rare-but-shared boilerplate shingle) split under AQE
+    skew-join handling. Returns ``id_a, id_b, jaccard``.
+
+    No reference equivalent (exact-only dedup,
+    /root/reference/src/core/contextual_pipeline.rs:609-644).
+    """
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    ).persist()
+
+    toks = base.select("id", F.explode("sh").alias("tok"))
+    dfc = toks.groupBy("tok").agg(F.count("*").alias("dfc"))
+    # rarity-ordered shingle list per doc: struct(dfc, tok) sorts by
+    # document frequency first, shingle string as the tiebreak — a
+    # deterministic total order shared with the verify-side arrays
+    ordered = (
+        toks.join(dfc, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfc", "tok"))).alias("ord"))
+        .select(
+            "id",
+            F.transform("ord", lambda s: s["tok"]).alias("otoks"),
+            F.size("ord").alias("sz"),
+        )
+    )
+    # prefix length |x| - ceil(t|x|) + 1: the pigeonhole bound — any
+    # pair at J ≥ t must collide inside these rarest-first prefixes
+    plen = (
+        F.size("otoks")
+        - F.ceil(F.lit(threshold) * F.size("otoks")).cast("int")
+        + F.lit(1)
+    )
+    # persist: the self-join below would otherwise recompute the whole
+    # explode→count→join→collect prefix pipeline for BOTH aliases —
+    # slim (id, sz, tok) rows, bounded by the prefix length
+    pref = ordered.select(
+        "id", "sz", F.explode(F.slice("otoks", F.lit(1), plen)).alias("tok")
+    ).persist()
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "tok")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            # size filter: J ≤ min(|x|,|y|)/max(|x|,|y|), so J ≥ t
+            # forces the smaller set to be ≥ t × the larger
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def winnow_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): the minimum hash of every ``w``-window over the

@@ -1862,6 +1862,43 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jaccard_prefix_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      FROM t
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity self-join
+    (llm.dedup.prefix_filter_jaccard_pairs): EXACT corpus-wide Jaccard
+    ≥ 0.5 pairs with candidates generated only from rarity-ordered
+    shingle prefixes (PPJoin bound) — recall 1.0 by construction, so
+    the oracle is the full brute-force all-pairs join with NO blocking
+    key. The deterministic scale path where minhash_lsh_dedup is the
+    probabilistic one."""
+    from small_etl_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
     "winnow_fingerprint_stats",
     """
     WITH t AS (

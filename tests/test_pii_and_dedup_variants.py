@@ -65,3 +65,56 @@ def test_simhash_md5_family_flags_near_identical(spark):
     }
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_prefix_filter_equals_brute_force(spark):
+    """PPJoin prefix filtering is recall-1.0: its output must EQUAL the
+    brute-force all-pairs Jaccard join on the same shingles — including
+    pairs that share only rare shingles across 'blocking' boundaries."""
+    import random
+
+    from small_etl_spark.llm.dedup import (
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 20))]
+        rows.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # inject near-duplicates
+            mutated = list(words)
+            if mutated:
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            rows.append((100 + i, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 0.5
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in prefix_filter_jaccard_pairs(df, threshold=t).collect()
+    }
+
+    base = df.select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    )
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in base.alias("a")
+        .crossJoin(base.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    assert want, "fixture must produce at least one qualifying pair"
+    assert got == want
