@@ -280,3 +280,87 @@ def temperature_weights(
         F.round(weight, 6).alias("weight"),
         F.round(weight / natural, 6).alias("boost"),
     )
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of two hashed-unigram bag
+    models — one fit on an in-engine *target* subcorpus (rows
+    matching ``target_filter``), one on the full *source* corpus.
+    High scores = documents that look like the target distribution;
+    feed the weights to :func:`weighted_hash_sample` (or a plain
+    top-N cut) for the resampling step.
+
+    Features are the hashing-trick buckets (portable md5, house
+    idiom — no vocabulary build, fixed ``buckets``-wide model
+    regardless of corpus size). Both LMs are add-one smoothed over
+    the bucket space; weight(doc) = mean over its feature
+    occurrences of ``ln p_target(b) - ln p_source(b)``.
+
+    Scale shape: one explode + two bucket-count aggregations (model
+    tables are ``buckets`` rows — broadcast), then one scoring join
+    per doc feature + per-doc avg. Identical skeleton to
+    ``textstats.unigram_logprob`` but with a bounded feature space,
+    which is the point of DSIR: the model stays ``O(buckets)`` at
+    100 TB, and fitting is a single map-side-combined pass.
+
+    Returns ``(id_col, n_feats, logratio)``; docs with no tokens are
+    dropped (no features → no evidence).
+    """
+    from small_etl_spark.llm.textstats import tokens
+
+    feats = df.select(
+        F.col(id_col),
+        target_filter.alias("__is_target__"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).select(
+        id_col,
+        "__is_target__",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10)
+            .cast("bigint"),
+            F.lit(buckets),
+        ).alias("b"),
+    )
+    source_lm = feats.groupBy("b").agg(F.count(F.lit(1)).alias("s_cnt"))
+    target_lm = (
+        feats.filter(F.col("__is_target__"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    model = (
+        source_lm.join(target_lm, "b", "left")
+        .na.fill({"t_cnt": 0})
+        .crossJoin(
+            F.broadcast(
+                feats.agg(
+                    F.count(F.lit(1)).alias("s_n"),
+                    F.sum(F.col("__is_target__").cast("bigint")).alias("t_n"),
+                )
+            )
+        )
+        .select(
+            "b",
+            (
+                F.log((F.col("t_cnt") + 1).cast("double")
+                      / (F.col("t_n") + buckets).cast("double"))
+                - F.log((F.col("s_cnt") + 1).cast("double")
+                        / (F.col("s_n") + buckets).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.avg("lr").alias("logratio"),
+        )
+    )

