@@ -21,7 +21,7 @@ the BASELINE.json north-star extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from small_etl_spark.llm.textstats import tokens
 # re-exported under the historical name: queries.py imports it from here
@@ -908,4 +908,97 @@ def semantic_dedup_keep(
         id_col,
         "component",
         (F.col(id_col) == F.col("component")).alias("keep"),
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exhaustive duplicated-substring coverage per document (the
+    exact-substring-dedup signal of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", without the suffix
+    array): a token position is COVERED when it lies inside any word
+    ``n``-gram that also occurs in at least one OTHER document.
+    Returns ``(doc_id, n_tokens, covered, coverage)``.
+
+    Where :func:`doc_ngram_novelty` scores distinct shingles and
+    winnowing samples fingerprints, this measures every token
+    position — the per-document "how much of me is copied text"
+    fraction used to drop or trim boilerplate-heavy docs.
+
+    Plan shape — and the scale argument: one explode to n-gram
+    starts, a gram-keyed min/max aggregation (min(doc) ≠ max(doc) ⟺
+    appears in ≥2 docs — two cheap aggregates instead of
+    COUNT(DISTINCT)), an equi-join back, then a PER-DOCUMENT window
+    (rows n-1 preceding) turning duplicated starts into covered
+    token intervals — interval union as a running max, no interval
+    self-join. Every stage is tf-shaped or doc-partitioned; nothing
+    is pairwise.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        toks.alias("__toks__"),
+        F.size(toks).alias("__T__"),
+    )
+    grams = (
+        base.filter(F.col("__T__") >= n)
+        .select(
+            "__id__",
+            "__toks__",
+            F.explode(
+                F.sequence(F.lit(1), F.col("__T__") - F.lit(n - 1))
+            ).alias("__s__"),
+        )
+        .select(
+            "__id__",
+            "__s__",
+            F.concat_ws(" ", F.slice("__toks__", F.col("__s__"), n)).alias(
+                "__gram__"
+            ),
+        )
+    )
+    dup_grams = (
+        grams.groupBy("__gram__")
+        .agg(F.min("__id__").alias("__lo__"), F.max("__id__").alias("__hi__"))
+        .filter(F.col("__lo__") != F.col("__hi__"))
+        .select("__gram__")
+    )
+    dup_starts = grams.join(dup_grams, "__gram__").select(
+        "__id__", "__s__", F.lit(1).alias("__dup__")
+    )
+    positions = base.select(
+        "__id__",
+        "__T__",
+        F.explode(F.sequence(F.lit(1), F.col("__T__"))).alias("__s__"),
+    )
+    w = (
+        Window.partitionBy("__id__")
+        .orderBy("__s__")
+        .rowsBetween(-(n - 1), 0)
+    )
+    covered = (
+        positions.join(dup_starts, ["__id__", "__s__"], "left")
+        .na.fill({"__dup__": 0})
+        .withColumn("__cov__", F.max("__dup__").over(w))
+    )
+    return (
+        covered.groupBy("__id__")
+        .agg(
+            F.max("__T__").alias("n_tokens"),
+            F.sum("__cov__").cast("bigint").alias("covered"),
+        )
+        .select(
+            F.col("__id__").alias(id_col),
+            "n_tokens",
+            "covered",
+            F.round(
+                F.col("covered").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
     )

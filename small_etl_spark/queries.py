@@ -7748,6 +7748,112 @@ def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "purchase_total")
 
 
+@register(
+    "k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS class_n,
+           COUNT(*) < 5 AS violates_k
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.privacy.k_anonymity_report):
+    equivalence-class sizes of the (nation, segment, $1000
+    account-balance band) quasi-identifier combination, flagging
+    classes smaller than k=5 — the re-identification risk survey run
+    before any training-data release. One map-combined groupBy."""
+    from small_etl_spark.operators.privacy import k_anonymity_report
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
+@register(
+    "dp_noisy_counts_events",
+    """
+    WITH g AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), u AS (
+      SELECT event_type, day, n,
+             CAST(('0x' || substr(md5('dp-v1|' || event_type || '|' || day),
+                                  1, 8)) AS UBIGINT) / 4294967296.0 AS u
+      FROM g
+    )
+    SELECT event_type, day,
+           round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+             AS noisy_n
+    FROM u
+    """,
+)
+def q_dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy release (operators.privacy.dp_noisy_counts): daily
+    per-type event counts + Laplace(1/ε) noise at ε=1, with the
+    uniform draw a portable md5 hash of the group key — the released
+    numbers are reproducible across engines/retries/partitionings,
+    so the oracle verifies the exact mechanism, not just its shape.
+    True counts never appear in the output."""
+    from small_etl_spark.operators.privacy import dp_noisy_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return dp_noisy_counts(ev, ["event_type", "day"], epsilon=1.0)
+
+
+@register(
+    "dup_span_coverage",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, s, array_to_string(toks[s:s+2], ' ') AS gram
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS s) q
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+    ), ds AS (
+      SELECT g.doc_id, g.s, 1 AS dup FROM g JOIN d USING (gram)
+    ), p AS (
+      SELECT doc_id, len(toks) AS n_tokens, s
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS s) q
+    ), cov AS (
+      SELECT p.doc_id, p.n_tokens, p.s,
+             MAX(COALESCE(ds.dup, 0)) OVER (
+               PARTITION BY p.doc_id ORDER BY p.s
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
+      FROM p LEFT JOIN ds ON p.doc_id = ds.doc_id AND p.s = ds.s
+    )
+    SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS covered,
+           round(CAST(SUM(c) AS DOUBLE) / CAST(MAX(n_tokens) AS DOUBLE), 6)
+             AS coverage
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive duplicated-substring coverage
+    (llm/dedup.py::dup_span_coverage; Lee et al. 2022 exact-substring
+    signal): fraction of each doc's token positions lying inside a
+    3-gram that appears in ≥2 documents. The per-position companion
+    to doc_ngram_novelty's distinct-shingle score: interval union via
+    a doc-partitioned running-max window, dup test via min≠max doc
+    ids (no COUNT DISTINCT), nothing pairwise."""
+    from small_etl_spark.llm.dedup import dup_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage(docs, n=3)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -226,3 +226,67 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
     # and the mislabeled English-looking doc scores like the English ones
     assert w[200] > max(w[100 + i] for i in range(10))
+
+
+def test_k_anonymity_report_flags_small_classes(spark):
+    from small_etl_spark.operators.privacy import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [("US", "A")] * 5 + [("US", "B")] * 2 + [("DE", "A")],
+        ["country", "seg"],
+    )
+    rows = {
+        (r["country"], r["seg"]): (r["class_n"], r["violates_k"])
+        for r in k_anonymity_report(df, ["country", "seg"], k=5).collect()
+    }
+    assert rows[("US", "A")] == (5, False)
+    assert rows[("US", "B")] == (2, True)
+    assert rows[("DE", "A")] == (1, True)
+
+
+def test_dp_noisy_counts_deterministic_and_centered(spark):
+    from small_etl_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(f"g{i % 40}",) for i in range(400)], ["g"]
+    )
+    a = {r["g"]: r["noisy_n"] for r in
+         dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    b = {r["g"]: r["noisy_n"] for r in
+         dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    assert a == b  # hash-uniform → reproducible release
+    errs = [v - 10.0 for v in a.values()]
+    # Laplace(1): mean |err| ≈ 1, and the direction is ~balanced
+    assert 0.2 < sum(abs(e) for e in errs) / len(errs) < 4.0
+    assert any(e > 0 for e in errs) and any(e < 0 for e in errs)
+    # a different salt draws an independent release
+    c = {r["g"]: r["noisy_n"] for r in
+         dp_noisy_counts(df, ["g"], epsilon=1.0, salt="dp-v2").collect()}
+    assert c != a
+    # tighter epsilon → bigger noise scale on the same uniforms
+    d = {r["g"]: r["noisy_n"] for r in
+         dp_noisy_counts(df, ["g"], epsilon=0.1).collect()}
+    assert all(abs(d[g] - 10.0) >= abs(a[g] - 10.0) for g in a)
+
+
+def test_dup_span_coverage_hand_computed(spark):
+    from small_etl_spark.llm.dedup import dup_span_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shares "a b c" with doc 2
+            (2, "a b c x y"),
+            (3, "p q r s t"),   # entirely unique
+            (4, "a b"),         # shorter than n → no grams, 0 coverage
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["covered"], r["coverage"])
+        for r in dup_span_coverage(df, n=3).collect()
+    }
+    # tokens a,b,c covered in docs 1 and 2 (positions 1..3 of 5)
+    assert rows[1] == (5, 3, 0.6)
+    assert rows[2] == (5, 3, 0.6)
+    assert rows[3] == (5, 0, 0.0)
+    assert rows[4] == (2, 0, 0.0)
