@@ -156,23 +156,25 @@ def sorted_neighborhood_pairs(
     (:func:`fuzzy_dup_pairs`): where attribute blocks skew or no
     clean block key exists, a sort key built from the comparison text
     itself puts near-duplicates adjacent, and candidate generation
-    becomes O(n·w). Plan shape: ONE global sort (rank via
-    ``row_number`` — the same range-partitioned TeraSort shape Spark
-    uses for any total order), then a w-way explode joined back on
-    rank equality — an EQUI-join on ``rank + offset``, never a range
-    join, so it shuffles hash-partitioned and AQE-managed. At 100 TB
-    the multi-pass variant (several cheap sort keys, union the
-    candidates) is the standard recall lever; each pass is this same
-    operator.
+    becomes O(n·w). Plan shape: the global rank comes from
+    ``operators.sort.global_ordinal`` (range-partition + per-
+    partition prefix offsets — every partition ranks in parallel),
+    NOT a bare ``row_number() OVER (ORDER BY)``: an unpartitioned
+    window funnels the whole table through one task, exactly the
+    failure mode this operator exists to avoid at 100 TB. Then a
+    w-way explode joined back on rank equality — an EQUI-join on
+    ``rank + offset``, never a range join, so it shuffles
+    hash-partitioned and AQE-managed. At 100 TB the multi-pass
+    variant (several cheap sort keys, union the candidates) is the
+    standard recall lever; each pass is this same operator.
     """
+    from small_etl_spark.operators.sort import global_ordinal
+
     key = sort_key if sort_key is not None else F.lower(F.col(text_col))
-    ranked = df.select(
-        F.col(id_col), F.col(text_col), key.alias("__snm_key__")
-    ).withColumn(
-        "__rank__",
-        F.row_number().over(
-            Window.orderBy(F.col("__snm_key__"), F.col(id_col))
-        ),
+    ranked = global_ordinal(
+        df.select(F.col(id_col), F.col(text_col), key.alias("__snm_key__")),
+        order_cols=["__snm_key__", id_col],
+        ordinal_col="__rank__",
     )
     left = ranked.select(
         F.col(id_col).alias("id_a"),

@@ -38,8 +38,29 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     Returns the distinct non-dominated ``(x, y)`` points. Duplicate
     points collapse to one row (neither strictly dominates the other;
     reporting the point once is the standard convention).
+
+    Two phases so the global pass never sees the raw input: a
+    partition-LOCAL prefilter (pandas cummin per Arrow batch — no
+    shuffle, removes every locally-dominated point; sound by the
+    skyline-of-skylines identity) feeds the exact global window.
+    The global window is unpartitioned — the classic 2-D sweep needs
+    a total order — but it runs over local frontiers only
+    (O(frontier × partitions) rows), not the dataset; the same
+    two-phase shape as :func:`skyline_nd`.
     """
     pts = df.select(x, y).distinct()
+    schema = pts.schema
+
+    def local(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values([x, y], kind="mergesort")
+            prev = pdf[y].cummin().shift(1)
+            yield pdf[prev.isna() | (prev > pdf[y])]
+
+    candidates = pts.mapInPandas(local, schema=schema)
     w = (
         Window.orderBy(F.col(x).asc(), F.col(y).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -49,7 +70,7 @@ def skyline_2d(df: DataFrame, x: str, y: str) -> DataFrame:
     # dominance, so "not dominated" ⟺ running min(y) > y (or empty).
     prev_min = F.min(F.col(y)).over(w)
     return (
-        pts.withColumn("__prev_min__", prev_min)
+        candidates.withColumn("__prev_min__", prev_min)
         .filter(F.col("__prev_min__").isNull() | (F.col("__prev_min__") > F.col(y)))
         .drop("__prev_min__")
     )

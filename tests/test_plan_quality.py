@@ -398,3 +398,19 @@ def test_minhash_merge_contract_no_python(spark):
     plan = plan_of(spark, "minhash_merge_contract")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skyline_2d_prefilters_before_global_window(spark):
+    """The 2-D skyline's unpartitioned window (inherent to the sweep)
+    must consume the MapInPandas local-frontier output, never the raw
+    scan — the prefilter is what makes the single-task stage safe."""
+    plan = plan_of(spark, "skyline_orders")
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") > plan.index("Window")  # child of it
+
+
+def test_sorted_neighborhood_rank_is_partition_parallel(spark):
+    """SNM's global rank must come from global_ordinal (per-partition
+    windows over __pid__), not a whole-table single-task window."""
+    plan = plan_of(spark, "snm_dup_customers")
+    assert "__pid__" in plan
