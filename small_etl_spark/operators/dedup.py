@@ -203,3 +203,23 @@ def sorted_neighborhood_pairs(
             F.col("distance").cast("bigint").alias("distance"),
         )
     )
+
+
+def fellegi_sunter_weight(agree: F.Column, m: float, u: float) -> F.Column:
+    """Fellegi–Sunter (1969) field match weight: ``log2(m/u)`` when the
+    field agrees, ``log2((1-m)/(1-u))`` when it disagrees — ``m`` the
+    agreement probability among true matches, ``u`` among non-matches.
+    Summing the per-field weights over a candidate pair gives the
+    classic probabilistic record-linkage score; thresholds on the sum
+    partition pairs into link / possible / non-link.
+
+    A pure column expression (log2 of declared constants): the scoring
+    pass adds zero shuffles on top of whatever blocking produced the
+    candidate pairs (:func:`fuzzy_dup_pairs`,
+    :func:`sorted_neighborhood_pairs`).
+    """
+    if not (0.0 < u < m < 1.0):
+        raise ValueError("need 0 < u < m < 1 for a discriminating field")
+    return F.when(
+        agree, F.log2(F.lit(m) / F.lit(u))
+    ).otherwise(F.log2(F.lit(1.0 - m) / F.lit(1.0 - u)))

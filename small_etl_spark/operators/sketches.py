@@ -83,3 +83,84 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min("cnt").alias("est_n"))
     )
+
+
+def _bloom_positions(col, num_bits: int, num_hashes: int):
+    """k portable bit positions for a key (md5 rows, house idiom)."""
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(f"bf{j}"), F.col(col).cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(num_bits),
+        )
+        for j in range(num_hashes)
+    ]
+
+
+def bloom_semi_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    num_bits: int = 4096,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Semi join with an explicit Bloom runtime filter: build a
+    ``num_bits``-bit Bloom filter from the (already filtered) dim
+    keys, push a map-side membership test into the fact side, then
+    make the survivors exact with a real LeftSemi — the same
+    mechanism as Spark's ``runtime.bloomFilter`` injection
+    (enabled in session.py), materialized as an operator so the
+    pruning is explicit, portable, and testable.
+
+    The filter is ``num_bits/64`` longs built on the driver from one
+    dim aggregation — 512 bytes at the 4096-bit default, the
+    driver-side cost every engine's runtime filter pays (this is a
+    bounded collect by construction, like the broadcast step of any
+    broadcast join). The fact-side probe is k shift/AND expressions
+    on a literal array — whole-stage-codegen, no join, no shuffle;
+    rows failing ANY bit test drop BEFORE the semi join's exchange.
+    False positives (≈0.1% at 4096 bits / 3 hashes / ≤500 keys) cost
+    only wasted probe rows — the trailing LeftSemi keeps the result
+    exact, so correctness never depends on the filter.
+    """
+    pos_rows = dim.select(
+        F.explode(F.array(*_bloom_positions(on, num_bits, num_hashes))).alias(
+            "p"
+        )
+    ).distinct()
+    words = [0] * (num_bits // 64)
+    for r in pos_rows.collect():  # bounded: ≤ num_bits rows
+        words[r["p"] >> 6] |= 1 << (r["p"] & 63)
+    # two's-complement fold so the literal fits BIGINT
+    arr = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("bigint")
+          for w in words]
+    )
+    probed = facts
+    tmp_cols = []
+    for j, p in enumerate(_bloom_positions(on, num_bits, num_hashes)):
+        wc, bc = f"__bfw{j}__", f"__bfb{j}__"
+        probed = probed.withColumn(
+            wc, F.element_at(arr, (p / 64).cast("int") + 1)
+        ).withColumn(bc, (p % 64).cast("int"))
+        tmp_cols += [wc, bc]
+    hit = " AND ".join(
+        f"((shiftright(__bfw{j}__, __bfb{j}__) & 1) = 1)"
+        for j in range(num_hashes)
+    )
+    return (
+        probed.filter(F.expr(hit))
+        .drop(*tmp_cols)
+        .join(dim.select(on), on, "left_semi")
+    )

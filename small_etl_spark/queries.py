@@ -7854,6 +7854,176 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_coverage(docs, n=3)
 
 
+@register(
+    "bloom_semi_join_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_nationkey = 7
+    )
+    """,
+)
+def q_bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators.sketches.bloom_semi_join):
+    orders of nation-7 customers, with an explicit 4096-bit Bloom
+    filter built from the filtered dim keys and probed MAP-SIDE on
+    the fact scan before the exact LeftSemi — the runtime-filter
+    pattern materialized as an operator. The oracle is the plain
+    semi join: hash equality proves the filter is transparent."""
+    from small_etl_spark.operators.sketches import bloom_semi_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 7)
+        .select("c_custkey")
+    )
+    out = bloom_semi_join(o, dim, on="c_custkey")
+    return out.select(
+        "o_orderkey", F.col("c_custkey").alias("o_custkey"), "o_totalprice"
+    )
+
+
+@register(
+    "fs_link_scores",
+    """
+    WITH p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) <= 1 AS agree_name,
+             a.c_mktsegment = b.c_mktsegment AS agree_seg,
+             floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+               AS agree_bal
+      FROM customer a
+      JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    )
+    SELECT id_a, id_b, agree_name, agree_seg, agree_bal,
+           round(
+             (CASE WHEN agree_name THEN log2(0.9 / 0.001)
+                   ELSE log2(0.1 / 0.999) END)
+             + (CASE WHEN agree_seg THEN log2(0.9 / 0.2)
+                     ELSE log2(0.1 / 0.8) END)
+             + (CASE WHEN agree_bal THEN log2(0.8 / 0.1)
+                     ELSE log2(0.2 / 0.9) END), 6) AS score
+    FROM p
+    """,
+)
+def q_fs_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage
+    (operators.dedup.fellegi_sunter_weight): nation-blocked customer
+    candidate pairs (name within 2 edits) scored by summed log2(m/u)
+    field weights over name / segment / balance-band agreement — the
+    classic linkage decision score on top of any blocking pass. Pure
+    column expressions over the blocked self-join; scoring adds no
+    shuffle."""
+    from small_etl_spark.operators.dedup import fellegi_sunter_weight
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+        )
+        .filter(F.levenshtein("a_c_name", "b_c_name") <= 2)
+        .select(
+            F.col("a_c_custkey").alias("id_a"),
+            F.col("b_c_custkey").alias("id_b"),
+            (F.levenshtein("a_c_name", "b_c_name") <= 1).alias("agree_name"),
+            (F.col("a_c_mktsegment") == F.col("b_c_mktsegment")).alias(
+                "agree_seg"
+            ),
+            (
+                F.floor(F.col("a_c_acctbal") / 1000.0)
+                == F.floor(F.col("b_c_acctbal") / 1000.0)
+            ).alias("agree_bal"),
+        )
+    )
+    score = (
+        fellegi_sunter_weight(F.col("agree_name"), 0.9, 0.001)
+        + fellegi_sunter_weight(F.col("agree_seg"), 0.9, 0.2)
+        + fellegi_sunter_weight(F.col("agree_bal"), 0.8, 0.1)
+    )
+    return pairs.withColumn("score", F.round(score, 6))
+
+
+@register(
+    "score_calibration_bins",
+    r"""
+    WITH q AS (
+      SELECT doc_id, lang = 'en' AS pos,
+             (least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                         AS DOUBLE), 200.0) / 200.0
+              + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                      AND CAST(length(text) AS DOUBLE)
+                          / CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                                 AS DOUBLE)
+                          BETWEEN 3.0 AND 10.0
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                     THEN 1.0 ELSE 0.0 END
+             ) / 3.0 AS quality
+      FROM documents
+    )
+    SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           round(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+           round(min(quality), 6) AS min_score,
+           round(max(quality), 6) AS max_score
+    FROM q GROUP BY 1
+    """,
+)
+def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration reliability bins (the ML-eval
+    primitive): decile-bin the heuristic quality score
+    (llm/textstats.py::quality_score) and report each bin's observed
+    positive rate against a reference label (lang='en') — the
+    reliability-diagram table used to sanity-check any learned or
+    heuristic filter before it gates a corpus. One map-combined
+    groupBy over a pure-expression score; min/max (not avg) keep the
+    per-bin stats order-independent for the oracle hash."""
+    from small_etl_spark.llm.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        quality_score("text").alias("quality"),
+    )
+    return (
+        q.withColumn(
+            "bin",
+            F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pos").cast("bigint")).alias("n_pos"),
+            F.round(F.min("quality"), 6).alias("min_score"),
+            F.round(F.max("quality"), 6).alias("max_score"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("pos_rate"),
+            "min_score",
+            "max_score",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

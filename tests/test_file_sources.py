@@ -1,0 +1,75 @@
+"""Round-trip tests: every format the sinks write, the file sources
+read back losslessly (sources/files.py), schema-enforced."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from small_etl_spark.sinks.files import write_outputs
+from small_etl_spark.sources.files import read_file, to_parquet
+
+SCHEMA = "id BIGINT, name STRING, price DOUBLE, flag BOOLEAN"
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            (1, "plain", 1.5, True),
+            (2, 'quote "inner" comma, here', -2.25, False),
+            (3, None, 0.0, None),
+        ],
+        SCHEMA,
+    )
+
+
+def rows_of(df):
+    return sorted(
+        (r["id"], r["name"], r["price"], r["flag"]) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet", "orc"])
+def test_sink_source_roundtrip(spark, sample, tmp_path, fmt):
+    paths = write_outputs(
+        sample, str(tmp_path), [fmt], sorted_header=False
+    )
+    got = read_file(spark, paths[fmt], fmt, schema=SCHEMA)
+    assert rows_of(got) == rows_of(sample)
+
+
+def test_tsv_roundtrip_after_sanitize(spark, tmp_path):
+    # TSV sink sanitizes tabs/newlines instead of quoting — readback
+    # is exact for values without those characters
+    df = spark.createDataFrame([(1, "a b", 2.0, True)], SCHEMA)
+    paths = write_outputs(df, str(tmp_path), ["tsv"], sorted_header=False)
+    got = read_file(spark, paths["tsv"], "tsv", schema=SCHEMA)
+    assert rows_of(got) == rows_of(df)
+
+
+def test_read_file_failfast_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("id,name,price,flag\n1,ok,1.5,true\nnot_a_number,x,y,z\n")
+    with pytest.raises(Exception):
+        read_file(
+            spark, str(p), "csv", schema=SCHEMA, mode="FAILFAST"
+        ).collect()
+    # PERMISSIVE keeps the good row and nulls the bad one
+    got = read_file(spark, str(p), "csv", schema=SCHEMA).collect()
+    assert len(got) == 2
+
+
+def test_to_parquet_partitioned_prunes(spark, sample, tmp_path):
+    out = str(tmp_path / "pq")
+    to_parquet(sample.withColumn("part", F.col("id") % 2), out,
+               partition_by=["part"])
+    back = spark.read.parquet(out).filter(F.col("part") == 1)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert {r["id"] for r in back.collect()} == {1, 3}
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(ValueError):
+        read_file(spark, "/tmp/x", "avro")

@@ -290,3 +290,39 @@ def test_dup_span_coverage_hand_computed(spark):
     assert rows[2] == (5, 3, 0.6)
     assert rows[3] == (5, 0, 0.0)
     assert rows[4] == (2, 0, 0.0)
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    from small_etl_spark.operators.sketches import bloom_semi_join
+
+    facts = spark.createDataFrame([(i, i % 97) for i in range(2000)],
+                                  ["fid", "k"])
+    dim = spark.createDataFrame([(k,) for k in (3, 11, 42)], ["k"])
+    got = sorted(r["fid"] for r in
+                 bloom_semi_join(facts, dim, on="k").collect())
+    want = sorted(r["fid"] for r in
+                  facts.join(dim, "k", "left_semi").collect())
+    assert got == want  # the trailing LeftSemi makes bloom FPs harmless
+    # the probe must be a pre-join Filter with the bit test inline
+    plan = (bloom_semi_join(facts, dim, on="k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "shiftright" in plan
+
+
+def test_fellegi_sunter_weight_hand_math(spark):
+    import math
+
+    from small_etl_spark.operators.dedup import fellegi_sunter_weight
+
+    df = spark.createDataFrame([(True,), (False,)], ["agree"])
+    rows = {
+        r["agree"]: r["w"]
+        for r in df.select(
+            "agree",
+            fellegi_sunter_weight(F.col("agree"), 0.9, 0.1).alias("w"),
+        ).collect()
+    }
+    assert rows[True] == pytest.approx(math.log2(0.9 / 0.1))
+    assert rows[False] == pytest.approx(math.log2(0.1 / 0.9))
+    with pytest.raises(ValueError):
+        fellegi_sunter_weight(F.col("agree"), 0.1, 0.9)  # m must exceed u
