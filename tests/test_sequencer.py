@@ -1058,3 +1058,22 @@ def test_compact_dir_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 1000
     assert sorted(r["v"] for r in back.collect()) == list(range(1000))
+
+
+def test_mvp_simple_example_config(spark, tmp_path):
+    """configs/mvp-simple.toml (reference single-[pipeline] layout):
+    first_record_only truncates to one record and the csv+json
+    outputs land zipped under the configured name."""
+    import os
+
+    seq = sequence_from_toml("configs/mvp-simple.toml")
+    ctx = run_sequence(spark, seq, output_root=str(tmp_path))
+    rows = ctx.results[0].df.collect()
+    assert len(rows) == 1 and rows[0].id == 1 and rows[0].title == "first post"
+    zips = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(tmp_path)
+        for f in files
+        if f.endswith(".zip")
+    ]
+    assert any(os.path.basename(z) == "mvp_output.zip" for z in zips)
