@@ -616,3 +616,32 @@ def token_entropy(
             "entropy_bits",
         )
     )
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading-ease score from three regex counts — words,
+    sentence terminators, and vowel-group "syllables":
+    ``206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)``.
+
+    The classic readability heuristic used as a corpus-quality
+    dimension (very low scores flag run-on machine text; very high
+    ones flag fragment lists). Vowel-group counting is the standard
+    cheap syllable proxy — exact enough for corpus-level filtering,
+    and a pure integer-count expression, so the identical formula is
+    oracle-exact in DuckDB. Zero-sentence / zero-word docs get NULL
+    rather than a division blow-up.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = token_count(c).cast("double")
+    sentences = F.size(
+        F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)
+    ).cast("double")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0)
+    ).cast("double")
+    return F.when(
+        (words > 0) & (sentences > 0),
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words),
+    )

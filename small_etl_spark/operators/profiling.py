@@ -363,3 +363,51 @@ def mad_outliers(
             F.col("grp").alias(group_col), "med", "mad", "n", "n_outliers"
         )
     )
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column:
+    observed first-significant-digit distribution vs the expected
+    ``log10(1 + 1/d)`` — the classic fabricated-data / corrupted-feed
+    tripwire for naturally wide-ranging quantities (amounts, sizes,
+    populations). Returns one row per digit 1-9 with observed count,
+    observed rate, expected rate, and the χ² component
+    ``(obs-exp)²/exp`` (sum them for the audit statistic).
+
+    The first digit is taken textually — strip every non-1-9
+    character from the value's string form and keep the first — NOT
+    via ``floor(log10(x))`` digit math: log10 at exact powers of ten
+    sits one ulp below the integer in some libms, which would
+    misclassify 1000 as digit 9 on one engine and 1 on another. The
+    string route is notation-proof (plain or scientific) and
+    engine-exact. One map-side expression + a 9-row groupBy.
+    """
+    digits = (
+        df.filter(F.col(col) > 0)
+        .select(
+            F.substring(
+                F.regexp_replace(F.col(col).cast("string"), "[^1-9]", ""),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .filter(F.col("digit").isNotNull())
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total__"))
+    exp_rate = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs_rate = F.col("n").cast("double") / F.col("__total__").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(obs_rate, 6).alias("obs_rate"),
+            F.round(exp_rate, 6).alias("exp_rate"),
+            F.round(
+                (obs_rate - exp_rate) * (obs_rate - exp_rate) / exp_rate, 6
+            ).alias("chi2_component"),
+        )
+    )

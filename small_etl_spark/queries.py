@@ -8024,6 +8024,84 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "flesch_readability",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
+               AS words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE)
+               AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+               AS syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sentences AS BIGINT) AS n_sentences,
+           round(CASE WHEN words > 0 AND sentences > 0
+                      THEN 206.835 - 1.015 * (words / sentences)
+                           - 84.6 * (syllables / words)
+                 END, 6) AS flesch
+    FROM q
+    """,
+)
+def q_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document
+    (llm/textstats.py::flesch_reading_ease): three regex counts —
+    words, sentence terminators, vowel-group syllables — folded into
+    the classic readability formula; the corpus-quality dimension
+    that flags run-on machine text (very low) and fragment lists
+    (very high). Pure map-side expressions, no shuffle at all."""
+    from small_etl_spark.llm.textstats import (
+        flesch_reading_ease, token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0))
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.round(flesch_reading_ease("text"), 6).alias("flesch"),
+    )
+
+
+@register(
+    "benford_audit_orders",
+    """
+    WITH d AS (
+      SELECT CAST(substr(regexp_replace(CAST(o_totalprice AS VARCHAR),
+                                        '[^1-9]', '', 'g'), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d WHERE digit IS NOT NULL GROUP BY 1
+    ), t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_rate,
+           round(log10(1.0 + 1.0 / digit), 6) AS exp_rate,
+           round(pow(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                     - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_component
+    FROM c, t
+    """,
+)
+def q_benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit (operators.profiling.benford_audit) of
+    order totals: first-significant-digit distribution vs
+    log10(1+1/d) with per-digit χ² components — the fabricated-data
+    tripwire. First digit extracted TEXTUALLY (strip non-1-9, keep
+    first) because floor(log10(x)) digit math is one ulp from wrong
+    at exact powers of ten; see the operator docstring."""
+    from small_etl_spark.operators.profiling import benford_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -326,3 +326,36 @@ def test_fellegi_sunter_weight_hand_math(spark):
     assert rows[False] == pytest.approx(math.log2(0.1 / 0.9))
     with pytest.raises(ValueError):
         fellegi_sunter_weight(F.col("agree"), 0.1, 0.9)  # m must exceed u
+
+
+def test_flesch_reading_ease_hand_computed(spark):
+    from small_etl_spark.llm.textstats import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."), (2, "no terminator"), (3, "")],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", flesch_reading_ease("text").alias("f")
+        ).collect()
+    }
+    # doc 1: words=6, sentences=2, syllable groups: e,a,a,e,o,a = 6
+    want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert rows[1] == pytest.approx(want)
+    assert rows[2] is None and rows[3] is None  # no sentences / no words
+
+
+def test_benford_audit_first_digit_extraction(spark):
+    from small_etl_spark.operators.profiling import benford_audit
+
+    df = spark.createDataFrame(
+        [(1000.0,), (0.052,), (923.4,), (-5.0,), (0.0,), (2e6,)], ["v"]
+    )
+    rows = {r["digit"]: r["n"] for r in benford_audit(df, "v").collect()}
+    # 1000→1, 0.052→5, 923.4→9, 2e6→2; negatives and zero excluded
+    assert rows == {1: 1, 5: 1, 9: 1, 2: 1}
+    out = benford_audit(df, "v").collect()
+    for r in out:
+        assert r["chi2_component"] >= 0.0
