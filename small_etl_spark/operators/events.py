@@ -289,3 +289,69 @@ def grouped_trend(
         F.round(slope, 6).alias("slope_cents_per_hour"),
         F.round(intercept, 6).alias("intercept_cents"),
     )
+
+
+def event_pattern_matches(
+    df: DataFrame,
+    pattern: str,
+    alphabet: dict[str, str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count regex matches of an event-sequence
+    ``pattern`` per user. Each user's events are serialized — in
+    (ts, id) order — into a string of single letters via ``alphabet``
+    (event types absent from the mapping become ``.`` and can
+    interrupt contiguous patterns), and ``pattern`` is any regex over
+    those letters: ``"vcp"`` = view→click→purchase back-to-back,
+    ``"v[^p]*p"`` = a view eventually converting with no intervening
+    purchase. Returns ``(user_col, seq_len, n_matches)``.
+
+    This is the pragmatic Spark answer to SQL's MATCH_RECOGNIZE
+    (which Spark lacks): per-key sequences are at most
+    events-per-user long, so the serialize-then-regex plan is one
+    groupBy with an ORDERED collect (``array_sort`` on (ts, id)
+    structs — deterministic under any partitioning) and a map-side
+    regex count. Nothing pairwise, no self-joins; the shuffle is the
+    same one any per-user aggregate pays. Guard for 100 TB: a hot key
+    with millions of events makes a long string — cap with a
+    preceding per-user limit/time-window filter, as with any
+    collect_list aggregate.
+    """
+    letter = F.col(type_col)
+    expr = None
+    for t, ch in alphabet.items():
+        if len(ch) != 1:
+            raise ValueError(f"alphabet letters must be single chars: {ch!r}")
+        cond = F.when(letter == t, F.lit(ch))
+        expr = cond if expr is None else expr.when(letter == t, F.lit(ch))
+    expr = expr.otherwise(F.lit("."))
+
+    seqs = (
+        df.select(
+            F.col(user_col),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("id"),
+                expr.alias("ch"),
+            ).alias("__e__"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("__e__")), lambda e: e["ch"]
+                ),
+            ).alias("__seq__")
+        )
+    )
+    return seqs.select(
+        user_col,
+        F.length("__seq__").cast("bigint").alias("seq_len"),
+        F.size(F.regexp_extract_all("__seq__", F.lit(pattern), 0))
+        .cast("bigint")
+        .alias("n_matches"),
+    )

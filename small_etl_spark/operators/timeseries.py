@@ -268,3 +268,71 @@ def ewma(
         val_col,
         (fold(terms) / fold(weights)).alias("ewma"),
     )
+
+
+def seasonal_decompose_dow(
+    daily: DataFrame,
+    day_col: str = "day",
+    cents_col: str = "y_cents",
+) -> DataFrame:
+    """Classical additive decomposition of a DAILY series into
+    trend + day-of-week seasonal + residual (the STL-lite every
+    metrics pipeline ends up needing): trend is a centered 7-day
+    rolling mean (null at the edges where the window is short),
+    the seasonal term is the per-weekday mean of the detrended
+    series, and the residual is what remains.
+
+    Exactness: input is integer CENTS; every aggregate stays integer
+    (7·y − Σ₇y for detrending, summed per weekday) until the final
+    divisions, so the oracle hash is stable regardless of summation
+    order — the same integer-cents discipline as the money
+    aggregates in queries.py. Weekday = days-since-epoch mod 7
+    (NOT ``dayofweek``: Spark is 1=Sunday-based, DuckDB 0-based —
+    epoch arithmetic is engine-proof).
+
+    Scale note: the window here is over the already-AGGREGATED
+    one-row-per-day series — bounded by calendar length, thousands
+    of rows at most — so its unpartitioned global sort is a
+    non-issue; the distributed heavy lifting (raw events → daily
+    cents) happens before this operator. Returns
+    ``(day, dow, y, trend, seasonal, residual)`` in dollars, 6dp.
+    """
+    w7 = Window.orderBy(day_col).rowsBetween(-3, 3)
+    with_trend = daily.select(
+        F.col(day_col),
+        F.pmod(
+            F.datediff(F.to_date(day_col), F.to_date(F.lit("1970-01-01"))), 7
+        ).cast("bigint").alias("dow"),
+        F.col(cents_col).alias("__yc__"),
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.sum(cents_col).over(w7)
+        ).alias("__t7__"),
+    ).withColumn(
+        "__d7__",
+        F.when(
+            F.col("__t7__").isNotNull(),
+            F.lit(7) * F.col("__yc__") - F.col("__t7__"),
+        ),
+    )
+    seasonal = (
+        with_trend.filter(F.col("__d7__").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("__d7__").alias("__s_num__"),
+            F.count(F.lit(1)).alias("__s_n__"),
+        )
+    )
+    out = with_trend.join(F.broadcast(seasonal), "dow", "left")
+    s_term = F.col("__s_num__").cast("double") / (
+        F.lit(700.0) * F.col("__s_n__").cast("double")
+    )
+    t_term = F.col("__t7__").cast("double") / F.lit(700.0)
+    y_term = F.col("__yc__").cast("double") / F.lit(100.0)
+    return out.select(
+        day_col,
+        "dow",
+        F.round(y_term, 6).alias("y"),
+        F.round(t_term, 6).alias("trend"),
+        F.round(s_term, 6).alias("seasonal"),
+        F.round(y_term - t_term - s_term, 6).alias("residual"),
+    )

@@ -8102,6 +8102,96 @@ def q_benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(o, "o_totalprice")
 
 
+@register(
+    "event_pattern_matches",
+    r"""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        ELSE '.' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+             AS n_matches
+    FROM s
+    """,
+)
+def q_event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence-pattern detection
+    (operators.events.event_pattern_matches): per user, count
+    ``v[^p]*p`` matches — a view that eventually converts to a
+    purchase with no earlier purchase absorbing it — over the
+    letter-serialized event stream (other types become '.').
+    Spark has no MATCH_RECOGNIZE; the serialize-then-regex plan is
+    one per-user aggregate with an array_sort'ed collect (order
+    deterministic under any partitioning) + a map-side regex."""
+    from small_etl_spark.operators.events import event_pattern_matches
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_pattern_matches(
+        ev,
+        pattern=r"v[^p]*p",
+        alphabet={"view": "v", "click": "c", "purchase": "p"},
+    )
+
+
+@register(
+    "seasonal_decompose_revenue",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS yc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), t AS (
+      SELECT day,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7
+                  AS BIGINT) AS dow,
+             yc,
+             CASE WHEN COUNT(*) OVER w = 7 THEN SUM(yc) OVER w END AS t7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), d AS (
+      SELECT *, CASE WHEN t7 IS NOT NULL THEN 7 * yc - t7 END AS d7 FROM t
+    ), s AS (
+      SELECT dow, SUM(d7) AS s_num, COUNT(*) AS s_n
+      FROM d WHERE d7 IS NOT NULL GROUP BY 1
+    )
+    SELECT d.day, d.dow,
+           round(CAST(yc AS DOUBLE) / 100.0, 6) AS y,
+           round(CAST(t7 AS DOUBLE) / 700.0, 6) AS trend,
+           round(CAST(s_num AS DOUBLE) / (700.0 * s_n), 6) AS seasonal,
+           round(CAST(yc AS DOUBLE) / 100.0 - CAST(t7 AS DOUBLE) / 700.0
+                 - CAST(s_num AS DOUBLE) / (700.0 * s_n), 6) AS residual
+    FROM d LEFT JOIN s USING (dow)
+    """,
+)
+def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/weekly-seasonal/residual decomposition of daily
+    purchase revenue (operators.timeseries.seasonal_decompose_dow):
+    centered 7-day rolling-mean trend, per-weekday seasonal means of
+    the detrended series, exact integer-cents arithmetic throughout
+    (the decomposition window runs over the one-row-per-day
+    aggregate, not the raw events — the distributed work happens in
+    the daily rollup)."""
+    from small_etl_spark.operators.timeseries import seasonal_decompose_dow
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "y_cents"
+            )
+        )
+    )
+    return seasonal_decompose_dow(daily)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

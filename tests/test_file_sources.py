@@ -73,3 +73,22 @@ def test_to_parquet_partitioned_prunes(spark, sample, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError):
         read_file(spark, "/tmp/x", "avro")
+
+
+def test_merge_schema_evolution_readback(spark, tmp_path):
+    """Schema evolution across parquet writes: a later file adds a
+    column; mergeSchema readback unions the schemas, nulling the
+    missing column in old files — the append-only evolution pattern
+    a long-lived 100 TB dataset relies on."""
+    v1 = spark.createDataFrame([(1, "a")], "id BIGINT, name STRING")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    v1.write.parquet(str(tmp_path / "pq"))
+    v2.write.mode("append").parquet(str(tmp_path / "pq"))
+    got = read_file(
+        spark, str(tmp_path / "pq"), "parquet", mergeSchema="true"
+    )
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

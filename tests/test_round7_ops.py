@@ -359,3 +359,52 @@ def test_benford_audit_first_digit_extraction(spark):
     out = benford_audit(df, "v").collect()
     for r in out:
         assert r["chi2_component"] >= 0.0
+
+
+def test_event_pattern_matches_hand_case(spark):
+    from small_etl_spark.operators.events import event_pattern_matches
+
+    rows = [
+        # user 1: v c p v p  → "v[^p]*p" matches twice (non-overlap)
+        (1, 1, "view"), (2, 1, "click"), (3, 1, "purchase"),
+        (4, 1, "view"), (5, 1, "purchase"),
+        # user 2: v c v — never converts
+        (6, 2, "view"), (7, 2, "click"), (8, 2, "view"),
+        # user 3: unmapped type interrupts nothing for [^p]* (dot ≠ p)
+        (9, 3, "view"), (10, 3, "error"), (11, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, float(i)) for i, u, t in rows],
+        "event_id long, user_id long, event_type string, ts double",
+    )
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in event_pattern_matches(
+            df,
+            pattern=r"v[^p]*p",
+            alphabet={"view": "v", "click": "c", "purchase": "p"},
+        ).collect()
+    }
+    assert got == {1: (5, 2), 2: (3, 0), 3: (3, 1)}
+
+
+def test_seasonal_decompose_identity_and_trend(spark):
+    from small_etl_spark.operators.timeseries import seasonal_decompose_dow
+
+    # 21 days of constant 100.00/day → trend 100, seasonal 0, residual 0
+    days = [f"2024-01-{d:02d}" for d in range(1, 22)]
+    df = spark.createDataFrame([(d, 10000) for d in days],
+                               "day string, y_cents long")
+    rows = {r["day"]: r for r in seasonal_decompose_dow(df).collect()}
+    mid = rows["2024-01-10"]
+    assert mid["trend"] == 100.0
+    assert mid["seasonal"] == 0.0 and mid["residual"] == 0.0
+    # edges (first/last 3 days) have no full 7-day window
+    assert rows["2024-01-01"]["trend"] is None
+    assert rows["2024-01-21"]["trend"] is None
+    # y + (trend-less) identity: y == trend + seasonal + residual
+    for r in rows.values():
+        if r["trend"] is not None:
+            assert r["y"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["residual"]
+            )
