@@ -8192,6 +8192,145 @@ def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(daily)
 
 
+@register(
+    "props_variant_agg",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_props_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` turns the JSON ``props`` column into the binary
+    variant encoding once, ``variant_get`` extracts typed paths
+    WITHOUT per-access string re-parsing — the open-lakehouse answer
+    to schemaless columns (vs ``get_json_object``, which re-parses
+    the string per call; that legacy path is covered by
+    json_path_extract). Oracle goes through DuckDB's JSON extraction
+    on the same column."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k")
+    ).filter(F.col("k").isNotNull())
+    return (
+        v.groupBy((F.col("k") % 10).alias("k_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "dispersion_index_events",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS days,
+             SUM(n) AS s1,
+             SUM(n * n) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(days AS BIGINT) AS days,
+           CAST(s1 AS BIGINT) AS total,
+           round(CAST(s1 AS DOUBLE) / days, 6) AS mean_daily,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / days)
+                 / days, 6) AS var_daily,
+           round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / days)
+                  / days) / (CAST(s1 AS DOUBLE) / days), 6)
+             AS dispersion
+    FROM s
+    """,
+)
+def q_dispersion_index_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance-to-mean ratio) of daily event
+    counts per type — the overdispersion tripwire: ≈1 is Poisson
+    arrivals, ≫1 means bursty/clumped traffic (bot storms,
+    batch-replayed feeds), ≪1 means suspiciously regular (synthetic
+    schedules). Variance from exact integer moment sums (Σn, Σn²) —
+    population variance, one two-level groupBy, no window, fully
+    order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("days")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("days")
+    ) / F.col("days")
+    return s.select(
+        "event_type",
+        "days",
+        F.col("s1").alias("total"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("dispersion"),
+    )
+
+
+@register(
+    "gini_user_activity",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n, user_id) AS i,
+             COUNT(*) OVER () AS u, SUM(n) OVER () AS tot
+      FROM per_user
+    )
+    SELECT CAST(MAX(u) AS BIGINT) AS n_users,
+           CAST(MAX(tot) AS BIGINT) AS n_events,
+           round(2.0 * CAST(SUM(i * n) AS DOUBLE) / (MAX(u) * CAST(MAX(tot) AS DOUBLE))
+                 - (MAX(u) + 1.0) / MAX(u), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event-count concentration — the
+    inequality summary behind "1% of users generate X% of traffic"
+    skew planning (it directly predicts hot-key pressure on every
+    user-keyed shuffle). Uses the rank formula
+    ``2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n`` with the rank from
+    operators.sort.global_ordinal (partition-parallel, no single-task
+    window over users); Σ(i·xᵢ) is an exact integer sum."""
+    from small_etl_spark.operators.sort import global_ordinal
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_ordinal(per_user, ["n", "user_id"], ordinal_col="i0")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.round(
+            F.lit(2.0)
+            * F.sum((F.col("i0") + 1) * F.col("n")).cast("double")
+            / (
+                F.count(F.lit(1))
+                * F.sum("n").cast("double")
+            )
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

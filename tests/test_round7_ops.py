@@ -408,3 +408,51 @@ def test_seasonal_decompose_identity_and_trend(spark):
             assert r["y"] == pytest.approx(
                 r["trend"] + r["seasonal"] + r["residual"]
             )
+
+
+def test_gini_known_distributions(spark):
+    from small_etl_spark.queries import REGISTRY  # noqa: F401 (style anchor)
+    from small_etl_spark.operators.sort import global_ordinal
+
+    def gini_of(counts):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], ["user_id", "n"]
+        )
+        ranked = global_ordinal(df, ["n", "user_id"], ordinal_col="i0")
+        row = ranked.agg(
+            (
+                2.0
+                * F.sum((F.col("i0") + 1) * F.col("n")).cast("double")
+                / (F.count(F.lit(1)) * F.sum("n").cast("double"))
+                - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+            ).alias("g")
+        ).collect()[0]
+        return row["g"]
+
+    assert gini_of([5, 5, 5, 5]) == pytest.approx(0.0)  # perfect equality
+    # one user owns everything → (n-1)/n
+    assert gini_of([0, 0, 0, 100]) == pytest.approx(0.75)
+
+
+def test_dispersion_index_poisson_vs_bursty(spark):
+    from small_etl_spark.queries import REGISTRY
+
+    # constant series → variance 0 → dispersion 0; bursty → > 1
+    daily_const = [("a", f"d{i}", 5) for i in range(10)]
+    daily_burst = [("b", f"d{i}", 1) for i in range(9)] + [("b", "d9", 91)]
+    df = spark.createDataFrame(
+        daily_const + daily_burst, ["event_type", "day", "cnt"]
+    )
+    s = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    rows = {
+        r["event_type"]: (
+            (r["s2"] - r["s1"] ** 2 / r["days"]) / r["days"]
+        ) / (r["s1"] / r["days"])
+        for r in s.collect()
+    }
+    assert rows["a"] == pytest.approx(0.0)
+    assert rows["b"] > 10
