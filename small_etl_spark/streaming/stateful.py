@@ -188,3 +188,75 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+
+
+def _session_update(key, pdfs: Iterator, state: GroupState):
+    """Grow the user's open session; on event-time timeout, emit the
+    completed session and drop the state (bounded-state eviction)."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_us": [start_us],
+                "session_end_us": [end_us],
+                "n_events": [n],
+            }
+        )
+        return
+
+    lo, hi, n = None, None, 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ts_us = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        )
+        lo = int(ts_us.min()) if lo is None else min(lo, int(ts_us.min()))
+        hi = int(ts_us.max()) if hi is None else max(hi, int(ts_us.max()))
+        n += len(pdf)
+    if n == 0:
+        return
+    if state.exists:
+        s_lo, s_hi, s_n = state.get
+        lo, hi, n = min(lo, s_lo), max(hi, s_hi), n + s_n
+    state.update((lo, hi, n))
+    # completed = no event for 30 min past the watermark
+    state.setTimeoutTimestamp(hi // 1000 + 30 * 60 * 1000)
+
+
+def completed_sessions(events: DataFrame) -> DataFrame:
+    """Emit each user's session ONLY when it completes (no event for
+    30 min of event time): the state-eviction pattern — grow state
+    per key, ``setTimeoutTimestamp`` past the last event, and emit +
+    ``state.remove()`` when the watermark crosses it. This is what
+    keeps custom state BOUNDED at 100 TB: idle keys leave the store
+    instead of accumulating forever (``session_window_agg`` is the
+    built-in equivalent; this operator exists for session payloads
+    the built-in can't carry, e.g. custom per-session aggregates).
+
+    ``events`` must carry a ``ts`` timestamp column; a 30-min
+    watermark bounds both late data and timeout processing.
+    """
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
