@@ -32,27 +32,29 @@ def pack_sequences(
     the corpus in a deterministic order, accumulate token counts, and
     start pack ``k`` at token offset ``k·context_len``.
 
-    ``pack_id = floor(tokens_before / context_len)`` from one window
-    cumsum — a single shuffle on the (empty) global ordering at small
-    scale; at 100 TB order by a partition-friendly key instead (e.g.
-    shard hash, then pack per shard: ``Window.partitionBy(shard)``)
-    so no global sort exists. Returns the input plus
-    ``pack_id, pack_offset`` (the doc's token start within its pack's
-    coordinate space).
+    ``pack_id = floor(tokens_before / context_len)`` from a global
+    prefix sum — computed with ``operators.sort.global_cumsum``
+    (range-partition + per-partition offsets), NOT an unpartitioned
+    ``sum() OVER (ORDER BY)`` window, so every partition accumulates
+    in parallel and the operator survives corpus-scale inputs. For a
+    coordination-free variant, order by a shard hash and pack per
+    shard (`pack_sequences_ffd` shows that shape). Returns the input
+    plus ``pack_id, pack_offset`` (the doc's token start within its
+    pack's coordinate space).
     """
-    from pyspark.sql import Window
+    from small_etl_spark.operators.sort import global_cumsum
 
     order = order_col or id_col
-    w = Window.orderBy(order)
-    before = F.coalesce(
-        F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col), F.lit(0)
+    out = global_cumsum(
+        df, [order], n_tokens_col, cumsum_col="__cum_incl__"
     )
-    return df.withColumns(
+    before = F.col("__cum_incl__") - F.col(n_tokens_col)
+    return out.withColumns(
         {
             "pack_id": F.floor(before / F.lit(context_len)).cast("bigint"),
             "pack_offset": (before % F.lit(context_len)).cast("bigint"),
         }
-    )
+    ).drop("__cum_incl__")
 
 
 def pack_sequences_ffd(

@@ -162,18 +162,19 @@ def computed_fields(
     ``execution_id``; anything else is a literal string.
 
     ``record_index`` needs a total order; pass ``order_by`` for a
-    deterministic one (at scale a global row_number is a single-
-    partition sort — prefer ``monotonically_increasing_id`` when the
-    exact 0..n-1 sequence is not required).
+    deterministic one. The exact 0..n-1 sequence comes from
+    ``operators.sort.global_ordinal`` (range-partition + prefix
+    offsets — partition-parallel), never an unpartitioned
+    ``row_number()`` window; prefer ``monotonically_increasing_id``
+    when the exact sequence is not required.
     """
-    from pyspark.sql import Window
-
     out = df
     for name, expr in spec.items():
         if expr == "record_index":
             if order_by is not None:
-                w = Window.orderBy(order_by)
-                out = out.withColumn(name, F.row_number().over(w) - F.lit(1))
+                from small_etl_spark.operators.sort import global_ordinal
+
+                out = global_ordinal(out, [order_by], ordinal_col=name)
             else:
                 out = out.withColumn(name, F.monotonically_increasing_id())
         elif expr == "pipeline_name":

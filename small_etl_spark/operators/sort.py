@@ -102,3 +102,88 @@ def global_ordinal(
         )
         .drop("__pid__")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` in global ``order_cols`` order
+    WITHOUT the single-task window a bare
+    ``sum() OVER (ORDER BY ...)`` plans — the prefix-sum companion to
+    :func:`global_ordinal` and the backbone of packing / sharding /
+    coverage-curve operators.
+
+    Same two-phase shape: range-partition on the order columns,
+    aggregate one (pid → partition total) row per partition, prefix-
+    sum those totals on the driver (partition-count-sized), then add
+    each partition's offset to its LOCAL running sum — every
+    partition computes its window in parallel. The cumsum is
+    INCLUSIVE of the current row; include a unique tiebreak in
+    ``order_cols`` for determinism.
+    """
+    from pyspark.sql import Window
+
+    parts = [num_partitions] if num_partitions else []
+    ranged = df.repartitionByRange(*parts, *order_cols).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    totals = {
+        r["__pid__"]: r["s"]
+        for r in ranged.groupBy("__pid__")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    offset_expr = F.lit(0).cast("bigint")
+    for pid, off in offsets.items():
+        offset_expr = F.when(
+            F.col("__pid__") == pid, F.lit(off).cast("bigint")
+        ).otherwise(offset_expr)
+    w = (
+        Window.partitionBy("__pid__")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        cumsum_col, (offset_expr + F.sum(value_col).over(w)).cast("bigint")
+    ).drop("__pid__")
+
+
+def ntile_by(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact SQL-``NTILE(k)`` semantics — bucket sizes differ by at
+    most one, larger buckets first — computed from
+    :func:`global_ordinal` instead of an unpartitioned window.
+
+    With n rows, q = n DIV k and r = n MOD k: the first r buckets
+    hold q+1 rows. Rank i (0-based) maps to
+    ``i DIV (q+1)`` while ``i < r·(q+1)``, else
+    ``r + (i − r·(q+1)) DIV q`` — integer expressions over the
+    partition-parallel ordinal plus two scalar constants, so the
+    quantile tiering that NTILE gives in one single-task window
+    survives any corpus size.
+    """
+    ranked = global_ordinal(df, order_cols, ordinal_col="__ord__")
+    n = ranked.count()
+    q, r = divmod(n, k)
+    if q == 0:
+        tile = F.col("__ord__") + 1
+    else:
+        head = r * (q + 1)
+        tile = (
+            F.when(F.col("__ord__") < head, F.expr(f"__ord__ DIV {q + 1}"))
+            .otherwise(F.lit(r) + F.expr(f"(__ord__ - {head}) DIV {q}"))
+            + 1
+        )
+    return ranked.withColumn(tile_col, tile.cast("bigint")).drop("__ord__")

@@ -3286,21 +3286,23 @@ def q_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-tiered corpus breakdown: docs ranked by the heuristic
-    quality score (llm.textstats.quality_score), split into ntile(4)
-    tiers (deterministic: total order with doc_id tiebreak), token
-    budget per tier — the "how much high-quality data do I have"
-    table quality-aware mixing policies start from. One window sort
-    over the slim (doc_id, n_tokens, quality) projection + one tiny
-    groupBy."""
+    quality score (llm.textstats.quality_score), split into exact
+    NTILE(4) tiers (deterministic: total order with doc_id tiebreak),
+    token budget per tier — the "how much high-quality data do I
+    have" table quality-aware mixing policies start from. The tier
+    comes from operators.sort.ntile_by (partition-parallel ordinal +
+    integer bucket math, exact NTILE semantics) — not a single-task
+    NTILE window, since docs scale with the corpus."""
+    from small_etl_spark.operators.sort import ntile_by
+
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select(
         "doc_id",
         textstats.token_count("text").cast("bigint").alias("n_tokens"),
         textstats.quality_score("text").alias("quality"),
     )
-    w = Window.orderBy("quality", "doc_id")
     return (
-        q.withColumn("tier", F.ntile(4).over(w).cast("bigint"))
+        ntile_by(q, ["quality", "doc_id"], 4, tile_col="tier")
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -3425,22 +3427,27 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, id range) is what a shard-writing job partitions by; at
     100 TB the cumsum is the only global-order operation and runs on
     the (doc_id, token_count) projection, not the text."""
+    from small_etl_spark.operators.sort import global_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     n_shards = 8
-    w_cum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
     tok = docs.select(
         "doc_id", textstats.token_count("text").cast("bigint").alias("t")
     )
-    c = tok.select(
-        "doc_id",
-        "t",
-        (F.sum("t").over(w_cum) - F.col("t")).alias("start_off"),
-        F.ceil(F.sum("t").over(w_all).cast("double") / float(n_shards))
-        .cast("bigint")
-        .alias("target"),
+    # partition-parallel prefix sum + a broadcast scalar total: no
+    # unpartitioned window anywhere in the plan
+    total = tok.agg(F.sum("t").alias("__tot__"))
+    c = (
+        global_cumsum(tok, ["doc_id"], "t", cumsum_col="__cum__")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "t",
+            (F.col("__cum__") - F.col("t")).alias("start_off"),
+            F.ceil(F.col("__tot__").cast("double") / float(n_shards))
+            .cast("bigint")
+            .alias("target"),
+        )
     )
     return (
         c.groupBy(F.expr("start_off DIV target").alias("shard"))

@@ -456,3 +456,43 @@ def test_dispersion_index_poisson_vs_bursty(spark):
     }
     assert rows["a"] == pytest.approx(0.0)
     assert rows["b"] > 10
+
+
+def test_global_cumsum_matches_sequential(spark):
+    from small_etl_spark.operators.sort import global_cumsum
+
+    import random
+
+    rng = random.Random(3)
+    vals = [(i, rng.randint(0, 100)) for i in range(500)]
+    df = spark.createDataFrame(vals, ["k", "v"]).repartition(13)
+    got = {
+        r["k"]: r["cs"]
+        for r in global_cumsum(df, ["k"], "v", cumsum_col="cs").collect()
+    }
+    acc = 0
+    for k, v in vals:  # already in k order
+        acc += v
+        assert got[k] == acc
+
+
+def test_ntile_by_matches_sql_ntile(spark):
+    from small_etl_spark.operators.sort import ntile_by
+
+    for n, k in ((10, 4), (7, 3), (3, 5), (100, 8)):
+        df = spark.createDataFrame(
+            [(i, (i * 37) % n) for i in range(n)], ["id", "x"]
+        ).repartition(5)
+        got = {
+            r["id"]: r["tile"]
+            for r in ntile_by(df, ["x", "id"], k).collect()
+        }
+        df.createOrReplaceTempView("t_ntile")
+        want = {
+            r["id"]: r["nt"]
+            for r in spark.sql(
+                f"SELECT id, ntile({k}) OVER (ORDER BY x, id) AS nt "
+                "FROM t_ntile"
+            ).collect()
+        }
+        assert got == want, (n, k)
