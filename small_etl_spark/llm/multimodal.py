@@ -26,7 +26,7 @@ import struct
 from collections.abc import Iterator
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, content binary, "
@@ -218,4 +218,111 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
 
     return media.mapInPandas(
         run, schema="media_id bigint, frame_idx int, frame_sha256 string"
+    )
+
+
+PHASH_SCHEMA = "media_id bigint, phash bigint"
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Average-hash perceptual fingerprint per image: decode, collapse
+    to grayscale, pool to an 8×8 grid of block means, emit one bit
+    per cell (above/below the grid mean) → a 64-bit hash whose
+    HAMMING distance tracks visual similarity — the standard cheap
+    signal for image near-dedup at corpus scale (pHash/aHash family).
+
+    Decode is the container's deterministic fake codec (same stub
+    discipline as :func:`extract_features` — swap the inner decode
+    for Pillow and nothing else changes). Map-only ``mapInPandas``;
+    the hash is 8 bytes per image no matter the resolution, so the
+    downstream dedup never touches pixels again.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                hdr = decode_header(blob)
+                w, h = hdr["width"], hdr["height"]
+                px = np.frombuffer(
+                    blob[len(_MAGIC) + 12:][: w * h * 3], dtype=np.uint8
+                ).astype(np.float64)
+                gray = px.reshape(h, w, 3).mean(axis=2)
+                bw, bh = max(w // 8, 1), max(h // 8, 1)
+                grid = np.array(
+                    [
+                        gray[r * bh:(r + 1) * bh, c * bw:(c + 1) * bw].mean()
+                        for r in range(8)
+                        for c in range(8)
+                    ]
+                )
+                bits = (grid > grid.mean()).astype(np.uint64)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # fold to signed 64-bit for the BIGINT column
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(mid)
+                hashes.append(val)
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    hashes: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance,
+    blocked by the PIGEONHOLE rule: split the 64-bit hash into 4
+    16-bit chunks; a pair with Hamming distance ≤ 3 MUST agree
+    exactly on at least one chunk (4 chunks, ≤3 flipped bits), so
+    equal-chunk blocking is recall-1.0 there and a strong candidate
+    filter for the looser default budget. Every candidate is then
+    VERIFIED with the exact ``bit_count(xor)`` distance — the same
+    block-then-verify shape as the SimHash text dedup
+    (llm/dedup.py), never all-pairs.
+    """
+    chunks = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.expr(f"(phash >> {16 * i}) & 65535").alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("media_id", "phash", "c.ci", "c.cv")
+    a = chunks.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "ci",
+        "cv",
+    )
+    b = chunks.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "ci",
+        "cv",
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.expr("ph_a ^ ph_b")
+            ).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -8338,6 +8338,75 @@ def q_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_median_prices",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS wt,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * cum >= tot THEN price END) AS weighted_median
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the price at which half the
+    total QUANTITY (not half the rows) lies at-or-below — the
+    weighted order statistic behind fair-price and allocation
+    summaries. One per-group cumulative-weight window (partitioned by
+    the group — parallel across groups) + a conditional min; weights
+    sum as exact integers, the median is an existing data value, so
+    the result is engine-exact with no rounding anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(w_cum).alias("cum"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(w_all).alias("tot"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("tot").alias("total_weight"),
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("tot"), F.col("price"))
+        ).alias("weighted_median"),
+    )
+
+
+@register("phash_near_dup_media", None)  # rows-only: the decode step is
+# Python-side (fake codec standing in for Pillow), so DuckDB cannot
+# replay it; determinism + the perturbation-recall property are pinned
+# by tests/test_multimodal.py
+def q_phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup by perceptual hash
+    (llm/multimodal.py::perceptual_hash + phash_near_dup): 64-bit
+    average-hash per image (map-only decode), pigeonhole-blocked
+    16-bit-chunk candidate join, exact bit_count(xor) Hamming verify
+    — the multimodal counterpart of the SimHash text dedup, over the
+    deterministic synthetic media corpus."""
+    from small_etl_spark.llm.multimodal import (
+        perceptual_hash, phash_near_dup, synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=64).filter(F.col("kind") == "image")
+    return phash_near_dup(perceptual_hash(media), max_hamming=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -92,3 +92,22 @@ def test_merge_schema_evolution_readback(spark, tmp_path):
     assert set(got.columns) == {"id", "name", "score"}
     rows = {r["id"]: (r["name"], r["score"]) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_ignore_corrupt_files_salvages_good_rows(spark, tmp_path):
+    """One corrupt parquet file in a directory must not take down the
+    whole scan when ignoreCorruptFiles is on — the salvage posture
+    for a 100 TB lake where a bad object eventually happens."""
+    d = tmp_path / "pq"
+    spark.createDataFrame([(1, "ok")], "id BIGINT, name STRING").write.parquet(
+        str(d)
+    )
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(d)).collect()  # default: fail loudly
+    got = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(str(d))
+    ).collect()
+    assert [(r["id"], r["name"]) for r in got] == [(1, "ok")]

@@ -91,3 +91,45 @@ def test_features_join_with_embeddings_shape(spark):
         feats, feats.limit(2), k=3, vec_col="features"
     )
     assert out.count() == 6
+
+
+def test_perceptual_hash_detects_perturbed_duplicates(spark):
+    from small_etl_spark.llm.multimodal import (
+        encode_fake_media, perceptual_hash, phash_near_dup,
+    )
+
+    base = encode_fake_media(1, "image", 32, 32)
+    # light perturbation: flip a handful of payload bytes — the 8×8
+    # block means barely move, the aHash should stay within budget
+    hdr_len = 10 + 12
+    tweaked = bytearray(base)
+    for off in (0, 100, 500, 900):
+        tweaked[hdr_len + off] ^= 0x01
+    rows = [
+        (1, "image", bytes(base), None),
+        (2, "image", bytes(tweaked), None),
+        (3, "image", encode_fake_media(99, "image", 32, 32), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, content binary, "
+        "meta struct<width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    hashes = perceptual_hash(media)
+    pairs = phash_near_dup(hashes, max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] <= 8
+    # the unrelated image must not pair with either original
+    assert all(p == (1, 2) for p in got)
+
+
+def test_perceptual_hash_deterministic_and_compact(spark):
+    from small_etl_spark.llm.multimodal import perceptual_hash, synth_media_df
+
+    media = synth_media_df(spark, n=16).filter("kind = 'image'")
+    a = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    b = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert a == b and len(a) > 0
+    plan = (perceptual_hash(media)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
