@@ -8407,6 +8407,89 @@ def q_phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pq_ann_topk", None)  # rows-only: codebooks come from
+# iterative per-subspace k-means (not SQL-expressible); recall and
+# determinism are pinned by the contract query + pytest
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/similarity.py::pq_train/encode/
+    topk): 64-dim float vectors compressed to 8 one-byte codes
+    (m=8 subspaces × 16 centroids), searched by asymmetric distance
+    — per query one m×16 lookup table, per corpus vector m adds over
+    INTEGER codes. The 100 TB vector-search storage path: the float
+    corpus is touched once at encode time, never per query."""
+    from small_etl_spark.llm.similarity import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, num_centroids=16)
+    codes = pq_encode(emb, books, m=8)
+    q = emb.filter(F.col("vec_id") < 8)
+    out = pq_topk(codes, books, q, k=10, m=8)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("adist", 6).alias("adist")
+    )
+
+
+@register(
+    "pq_recall_contract",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS recall_ok
+    """,
+)
+def q_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality contract for the PQ path: recall@10 of the
+    8-byte-code ADC search against the exact L2 top-10 over the same
+    8 queries must beat 0.1 — ≥5× the random baseline at sf0.01
+    (10/500) and ≥50× at sf0.1 (10/5000). Measured on the shipped
+    testdata: 0.3875 at sf0.01, 0.1875 at sf0.1. Hash-deterministic
+    codebooks → a stable driver row; exact hit sets live in the
+    rows-only ``pq_ann_topk`` and pytest."""
+    from small_etl_spark.llm.similarity import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    books = pq_train(emb, m=8, num_centroids=16)
+    codes = pq_encode(emb, books, m=8)
+    pq = pq_topk(codes, books, q, k=10, m=8).select("query_id", "vec_id")
+
+    a = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    b = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    d = a.crossJoin(b).withColumn(
+        "d",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        d.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("query_id", "vec_id")
+    )
+    marked = exact.join(
+        pq.withColumn("__hit__", F.lit(1)), ["query_id", "vec_id"], "left"
+    )
+    return marked.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("__hits__"),
+    ).select(
+        "n_queries",
+        (
+            F.col("__hits__").cast("double")
+            / (F.lit(10.0) * F.col("n_queries"))
+            > 0.1
+        ).alias("recall_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

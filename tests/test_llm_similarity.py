@@ -553,3 +553,34 @@ def test_bm25_hand_computed(spark):
     assert out[1]["n_matched"] == 2
     assert out[2]["n_matched"] == 1
     assert abs(out[2]["score"] - score(1, 2, 2)) < 1e-9
+
+
+def test_pq_roundtrip_and_recall(spark):
+    from small_etl_spark.llm.similarity import pq_encode, pq_topk, pq_train
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    books = pq_train(emb, m=8, num_centroids=8)
+    # codebooks: m subspaces, ≤k dense codes each, centroid dim = D/m
+    rows = books.collect()
+    assert {r["sub_idx"] for r in rows} == set(range(8))
+    assert all(0 <= r["code"] < 8 and len(r["__cent__"]) == 8 for r in rows)
+
+    codes = pq_encode(emb, books, m=8)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n and all(r["count"] == 8 for r in per_vec)
+
+    # determinism: retrain + re-encode = identical codes
+    codes2 = pq_encode(emb, pq_train(emb, m=8, num_centroids=8), m=8)
+    a = sorted(map(tuple, codes.collect()))
+    b = sorted(map(tuple, codes2.collect()))
+    assert a == b
+
+    # self-recall sanity: querying with corpus members, ADC must rank
+    # the query vector itself into its own top-10 for most queries
+    # (its own reconstruction distance is minimal by construction)
+    q = emb.filter(F.col("vec_id") < 8)
+    top = pq_topk(codes, books, q, k=10, m=8)
+    self_hits = top.filter(F.col("query_id") == F.col("vec_id")).count()
+    assert self_hits >= 6
