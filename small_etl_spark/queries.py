@@ -8490,6 +8490,102 @@ def q_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "preagg_reuse_contract",
+    """
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), monthly_from_daily AS (
+      SELECT substr(day, 1, 7) AS month, SUM(cents) AS cents, SUM(n) AS n
+      FROM daily GROUP BY 1
+    ), monthly_direct AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT d.month,
+           CAST(d.n AS BIGINT) AS n_orders,
+           CAST(d.cents AS DOUBLE) / 100.0 AS revenue,
+           d.cents = f.cents AND d.n = f.n AS rollup_equal
+    FROM monthly_direct d JOIN monthly_from_daily f USING (month)
+    """,
+)
+def q_preagg_reuse_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-navigator contract: monthly revenue computed two ways
+    — directly from the fact table, and by ROLLING UP a daily
+    pre-aggregate — must be cell-identical (sums/counts are
+    algebraic, so the time hierarchy composes). This identity is what
+    lets a 100 TB pipeline serve month/quarter/year queries from a
+    day-grain materialization instead of re-scanning facts; exact
+    integer cents make the equality bit-true, and the driver
+    value-hash checks every month's flag."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(cents.alias("cents"), F.count(F.lit(1)).alias("n"))
+    from_daily = daily.groupBy(
+        F.substring("day", 1, 7).alias("month")
+    ).agg(F.sum("cents").alias("f_cents"), F.sum("n").alias("f_n"))
+    direct = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(cents.alias("cents"), F.count(F.lit(1)).alias("n"))
+    return direct.join(from_daily, "month").select(
+        "month",
+        F.col("n").alias("n_orders"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (
+            (F.col("cents") == F.col("f_cents")) & (F.col("n") == F.col("f_n"))
+        ).alias("rollup_equal"),
+    )
+
+
+@register(
+    "catalog_stats",
+    """
+    SELECT 'region' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(2 AS BIGINT) AS n_cols FROM region
+    UNION ALL SELECT 'nation', COUNT(*), 3 FROM nation
+    UNION ALL SELECT 'customer', COUNT(*), 5 FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*), 4 FROM supplier
+    UNION ALL SELECT 'part', COUNT(*), 6 FROM part
+    UNION ALL SELECT 'orders', COUNT(*), 6 FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*), 11 FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*), 6 FROM events
+    UNION ALL SELECT 'documents', COUNT(*), 5 FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*), 3 FROM embeddings
+    """,
+)
+def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-catalog survey: row and column counts for every table in
+    the scale-factor directory — the first query any engine
+    migration runs. Each COUNT(*) is a metadata-adjacent scan
+    (parquet row-group counts, no column decode: the scan's
+    ReadSchema is empty); the union is 10 tiny aggregates."""
+    from small_etl_spark.sources.tables import TABLES, load_table as _lt
+
+    parts = []
+    for t in TABLES:
+        df = _lt(spark, sf_dir, t)
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(t).alias("tbl"),
+                "n_rows",
+                F.lit(len(df.columns)).cast("bigint").alias("n_cols"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
