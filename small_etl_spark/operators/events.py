@@ -355,3 +355,80 @@ def event_pattern_matches(
         .cast("bigint")
         .alias("n_matches"),
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Position-based multi-touch attribution REPORT: for every
+    conversion, the journey is the run of non-conversion touches
+    since the user's previous conversion; each touch is classified
+    by position — ``only`` (single-touch journey), ``first``,
+    ``last``, or ``middle`` — and the report counts touches and sums
+    the full converted revenue they influenced, per (touch_type,
+    role).
+
+    Deliberately reports ROLES + integer cents instead of fractional
+    U-shaped credits (40/20/40): the fractional split is a trivial
+    consumer-side multiply, while splitting here would force
+    order-dependent double sums that no engine pair reproduces
+    bit-for-bit. Plan: two per-user windows (journey index = running
+    conversion count; position = row numbers within journey) + one
+    equi-join of journeys onto their closing conversion — all
+    user-partitioned, no global anything.
+    """
+    from pyspark.sql import Window
+
+    w_prior = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_conv = (F.col(type_col) == conversion_type).cast("bigint")
+    marked = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(type_col),
+        F.col(val_col),
+        F.coalesce(F.sum(is_conv).over(w_prior), F.lit(0)).alias("__j__"),
+    )
+    convs = marked.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col),
+        F.col("__j__"),
+        F.round(F.col(val_col) * 100).cast("bigint").alias("__cents__"),
+    )
+    touches = marked.filter(F.col(type_col) != conversion_type)
+    w_j = Window.partitionBy(user_col, "__j__").orderBy(ts_col, id_col)
+    w_jd = Window.partitionBy(user_col, "__j__").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    pos = touches.select(
+        F.col(user_col),
+        F.col("__j__"),
+        F.col(type_col).alias("touch_type"),
+        F.row_number().over(w_j).alias("__ra__"),
+        F.row_number().over(w_jd).alias("__rd__"),
+    ).withColumn(
+        "role",
+        F.when((F.col("__ra__") == 1) & (F.col("__rd__") == 1), "only")
+        .when(F.col("__ra__") == 1, "first")
+        .when(F.col("__rd__") == 1, "last")
+        .otherwise("middle"),
+    )
+    credited = pos.join(convs, [user_col, "__j__"])
+    return (
+        credited.groupBy("touch_type", "role")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            (
+                F.sum("__cents__").cast("double") / 100.0
+            ).alias("influenced_revenue"),
+        )
+    )

@@ -8586,6 +8586,174 @@ def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "fs_em_step",
+    """
+    WITH p AS (
+      SELECT levenshtein(a.c_name, b.c_name) <= 1 AS g_name,
+             a.c_mktsegment = b.c_mktsegment AS g_seg,
+             floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+               AS g_bal
+      FROM customer a
+      JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ), pat AS (
+      SELECT g_name, g_seg, g_bal, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM p GROUP BY 1, 2, 3
+    ), wgt AS (
+      SELECT *,
+        0.1 * (CASE WHEN g_name THEN 0.9 ELSE 0.1 END)
+            * (CASE WHEN g_seg THEN 0.9 ELSE 0.1 END)
+            * (CASE WHEN g_bal THEN 0.8 ELSE 0.2 END) AS pm,
+        0.9 * (CASE WHEN g_name THEN 0.1 ELSE 0.9 END)
+            * (CASE WHEN g_seg THEN 0.2 ELSE 0.8 END)
+            * (CASE WHEN g_bal THEN 0.1 ELSE 0.9 END) AS pu
+      FROM pat
+    ), ww AS (
+      SELECT *, pm / (pm + pu) AS w FROM wgt
+    ), fields AS (
+      SELECT 'name' AS field, CASE WHEN g_name THEN 1.0 ELSE 0.0 END AS g,
+             n, w FROM ww
+      UNION ALL
+      SELECT 'seg', CASE WHEN g_seg THEN 1.0 ELSE 0.0 END, n, w FROM ww
+      UNION ALL
+      SELECT 'bal', CASE WHEN g_bal THEN 1.0 ELSE 0.0 END, n, w FROM ww
+    )
+    SELECT field,
+           round(SUM(w * n * g) / SUM(w * n), 6) AS m_new,
+           round(SUM((1 - w) * n * g) / SUM((1 - w) * n), 6) AS u_new,
+           round(SUM(w * n) / SUM(n), 6) AS p_match
+    FROM fields GROUP BY field
+    """,
+)
+def q_fs_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of Fellegi–Sunter parameter estimation over
+    the blocked candidate pairs: from the 2³ agreement-pattern
+    counts, compute each pattern's posterior match weight under the
+    initial (m, u, p) guesses, then re-estimate per-field m (P(agree
+    | match)) and u (P(agree | non-match)) — how real record-linkage
+    systems LEARN the weights that ``fs_link_scores`` declares.
+    Everything after the blocked self-join is arithmetic over 8
+    pattern-count rows, so the whole E+M step is a pure expression
+    tree (and runs identically in the DuckDB oracle)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+        )
+        .filter(F.levenshtein("a_c_name", "b_c_name") <= 2)
+        .select(
+            (F.levenshtein("a_c_name", "b_c_name") <= 1).alias("g_name"),
+            (F.col("a_c_mktsegment") == F.col("b_c_mktsegment")).alias(
+                "g_seg"
+            ),
+            (
+                F.floor(F.col("a_c_acctbal") / 1000.0)
+                == F.floor(F.col("b_c_acctbal") / 1000.0)
+            ).alias("g_bal"),
+        )
+    )
+    pat = pairs.groupBy("g_name", "g_seg", "g_bal").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+
+    def bern(flag, yes, no):
+        return F.when(F.col(flag), F.lit(yes)).otherwise(F.lit(no))
+
+    pm = (
+        F.lit(0.1)
+        * bern("g_name", 0.9, 0.1)
+        * bern("g_seg", 0.9, 0.1)
+        * bern("g_bal", 0.8, 0.2)
+    )
+    pu = (
+        F.lit(0.9)
+        * bern("g_name", 0.1, 0.9)
+        * bern("g_seg", 0.2, 0.8)
+        * bern("g_bal", 0.1, 0.9)
+    )
+    ww = pat.withColumn("w", pm / (pm + pu))
+    fields = None
+    for fname, flag in (("name", "g_name"), ("seg", "g_seg"), ("bal", "g_bal")):
+        part = ww.select(
+            F.lit(fname).alias("field"),
+            F.when(F.col(flag), F.lit(1.0)).otherwise(F.lit(0.0)).alias("g"),
+            "n",
+            "w",
+        )
+        fields = part if fields is None else fields.unionByName(part)
+    return fields.groupBy("field").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("n") * F.col("g"))
+            / F.sum(F.col("w") * F.col("n")),
+            6,
+        ).alias("m_new"),
+        F.round(
+            F.sum((F.lit(1.0) - F.col("w")) * F.col("n") * F.col("g"))
+            / F.sum((F.lit(1.0) - F.col("w")) * F.col("n")),
+            6,
+        ).alias("u_new"),
+        F.round(F.sum(F.col("w") * F.col("n")) / F.sum("n"), 6).alias(
+            "p_match"
+        ),
+    )
+
+
+@register(
+    "position_attribution_events",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS j
+      FROM events
+    ), convs AS (
+      SELECT user_id, j, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM marked WHERE event_type = 'purchase'
+    ), pos AS (
+      SELECT user_id, j, event_type AS touch_type,
+             row_number() OVER (PARTITION BY user_id, j
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id, j
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM marked WHERE event_type <> 'purchase'
+    ), roled AS (
+      SELECT touch_type,
+             CASE WHEN ra = 1 AND rd = 1 THEN 'only'
+                  WHEN ra = 1 THEN 'first'
+                  WHEN rd = 1 THEN 'last'
+                  ELSE 'middle' END AS role,
+             user_id, j
+      FROM pos
+    )
+    SELECT r.touch_type, r.role, CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(c.cents) AS DOUBLE) / 100.0 AS influenced_revenue
+    FROM roled r JOIN convs c USING (user_id, j)
+    GROUP BY 1, 2
+    """,
+)
+def q_position_attribution_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based multi-touch attribution
+    (operators.events.position_attribution): journeys delimited by
+    purchases, touches classified first/middle/last/only, full
+    converted revenue summed per (touch_type, role) in exact integer
+    cents — the U-shaped-credit report without the order-dependent
+    fractional sums (the 40/20/40 multiply is consumer-side)."""
+    from small_etl_spark.operators.events import position_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return position_attribution(ev)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -279,3 +279,31 @@ class TestLengthBucketedBatches:
             map(tuple, length_bucketed_batches(df, "n_tokens", 8).collect())
         )
         assert a == b
+
+
+def test_position_attribution_roles(spark):
+    from small_etl_spark.operators.events import position_attribution
+
+    # user 1: v c v p  → journey 0: v(first) c(middle) v(last), 10.00
+    # user 2: v p      → journey 0: v(only), 5.00
+    # user 3: v v      → no conversion, journey never credited
+    rows = [
+        (1, 1, "view", 0.0, 1.0), (2, 1, "click", 0.0, 2.0),
+        (3, 1, "view", 0.0, 3.0), (4, 1, "purchase", 10.0, 4.0),
+        (5, 2, "view", 0.0, 1.0), (6, 2, "purchase", 5.0, 2.0),
+        (7, 3, "view", 0.0, 1.0), (8, 3, "view", 0.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "value double, ts double",
+    )
+    got = {
+        (r["touch_type"], r["role"]): (r["touches"], r["influenced_revenue"])
+        for r in position_attribution(df).collect()
+    }
+    assert got == {
+        ("view", "first"): (1, 10.0),
+        ("click", "middle"): (1, 10.0),
+        ("view", "last"): (1, 10.0),
+        ("view", "only"): (1, 5.0),
+    }

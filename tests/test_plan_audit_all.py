@@ -48,6 +48,8 @@ CARTESIAN_OK = {
     "dsir_doc_weights",
     "benford_audit_orders",
     "shard_plan",  # broadcast of the 1-row corpus token total
+    "pq_recall_contract",  # exact-L2 crossJoin is the labeled ground
+                           # truth the PQ recall is measured against
 }
 
 # Unpartitioned windows allowed where the windowed frame is provably
