@@ -541,3 +541,80 @@ def snapshot_diff(
             *[F.col(f"new_{c}") for c in cmp_cols],
         )
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join via ``groupBy(key).cogroup(...).applyInPandas`` —
+    the per-key-imperative twin of :func:`asof_join`, kept in-tree
+    for two reasons: (a) it exercises Spark's cogroup primitive (both
+    sides shuffle once on the key, then each key's two pandas frames
+    meet in one Python call — the right shape when per-key logic is
+    genuinely imperative), and (b) the equality test between the two
+    implementations (tests/test_temporal_join_properties.py) is a
+    strong mutual correctness check: a union-merge window bug and a
+    pandas ``merge_asof`` bug would have to agree to go unnoticed.
+
+    Prefer :func:`asof_join` in production pipelines — it stays
+    whole-stage-codegen JVM-side; this variant pays the Arrow hop and
+    a per-key pandas sort, and a hot key's whole history must fit in
+    one pandas frame (the usual cogroup caveat at 100 TB).
+    """
+    import pandas as pd
+
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lcols = list(left.columns)
+    l_slim = left
+    # the right timestamp gets a side-unique name: cogroup's combined
+    # plan drops a right column whose name collides with a left one
+    # (observed on this Spark version), and ts/ts is the common case
+    rts = "__cg_rts__"
+    r_slim = right.select(on, F.col(right_ts).alias(rts), *rcols)
+
+    out_fields = []
+    for c in lcols:
+        out_fields.append(f"`{c}` {left.schema[c].dataType.simpleString()}")
+    for c in rcols:
+        out_fields.append(
+            f"`{c}{suffix}` {right.schema[c].dataType.simpleString()}"
+        )
+    schema = ", ".join(out_fields)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=lcols + [f"{c}{suffix}" for c in rcols])
+        lsorted = lpdf.sort_values(left_ts, kind="mergesort")
+        if len(rpdf) == 0:
+            out = lsorted.copy()
+            for c in rcols:
+                out[f"{c}{suffix}"] = None
+            return out
+        rsorted = (
+            rpdf.sort_values(rts, kind="mergesort")
+            .rename(columns={c: f"{c}{suffix}" for c in rcols})
+            .drop(columns=[on])
+        )
+        merged = pd.merge_asof(
+            lsorted,
+            rsorted,
+            left_on=left_ts,
+            right_on=rts,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        return merged[lcols + [f"{c}{suffix}" for c in rcols]]
+
+    return (
+        l_slim.groupBy(on)
+        .cogroup(r_slim.groupBy(on))
+        .applyInPandas(merge, schema=schema)
+    )
