@@ -8754,6 +8754,63 @@ def q_position_attribution_events(
     return position_attribution(ev)
 
 
+@register(
+    "nation_share_of_region",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS share_of_region
+    FROM rev
+    """,
+)
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: each nation's order revenue and its
+    share within its region — the drill-down ratio every BI layer
+    asks of a hierarchy. Star join (constant-size dims broadcast),
+    exact integer-cents revenue, then ONE region-partitioned window
+    over the 25-row aggregate (bounded by the dimension, not the
+    facts) for the parent total."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
