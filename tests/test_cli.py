@@ -79,3 +79,18 @@ def test_cli_mvp_limits_every_stage_to_first_record(spark, config_path, lookup_c
     assert rc == 0
     summary = json.loads(capsys.readouterr().out)
     assert summary["total_records"] == 2 + 3 + 2
+
+
+def test_all_example_configs_parse_and_dry_run(capsys):
+    """Every shipped example config must parse and pass --dry-run
+    validation — a user can trust configs/ as working references."""
+    import os
+
+    from small_etl_spark.cli import main
+
+    for cfg in sorted(os.listdir("configs")):
+        sub = "run" if cfg == "mvp-simple.toml" else "sequence"
+        rc = main([sub, os.path.join("configs", cfg), "--dry-run"])
+        out = capsys.readouterr().out
+        assert rc == 0, (cfg, out)
+        assert "DRY RUN" in out or "dry" in out.lower(), cfg
