@@ -84,3 +84,31 @@ def merge_distinct_sketches(*parts: DataFrame) -> DataFrame:
     return u.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct")
     )
+
+
+def ivm_join_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: str | list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join — the delta
+    rule ``Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)`` for
+    insert-only deltas. Returns exactly the NEW join rows, so a
+    materialized join view is maintained by appending this output
+    instead of re-joining the full inputs.
+
+    Why it matters at 100 TB: the three delta legs join a
+    delta-sized side against a base (AQE broadcasts the delta) — the
+    nightly increment costs O(|Δ|·match-rate), not O(|A|+|B|).
+    Insert-only is the honest contract here; deletes/updates need
+    retraction counting (the standard Δ-multiset extension), which
+    ``apply_cdc`` + ``snapshot_diff`` cover at row granularity.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        delta_left.join(base_right, keys)
+        .unionByName(base_left.join(delta_right, keys))
+        .unionByName(delta_left.join(delta_right, keys))
+    )

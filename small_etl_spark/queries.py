@@ -8811,6 +8811,244 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivm_join_contract",
+    """
+    WITH bl AS (SELECT o_orderkey, o_custkey FROM orders
+                WHERE o_orderkey % 10 <> 0),
+    dl AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_orderkey % 10 = 0),
+    br AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+           WHERE l_linenumber % 3 <> 0),
+    dr AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+           WHERE l_linenumber % 3 = 0),
+    delta AS (
+      SELECT dl.o_orderkey, dl.o_custkey, br.l_extendedprice
+      FROM dl JOIN br ON dl.o_orderkey = br.l_orderkey
+      UNION ALL
+      SELECT bl.o_orderkey, bl.o_custkey, dr.l_extendedprice
+      FROM bl JOIN dr ON bl.o_orderkey = dr.l_orderkey
+      UNION ALL
+      SELECT dl.o_orderkey, dl.o_custkey, dr.l_extendedprice
+      FROM dl JOIN dr ON dl.o_orderkey = dr.l_orderkey
+    ), incremental AS (
+      SELECT o_orderkey, o_custkey, l_extendedprice
+      FROM bl JOIN br ON bl.o_orderkey = br.l_orderkey
+      UNION ALL SELECT * FROM delta
+    ), full_join AS (
+      SELECT o.o_orderkey, o.o_custkey, l.l_extendedprice
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), inc_agg AS (
+      SELECT o_custkey % 100 AS cust_band, COUNT(*) AS n,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM incremental GROUP BY 1
+    ), full_agg AS (
+      SELECT o_custkey % 100 AS cust_band, COUNT(*) AS n,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM full_join GROUP BY 1
+    )
+    SELECT i.cust_band, CAST(i.n AS BIGINT) AS n_rows,
+           CAST(i.cents AS DOUBLE) / 100.0 AS revenue,
+           i.n = f.n AND i.cents = f.cents AS ivm_equal
+    FROM inc_agg i JOIN full_agg f USING (cust_band)
+    """,
+)
+def q_ivm_join_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance contract
+    (operators.incremental.ivm_join_delta): orders/lineitem are each
+    split into base + insert delta; the maintained view (base join ∪
+    the three delta legs) must equal the full re-join, checked
+    per-band with exact integer cents. The delta rule is what turns
+    a nightly 100 TB re-join into a delta-sized increment; the
+    driver value-hash covers every band's equality flag."""
+    from small_etl_spark.operators.incremental import ivm_join_delta
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_linenumber",
+    )
+    bl = o.filter(F.col("o_orderkey") % 10 != 0)
+    dl = o.filter(F.col("o_orderkey") % 10 == 0)
+    br = li.filter(F.col("l_linenumber") % 3 != 0).drop("l_linenumber")
+    dr = li.filter(F.col("l_linenumber") % 3 == 0).drop("l_linenumber")
+
+    incremental = bl.join(br, "o_orderkey").unionByName(
+        ivm_join_delta(bl, dl, br, dr, on="o_orderkey")
+    )
+    full = o.join(li.drop("l_linenumber"), "o_orderkey")
+
+    def agg(df):
+        return df.groupBy((F.col("o_custkey") % 100).alias("cust_band")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+
+    i, f = agg(incremental), agg(full)
+    return i.join(
+        f.select(
+            "cust_band",
+            F.col("n").alias("f_n"),
+            F.col("cents").alias("f_cents"),
+        ),
+        "cust_band",
+    ).select(
+        "cust_band",
+        F.col("n").alias("n_rows"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (
+            (F.col("n") == F.col("f_n")) & (F.col("cents") == F.col("f_cents"))
+        ).alias("ivm_equal"),
+    )
+
+
+@register(
+    "neyman_allocation",
+    """
+    WITH s AS (
+      SELECT c_mktsegment AS stratum,
+             COUNT(*) AS nh,
+             SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s1,
+             SUM(CAST(round(c_acctbal * 100) AS BIGINT)
+                 * CAST(round(c_acctbal * 100) AS BIGINT)) AS s2
+      FROM customer GROUP BY 1
+    ), m AS (
+      SELECT stratum, nh,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nh)
+                  / nh) / 100.0 AS sd
+      FROM s
+    )
+    SELECT stratum, CAST(nh AS BIGINT) AS stratum_size,
+           round(sd, 6) AS stratum_sd,
+           CAST(round(1000.0 * nh * sd
+                      / SUM(nh * sd) OVER ()) AS BIGINT) AS alloc_n
+    FROM m
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: for a budget of
+    1000 samples over customer market segments, allocate
+    ``n_h ∝ N_h·S_h`` (stratum size × stratum std-dev of account
+    balance) — the survey-sampling formula that minimizes estimator
+    variance, and the principled upgrade to the proportional
+    allocation ``stratified_sample_docs`` uses. Moments from exact
+    integer cents; one groupBy + one 5-row window."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    s = c.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    sd = (
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("nh")
+            )
+            / F.col("nh")
+        )
+        / 100.0
+    )
+    m = s.select("stratum", "nh", sd.alias("sd"))
+    w = Window.partitionBy()
+    return m.select(
+        "stratum",
+        F.col("nh").alias("stratum_size"),
+        F.round("sd", 6).alias("stratum_sd"),
+        F.round(
+            F.lit(1000.0)
+            * F.col("nh")
+            * F.col("sd")
+            / F.sum(F.col("nh") * F.col("sd")).over(w)
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    )
+
+
+@register(
+    "hll_setops_contract",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase')
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS exact_clickers,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS exact_purchasers,
+           CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS BIGINT)
+             AS exact_both,
+           TRUE AS union_est_ok, TRUE AS intersect_est_ok
+    """,
+)
+def q_hll_setops_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-operation contract: HLL can UNION (merge) but not
+    intersect — the intersection estimate comes from
+    inclusion–exclusion, ``|A∩B| ≈ |A| + |B| − |A∪B|`` over three
+    approx_count_distinct sketches. The contract pins both the union
+    estimate (within 5% of exact, rsd=0.01 sketches) and the derived
+    intersection (within 15% — inclusion–exclusion compounds error,
+    which is exactly the lesson). Exact counts are driver-hashed; the
+    estimates live in the booleans."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    both = clicks.select("user_id").intersect(buys.select("user_id"))
+    stats = (
+        ev.agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == "click", F.col("user_id"))
+            ).alias("exact_clickers"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("exact_purchasers"),
+            F.approx_count_distinct(
+                F.when(F.col("event_type") == "click", F.col("user_id")),
+                rsd=0.01,
+            ).alias("a_c"),
+            F.approx_count_distinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id")),
+                rsd=0.01,
+            ).alias("a_p"),
+            F.approx_count_distinct(
+                F.when(
+                    F.col("event_type").isin("click", "purchase"),
+                    F.col("user_id"),
+                ),
+                rsd=0.01,
+            ).alias("a_u"),
+            F.countDistinct(
+                F.when(
+                    F.col("event_type").isin("click", "purchase"),
+                    F.col("user_id"),
+                )
+            ).alias("e_u"),
+        )
+        .crossJoin(
+            F.broadcast(both.agg(F.count(F.lit(1)).alias("exact_both")))
+        )
+    )
+    inter_est = F.col("a_c") + F.col("a_p") - F.col("a_u")
+    return stats.select(
+        "exact_clickers",
+        "exact_purchasers",
+        "exact_both",
+        (
+            F.abs(F.col("a_u") - F.col("e_u")).cast("double")
+            / F.greatest(F.col("e_u").cast("double"), F.lit(1.0))
+            <= 0.05
+        ).alias("union_est_ok"),
+        (
+            F.abs(inter_est - F.col("exact_both")).cast("double")
+            / F.greatest(F.col("exact_both").cast("double"), F.lit(1.0))
+            <= 0.15
+        ).alias("intersect_est_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -496,3 +496,21 @@ def test_ntile_by_matches_sql_ntile(spark):
             ).collect()
         }
         assert got == want, (n, k)
+
+
+def test_ivm_join_delta_matches_full_rejoin(spark):
+    from small_etl_spark.operators.incremental import ivm_join_delta
+
+    A = spark.createDataFrame([(i, f"a{i}") for i in range(20)], ["k", "av"])
+    B = spark.createDataFrame(
+        [(i % 7, f"b{i}") for i in range(30)], ["k", "bv"]
+    )
+    bl, dl = A.filter("k % 4 != 0"), A.filter("k % 4 = 0")
+    br, dr = B.filter("k % 3 != 0"), B.filter("k % 3 = 0")
+    incremental = bl.join(br, "k").unionByName(
+        ivm_join_delta(bl, dl, br, dr, on="k")
+    )
+    full = A.join(B, "k")
+    got = sorted(map(tuple, incremental.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(want) > 0
