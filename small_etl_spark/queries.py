@@ -9049,6 +9049,60 @@ def q_hll_setops_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cc_star_components",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT source AS g, doc_id AS id,
+             regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT g, id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      FROM t
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def q_cc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (operators.graph.cc_two_phase_star; Kiveris et al. 2014) over the
+    same exact near-dup pair graph as ``near_dup_components`` — and
+    the SAME recursive-CTE oracle, so the driver hash proves the two
+    algorithms agree. The star variant is the 100 TB path: O(log²)
+    rounds independent of component diameter, where min-label
+    propagation pays diameter-many rounds (the 200-node-chain pytest
+    pins that difference)."""
+    from small_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from small_etl_spark.operators.graph import cc_two_phase_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, group_col="source").filter(
+        F.col("jaccard") >= 0.8
+    )
+    cc = cc_two_phase_star(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(F.col("node").alias("doc_id"), "component")
+    singles = docs.select("doc_id").join(cc, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    return cc.unionByName(singles)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -97,3 +97,53 @@ def test_association_rules_hand_computed(spark):
     assert r["conf_a_to_b"] == 0.6           # 3/5
     assert r["conf_b_to_a"] == 0.75          # 3/4
     assert r["lift"] == 0.9                  # 3*6/(5*4)
+
+
+def _uf_components(n_nodes, edge_list):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_cc_two_phase_star_matches_union_find(spark):
+    import random
+
+    from small_etl_spark.operators.graph import cc_two_phase_star
+
+    rng = random.Random(5)
+    n = 200
+    edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in cc_two_phase_star(edges).collect()
+    }
+    want = _uf_components(n, edge_list)
+    touched = {x for e in edge_list for x in e}
+    assert got == {v: want[v] for v in touched}
+
+
+def test_cc_two_phase_star_long_chain_converges_fast(spark):
+    """A 200-node path has diameter 199 — min-label propagation needs
+    ~200 rounds; the star algorithm must finish within its 12-round
+    budget and label every node with node 0."""
+    from small_etl_spark.operators.graph import cc_two_phase_star
+
+    chain = [(i, i + 1) for i in range(199)]
+    edges = spark.createDataFrame(chain, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in cc_two_phase_star(edges).collect()
+    }
+    assert got == {i: 0 for i in range(200)}
