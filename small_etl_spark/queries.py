@@ -9103,6 +9103,97 @@ def q_cc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.unionByName(singles)
 
 
+@register(
+    "golden_record_customers",
+    r"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a
+      JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+    ), clusters AS (
+      SELECT node AS c_custkey, min(label) AS cluster FROM reach GROUP BY node
+    ), joined AS (
+      SELECT cl.cluster, c.c_custkey, c.c_name, c.c_acctbal
+      FROM clusters cl JOIN customer c USING (c_custkey)
+    ), agg AS (
+      SELECT cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(c_custkey) AS canonical_id,
+             MAX(length(c_name)) AS maxlen,
+             MAX(c_acctbal) AS best_acctbal
+      FROM joined GROUP BY cluster
+    )
+    SELECT a.cluster, a.n_members, a.canonical_id,
+           MAX(j.c_name) AS canonical_name,
+           a.best_acctbal
+    FROM agg a
+    JOIN joined j
+      ON j.cluster = a.cluster AND length(j.c_name) = a.maxlen
+    GROUP BY 1, 2, 3, 5
+    """,
+)
+def q_golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the last step of the entity-
+    resolution story (blocking → scoring → EM → clustering →
+    SURVIVORSHIP): fuzzy-duplicate customers (nation-blocked,
+    Levenshtein ≤ 1) are closed into clusters via the star CC
+    (operators.graph.cc_two_phase_star), then each cluster elects
+    one record: min custkey as id, the longest (tie: lexicographic
+    max) name, the max account balance. One pairs join + log²-round
+    CC + two cluster aggregates; singletons survive as their own
+    golden record."""
+    from small_etl_spark.operators.dedup import fuzzy_dup_pairs
+    from small_etl_spark.operators.graph import cc_two_phase_star
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_dup_pairs(
+        c, id_col="c_custkey", text_col="c_name",
+        block_cols=["c_nationkey"], max_distance=1,
+    )
+    cc = cc_two_phase_star(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(F.col("node").alias("c_custkey"), F.col("component").alias("cluster"))
+    clusters = (
+        c.select("c_custkey")
+        .join(cc, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("cluster", "c_custkey").alias("cluster"),
+        )
+    )
+    joined = clusters.join(
+        c.select("c_custkey", "c_name", "c_acctbal"), "c_custkey"
+    )
+    agg = joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("c_custkey").alias("canonical_id"),
+        F.max(F.length("c_name")).alias("maxlen"),
+        F.max("c_acctbal").alias("best_acctbal"),
+    )
+    return (
+        agg.join(joined, "cluster")
+        .filter(F.length("c_name") == F.col("maxlen"))
+        .groupBy("cluster", "n_members", "canonical_id", "best_acctbal")
+        .agg(F.max("c_name").alias("canonical_name"))
+        .select(
+            "cluster",
+            "n_members",
+            "canonical_id",
+            "canonical_name",
+            "best_acctbal",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
