@@ -9194,6 +9194,171 @@ def q_golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "diff_in_diff_events",
+    """
+    WITH mid AS (
+      SELECT to_timestamp(CAST(floor((CAST(epoch(MIN(ts)) AS BIGINT)
+                           + CAST(epoch(MAX(ts)) AS BIGINT)) / 2.0) AS BIGINT))
+               AS m
+      FROM events
+    ), cell AS (
+      SELECT user_id % 2 AS variant,
+             CASE WHEN ts >= (SELECT m FROM mid) THEN 1 ELSE 0 END AS post,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(variant AS BIGINT) AS variant, CAST(post AS BIGINT) AS post,
+           CAST(n AS BIGINT) AS n_purchases,
+           round(CAST(cents AS DOUBLE) / n / 100.0, 6) AS mean_value,
+           round(
+             (SELECT CAST(c1.cents AS DOUBLE) / c1.n / 100.0
+                     - CAST(c0.cents AS DOUBLE) / c0.n / 100.0
+              FROM cell c1, cell c0
+              WHERE c1.variant = 1 AND c1.post = 1
+                AND c0.variant = 1 AND c0.post = 0)
+             - (SELECT CAST(c1.cents AS DOUBLE) / c1.n / 100.0
+                       - CAST(c0.cents AS DOUBLE) / c0.n / 100.0
+                FROM cell c1, cell c0
+                WHERE c1.variant = 0 AND c1.post = 1
+                  AND c0.variant = 0 AND c0.post = 0), 6) AS did_estimate
+    FROM cell
+    """,
+)
+def q_diff_in_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: mean purchase value per
+    (variant = user parity, period = before/after the corpus
+    midpoint), plus the DiD estimate
+    ``(treat_post − treat_pre) − (ctrl_post − ctrl_pre)`` — the
+    quasi-experimental causal readout when randomized exposure isn't
+    available. Four cells from one exact-cents groupBy; the estimate
+    is scalar arithmetic broadcast onto every row."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.to_timestamp(
+            F.floor(
+                (F.min("ts").cast("long") + F.max("ts").cast("long")) / 2
+            ).cast("long")
+        ).alias("m")
+    )
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mid))
+        .groupBy(
+            (F.col("user_id") % 2).alias("variant"),
+            (F.col("ts") >= F.col("m")).cast("bigint").alias("post"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "variant",
+            "post",
+            "n",
+            (F.col("cents").cast("double") / F.col("n") / 100.0).alias(
+                "mv"
+            ),
+        )
+    )
+    wide = cells.groupBy().pivot("variant", [0, 1]).agg(
+        F.sum(F.when(F.col("post") == 1, F.col("mv"))).alias("post_mv"),
+        F.sum(F.when(F.col("post") == 0, F.col("mv"))).alias("pre_mv"),
+    )
+    did = wide.select(
+        (
+            (F.col("1_post_mv") - F.col("1_pre_mv"))
+            - (F.col("0_post_mv") - F.col("0_pre_mv"))
+        ).alias("did")
+    )
+    return (
+        cells.crossJoin(F.broadcast(did))
+        .select(
+            "variant",
+            "post",
+            F.col("n").alias("n_purchases"),
+            F.round("mv", 6).alias("mean_value"),
+            F.round("did", 6).alias("did_estimate"),
+        )
+    )
+
+
+@register(
+    "rolling_corr_events",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT day, c, p,
+             COUNT(*) OVER win AS n,
+             SUM(c) OVER win AS sc, SUM(p) OVER win AS sp,
+             SUM(c * c) OVER win AS scc, SUM(p * p) OVER win AS spp,
+             SUM(c * p) OVER win AS scp
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, CAST(c AS BIGINT) AS clicks, CAST(p AS BIGINT) AS purchases,
+           CASE WHEN n = 14
+                 AND (n * scc - sc * sc) > 0 AND (n * spp - sp * sp) > 0
+                THEN round((n * scp - sc * sp)
+                           / sqrt(CAST(n * scc - sc * sc AS DOUBLE))
+                           / sqrt(CAST(n * spp - sp * sp AS DOUBLE)), 6)
+           END AS corr14
+    FROM w
+    """,
+)
+def q_rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily click and
+    purchase counts — the co-movement monitor for leading-indicator
+    health checks. All five moment sums are exact integers inside the
+    row-bounded window (over the one-row-per-day aggregate, not the
+    raw events); the correlation divides only at the end, NULL until
+    the window is full or a side is constant."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("bigint")).alias("c"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("p"),
+    )
+    win = Window.orderBy("day").rowsBetween(-13, 0)
+    w = daily.select(
+        "day",
+        "c",
+        "p",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("c").over(win).alias("sc"),
+        F.sum("p").over(win).alias("sp"),
+        F.sum(F.col("c") * F.col("c")).over(win).alias("scc"),
+        F.sum(F.col("p") * F.col("p")).over(win).alias("spp"),
+        F.sum(F.col("c") * F.col("p")).over(win).alias("scp"),
+    )
+    var_c = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    var_p = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    cov = F.col("n") * F.col("scp") - F.col("sc") * F.col("sp")
+    return w.select(
+        "day",
+        F.col("c").alias("clicks"),
+        F.col("p").alias("purchases"),
+        F.when(
+            (F.col("n") == 14) & (var_c > 0) & (var_p > 0),
+            F.round(
+                cov
+                / F.sqrt(var_c.cast("double"))
+                / F.sqrt(var_p.cast("double")),
+                6,
+            ),
+        ).alias("corr14"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

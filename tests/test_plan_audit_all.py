@@ -50,6 +50,8 @@ CARTESIAN_OK = {
     "shard_plan",  # broadcast of the 1-row corpus token total
     "pq_recall_contract",  # exact-L2 crossJoin is the labeled ground
                            # truth the PQ recall is measured against
+    "hll_setops_contract",  # broadcast of a 1-row exact-count aggregate
+    "diff_in_diff_events",  # two scalar broadcasts (midpoint, DiD value)
 }
 
 # Unpartitioned windows allowed where the windowed frame is provably
@@ -79,6 +81,8 @@ GLOBAL_WINDOW_OK = {
     "length_drift_psi",    # decile edges over distinct lengths
     "rfm_segments",        # customer-dimension ntiles; documented in
                            # its docstring as the dimension-sized pass
+    "neyman_allocation",   # 5-row per-segment moment table
+    "rolling_corr_events",  # one-row-per-day series, calendar-bounded
 }
 
 
