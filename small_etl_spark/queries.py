@@ -9359,6 +9359,81 @@ def q_rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "coalesce_intervals_events",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 900 AS e,
+             event_id
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY 1, 2
+    """,
+)
+def q_coalesce_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands): each event opens a
+    15-minute activity interval; overlapping/touching intervals per
+    user merge into one span. The classic running-max formulation —
+    a row starts a new island iff its start exceeds the max end seen
+    so far — followed by a running-sum island id; two per-user
+    windows (parallel across users), no self-join, no explode. The
+    downtime-merging / meeting-coalescing primitive."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 900).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        (
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev), F.lit(-(1 << 63)).cast("long")
+            )
+        ).cast("bigint"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w_cum)
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
