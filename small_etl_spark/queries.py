@@ -9434,6 +9434,105 @@ def q_coalesce_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rrf_fusion_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+               AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), per_term AS (
+      SELECT tf.doc_id,
+             round(ln(1 + (corpus.n_docs - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)),
+                   6) AS term_score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    ), bm AS (
+      SELECT doc_id,
+             SUM(CAST(round(term_score * 1000000) AS BIGINT)) / 1000000.0
+               AS score
+      FROM per_term GROUP BY doc_id
+    ), bm_r AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm
+    ), q AS (
+      SELECT doc_id,
+             (least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                         AS DOUBLE), 200.0) / 200.0
+              + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                      AND CAST(length(text) AS DOUBLE)
+                          / CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                                 AS DOUBLE)
+                          BETWEEN 3.0 AND 10.0
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                     THEN 1.0 ELSE 0.0 END
+             ) / 3.0 AS quality
+      FROM documents
+    ), q_r AS (
+      SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS r
+      FROM q
+    ), fused AS (
+      SELECT COALESCE(b.doc_id, qq.doc_id) AS doc_id,
+             b.r AS bm25_rank, qq.r AS quality_rank,
+             round(COALESCE(1.0 / (60 + b.r), 0.0)
+                   + COALESCE(1.0 / (60 + qq.r), 0.0), 6) AS rrf
+      FROM bm_r b FULL OUTER JOIN q_r qq USING (doc_id)
+    )
+    SELECT doc_id, bm25_rank, quality_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two rankers —
+    BM25 relevance for a 3-term query and the heuristic quality
+    score: ``rrf = Σ 1/(60 + rank_i)``, the standard zero-tuning way
+    to combine lexical and quality (or lexical and vector) rankings
+    in a retrieval pipeline. Both rank columns come from
+    operators.sort.global_ordinal (partition-parallel), fused with a
+    full outer join; docs absent from a ranker simply contribute
+    nothing from it."""
+    from small_etl_spark.operators.sort import global_ordinal
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = textstats.bm25_scores(docs, ["spark", "window", "merge"]).select(
+        "doc_id", (-F.col("score")).alias("neg")
+    )
+    bm_r = global_ordinal(bm, ["neg", "doc_id"], ordinal_col="r0").select(
+        "doc_id", (F.col("r0") + 1).alias("bm25_rank")
+    )
+    q = docs.select(
+        "doc_id",
+        (-textstats.quality_score("text")).alias("neg"),
+    )
+    q_r = global_ordinal(q, ["neg", "doc_id"], ordinal_col="r0").select(
+        "doc_id", (F.col("r0") + 1).alias("quality_rank")
+    )
+    fused = bm_r.join(q_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "quality_rank",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("quality_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -51,6 +51,7 @@ CARTESIAN_OK = {
     "pq_recall_contract",  # exact-L2 crossJoin is the labeled ground
                            # truth the PQ recall is measured against
     "hll_setops_contract",  # broadcast of a 1-row exact-count aggregate
+    "rrf_fusion_docs",     # inherits bm25's corpus-constant folds
     "diff_in_diff_events",  # two scalar broadcasts (midpoint, DiD value)
 }
 
