@@ -514,3 +514,29 @@ def test_ivm_join_delta_matches_full_rejoin(spark):
     got = sorted(map(tuple, incremental.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want and len(want) > 0
+
+
+def test_coalesced_intervals_are_disjoint_and_cover(spark):
+    """Property check on the gaps-and-islands output: per user, spans
+    are pairwise disjoint (gap > 0 between consecutive spans) and
+    every event timestamp falls inside exactly one span."""
+    from small_etl_spark.queries import REGISTRY
+    from small_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    spans = REGISTRY["coalesce_intervals_events"].builder(spark, sf).collect()
+    by_user = {}
+    for r in spans:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for user, ss in by_user.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1, (user, s1, e1, s2, e2)  # strictly separated
+    ev = load_table(spark, sf, "events").select("user_id", "ts").collect()
+    import calendar
+
+    for r in ev:
+        t = calendar.timegm(r["ts"].timetuple())
+        assert any(s <= t <= e for s, e in by_user[r["user_id"]])
