@@ -9533,6 +9533,142 @@ def q_rrf_fusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
 
 
+@register(
+    "topn_plus_other_nations",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ), ranked AS (
+      SELECT nation, cents,
+             row_number() OVER (ORDER BY cents DESC, nation) AS r
+      FROM rev
+    )
+    SELECT CASE WHEN r <= 5 THEN nation ELSE 'OTHER' END AS nation,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+           CAST(MIN(r) AS BIGINT) AS rank
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_topn_plus_other_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nations by order revenue with everything else rolled
+    into one OTHER row (rank = 6, the min rank inside the bucket) —
+    the chart-ready breakdown every BI surface asks for. The rank
+    window runs over the 25-row nation aggregate (dimension-bounded),
+    revenue in exact integer cents; the OTHER rollup is a second
+    bounded aggregate, not a second scan of the facts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy(F.col("cents").desc(), "nation")
+    ranked = rev.withColumn("r", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "nation",
+            F.when(F.col("r") <= 5, F.col("nation")).otherwise("OTHER"),
+        )
+        .groupBy("nation")
+        .agg(
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+            F.min("r").alias("rank"),
+        )
+    )
+
+
+@register(
+    "sprt_conversion_monitor",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             SUM(CASE WHEN user_id % 2 = 1
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END) AS t_c,
+             SUM(CASE WHEN user_id % 2 = 1
+                       AND event_type = 'view' THEN 1 ELSE 0 END) AS t_n,
+             SUM(CASE WHEN user_id % 2 = 0
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END) AS c_c,
+             SUM(CASE WHEN user_id % 2 = 0
+                       AND event_type = 'view' THEN 1 ELSE 0 END) AS c_n
+      FROM events GROUP BY 1
+    ), llr AS (
+      SELECT day, t_c, t_n,
+             round(SUM(CAST(t_c AS DOUBLE) * ln(1.2)
+                       + CAST(t_n - t_c AS DOUBLE)
+                         * ln((1.0 - 0.12) / (1.0 - 0.10))) OVER w, 6)
+               AS cum_llr
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT day, CAST(t_c AS BIGINT) AS treat_conv,
+           CAST(t_n AS BIGINT) AS treat_views,
+           cum_llr,
+           CASE WHEN cum_llr >= round(ln(19.0), 6) THEN 'accept_h1'
+                WHEN cum_llr <= round(ln(1.0 / 19.0), 6) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+)
+def q_sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability-ratio test (Wald) monitor: the
+    treatment arm's cumulative log-likelihood ratio for H1 "view→
+    purchase conversion = 12%" vs H0 "10%", with the ±ln(19)
+    boundaries (α=β=0.05) — the always-valid peeking rule
+    experimentation platforms use instead of fixed-horizon tests.
+    Daily integer counts feed a calendar-bounded running sum; every
+    ln() term multiplies an exact integer, so 6dp rounding is stable
+    across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(
+            (
+                (F.col("user_id") % 2 == 1)
+                & (F.col("event_type") == "purchase")
+            ).cast("bigint")
+        ).alias("t_c"),
+        F.sum(
+            (
+                (F.col("user_id") % 2 == 1) & (F.col("event_type") == "view")
+            ).cast("bigint")
+        ).alias("t_n"),
+    )
+    import math
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr_term = F.col("t_c").cast("double") * F.lit(math.log(1.2)) + (
+        F.col("t_n") - F.col("t_c")
+    ).cast("double") * F.log(F.lit((1.0 - 0.12) / (1.0 - 0.10)))
+    out = daily.withColumn("cum_llr", F.round(F.sum(llr_term).over(w), 6))
+    hi, lo = F.round(F.log(F.lit(19.0)), 6), F.round(
+        F.log(F.lit(1.0 / 19.0)), 6
+    )
+    return out.select(
+        "day",
+        F.col("t_c").alias("treat_conv"),
+        F.col("t_n").alias("treat_views"),
+        "cum_llr",
+        F.when(F.col("cum_llr") >= hi, "accept_h1")
+        .when(F.col("cum_llr") <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -84,6 +84,8 @@ GLOBAL_WINDOW_OK = {
                            # its docstring as the dimension-sized pass
     "neyman_allocation",   # 5-row per-segment moment table
     "rolling_corr_events",  # one-row-per-day series, calendar-bounded
+    "topn_plus_other_nations",  # rank over the 25-row nation aggregate
+    "sprt_conversion_monitor",  # calendar-bounded daily LLR cumsum
 }
 
 
