@@ -53,3 +53,70 @@ def validate_frame(df: DataFrame, spec: ValidationSpec) -> DataFrame:
         if spec.max_records is not None and n > spec.max_records:
             raise ValidationError(f"{n} records > max_records={spec.max_records}")
     return df
+
+
+def schema_compat_report(
+    old: "StructType", new: "StructType"
+) -> list[dict[str, str]]:
+    """Backward-compatibility check between two schema versions — the
+    gate an append-only 100 TB dataset runs before accepting a new
+    writer. Returns a list of findings, each
+    ``{"field", "change", "severity"}``; an empty list means fully
+    backward-compatible.
+
+    Rules (parquet/Avro-style resolution):
+    - added nullable field       → ok (readers see nulls on old data)
+    - added NON-nullable field   → break (old files can't supply it)
+    - removed field              → break (readers referencing it fail)
+    - type widened (int→long, float→double, int→double) → warn
+      (safe for readers that re-cast, but splits file schemas)
+    - any other type change      → break
+    - nullable → required        → break (old nulls violate it)
+    - required → nullable        → ok
+    """
+    widenings = {
+        ("integer", "long"),
+        ("integer", "double"),
+        ("long", "double"),
+        ("float", "double"),
+    }
+    findings: list[dict[str, str]] = []
+    old_fields = {f.name: f for f in old.fields}
+    new_fields = {f.name: f for f in new.fields}
+    for name, f in new_fields.items():
+        if name not in old_fields:
+            findings.append(
+                {
+                    "field": name,
+                    "change": "added",
+                    "severity": "ok" if f.nullable else "break",
+                }
+            )
+    for name, f in old_fields.items():
+        if name not in new_fields:
+            findings.append(
+                {"field": name, "change": "removed", "severity": "break"}
+            )
+            continue
+        g = new_fields[name]
+        canon = {"int": "integer", "bigint": "long"}
+        ot = canon.get(f.dataType.simpleString(), f.dataType.simpleString())
+        nt = canon.get(g.dataType.simpleString(), g.dataType.simpleString())
+        if ot != nt:
+            sev = "warn" if (ot, nt) in widenings else "break"
+            findings.append(
+                {
+                    "field": name,
+                    "change": f"type:{ot}->{nt}",
+                    "severity": sev,
+                }
+            )
+        if f.nullable and not g.nullable:
+            findings.append(
+                {
+                    "field": name,
+                    "change": "nullable->required",
+                    "severity": "break",
+                }
+            )
+    return findings

@@ -540,3 +540,43 @@ def test_coalesced_intervals_are_disjoint_and_cover(spark):
     for r in ev:
         t = calendar.timegm(r["ts"].timetuple())
         assert any(s <= t <= e for s, e in by_user[r["user_id"]])
+
+
+def test_schema_compat_report_rules(spark):
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from small_etl_spark.operators.validation import schema_compat_report
+
+    old = StructType([
+        StructField("id", LongType(), False),
+        StructField("qty", IntegerType(), True),
+        StructField("price", DoubleType(), True),
+        StructField("note", StringType(), True),
+        StructField("opt", StringType(), True),
+    ])
+    new = StructType([
+        StructField("id", LongType(), True),        # required→nullable: ok
+        StructField("qty", LongType(), True),       # widened: warn
+        StructField("price", StringType(), True),   # incompatible: break
+        # note removed: break
+        StructField("opt", StringType(), False),    # nullable→required: break
+        StructField("tag", StringType(), True),     # added nullable: ok
+        StructField("must", LongType(), False),     # added required: break
+    ])
+    found = {
+        (f["field"], f["change"]): f["severity"]
+        for f in schema_compat_report(old, new)
+    }
+    assert found == {
+        ("qty", "type:integer->long"): "warn",
+        ("price", "type:double->string"): "break",
+        ("note", "removed"): "break",
+        ("opt", "nullable->required"): "break",
+        ("tag", "added"): "ok",
+        ("must", "added"): "break",
+    }
+    # identical schemas → clean report
+    assert schema_compat_report(old, old) == []

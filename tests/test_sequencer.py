@@ -1077,3 +1077,25 @@ def test_mvp_simple_example_config(spark, tmp_path):
         if f.endswith(".zip")
     ]
     assert any(os.path.basename(z) == "mvp_output.zip" for z in zips)
+
+
+def test_stage_output_persist_is_reused_downstream(spark):
+    """The sequencer persists each stage output before counting it;
+    a downstream previous-stage consumer must read the cached data
+    (InMemoryTableScan in its plan), not recompute the upstream
+    pipeline."""
+    seq = {
+        "pipelines": [
+            {"name": "root", "source": {"type": "sample", "sample_data": SAMPLE}},
+            {
+                "name": "child",
+                "depends_on": ["root"],
+                "source": {"type": "previous", "previous_pipeline": "root"},
+                "transform": {"add_markers": False},
+            },
+        ]
+    }
+    ctx = run_sequence(spark, sequence_from_dict(seq))
+    child_df = ctx.results[1].df
+    plan = child_df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
