@@ -9669,6 +9669,71 @@ def q_sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hour_of_week_profile",
+    """
+    SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                AS BIGINT) AS dow,
+           CAST(strftime(ts, '%H') AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity heatmap (dow × hour event and purchase
+    counts) — the load-shaping profile behind capacity planning and
+    anomaly baselines. Weekday from epoch-day arithmetic (engine-
+    proof, not locale dayofweek), hour from the UTC-pinned session
+    formatter; one map-combined groupBy to a 7×24-bounded result."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.pmod(
+                F.datediff(
+                    F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+                ),
+                7,
+            )
+            .cast("bigint")
+            .alias("dow"),
+            F.date_format("ts", "HH").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("bigint")
+            ).alias("n_purchases"),
+        )
+    )
+
+
+@register(
+    "basket_size_distribution",
+    """
+    WITH b AS (
+      SELECT l_orderkey, COUNT(*) AS basket
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(basket AS BIGINT) AS basket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY 1
+    """,
+)
+def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size histogram: line items per order, then order counts
+    per basket size — the two-level count-of-counts aggregation
+    (same shape as degree distributions and dup-cluster histograms).
+    Both groupBys map-combine; the result is bounded by the max
+    basket size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket"))
+    return b.groupBy(F.col("basket").alias("basket_size")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
