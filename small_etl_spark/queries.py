@@ -9734,6 +9734,112 @@ def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "log2_value_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value > 0
+    )
+    SELECT CAST(length(printf('%b', cents)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM c GROUP BY 1
+    """,
+)
+def q_log2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of purchase values: bucket =
+    floor(log2(cents)) computed as BIT LENGTH − 1 of the exact
+    integer cents — integer arithmetic, immune to the
+    floating-log-at-boundary ulp problem (same reasoning as the
+    Benford audit's textual digit). The log-scale histogram is the
+    right shape for long-tailed money/size distributions where
+    equi-width buckets put 99% of mass in one bin."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(cents.alias("cents"))
+    # bit_length(cents) - 1 == floor(log2(cents)) for positive ints
+    bucket = (F.length(F.expr("bin(cents)")) - F.lit(1)).cast("bigint")
+    return (
+        c.select("cents", bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "supplier_hhi_by_part",
+    """
+    WITH s AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ), t AS (
+      SELECT l_partkey, SUM(cents) AS tot, COUNT(*) AS n_suppliers
+      FROM s GROUP BY 1
+    ), hhi AS (
+      SELECT s.l_partkey, t.n_suppliers,
+             SUM(pow(CAST(s.cents AS DOUBLE) / t.tot, 2)) * 10000.0 AS h
+      FROM s JOIN t USING (l_partkey)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(CASE WHEN h < 1500 THEN 0
+                     WHEN h < 2500 THEN 1 ELSE 2 END AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(n_suppliers) AS BIGINT) AS min_suppliers,
+           CAST(MAX(n_suppliers) AS BIGINT) AS max_suppliers
+    FROM hhi GROUP BY 1
+    """,
+)
+def q_supplier_hhi_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration audit: Herfindahl–Hirschman index of
+    supplier revenue share per part, bucketed into the DOJ bands
+    (<1500 competitive, 1500–2500 moderate, >2500 concentrated) —
+    the single-source-risk screen over a supply graph. Shares from
+    exact integer cents; the share-square sum runs over the
+    bounded suppliers-per-part group, and only the 3-band rollup
+    leaves the executor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    t = s.groupBy("l_partkey").agg(
+        F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    hhi = (
+        s.join(t, "l_partkey")
+        .groupBy("l_partkey", "n_suppliers")
+        .agg(
+            (
+                F.sum(
+                    F.pow(F.col("cents").cast("double") / F.col("tot"), 2)
+                )
+                * 10000.0
+            ).alias("h")
+        )
+    )
+    band = (
+        F.when(F.col("h") < 1500, 0)
+        .when(F.col("h") < 2500, 1)
+        .otherwise(2)
+        .cast("bigint")
+    )
+    return hhi.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("n_suppliers").alias("min_suppliers"),
+        F.max("n_suppliers").alias("max_suppliers"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
