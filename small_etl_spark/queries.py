@@ -9840,6 +9840,50 @@ def q_supplier_hhi_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "clv_deciles",
+    """
+    WITH clv AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), tiled AS (
+      SELECT o_custkey, cents, n_orders,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM clv
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM tiled GROUP BY 1
+    """,
+)
+def q_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles: per-customer order revenue
+    (exact cents) tiled into 10 equal-count bands via
+    operators.sort.ntile_by — partition-parallel exact NTILE, no
+    single-task window even though customers scale with the corpus —
+    then per-decile revenue and order totals: the 'top decile = X%
+    of revenue' concentration table."""
+    from small_etl_spark.operators.sort import ntile_by
+
+    o = load_table(spark, sf_dir, "orders")
+    clv = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tiled = ntile_by(clv, ["cents", "o_custkey"], 10, tile_col="decile")
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
