@@ -9884,6 +9884,67 @@ def q_clv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_revenue_pareto",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             row_number() OVER (ORDER BY cents DESC, l_partkey) - 1 AS i,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER () AS n, SUM(cents) OVER () AS tot
+      FROM rev
+    )
+    SELECT CAST(floor(10.0 * i / n) AS BIGINT) AS part_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+             AS cum_revenue_share
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: parts ranked by revenue, the
+    cumulative revenue share at each decile of the part catalog —
+    the 80/20 readout ("the top 10% of parts carry X% of revenue").
+    Rank AND running total both come from the partition-parallel
+    primitives (global_ordinal + global_cumsum over (−revenue,
+    partkey)) — no single-task window even at catalog scale; the
+    only bounded output is the 10-row decile rollup."""
+    from small_etl_spark.operators.sort import global_cumsum, global_ordinal
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents")
+    ).withColumn("neg", -F.col("cents"))
+    ranked = global_ordinal(rev, ["neg", "l_partkey"], ordinal_col="i")
+    cum = global_cumsum(
+        ranked, ["neg", "l_partkey"], "cents", cumsum_col="cum"
+    )
+    totals = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy(
+            F.floor(F.lit(10.0) * F.col("i") / F.col("n"))
+            .cast("bigint")
+            .alias("part_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.max("cum").cast("double") / F.max("tot").cast("double"), 6
+            ).alias("cum_revenue_share"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

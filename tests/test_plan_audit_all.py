@@ -52,6 +52,7 @@ CARTESIAN_OK = {
                            # truth the PQ recall is measured against
     "hll_setops_contract",  # broadcast of a 1-row exact-count aggregate
     "rrf_fusion_docs",     # inherits bm25's corpus-constant folds
+    "part_revenue_pareto",  # broadcast of the 1-row (n, total) fold
     "diff_in_diff_events",  # two scalar broadcasts (midpoint, DiD value)
 }
 
