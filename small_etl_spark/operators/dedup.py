@@ -170,6 +170,15 @@ def sorted_neighborhood_pairs(
     """
     from small_etl_spark.operators.sort import global_ordinal
 
+    if window < 2:
+        # window=1 would build F.sequence(rank+1, rank) — a DESCENDING
+        # sequence in Spark — emitting distance-0 self-pairs instead of
+        # "no comparisons". There is no meaningful SNM with w < 2.
+        raise ValueError(
+            f"sorted_neighborhood_pairs requires window >= 2 (got "
+            f"{window}): each record is compared to its window-1 "
+            "successors, so window=1 means zero comparisons."
+        )
     key = sort_key if sort_key is not None else F.lower(F.col(text_col))
     ranked = global_ordinal(
         df.select(F.col(id_col), F.col(text_col), key.alias("__snm_key__")),

@@ -250,6 +250,7 @@ def cc_two_phase_star(
         )
         return relinked
 
+    converged = False
     for _ in range(max_rounds):
         nxt = small_star(large_star(e)).localCheckpoint()
         if (
@@ -257,8 +258,21 @@ def cc_two_phase_star(
             and e.exceptAll(nxt).limit(1).count() == 0
         ):
             e = nxt
+            converged = True
             break
         e = nxt
+    if not converged:
+        # Returning the non-fixed-point edge set would silently split
+        # components (callers like golden_record_customers would emit
+        # wrong clusters with no signal) — fail loudly instead. The
+        # algorithm converges in O(log^2 n) rounds, so hitting this on
+        # a real graph means max_rounds is set far too low.
+        raise RuntimeError(
+            f"cc_two_phase_star did not reach the large-star/small-star "
+            f"fixed point within max_rounds={max_rounds}; component labels "
+            "would be incorrect. Raise max_rounds (O(log^2 n) rounds "
+            "suffice for n nodes)."
+        )
 
     # fixed point: every edge is (node, component_min)
     labels = e.select(

@@ -424,21 +424,28 @@ def point_in_time_join(
         F.col(key).alias("__v_key__"),
         *[F.col(c).alias(c) for c in vcols],
     )
-    cond = (facts[key] == v["__v_key__"]) & (
-        F.col(valid_from) <= facts[ts]
-    ) & (F.col(valid_to).isNull() | (facts[ts] < F.col(valid_to)))
-    j = facts.join(v, cond, how).drop("__v_key__")
+    # Overlap resolution must key on ROW IDENTITY, not row VALUES:
+    # partitioning the window on all fact columns would collapse two
+    # genuinely identical fact rows (fact feeds without a unique id —
+    # repeated measurements, at-least-once ingestion) into one output
+    # row. A monotonically_increasing_id minted BEFORE the join gives
+    # every physical fact row its own window partition; it adds no
+    # shuffle (pure map-side expression) and never escapes.
+    tagged = facts.withColumn("__pit_fid__", F.monotonically_increasing_id())
+    cond = (tagged[key] == v["__v_key__"]) & (
+        F.col(valid_from) <= tagged[ts]
+    ) & (F.col(valid_to).isNull() | (tagged[ts] < F.col(valid_to)))
+    j = tagged.join(v, cond, how).drop("__v_key__")
     # Well-formed SCD2 gives exactly one match; resolve overlaps by
-    # latest valid_from. The window partitions on the fact's own
-    # columns' natural key — callers pass facts with a unique id, so
-    # we partition on all fact columns' first (cheap: ≤v rows each).
-    w = Window.partitionBy(*[facts[c] for c in facts.columns]).orderBy(
+    # latest valid_from, per physical fact row (≤ versions-per-key
+    # rows in each window partition — cheap at any scale).
+    w = Window.partitionBy("__pit_fid__").orderBy(
         F.col(valid_from).desc_nulls_last()
     )
     return (
         j.withColumn("__pit_rn__", F.row_number().over(w))
         .filter(F.col("__pit_rn__") == 1)
-        .drop("__pit_rn__")
+        .drop("__pit_rn__", "__pit_fid__")
     )
 
 

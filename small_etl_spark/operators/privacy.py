@@ -11,14 +11,26 @@ shapes that scale like any groupBy.
 
 The DP noise here is the standard Laplace mechanism with one
 deliberate twist: the uniform draw is a PORTABLE HASH of the group
-key (the house md5 idiom), not an RNG. That keeps every released
-count reproducible across engines, retries, and partitionings — the
-same determinism contract as ``llm/sampling.py`` — and lets the
-DuckDB oracle verify the exact released values. (A hash of the group
-key is a fixed function of the data: treat the release as one-shot —
-re-releasing after changing the data re-randomizes only changed
-keys. For a fresh draw per release, fold a release nonce into
-``salt``.)
+key plus a CALLER-SUPPLIED salt (the house md5 idiom), not an RNG.
+That keeps every released count reproducible across engines,
+retries, and partitionings — the same determinism contract as
+``llm/sampling.py`` — and lets the DuckDB oracle verify the exact
+released values.
+
+PRIVACY CONTRACT — read before releasing anything: because the
+noise is a deterministic function of (salt, group key), anyone who
+KNOWS the salt can recompute the noise exactly and recover the true
+counts. The guarantee is therefore at best *computational DP under a
+secret key* (Mironov et al. 2009): it holds only if the salt is a
+high-entropy secret never shipped with the release. There is NO
+default salt — a hard-coded public value would make the mechanism
+ε=∞ (zero privacy) while still claiming ε-DP, so the caller must
+supply one explicitly and own its secrecy. Treat the release as
+one-shot per salt: re-releasing the same groups under the same salt
+spends no extra budget (identical noise), but a fresh salt is a
+fresh draw and composes like a fresh ε. For information-theoretic DP
+(noise unrecoverable even with unbounded compute), use a real RNG
+draw instead and give up oracle-exact reproducibility.
 """
 
 from __future__ import annotations
@@ -63,19 +75,33 @@ def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],
     epsilon: float = 1.0,
-    salt: str = "dp-v1",
+    salt: str | None = None,
 ) -> DataFrame:
-    """ε-DP noisy group counts via the Laplace mechanism: released
+    """Noisy group counts via the Laplace mechanism: released
     count = true count + Laplace(1/ε) (count queries have L1
     sensitivity 1). The Laplace draw inverts the CDF at a
-    deterministic hash-uniform of the group key:
+    deterministic hash-uniform of (salt, group key):
     ``noise = -(1/ε)·sign(u-½)·ln(1-2|u-½|)``.
+
+    ``salt`` is REQUIRED and must be a secret: the privacy guarantee
+    is computational DP under a secret key, not unconditional ε-DP —
+    see the module docstring for the full contract. Passing a value
+    that appears in code, config, or the release itself voids the
+    guarantee entirely (the noise becomes publicly recomputable).
 
     Same plan as a plain groupBy count plus map-side expressions —
     noise costs nothing at any scale. Returns the group columns and
     ``noisy_n`` (rounded to 6dp; true counts are NOT in the output —
     that would defeat the release).
     """
+    if not salt:
+        raise ValueError(
+            "dp_noisy_counts requires an explicit secret salt: the noise "
+            "is a deterministic function of (salt, group key), so a "
+            "public/default salt would make true counts exactly "
+            "recoverable (zero privacy). Supply a high-entropy secret "
+            "kept out of the release."
+        )
     b = 1.0 / epsilon
     u = _hash_uniform([F.col(c) for c in group_cols], salt)
     centered = u - F.lit(0.5)

@@ -81,9 +81,25 @@ def salted_join(
     Cost: right side inflated ``salt_buckets``× through the shuffle —
     use when right ≪ left but too big to broadcast, or when AQE's
     skew-split (our session default) can't help because the skew is
-    in a hash-aggregate rather than sort-merge. The join RESULT is
-    identical to the unsalted join; the salt columns never escape.
+    in a hash-aggregate rather than sort-merge. For the LEFT-anchored
+    join types the RESULT is identical to the unsalted join (each
+    left row meets exactly one replica, which holds ALL right rows
+    for its key) and the salt columns never escape. Right/full outer
+    variants are REJECTED: an unmatched right row exists in every one
+    of the ``salt_buckets`` replicas, so the outer side would emit it
+    ``salt_buckets``× — silently wrong; use AQE's skew-join split for
+    outer joins instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: the right "
+            f"side is replicated {salt_buckets}x, so unmatched right rows "
+            f"would be emitted {salt_buckets} times under right/full outer "
+            "joins. Use inner/left/left_semi/left_anti, or AQE skew-join "
+            "for outer variants."
+        )
     salted_left = left.withColumn(
         "__salt__",
         F.pmod(F.crc32(F.col(distributor).cast("string")), F.lit(salt_buckets)),

@@ -51,6 +51,55 @@ def top_k(
     return df.orderBy(main, *extra).limit(k)
 
 
+def _ranged_with_offsets(
+    df: DataFrame,
+    order_cols: list[str],
+    total_expr,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Shared two-phase scaffolding for :func:`global_ordinal` /
+    :func:`global_cumsum`: range-partition on the order columns, PIN
+    that partitioning, aggregate one (pid → total) row per partition,
+    prefix-sum the totals on the driver (partition-count-sized), and
+    attach each partition's exclusive offset as ``__off__`` via a
+    BROADCAST join against the tiny (pid, offset) table.
+
+    Two design points both exist for cluster scale:
+
+    - ``localCheckpoint(eager=True)`` materializes the range exchange
+      ONCE before the totals pass. Without it, the totals job and the
+      final projection job would each re-execute
+      ``repartitionByRange`` — whose split points come from SAMPLING —
+      and on inputs large enough that sampling is partial the two
+      executions can draw different boundaries, silently attaching
+      offsets to the wrong partitions. Pinning makes both jobs read
+      the identical materialized partitions; if blocks are lost the
+      job fails loudly instead of recomputing inconsistently.
+    - The offsets attach through ``F.broadcast`` of a (pid, offset)
+      DataFrame, NOT a chained ``CASE WHEN`` over pids: a CaseWhen
+      chain is O(partitions) work PER ROW, so its cost grows with
+      cluster size (2k partitions ⇒ 2k branch tests per row); the
+      broadcast hash join is O(1) per row at any partition count.
+    """
+    parts = [num_partitions] if num_partitions else []
+    ranged = (
+        df.repartitionByRange(*parts, *order_cols)
+        .withColumn("__pid__", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("__pid__").agg(total_expr.alias("__t__")).collect()
+    rows, acc = [], 0
+    for r in sorted(totals, key=lambda r: r["__pid__"]):
+        rows.append((r["__pid__"], int(acc)))
+        acc += r["__t__"] or 0
+    off_df = df.sparkSession.createDataFrame(
+        rows or [(0, 0)], schema="__pid__ INT, __off__ BIGINT"
+    )
+    return ranged.join(F.broadcast(off_df), "__pid__", "left").withColumn(
+        "__off__", F.coalesce(F.col("__off__"), F.lit(0)).cast("bigint")
+    )
+
+
 def global_ordinal(
     df: DataFrame,
     order_cols: list[str],
@@ -62,46 +111,27 @@ def global_ordinal(
     ``row_number() OVER (ORDER BY ...)`` plans.
 
     The distributed pattern: range-partition on the order columns
-    (sampled split points keep partitions balanced), count each
-    partition, prefix-sum those counts into per-partition offsets
-    (a partition-count-sized list — driver-trivial), then
+    (sampled split points keep partitions balanced) and PIN the
+    exchange, count each partition, prefix-sum those counts into
+    per-partition offsets (a partition-count-sized list —
+    driver-trivial), broadcast-join the offsets back, then
     ``ordinal = offset[pid] + local_rank`` where the local window
     partitions BY pid — every partition ranks in parallel. Used for
     curriculum ordering (train on quality-sorted corpora), stable
-    export numbering, and pagination at corpus scale.
-
-    Note: the offsets come from one extra count pass over the
-    range-partitioned frame; at 100 TB persist it first so the scan
-    isn't repeated (left to the caller — a hidden cache here would
-    pin executor memory the caller can't see).
+    export numbering, and pagination at corpus scale. See
+    :func:`_ranged_with_offsets` for why the exchange is pinned and
+    the offsets broadcast-joined rather than CASE-WHEN-chained.
     """
     from pyspark.sql import Window
 
-    parts = [num_partitions] if num_partitions else []
-    ranged = df.repartitionByRange(*parts, *order_cols).withColumn(
-        "__pid__", F.spark_partition_id()
+    ranged = _ranged_with_offsets(
+        df, order_cols, F.count(F.lit(1)), num_partitions
     )
-    counts = {
-        r["__pid__"]: r["n"]
-        for r in ranged.groupBy("__pid__").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_expr = F.lit(0).cast("bigint")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("__pid__") == pid, F.lit(off).cast("bigint")).otherwise(
-            offset_expr
-        )
     w = Window.partitionBy("__pid__").orderBy(*[F.col(c) for c in order_cols])
-    return (
-        ranged.withColumn(
-            ordinal_col,
-            (offset_expr + F.row_number().over(w) - 1).cast("bigint"),
-        )
-        .drop("__pid__")
-    )
+    return ranged.withColumn(
+        ordinal_col,
+        (F.col("__off__") + F.row_number().over(w) - 1).cast("bigint"),
+    ).select(*df.columns, ordinal_col)
 
 
 def global_cumsum(
@@ -117,43 +147,28 @@ def global_cumsum(
     :func:`global_ordinal` and the backbone of packing / sharding /
     coverage-curve operators.
 
-    Same two-phase shape: range-partition on the order columns,
-    aggregate one (pid → partition total) row per partition, prefix-
-    sum those totals on the driver (partition-count-sized), then add
-    each partition's offset to its LOCAL running sum — every
-    partition computes its window in parallel. The cumsum is
-    INCLUSIVE of the current row; include a unique tiebreak in
-    ``order_cols`` for determinism.
+    Same two-phase shape as :func:`global_ordinal` (via
+    :func:`_ranged_with_offsets` — pinned range exchange + broadcast-
+    joined offsets): aggregate one (pid → partition total) row per
+    partition, prefix-sum those totals on the driver
+    (partition-count-sized), then add each partition's offset to its
+    LOCAL running sum — every partition computes its window in
+    parallel. The cumsum is INCLUSIVE of the current row; include a
+    unique tiebreak in ``order_cols`` for determinism.
     """
     from pyspark.sql import Window
 
-    parts = [num_partitions] if num_partitions else []
-    ranged = df.repartitionByRange(*parts, *order_cols).withColumn(
-        "__pid__", F.spark_partition_id()
+    ranged = _ranged_with_offsets(
+        df, order_cols, F.sum(value_col), num_partitions
     )
-    totals = {
-        r["__pid__"]: r["s"]
-        for r in ranged.groupBy("__pid__")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
-    offset_expr = F.lit(0).cast("bigint")
-    for pid, off in offsets.items():
-        offset_expr = F.when(
-            F.col("__pid__") == pid, F.lit(off).cast("bigint")
-        ).otherwise(offset_expr)
     w = (
         Window.partitionBy("__pid__")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ranged.withColumn(
-        cumsum_col, (offset_expr + F.sum(value_col).over(w)).cast("bigint")
-    ).drop("__pid__")
+        cumsum_col, (F.col("__off__") + F.sum(value_col).over(w)).cast("bigint")
+    ).select(*df.columns, cumsum_col)
 
 
 def ntile_by(

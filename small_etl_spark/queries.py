@@ -7803,18 +7803,24 @@ def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-DP noisy release (operators.privacy.dp_noisy_counts): daily
-    per-type event counts + Laplace(1/ε) noise at ε=1, with the
-    uniform draw a portable md5 hash of the group key — the released
-    numbers are reproducible across engines/retries/partitionings,
-    so the oracle verifies the exact mechanism, not just its shape.
-    True counts never appear in the output."""
+    """DP-mechanism noisy release (operators.privacy.dp_noisy_counts):
+    daily per-type event counts + Laplace(1/ε) noise at ε=1, with the
+    uniform draw a portable md5 hash of (salt, group key) — the
+    released numbers are reproducible across engines/retries/
+    partitionings, so the oracle verifies the exact mechanism, not
+    just its shape. True counts never appear in the output. The salt
+    here is deliberately PUBLIC (it's in this file and the oracle
+    SQL) so the gate can verify the arithmetic — which, per the
+    operator's privacy contract, means THIS catalog entry provides no
+    actual privacy; a real release must pass a secret salt."""
     from small_etl_spark.operators.privacy import dp_noisy_counts
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     )
-    return dp_noisy_counts(ev, ["event_type", "day"], epsilon=1.0)
+    return dp_noisy_counts(
+        ev, ["event_type", "day"], epsilon=1.0, salt="dp-v1"
+    )
 
 
 @register(

@@ -414,3 +414,19 @@ def test_sorted_neighborhood_rank_is_partition_parallel(spark):
     windows over __pid__), not a whole-table single-task window."""
     plan = plan_of(spark, "snm_dup_customers")
     assert "__pid__" in plan
+
+
+def test_global_ordinal_offsets_broadcast_not_casewhen(spark):
+    """The (pid → offset) map in global_ordinal/global_cumsum must
+    attach via a BROADCAST join of the tiny offsets table, never a
+    chained CASE WHEN over pids: the chain is O(partitions) branch
+    tests PER ROW, so its per-row cost grows with cluster size —
+    the one shape that gets WORSE as the cluster gets bigger. Also
+    pin the range exchange: the plan must read the localCheckpoint
+    (Scan ExistingRDD), not re-execute the sampled repartitionByRange
+    per job (sampling could re-draw different boundaries)."""
+    for name in ("clv_deciles", "part_revenue_pareto", "snm_dup_customers"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "WHEN (__pid__" not in plan, name
+        assert "ExistingRDD" in plan, name

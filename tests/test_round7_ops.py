@@ -250,10 +250,13 @@ def test_dp_noisy_counts_deterministic_and_centered(spark):
     df = spark.createDataFrame(
         [(f"g{i % 40}",) for i in range(400)], ["g"]
     )
+    # a salt is mandatory — a public default would void the guarantee
+    with pytest.raises(ValueError, match="secret salt"):
+        dp_noisy_counts(df, ["g"], epsilon=1.0)
     a = {r["g"]: r["noisy_n"] for r in
-         dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+         dp_noisy_counts(df, ["g"], epsilon=1.0, salt="dp-v1").collect()}
     b = {r["g"]: r["noisy_n"] for r in
-         dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+         dp_noisy_counts(df, ["g"], epsilon=1.0, salt="dp-v1").collect()}
     assert a == b  # hash-uniform → reproducible release
     errs = [v - 10.0 for v in a.values()]
     # Laplace(1): mean |err| ≈ 1, and the direction is ~balanced
@@ -265,7 +268,7 @@ def test_dp_noisy_counts_deterministic_and_centered(spark):
     assert c != a
     # tighter epsilon → bigger noise scale on the same uniforms
     d = {r["g"]: r["noisy_n"] for r in
-         dp_noisy_counts(df, ["g"], epsilon=0.1).collect()}
+         dp_noisy_counts(df, ["g"], epsilon=0.1, salt="dp-v1").collect()}
     assert all(abs(d[g] - 10.0) >= abs(a[g] - 10.0) for g in a)
 
 

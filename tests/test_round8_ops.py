@@ -1,0 +1,85 @@
+"""Round-4 hardening tests: the judge/advisor findings on shared
+primitives — salted outer joins, SNM window guard, CC convergence,
+point-in-time row identity (ADVICE r3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    """Right/full outer through a salted join would emit every
+    unmatched right row salt_buckets times (the replicas all fail to
+    match) — must refuse loudly, not silently duplicate."""
+    from small_etl_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 1)], ["rid", "k"])
+    right = spark.createDataFrame([(1, "a"), (2, "only-right")], ["k", "v"])
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, on="k", distributor="rid", how=how)
+    # the left-anchored types still work and keep exact semantics
+    got = sorted(
+        (r["rid"], r["v"])
+        for r in salted_join(
+            left, right, on="k", distributor="rid", how="left"
+        ).collect()
+    )
+    assert got == [(1, "a")]
+    anti = salted_join(right, left, on="k", distributor="v", how="left_anti")
+    assert [r["v"] for r in anti.collect()] == ["only-right"]
+
+
+def test_sorted_neighborhood_rejects_window_below_two(spark):
+    """window=1 would explode F.sequence(rank+1, rank) — descending in
+    Spark — yielding distance-0 self-pairs instead of no pairs."""
+    from small_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    for w in (1, 0, -3):
+        with pytest.raises(ValueError, match="window >= 2"):
+            sorted_neighborhood_pairs(df, id_col="id", text_col="name", window=w)
+
+
+def test_cc_two_phase_star_raises_when_not_converged(spark):
+    """Exiting the large-star/small-star loop before the fixed point
+    must raise, not return silently-split components."""
+    from small_etl_spark.operators.graph import cc_two_phase_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        cc_two_phase_star(chain, max_rounds=1)
+    # with enough rounds the same graph resolves to one component
+    labels = {
+        r["node"]: r["component"]
+        for r in cc_two_phase_star(chain, max_rounds=12).collect()
+    }
+    assert set(labels.values()) == {0}
+    assert len(labels) == 65
+
+
+def test_point_in_time_join_keeps_duplicate_fact_rows(spark):
+    """Two byte-identical fact rows (fact feeds without a unique id)
+    must BOTH survive overlap resolution — row identity, not row
+    values, keys the dedup window."""
+    from small_etl_spark.operators.joins import point_in_time_join
+
+    facts = spark.createDataFrame(
+        [("k1", "2024-02-01"), ("k1", "2024-02-01"), ("k1", "2024-02-01")],
+        ["k", "ts"],
+    )
+    # overlapping history: both versions valid at the fact ts; the
+    # later valid_from must win, once per physical fact row
+    versions = spark.createDataFrame(
+        [
+            ("k1", "v-old", "2024-01-01", None),
+            ("k1", "v-new", "2024-01-15", None),
+        ],
+        "k STRING, val STRING, valid_from STRING, valid_to STRING",
+    )
+    rows = point_in_time_join(facts, versions, key="k", ts="ts").collect()
+    assert len(rows) == 3
+    assert {r["val"] for r in rows} == {"v-new"}
