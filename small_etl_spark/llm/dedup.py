@@ -125,6 +125,8 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     seed: int = 42,
     hash_family: str = "xxhash64",
+    storage_level: "StorageLevel | None" = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     MinHash banding.
@@ -135,17 +137,34 @@ def minhash_lsh_pairs(
     family (see ``minhash_signature``) — band buckets become
     md5-of-concat strings instead of xxhash64 bigints.
     Returns columns: ``id_a, id_b, jaccard``.
+
+    Storage discipline: the shingle table is reused by the band path
+    and both verify joins, so it is persisted for the duration of the
+    query — and with ``eager=True`` (default) the query runs to
+    completion INSIDE this call (the small pair set is materialized
+    via localCheckpoint) so the corpus-sized cache can be explicitly
+    unpersisted before returning. The only blocks that outlive the
+    call are the result pairs themselves — bounded by the near-dup
+    rate, freed by the ContextCleaner when the caller drops the
+    frame. ``eager=False`` returns the fully lazy plan instead (plan
+    inspection / composition into a larger query); the caller then
+    owns the persisted shingle cache until ``spark.catalog.clearCache``.
+    ``storage_level`` defaults to MEMORY_AND_DISK; pass
+    ``StorageLevel.DISK_ONLY`` at corpus scale so the cache never
+    competes with shuffle memory.
     """
+    from pyspark import StorageLevel
+
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rpb = num_hashes // bands
 
-    # shingle sets are reused by the band join AND the verify join —
-    # persist so the signature pipeline runs exactly once per doc
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_n).alias("sh"),
-    ).persist()
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t__")
+    )
+    sh = base.select(
+        "id", word_shingles("__t__", shingle_n).alias("sh")
+    ).persist(storage_level or StorageLevel.MEMORY_AND_DISK)
 
     def bucket_of(sig: Column, b: int) -> Column:
         joined = F.concat_ws(",", F.slice(sig, b * rpb + 1, rpb))
@@ -196,14 +215,29 @@ def minhash_lsh_pairs(
     )
 
     # fetch shingles only for surviving candidate pairs (≪ n²)
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    result = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if not eager:
+        return result
+    # run to completion now so the shingle cache can be released —
+    # the checkpointed pair set is the only state that survives
+    out = result.localCheckpoint(eager=True)
+    sh.unpersist(blocking=True)
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -173,8 +173,30 @@ def zip_output_dir(
                     header_written = True
             zf.writestr(f"output.{fmt}", "".join(chunks))
         if intermediate_df is not None:
-            rows = [r.asDict(recursive=True) for r in intermediate_df.collect()]
-            zf.writestr("intermediate.json", json.dumps(rows, indent=2, default=str))
+            # Stream the intermediate rows into the ZIP member via
+            # toLocalIterator() — one partition resident on the driver
+            # at a time — instead of a full collect + one giant
+            # json.dumps string. A wide intermediate would otherwise
+            # hold rows AND their rendered text in driver memory at
+            # once; the incremental render below is byte-identical to
+            # json.dumps(rows, indent=2, default=str) (golden-ZIP
+            # tests pin that).
+            import io
+
+            with zf.open("intermediate.json", "w") as raw, io.TextIOWrapper(
+                raw, encoding="utf-8", newline=""
+            ) as w:
+                first = True
+                for r in intermediate_df.toLocalIterator():
+                    rendered = json.dumps(
+                        r.asDict(recursive=True), indent=2, default=str
+                    )
+                    body = "\n".join(
+                        "  " + line for line in rendered.splitlines()
+                    )
+                    w.write(("[\n" if first else ",\n") + body)
+                    first = False
+                w.write("[]" if first else "\n]")
         if metadata is not None:
             zf.writestr("metadata.json", json.dumps(metadata, indent=2, default=str))
     return zip_path

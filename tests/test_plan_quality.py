@@ -155,8 +155,7 @@ def test_map_only_llm_ops_have_no_exchange(spark, name):
     assert "Exchange" not in plan, name
 
 
-@pytest.mark.parametrize("name", ["minhash_lsh_dedup", "minhash_lsh_dedup_md5",
-                                  "simhash_dedup", "simhash_dedup_md5"])
+@pytest.mark.parametrize("name", ["simhash_dedup", "simhash_dedup_md5"])
 def test_probabilistic_dedup_never_cross_joins(spark, name):
     """The whole point of LSH banding / pigeonhole chunking is that
     candidates come from equi-joins on (band, bucket) — a
@@ -165,6 +164,25 @@ def test_probabilistic_dedup_never_cross_joins(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize("hash_family", ["xxhash64", "md5"])
+def test_minhash_lazy_plan_never_cross_joins(spark, hash_family):
+    """Same property for MinHash-LSH, asserted on the LAZY form
+    (eager=False): the catalog entries run eagerly so the shingle
+    cache can be unpersisted inside the call, which leaves only a
+    checkpoint scan in their registered plan — the join shape must be
+    inspected before that materialization."""
+    from small_etl_spark.llm.dedup import minhash_lsh_pairs
+    from small_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = minhash_lsh_pairs(docs, jaccard_threshold=0.8,
+                           hash_family=hash_family, eager=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()  # eager=False leaves the cache to us
 
 
 def test_value_histogram_single_exchange(spark):

@@ -83,3 +83,65 @@ def test_point_in_time_join_keeps_duplicate_fact_rows(spark):
     rows = point_in_time_join(facts, versions, key="k", ts="ts").collect()
     assert len(rows) == 3
     assert {r["val"] for r in rows} == {"v-new"}
+
+
+def test_zip_intermediate_streams_multipartition_byte_identical(spark, tmp_path):
+    """intermediate.json must stream via toLocalIterator (bounded
+    driver memory) yet stay byte-identical to the old whole-corpus
+    json.dumps render, across many partitions and an empty frame."""
+    import json
+    import zipfile
+
+    from small_etl_spark.sinks.files import write_outputs, zip_output_dir
+
+    df = spark.range(0, 57, 1, 7).selectExpr(
+        "id", "concat('name-', id) AS name", "id * 0.5 AS score"
+    )
+    inter = df.repartition(7)
+    written = write_outputs(df.limit(1), str(tmp_path), ["csv"])
+    z = zip_output_dir(
+        str(tmp_path), written, "out.zip", intermediate_df=inter
+    )
+    with zipfile.ZipFile(z) as zf:
+        got = zf.read("intermediate.json").decode()
+    expect = json.dumps(
+        [r.asDict(recursive=True) for r in inter.collect()],
+        indent=2,
+        default=str,
+    )
+    assert got == expect
+
+    empty = inter.filter("id < 0")
+    z2 = zip_output_dir(
+        str(tmp_path), written, "empty.zip", intermediate_df=empty
+    )
+    with zipfile.ZipFile(z2) as zf:
+        assert zf.read("intermediate.json").decode() == "[]"
+
+
+def test_minhash_pins_only_the_candidate_pair_set(spark):
+    """minhash_lsh_pairs must never persist corpus-sized state: the
+    single materialization point is the localCheckpoint of the
+    candidate ID-PAIR set (bounded by the near-dup rate, freed by the
+    ContextCleaner once the result frame is dropped). The shingle
+    table — larger than the text itself — must not appear in the
+    persistent-RDD registry."""
+    from small_etl_spark.llm.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i % 5}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    before = persistent_ids()
+    minhash_lsh_pairs(df, jaccard_threshold=0.6).collect()
+    after = persistent_ids()
+    # exactly the one checkpointed pair set may linger, nothing else
+    assert len(after - before) <= 1
