@@ -21,6 +21,134 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from small_etl_spark.queries import REGISTRY
 from small_etl_spark.session import get_spark
 
+# The five most expensive headline queries — the scale-stress set.
+# Facts are inflated by remapping ENTITY ids (new orders/users/docs per
+# replica), not by duplicating rows under the same key: duplicate keys
+# would inflate join fan-outs and LSH bucket sizes quadratically, which
+# measures the synthetic data's degeneracy, not the plan's scaling.
+STRESS_QUERIES = [
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "minhash_lsh_dedup",
+    "window_topk_per_group",
+    "dedup_first_wins",
+]
+_STRESS_ID_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_STRESS_TEXT_COLS = {"documents": ["text"]}
+
+
+def shuffle_write_meter(spark):
+    """Return a () -> int|None reading CUMULATIVE shuffle-write bytes
+    across all completed stages from the app status store. Per-query
+    bytes are the difference around the run — the shuffle-volume twin
+    of the wall-clock number, so a rewrite that keeps seconds flat but
+    doubles the exchanged bytes (the real 1000-node regression) shows
+    up in BENCH history."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        empty_doubles = sc._gateway.new_array(jvm.double, 0)
+    except Exception:  # noqa: BLE001 - metric is best-effort
+        return lambda: None
+
+    def total() -> int | None:
+        try:
+            tot = 0
+            it = store.stageList(
+                jvm.java.util.ArrayList(), False, False, empty_doubles,
+                jvm.java.util.ArrayList(),
+            ).iterator()
+            while it.hasNext():
+                tot += it.next().shuffleWriteBytes()
+            return tot
+        except Exception:  # noqa: BLE001
+            return None
+
+    return total
+
+
+def build_stress_dir(spark, sf_dir: str, factor: int) -> str:
+    """Write a ``factor``×-inflated copy of every table to a temp dir.
+
+    Fact tables explode each row into ``factor`` replicas with remapped
+    entity ids (``id*factor + replica``; document text gets a per-
+    replica suffix so shingles differ); dimension tables copy as-is.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.sources.tables import TABLES, load_table
+
+    dst = tempfile.mkdtemp(prefix="spark_graft_stress_")
+    for table in TABLES:
+        df = load_table(spark, sf_dir, table)
+        if table in _STRESS_ID_COLS:
+            out = df.withColumn(
+                "__r__",
+                F.explode(F.sequence(F.lit(0), F.lit(factor - 1))),
+            )
+            for c in _STRESS_ID_COLS[table]:
+                out = out.withColumn(
+                    c, F.col(c) * factor + F.col("__r__")
+                )
+            for c in _STRESS_TEXT_COLS.get(table, []):
+                out = out.withColumn(
+                    c,
+                    F.concat(
+                        F.col(c), F.lit(" v"), F.col("__r__").cast("string")
+                    ),
+                )
+            df = out.drop("__r__")
+        df.write.mode("overwrite").parquet(
+            os.path.join(dst, f"{table}.parquet")
+        )
+    return dst
+
+
+def run_scale_stress(
+    spark, sf_dir: str, timings: dict, factor: int
+) -> dict:
+    """Re-run the stress set against the inflated copy and report
+    scaled/base wall-clock ratios — ratio ≲ factor ⇒ the plan grew
+    ~linearly with the data; super-linear ratios flag the queries whose
+    100 TB projection is not safe to extrapolate from small SF."""
+    stress_dir = build_stress_dir(spark, sf_dir, factor)
+    out: dict[str, object] = {"factor": factor, "queries": {}}
+    try:
+        for name in STRESS_QUERIES:
+            base = timings.get(name)
+            if not isinstance(base, float):
+                continue
+            try:
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    REGISTRY[name].builder(spark, stress_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    el = time.perf_counter() - t0
+                    best = el if best is None else min(best, el)
+                out["queries"][name] = {
+                    "base_s": base,
+                    "scaled_s": round(best, 3),
+                    "ratio": round(best / base, 2) if base > 0 else None,
+                }
+            except Exception as exc:  # noqa: BLE001 - isolate per query
+                out["queries"][name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    finally:
+        import shutil
+
+        shutil.rmtree(stress_dir, ignore_errors=True)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,7 +182,9 @@ def main() -> None:
     # min over reps filters scheduler/host noise out of the comparison —
     # we are measuring the plan, not the machine's worst moment
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    meter = shuffle_write_meter(spark)
     timings: dict[str, object] = {}
+    shuffle_bytes: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         if not spec.headline:
@@ -64,11 +194,20 @@ def main() -> None:
         # whole round's perf signal — report it as "error" and move on.
         try:
             for _ in range(reps):
+                b0 = meter()
                 t0 = time.perf_counter()
                 df = spec.builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)
+                b1 = meter()
+                if b0 is not None and b1 is not None:
+                    # max over reps: the status store drains its
+                    # listener queue asynchronously, so a late rep sees
+                    # any stragglers from the earlier one
+                    shuffle_bytes[name] = max(
+                        shuffle_bytes.get(name, 0), b1 - b0
+                    )
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 - isolate any query failure
             timings[name] = "error"
@@ -83,8 +222,21 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if shuffle_bytes:
+        payload["shuffle_bytes"] = shuffle_bytes
     if errors:
         payload["errors"] = errors
+
+    # 10×-inflated re-run of the most expensive queries: measured
+    # evidence that each plan's cost grows ~linearly with data volume
+    # (the 100 TB design-point check the plan audit argues on paper).
+    # On by default so every BENCH_r{N}.json carries the curve; set
+    # SPARK_GRAFT_STRESS_FACTOR=0 to skip.
+    stress_factor = int(os.environ.get("SPARK_GRAFT_STRESS_FACTOR", "10"))
+    if stress_factor > 1 and "--no-scale-stress" not in sys.argv:
+        payload["scale_stress"] = run_scale_stress(
+            spark, sf_dir, timings, stress_factor
+        )
     print(json.dumps(payload))
 
 
