@@ -52,28 +52,83 @@ def encode_fake_media(
 
 
 def _decode_image_real(content: bytes) -> dict[str, Any]:
-    """Real decoder — requires Pillow; NOT available in this container."""
-    raise NotImplementedError(
-        "real image decode requires Pillow; install and wire PIL.Image.open here"
-    )
+    """Real image decode: PNG via the in-repo pure-Python codec
+    (llm/png_codec.py — stdlib zlib + numpy, full filter/palette
+    support); other formats (JPEG/WebP/...) via Pillow when present,
+    else a clear error. The container has no Pillow, so PNG is the
+    real in-container path — and it IS real: spec-correct inflate,
+    unfilter, palette expansion, CRC checks."""
+    from small_etl_spark.llm import png_codec
+
+    if png_codec.is_png(content):
+        meta = png_codec.png_meta(content)
+        return {"width": meta["width"], "height": meta["height"], "n_frames": 1}
+    try:
+        import io
+
+        from PIL import Image  # optional: non-PNG formats only
+
+        with Image.open(io.BytesIO(content)) as im:
+            return {
+                "width": im.width,
+                "height": im.height,
+                "n_frames": getattr(im, "n_frames", 1),
+            }
+    except ImportError:
+        raise ValueError(
+            "unknown media container: not PNG, not the fake test format; "
+            "non-PNG image formats require Pillow"
+        ) from None
 
 
 def decode_header(content: bytes) -> dict[str, Any]:
     """Decode media header → {width, height, n_frames}.
 
-    Tries the real decoder first (when its library exists), else the
-    deterministic fake format.
+    Real PNGs (and, with Pillow installed, other image formats) go
+    through the real decoder; the deterministic fake container covers
+    audio/video payloads where no codec library exists here.
     """
-    try:
-        import PIL  # noqa: F401
-
-        return _decode_image_real(content)
-    except ImportError:
-        pass
     if not content.startswith(_MAGIC):
-        raise ValueError("unknown media container")
+        return _decode_image_real(content)
     width, height, n_frames = struct.unpack(">III", content[len(_MAGIC):len(_MAGIC) + 12])
     return {"width": width, "height": height, "n_frames": n_frames}
+
+
+def decode_pixels(content: bytes) -> "Any":
+    """Decode media → (H, W, C) uint8 pixel array.
+
+    PNG blobs decode for real (inflate + unfilter + palette); the
+    fake container's payload is its raw RGB bytes. This is the single
+    pixel entry point for extract_features / resize / phash, so those
+    kernels are codec-agnostic.
+    """
+    import numpy as np
+
+    from small_etl_spark.llm import png_codec
+
+    if png_codec.is_png(content):
+        return png_codec.decode_png(content)
+    if not content.startswith(_MAGIC):
+        raise ValueError("unknown media container")
+    hdr = decode_header(content)
+    w, h = hdr["width"], hdr["height"]
+    px = np.frombuffer(content[len(_MAGIC) + 12:], dtype=np.uint8)
+    return px[: w * h * 3].reshape(h, w, 3)
+
+
+def encode_png_media(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic REAL PNG blob: pixel k = (37·media_id + k) mod 256
+    rasterized RGB, adaptively filtered and deflated. The closed-form
+    pixel law is what lets a SQL oracle verify the full encode →
+    shuffle → decode round trip without being able to inflate PNGs
+    itself (see queries: png_decode_stats)."""
+    import numpy as np
+
+    from small_etl_spark.llm.png_codec import encode_png
+
+    n = width * height * 3
+    px = ((37 * media_id + np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+    return encode_png(px.reshape(height, width, 3))
 
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
@@ -85,6 +140,19 @@ def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
         frames = 1 if kind == "image" else 8 + i % 16
         rows.append((i, kind, bytearray(encode_fake_media(i, kind, w, h, frames)),
                      (w, h, frames, 16000 if kind == "audio" else 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_png_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic REAL-PNG media table: n images whose pixels follow
+    the closed-form law in :func:`encode_png_media` — so SQL oracles
+    can predict decode results without a PNG codec of their own."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 8, 16 + (i % 5) * 8
+        rows.append(
+            (i, "image", bytearray(encode_png_media(i, w, h)), (w, h, 1, 0))
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -116,8 +184,7 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
                 blob = bytes(content)
                 hdr = decode_header(blob)
                 hist = np.bincount(
-                    np.frombuffer(blob[len(_MAGIC) + 12:], dtype=np.uint8),
-                    minlength=256,
+                    decode_pixels(blob).reshape(-1), minlength=256
                 ).astype(np.float64)
                 total = hist.sum() or 1.0
                 feat = (
@@ -138,16 +205,18 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
 def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Image resize over ``mapInPandas``: binary in → binary out.
 
-    Real impl is ``PIL.Image.open(...).resize(...)`` (library absent in
-    this container); the fake path re-encodes the container with the
-    target dimensions and a nearest-neighbor byte subsample so output
-    payload size matches a true resize (target_w × target_h × 3). The
-    Spark contract this pins is the one a real codec needs: binary →
+    Real path: PNG blobs are decoded (inflate + unfilter via
+    llm/png_codec), nearest-neighbor resampled in numpy, and
+    re-encoded as PNG — actual pixels, actual container. Fake-format
+    blobs resample their payload and re-emit the fake container so
+    audio/video plumbing stays testable. Contract either way: binary →
     binary with a new meta struct, batch-size-bounded Arrow transfer,
     non-image rows passed through untouched.
     """
     import numpy as np
     import pandas as pd
+
+    from small_etl_spark.llm.png_codec import encode_png, is_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,17 +234,22 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     out["meta"].append(meta)
                     continue
                 hdr = decode_header(blob)
-                src = np.frombuffer(blob[len(_MAGIC) + 12:], dtype=np.uint8)
-                src = src[: hdr["width"] * hdr["height"] * 3].reshape(
-                    hdr["height"], hdr["width"], 3
-                )
+                src = decode_pixels(blob)
                 ys = (np.arange(target_h) * hdr["height"] // target_h)
                 xs = (np.arange(target_w) * hdr["width"] // target_w)
-                resized = src[ys][:, xs].tobytes()
-                header = struct.pack(">III", target_w, target_h, hdr["n_frames"])
+                resized = src[ys][:, xs]
+                if is_png(blob):
+                    if resized.shape[2] not in (1, 3, 4):
+                        resized = resized[:, :, :3]
+                    new_blob = encode_png(resized)
+                else:
+                    header = struct.pack(
+                        ">III", target_w, target_h, hdr["n_frames"]
+                    )
+                    new_blob = _MAGIC + header + resized.tobytes()
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
-                out["content"].append(_MAGIC + header + resized)
+                out["content"].append(new_blob)
                 out["meta"].append(
                     {
                         "width": target_w,
@@ -231,11 +305,10 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     HAMMING distance tracks visual similarity — the standard cheap
     signal for image near-dedup at corpus scale (pHash/aHash family).
 
-    Decode is the container's deterministic fake codec (same stub
-    discipline as :func:`extract_features` — swap the inner decode
-    for Pillow and nothing else changes). Map-only ``mapInPandas``;
-    the hash is 8 bytes per image no matter the resolution, so the
-    downstream dedup never touches pixels again.
+    Decode goes through :func:`decode_pixels` — real PNG inflate +
+    unfilter for PNG blobs, fake-container payload otherwise. Map-only
+    ``mapInPandas``; the hash is 8 bytes per image no matter the
+    resolution, so the downstream dedup never touches pixels again.
     """
     import numpy as np
     import pandas as pd
@@ -245,12 +318,9 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             ids, hashes = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content)
-                hdr = decode_header(blob)
-                w, h = hdr["width"], hdr["height"]
-                px = np.frombuffer(
-                    blob[len(_MAGIC) + 12:][: w * h * 3], dtype=np.uint8
-                ).astype(np.float64)
-                gray = px.reshape(h, w, 3).mean(axis=2)
+                px = decode_pixels(blob).astype(np.float64)
+                h, w = px.shape[0], px.shape[1]
+                gray = px.mean(axis=2)
                 bw, bh = max(w // 8, 1), max(h // 8, 1)
                 grid = np.array(
                     [
