@@ -21,18 +21,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from small_etl_spark.queries import REGISTRY
 from small_etl_spark.session import get_spark
 
-# The five most expensive headline queries — the scale-stress set.
-# Facts are inflated by remapping ENTITY ids (new orders/users/docs per
-# replica), not by duplicating rows under the same key: duplicate keys
-# would inflate join fan-outs and LSH bucket sizes quadratically, which
-# measures the synthetic data's degeneracy, not the plan's scaling.
+# The most expensive headline queries plus one representative each of
+# sessionization, as-of join, and iterative graph CC — the scale-stress
+# set. Facts are inflated by remapping ENTITY ids (new orders/users/
+# docs/sources per replica), not by duplicating rows under the same
+# key: duplicate keys would inflate join fan-outs and LSH bucket sizes
+# quadratically, which measures the synthetic data's degeneracy, not
+# the plan's scaling.
 STRESS_QUERIES = [
     "q5_local_supplier_volume",
     "q18_large_orders",
     "minhash_lsh_dedup",
     "window_topk_per_group",
     "dedup_first_wins",
+    "sessionize",
+    "asof_join_events",
+    "cc_star_components",
 ]
+# The two most expensive stress queries re-run at 30× — the closest
+# local[32] gets to evidencing the 100× extrapolation.
+STRESS30_QUERIES = ["minhash_lsh_dedup", "q18_large_orders"]
 _STRESS_ID_COLS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
@@ -41,6 +49,13 @@ _STRESS_ID_COLS = {
     "embeddings": ["vec_id"],
 }
 _STRESS_TEXT_COLS = {"documents": ["text"]}
+# Blocking/entity string keys that must also fan out per replica:
+# keeping `source` constant would grow each ngram-Jaccard blocking
+# group ×factor and the in-group pair count ×factor² — again data
+# degeneracy, not plan scaling. New sources per replica keeps group
+# SIZE constant while group COUNT grows linearly, which is how a real
+# 10× corpus grows (more crawl domains, not 10× docs per domain).
+_STRESS_ENTITY_STR_COLS = {"documents": ["source"]}
 
 
 def shuffle_write_meter(spark):
@@ -100,10 +115,43 @@ def build_stress_dir(spark, sf_dir: str, factor: int) -> str:
                     c, F.col(c) * factor + F.col("__r__")
                 )
             for c in _STRESS_TEXT_COLS.get(table, []):
+                # Mutate ~30% of tokens per replica (deterministic:
+                # keyed on token content + replica id). A plain
+                # suffix made the factor replicas of each doc mutual
+                # near-duplicates — every doc became a factor-clique
+                # and LSH candidate pairs grew ~quadratically in the
+                # factor (r4's 11.08× minhash ratio measured exactly
+                # that degeneracy). With 30% token churn, shingle
+                # survival between two replicas is ~0.49³ ≈ 0.12 →
+                # jaccard ≈ 0.06, far below any near-dup threshold,
+                # while docs that were near-dups WITHIN a replica get
+                # the same mutations and stay near-dups — so true
+                # pair volume grows linearly with the factor.
+                out = out.withColumn(
+                    c,
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col(c), " "),
+                            lambda t: F.when(
+                                F.pmod(
+                                    F.xxhash64(t, F.col("__r__")), F.lit(10)
+                                )
+                                < 3,
+                                F.concat(
+                                    t,
+                                    F.lit("~"),
+                                    F.col("__r__").cast("string"),
+                                ),
+                            ).otherwise(t),
+                        ),
+                        " ",
+                    ),
+                )
+            for c in _STRESS_ENTITY_STR_COLS.get(table, []):
                 out = out.withColumn(
                     c,
                     F.concat(
-                        F.col(c), F.lit(" v"), F.col("__r__").cast("string")
+                        F.col(c), F.lit("#"), F.col("__r__").cast("string")
                     ),
                 )
             df = out.drop("__r__")
@@ -113,29 +161,38 @@ def build_stress_dir(spark, sf_dir: str, factor: int) -> str:
     return dst
 
 
+def _time_noop(spark, name: str, data_dir: str, reps: int) -> float:
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        REGISTRY[name].builder(spark, data_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
 def run_scale_stress(
-    spark, sf_dir: str, timings: dict, factor: int
+    spark, sf_dir: str, timings: dict, factor: int, queries: list[str]
 ) -> dict:
     """Re-run the stress set against the inflated copy and report
     scaled/base wall-clock ratios — ratio ≲ factor ⇒ the plan grew
     ~linearly with the data; super-linear ratios flag the queries whose
-    100 TB projection is not safe to extrapolate from small SF."""
+    100 TB projection is not safe to extrapolate from small SF.
+
+    Queries not in the headline set (no entry in ``timings``, e.g. the
+    graph-CC representative) get their base measured here, min-of-2 at
+    the un-inflated dir."""
     stress_dir = build_stress_dir(spark, sf_dir, factor)
     out: dict[str, object] = {"factor": factor, "queries": {}}
     try:
-        for name in STRESS_QUERIES:
-            base = timings.get(name)
-            if not isinstance(base, float):
-                continue
+        for name in queries:
             try:
-                best = None
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    REGISTRY[name].builder(spark, stress_dir).write.format(
-                        "noop"
-                    ).mode("overwrite").save()
-                    el = time.perf_counter() - t0
-                    best = el if best is None else min(best, el)
+                base = timings.get(name)
+                if not isinstance(base, float):
+                    base = round(_time_noop(spark, name, sf_dir, 2), 3)
+                best = _time_noop(spark, name, stress_dir, 2)
                 out["queries"][name] = {
                     "base_s": base,
                     "scaled_s": round(best, 3),
@@ -180,16 +237,20 @@ def main() -> None:
             pass
 
     # min over reps filters scheduler/host noise out of the comparison —
-    # we are measuring the plan, not the machine's worst moment
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # we are measuring the plan, not the machine's worst moment.
+    # min-of-3 (r4 showed min-of-2 lets a single co-load spike survive
+    # into the record: window_topk 1.635 s recorded vs 0.857 s clean);
+    # per-query spread = max/min makes a noisy round self-labeling.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     meter = shuffle_write_meter(spark)
     timings: dict[str, object] = {}
+    spreads: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         if not spec.headline:
             continue
-        best = None
+        samples: list[float] = []
         # Per-query fault isolation: one sick query must never zero the
         # whole round's perf signal — report it as "error" and move on.
         try:
@@ -198,8 +259,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df = spec.builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None else min(best, elapsed)
+                samples.append(time.perf_counter() - t0)
                 b1 = meter()
                 if b0 is not None and b1 is not None:
                     # max over reps: the status store drains its
@@ -208,7 +268,9 @@ def main() -> None:
                     shuffle_bytes[name] = max(
                         shuffle_bytes.get(name, 0), b1 - b0
                     )
-            timings[name] = round(best, 3)
+            timings[name] = round(min(samples), 3)
+            if min(samples) > 0:
+                spreads[name] = round(max(samples) / min(samples), 2)
         except Exception as exc:  # noqa: BLE001 - isolate any query failure
             timings[name] = "error"
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -222,6 +284,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if spreads:
+        payload["spread"] = spreads
     if shuffle_bytes:
         payload["shuffle_bytes"] = shuffle_bytes
     if errors:
@@ -231,11 +295,16 @@ def main() -> None:
     # evidence that each plan's cost grows ~linearly with data volume
     # (the 100 TB design-point check the plan audit argues on paper).
     # On by default so every BENCH_r{N}.json carries the curve; set
-    # SPARK_GRAFT_STRESS_FACTOR=0 to skip.
+    # SPARK_GRAFT_STRESS_FACTOR=0 to skip. The top-2 also run at 30× —
+    # two points on the curve instead of one, so super-linear growth
+    # can't hide inside a single ratio.
     stress_factor = int(os.environ.get("SPARK_GRAFT_STRESS_FACTOR", "10"))
     if stress_factor > 1 and "--no-scale-stress" not in sys.argv:
         payload["scale_stress"] = run_scale_stress(
-            spark, sf_dir, timings, stress_factor
+            spark, sf_dir, timings, stress_factor, STRESS_QUERIES
+        )
+        payload["scale_stress_x30"] = run_scale_stress(
+            spark, sf_dir, timings, 3 * stress_factor, STRESS30_QUERIES
         )
     print(json.dumps(payload))
 

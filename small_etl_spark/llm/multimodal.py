@@ -67,18 +67,22 @@ def _decode_image_real(content: bytes) -> dict[str, Any]:
         import io
 
         from PIL import Image  # optional: non-PNG formats only
-
+    except ImportError:
+        raise ValueError(
+            "unknown media container: not PNG, not the fake test format; "
+            "non-PNG image formats require Pillow"
+        ) from None
+    try:
         with Image.open(io.BytesIO(content)) as im:
             return {
                 "width": im.width,
                 "height": im.height,
                 "n_frames": getattr(im, "n_frames", 1),
             }
-    except ImportError:
-        raise ValueError(
-            "unknown media container: not PNG, not the fake test format; "
-            "non-PNG image formats require Pillow"
-        ) from None
+    except Exception as exc:  # UnidentifiedImageError, truncated file, ...
+        # the error CONTRACT for unknown blobs must not depend on
+        # whether Pillow happens to be installed: always ValueError
+        raise ValueError(f"unknown media container: {exc}") from None
 
 
 def decode_header(content: bytes) -> dict[str, Any]:
@@ -239,7 +243,12 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 xs = (np.arange(target_w) * hdr["width"] // target_w)
                 resized = src[ys][:, xs]
                 if is_png(blob):
-                    if resized.shape[2] not in (1, 3, 4):
+                    if resized.shape[2] == 2:
+                        # gray+alpha (color type 4) decodes to 2
+                        # channels but encode_png has no 2-channel
+                        # color type — drop the alpha PLANE, keep gray
+                        resized = resized[:, :, :1]
+                    elif resized.shape[2] not in (1, 3, 4):
                         resized = resized[:, :, :3]
                     new_blob = encode_png(resized)
                 else:

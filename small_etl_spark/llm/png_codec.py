@@ -200,9 +200,12 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
+        # bounds-check payload AND trailing CRC before any unpack_from:
+        # a chunk truncated between payload and CRC must raise the same
+        # ValueError as every other corrupt-input case, not struct.error
+        if pos + 12 + length > len(data):
             raise ValueError(f"truncated {tag!r} chunk")
+        payload = data[pos + 8 : pos + 8 + length]
         if verify_crc:
             (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
             if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
@@ -235,7 +238,22 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
         raise ValueError("empty image")
     ch = _CHANNELS[color_type]
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
+    # Bounded inflate: IHDR fixes the exact decompressed size, so cap
+    # the output at expected+1 bytes — a crafted small blob whose IDAT
+    # inflates to gigabytes (decompression bomb) is rejected after ONE
+    # extra byte instead of after exhausting executor memory. The
+    # docstring's target is untrusted web-scraped corpora; this is the
+    # difference between a bad row and a dead executor.
+    expected = h * (stride + 1)
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from None
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise ValueError(
+            f"IDAT inflates beyond the declared image size ({expected} B)"
+        )
     recon = _unfilter(raw, h, stride, ch).reshape(h, w, ch)
     if color_type == 3:
         if plte is None:
@@ -250,7 +268,15 @@ def decode_png(data: bytes, verify_crc: bool = True) -> np.ndarray:
 def png_meta(data: bytes) -> dict[str, int]:
     """Cheap header-only parse: width/height/channels without inflating
     IDAT — what a metadata-profiling scan over 100 TB of blobs wants
-    (the first 33 bytes, not the pixels)."""
+    (the first 33 bytes, not the pixels).
+
+    ``channels`` is the channel count ``decode_png`` will RETURN
+    (palette images expand through PLTE to RGB → 3), so header and
+    pixel paths agree; ``file_channels`` is the file's samples-per-
+    pixel. ``decodable`` is 1 iff this module's ``decode_png`` accepts
+    the header (bit depth 8, non-interlaced) — a profiling scan can
+    partition a corpus into decode-here vs needs-Pillow without
+    touching IDAT."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     (length,) = struct.unpack_from(">I", data, 8)
@@ -259,10 +285,13 @@ def png_meta(data: bytes) -> dict[str, int]:
     w, h, depth, color_type, _, _, interlace = struct.unpack_from(">IIBBBBB", data, 16)
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
+    file_ch = _CHANNELS[color_type]
     return {
         "width": int(w),
         "height": int(h),
         "bit_depth": int(depth),
-        "channels": _CHANNELS[color_type],
+        "channels": 3 if color_type == 3 else file_ch,
+        "file_channels": file_ch,
         "interlaced": int(interlace),
+        "decodable": int(depth == 8 and interlace == 0),
     }

@@ -1,0 +1,144 @@
+"""Query catalog: every implemented operator exposed as a named query.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL for the DuckDB oracle (``None`` for
+non-SQL-expressible operators -> rows-only check). Column names are
+aligned between both sides (the driver sorts columns by name and
+hashes values).
+
+Determinism rules used throughout (so value-hashes match DuckDB):
+- money columns are exact 2-decimal fixed-point -> sum via
+  ``CAST(ROUND(col*100) AS BIGINT)`` (exact integer arithmetic), then
+  divide by 100.0 at the end;
+- quantities are integer-valued -> sum as BIGINT;
+- LIMIT always follows a total ORDER BY with a unique tie-break;
+- no raw timestamps in outputs (cast to epoch seconds BIGINT).
+
+The catalog is a package of per-family modules (round-5 split of the
+former 10k-line queries.py); import ORDER below is registration order,
+then ``_reorder_registry`` pins the driver's 50-slot gate window.
+"""
+
+from __future__ import annotations
+
+from small_etl_spark.queries._registry import (  # noqa: F401
+    Builder,
+    QuerySpec,
+    REGISTRY,
+    register,
+)
+
+# family modules populate REGISTRY at import time — keep this order
+from small_etl_spark.queries import etl_gate  # noqa: E402,F401
+from small_etl_spark.queries import analytics  # noqa: E402,F401
+from small_etl_spark.queries import text_quality  # noqa: E402,F401
+from small_etl_spark.queries import llm_dedup  # noqa: E402,F401
+from small_etl_spark.queries import similarity_media  # noqa: E402,F401
+from small_etl_spark.queries import tpch_full  # noqa: E402,F401
+from small_etl_spark.queries import events_ops  # noqa: E402,F401
+from small_etl_spark.queries import text_ml  # noqa: E402,F401
+from small_etl_spark.queries import scale_ops  # noqa: E402,F401
+from small_etl_spark.queries import stats_contracts  # noqa: E402,F401
+
+# --------------------------------------------------------------------------
+# registry ordering
+# --------------------------------------------------------------------------
+
+# The driver's correctness gate only reaches the first 50 registry
+# entries, so ordering is coverage policy, pinned EXPLICITLY: _GATED
+# lists the 50 queries that get a driver CORRECTNESS row — every §2
+# operator family plus the LLM-pipeline essentials (dedup /
+# similarity / text-quality / sequence). Everything else (near-
+# duplicate coverage, rows-only sketches, and round-2+ additions)
+# follows in registration order; all of it stays runnable and covered
+# by pytest + scripts/check_oracle.py. Being a list (not file
+# position) means inserting a new @register anywhere in this module
+# cannot silently push a gated query out of the window —
+# tests/test_registry_order.py enforces the invariant.
+_GATED = [
+    "rename_project",
+    "exclude_fields",
+    "computed_markers",
+    "default_fill_union",
+    "json_path_extract",
+    "array_path_extract",
+    "threshold_filter",
+    "equality_filter",
+    "extract_filters",
+    "limit_sorted",
+    "dedup_first_wins",
+    "top_k",
+    "full_record_dedup",
+    "merge_with_previous",
+    "lookup_enrich",
+    "asof_join_events",
+    "range_join_events",
+    "percentiles",
+    "semi_anti_join",
+    "clean_text",
+    "normalize_fields",
+    "remove_html_tags",
+    "q1_pricing_summary",
+    # groupby_agg / window_functions were swapped out for the two
+    # remaining dedup-family oracles (both stay registered + locally
+    # swept): q1 is itself the groupby-agg shape, window_topk_per_group
+    # carries the window family.
+    "embedding_near_dup",
+    "window_topk_per_group",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "cube_agg",
+    "simhash_dedup_md5",
+    "rollup_agg",
+    "pivot_agg",
+    "distinct_agg",
+    "sessionize",
+    "window_agg_hourly",
+    "session_window_agg",
+    "salted_agg",
+    "token_count",
+    "fingerprint",
+    "exact_dedup_docs",
+    "tfidf_top_terms",
+    "gopher_quality",
+    "lang_id",
+    "quality_score",
+    "sequence_two_stage",
+    "ngram_jaccard_pairs",
+    "near_dup_components",
+    "minhash_lsh_dedup_md5",
+    "cosine_topk",
+    "cosine_topk_vectorized",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _GATED if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"_GATED names not registered: {missing}")
+    front = {n: REGISTRY[n] for n in _GATED}
+    back = {n: s for n, s in REGISTRY.items() if n not in front}
+    REGISTRY.clear()
+    REGISTRY.update(front)
+    REGISTRY.update(back)
+
+
+_reorder_registry()
+
+
+# --------------------------------------------------------------------------
+# public API used by __spark_entry__ / bench
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Builder]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def headline_queries() -> dict[str, Builder]:
+    return {n: s.builder for n, s in REGISTRY.items() if s.headline}

@@ -1,0 +1,879 @@
+"""Scale-path operators: whitening/Mahalanobis, skylines, point-in-time joins, CMS, sorted-neighborhood, DSIR, salting, privacy, bloom joins, calibration."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from small_etl_spark.queries._registry import register
+from small_etl_spark.llm import textstats
+from small_etl_spark.sources.tables import load_table
+
+
+@register(
+    "whitening_contract",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(64.0 AS DOUBLE) AS avg_msq,
+           CAST(1 AS BIGINT) AS centered,
+           CAST(1 AS BIGINT) AS unit_variance,
+           CAST(1 AS BIGINT) AS decorrelated
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def q_whitening_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening / Mahalanobis contract
+    (llm/similarity.py::whiten_embeddings): the whitened corpus must
+    have E[‖w‖²] = d EXACTLY (the empirical-Mahalanobis identity —
+    the oracle asserts the literal 64.0 against Spark's measured
+    average, 4dp), zero mean and unit variance in the first and last
+    whitened coordinates, and zero correlation between them. A wrong
+    eigenbasis, unsorted eigenvalues, or a missing 1/√λ scale breaks
+    at least one figure. n is recomputed by DuckDB from the data."""
+    from small_etl_spark.llm.similarity import whiten_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wdf = whiten_embeddings(emb)
+    first = F.col("whitened")[0]
+    last = F.col("whitened")[63]
+    stats = wdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("msq").alias("avg_msq"),
+        F.avg(first).alias("m1"),
+        F.avg(last).alias("m2"),
+        F.avg(first * first).alias("s11"),
+        F.avg(last * last).alias("s22"),
+        F.avg(first * last).alias("s12"),
+    )
+    v1 = F.col("s11") - F.col("m1") * F.col("m1")
+    v2 = F.col("s22") - F.col("m2") * F.col("m2")
+    cov12 = F.col("s12") - F.col("m1") * F.col("m2")
+    return stats.select(
+        "n",
+        F.round("avg_msq", 4).alias("avg_msq"),
+        ((F.abs(F.col("m1")) < 1e-6) & (F.abs(F.col("m2")) < 1e-6))
+        .cast("long")
+        .alias("centered"),
+        ((F.abs(v1 - 1.0) < 1e-6) & (F.abs(v2 - 1.0) < 1e-6))
+        .cast("long")
+        .alias("unit_variance"),
+        (F.abs(cov12) < 1e-6).cast("long").alias("decorrelated"),
+    )
+
+
+@register("mahalanobis_outliers", None)  # rows-only: the eigenbasis
+# behind the distance has no SQL form; the whitening_contract oracle
+# pins the distance's global invariants and
+# tests/test_round6_ops.py pins per-vector values against numpy.
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 multivariate outliers by Mahalanobis distance²
+    (llm/similarity.py::whiten_embeddings) — the principled
+    correlated-direction anomaly score per-dimension z-scores miss.
+    Map-only JVM projection after the moments pass; ordered on the
+    4dp-rounded distance with a vec_id tiebreak."""
+    from small_etl_spark.llm.similarity import whiten_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wdf = whiten_embeddings(emb)
+    return (
+        wdf.select("vec_id", F.round("msq", 4).alias("mahalanobis_sq"))
+        .orderBy(F.col("mahalanobis_sq").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@register(
+    "group_kfold",
+    """
+    SELECT doc_id, source,
+           CAST(CAST(('0x' || substr(md5('gkf-v1|' || source), 1, 4))
+                     AS INTEGER) % 5 AS BIGINT) AS fold
+    FROM documents
+    """,
+)
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold assignment: the fold is a deterministic
+    md5 bucket of the SOURCE, so every doc of a source lands in the
+    same fold — the leakage-safe CV split when near-duplicates cluster
+    within sources (plain row hashing would leak dup pairs across
+    train/validation). Same portable-hash machinery as
+    ``llm/sampling.py::hash_split``: pure map-side expression, no
+    shuffle, stable under repartitioning and corpus growth."""
+    from small_etl_spark.llm.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        (F.conv(hash_bucket(F.col("source"), "gkf-v1"), 16, 10).cast("bigint")
+         % 5).alias("fold"),
+    )
+
+
+@register(
+    "skyline_orders",
+    """
+    WITH pts AS (
+      SELECT DISTINCT o_totalprice AS price,
+             CAST(epoch(o_orderdate) AS BIGINT) AS odate
+      FROM orders
+    ), m AS (
+      SELECT price, odate,
+             MIN(odate) OVER (ORDER BY price, odate
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pm
+      FROM pts
+    )
+    SELECT price, odate FROM m WHERE pm IS NULL OR pm > odate
+    """,
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators.skyline.skyline_2d):
+    the cheapest-AND-earliest order frontier — no other order is both
+    ≤ price and ≤ date. The 2-D case is ONE window pass (sort by
+    (price, date), keep rows beating the running min-date): a single
+    global sort, zero self-joins, fully codegen — the multi-criteria
+    operator family the reference lacks entirely."""
+    from small_etl_spark.operators.skyline import skyline_2d
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("odate"),
+    )
+    return skyline_2d(o, "price", "odate")
+
+
+@register(
+    "skyline_lineitem_3d",
+    """
+    WITH pts AS (
+      SELECT DISTINCT l_extendedprice AS price, l_discount AS disc,
+             -l_quantity AS negq
+      FROM lineitem WHERE l_partkey < 40
+    )
+    SELECT price, disc, -negq AS qty FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price <= p.price AND q.disc <= p.disc AND q.negq <= p.negq
+        AND (q.price < p.price OR q.disc < p.disc OR q.negq < p.negq)
+    )
+    """,
+)
+def q_skyline_lineitem_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline (operators.skyline.skyline_nd): line items Pareto-
+    optimal on (min price, min discount, max quantity — negated into
+    the minimized frame) — the d≥3 case where no single window pass
+    exists. Distributed via the
+    skyline-of-skylines identity: per-partition numpy frontier
+    (mapInPandas) then one re-filter over the tiny candidate union —
+    never an all-pairs crossJoin over the input. Oracle is the
+    direct NOT EXISTS dominance definition on the same subset."""
+    from small_etl_spark.operators.skyline import skyline_nd
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 40)
+    pts = li.select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+        (-F.col("l_quantity")).alias("negq"),
+    )
+    out = skyline_nd(pts, ["price", "disc", "negq"])
+    return out.select("price", "disc", (-F.col("negq")).alias("qty"))
+
+
+@register(
+    "pit_customer_features",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer
+    ), chg AS (
+      SELECT c_custkey AS k FROM cur
+      WHERE c_mktsegment <> 'WEB'
+        AND c_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 5)
+    ), hist AS (
+      SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM cur
+      WHERE c_custkey NOT IN (SELECT k FROM chg)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, valid_from, '1998-01-01'
+      FROM cur WHERE c_custkey IN (SELECT k FROM chg)
+      UNION ALL
+      SELECT c_custkey, 'WEB', '1998-01-01', CAST(NULL AS VARCHAR)
+      FROM cur WHERE c_custkey IN (SELECT k FROM chg)
+    )
+    SELECT o.o_orderkey, o.o_custkey, strftime(o.o_orderdate, '%Y-%m-%d')
+             AS odate,
+           h.c_mktsegment AS mktsegment, h.valid_from
+    FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
+    WHERE h.valid_from <= strftime(o.o_orderdate, '%Y-%m-%d')
+      AND (h.valid_to IS NULL OR strftime(o.o_orderdate, '%Y-%m-%d')
+             < h.valid_to)
+    """,
+)
+def q_pit_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join (operators.joins.point_in_time_join):
+    attach to every order the customer segment that was TRUE on the
+    order's own date, against an SCD-2 history (nation-5 customers
+    switch to WEB effective 1998-01-01) — the feature-store primitive
+    that keeps backfilled training features leakage-free. Equi-join
+    on the key + residual validity filter; blow-up bounded by
+    versions-per-key (2 here), never a range join."""
+    from small_etl_spark.operators.joins import point_in_time_join, scd2_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_nationkey") == 5).select(
+        "c_custkey", F.lit("WEB").alias("c_mktsegment")
+    )
+    hist = scd2_upsert(
+        current, updates, key="c_custkey",
+        compare_cols=["c_mktsegment"], effective="1998-01-01",
+    ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    )
+    out = point_in_time_join(facts, hist, key="c_custkey", ts="odate")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "odate",
+        F.col("c_mktsegment").alias("mktsegment"),
+        "valid_from",
+    )
+
+
+@register(
+    "cms_user_counts",
+    """
+    WITH cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM events, generate_series(0, 3) AS t(j)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY 1
+      ORDER BY true_n DESC, user_id LIMIT 20
+    ), probe AS (
+      SELECT user_id, true_n, j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 512 AS bucket
+      FROM top, generate_series(0, 3) AS t(j)
+    )
+    SELECT p.user_id, p.true_n, CAST(MIN(c.cnt) AS BIGINT) AS est_n
+    FROM probe p JOIN cells c USING (j, bucket)
+    GROUP BY 1, 2
+    """,
+)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates
+    (operators.sketches): the sketch is built as TWO half-corpus
+    sketches (events split by event_id parity) MERGED cell-wise —
+    proving the mergeability law the oracle can check, since the
+    single-pass DuckDB sketch must produce identical cells. Probes
+    the 20 highest-frequency users: est_n ≥ true_n always (overcount-
+    only), equal when no bucket collision. depth=4 × width=512
+    counters regardless of corpus size — the sketch never grows."""
+    from small_etl_spark.operators.sketches import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    half0 = ev.filter(F.col("event_id") % 2 == 0)
+    half1 = ev.filter(F.col("event_id") % 2 == 1)
+    sketch = cms_merge(
+        cms_build(half0, "user_id", depth=4, width=512),
+        cms_build(half1, "user_id", depth=4, width=512),
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("user_id"), "user_id",
+                       depth=4, width=512)
+    return top.join(est, "user_id").select("user_id", "true_n", "est_n")
+
+
+@register(
+    "snm_dup_customers",
+    """
+    WITH ranked AS (
+      SELECT c_custkey AS id, c_name AS name,
+             row_number() OVER (ORDER BY lower(c_name), c_custkey) AS rnk
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+    FROM ranked a JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+def q_snm_dup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution
+    (operators.dedup.sorted_neighborhood_pairs): sort customers by a
+    fuzzy key (lowercased name), compare each record only to its 2
+    successors, keep Levenshtein ≤ 1 pairs. The complementary
+    blocking discipline to fuzzy_dup_customers' equality blocks: one
+    global sort + an equi-join on rank offset — O(n·w) candidates,
+    no attribute key needed."""
+    from small_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, id_col="c_custkey", text_col="c_name",
+        window=3, max_distance=1,
+    )
+
+
+@register(
+    "dsir_doc_weights",
+    """
+    WITH feats AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 1024 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+        FROM documents
+      )
+    ), tot AS (
+      SELECT COUNT(*) AS s_n,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_n
+      FROM feats
+    ), model AS (
+      SELECT b,
+             ln((SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1)
+                / (CAST((SELECT t_n FROM tot) AS DOUBLE) + 1024))
+             - ln((COUNT(*) + 1)
+                  / (CAST((SELECT s_n FROM tot) AS DOUBLE) + 1024)) AS lr
+      FROM feats GROUP BY b
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           round(AVG(lr), 6) AS logratio
+    FROM feats JOIN model USING (b)
+    GROUP BY doc_id
+    """,
+)
+def q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (llm.sampling.dsir_logratio_weights;
+    Xie et al. 2023): hashed-unigram log-likelihood ratio of a
+    target LM (English docs) vs the source LM (whole corpus) — docs
+    scoring high "look like" the target distribution and get kept /
+    upweighted in the resampling step. The model is 1024 buckets
+    regardless of corpus size (the hashing trick), so fitting is one
+    map-combined pass and scoring joins against a broadcast table."""
+    from small_etl_spark.llm.sampling import dsir_logratio_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_logratio_weights(docs, F.col("lang") == "en", buckets=1024)
+    return out.select(
+        "doc_id", "n_feats", F.round("logratio", 6).alias("logratio")
+    )
+
+
+@register(
+    "salted_join_events",
+    """
+    WITH ptot AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS purchase_total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id, p.purchase_total
+    FROM events e JOIN ptot p USING (user_id)
+    WHERE e.event_type = 'click'
+    """,
+)
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted large-large join (operators.skew.salted_join):
+    click events enriched with per-user purchase totals through a
+    join whose hot user keys are spread over 8 salted reducers (the
+    right side replicates 8×, each left row picks one replica by
+    crc32 of its own event id). The salt provably cancels — the
+    oracle is the PLAIN unsalted join; value-hash equality IS the
+    correctness proof of the rewrite."""
+    from small_etl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id"
+    )
+    ptot = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("double") / 100.0
+            ).alias("purchase_total")
+        )
+    )
+    return salted_join(
+        clicks, ptot, on="user_id", distributor="event_id", salt_buckets=8
+    ).select("event_id", "user_id", "purchase_total")
+
+
+@register(
+    "k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS class_n,
+           COUNT(*) < 5 AS violates_k
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.privacy.k_anonymity_report):
+    equivalence-class sizes of the (nation, segment, $1000
+    account-balance band) quasi-identifier combination, flagging
+    classes smaller than k=5 — the re-identification risk survey run
+    before any training-data release. One map-combined groupBy."""
+    from small_etl_spark.operators.privacy import k_anonymity_report
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
+@register(
+    "dp_noisy_counts_events",
+    """
+    WITH g AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), u AS (
+      SELECT event_type, day, n,
+             CAST(('0x' || substr(md5('dp-v1|' || event_type || '|' || day),
+                                  1, 8)) AS UBIGINT) / 4294967296.0 AS u
+      FROM g
+    )
+    SELECT event_type, day,
+           round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+             AS noisy_n
+    FROM u
+    """,
+)
+def q_dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP-mechanism noisy release (operators.privacy.dp_noisy_counts):
+    daily per-type event counts + Laplace(1/ε) noise at ε=1, with the
+    uniform draw a portable md5 hash of (salt, group key) — the
+    released numbers are reproducible across engines/retries/
+    partitionings, so the oracle verifies the exact mechanism, not
+    just its shape. True counts never appear in the output. The salt
+    here is deliberately PUBLIC (it's in this file and the oracle
+    SQL) so the gate can verify the arithmetic — which, per the
+    operator's privacy contract, means THIS catalog entry provides no
+    actual privacy; a real release must pass a secret salt."""
+    from small_etl_spark.operators.privacy import dp_noisy_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return dp_noisy_counts(
+        ev, ["event_type", "day"], epsilon=1.0, salt="dp-v1"
+    )
+
+
+@register(
+    "dup_span_coverage",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, s, array_to_string(toks[s:s+2], ' ') AS gram
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS s) q
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+    ), ds AS (
+      SELECT g.doc_id, g.s, 1 AS dup FROM g JOIN d USING (gram)
+    ), p AS (
+      SELECT doc_id, len(toks) AS n_tokens, s
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS s) q
+    ), cov AS (
+      SELECT p.doc_id, p.n_tokens, p.s,
+             MAX(COALESCE(ds.dup, 0)) OVER (
+               PARTITION BY p.doc_id ORDER BY p.s
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c
+      FROM p LEFT JOIN ds ON p.doc_id = ds.doc_id AND p.s = ds.s
+    )
+    SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS covered,
+           round(CAST(SUM(c) AS DOUBLE) / CAST(MAX(n_tokens) AS DOUBLE), 6)
+             AS coverage
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive duplicated-substring coverage
+    (llm/dedup.py::dup_span_coverage; Lee et al. 2022 exact-substring
+    signal): fraction of each doc's token positions lying inside a
+    3-gram that appears in ≥2 documents. The per-position companion
+    to doc_ngram_novelty's distinct-shingle score: interval union via
+    a doc-partitioned running-max window, dup test via min≠max doc
+    ids (no COUNT DISTINCT), nothing pairwise."""
+    from small_etl_spark.llm.dedup import dup_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage(docs, n=3)
+
+
+@register(
+    "bloom_semi_join_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_nationkey = 7
+    )
+    """,
+)
+def q_bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators.sketches.bloom_semi_join):
+    orders of nation-7 customers, with an explicit 4096-bit Bloom
+    filter built from the filtered dim keys and probed MAP-SIDE on
+    the fact scan before the exact LeftSemi — the runtime-filter
+    pattern materialized as an operator. The oracle is the plain
+    semi join: hash equality proves the filter is transparent."""
+    from small_etl_spark.operators.sketches import bloom_semi_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 7)
+        .select("c_custkey")
+    )
+    out = bloom_semi_join(o, dim, on="c_custkey")
+    return out.select(
+        "o_orderkey", F.col("c_custkey").alias("o_custkey"), "o_totalprice"
+    )
+
+
+@register(
+    "fs_link_scores",
+    """
+    WITH p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) <= 1 AS agree_name,
+             a.c_mktsegment = b.c_mktsegment AS agree_seg,
+             floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+               AS agree_bal
+      FROM customer a
+      JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    )
+    SELECT id_a, id_b, agree_name, agree_seg, agree_bal,
+           round(
+             (CASE WHEN agree_name THEN log2(0.9 / 0.001)
+                   ELSE log2(0.1 / 0.999) END)
+             + (CASE WHEN agree_seg THEN log2(0.9 / 0.2)
+                     ELSE log2(0.1 / 0.8) END)
+             + (CASE WHEN agree_bal THEN log2(0.8 / 0.1)
+                     ELSE log2(0.2 / 0.9) END), 6) AS score
+    FROM p
+    """,
+)
+def q_fs_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage
+    (operators.dedup.fellegi_sunter_weight): nation-blocked customer
+    candidate pairs (name within 2 edits) scored by summed log2(m/u)
+    field weights over name / segment / balance-band agreement — the
+    classic linkage decision score on top of any blocking pass. Pure
+    column expressions over the blocked self-join; scoring adds no
+    shuffle."""
+    from small_etl_spark.operators.dedup import fellegi_sunter_weight
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+        )
+        .filter(F.levenshtein("a_c_name", "b_c_name") <= 2)
+        .select(
+            F.col("a_c_custkey").alias("id_a"),
+            F.col("b_c_custkey").alias("id_b"),
+            (F.levenshtein("a_c_name", "b_c_name") <= 1).alias("agree_name"),
+            (F.col("a_c_mktsegment") == F.col("b_c_mktsegment")).alias(
+                "agree_seg"
+            ),
+            (
+                F.floor(F.col("a_c_acctbal") / 1000.0)
+                == F.floor(F.col("b_c_acctbal") / 1000.0)
+            ).alias("agree_bal"),
+        )
+    )
+    score = (
+        fellegi_sunter_weight(F.col("agree_name"), 0.9, 0.001)
+        + fellegi_sunter_weight(F.col("agree_seg"), 0.9, 0.2)
+        + fellegi_sunter_weight(F.col("agree_bal"), 0.8, 0.1)
+    )
+    return pairs.withColumn("score", F.round(score, 6))
+
+
+@register(
+    "score_calibration_bins",
+    r"""
+    WITH q AS (
+      SELECT doc_id, lang = 'en' AS pos,
+             (least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                         AS DOUBLE), 200.0) / 200.0
+              + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                      AND CAST(length(text) AS DOUBLE)
+                          / CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                                 AS DOUBLE)
+                          BETWEEN 3.0 AND 10.0
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9_]+')) > 0
+                     THEN 1.0 ELSE 0.0 END
+             ) / 3.0 AS quality
+      FROM documents
+    )
+    SELECT CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           round(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+           round(min(quality), 6) AS min_score,
+           round(max(quality), 6) AS max_score
+    FROM q GROUP BY 1
+    """,
+)
+def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration reliability bins (the ML-eval
+    primitive): decile-bin the heuristic quality score
+    (llm/textstats.py::quality_score) and report each bin's observed
+    positive rate against a reference label (lang='en') — the
+    reliability-diagram table used to sanity-check any learned or
+    heuristic filter before it gates a corpus. One map-combined
+    groupBy over a pure-expression score; min/max (not avg) keep the
+    per-bin stats order-independent for the oracle hash."""
+    from small_etl_spark.llm.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        quality_score("text").alias("quality"),
+    )
+    return (
+        q.withColumn(
+            "bin",
+            F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pos").cast("bigint")).alias("n_pos"),
+            F.round(F.min("quality"), 6).alias("min_score"),
+            F.round(F.max("quality"), 6).alias("max_score"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("pos_rate"),
+            "min_score",
+            "max_score",
+        )
+    )
+
+
+@register(
+    "flesch_readability",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS DOUBLE)
+               AS words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE)
+               AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+               AS syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sentences AS BIGINT) AS n_sentences,
+           round(CASE WHEN words > 0 AND sentences > 0
+                      THEN 206.835 - 1.015 * (words / sentences)
+                           - 84.6 * (syllables / words)
+                 END, 6) AS flesch
+    FROM q
+    """,
+)
+def q_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document
+    (llm/textstats.py::flesch_reading_ease): three regex counts —
+    words, sentence terminators, vowel-group syllables — folded into
+    the classic readability formula; the corpus-quality dimension
+    that flags run-on machine text (very low) and fragment lists
+    (very high). Pure map-side expressions, no shuffle at all."""
+    from small_etl_spark.llm.textstats import (
+        flesch_reading_ease, token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0))
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.round(flesch_reading_ease("text"), 6).alias("flesch"),
+    )
+
+
+@register(
+    "benford_audit_orders",
+    """
+    WITH d AS (
+      SELECT CAST(substr(regexp_replace(CAST(o_totalprice AS VARCHAR),
+                                        '[^1-9]', '', 'g'), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d WHERE digit IS NOT NULL GROUP BY 1
+    ), t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_rate,
+           round(log10(1.0 + 1.0 / digit), 6) AS exp_rate,
+           round(pow(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                     - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_component
+    FROM c, t
+    """,
+)
+def q_benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit (operators.profiling.benford_audit) of
+    order totals: first-significant-digit distribution vs
+    log10(1+1/d) with per-digit χ² components — the fabricated-data
+    tripwire. First digit extracted TEXTUALLY (strip non-1-9, keep
+    first) because floor(log10(x)) digit math is one ulp from wrong
+    at exact powers of ten; see the operator docstring."""
+    from small_etl_spark.operators.profiling import benford_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice")
+
+
+@register(
+    "event_pattern_matches",
+    r"""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        ELSE '.' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+             AS n_matches
+    FROM s
+    """,
+)
+def q_event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence-pattern detection
+    (operators.events.event_pattern_matches): per user, count
+    ``v[^p]*p`` matches — a view that eventually converts to a
+    purchase with no earlier purchase absorbing it — over the
+    letter-serialized event stream (other types become '.').
+    Spark has no MATCH_RECOGNIZE; the serialize-then-regex plan is
+    one per-user aggregate with an array_sort'ed collect (order
+    deterministic under any partitioning) + a map-side regex."""
+    from small_etl_spark.operators.events import event_pattern_matches
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_pattern_matches(
+        ev,
+        pattern=r"v[^p]*p",
+        alphabet={"view": "v", "click": "c", "purchase": "p"},
+    )
+
+
+@register(
+    "seasonal_decompose_revenue",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS yc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), t AS (
+      SELECT day,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7
+                  AS BIGINT) AS dow,
+             yc,
+             CASE WHEN COUNT(*) OVER w = 7 THEN SUM(yc) OVER w END AS t7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), d AS (
+      SELECT *, CASE WHEN t7 IS NOT NULL THEN 7 * yc - t7 END AS d7 FROM t
+    ), s AS (
+      SELECT dow, SUM(d7) AS s_num, COUNT(*) AS s_n
+      FROM d WHERE d7 IS NOT NULL GROUP BY 1
+    )
+    SELECT d.day, d.dow,
+           round(CAST(yc AS DOUBLE) / 100.0, 6) AS y,
+           round(CAST(t7 AS DOUBLE) / 700.0, 6) AS trend,
+           round(CAST(s_num AS DOUBLE) / (700.0 * s_n), 6) AS seasonal,
+           round(CAST(yc AS DOUBLE) / 100.0 - CAST(t7 AS DOUBLE) / 700.0
+                 - CAST(s_num AS DOUBLE) / (700.0 * s_n), 6) AS residual
+    FROM d LEFT JOIN s USING (dow)
+    """,
+)
+def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/weekly-seasonal/residual decomposition of daily
+    purchase revenue (operators.timeseries.seasonal_decompose_dow):
+    centered 7-day rolling-mean trend, per-weekday seasonal means of
+    the detrended series, exact integer-cents arithmetic throughout
+    (the decomposition window runs over the one-row-per-day
+    aggregate, not the raw events — the distributed work happens in
+    the daily rollup)."""
+    from small_etl_spark.operators.timeseries import seasonal_decompose_dow
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "y_cents"
+            )
+        )
+    )
+    return seasonal_decompose_dow(daily)

@@ -65,6 +65,42 @@ def test_resize_images(spark):
     assert again == {mid: bytes(r.content) for mid, r in rows.items()}
 
 
+def test_resize_gray_alpha_png(spark):
+    """Color type 4 (gray+alpha) decodes to 2 channels; encode_png has
+    no 2-channel color type, so resize must drop the alpha PLANE and
+    re-emit a decodable 1-channel PNG — not crash (ADVICE r4)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from small_etl_spark.llm.multimodal import decode_pixels, resize_images
+    from small_etl_spark.llm.png_codec import PNG_SIGNATURE, is_png
+
+    ga = np.arange(4 * 4 * 2, dtype=np.uint8).reshape(4, 4, 2)
+    raw = b"".join(b"\x00" + row.tobytes() for row in ga.reshape(4, 8))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 4, 0, 0, 0)
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    blob = (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    from small_etl_spark.llm.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(blob), (4, 4, 1, 0))], MEDIA_SCHEMA
+    )
+    out = resize_images(df, 2, 2).collect()[0]
+    assert is_png(bytes(out.content))
+    px = decode_pixels(bytes(out.content))
+    ys = np.arange(2) * 4 // 2
+    xs = np.arange(2) * 4 // 2
+    assert px.shape == (2, 2, 1)
+    assert (px[:, :, 0] == ga[ys][:, xs][:, :, 0]).all()
+
+
 def test_frame_sample(spark):
     media = synth_media_df(spark, 12)
     frames = frame_sample(media, every_k=4)

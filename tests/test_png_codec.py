@@ -159,9 +159,58 @@ def test_png_meta_header_only():
     a = np.zeros((33, 17, 4), np.uint8)
     m = png_meta(encode_png(a))
     assert m == {
-        "width": 17, "height": 33, "bit_depth": 8, "channels": 4, "interlaced": 0
+        "width": 17, "height": 33, "bit_depth": 8, "channels": 4,
+        "file_channels": 4, "interlaced": 0, "decodable": 1,
     }
     assert is_png(encode_png(a)) and not is_png(b"nope")
+
+
+def test_png_meta_agrees_with_decode_png():
+    """Header and pixel paths must agree: palette files report the
+    post-PLTE-expansion channel count (3), and headers decode_png
+    would reject (16-bit, Adam7) carry decodable=0 so decode_header
+    can never succeed on a blob decode_pixels later fails on."""
+    palette = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    pal = _raw_png(2, 1, 8, 3, b"\x00\x00\x01",
+                   extra=_chunk(b"PLTE", palette.tobytes()))
+    m = png_meta(pal)
+    assert m["channels"] == 3  # what decode_png returns
+    assert m["file_channels"] == 1  # what the file stores
+    assert m["decodable"] == 1
+    assert decode_png(pal).shape[2] == m["channels"]
+
+    raw = b"\x00" + b"\x00" * 8
+    assert png_meta(_raw_png(2, 2, 16, 0, raw))["decodable"] == 0
+    assert png_meta(_raw_png(2, 2, 8, 0, raw, interlace=1))["decodable"] == 0
+
+
+def test_decode_rejects_decompression_bomb():
+    """A small blob whose IDAT inflates far beyond the declared 2x2
+    image must be rejected after ~one extra output byte, not after
+    materializing the whole bomb in executor memory."""
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # 64 MiB of zeros, ~64 KiB packed
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    data = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates beyond"):
+        decode_png(data)
+
+
+def test_decode_truncated_and_corrupt_idat_raise_valueerror():
+    good = encode_png(np.zeros((4, 4, 3), np.uint8))
+    # truncate BETWEEN payload and CRC: still ValueError, never struct.error
+    idat_at = good.index(b"IDAT")
+    (idat_len,) = struct.unpack_from(">I", good, idat_at - 4)
+    cut = good[: idat_at + 4 + idat_len + 2]  # 2 bytes into the CRC
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(cut)
+    # undecompressable IDAT bytes: ValueError, never a raw zlib.error
+    junk = (PNG_SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", b"not deflate data")
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        decode_png(junk)
 
 
 def test_adaptive_beats_none_on_smooth_gradients():
