@@ -59,6 +59,13 @@ def get_spark(
     distro; see K6 note above).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # transformWithStateInPandas needs google.protobuf in the driver
+    # and in every worker the JVM spawns; enable the container shim
+    # BEFORE the JVM launches (it snapshots the environment). No-op
+    # wherever protobuf is properly installed.
+    from small_etl_spark.streaming.pbcompat import enable_container_protobuf
+
+    enable_container_protobuf()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

@@ -168,28 +168,101 @@ def parse_fanout_responses(
       one expression covers both shapes — then ``explode``. No Python,
       no extra pass; this is the 100 TB path (the schema of an API you
       fan out against is known).
-    - no schema: distributed inference via ``spark.read.json`` over
-      the response strings (top-level arrays already explode in the
-      JSON source). Costs one inference pass; meant for exploratory /
-      small fan-outs.
+    - no schema: sample-then-``from_json`` inference — up to 16
+      responses are pulled to the driver (bounded: fan-out result sets
+      are driver-parameterized and small by construction), their
+      schemas derived JVM-side via ``schema_of_json`` and merged
+      (field union, conflicting primitives widen to string), then the
+      SAME JVM ``from_json`` + ``explode`` path runs with the merged
+      element schema. No RDD lineage, no per-row Python — the plan
+      stays whole-stage-codegen'd either way; the only non-JVM work is
+      the 16-row sample.
 
     ``keep_source`` keeps the ``source_row`` JSON string column for
     callers that need to re-join upstream context (the reference drops
     it; its output records carry response fields only).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
 
-    if response_schema is not None:
+    if response_schema is None:
+        if keep_source:
+            raise ValueError("keep_source requires response_schema")
+        sess = spark or df.sparkSession
+        element = _infer_response_element_schema(sess, df, response_col)
+        arr = F.from_json(F.col(response_col), ArrayType(element))
+    else:
         arr = F.from_json(F.col(response_col), f"array<struct<{response_schema}>>")
-        exploded = df.withColumn("_rec", F.explode(arr))
-        rec_cols = [F.col("_rec." + f) for f in exploded.select("_rec.*").columns]
-        extra = [F.col("source_row")] if keep_source else []
-        return exploded.select(*rec_cols, *extra)
-    if keep_source:
-        raise ValueError("keep_source requires response_schema")
-    sess = spark or df.sparkSession
-    responses = df.select(response_col).rdd.map(lambda r: r[0])
-    return sess.read.json(responses)
+    exploded = df.withColumn("_rec", F.explode(arr))
+    rec_cols = [F.col("_rec." + f) for f in exploded.select("_rec.*").columns]
+    extra = [F.col("source_row")] if keep_source else []
+    return exploded.select(*rec_cols, *extra)
+
+
+def _merge_json_types(a, b):
+    """Widening merge of two inferred JSON DataTypes: struct fields
+    union (first-seen order), arrays merge element-wise, null yields
+    to anything, and conflicting primitives widen to string — the same
+    lattice spark.read.json's inference walks, reimplemented over
+    ``schema_of_json`` outputs so inference needs no RDD input."""
+    from pyspark.sql.types import ArrayType, NullType, StringType, StructField, StructType
+
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        merged: dict[str, object] = {}
+        order: list[str] = []
+        for f in list(a.fields) + list(b.fields):
+            if f.name not in merged:
+                merged[f.name] = f.dataType
+                order.append(f.name)
+            else:
+                merged[f.name] = _merge_json_types(merged[f.name], f.dataType)
+        return StructType([StructField(n, merged[n], True) for n in order])
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        return ArrayType(_merge_json_types(a.elementType, b.elementType), True)
+    if a == b:
+        return a
+    if isinstance(a, NullType):
+        return b
+    if isinstance(b, NullType):
+        return a
+    return StringType()
+
+
+def _infer_response_element_schema(sess, df, response_col, n_samples: int = 16):
+    """Infer the per-record struct schema of a JSON response column
+    from a bounded driver-side sample. Object responses contribute
+    their own struct; array responses contribute their element struct;
+    mixed shapes merge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    samples = [
+        r[0]
+        for r in df.select(F.col(response_col).cast("string").alias("r"))
+        .filter(F.col("r").isNotNull())
+        .limit(n_samples)
+        .collect()
+    ]
+    if not samples:
+        raise ValueError(
+            "cannot infer a response schema from an empty fan-out; "
+            "pass response_schema explicitly"
+        )
+    ddls = sess.range(1).select(
+        *[F.schema_of_json(F.lit(s)).alias(f"s{i}") for i, s in enumerate(samples)]
+    ).head()
+    element = None
+    for ddl in ddls:
+        dt = _parse_datatype_string(ddl)
+        if isinstance(dt, ArrayType):
+            dt = dt.elementType
+        if not isinstance(dt, StructType):
+            raise ValueError(
+                f"response is not a JSON object or array of objects: {ddl}"
+            )
+        element = dt if element is None else _merge_json_types(element, dt)
+    return element
 
 
 def parameterized_http_fanout(

@@ -135,11 +135,16 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     Spark 4 — set ``spark.sql.streaming.stateStore.providerClass``
     to RocksDBStateStoreProvider before the query starts) and (b)
     the ``protobuf`` package, which the state-server protocol
-    imports in its driver worker — absent protobuf the query fails
-    at init with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
-    (the test suite import-skips accordingly; the
-    applyInPandasWithState twin has no such dependency and stays
-    the oracle-gated default).
+    imports in its driver worker AND in every task worker — absent
+    protobuf the query fails at init with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. In hermetic
+    containers streaming.pbcompat wires in the Google Cloud SDK's
+    pure-Python protobuf runtime (session.get_spark enables it
+    before the JVM starts), so this path executes for real here;
+    tests/test_streaming.py::test_transform_with_state_totals
+    drains it and hash-matches the batch aggregate. The
+    applyInPandasWithState twin has no protobuf dependency and
+    stays the oracle-gated default.
     """
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle

@@ -214,8 +214,13 @@ def test_transform_with_state_totals(spark, events_dir):
     """Spark 4 transformWithStateInPandas (typed ValueState, RocksDB
     store): drained totals must equal the batch aggregate exactly.
     The twS state-server protocol imports protobuf in its driver
-    worker — skip where the package isn't available."""
-    pytest.importorskip("google.protobuf")
+    worker — streaming.pbcompat wires in the container's SDK runtime
+    (session.get_spark enables it before the JVM starts); skip only
+    where no protobuf runtime exists at all."""
+    from small_etl_spark.streaming.pbcompat import enable_container_protobuf
+
+    if not enable_container_protobuf():
+        pytest.skip("no protobuf runtime available in this environment")
     from pyspark.sql import functions as F
 
     from small_etl_spark.streaming.stateful import running_user_totals_tws
