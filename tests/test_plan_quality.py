@@ -59,10 +59,9 @@ def test_star_queries_carry_no_broadcast_hint_on_fact_sized_tables():
     reintroduced hint fails even if AQE would mask it at test SF."""
     import inspect
 
-    import small_etl_spark.queries as q
-
-    for fn in (q.q3_shipping_priority, q.q5_local_supplier_volume,
-               q.q18_large_orders):
+    for fn in (REGISTRY["q3_shipping_priority"].builder,
+               REGISTRY["q5_local_supplier_volume"].builder,
+               REGISTRY["q18_large_orders"].builder):
         src = inspect.getsource(fn)
         for line in src.splitlines():
             if "F.broadcast" in line:
@@ -231,11 +230,10 @@ def test_q21_correlations_stay_hint_free_and_broadcast_at_test_sf(spark):
     and the source must not hint any lineitem-sized side."""
     import inspect
 
-    import small_etl_spark.queries as q
-
     plan = final_plan_of(spark, "q21_waiting_orders")
     assert "SortMergeJoin" not in plan
-    for line in inspect.getsource(q.q21_waiting_orders).splitlines():
+    src = inspect.getsource(REGISTRY["q21_waiting_orders"].builder)
+    for line in src.splitlines():
         if "F.broadcast" in line:
             assert "(s)" in line or "(n)" in line or "(r)" in line, line.strip()
 
