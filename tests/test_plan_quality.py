@@ -167,21 +167,19 @@ def test_probabilistic_dedup_never_cross_joins(spark, name):
 
 @pytest.mark.parametrize("hash_family", ["xxhash64", "md5"])
 def test_minhash_lazy_plan_never_cross_joins(spark, hash_family):
-    """Same property for MinHash-LSH, asserted on the LAZY form
-    (eager=False): the catalog entries run eagerly so the shingle
-    cache can be unpersisted inside the call, which leaves only a
-    checkpoint scan in their registered plan — the join shape must be
-    inspected before that materialization."""
+    """Same property for MinHash-LSH. The call is fully lazy and
+    cache-free since round 5, so the registered plan IS the join
+    plan — candidates must come from the banded equi-join, never an
+    all-pairs product."""
     from small_etl_spark.llm.dedup import minhash_lsh_pairs
     from small_etl_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
     df = minhash_lsh_pairs(docs, jaccard_threshold=0.8,
-                           hash_family=hash_family, eager=False)
+                           hash_family=hash_family)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    spark.catalog.clearCache()  # eager=False leaves the cache to us
 
 
 def test_value_histogram_single_exchange(spark):
