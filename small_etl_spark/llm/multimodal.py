@@ -52,16 +52,20 @@ def encode_fake_media(
 
 
 def _decode_image_real(content: bytes) -> dict[str, Any]:
-    """Real image decode: PNG via the in-repo pure-Python codec
-    (llm/png_codec.py — stdlib zlib + numpy, full filter/palette
-    support); other formats (JPEG/WebP/...) via Pillow when present,
-    else a clear error. The container has no Pillow, so PNG is the
-    real in-container path — and it IS real: spec-correct inflate,
-    unfilter, palette expansion, CRC checks."""
-    from small_etl_spark.llm import png_codec
+    """Real image decode: PNG and baseline JPEG via the in-repo
+    pure-Python codecs (llm/png_codec.py, llm/jpeg_codec.py — numpy +
+    stdlib only); other formats (WebP/GIF/progressive JPEG/...) via
+    Pillow when present, else a clear error. The container has no
+    Pillow, so PNG + JPEG are the real in-container paths — and they
+    ARE real: spec-correct inflate/unfilter/CRC on PNG, Huffman/
+    DCT/subsampling on JPEG."""
+    from small_etl_spark.llm import jpeg_codec, png_codec
 
     if png_codec.is_png(content):
         meta = png_codec.png_meta(content)
+        return {"width": meta["width"], "height": meta["height"], "n_frames": 1}
+    if jpeg_codec.is_jpeg(content):
+        meta = jpeg_codec.jpeg_meta(content)
         return {"width": meta["width"], "height": meta["height"], "n_frames": 1}
     try:
         import io
@@ -101,17 +105,20 @@ def decode_header(content: bytes) -> dict[str, Any]:
 def decode_pixels(content: bytes) -> "Any":
     """Decode media → (H, W, C) uint8 pixel array.
 
-    PNG blobs decode for real (inflate + unfilter + palette); the
-    fake container's payload is its raw RGB bytes. This is the single
-    pixel entry point for extract_features / resize / phash, so those
-    kernels are codec-agnostic.
+    PNG and baseline JPEG blobs decode for real (inflate + unfilter +
+    palette / Huffman + IDCT + chroma upsample); the fake container's
+    payload is its raw RGB bytes. This is the single pixel entry point
+    for extract_features / resize / phash, so those kernels are
+    codec-agnostic.
     """
     import numpy as np
 
-    from small_etl_spark.llm import png_codec
+    from small_etl_spark.llm import jpeg_codec, png_codec
 
     if png_codec.is_png(content):
         return png_codec.decode_png(content)
+    if jpeg_codec.is_jpeg(content):
+        return jpeg_codec.decode_jpeg(content)
     if not content.startswith(_MAGIC):
         raise ValueError("unknown media container")
     hdr = decode_header(content)
@@ -156,6 +163,46 @@ def synth_png_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
         w, h = 16 + (i % 8) * 8, 16 + (i % 5) * 8
         rows.append(
             (i, "image", bytearray(encode_png_media(i, w, h)), (w, h, 1, 0))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def jpeg_block_law(media_id: int, height: int, width: int) -> "Any":
+    """Closed-form 8x8-block-constant pixel law for JPEG oracles:
+    px[r, c, ch] = (17·id + 31·(r//8) + 53·(c//8) + 77·ch) mod 256.
+    Block-constant RGB means every DCT block carries ONLY a DC
+    coefficient, so even a lossy round trip reproduces each block
+    within a few counts — a property a SQL oracle can assert without
+    owning a JPEG codec."""
+    import numpy as np
+
+    r = np.arange(height)[:, None, None] // 8
+    c = np.arange(width)[None, :, None] // 8
+    ch = np.arange(3)[None, None, :]
+    return ((17 * media_id + 31 * r + 53 * c + 77 * ch) % 256).astype(np.uint8)
+
+
+def encode_jpeg_media(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic REAL JPEG blob (baseline 4:4:4, quality 95) whose
+    pixels follow :func:`jpeg_block_law` — the JPEG twin of
+    :func:`encode_png_media` (see queries: jpeg_decode_stats)."""
+    from small_etl_spark.llm.jpeg_codec import encode_jpeg
+
+    return encode_jpeg(
+        jpeg_block_law(media_id, height, width), quality=95,
+        subsampling="4:4:4",
+    )
+
+
+def synth_jpeg_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic REAL-JPEG media table (block-constant pixel law;
+    sizes deliberately include non-multiples of 8 so partial-MCU edge
+    handling is exercised)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 7, 16 + (i % 5) * 9
+        rows.append(
+            (i, "image", bytearray(encode_jpeg_media(i, w, h)), (w, h, 1, 0))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -220,6 +267,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from small_etl_spark.llm.jpeg_codec import encode_jpeg, is_jpeg
     from small_etl_spark.llm.png_codec import encode_png, is_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,6 +299,9 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     elif resized.shape[2] not in (1, 3, 4):
                         resized = resized[:, :, :3]
                     new_blob = encode_png(resized)
+                elif is_jpeg(blob):
+                    # container-preserving: JPEG in -> JPEG out
+                    new_blob = encode_jpeg(resized, quality=90)
                 else:
                     header = struct.pack(
                         ">III", target_w, target_h, hdr["n_frames"]

@@ -128,6 +128,61 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_decode_stats",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(16 + (media_id % 8) * 7 AS INT) AS width,
+           CAST(16 + (media_id % 5) * 9 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           TRUE AS err_le_4
+    FROM range(48) t(media_id)
+    ORDER BY media_id
+    """,
+)
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG kernel end-to-end (llm/jpeg_codec): 48 genuine
+    baseline JFIF blobs — per-image optimized Huffman tables, Annex K
+    quantization, exact 8x8 DCT — are decoded on executors (marker
+    parse, Huffman decode, dequant, IDCT, color transform) inside
+    Arrow-batched mapInPandas. The pixel law is 8x8-block-constant
+    (llm.multimodal.jpeg_block_law), so every DCT block is DC-only and
+    even the lossy round trip must land within 4 counts of the law;
+    the oracle predicts dims/channels analytically and pins the error
+    bound. Sizes include non-multiples of 8, exercising partial-MCU
+    edge replication. The JPEG twin of ``png_decode_stats`` — no
+    Pillow, no libjpeg, no stub."""
+    from small_etl_spark.llm.multimodal import synth_jpeg_media_df
+
+    media = synth_jpeg_media_df(spark, 48)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from small_etl_spark.llm.multimodal import decode_pixels, jpeg_block_law
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "channels": [], "err_le_4": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_pixels(bytes(content))
+                law = jpeg_block_law(int(mid), px.shape[0], px.shape[1])
+                err = int(np.abs(px.astype("int64") - law.astype("int64")).max())
+                out["media_id"].append(mid)
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["channels"].append(px.shape[2])
+                out["err_le_4"].append(err <= 4)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema="media_id bigint, width int, height int, "
+               "channels int, err_le_4 boolean",
+    ).orderBy("media_id")
+
+
+@register(
     "cosine_topk_vectorized",
     """
     WITH q AS (
