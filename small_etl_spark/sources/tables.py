@@ -61,12 +61,41 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# (session → {(sf_dir, name) → DataFrame}) relation cache. Creating a
+# parquet DataFrame costs ~100 ms of driver time (file listing + footer
+# schema read); catalog queries re-load the same tables on every call,
+# so the listing dominated sub-second benchmarks. DataFrames are
+# immutable plans, so reuse is safe; the session key is weak so a
+# stopped session's plans are collectable. Caveat: the cached relation
+# snapshots the FILE LISTING at first load — callers that overwrite a
+# table path in place and expect the new files must pass
+# ``use_cache=False`` (append-only/new-directory flows, which is all
+# this repo does, are unaffected).
+from weakref import WeakKeyDictionary
+
+_RELATION_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True
+) -> DataFrame:
     """Read one parquet table from a scale-factor directory.
 
     ``events.ts`` is normalized to ``TimestampType`` regardless of the
     file's encoding — see :func:`normalize_ts`.
     """
+    if use_cache:
+        try:
+            sess_cache = _RELATION_CACHE.setdefault(spark, {})
+        except TypeError:  # un-weakref-able session stub in tests
+            sess_cache = None
+        if sess_cache is not None:
+            hit = sess_cache.get((sf_dir, name))
+            if hit is not None:
+                return hit
+            df = load_table(spark, sf_dir, name, use_cache=False)
+            sess_cache[(sf_dir, name)] = df
+            return df
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Defensive: when running under an externally created SparkSession
     # (the verification driver's), disable ICU case mappings — their
