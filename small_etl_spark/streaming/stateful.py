@@ -265,3 +265,151 @@ def completed_sessions(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def completed_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session windows on ``transformWithStateInPandas`` with REAL
+    event-time TIMERS — the arbitrary-state-v2 twin of
+    :func:`completed_sessions`, newly executable in-container via
+    streaming/pbcompat (round 5).
+
+    Where the v1 twin models idle-timeout with
+    ``setTimeoutTimestamp`` (one implicit timer per key), this uses
+    the v2 primitives directly: a typed ValueState for the open
+    session and an explicit event-time timer re-registered on every
+    batch (delete-then-register keeps exactly one live timer per
+    key). When the watermark crosses the timer, ``handleExpiredTimer``
+    emits the completed session and CLEARS the state — the bounded-
+    state eviction pattern, now with timer bookkeeping under RocksDB.
+
+    Same output contract as the v1 twin, so one test harness drives
+    both and asserts identical results.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gap_ms = gap_minutes * 60 * 1000
+    state_schema = StructType([
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("session", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            lo = hi = None
+            n = 0
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                ts_us = (pdf["ts"].astype("int64") // 1000)
+                mn, mx = int(ts_us.min()), int(ts_us.max())
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+                n += len(pdf)
+            if n == 0:
+                return iter(())
+            if self._state.exists():
+                s_lo, s_hi, s_n = self._state.get()
+                # drop the previous idle timer before arming the new one
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                lo, hi, n = min(lo, s_lo), max(hi, s_hi), n + s_n
+            self._state.update((lo, hi, n))
+            self._handle.registerTimer(hi // 1000 + gap_ms)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._state.exists():
+                return iter(())
+            lo, hi, n = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start_us": [lo],
+                "session_end_us": [hi],
+                "n_events": [n],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Sessionizer(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+TOPK_OUTPUT_SCHEMA = "user_id bigint, rank int, value_cents bigint"
+
+
+def topk_values_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Cross-batch per-user top-k event values on
+    ``transformWithStateInPandas`` with LIST state — the v2 primitive
+    ValueState can't express without packing (a growing array inside
+    one value row rewrites the whole blob per update; ListState
+    appends are row-granular in RocksDB).
+
+    Values are held as integer cents (exactness contract like
+    :func:`running_user_totals_tws`); each batch merges the incoming
+    values with the stored list and keeps only k — state stays O(k)
+    per user, the bounded-state requirement at corpus scale. Emits the
+    current top-k per user every batch (Update mode); the final
+    emission equals the batch top-k, which is what the test asserts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    state_schema = StructType([StructField("cents", LongType())])
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._list = handle.getListState("topk", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals: list[int] = []
+            for pdf in rows:
+                vals.extend(
+                    int(c) for c in
+                    (pdf["value"].dropna() * 100).round().astype("int64")
+                )
+            if not vals:
+                return iter(())
+            if self._list.exists():
+                vals.extend(int(t[0]) for t in self._list.get())
+            top = sorted(vals, reverse=True)[:k]
+            self._list.put([(v,) for v in top])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(top),
+                    "rank": list(range(1, len(top) + 1)),
+                    "value_cents": top,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TopK(),
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

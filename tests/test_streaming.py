@@ -244,3 +244,47 @@ def test_transform_with_state_totals(spark, events_dir):
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c"),
     )
     assert _rows(final) == _rows(expect)
+
+
+def test_topk_values_tws_matches_batch(spark, events_dir):
+    """ListState on transformWithState: the drained per-user top-3
+    (max over emissions per rank) must equal the batch top-3 computed
+    with a window function over the same data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.streaming.pbcompat import enable_container_protobuf
+    from small_etl_spark.streaming.stateful import topk_values_tws
+
+    if not enable_container_protobuf():
+        pytest.skip("no protobuf runtime available in this environment")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = topk_values_tws(read_events_stream(spark, events_dir), k=3)
+        run_to_memory_sink(stream, "tws_topk_sink", output_mode="update")
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got_df = spark.table("tws_topk_sink")
+    # Update-mode memory sink keeps every emission; the LAST batch's
+    # rows per (user, rank) are the final state = max value at rank
+    final = got_df.groupBy("user_id", "rank").agg(
+        F.max("value_cents").alias("value_cents")
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc())
+    expect = (
+        ev.select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .dropna()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", F.col("c").alias("value_cents"))
+    )
+    assert _rows(final) == _rows(expect)
