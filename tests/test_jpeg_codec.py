@@ -221,3 +221,26 @@ def test_phash_identical_jpegs_collide(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     hashes = {r.media_id: r.phash for r in perceptual_hash(df).collect()}
     assert hashes[0] == hashes[1]
+
+
+def test_cross_validate_against_pillow():
+    """When Pillow IS available (real deploys; skipped in the hermetic
+    container), the two implementations must agree: Pillow decodes our
+    encoder's output within the same error envelope our decoder
+    reports, and our decoder reads a Pillow-encoded baseline JPEG."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _smooth(40, 56, 3, seed=5)
+    # our encoder → Pillow decoder
+    ours = encode_jpeg(img, quality=90)
+    with PIL.open(io.BytesIO(ours)) as im:
+        pil_out = np.asarray(im.convert("RGB"))
+    assert pil_out.shape == img.shape
+    assert _psnr(img, pil_out) > 33
+    # Pillow encoder → our decoder
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, format="JPEG", quality=90)
+    out = decode_jpeg(buf.getvalue())
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 30
