@@ -305,7 +305,10 @@ def _decode_symbol(r: _BitReader, table: _HuffDecoder) -> int:
         if length > 16:
             raise ValueError("corrupt Huffman stream (code > 16 bits)")
         code = (code << 1) | r.read_bit()
-    return table.huffval[table.valptr[length] + code - table.mincode[length]]
+    idx = table.valptr[length] + code - table.mincode[length]
+    if not 0 <= idx < len(table.huffval):
+        raise ValueError("corrupt Huffman stream (code outside table)")
+    return table.huffval[idx]
 
 
 def _extend(v: int, size: int) -> int:
@@ -580,9 +583,13 @@ def jpeg_meta(data: bytes) -> dict[str, int]:
     frame (baseline sequential, 8-bit, sampling factors <= 2)."""
     for marker, start, ln in _parse_segments(data):
         if marker == SOF0 or marker in _UNSUPPORTED_SOF:
+            if ln < 6:
+                raise ValueError("truncated SOF segment")
             prec = data[start]
             h, w = struct.unpack_from(">HH", data, start + 1)
             nc = data[start + 5]
+            if ln < 6 + 3 * nc:
+                raise ValueError("truncated SOF segment")
             ok = marker == SOF0 and prec == 8
             for ci in range(nc):
                 hv = data[start + 7 + 3 * ci]
@@ -622,6 +629,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == DQT:
             p = start
             while p < start + ln:
+                if p + 65 > start + ln:
+                    raise ValueError("truncated DQT segment")
                 pq, tq = data[p] >> 4, data[p] & 0xF
                 if pq != 0:
                     raise ValueError("16-bit quantization tables unsupported")
@@ -631,9 +640,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == DHT:
             p = start
             while p < start + ln:
+                if p + 17 > start + ln:
+                    raise ValueError("truncated DHT segment")
                 tc, th = data[p] >> 4, data[p] & 0xF
                 bits = list(data[p + 1: p + 17])
                 nv = sum(bits)
+                if p + 17 + nv > start + ln:
+                    raise ValueError("truncated DHT segment")
                 vals = list(data[p + 17: p + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
                 p += 17 + nv
@@ -647,6 +660,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             nc = data[start + 5]
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if ln < 6 + 3 * nc:
+                raise ValueError("truncated SOF segment")
             comps = []
             for ci in range(nc):
                 cid = data[start + 6 + 3 * ci]
@@ -663,6 +678,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             if ns != len(frame["comps"]):
                 raise ValueError("non-interleaved scans unsupported")
+            if ln < 4 + 2 * ns:
+                raise ValueError("truncated SOS segment")
             sos_comps = {}
             for si in range(ns):
                 cid = data[start + 1 + 2 * si]
@@ -697,6 +714,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 rst_idx += 1
                 prev_dc = [0] * len(comps)
             for ci, c in enumerate(comps):
+                if c["id"] not in sos_comps:
+                    raise ValueError("scan component ids do not match frame")
                 tdc, tac = sos_comps[c["id"]]
                 if tdc not in huff_dc or tac not in huff_ac:
                     raise ValueError("scan references undefined Huffman table")

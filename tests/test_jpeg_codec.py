@@ -244,3 +244,29 @@ def test_cross_validate_against_pillow():
     out = decode_jpeg(buf.getvalue())
     assert out.shape == img.shape
     assert _psnr(img, out) > 30
+
+
+def test_fuzz_mutations_never_crash_foreign():
+    """Single-byte mutations of a valid JPEG must either decode (the
+    mutation hit a don't-care byte) or raise ValueError — never a
+    struct.error/IndexError/infinite loop. Corrupt web blobs are a
+    when, not an if, at corpus scale; a foreign exception in a
+    mapInPandas worker kills the task instead of the row."""
+    img = _smooth(16, 16, 3)
+    good = encode_jpeg(img, quality=85)
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        pos = int(rng.integers(0, len(good)))
+        val = int(rng.integers(0, 256))
+        blob = bytearray(good)
+        blob[pos] = val
+        try:
+            decode_jpeg(bytes(blob))
+        except ValueError:
+            pass
+    # truncations at every prefix length (sampled)
+    for cut in range(2, len(good), 37):
+        try:
+            decode_jpeg(good[:cut])
+        except ValueError:
+            pass

@@ -296,3 +296,24 @@ def test_phash_identical_images_collide_on_real_png(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     hashes = {r.media_id: r.phash for r in perceptual_hash(df).collect()}
     assert hashes[0] == hashes[1]
+
+
+def test_fuzz_mutations_never_crash_foreign():
+    """Single-byte mutations / truncations of a valid PNG must decode
+    or raise ValueError — never struct.error/zlib.error/IndexError
+    (the error contract decode-at-scale workers rely on)."""
+    good = encode_png(np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3) % 251)
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        pos = int(rng.integers(0, len(good)))
+        blob = bytearray(good)
+        blob[pos] = int(rng.integers(0, 256))
+        try:
+            decode_png(bytes(blob))
+        except ValueError:
+            pass
+    for cut in range(1, len(good), 29):
+        try:
+            decode_png(good[:cut])
+        except ValueError:
+            pass
