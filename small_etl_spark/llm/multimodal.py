@@ -59,7 +59,7 @@ def _decode_image_real(content: bytes) -> dict[str, Any]:
     Pillow, so PNG + JPEG are the real in-container paths — and they
     ARE real: spec-correct inflate/unfilter/CRC on PNG, Huffman/
     DCT/subsampling on JPEG."""
-    from small_etl_spark.llm import jpeg_codec, png_codec
+    from small_etl_spark.llm import gif_codec, jpeg_codec, png_codec
 
     if png_codec.is_png(content):
         meta = png_codec.png_meta(content)
@@ -67,6 +67,10 @@ def _decode_image_real(content: bytes) -> dict[str, Any]:
     if jpeg_codec.is_jpeg(content):
         meta = jpeg_codec.jpeg_meta(content)
         return {"width": meta["width"], "height": meta["height"], "n_frames": 1}
+    if gif_codec.is_gif(content):
+        meta = gif_codec.gif_meta(content)
+        return {"width": meta["width"], "height": meta["height"],
+                "n_frames": meta["n_frames"]}
     try:
         import io
 
@@ -113,12 +117,14 @@ def decode_pixels(content: bytes) -> "Any":
     """
     import numpy as np
 
-    from small_etl_spark.llm import jpeg_codec, png_codec
+    from small_etl_spark.llm import gif_codec, jpeg_codec, png_codec
 
     if png_codec.is_png(content):
         return png_codec.decode_png(content)
     if jpeg_codec.is_jpeg(content):
         return jpeg_codec.decode_jpeg(content)
+    if gif_codec.is_gif(content):
+        return gif_codec.decode_gif(content)[0]  # first frame
     if not content.startswith(_MAGIC):
         raise ValueError("unknown media container")
     hdr = decode_header(content)
@@ -207,6 +213,59 @@ def synth_jpeg_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+GIF_PALETTE_LAW = "palette[i] = ((3*i)%256, (5*i)%256, (7*i)%256)"
+
+
+def gif_index_law(media_id: int, n_frames: int, height: int, width: int) -> "Any":
+    """Closed-form palette-index law for GIF oracles:
+    idx[f, r, c] = (id + 11·f + 7·r + 13·c) mod 256, over the fixed
+    palette ((3i)%256, (5i)%256, (7i)%256). GIF is LOSSLESS given the
+    palette, so unlike the JPEG twin the decoded pixel SUM is exactly
+    predictable in SQL."""
+    import numpy as np
+
+    f = np.arange(n_frames)[:, None, None]
+    r = np.arange(height)[None, :, None]
+    c = np.arange(width)[None, None, :]
+    return ((media_id + 11 * f + 7 * r + 13 * c) % 256).astype(np.uint8)
+
+
+def gif_law_palette() -> "Any":
+    import numpy as np
+
+    i = np.arange(256)
+    return np.stack([(3 * i) % 256, (5 * i) % 256, (7 * i) % 256],
+                    axis=1).astype(np.uint8)
+
+
+def encode_gif_media(
+    media_id: int, width: int, height: int, n_frames: int = 1
+) -> bytes:
+    """Deterministic REAL animated-GIF blob following
+    :func:`gif_index_law` (see queries: gif_decode_stats)."""
+    from small_etl_spark.llm.gif_codec import encode_gif
+
+    return encode_gif(
+        gif_index_law(media_id, n_frames, height, width), gif_law_palette()
+    )
+
+
+def synth_gif_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic REAL-GIF media table: ANIMATED blobs (2-6 frames)
+    under kind="video" so frame sampling exercises genuine multi-frame
+    decode, plus single-frame images."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 6) * 4, 8 + (i % 4) * 4
+        frames = 1 + (i % 6)
+        kind = "video" if frames > 1 else "image"
+        rows.append(
+            (i, kind, bytearray(encode_gif_media(i, w, h, frames)),
+             (w, h, frames, 0))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 FEATURES_SCHEMA = (
     "media_id bigint, kind string, width int, height int, n_frames int, "
     "content_sha256 string, features array<float>"
@@ -267,6 +326,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from small_etl_spark.llm.gif_codec import encode_gif, is_gif
     from small_etl_spark.llm.jpeg_codec import encode_jpeg, is_jpeg
     from small_etl_spark.llm.png_codec import encode_png, is_png
 
@@ -279,6 +339,29 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["content"], pdf["meta"]
             ):
                 blob = bytes(content)
+                if is_gif(blob):
+                    # container-preserving for BOTH image and video
+                    # GIFs: every frame is resampled, the animation
+                    # survives (frame count invariant)
+                    from small_etl_spark.llm.gif_codec import decode_gif
+
+                    frames = decode_gif(blob)
+                    nf, fh, fw = frames.shape[0], frames.shape[1], frames.shape[2]
+                    ys = (np.arange(target_h) * fh // target_h)
+                    xs = (np.arange(target_w) * fw // target_w)
+                    new_blob = encode_gif(frames[:, ys][:, :, xs])
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["content"].append(new_blob)
+                    out["meta"].append(
+                        {
+                            "width": target_w,
+                            "height": target_h,
+                            "n_frames": nf,
+                            "sample_rate": meta["sample_rate"] if meta is not None else 0,
+                        }
+                    )
+                    continue
                 if kind != "image":
                     out["media_id"].append(mid)
                     out["kind"].append(kind)
@@ -333,6 +416,8 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from small_etl_spark.llm.gif_codec import decode_gif, is_gif
+
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_sha256": []}
             for mid, kind, content in zip(
@@ -341,6 +426,17 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
                 if kind != "video":
                     continue
                 blob = bytes(content)
+                if is_gif(blob):
+                    # REAL frames: hash the decoded RGB plane of each
+                    # kept frame (content-addressed, codec-independent)
+                    frames = decode_gif(blob)
+                    for idx in range(0, frames.shape[0], every_k):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_sha256"].append(
+                            hashlib.sha256(frames[idx].tobytes()).hexdigest()
+                        )
+                    continue
                 hdr = decode_header(blob)
                 for idx in range(0, hdr["n_frames"], every_k):
                     rows["media_id"].append(mid)

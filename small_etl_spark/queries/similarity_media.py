@@ -183,6 +183,63 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gif_decode_stats",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST((8 + (media_id % 6) * 4) AS INT) AS width,
+           CAST((8 + (media_id % 4) * 4) AS INT) AS height,
+           CAST((1 + (media_id % 6)) AS INT) AS n_frames,
+           CAST(list_sum([
+             (3*v) % 256 + (5*v) % 256 + (7*v) % 256
+             for v in [
+               (media_id + 11*(k // ((8 + (media_id % 4) * 4)*(8 + (media_id % 6) * 4))) + 7*((k % ((8 + (media_id % 4) * 4)*(8 + (media_id % 6) * 4))) // (8 + (media_id % 6) * 4)) + 13*(k % (8 + (media_id % 6) * 4))) % 256
+               for k in range(0, CAST((1 + (media_id % 6))*(8 + (media_id % 4) * 4)*(8 + (media_id % 6) * 4) AS BIGINT))
+             ]
+           ]) AS BIGINT) AS pixel_sum
+    FROM range(48) t(media_id)
+    ORDER BY media_id
+    """,
+)
+def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF kernel end-to-end (llm/gif_codec): 48 genuine
+    GIF89a blobs (1-6 frames each, LZW-compressed palette indices
+    following the closed-form law in llm.multimodal.gif_index_law) are
+    fully decoded on executors — block walk, LZW with variable code
+    width, palette expansion, frame compositing — inside Arrow-batched
+    mapInPandas. GIF is LOSSLESS given the palette, so the oracle
+    predicts the exact pixel SUM across all frames analytically (the
+    strictest contract of the three codec oracles; JPEG's can only pin
+    an error bound). A wrong LZW width bump, palette law, or frame
+    count shifts the sum and fails the hash."""
+    from small_etl_spark.llm.multimodal import synth_gif_media_df
+
+    media = synth_gif_media_df(spark, 48)
+
+    def run(batches):
+        import pandas as pd
+
+        from small_etl_spark.llm.gif_codec import decode_gif
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_frames": [], "pixel_sum": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_gif(bytes(content))
+                out["media_id"].append(mid)
+                out["width"].append(frames.shape[2])
+                out["height"].append(frames.shape[1])
+                out["n_frames"].append(frames.shape[0])
+                out["pixel_sum"].append(int(frames.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema="media_id bigint, width int, height int, "
+               "n_frames int, pixel_sum bigint",
+    ).orderBy("media_id")
+
+
+@register(
     "cosine_topk_vectorized",
     """
     WITH q AS (
