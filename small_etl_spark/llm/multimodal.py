@@ -250,6 +250,97 @@ def encode_gif_media(
     )
 
 
+def wav_sample_law(media_id: int, n_samples: int, channels: int) -> "Any":
+    """Closed-form int16 sample law for WAV oracles:
+    s[i, ch] = ((7·id + 13·i + 29·ch) mod 4001) − 2000. PCM is
+    lossless, so decoded sample sums are exactly predictable in SQL."""
+    import numpy as np
+
+    i = np.arange(n_samples)[:, None]
+    ch = np.arange(channels)[None, :]
+    return (((7 * media_id + 13 * i + 29 * ch) % 4001) - 2000).astype(np.int16)
+
+
+def encode_wav_media(
+    media_id: int, n_samples: int, sample_rate: int, channels: int = 1
+) -> bytes:
+    """Deterministic REAL PCM-WAV blob following :func:`wav_sample_law`
+    (see queries: wav_decode_stats)."""
+    from small_etl_spark.llm.wav_codec import encode_wav
+
+    return encode_wav(wav_sample_law(media_id, n_samples, channels), sample_rate)
+
+
+def synth_wav_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic REAL-WAV media table (mono and stereo, mixed
+    sample rates) under kind="audio"."""
+    rows = []
+    for i in range(n):
+        ns = 200 + (i % 7) * 50
+        rate = 8000 * (1 + (i % 3))
+        ch = 1 + (i % 2)
+        rows.append(
+            (i, "audio", bytearray(encode_wav_media(i, ns, rate, ch)),
+             (0, 0, 1, rate))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, sample_rate int, channels int, n_samples int, "
+    "rms double, zcr double, band_energy array<double>"
+)
+
+
+def extract_audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Audio decode + features over ``mapInPandas``: REAL for WAV
+    blobs (RIFF parse → PCM samples → RMS/ZCR/rfft bands via
+    llm/wav_codec); the fake container's payload bytes are
+    reinterpreted as int16 so the plumbing stays testable for
+    formats with no in-container codec. Non-audio rows are skipped."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from small_etl_spark.llm.wav_codec import (
+            audio_features,
+            decode_wav,
+            is_wav,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "rms": [], "zcr": [], "band_energy": [],
+            }
+            for mid, kind, content, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"], pdf["meta"]
+            ):
+                if kind != "audio":
+                    continue
+                blob = bytes(content)
+                if is_wav(blob):
+                    samples, rate = decode_wav(blob)
+                else:
+                    payload = blob[len(_MAGIC) + 12:]
+                    samples = np.frombuffer(
+                        payload[: (len(payload) // 2) * 2], "<i2"
+                    ).reshape(-1, 1).astype(np.int16)
+                    rate = meta["sample_rate"] if meta is not None else 16000
+                f = audio_features(samples, n_bands)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(int(rate))
+                out["channels"].append(samples.shape[1])
+                out["n_samples"].append(samples.shape[0])
+                out["rms"].append(f["rms"])
+                out["zcr"].append(f["zcr"])
+                out["band_energy"].append(f["band_energy"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def synth_gif_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
     """Deterministic REAL-GIF media table: ANIMATED blobs (2-6 frames)
     under kind="video" so frame sampling exercises genuine multi-frame

@@ -240,6 +240,59 @@ def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_decode_stats",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST((8000 * (1 + (media_id % 3))) AS INT) AS sample_rate,
+           CAST((1 + (media_id % 2)) AS INT) AS channels,
+           CAST((200 + (media_id % 7) * 50) AS INT) AS n_samples,
+           CAST(list_sum([
+             ((7*media_id + 13*(k // (1 + (media_id % 2))) + 29*(k % (1 + (media_id % 2)))) % 4001) - 2000
+             for k in range(0, CAST((200 + (media_id % 7) * 50)*(1 + (media_id % 2)) AS BIGINT))
+           ]) AS BIGINT) AS sample_sum
+    FROM range(48) t(media_id)
+    ORDER BY media_id
+    """,
+)
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio kernel end-to-end (llm/wav_codec): 48 genuine
+    RIFF/PCM blobs (mono + stereo, mixed rates, samples following the
+    closed-form law in llm.multimodal.wav_sample_law) are decoded on
+    executors — chunk walk, PCM frame deinterleave — inside
+    Arrow-batched mapInPandas. PCM is lossless, so the oracle predicts
+    the exact interleaved sample SUM analytically; a wrong channel
+    deinterleave or endianness flip shifts the sum and fails the
+    hash. Completes the codec-oracle triple set: PNG (filters/CRC),
+    JPEG (DCT error bound), GIF (LZW exact), WAV (PCM exact)."""
+    from small_etl_spark.llm.multimodal import synth_wav_media_df
+
+    media = synth_wav_media_df(spark, 48)
+
+    def run(batches):
+        import pandas as pd
+
+        from small_etl_spark.llm.wav_codec import decode_wav
+
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "channels": [],
+                   "n_samples": [], "sample_sum": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = decode_wav(bytes(content))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["channels"].append(samples.shape[1])
+                out["n_samples"].append(samples.shape[0])
+                out["sample_sum"].append(int(samples.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema="media_id bigint, sample_rate int, channels int, "
+               "n_samples int, sample_sum bigint",
+    ).orderBy("media_id")
+
+
+@register(
     "cosine_topk_vectorized",
     """
     WITH q AS (
