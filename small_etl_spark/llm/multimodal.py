@@ -2,11 +2,15 @@
 columns with typed metadata (north-star, BASELINE.json).
 
 The Spark side is real and tested — schema, partitioning, Arrow batch
-shape, UDF signatures; only the codec itself is stubbed (this
-container has no image/audio libraries). Each ``_decode_*_real``
-raises ``NotImplementedError`` until Pillow/torchaudio/PyAV is
-installed; the deterministic fake decoder keeps the pipeline testable
-end-to-end.
+shape, UDF signatures — and so are the codecs: PNG, baseline JPEG,
+animated GIF and PCM WAV decode/encode for REAL via the in-repo
+from-spec kernels (llm/png_codec.py, llm/jpeg_codec.py,
+llm/gif_codec.py, llm/wav_codec.py — numpy + stdlib, no Pillow
+needed), each pinned by a DuckDB oracle query
+(png/jpeg/gif/wav_decode_stats). Formats beyond those (WebP,
+progressive JPEG, MP4/AV1 video) route through import-gated Pillow
+where installed, else raise ValueError; the deterministic fake
+container covers the video payload path where no codec exists here.
 
 Scale shape (100 TB of media):
 - store media as parquet ``binary`` + sidecar metadata struct, NOT
@@ -41,9 +45,10 @@ def encode_fake_media(
 ) -> bytes:
     """Deterministic fake media blob: magic + header + seeded payload.
 
-    Stands in for real JPEG/WAV/MP4 bytes so the binary-column
-    pipeline (schema → partition → Arrow batch → decode → features)
-    is exercised with realistic payload sizes.
+    Stands in for real MP4/MKV video bytes (the one modality with no
+    in-repo codec) so the binary-column pipeline (schema → partition →
+    Arrow batch → decode → features) is exercised with realistic
+    payload sizes; images and audio have real codecs now.
     """
     header = struct.pack(">III", width, height, n_frames)
     seed = hashlib.sha256(f"{media_id}:{kind}".encode()).digest()
@@ -52,13 +57,13 @@ def encode_fake_media(
 
 
 def _decode_image_real(content: bytes) -> dict[str, Any]:
-    """Real image decode: PNG and baseline JPEG via the in-repo
-    pure-Python codecs (llm/png_codec.py, llm/jpeg_codec.py — numpy +
-    stdlib only); other formats (WebP/GIF/progressive JPEG/...) via
-    Pillow when present, else a clear error. The container has no
-    Pillow, so PNG + JPEG are the real in-container paths — and they
-    ARE real: spec-correct inflate/unfilter/CRC on PNG, Huffman/
-    DCT/subsampling on JPEG."""
+    """Real image decode: PNG, baseline JPEG and animated GIF via the
+    in-repo pure-Python codecs (llm/png_codec.py, llm/jpeg_codec.py,
+    llm/gif_codec.py — numpy + stdlib only); other formats
+    (WebP/progressive JPEG/...) via Pillow when present, else a clear
+    error. The container has no Pillow, so these are the real
+    in-container paths — spec-correct inflate/unfilter/CRC on PNG,
+    Huffman/DCT/subsampling on JPEG, LZW/compositing on GIF."""
     from small_etl_spark.llm import gif_codec, jpeg_codec, png_codec
 
     if png_codec.is_png(content):
