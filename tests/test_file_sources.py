@@ -111,3 +111,24 @@ def test_ignore_corrupt_files_salvages_good_rows(spark, tmp_path):
         spark.read.option("ignoreCorruptFiles", "true").parquet(str(d))
     ).collect()
     assert [(r["id"], r["name"]) for r in got] == [(1, "ok")]
+
+
+def test_load_table_relation_cache(spark, tmp_path):
+    """load_table memoizes the parquet relation per (session, dir,
+    table): repeat calls return the SAME DataFrame object (no
+    re-listing), use_cache=False returns a fresh one, and the fresh
+    relation sees files the cached one's listing snapshot missed."""
+    import pyspark.sql.functions as F
+
+    from small_etl_spark.sources.tables import load_table
+
+    d = tmp_path / "tbl"
+    spark.range(5).withColumn("part", F.lit("a")).write.parquet(
+        str(d / "part.parquet")
+    )
+    a = load_table(spark, str(d), "part")
+    b = load_table(spark, str(d), "part")
+    assert a is b  # cache hit — no second listing
+    fresh = load_table(spark, str(d), "part", use_cache=False)
+    assert fresh is not a
+    assert fresh.count() == a.count() == 5
