@@ -723,6 +723,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     for bx in range(c["h"]):
                         blk = np.zeros(64, dtype=np.int32)
                         size = _decode_symbol(r, huff_dc[tdc])
+                        if size > 11:
+                            raise ValueError(
+                                f"invalid DC category {size} (8-bit max 11)"
+                            )
                         diff = _extend(r.receive(size), size)
                         prev_dc[ci] += diff
                         blk[0] = prev_dc[ci]
@@ -735,6 +739,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 k += 16
                                 continue
                             run, sz = sym >> 4, sym & 0x0F
+                            if sz > 10:
+                                raise ValueError(
+                                    f"invalid AC category {sz} (8-bit max 10)"
+                                )
                             k += run
                             if k > 63:
                                 raise ValueError("AC run past block end")

@@ -64,7 +64,7 @@ def _decode_image_real(content: bytes) -> dict[str, Any]:
     error. The container has no Pillow, so these are the real
     in-container paths — spec-correct inflate/unfilter/CRC on PNG,
     Huffman/DCT/subsampling on JPEG, LZW/compositing on GIF."""
-    from small_etl_spark.llm import gif_codec, jpeg_codec, png_codec
+    from small_etl_spark.llm import avi_codec, gif_codec, jpeg_codec, png_codec
 
     if png_codec.is_png(content):
         meta = png_codec.png_meta(content)
@@ -74,6 +74,10 @@ def _decode_image_real(content: bytes) -> dict[str, Any]:
         return {"width": meta["width"], "height": meta["height"], "n_frames": 1}
     if gif_codec.is_gif(content):
         meta = gif_codec.gif_meta(content)
+        return {"width": meta["width"], "height": meta["height"],
+                "n_frames": meta["n_frames"]}
+    if avi_codec.is_avi(content):
+        meta = avi_codec.avi_meta(content)
         return {"width": meta["width"], "height": meta["height"],
                 "n_frames": meta["n_frames"]}
     try:
@@ -122,7 +126,7 @@ def decode_pixels(content: bytes) -> "Any":
     """
     import numpy as np
 
-    from small_etl_spark.llm import gif_codec, jpeg_codec, png_codec
+    from small_etl_spark.llm import avi_codec, gif_codec, jpeg_codec, png_codec
 
     if png_codec.is_png(content):
         return png_codec.decode_png(content)
@@ -130,6 +134,8 @@ def decode_pixels(content: bytes) -> "Any":
         return jpeg_codec.decode_jpeg(content)
     if gif_codec.is_gif(content):
         return gif_codec.decode_gif(content)[0]  # first frame
+    if avi_codec.is_avi(content):
+        return avi_codec.decode_avi_frames(content, every_k=10**9)[0]
     if not content.startswith(_MAGIC):
         raise ValueError("unknown media container")
     hdr = decode_header(content)
@@ -362,6 +368,39 @@ def synth_gif_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def encode_avi_media(
+    media_id: int, width: int, height: int, n_frames: int
+) -> bytes:
+    """Deterministic REAL MJPEG-AVI blob: frame f follows
+    jpeg_block_law(media_id + 97·f) — block-constant, so the lossy
+    MJPEG round trip stays within the same 4-count bound the JPEG
+    oracle pins (see queries: avi_decode_stats)."""
+    import numpy as np
+
+    from small_etl_spark.llm.avi_codec import encode_avi
+
+    frames = np.stack(
+        [jpeg_block_law(media_id + 97 * f, height, width)
+         for f in range(n_frames)],
+        axis=0,
+    )
+    return encode_avi(frames, fps=10, quality=95)
+
+
+def synth_avi_media_df(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic REAL-AVI media table (1-5 MJPEG frames each,
+    kind="video", non-multiple-of-8 sizes included)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 5) * 7, 16 + (i % 3) * 9
+        frames = 1 + (i % 5)
+        rows.append(
+            (i, "video", bytearray(encode_avi_media(i, w, h, frames)),
+             (w, h, frames, 0))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 FEATURES_SCHEMA = (
     "media_id bigint, kind string, width int, height int, n_frames int, "
     "content_sha256 string, features array<float>"
@@ -422,6 +461,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from small_etl_spark.llm.avi_codec import encode_avi, is_avi
     from small_etl_spark.llm.gif_codec import encode_gif, is_gif
     from small_etl_spark.llm.jpeg_codec import encode_jpeg, is_jpeg
     from small_etl_spark.llm.png_codec import encode_png, is_png
@@ -435,6 +475,28 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["content"], pdf["meta"]
             ):
                 blob = bytes(content)
+                if is_avi(blob):
+                    # container-preserving video resize: every MJPEG
+                    # frame resampled and re-encoded, count invariant
+                    from small_etl_spark.llm.avi_codec import decode_avi_frames
+
+                    frames = decode_avi_frames(blob)
+                    nf, fh, fw = frames.shape[0], frames.shape[1], frames.shape[2]
+                    ys = (np.arange(target_h) * fh // target_h)
+                    xs = (np.arange(target_w) * fw // target_w)
+                    new_blob = encode_avi(frames[:, ys][:, :, xs], quality=90)
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["content"].append(new_blob)
+                    out["meta"].append(
+                        {
+                            "width": target_w,
+                            "height": target_h,
+                            "n_frames": nf,
+                            "sample_rate": meta["sample_rate"] if meta is not None else 0,
+                        }
+                    )
+                    continue
                 if is_gif(blob):
                     # container-preserving for BOTH image and video
                     # GIFs: every frame is resampled, the animation
@@ -512,6 +574,7 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from small_etl_spark.llm.avi_codec import decode_avi_frames, is_avi
         from small_etl_spark.llm.gif_codec import decode_gif, is_gif
 
         for pdf in batches:
@@ -522,6 +585,17 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
                 if kind != "video":
                     continue
                 blob = bytes(content)
+                if is_avi(blob):
+                    # REAL MJPEG frames, decoded lazily: only the
+                    # kept frames pay for a JPEG decode
+                    frames = decode_avi_frames(blob, every_k=every_k)
+                    for j in range(frames.shape[0]):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(j * every_k)
+                        rows["frame_sha256"].append(
+                            hashlib.sha256(frames[j].tobytes()).hexdigest()
+                        )
+                    continue
                 if is_gif(blob):
                     # REAL frames: hash the decoded RGB plane of each
                     # kept frame (content-addressed, codec-independent)

@@ -293,6 +293,67 @@ def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avi_decode_stats",
+    """
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST((16 + (media_id % 5) * 7) AS INT) AS width,
+           CAST((16 + (media_id % 3) * 9) AS INT) AS height,
+           CAST((1 + (media_id % 5)) AS INT) AS n_frames,
+           TRUE AS err_le_4
+    FROM range(48) t(media_id)
+    ORDER BY media_id
+    """,
+)
+def q_avi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video kernel end-to-end (llm/avi_codec + llm/jpeg_codec):
+    48 genuine MJPEG-AVI blobs (1-5 frames each; frame f follows the
+    8x8-block-constant law jpeg_block_law(id + 97·f)) are decoded on
+    executors — RIFF walk, movi chunk extraction, per-frame baseline
+    JPEG decode — inside Arrow-batched mapInPandas. Block-constant
+    frames are DC-only, so every decoded frame must land within 4
+    counts of its law; the oracle pins dims, REAL frame counts and
+    the error bound. Completes the modality set: all five blob
+    formats (PNG/JPEG/GIF/WAV/AVI) now decode for real in-container
+    with an oracle contract each."""
+    from small_etl_spark.llm.multimodal import synth_avi_media_df
+
+    media = synth_avi_media_df(spark, 48)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from small_etl_spark.llm.avi_codec import decode_avi_frames
+        from small_etl_spark.llm.multimodal import jpeg_block_law
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "n_frames": [], "err_le_4": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_avi_frames(bytes(content))
+                err = 0
+                for f in range(frames.shape[0]):
+                    law = jpeg_block_law(
+                        int(mid) + 97 * f, frames.shape[1], frames.shape[2]
+                    )
+                    err = max(err, int(np.abs(
+                        frames[f].astype("int64") - law.astype("int64")
+                    ).max()))
+                out["media_id"].append(mid)
+                out["width"].append(frames.shape[2])
+                out["height"].append(frames.shape[1])
+                out["n_frames"].append(frames.shape[0])
+                out["err_le_4"].append(err <= 4)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        schema="media_id bigint, width int, height int, "
+               "n_frames int, err_le_4 boolean",
+    ).orderBy("media_id")
+
+
+@register(
     "cosine_topk_vectorized",
     """
     WITH q AS (
