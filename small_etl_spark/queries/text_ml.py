@@ -1080,3 +1080,133 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (llm/classifier.py): bag-of-words logistic
+# regression trained with full-batch GD. The oracle replays training
+# EXACTLY by unrolling the fixed iteration count into a WITH-chain —
+# the same replay technique as the BPE oracle (events_ops.py): each
+# iteration is one margin aggregation, one residual map, one gradient
+# aggregation, one weight update.
+
+
+def _logreg_prefix_sql(iters: int, vocab_size: int, lr: float) -> str:
+    parts = [
+        f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'))
+               AS token
+      FROM documents
+    ), cnts AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM tok GROUP BY doc_id, token
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        ORDER BY cnt DESC, token ASC LIMIT {vocab_size})
+    ), feat AS (
+      SELECT c.doc_id, c.token, c.x FROM cnts c JOIN vocab USING (token)
+    ), lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), w0 AS (SELECT token, 0.0 AS w FROM vocab)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    m{t} AS (
+      SELECT f.doc_id, SUM(f.x * w.w) AS m
+      FROM feat f JOIN w{t - 1} w USING (token) GROUP BY f.doc_id
+    ), r{t} AS (
+      SELECT m.doc_id, 1.0 / (1.0 + exp(-m.m)) - l.y AS r
+      FROM m{t} m JOIN lab l USING (doc_id)
+    ), g{t} AS (
+      SELECT f.token, SUM(f.x * r.r) / n AS g
+      FROM feat f JOIN r{t} r USING (doc_id), nn GROUP BY f.token, n
+    ), w{t} AS (
+      SELECT w.token, w.w - {lr} * COALESCE(g.g, 0.0) AS w
+      FROM w{t - 1} w LEFT JOIN g{t} g USING (token)
+    )"""
+        )
+    return "".join(parts)
+
+
+_LOGREG_ITERS, _LOGREG_V, _LOGREG_LR = 3, 64, 0.5
+
+
+@register(
+    "logreg_quality_train",
+    _logreg_prefix_sql(_LOGREG_ITERS, _LOGREG_V, _LOGREG_LR)
+    + f"""
+    SELECT token, round(w, 6) AS weight
+    FROM w{_LOGREG_ITERS} ORDER BY token
+    """,
+)
+def q_logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a fastText-style bag-of-words logistic regression ON the
+    corpus (llm/classifier.py::train_logreg_bow) with is-English as
+    the label — the CCNet/GPT-3 "learned quality filter" step the
+    declarative reference pipeline cannot express. The oracle unrolls
+    all 3 GD iterations into SQL and matches every weight to 6dp.
+    Model stays a broadcast-sized table; data never leaves executors.
+    """
+    from small_etl_spark.llm.classifier import train_logreg_bow
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w = train_logreg_bow(
+        docs,
+        "y",
+        vocab_size=_LOGREG_V,
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+    )
+    return w.select("token", F.round("weight", 6).alias("weight")).orderBy(
+        "token"
+    )
+
+
+@register(
+    "logreg_quality_score",
+    _logreg_prefix_sql(_LOGREG_ITERS, _LOGREG_V, _LOGREG_LR)
+    + f"""
+    , sm AS (
+      SELECT f.doc_id, SUM(f.x * w.w) AS m
+      FROM feat f JOIN w{_LOGREG_ITERS} w USING (token) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           round(1.0 / (1.0 + exp(-COALESCE(sm.m, 0.0))), 6) AS prob
+    FROM documents d LEFT JOIN sm USING (doc_id)
+    ORDER BY prob DESC, doc_id LIMIT 20
+    """,
+)
+def q_logreg_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained classifier
+    (llm/classifier.py::score_logreg_bow) and return the 20 most
+    English-confident docs. Scoring is one explode + one broadcast
+    join + one per-doc aggregation — a single tf-shaped shuffle no
+    matter the corpus size."""
+    from small_etl_spark.llm.classifier import (
+        score_logreg_bow,
+        train_logreg_bow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w = train_logreg_bow(
+        docs,
+        "y",
+        vocab_size=_LOGREG_V,
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+    )
+    scored = score_logreg_bow(docs, w).select(
+        "doc_id", F.round("prob", 6).alias("prob")
+    )
+    return scored.orderBy(F.col("prob").desc(), "doc_id").limit(20)
