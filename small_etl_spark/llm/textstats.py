@@ -645,3 +645,105 @@ def flesch_reading_ease(col: Column | str) -> Column:
         - F.lit(1.015) * (words / sentences)
         - F.lit(84.6) * (syllables / words),
     )
+
+
+def bigram_interp_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """CCNet/KenLM-style LM scoring, interpolated-bigram form — the
+    next rung above :func:`unigram_logprob`: train add-one-smoothed
+    unigram AND bigram models on the corpus itself, then score every
+    document by its mean bigram-position log-probability under the
+    Jelinek–Mercer interpolation
+
+        p(w2 | w1) = lam * (c(w1,w2)+1)/(c(w1,·)+V)
+                   + (1-lam) * (c(w2)+1)/(N+V).
+
+    Catches what the unigram filter cannot: documents whose tokens
+    are individually common but sequenced improbably (shuffled text,
+    keyword stuffing, template churn). Returns
+    ``(id_col, n_bigrams, avg_logprob)``; docs with <2 tokens get
+    NULL avg_logprob.
+
+    Scale shape: bigrams come from one zip_with of the token array
+    against its own 1-shifted slice (two O(n) array ops per doc, no
+    reslicing), exploded once. Both LM tables are tf-shaped
+    aggregations orders of magnitude smaller than the corpus; the
+    scoring joins are plain hash joins keyed on (w1,w2) and w2 — at
+    100 TB the bigram vocabulary is large, so NO broadcast is
+    assumed anywhere. Everything is built-in functions.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__toks__"))
+    uni = (
+        base.select(F.explode("__toks__").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sizes = uni.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    n = F.size("__toks__")
+    pairs = (
+        base.filter(n >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks__"), 1, n - 1),
+                    F.slice(F.col("__toks__"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__bg__"),
+        )
+        .select(id_col, "__bg__.w1", "__bg__.w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy(F.col("w1").alias("__w1__")).agg(
+        F.sum("c").alias("c1")
+    )
+    p_bi = (
+        c12.join(c1, F.col("w1") == F.col("__w1__"))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p_bi"),
+        )
+    )
+    p_uni = uni.crossJoin(F.broadcast(sizes)).select(
+        F.col("tok").alias("__w2__"),
+        (
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("n_total") + F.col("v")).cast("double")
+        ).alias("p_uni"),
+    )
+    scored = (
+        pairs.join(p_bi, ["w1", "w2"])
+        .join(p_uni, F.col("w2") == F.col("__w2__"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    F.lit(lam) * F.col("p_bi")
+                    + F.lit(1.0 - lam) * F.col("p_uni")
+                )
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

@@ -1210,3 +1210,68 @@ def q_logreg_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round("prob", 6).alias("prob")
     )
     return scored.orderBy(F.col("prob").desc(), "doc_id").limit(20)
+
+
+@register(
+    "bigram_interp_logprob_score",
+    """
+    WITH lst AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS l
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(l) AS tok FROM lst
+    ), uni AS (
+      SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+    ), sizes AS (
+      SELECT SUM(cnt) AS n_total, COUNT(*) AS v FROM uni
+    ), pairs AS (
+      SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS bg
+        FROM lst WHERE len(l) >= 2)
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(c) AS c1 FROM c12 GROUP BY w1
+    ), pbi AS (
+      SELECT w1, w2,
+             CAST(c + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p_bi
+      FROM c12 JOIN c1 USING (w1), sizes
+    ), puni AS (
+      SELECT tok,
+             CAST(cnt + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE) AS p_uni
+      FROM uni, sizes
+    ), scored AS (
+      SELECT p.doc_id, COUNT(*) AS n_bigrams,
+             AVG(ln(0.7 * b.p_bi + 0.3 * u.p_uni)) AS alp
+      FROM pairs p
+      JOIN pbi b USING (w1, w2)
+      JOIN puni u ON p.w2 = u.tok
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           round(s.alp, 6) AS avg_logprob
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+)
+def q_bigram_interp_logprob_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interpolated-bigram LM quality scoring
+    (llm/textstats.py::bigram_interp_logprob): Jelinek–Mercer mix of
+    add-one bigram and unigram models trained on the corpus itself —
+    the rung above `unigram_logprob_score` that catches improbable
+    token SEQUENCES. Both LM tables are tf-shaped aggregates; the
+    scoring joins are plain hash joins with no broadcast assumption
+    (bigram vocab is large at scale)."""
+    from small_etl_spark.llm.textstats import bigram_interp_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_interp_logprob(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )

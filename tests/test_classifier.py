@@ -117,3 +117,28 @@ def test_model_side_is_broadcast(spark, docs_df):
     w = train_logreg_bow(docs_df, "y", vocab_size=8, iters=1)
     plan = score_logreg_bow(docs_df, w)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_interp_logprob_tiny(spark):
+    """Hand-replayed Jelinek–Mercer interpolation on a 2-doc corpus."""
+    import math
+
+    from small_etl_spark.llm.textstats import bigram_interp_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_interp_logprob(df).collect()
+    }
+    # corpus: tokens a×3 b×2, V=2, N=5; bigrams: (a,b)×2, (b,a)×1
+    # c1: a·=2, b·=1
+    p_ab = 0.7 * (2 + 1) / (2 + 2) + 0.3 * (2 + 1) / (5 + 2)  # w2=b
+    p_ba = 0.7 * (1 + 1) / (1 + 2) + 0.3 * (3 + 1) / (5 + 2)  # w2=a
+    want0 = (math.log(p_ab) * 2 + math.log(p_ba)) / 3
+    assert got[0][0] == 3
+    assert got[0][1] == pytest.approx(want0, abs=1e-12)
+    assert got[1] == (0, None)
+    assert got[2] == (0, None)
