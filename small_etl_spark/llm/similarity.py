@@ -902,3 +902,93 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_save(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist an IVF index: the assigned corpus partitioned BY CELL
+    plus the centroid table. This is the build-once/probe-many layout
+    the `ivf_assign` docstring promises: at 100 TB the index is built
+    in one pass and every later query batch reads only the probed
+    cells' files (static partition pruning — see
+    :func:`ivf_topk_persisted`), i.e. ~nprobe/C of the corpus bytes.
+
+    ``partitionBy("cell")`` costs one shuffle-free write (each task
+    appends to its cells' directories); C is small (32-1024), so the
+    directory fan-out is bounded.
+    """
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        path + "/assigned"
+    )
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index; returns ``(assigned, centroids)``
+    with ``cell`` restored to bigint (partition-column inference
+    narrows it to int)."""
+    assigned = spark.read.parquet(path + "/assigned").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    centroids = spark.read.parquet(path + "/centroids")
+    return assigned, centroids
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN search over a persisted IVF index with STATIC partition
+    pruning: rank cells per query against the broadcast centroid
+    table, collect the distinct probed cell ids (bounded by contract
+    at C — the centroid count, never the corpus), and push
+    ``cell IN (...)`` into the parquet scan so only the probed
+    partitions' files are read. Results are row-identical to the
+    in-memory :func:`ivf_topk` on the same index (pinned by the
+    oracled ``ivf_persisted_equivalence`` contract and pytest).
+
+    Why collect-then-IN instead of relying on dynamic partition
+    pruning: the probe side is a window over a broadcast crossJoin —
+    DPP may or may not fire on it depending on plan shape, while an
+    explicit IN list on the partition column ALWAYS prunes at
+    planning time, and its size is capped by C, not by the query
+    batch (distinct-before-collect).
+    """
+    assigned, cents = ivf_load(spark, path)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv__"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__psim__").desc(), F.col("cell").asc()
+    )
+    probed_cells = [
+        r["cell"]
+        for r in (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__psim__", cosine_sim("__qv__", "__cent__"))
+            .withColumn("__pr__", F.row_number().over(probe_w))
+            .filter(F.col("__pr__") <= nprobe)
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+    ]
+    pruned = assigned.filter(F.col("cell").isin(probed_cells))
+    return ivf_topk(
+        pruned,
+        cents,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+    )

@@ -449,3 +449,58 @@ def q_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 0.3
         ).alias("recall_ok"),
     )
+
+
+@register(
+    "ivf_persisted_equivalence",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS identical,
+           TRUE AS pruned
+    """,
+)
+def q_ivf_persisted_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build-once/probe-many contract for the persisted IVF index
+    (llm/similarity.py::ivf_save/ivf_topk_persisted): the index is
+    written partitioned BY CELL, reloaded, and probed with an
+    explicit cell IN (...) pushed into the parquet scan. The contract
+    asserts (a) the persisted+pruned search returns row-identical
+    results to the in-memory ``ivf_topk`` on the same index and (b)
+    the scan plan really carries a PartitionFilter on ``cell`` — the
+    ~nprobe/C-bytes-read story at 100 TB, verified in the physical
+    plan, not claimed."""
+    import shutil
+    import tempfile
+
+    from small_etl_spark.llm.similarity import (
+        ivf_assign,
+        ivf_save,
+        ivf_topk,
+        ivf_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    assigned, cents = ivf_assign(emb, num_centroids=32)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        ivf_save(assigned, cents, path)
+        mem = ivf_topk(assigned, cents, q, k=10, nprobe=8)
+        per = ivf_topk_persisted(spark, path, q, k=10, nprobe=8)
+        identical = (
+            per.exceptAll(mem).count() == 0
+            and mem.exceptAll(per).count() == 0
+        )
+        plan = per._jdf.queryExecution().executedPlan().toString()
+        pruned = any(
+            "PartitionFilters" in ln and "cell" in ln
+            for ln in plan.splitlines()
+        )
+        n_queries = q.count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, identical, pruned)],
+        "n_queries bigint, identical boolean, pruned boolean",
+    )

@@ -584,3 +584,62 @@ def test_pq_roundtrip_and_recall(spark):
     top = pq_topk(codes, books, q, k=10, m=8)
     self_hits = top.filter(F.col("query_id") == F.col("vec_id")).count()
     assert self_hits >= 6
+
+
+class TestIvfPersistence:
+    def _emb(self, spark, n=60, d=8):
+        import random
+
+        rnd = random.Random(7)
+        rows = [
+            (i, [rnd.uniform(-1, 1) for _ in range(d)]) for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_persisted_search_identical_and_pruned(self, spark, tmp_path):
+        from small_etl_spark.llm.similarity import (
+            ivf_assign,
+            ivf_save,
+            ivf_topk,
+            ivf_topk_persisted,
+        )
+
+        emb = self._emb(spark)
+        assigned, cents = ivf_assign(emb, num_centroids=8)
+        path = str(tmp_path / "ivf")
+        ivf_save(assigned, cents, path)
+
+        q = emb.filter("vec_id < 4")
+        mem = ivf_topk(assigned, cents, q, k=5, nprobe=3)
+        per = ivf_topk_persisted(spark, path, q, k=5, nprobe=3)
+
+        a = sorted(map(tuple, mem.collect()))
+        b = sorted(map(tuple, per.collect()))
+        assert a == b and len(a) > 0
+
+        # the probed-cell IN list must reach the parquet scan as a
+        # partition filter: only nprobe-ish of the 8 cell dirs are read
+        plan = per._jdf.queryExecution().executedPlan().toString()
+        scan = [
+            ln
+            for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "cell" in ln
+        ]
+        assert scan, plan
+
+    def test_load_restores_cell_type(self, spark, tmp_path):
+        from small_etl_spark.llm.similarity import (
+            ivf_assign,
+            ivf_load,
+            ivf_save,
+        )
+
+        emb = self._emb(spark, n=20)
+        assigned, cents = ivf_assign(emb, num_centroids=4)
+        path = str(tmp_path / "ivf2")
+        ivf_save(assigned, cents, path)
+        a2, c2 = ivf_load(spark, path)
+        assert dict(a2.dtypes)["cell"] == "bigint"
+        assert a2.count() == assigned.count()
