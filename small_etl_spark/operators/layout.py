@@ -76,3 +76,65 @@ def zorder_by(
     out = df.withColumn(code_col, morton_code(buckets, bits))
     parts = [num_partitions] if num_partitions else []
     return out.repartitionByRange(*parts, code_col).sortWithinPartitions(code_col)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a BUCKETED table: hash-partitioned into
+    ``num_buckets`` files by ``key`` and sorted by it within each
+    bucket — Spark's persisted co-location layout.
+
+    The 100 TB payoff is in :func:`bucketed_join` below: two tables
+    bucketed on the same key into the same bucket count join with
+    ZERO Exchange on either side — the planner proves co-partitioning
+    from the table metadata and emits a shuffle-free sort-merge join.
+    For a fact table joined daily against the same dimensions, the
+    shuffle is paid ONCE at write time instead of on every query;
+    bucket-pruning on point predicates is free on top.
+
+    ``path`` makes the table external (data at ``path``, metadata in
+    the session catalog) so callers control the storage root; the
+    catalog entry is what carries the bucket spec — bucketing is the
+    one layout parquet files alone can't declare.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    key: str,
+) -> DataFrame:
+    """Inner-join two bucketed tables on their bucket key. When both
+    were written by :func:`write_bucketed` with the same bucket
+    count, the physical plan contains NO shuffle Exchange on either
+    side — assert ``"Exchange hashpartitioning" not in plan`` (pinned
+    by the oracled ``bucketed_join_colocated`` contract and
+    tests/test_layout.py).
+
+    The ``merge`` hint forces the sort-merge strategy so the
+    demonstration matches the 100 TB case: there BOTH sides exceed
+    the broadcast threshold and the planner picks SMJ on its own; at
+    test SF it would broadcast the small side instead (a
+    BroadcastExchange, which says nothing about co-location).
+    Bucketed SMJ needs no exchange AND no per-query sort (the
+    sortBy at write time already ordered each bucket)."""
+    return (
+        spark.table(left_table)
+        .hint("merge")
+        .join(spark.table(right_table), key)
+    )

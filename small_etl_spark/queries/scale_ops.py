@@ -877,3 +877,69 @@ def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seasonal_decompose_dow(daily)
+
+
+@register(
+    "bucketed_join_colocated",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS identical,
+           TRUE AS no_shuffle
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_bucketed_join_colocated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shuffle-paid-once co-location (operators/layout.py::
+    write_bucketed + bucketed_join): orders and customer are written
+    as tables bucketed by custkey into the same bucket count, then
+    joined. The contract asserts (a) the bucketed join's row count
+    equals the plain parquet join's (the oracle recomputes it in
+    DuckDB), and (b) the physical plan carries NO shuffle Exchange —
+    the planner proved co-partitioning from the catalog bucket spec.
+    At 100 TB this converts every recurring fact-dim join from a
+    full-fact shuffle into a metadata lookup."""
+    import shutil
+    import tempfile
+
+    from small_etl_spark.operators.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="bucketed_gate_")
+    try:
+        write_bucketed(
+            orders.select("o_orderkey", "o_custkey"),
+            "bkt_orders_gate",
+            "o_custkey",
+            16,
+            path=root + "/orders",
+        )
+        write_bucketed(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "bkt_customer_gate",
+            "o_custkey",
+            16,
+            path=root + "/customer",
+        )
+        joined = bucketed_join(
+            spark, "bkt_orders_gate", "bkt_customer_gate", "o_custkey"
+        )
+        n_rows = joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        no_shuffle = "Exchange hashpartitioning" not in plan
+        plain = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+        identical = n_rows == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders_gate")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer_gate")
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_rows, identical, no_shuffle)],
+        "n_rows bigint, identical boolean, no_shuffle boolean",
+    )

@@ -106,3 +106,37 @@ def test_morton_matches_python_reference_exhaustive(spark):
         assert z == py_morton(x, y)
     # bijective over the grid
     assert len(set(got.values())) == len(pairs)
+
+
+class TestBucketedJoin:
+    def test_no_exchange_and_same_result(self, spark, tmp_path):
+        from small_etl_spark.operators.layout import (
+            bucketed_join,
+            write_bucketed,
+        )
+
+        left = spark.range(0, 200).select(
+            (F.col("id") % 37).alias("k"), F.col("id").alias("lv")
+        )
+        right = spark.range(0, 50).select(
+            (F.col("id") % 37).alias("k"), (F.col("id") * 10).alias("rv")
+        )
+        try:
+            write_bucketed(
+                left, "bkt_l", "k", 8, path=str(tmp_path / "l")
+            )
+            write_bucketed(
+                right, "bkt_r", "k", 8, path=str(tmp_path / "r")
+            )
+            joined = bucketed_join(spark, "bkt_l", "bkt_r", "k")
+            plan = (
+                joined._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            got = sorted(map(tuple, joined.collect()))
+            want = sorted(map(tuple, left.join(right, "k").collect()))
+            assert got == want and len(got) > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_l")
+            spark.sql("DROP TABLE IF EXISTS bkt_r")
