@@ -1,0 +1,126 @@
+"""One-call corpus curation: the end-to-end training-data pipeline a
+user of the declarative reference (kenstt/small-etl — filter/dedup/
+sort stages wired in a spec, src/pipeline.rs) would run on Spark,
+composed entirely from this package's already-proven stages:
+
+    heuristic filters  →  exact dedup  →  LM-quality cut
+        →  deterministic shuffle + token budget  →  shard assignment
+
+Every stage is an oracle-validated operator elsewhere in the package;
+this module contributes the COMPOSITION — one DataFrame in, one
+curated-and-sharded DataFrame out — and keeps the whole chain
+engine-portable (md5 hashing, rounded LM scores) so the full pipeline
+is STILL replayable as one DuckDB SQL statement
+(``curation_pipeline`` in the query catalog).
+
+Scale shape, stage by stage (nothing here is new machinery):
+- filters: map-side predicates in one scan (quality_funnel);
+- exact dedup: one fingerprint-keyed window (dedup_first_wins);
+- LM cut: tf-shaped unigram LM + a scalar percentile broadcast
+  (unigram_logprob_score);
+- budget head: md5-ordered distributed prefix sum via the pinned
+  range-exchange primitive (operators/sort.py::global_cumsum) — NOT
+  a single-partition window;
+- shards: a pure map of the md5 bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from small_etl_spark.llm.sampling import hash_bucket
+from small_etl_spark.llm.textstats import (
+    fingerprint,
+    token_count,
+    unigram_logprob,
+)
+from small_etl_spark.operators.sort import global_cumsum
+
+
+def curate_corpus(
+    df: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 20,
+    max_tokens: int = 100000,
+    max_symbol_ratio: float = 0.3,
+    quality_quantile: float = 0.25,
+    budget_fraction: float = 0.5,
+    num_shards: int = 8,
+    salt: str = "curate-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Run the full curation pipeline; returns the surviving docs as
+    ``(id_col, n_tokens, quality, shard)``.
+
+    Stages:
+    1. keep ``lang_col == lang``, token count in
+       [min_tokens, max_tokens], symbol ratio ≤ max_symbol_ratio;
+    2. exact near-identity dedup, first (lowest id) wins per
+       normalized-text fingerprint;
+    3. score survivors with the corpus-trained add-one unigram LM
+       (trained on the FULL corpus so scores don't drift as filters
+       change) and drop the bottom ``quality_quantile`` (cut at the
+       exact interpolated percentile of the 6dp-rounded scores —
+       rounding makes the cut engine-portable);
+    4. order docs by ``md5(salt|id)`` (content-defined permutation)
+       and keep the head whose running token total stays within
+       ``budget_fraction`` of the surviving token budget —
+       distributed prefix sum, no single-task window;
+    5. assign ``shard`` = md5-bucket % num_shards.
+    """
+    n_toks = token_count(text_col)
+    sym_ratio = F.when(
+        F.length(text_col) > 0,
+        F.length(F.regexp_replace(text_col, r"[A-Za-z0-9_\s]", "")).cast(
+            "double"
+        )
+        / F.length(text_col),
+    ).otherwise(F.lit(0.0))
+    kept = df.filter(
+        (F.col(lang_col) == lang)
+        & n_toks.between(min_tokens, max_tokens)
+        & (sym_ratio <= max_symbol_ratio)
+    )
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(id_col)
+    kept = (
+        kept.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+    scores = unigram_logprob(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.round("avg_logprob", 6).alias("quality")
+    )
+    kept = kept.join(scores, id_col)
+    cut = kept.agg(
+        F.expr(f"percentile(quality, {quality_quantile})").alias("c")
+    )
+    kept = kept.crossJoin(F.broadcast(cut)).filter(
+        F.col("quality") >= F.col("c")
+    )
+
+    keyed = kept.select(
+        id_col,
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+        "quality",
+        hash_bucket(id_col, salt).alias("__h__"),
+    )
+    budget = keyed.agg(
+        F.floor(F.sum("n_tokens") * budget_fraction).alias("b")
+    )
+    headed = global_cumsum(
+        keyed, ["__h__", id_col], "n_tokens", cumsum_col="__cum__"
+    )
+    headed = headed.crossJoin(F.broadcast(budget)).filter(
+        F.col("__cum__") <= F.col("b")
+    )
+    return headed.select(
+        id_col,
+        "n_tokens",
+        "quality",
+        (F.conv(F.col("__h__"), 16, 10).cast("bigint") % num_shards).alias(
+            "shard"
+        ),
+    )

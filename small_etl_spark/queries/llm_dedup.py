@@ -1648,3 +1648,80 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "curation_pipeline",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[A-Za-z0-9_]+')) AS tok
+      FROM documents
+    ), lm AS (
+      SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+    ), sizes AS (
+      SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM lm
+    ), lp AS (
+      SELECT tok, ln(CAST(cnt + 1 AS DOUBLE)
+                     / CAST(n_total + vocab AS DOUBLE)) AS lp
+      FROM lm, sizes
+    ), q AS (
+      SELECT t.doc_id, round(AVG(l.lp), 6) AS quality
+      FROM tok t JOIN lp l USING (tok) GROUP BY t.doc_id
+    ), flt AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE lang = 'en'
+        AND len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+              BETWEEN 20 AND 100000
+        AND (length(text) = 0 OR
+             CAST(length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g'))
+                  AS DOUBLE) / length(text) <= 0.3)
+    ), ded AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                      '\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM flt) WHERE rn = 1
+    ), dq AS (
+      SELECT ded.doc_id, ded.n_tokens, q.quality
+      FROM ded JOIN q USING (doc_id)
+    ), cut AS (
+      SELECT quantile_cont(quality, 0.25) AS c FROM dq
+    ), surv AS (
+      SELECT dq.* FROM dq, cut WHERE quality >= c
+    ), keyed AS (
+      SELECT doc_id, n_tokens, quality,
+             substr(md5('curate-v1|' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+      FROM surv
+    ), bud AS (
+      SELECT FLOOR(SUM(n_tokens) * 0.5) AS b FROM keyed
+    ), cum AS (
+      SELECT *, SUM(n_tokens) OVER (
+        ORDER BY h, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM keyed
+    )
+    SELECT doc_id, n_tokens, quality,
+           CAST(CAST(('0x' || h) AS INTEGER) % 8 AS BIGINT) AS shard
+    FROM cum, bud WHERE cs <= b
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline in one call
+    (llm/pipeline.py::curate_corpus): heuristic filters → exact dedup
+    → LM-quality cut at the 25th percentile → md5-shuffled token
+    budget (50%) → shard assignment. Every stage reuses an operator
+    the catalog already proves individually; the oracle replays the
+    ENTIRE composition — filters, fingerprint window, corpus LM,
+    interpolated percentile, prefix-sum budget head, hex shard — as
+    one SQL statement. The budget prefix sum is the pinned-exchange
+    distributed primitive, not a single-task window."""
+    from small_etl_spark.llm.pipeline import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(docs)

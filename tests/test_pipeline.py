@@ -1,0 +1,97 @@
+"""llm/pipeline.py::curate_corpus — composition contracts: budget,
+dedup, cut, determinism under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from small_etl_spark.llm.pipeline import curate_corpus
+from small_etl_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return docs, curate_corpus(docs)
+
+
+def test_budget_respected(spark, curated):
+    docs, out = curated
+    rows = out.collect()
+    assert rows, "pipeline should keep something at sf0.001"
+    kept_tokens = sum(r["n_tokens"] for r in rows)
+    all_surv = curate_corpus(docs, budget_fraction=1.0).collect()
+    total = sum(r["n_tokens"] for r in all_surv)
+    budget = int(0.5 * total)
+    assert kept_tokens <= budget
+    # and maximal: the next survivor in hash order would bust it
+    kept_ids = {r["doc_id"] for r in rows}
+    dropped = [r for r in all_surv if r["doc_id"] not in kept_ids]
+    if dropped:
+        from small_etl_spark.llm.sampling import hash_bucket
+
+        docs_h = {
+            r["doc_id"]: r["h"]
+            for r in curate_corpus(docs, budget_fraction=1.0)
+            .select(
+                "doc_id", hash_bucket("doc_id", "curate-v1").alias("h")
+            )
+            .collect()
+        }
+        first = min(dropped, key=lambda r: (docs_h[r["doc_id"]], r["doc_id"]))
+        assert kept_tokens + first["n_tokens"] > budget
+
+
+def test_only_english_and_deduped(spark, curated):
+    docs, out = curated
+    joined = out.join(docs, "doc_id").collect()
+    assert all(r["lang"] == "en" for r in joined)
+    from small_etl_spark.llm.textstats import fingerprint
+
+    fps = (
+        out.join(docs, "doc_id")
+        .select(fingerprint("text").alias("fp"))
+        .collect()
+    )
+    vals = [r["fp"] for r in fps]
+    assert len(vals) == len(set(vals)), "exact dups survived"
+
+
+def test_shards_in_range(spark, curated):
+    _, out = curated
+    shards = {r["shard"] for r in out.collect()}
+    assert shards <= set(range(8))
+
+
+def test_deterministic_under_repartition(spark, curated):
+    docs, out = curated
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(tuple, curate_corpus(docs.repartition(13)).collect())
+    )
+    assert a == b
+
+
+def test_budget_head_is_hash_prefix(spark, curated):
+    """The kept set must be a PREFIX of the md5 order: every kept doc
+    hashes before (or ties) every dropped stage-3 survivor."""
+    docs, out = curated
+    from small_etl_spark.llm.sampling import hash_bucket
+
+    kept = {r["doc_id"] for r in out.collect()}
+    ranked = (
+        curate_corpus(docs, budget_fraction=1.0)
+        .select("doc_id", hash_bucket("doc_id", "curate-v1").alias("h"))
+        .collect()
+    )
+    keys = sorted((r["h"], r["doc_id"]) for r in ranked)
+    seen_dropped = False
+    for h, d in keys:
+        if d in kept:
+            assert not seen_dropped, "kept doc after a dropped one"
+        else:
+            seen_dropped = True
