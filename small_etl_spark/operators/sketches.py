@@ -164,3 +164,69 @@ def bloom_semi_join(
         .drop(*tmp_cols)
         .join(dim.select(on), on, "left_semi")
     )
+
+
+def approx_quantile_rank_error(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Mergeable quantile sketch with a MEASURED error bound: run
+    Spark's Greenwald–Khanna ``approx_percentile`` (partial-aggregate
+    + merge — one pass, no sort, executor memory O(accuracy), the
+    only way to do percentiles over 100 TB) per group, then compute
+    each returned value's EXACT rank with one more aggregation and
+    report ``rank_err = |rank(approx) - q|``.
+
+    GK guarantees rank error ≤ 1/accuracy; the oracled
+    ``quantile_sketch_contract`` pins ``rank_err ≤ 5/accuracy`` with
+    margin so the check is robust to tie plateaus (rank of a value in
+    the presence of duplicates is a range; we score its upper end).
+
+    Returns ``(group_col, q, n, rank_err)`` — one row per group ×
+    quantile. The exact-rank pass is a broadcast of the tiny
+    (group × |qs|) approx table against one conditional-sum scan,
+    NOT a sort: the verification costs the same as any aggregation.
+    """
+    qlist = "array(" + ", ".join(str(q) for q in qs) + ")"
+    approx = (
+        df.groupBy(group_col)
+        .agg(
+            F.expr(
+                f"approx_percentile({value_col}, {qlist}, {accuracy})"
+            ).alias("__ap__")
+        )
+        .select(
+            group_col,
+            F.posexplode("__ap__").alias("__qi__", "__av__"),
+        )
+        .withColumn(
+            "q",
+            F.element_at(
+                F.array(*[F.lit(float(q)) for q in qs]),
+                F.col("__qi__") + 1,
+            ),
+        )
+        .drop("__qi__")
+    )
+    ranked = (
+        df.join(F.broadcast(approx), group_col)
+        .groupBy(group_col, "q", "__av__")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col(value_col) <= F.col("__av__")).cast("bigint")
+            ).alias("__le__"),
+        )
+    )
+    return ranked.select(
+        group_col,
+        "q",
+        "n",
+        F.abs(
+            F.col("__le__").cast("double") / F.col("n").cast("double")
+            - F.col("q")
+        ).alias("rank_err"),
+    )

@@ -1753,3 +1753,38 @@ def q_part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_revenue_share"),
         )
     )
+
+
+@register(
+    "quantile_sketch_contract",
+    """
+    SELECT l_returnflag, q, TRUE AS rank_ok
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+         (SELECT CAST(0.25 AS DOUBLE) AS q UNION ALL SELECT 0.5 UNION ALL SELECT 0.75)
+    ORDER BY l_returnflag, q
+    """,
+)
+def q_quantile_sketch_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-quantile-sketch error contract
+    (operators/sketches.py::approx_quantile_rank_error): GK
+    approx_percentile(accuracy=1000) per return flag over
+    l_extendedprice, each returned value's EXACT rank recomputed with
+    one conditional-sum scan, asserted within 5/accuracy of the
+    target quantile. The one-pass mergeable sketch is the only way to
+    do percentiles at 100 TB (no sort, O(accuracy) executor memory);
+    this contract MEASURES its bound instead of trusting it."""
+    from small_etl_spark.operators.sketches import (
+        approx_quantile_rank_error,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = approx_quantile_rank_error(
+        li, "l_returnflag", "l_extendedprice", accuracy=1000
+    )
+    return out.select(
+        "l_returnflag",
+        "q",
+        (F.col("rank_err") <= 0.005).alias("rank_ok"),
+    ).orderBy("l_returnflag", "q")

@@ -287,3 +287,20 @@ class TestApplyCdcRandomized:
             else:
                 state[k] = val
         assert got == state
+
+
+def test_approx_quantile_rank_error_bound(spark):
+    from small_etl_spark.operators.sketches import (
+        approx_quantile_rank_error,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") * 7919 % 100000).cast("double").alias("v"),
+    )
+    out = approx_quantile_rank_error(df, "g", "v", accuracy=500)
+    rows = out.collect()
+    assert len(rows) == 6  # 2 groups × 3 quantiles
+    for r in rows:
+        assert r["n"] == 2500
+        assert r["rank_err"] <= 5.0 / 500, r
