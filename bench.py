@@ -37,6 +37,10 @@ STRESS_QUERIES = [
     "sessionize",
     "asof_join_events",
     "cc_star_components",
+    # the composed end-to-end curation pipeline: filters, dedup window,
+    # corpus LM + percentile cut, prefix-sum budget head — if THIS
+    # stays ~linear, every stage it chains does too.
+    "curation_pipeline",
 ]
 # The two most expensive stress queries re-run at 30× — the closest
 # local[32] gets to evidencing the 100× extrapolation.
