@@ -992,3 +992,57 @@ def ivf_topk_persisted(
         query_id_col=query_id_col,
         exclude_self=exclude_self,
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``code_i = round(x_i / scale)`` — the corpus stores 1 byte per
+    component instead of 8 (the same 4-8× footprint cut PQ gives,
+    but with exact per-component error bounds and no training).
+
+    Returns ``(id_col, scale, codes array<tinyint>)``. Reconstruction
+    ``x ≈ code * scale`` has per-component error ≤ scale/2 by
+    construction — the oracled ``embedding_int8_contract`` MEASURES
+    that bound instead of trusting it, and the whole transform is
+    round-portable so DuckDB replays the codes bit-for-bit.
+
+    Pure map-side array expressions (transform/aggregate) — no
+    shuffle, codegen'd end to end; at 100 TB this is a streaming
+    re-encode of the embedding column, and brute-force scoring over
+    codes decodes on the fly with the same transform.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+    )
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    return df.select(
+        F.col(id_col),
+        scale,
+        F.transform(
+            v,
+            lambda x: F.when(max_abs == 0, F.lit(0))
+            .otherwise(F.round(x * F.lit(127.0) / max_abs, 0))
+            .cast("tinyint"),
+        ).alias("codes"),
+    )
+
+
+def dequantize_embeddings_int8(
+    qdf: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings_int8`:
+    ``embedding_i = code_i * scale``. Map-side only."""
+    return qdf.select(
+        F.col(id_col),
+        F.transform(
+            "codes", lambda c: c.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )

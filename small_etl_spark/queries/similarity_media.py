@@ -504,3 +504,74 @@ def q_ivf_persisted_equivalence(
         [(n_queries, identical, pruned)],
         "n_queries bigint, identical boolean, pruned boolean",
     )
+
+
+@register(
+    "embedding_int8_contract",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(
+               embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id, v, m / 127.0 AS scale,
+             CASE WHEN m = 0
+                  THEN list_transform(v, x -> CAST(0 AS INTEGER))
+                  ELSE list_transform(
+                         v, x -> CAST(round(x * 127.0 / m) AS INTEGER))
+             END AS codes
+      FROM q
+    ), e AS (
+      SELECT vec_id, scale,
+             list_max(list_transform(
+               list_zip(v, codes),
+               p -> abs(p[1] - p[2] * scale))) AS max_err
+      FROM c
+    )
+    SELECT vec_id, round(max_err, 6) AS max_err,
+           max_err <= scale / 2 * 1.000000001 AS within_bound
+    FROM e
+    """,
+)
+def q_embedding_int8_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Int8 embedding quantization with a measured error bound
+    (llm/similarity.py::quantize_embeddings_int8): 1 byte per
+    component instead of 8, per-component reconstruction error ≤
+    scale/2 by construction. The oracle replays the quantizer
+    bit-for-bit in SQL (both engines round half-away-from-zero on
+    doubles) and the per-vector max reconstruction error matches to
+    6dp — a value-exact check of a lossy codec. Map-side array
+    expressions only; at 100 TB this is a streaming re-encode."""
+    from small_etl_spark.llm.similarity import (
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings_int8(emb)
+    deq = dequantize_embeddings_int8(qd).withColumnRenamed(
+        "embedding", "recon"
+    )
+    joined = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .join(qd.select("vec_id", "scale"), "vec_id")
+        .join(deq, "vec_id")
+    )
+    err = F.aggregate(
+        F.zip_with(
+            "v", "recon", lambda a, b: F.abs(a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return joined.select(
+        "vec_id",
+        F.round(err, 6).alias("max_err"),
+        (err <= F.col("scale") / 2 * 1.000000001).alias("within_bound"),
+    )

@@ -643,3 +643,38 @@ class TestIvfPersistence:
         a2, c2 = ivf_load(spark, path)
         assert dict(a2.dtypes)["cell"] == "bigint"
         assert a2.count() == assigned.count()
+
+
+class TestInt8Quantization:
+    def test_roundtrip_error_bound_and_zero_vec(self, spark):
+        import numpy as np
+
+        from small_etl_spark.llm.similarity import (
+            dequantize_embeddings_int8,
+            quantize_embeddings_int8,
+        )
+
+        rows = [
+            (0, [0.5, -1.0, 0.25, 0.125]),
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [1e-6, -1e-6, 3e-6, 0.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        qd = quantize_embeddings_int8(df)
+        deq = {
+            r["vec_id"]: r["embedding"]
+            for r in dequantize_embeddings_int8(qd).collect()
+        }
+        scales = {r["vec_id"]: r["scale"] for r in qd.collect()}
+        for vid, vec in rows:
+            err = np.max(
+                np.abs(np.array(vec) - np.array(deq[vid]))
+            )
+            assert err <= scales[vid] / 2 + 1e-15, (vid, err)
+        # zero vector: scale 0, codes all 0, exact reconstruction
+        assert scales[1] == 0.0 and deq[1] == [0.0] * 4
+        codes = {r["vec_id"]: r["codes"] for r in qd.collect()}
+        assert codes[1] == [0, 0, 0, 0]
+        assert max(abs(c) for c in codes[0]) == 127
