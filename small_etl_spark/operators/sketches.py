@@ -134,6 +134,26 @@ def bloom_semi_join(
     only wasted probe rows — the trailing LeftSemi keeps the result
     exact, so correctness never depends on the filter.
     """
+    probed, hit, tmp_cols = _bloom_probe(
+        facts, dim, on, num_bits, num_hashes
+    )
+    return (
+        probed.filter(F.expr(hit))
+        .drop(*tmp_cols)
+        .join(dim.select(on), on, "left_semi")
+    )
+
+
+def _bloom_probe(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    num_bits: int,
+    num_hashes: int,
+) -> tuple[DataFrame, str, list[str]]:
+    """Shared Bloom build+probe: returns (probed facts, hit SQL
+    expression, temp cols to drop). The filter build is one dim
+    aggregation collected bounded at ≤ num_bits rows."""
     pos_rows = dim.select(
         F.explode(F.array(*_bloom_positions(on, num_bits, num_hashes))).alias(
             "p"
@@ -159,11 +179,42 @@ def bloom_semi_join(
         f"((shiftright(__bfw{j}__, __bfb{j}__) & 1) = 1)"
         for j in range(num_hashes)
     )
-    return (
+    return probed, hit, tmp_cols
+
+
+def bloom_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_bits: int = 4096,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """ANTI join with a Bloom fast path — the incremental-dedup delta
+    pattern: keep the ``left`` rows whose key does NOT appear in
+    ``right`` (e.g. today's crawl against the historical fingerprint
+    set).
+
+    The asymmetry that makes Bloom PERFECT for anti joins: a Bloom
+    NEGATIVE is certain. Rows failing the membership test are
+    definitely-new and pass through with NO join at all (map-side
+    predicate only); only the Bloom-POSITIVE sliver (true dups +
+    ~0.1% false positives) pays the exact LeftAnti. At 100 TB, where
+    the overwhelming majority of a fresh crawl is new, the exchange
+    carries the maybe-set, not the corpus — the inverse economics of
+    the semi join above. Correctness never depends on the filter: the
+    union is exactly the plain LeftAnti (pinned by the
+    ``bloom_anti_join_delta`` oracle and tests).
+    """
+    probed, hit, tmp_cols = _bloom_probe(
+        left, right, on, num_bits, num_hashes
+    )
+    definitely_new = probed.filter(~F.expr(hit)).drop(*tmp_cols)
+    maybe = (
         probed.filter(F.expr(hit))
         .drop(*tmp_cols)
-        .join(dim.select(on), on, "left_semi")
+        .join(right.select(on), on, "left_anti")
     )
+    return definitely_new.unionByName(maybe)
 
 
 def approx_quantile_rank_error(

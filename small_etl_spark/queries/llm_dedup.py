@@ -1725,3 +1725,39 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curate_corpus(docs)
+
+
+@register(
+    "bloom_anti_join_delta",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), hist AS (
+      SELECT fp FROM fp WHERE doc_id % 2 = 0
+    )
+    SELECT f.doc_id, f.lang
+    FROM fp f
+    WHERE f.doc_id % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp)
+    """,
+)
+def q_bloom_anti_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup delta via a Bloom-accelerated ANTI join
+    (operators/sketches.py::bloom_anti_join): today's docs (odd ids)
+    against the historical fingerprint set (even ids). Bloom
+    NEGATIVES are certain, so definitely-new docs pass with a
+    map-side predicate and no join at all; only the maybe-sliver pays
+    the exact LeftAnti — at 100 TB the exchange carries the maybe-set,
+    not the corpus. The oracle is the plain anti join, proving the
+    fast path is transparent."""
+    from small_etl_spark.llm.textstats import fingerprint
+    from small_etl_spark.operators.sketches import bloom_anti_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", fingerprint("text").alias("fp")
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select("fp")
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    return bloom_anti_join(delta, hist, "fp").select("doc_id", "lang")

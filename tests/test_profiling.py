@@ -304,3 +304,38 @@ def test_approx_quantile_rank_error_bound(spark):
     for r in rows:
         assert r["n"] == 2500
         assert r["rank_err"] <= 5.0 / 500, r
+
+
+def test_bloom_anti_join_equals_plain_anti(spark):
+    from small_etl_spark.operators.sketches import bloom_anti_join
+
+    left = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    right = spark.range(0, 40).select((F.col("id") * 3).alias("k"))
+    got = sorted(
+        map(tuple, bloom_anti_join(left, right, "k").collect())
+    )
+    want = sorted(
+        map(tuple, left.join(right, "k", "left_anti").collect())
+    )
+    # unionByName reorders columns vs left_anti; compare as sets of
+    # (id, k) regardless of column order
+    got_ids = sorted(r for r in got)
+    assert len(got) == len(want)
+    assert {tuple(sorted(r)) for r in got} == {
+        tuple(sorted(r)) for r in want
+    }
+
+
+def test_bloom_anti_join_tiny_filter_forces_fp_path(spark):
+    """With an 64-bit filter nearly every row is a Bloom positive —
+    the exact LeftAnti must still make the result correct."""
+    from small_etl_spark.operators.sketches import bloom_anti_join
+
+    left = spark.range(0, 300).select(F.col("id").alias("k"))
+    right = spark.range(0, 300, 2).select(F.col("id").alias("k"))
+    got = sorted(
+        r["k"] for r in bloom_anti_join(left, right, "k", num_bits=64).collect()
+    )
+    assert got == list(range(1, 300, 2))
