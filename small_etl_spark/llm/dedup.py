@@ -136,20 +136,24 @@ def minhash_lsh_pairs(
     md5-of-concat strings instead of xxhash64 bigints.
     Returns columns: ``id_a, id_b, jaccard``.
 
-    Storage discipline: NONE — deliberately. The shingle table is
-    referenced by the band path and both verify joins, and earlier
-    rounds cached it (r3: persist, leaked; r4: persist + eager
-    localCheckpoint + unpersist, paid a materialization barrier inside
-    every call — 0.96 s → 1.5-2.0 s at sf0.1). Measured head-to-head,
-    recomputing the shingles per consumer is FASTER than any caching
-    scheme here (1.09 s vs 1.50 s lazy-persist vs 2.04 s eager): the
-    shingle expression is a codegen'd projection over a column-pruned
-    parquet scan, while a corpus-sized cache pays block-store writes,
-    reads, and (eager) a full pipeline barrier. The same reasoning
-    holds at 100 TB, where a corpus-sized cache also competes with
-    shuffle memory — three elastic column-pruned scans beat pinning
-    the corpus in the block store. The returned plan is fully lazy,
-    composable, and leaves zero persisted state behind.
+    Storage discipline: EXCHANGE REUSE, not caching. The shingle table
+    is referenced by the band path and both verify joins; three rounds
+    of cache schemes each lost under bench conditions (r3 lazy persist
+    0.96 s but leaked; r4 eager checkpoint 1.4-1.6 s, materialization
+    barrier; r5 no-cache 1.2-2.3 s, triple recompute). The shipping
+    scheme hash-repartitions the shingle table by id: all three
+    consumers then share an IDENTICAL exchange subtree, and Spark's
+    ReuseExchange rule (verified: 3 ReusedExchange nodes in the final
+    adaptive plan, tests/test_round8_ops.py pins it) computes the
+    shingles ONCE and serves the other consumers from the shuffle
+    files. Interleaved same-session measurement at sf0.1 (min-of-3,
+    noop sink — scripts/minhash_variants.py): reshuffle 0.764 s <
+    lazy-persist 0.795 s (leaks) < persist-banded 0.864 s < no-cache
+    1.21 s < broadcast-candidates 1.46 s. At 100 TB the same trade
+    holds: one map-side shuffle write served from local disk replaces
+    two extra full scans + shingle recomputes, and unlike persist it
+    neither pins executor storage memory nor leaves state behind —
+    the plan stays fully lazy and composable.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -158,7 +162,18 @@ def minhash_lsh_pairs(
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t__")
     )
-    sh = base.select("id", word_shingles("__t__", shingle_n).alias("sh"))
+    # the repartition is the reuse point: see "Storage discipline".
+    # EXPLICIT partition count: a bare repartition("id") lets AQE
+    # coalesce the (small) shingle shuffle down to a few partitions,
+    # which then starves the 32-hash signature stage of parallelism —
+    # measured 2.3 s vs 1.5 s same-session at sf0.1. Pinning the count
+    # keeps the expensive downstream stage wide.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    sh = base.select(
+        "id", word_shingles("__t__", shingle_n).alias("sh")
+    ).repartition(n_part, "id")
 
     def bucket_of(sig: Column, b: int) -> Column:
         joined = F.concat_ws(",", F.slice(sig, b * rpb + 1, rpb))

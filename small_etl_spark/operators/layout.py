@@ -33,10 +33,20 @@ def _bucket(col: Column, lo: int, hi: int, bits: int) -> Column:
     integer arithmetic (values past hi clamp into the top bucket)."""
     nb = 1 << bits
     span = hi - lo
-    scaled = ((col.cast("bigint") - F.lit(lo)) * nb) / F.lit(span)
+    # div (IntegralDivide), not `/`: Spark's `/` is double division,
+    # and a double mantissa shifts bucket edges by one for values near
+    # multiples of span/2^bits at large magnitudes — the bucket
+    # function must be bit-stable across days of ingest for the
+    # interleaving to stay compatible. Bigint floor-division is exact
+    # at any magnitude.
+    scaled = F.call_function(
+        "div",
+        (col.cast("bigint") - F.lit(lo)) * nb,
+        F.lit(span).cast("bigint"),
+    )
     return F.greatest(
         F.lit(0).cast("bigint"),
-        F.least(F.floor(scaled).cast("bigint"), F.lit(nb - 1).cast("bigint")),
+        F.least(scaled, F.lit(nb - 1).cast("bigint")),
     )
 
 

@@ -283,7 +283,19 @@ def write_training_shards(
         raise ValueError("n_shards must be >= 1")
     tok = df.select(F.col(id_col).alias("__id__"),
                     F.col(token_col).cast("bigint").alias("__t__"))
-    total_row = tok.agg(F.sum("__t__").alias("__tot__"))
+    # shard divisor in pure bigint arithmetic: ceil(tot/n) as
+    # (tot+n-1) DIV n. Double division here breaks in two ways the
+    # at-scale claim can't afford: ceil(tot/n)=0 on an all-zero-token
+    # corpus makes the divide NULL (and F.least silently skips NULLs,
+    # dumping every row into the last shard), and doubles lose integer
+    # precision past 2^53 total tokens. greatest(1, ...) keeps the
+    # degenerate zero-token corpus well-defined: everything in shard 0.
+    total_row = tok.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"(sum(__t__) + {n_shards - 1}) DIV {n_shards}"),
+        ).alias("__per__")
+    )
     assign = (
         global_cumsum(tok, ["__id__"], "__t__", cumsum_col="__cum__")
         .crossJoin(F.broadcast(total_row))
@@ -291,10 +303,7 @@ def write_training_shards(
             "__id__",
             F.least(
                 F.lit(n_shards - 1),
-                F.floor(
-                    (F.col("__cum__") - F.col("__t__"))
-                    / F.ceil(F.col("__tot__").cast("double") / float(n_shards))
-                ).cast("int"),
+                F.expr("(__cum__ - __t__) DIV __per__").cast("int"),
             ).alias("shard"),
         )
     )

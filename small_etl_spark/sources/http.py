@@ -154,6 +154,8 @@ def parse_fanout_responses(
     spark: SparkSession | None = None,
     response_col: str = "response",
     keep_source: bool = False,
+    n_samples: int = 16,
+    strict: bool = False,
 ) -> DataFrame:
     """S4 response handling: raw fan-out rows → record columns.
 
@@ -181,6 +183,14 @@ def parse_fanout_responses(
     ``keep_source`` keeps the ``source_row`` JSON string column for
     callers that need to re-join upstream context (the reference drops
     it; its output records carry response fields only).
+
+    ``n_samples`` bounds the driver-side inference sample (default 16;
+    raise it for heterogeneous APIs whose rarer fields first appear
+    late). ``from_json`` silently drops keys absent from the inferred
+    schema, so for no-schema parses ``strict=True`` adds a distributed
+    top-level-key audit over the WHOLE response column and raises,
+    naming the missed keys, if any response carries a key the sample
+    never saw — one extra codegen'd pass, no silent data loss.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType
@@ -189,7 +199,44 @@ def parse_fanout_responses(
         if keep_source:
             raise ValueError("keep_source requires response_schema")
         sess = spark or df.sparkSession
-        element = _infer_response_element_schema(sess, df, response_col)
+        element = _infer_response_element_schema(
+            sess, df, response_col, n_samples=n_samples
+        )
+        if strict:
+            known = F.array(*[F.lit(f.name) for f in element.fields])
+            # array responses: per-element map keys (variant values so
+            # nested objects/arrays parse); object responses: the
+            # lone-object→array wrap only applies to struct elements,
+            # so top-level keys come from json_object_keys instead.
+            arr_keys = F.flatten(
+                F.transform(
+                    F.from_json(
+                        F.col(response_col), "array<map<string,variant>>"
+                    ),
+                    F.map_keys,
+                )
+            )
+            seen = F.array_distinct(
+                F.coalesce(
+                    arr_keys,
+                    F.json_object_keys(F.col(response_col)),
+                    F.array().cast("array<string>"),
+                )
+            )
+            missed = (
+                df.select(
+                    F.explode(F.array_except(seen, known)).alias("k")
+                )
+                .distinct()
+                .limit(50)
+                .collect()
+            )
+            if missed:
+                raise ValueError(
+                    "response keys absent from the inferred schema "
+                    f"(raise n_samples or pass response_schema): "
+                    f"{sorted(r['k'] for r in missed)}"
+                )
         arr = F.from_json(F.col(response_col), ArrayType(element))
     else:
         arr = F.from_json(F.col(response_col), f"array<struct<{response_schema}>>")

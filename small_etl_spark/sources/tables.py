@@ -76,6 +76,34 @@ from weakref import WeakKeyDictionary
 _RELATION_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
+def invalidate_table_cache(
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+    name: str | None = None,
+) -> int:
+    """Drop cached parquet relations so the next ``load_table`` relists
+    the path — call after overwriting a table directory in place.
+    ``sf_dir``/``name`` narrow the eviction (None = match all); with no
+    session given, every session's cache is swept. Returns the number
+    of evicted entries."""
+    sessions = [spark] if spark is not None else list(_RELATION_CACHE.keys())
+    evicted = 0
+    for sess in sessions:
+        cache = _RELATION_CACHE.get(sess)
+        if not cache:
+            continue
+        doomed = [
+            k
+            for k in cache
+            if (sf_dir is None or k[0] == sf_dir)
+            and (name is None or k[1] == name)
+        ]
+        for k in doomed:
+            del cache[k]
+        evicted += len(doomed)
+    return evicted
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True
 ) -> DataFrame:

@@ -65,14 +65,44 @@ def enable_container_protobuf() -> bool:
         return False
     if root not in sys.path:
         sys.path.append(root)
-    # drop any cached empty-namespace google modules so the SDK's
-    # regular package wins the re-resolution
-    for m in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
-        del sys.modules[m]
+    # Drop cached google modules ONLY when the cached top-level
+    # package is the empty PEP-420 namespace portion (no __file__ —
+    # Spark's jar resources). If a REAL google package is already
+    # imported (google.cloud, google.auth, ...), purging it would
+    # leave live references diverging from the re-imported modules;
+    # in that case extend ITS __path__ with the SDK root instead so
+    # google.protobuf resolves as a new subpackage without disturbing
+    # the loaded ones.
+    cached = sys.modules.get("google")
+    if cached is not None and getattr(cached, "__file__", None) is None:
+        for m in [
+            m for m in sys.modules if m == "google" or m.startswith("google.")
+        ]:
+            del sys.modules[m]
+    elif cached is not None:
+        pkg_dir = os.path.join(root, "google")
+        paths = list(getattr(cached, "__path__", []) or [])
+        if pkg_dir not in paths:
+            cached.__path__.append(pkg_dir)
     try:
         from google.protobuf import runtime_version as _rv
 
-        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+        _validate = _rv.ValidateProtobufRuntimeVersion
+
+        def _lenient(gencode_domain, major, minor, *rest, **kw):  # noqa: ANN001
+            # only waive the one proven-compatible pairing: 6.33
+            # gencode (StateMessage) on this runtime's 6.x line; any
+            # other mismatch keeps the upstream error behavior
+            try:
+                if (major, minor) == (_rv.MAJOR, _rv.MINOR) or (
+                    major == _rv.MAJOR and minor in (_rv.MINOR, _rv.MINOR + 1)
+                ):
+                    return None
+            except Exception:  # noqa: BLE001 - attr drift → strict path
+                pass
+            return _validate(gencode_domain, major, minor, *rest, **kw)
+
+        _rv.ValidateProtobufRuntimeVersion = _lenient
         import google.protobuf.descriptor  # noqa: F401
     except Exception:  # noqa: BLE001 - any breakage means "not available"
         return False

@@ -133,6 +133,16 @@ def test_load_table_relation_cache(spark, tmp_path):
     assert fresh is not a
     assert fresh.count() == a.count() == 5
 
+    # invalidation: after evicting, the next cached load is a NEW
+    # relation (fresh file listing) — the overwrite-in-place escape
+    # hatch that doesn't force every reader onto use_cache=False
+    from small_etl_spark.sources.tables import invalidate_table_cache
+
+    assert invalidate_table_cache(spark, str(d), "part") == 1
+    c = load_table(spark, str(d), "part")
+    assert c is not a
+    assert invalidate_table_cache(spark, str(d), "nope") == 0
+
 
 def test_write_training_shards(spark, tmp_path):
     """Shard writer: equal-token contiguous-id shards + manifest.
@@ -180,3 +190,20 @@ def test_write_training_shards(spark, tmp_path):
                 & (F.col("doc_id") <= manifest["shards"][k]["id_max"])
             ).select("doc_id").collect()
         )
+
+
+def test_write_training_shards_zero_token_corpus(spark, tmp_path):
+    """Degenerate all-zero-token corpus: the bigint-ceil divisor is
+    clamped to 1, so every row lands deterministically in shard 0 —
+    previously ceil(0/n)=0 made the shard expression NULL and F.least
+    silently dumped everything into the LAST shard."""
+    from small_etl_spark.sinks.files import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, "", 0) for i in range(10)], ["doc_id", "text", "n_tokens"]
+    )
+    out = str(tmp_path / "zshards")
+    manifest = write_training_shards(docs, out, 4, "n_tokens")
+    assert [s["shard"] for s in manifest["shards"]] == [0]
+    assert manifest["shards"][0]["docs"] == 10
+    assert manifest["shards"][0]["tokens"] == 0

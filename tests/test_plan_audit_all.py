@@ -54,6 +54,12 @@ CARTESIAN_OK = {
     "rrf_fusion_docs",     # inherits bm25's corpus-constant folds
     "part_revenue_pareto",  # broadcast of the 1-row (n, total) fold
     "diff_in_diff_events",  # two scalar broadcasts (midpoint, DiD value)
+    "curation_pipeline",  # two 1-row scalar broadcasts: the percentile
+                          # quality cut and the token-budget fold
+                          # (llm/pipeline.py) — constant build side
+    "bigram_interp_logprob_score",  # 1-row (V, n_total) normalizer
+                                    # broadcast for the interpolated
+                                    # LM (llm/textstats.py) — constant
 }
 
 # Unpartitioned windows allowed where the windowed frame is provably

@@ -121,11 +121,14 @@ def test_zip_intermediate_streams_multipartition_byte_identical(spark, tmp_path)
 
 def test_minhash_persists_nothing(spark):
     """minhash_lsh_pairs must leave ZERO persisted state behind: since
-    round 5 it neither caches the shingle table nor checkpoints the
-    pair set (recomputing the codegen'd shingle projection measured
-    faster than any caching scheme, and a corpus-sized cache competes
-    with shuffle memory at scale). Running the query must not add any
-    entry to the persistent-RDD registry."""
+    round 6 the shingle table is shared across its three consumers via
+    EXCHANGE REUSE (a repartition("id") that all consumers' subtrees
+    end in, so ReuseExchange serves them from one shuffle) instead of
+    any persist/checkpoint scheme — caching competed with shuffle
+    memory at scale and leaked (r3) or barriered (r4). Running the
+    query must not add any entry to the persistent-RDD registry, and
+    the final adaptive plan must actually contain the reused exchange
+    the perf claim rests on."""
     from small_etl_spark.llm.dedup import minhash_lsh_pairs
 
     df = spark.createDataFrame(
@@ -141,6 +144,9 @@ def test_minhash_persists_nothing(spark):
         return out
 
     before = persistent_ids()
-    minhash_lsh_pairs(df, jaccard_threshold=0.6).collect()
+    pairs = minhash_lsh_pairs(df, jaccard_threshold=0.6)
+    pairs.collect()
     after = persistent_ids()
     assert after - before == set()
+    final_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final_plan

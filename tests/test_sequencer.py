@@ -1099,3 +1099,30 @@ def test_stage_output_persist_is_reused_downstream(spark):
     child_df = ctx.results[1].df
     plan = child_df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_parse_fanout_strict_catches_late_keys(spark):
+    """Schema inference samples the first n_samples responses;
+    from_json silently drops keys it never saw. strict=True must
+    surface exactly that silent loss (a key first appearing after the
+    sample window) as a loud error naming the key, and a larger
+    n_samples that covers the key must make the same parse succeed."""
+    import pytest as _pytest
+
+    from small_etl_spark.sources.http import parse_fanout_responses
+
+    rows = [(f'{{"a": {i}}}',) for i in range(20)] + [
+        ('{"a": 99, "late_key": "x"}',),
+        ('[{"a": 1, "arr_key": 2}]',),
+    ]
+    raw = spark.createDataFrame(rows, ["response"]).coalesce(1)
+
+    # default window misses both late keys -> strict raises, names them
+    with _pytest.raises(ValueError) as exc:
+        parse_fanout_responses(raw, spark=spark, n_samples=8, strict=True)
+    assert "late_key" in str(exc.value) and "arr_key" in str(exc.value)
+
+    # widened sample covers every shape -> strict parse succeeds
+    out = parse_fanout_responses(raw, spark=spark, n_samples=64, strict=True)
+    assert {"a", "late_key", "arr_key"} <= set(out.columns)
+    assert out.count() == len(rows)
