@@ -42,9 +42,17 @@ STRESS_QUERIES = [
     # stays ~linear, every stage it chains does too.
     "curation_pipeline",
 ]
-# The two most expensive stress queries re-run at 30× — the closest
-# local[32] gets to evidencing the 100× extrapolation.
-STRESS30_QUERIES = ["minhash_lsh_dedup", "q18_large_orders"]
+# The most expensive stress queries re-run at 30× — the closest
+# local[32] gets to evidencing the 100× extrapolation. r6 adds the
+# two priciest composites (exact in-group Jaccard + star-CC, and the
+# five-stage curation pipeline): they are exactly where super-linear
+# growth would hide.
+STRESS30_QUERIES = [
+    "minhash_lsh_dedup",
+    "q18_large_orders",
+    "cc_star_components",
+    "curation_pipeline",
+]
 _STRESS_ID_COLS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],

@@ -223,10 +223,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])  # same pair can share several bands
     )
 
-    # fetch shingles only for surviving candidate pairs (≪ n²)
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # fetch shingles only for surviving candidate pairs (≪ n²);
+    # |A∪B| = |A|+|B|-|A∩B| on the distinct shingle sets — one
+    # array_intersect pass instead of intersect + union
     result = (
         cand.join(
             sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
@@ -236,9 +235,20 @@ def minhash_lsh_pairs(
             sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
             "id_b",
         )
-        .withColumn("jaccard", jac)
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i__"),
+            (F.size("sh_a") + F.size("sh_b")).alias("__n__"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__i__") / (F.col("__n__") - F.col("__i__"))).alias(
+                "jaccard"
+            ),
+        )
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
     )
     return result
 
@@ -249,6 +259,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard within a blocking group.
 
@@ -256,23 +267,45 @@ def ngram_jaccard_pairs(
     blocking on ``group_col`` replaces probabilistic banding. Use when
     a natural blocking key exists (source, domain, near-equal length).
     Returns ``id_a, id_b, jaccard`` for every in-group pair.
+
+    ``min_jaccard`` enables the SIZE-BOUND prefilter: shingles are
+    distinct sets, so J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) — any pair
+    whose set sizes differ by more than the threshold ratio is pruned
+    BEFORE the O(|A|+|B|) intersect/union math, on two already-
+    computed ints. Same result set as filtering afterwards (the bound
+    is an upper bound on J, so nothing above the threshold is ever
+    pruned); at sf0.1 it skips the verify math for most in-group
+    pairs. The returned frame is then also filtered to
+    ``jaccard >= min_jaccard``.
     """
     base = _ensure_parallelism(df).select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_n).alias("sh"),
-    )
+    ).withColumn("ns", F.size("sh"))
     a, b = base.alias("a"), base.alias("b")
-    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
-    return (
-        a.join(b, "g")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jac.alias("jaccard"),
+    joined = a.join(b, "g").filter(F.col("a.id") < F.col("b.id"))
+    if min_jaccard is not None:
+        joined = joined.filter(
+            F.least("a.ns", "b.ns")
+            >= F.lit(min_jaccard) * F.greatest("a.ns", "b.ns")
         )
+    # |A∪B| = |A|+|B|-|A∩B| on distinct sets: one array_intersect pass
+    # instead of intersect + union (union re-walks both arrays AND
+    # allocates the merged array — half the verify math for free)
+    out = joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.size(F.array_intersect("a.sh", "b.sh")).alias("__i__"),
+        (F.col("a.ns") + F.col("b.ns")).alias("__n__"),
+    ).select(
+        "id_a",
+        "id_b",
+        (F.col("__i__") / (F.col("__n__") - F.col("__i__"))).alias("jaccard"),
     )
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
 
 
 def prefix_filter_jaccard_pairs(

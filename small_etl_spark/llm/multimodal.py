@@ -115,6 +115,30 @@ def decode_header(content: bytes) -> dict[str, Any]:
     return {"width": width, "height": height, "n_frames": n_frames}
 
 
+def _pil_decode_pixels(content: bytes, orig: Exception) -> "Any":
+    """Escape hatch for spec corners the in-repo codecs decline
+    (progressive/arithmetic JPEG, 16-bit / interlaced PNG): decode via
+    Pillow when it is installed — the documented cluster path — else
+    re-raise the codec's own error with the remedy appended. 16-bit
+    channels are narrowed to the top 8 bits to keep the (H, W, C)
+    uint8 contract of decode_pixels."""
+    import numpy as np
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        raise ValueError(f"{orig} (install Pillow for this format)") from None
+    with Image.open(io.BytesIO(content)) as im:
+        arr = np.asarray(im.convert("RGB") if im.mode not in ("L", "RGB") else im)
+    if arr.dtype != np.uint8:
+        arr = (arr >> 8).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
 def decode_pixels(content: bytes) -> "Any":
     """Decode media → (H, W, C) uint8 pixel array.
 
@@ -129,9 +153,19 @@ def decode_pixels(content: bytes) -> "Any":
     from small_etl_spark.llm import avi_codec, gif_codec, jpeg_codec, png_codec
 
     if png_codec.is_png(content):
-        return png_codec.decode_png(content)
+        try:
+            return png_codec.decode_png(content)
+        except ValueError as exc:
+            # 16-bit / Adam7 corners of the spec the in-repo codec
+            # declines: route to Pillow when installed (cluster
+            # deploys), keep the clear in-container error otherwise
+            return _pil_decode_pixels(content, exc)
     if jpeg_codec.is_jpeg(content):
-        return jpeg_codec.decode_jpeg(content)
+        try:
+            return jpeg_codec.decode_jpeg(content)
+        except ValueError as exc:
+            # progressive / arithmetic / 12-bit JPEG → Pillow fallback
+            return _pil_decode_pixels(content, exc)
     if gif_codec.is_gif(content):
         return gif_codec.decode_gif(content)[0]  # first frame
     if avi_codec.is_avi(content):

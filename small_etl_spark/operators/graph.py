@@ -253,9 +253,14 @@ def cc_two_phase_star(
     converged = False
     for _ in range(max_rounds):
         nxt = small_star(large_star(e)).localCheckpoint()
+        # one job, not two: either direction of the symmetric
+        # difference being non-empty means not converged
         if (
-            nxt.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(nxt).limit(1).count() == 0
+            nxt.exceptAll(e)
+            .unionByName(e.exceptAll(nxt))
+            .limit(1)
+            .count()
+            == 0
         ):
             e = nxt
             converged = True

@@ -30,6 +30,11 @@ class ValidationSpec:
     field_types: dict[str, str] = field(default_factory=dict)
     min_records: int | None = None
     max_records: int | None = None
+    # per-column character-length caps (reference max_title_length /
+    # max_content_length — declared-only there, enforced here);
+    # columns absent from the frame are skipped (the reference only
+    # declares the caps for frames that carry those fields)
+    max_field_lengths: dict[str, int] = field(default_factory=dict)
 
 
 def validate_frame(df: DataFrame, spec: ValidationSpec) -> DataFrame:
@@ -52,6 +57,19 @@ def validate_frame(df: DataFrame, spec: ValidationSpec) -> DataFrame:
             raise ValidationError(f"{n} records < min_records={spec.min_records}")
         if spec.max_records is not None and n > spec.max_records:
             raise ValidationError(f"{n} records > max_records={spec.max_records}")
+    caps = {c: m for c, m in spec.max_field_lengths.items() if c in cols}
+    if caps:
+        from pyspark.sql import functions as F
+
+        row = df.agg(
+            *[F.max(F.length(F.col(c).cast("string"))).alias(c) for c in caps]
+        ).first()
+        for c, m in caps.items():
+            got = row[c]
+            if got is not None and got > m:
+                raise ValidationError(
+                    f"field {c!r} length {got} exceeds max {m}"
+                )
     return df
 
 

@@ -246,9 +246,22 @@ def _api_fetch(spark: SparkSession, spec: PipelineSpec, ctx: PipelineContext) ->
             retry_attempts=src.retry_attempts,
             retry_delay_seconds=src.retry_delay_seconds,
             rate_limit_ms=src.rate_limit_ms,
+            payload_template=(
+                src.payload_template
+                if src.use_previous_data_as_params or src.payload_template
+                else None
+            ),
         )
         if not src.parse_response:
             return raw
+        if src.response_schema is None:
+            # schema inference samples the responses with its own
+            # collect() action — without a barrier that re-FIRES every
+            # HTTP call (disastrous for POST/PUT fan-outs: requests
+            # would be sent twice). localCheckpoint materializes the
+            # responses once; inference and downstream both read the
+            # checkpoint. Fan-out results are API-response-sized.
+            raw = raw.localCheckpoint()
         return parse_fanout_responses(raw, src.response_schema, spark=spark)
     # X7 payload params (contextual_pipeline.rs:270-327): template_params
     # maps {placeholder: upstream_field}; use_previous_data_as_params
@@ -293,10 +306,30 @@ def _apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     nested = {p: t for p, t in mapping.items() if any(ch in p for ch in ".[")}
     flat = {p: t for p, t in mapping.items() if p not in nested}
     if nested:
+        # A nested single-object API response arrives as one
+        # {"response": json-string} row (simple_pipeline.rs:49-55).
+        # Nested mappings address the OBJECT's fields (the reference's
+        # array_field_mapping_example), so structify the response
+        # first — schema-inferred from_json, same path as the S4
+        # fan-out parser.
+        roots = {
+            str(_parse_nested_root(p))
+            for p in nested
+        }
+        if "response" in df.columns and not (roots & set(df.columns)):
+            from small_etl_spark.sources.http import parse_fanout_responses
+
+            df = parse_fanout_responses(df, spark=df.sparkSession)
         df = map_nested_fields(df, nested)  # P2/P3/P4
     if flat:
         df = rename_fields(df, flat)  # P1
     return df
+
+
+def _parse_nested_root(path: str) -> str:
+    from small_etl_spark.operators.projections import _parse_path
+
+    return _parse_path(path)[0]
 
 
 def _apply_extract(df: DataFrame, spec: PipelineSpec) -> DataFrame:
@@ -399,6 +432,7 @@ def execute_pipeline(
             field_types=tr.field_types,
             min_records=tr.min_records,
             max_records=tr.max_records,
+            max_field_lengths=tr.max_field_lengths,
         ),
     )
 
@@ -407,12 +441,25 @@ def execute_pipeline(
     record_count = df.count()
 
     intermediate = None
+    if tr.title_length_threshold is not None and "title" in df.columns:
+        # F1 threshold side-output: long-title rows to intermediate
+        # (reference [transform.intermediate] title_length_threshold)
+        from pyspark.sql import functions as F
+
+        intermediate = df.filter(
+            F.length("title") > tr.title_length_threshold
+        )
     if tr.intermediate_conditions:
-        intermediate = equality_filter(df, tr.intermediate_conditions)  # F3
-        if tr.shared_data_key:
-            first = intermediate.first()  # J4 barrier (single row by design)
-            if first is not None:
-                ctx.export_shared(tr.shared_data_key, first.asDict())
+        base_for_eq = intermediate if intermediate is not None else df
+        intermediate = equality_filter(base_for_eq, tr.intermediate_conditions)  # F3
+    if tr.shared_data_key:
+        # J4: export the first intermediate row — or the first stage
+        # row when no intermediate filter is configured (reference
+        # export_to_shared without conditions exports the stage data)
+        src_for_export = intermediate if intermediate is not None else df
+        first = src_for_export.first()  # J4 barrier (single row by design)
+        if first is not None:
+            ctx.export_shared(tr.shared_data_key, first.asDict())
 
     output_path = None
     if output_root and spec.load.formats:
@@ -443,6 +490,7 @@ def execute_pipeline(
                 zip_name,
                 metadata=metadata,
                 intermediate_df=intermediate if spec.load.include_intermediate else None,
+                member_names=spec.load.filenames or None,
             )
 
     # phase monitor (§2.10 — the reference samples CPU%/memory per

@@ -127,12 +127,19 @@ class TransformSpec:
     sort_order: str = "asc"
     lookup_data: dict[str, str] = field(default_factory=dict)  # J3 stub
     intermediate_conditions: dict[str, Any] = field(default_factory=dict)  # F3
+    # F1 threshold side-output: rows with length(title) > threshold
+    # land in the intermediate frame (reference [transform.intermediate]
+    # title_length_threshold, simple_pipeline.rs threshold rule)
+    title_length_threshold: int | None = None
     shared_data_key: str | None = None  # J4 export key
     # real validation (declared-but-unimplemented in the reference):
     required_fields: list[str] = field(default_factory=list)
     field_types: dict[str, str] = field(default_factory=dict)
     min_records: int | None = None
     max_records: int | None = None
+    # reference [transform.validation] max_title_length /
+    # max_content_length → per-column length caps, enforced for real
+    max_field_lengths: dict[str, int] = field(default_factory=dict)
 
 
 @dataclass
@@ -148,6 +155,10 @@ class LoadSpec:
     sorted_dynamic_header: bool = True  # reference header rule (§1.3)
     partition_by: list[str] = field(default_factory=list)  # hive layout
     single_file: bool = True  # coalesce(1); False = partition-parallel
+    # reference [load.filenames] csv/tsv/json = explicit per-format
+    # output names (production-example.toml) — overrides the default
+    # <stage>.<ext> naming per format
+    filenames: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -234,24 +245,75 @@ def pipeline_from_dict(d: dict[str, Any]) -> PipelineSpec:
     # filters/mapping); accept both merged and split layouts
     if "extract" in d and "source" in d:
         src = {**d["source"], **d["extract"]}
+    # reference [pipelines.source.data_source] (sequence_config.rs
+    # use_previous_output/from_pipeline/merge_with_api): previous-stage
+    # wiring nested under the source. An api source fed by previous
+    # rows with a {param} endpoint is the S4 per-record fan-out.
+    ds = src.pop("data_source", None) or {}
+    if ds.get("use_previous_output"):
+        if ds.get("from_pipeline"):
+            src["previous_pipeline"] = ds["from_pipeline"]
+        src["merge_with_api"] = bool(ds.get("merge_with_api", False))
+        if src.get("type", "api") == "api" and "{" in (src.get("endpoint") or ""):
+            src["parameterized"] = True
+        elif not ds.get("merge_with_api") and not src.get("endpoint"):
+            src["type"] = "previous"
+    # reference [pipelines.source.payload] (test_api_config.toml):
+    # body template + use_previous_data_as_params
+    payload = src.pop("payload", None) or {}
+    if payload.get("body"):
+        src["payload_template"] = payload["body"]
+    if payload.get("use_previous_data_as_params"):
+        src["use_previous_data_as_params"] = True
+    # reference [source.parameters] = query-string params
+    if "parameters" in src and "query_params" not in src:
+        src["query_params"] = {
+            str(k): str(v) for k, v in (src.pop("parameters") or {}).items()
+        }
     tr = dict(d.get("transform", {}))
-    # nested sub-tables of the reference layout
-    tr.update(_pick(tr.pop("validation", {}) or {}, TransformSpec))
+    # nested sub-tables of the reference layout: [transform.operations]
+    # (clean_text/trim_whitespace/keep_only_fields...), [transform.
+    # data_enrichment] (computed_fields), [transform.validation]
+    tr.update(_pick(tr.pop("operations", {}) or {}, TransformSpec))
+    tr.update(_pick(tr.pop("data_enrichment", {}) or {}, TransformSpec))
+    val = tr.pop("validation", {}) or {}
+    tr.update(_pick(val, TransformSpec))
+    lengths = {}
+    if val.get("max_title_length") is not None:
+        lengths["title"] = int(val["max_title_length"])
+    if val.get("max_content_length") is not None:
+        lengths["content"] = int(val["max_content_length"])
+    if lengths:
+        tr["max_field_lengths"] = lengths
     inter = tr.pop("intermediate", None)
     if inter:
         tr["intermediate_conditions"] = inter.get("conditions", {})
+        if inter.get("title_length_threshold") is not None:
+            tr["title_length_threshold"] = int(inter["title_length_threshold"])
+        if inter.get("export_to_shared") and inter.get("shared_key"):
+            tr["shared_data_key"] = inter["shared_key"]
     # the reference puts field_mapping under [pipelines.extract]
     # (sequence_config.rs:66-71); we model it as a transform
     fm = d.get("field_mapping") or src.pop("field_mapping", None)
     if fm and "field_mapping" not in tr:
         tr["field_mapping"] = fm
+    load = dict(d.get("load", d.get("output", {})) or {})
+    # reference [load] output_formats / output_path aliases and the
+    # [load.compression] table (enabled/filename/include_intermediate)
+    comp = load.pop("compression", None) or {}
+    if comp.get("enabled"):
+        load["zip_outputs"] = True
+        if comp.get("filename") and not load.get("filename_pattern"):
+            load["filename_pattern"] = comp["filename"]
+    if "include_intermediate" in comp:
+        load["include_intermediate"] = bool(comp["include_intermediate"])
     return PipelineSpec(
         name=d["name"],
         enabled=d.get("enabled", True),
-        depends_on=list(d.get("depends_on", [])),
+        depends_on=list(d.get("depends_on", d.get("dependencies", []))),
         source=SourceSpec(**_pick(src, SourceSpec, api_endpoint="endpoint")),
         transform=TransformSpec(**_pick(tr, TransformSpec)),
-        load=LoadSpec(**_pick(d.get("load", d.get("output", {})), LoadSpec)),
+        load=LoadSpec(**_pick(load, LoadSpec, output_formats="formats")),
         conditions=ConditionsSpec(**_pick(d.get("conditions", {}), ConditionsSpec)),
     )
 

@@ -46,9 +46,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from small_etl_spark.llm.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, group_col="source").filter(
-        F.col("jaccard") >= 0.5
-    )
+    return ngram_jaccard_pairs(docs, group_col="source", min_jaccard=0.5)
 
 
 @register(
@@ -732,9 +730,7 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from small_etl_spark.llm.dedup import connected_components, ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, group_col="source").filter(
-        F.col("jaccard") >= 0.8
-    )
+    pairs = ngram_jaccard_pairs(docs, group_col="source", min_jaccard=0.8)
     return connected_components(docs, pairs)
 
 
@@ -1084,9 +1080,7 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from small_etl_spark.llm.dedup import connected_components, ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, group_col="source").filter(
-        F.col("jaccard") >= 0.8
-    )
+    pairs = ngram_jaccard_pairs(docs, group_col="source", min_jaccard=0.8)
     comp = connected_components(docs, pairs)
     return (
         comp.groupBy("component")

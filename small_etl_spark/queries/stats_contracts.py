@@ -901,9 +901,7 @@ def q_cc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from small_etl_spark.operators.graph import cc_two_phase_star
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, group_col="source").filter(
-        F.col("jaccard") >= 0.8
-    )
+    pairs = ngram_jaccard_pairs(docs, group_col="source", min_jaccard=0.8)
     cc = cc_two_phase_star(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).select(F.col("node").alias("doc_id"), "component")

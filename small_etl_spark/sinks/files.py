@@ -81,6 +81,22 @@ def _sanitize_tsv(df: DataFrame) -> DataFrame:
     )
 
 
+def _stringify_complex(df: DataFrame) -> DataFrame:
+    """X9 for flat sinks: array/struct/map columns render as their
+    JSON text in csv/tsv (the reference stringifies non-scalar values
+    into the cell; Spark's csv writer refuses complex types)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if not complex_cols:
+        return df
+    return df.withColumns({c: F.to_json(F.col(c)) for c in complex_cols})
+
+
 def write_outputs(
     df: DataFrame,
     out_dir: str,
@@ -108,9 +124,12 @@ def write_outputs(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         if fmt == "csv":
+            writer = _stringify_complex(target).write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
             writer.option("header", True).csv(path)
         elif fmt == "tsv":
-            writer = _sanitize_tsv(target).write.mode("overwrite")
+            writer = _sanitize_tsv(_stringify_complex(target)).write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.option("header", True).option("sep", "\t").csv(path)
@@ -134,11 +153,14 @@ def zip_output_dir(
     zip_name: str,
     metadata: dict[str, Any] | None = None,
     intermediate_df: DataFrame | None = None,
+    member_names: dict[str, str] | None = None,
 ) -> str:
     """K4: pack the part files of each written format into one ZIP.
 
     Members are named ``output.<fmt>`` (+ ``intermediate.json``,
-    ``metadata.json``) like the reference ZIP
+    ``metadata.json``) — or the explicit per-format name from
+    ``member_names`` (the reference's [load.filenames] table) —
+    like the reference ZIP
     (simple_pipeline.rs:129-171). Text formats (csv/tsv/json) are
     concatenated into one member with a single header; binary formats
     (parquet) can't be concatenated, so each part file is stored as
@@ -149,10 +171,11 @@ def zip_output_dir(
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for fmt, uri in written.items():
             path = _local_path(uri)
+            member = (member_names or {}).get(fmt, f"output.{fmt}")
             if fmt not in ("csv", "tsv", "json"):
                 # binary format: one raw-bytes member per part file
                 for p in sorted(glob.glob(os.path.join(path, "part-*"))):
-                    zf.write(p, f"output.{fmt}/{os.path.basename(p)}")
+                    zf.write(p, f"{member}/{os.path.basename(p)}")
                 continue
             # set-union: a part file like part-00000-*.csv matches both
             # patterns — duplicating it would duplicate every data row
@@ -171,7 +194,7 @@ def zip_output_dir(
                 if text:
                     chunks.append(text)
                     header_written = True
-            zf.writestr(f"output.{fmt}", "".join(chunks))
+            zf.writestr(member, "".join(chunks))
         if intermediate_df is not None:
             # Stream the intermediate rows into the ZIP member via
             # toLocalIterator() — one partition resident on the driver

@@ -324,8 +324,15 @@ def parameterized_http_fanout(
     rate_limit_ms: int = 100,
     result_schema: str = "response string, source_row string",
     response_schema: str | None = None,
+    payload_template: str | None = None,
 ) -> DataFrame:
     """S4: one HTTP call per upstream row, executor-side.
+
+    ``payload_template`` renders a per-record request body: ``{{key}}``
+    placeholders resolve from shared_data overlaid with the record's
+    own fields (X4 priority — the reference's
+    use_previous_data_as_params body templating,
+    contextual_pipeline.rs:270-327).
 
     ``mapInPandas`` keeps the fan-out partition-parallel (the reference
     loops sequentially with a 100 ms sleep — contextual_pipeline.rs:
@@ -352,11 +359,16 @@ def parameterized_http_fanout(
             out_src: list[str] = []
             for rec in pdf.to_dict("records"):
                 url = substitute_endpoint_params(endpoint_template, {**shared, **rec})
+                body = (
+                    substitute_template(payload_template, {**shared, **rec})
+                    if payload_template
+                    else None
+                )
                 last: Exception | None = None
                 text = None
                 for attempt in range(retry_attempts + 1):
                     try:
-                        text = _request(url, method, hdrs, None, None, timeout_seconds)
+                        text = _request(url, method, hdrs, None, body, timeout_seconds)
                         break
                     except (urllib.error.URLError, TimeoutError) as e:
                         last = e

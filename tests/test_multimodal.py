@@ -169,3 +169,41 @@ def test_perceptual_hash_deterministic_and_compact(spark):
     plan = (perceptual_hash(media)
             ._jdf.queryExecution().executedPlan().toString())
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_unsupported_jpeg_mode_pillow_escape_hatch():
+    """decode_pixels routes spec corners the in-repo codecs decline
+    (progressive JPEG here) to Pillow when installed; without Pillow
+    the codec's own error surfaces with the remedy appended. Both
+    branches of the documented decode matrix are asserted — whichever
+    this environment provides."""
+    import numpy as np
+    import pytest as _pytest
+
+    from small_etl_spark.llm.jpeg_codec import encode_jpeg
+    from small_etl_spark.llm.multimodal import decode_pixels
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg(img, quality=80)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        # Pillow present (cluster deploy): the fallback decodes a REAL
+        # progressive JPEG (re-encoded via Pillow to be bit-valid)
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", progressive=True)
+        arr = decode_pixels(buf.getvalue())
+        assert arr.shape == (16, 16, 3) and arr.dtype == np.uint8
+    else:
+        with _pytest.raises(ValueError, match="install Pillow"):
+            decode_pixels(prog)

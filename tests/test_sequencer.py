@@ -33,6 +33,53 @@ SAMPLE = [
     {"id": 3, "name": "Item 3", "value": 30},
 ]
 
+# the sample nested response the reference documents inside
+# array_field_mapping_example.toml (trimmed to the fields its
+# mapping catalog exercises)
+DEPARTMENT_SAMPLE = {
+    "department": {
+        "id": "ENG001",
+        "name": "Engineering",
+        "locations": [
+            {"office": {"name": "HQ", "address": {"city": "San Francisco"}}},
+            {"office": {"name": "Remote", "address": {"city": "Austin"}}},
+        ],
+        "budget": {
+            "history": [
+                {"year": 2022, "amount": 500000},
+                {"year": 2023, "amount": 750000},
+                {"year": 2024, "amount": 1000000},
+            ]
+        },
+    },
+    "employees": [
+        {
+            "id": "EMP001",
+            "name": "Alice Johnson",
+            "email": "alice@company.com",
+            "skills": ["Python", "Rust"],
+            "projects": [
+                {"name": "ETL Pipeline", "status": "active"},
+                {"name": "Data Migration", "status": "completed"},
+            ],
+        },
+        {
+            "id": "EMP002",
+            "name": "Bob Smith",
+            "email": "bob@company.com",
+            "skills": ["JavaScript"],
+            "projects": [{"name": "Web Dashboard", "status": "active"}],
+        },
+        {
+            "id": "EMP003",
+            "name": "Charlie Brown",
+            "email": "charlie@company.com",
+            "skills": ["Python", "SQL"],
+            "projects": [{"name": "Data Analysis", "status": "planning"}],
+        },
+    ],
+}
+
 
 # --------------------------------------------------------------------------
 # spec parsing + validation
@@ -307,6 +354,9 @@ class _Handler(http.server.BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def do_PUT(self):  # noqa: N802 - test-api-config.toml update stage
+        self.do_POST()
+
     def do_GET(self):  # noqa: N802
         cls = type(self)
         if cls.fail_next > 0:
@@ -314,7 +364,11 @@ class _Handler(http.server.BaseHTTPRequestHandler):
             self.send_error(500)
             return
         cls.seen_auth.append(self.headers.get("Authorization", ""))
-        if self.path.startswith("/users/"):
+        if self.path.startswith("/department"):
+            # the nested sample response documented in the reference's
+            # array_field_mapping_example.toml (commented block)
+            body = json.dumps(DEPARTMENT_SAMPLE)
+        elif self.path.startswith("/users/"):
             uid = int(self.path.rsplit("/", 1)[1])
             body = json.dumps(
                 {"user_id": uid, "name": f"user{uid}", "email": f"u{uid}@x.io"}
@@ -1126,3 +1180,130 @@ def test_parse_fanout_strict_catches_late_keys(spark):
     out = parse_fanout_responses(raw, spark=spark, n_samples=64, strict=True)
     assert {"a", "late_key", "arr_key"} <= set(out.columns)
     assert out.count() == len(rows)
+
+
+# --------------------------------------------------------------------------
+# mirrored reference example configs run end-to-end under the mock API
+# --------------------------------------------------------------------------
+
+
+def _run_config(spark, path, mock_server, tmp_path, monkeypatch, **kw):
+    from small_etl_spark.plans.sequencer import run_sequence
+    from small_etl_spark.plans.spec import sequence_from_toml
+
+    monkeypatch.setenv("API_BASE", mock_server)
+    seq = sequence_from_toml(path)
+    return run_sequence(spark, seq, output_root=str(tmp_path), **kw)
+
+
+def test_config_simple_api_chain(spark, mock_server, tmp_path, monkeypatch):
+    """configs/simple-api-chain-example.toml (reference twin): stage 1
+    lists 3 users, exports the first to shared data, stage 2 fans out
+    one /users/{user_id} call per row via [source.data_source]
+    use_previous_output — the reference's own TOML layout end-to-end."""
+    ctx = _run_config(
+        spark, "configs/simple-api-chain-example.toml",
+        mock_server, tmp_path, monkeypatch,
+    )
+    by = {r.pipeline_name: r for r in ctx.results}
+    assert by["get-users"].record_count == 3
+    assert by["get-user-details"].record_count == 3
+    assert ctx.shared_data["user_ids_user_id"] in (1, 2, 3)
+    details = by["get-user-details"].df
+    assert {"full_name", "email_address"} <= set(details.columns)
+    assert sorted(r.full_name for r in details.collect()) == [
+        "user1", "user2", "user3",
+    ]
+
+
+def test_config_dev_testing(spark, mock_server, tmp_path, monkeypatch):
+    """configs/dev-testing.toml (reference twin): single-[pipeline]
+    layout with [transform.operations], required-field validation and
+    a zipped csv+json bundle."""
+    import zipfile as _zf
+
+    ctx = _run_config(
+        spark, "configs/dev-testing.toml", mock_server, tmp_path, monkeypatch
+    )
+    res = ctx.results[0]
+    assert res.record_count == 3
+    assert "test_data" in res.df.columns
+    z = tmp_path / "dev-testing" / "test_output.zip"
+    assert z.exists()
+    with _zf.ZipFile(z) as zf:
+        assert {"output.csv", "output.json"} <= set(zf.namelist())
+
+
+def test_config_production_example(spark, mock_server, tmp_path, monkeypatch):
+    """configs/production-example.toml (reference twin): templated
+    auth header, query parameters, retries, max_title_length
+    validation, the F1 title_length_threshold intermediate, and a ZIP
+    whose members carry the [load.filenames] explicit names."""
+    import zipfile as _zf
+
+    monkeypatch.setenv("API_TOKEN", "prod-secret")
+    _Handler.seen_auth.clear()
+    ctx = _run_config(
+        spark, "configs/production-example.toml",
+        mock_server, tmp_path, monkeypatch,
+    )
+    res = ctx.results[0]
+    assert res.record_count == 3
+    assert "prod-secret" in _Handler.seen_auth
+    z = tmp_path / "production-etl" / "production_data.zip"
+    assert z.exists()
+    with _zf.ZipFile(z) as zf:
+        names = set(zf.namelist())
+        # [load.filenames] names, not the default output.<fmt>
+        assert {
+            "processed_data.csv", "processed_data.tsv", "full_data.json",
+        } <= names
+        # F1 side-output: every title ("Item N") is longer than the
+        # threshold of 5 -> all 3 rows land in intermediate.json
+        inter = json.loads(zf.read("intermediate.json"))
+        assert len(inter) == 3
+
+
+def test_config_test_api_methods(spark, mock_server, tmp_path, monkeypatch):
+    """configs/test-api-config.toml (reference twin): GET list, POST
+    with a fixed JSON body, PUT with a {{key}}-templated body rendered
+    per previous-stage record (use_previous_data_as_params)."""
+    _Handler.seen_posts.clear()
+    ctx = _run_config(
+        spark, "configs/test-api-config.toml",
+        mock_server, tmp_path, monkeypatch,
+    )
+    by = {r.pipeline_name: r for r in ctx.results}
+    assert by["get_users"].record_count == 3
+    assert by["create_user"].record_count == 1
+    assert by["update_user_with_data"].record_count == 3
+    fixed = [p for p in _Handler.seen_posts if "Test User" in p]
+    assert len(fixed) == 1
+    updated = sorted(p for p in _Handler.seen_posts if "(Updated)" in p)
+    assert len(updated) == 3
+    assert '"name": "Item 1 (Updated)"' in updated[0]
+    assert '"id": 1' in updated[0] and '"value": 10' in updated[0]
+
+
+def test_config_array_field_mapping(spark, mock_server, tmp_path, monkeypatch):
+    """configs/array-field-mapping-example.toml (reference twin): the
+    P2/P3/P4 array-path mapping catalog — positive/negative index,
+    [*] flat map, nested array-of-array paths — over the reference's
+    documented sample response."""
+    ctx = _run_config(
+        spark, "configs/array-field-mapping-example.toml",
+        mock_server, tmp_path, monkeypatch,
+    )
+    row = ctx.results[0].df.collect()[0]
+    assert row.dept_id == "ENG001"
+    assert row.dept_name == "Engineering"
+    assert row.team_lead_name == "Alice Johnson"
+    assert row.team_lead_email == "alice@company.com"
+    assert list(row.all_employee_names) == [
+        "Alice Johnson", "Bob Smith", "Charlie Brown",
+    ]
+    assert list(row.all_employee_emails) == [
+        "alice@company.com", "bob@company.com", "charlie@company.com",
+    ]
+    assert list(row.office_cities) == ["San Francisco", "Austin"]
+    assert row.latest_budget == 1000000
