@@ -81,3 +81,77 @@ def redact_pii(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         return col
 
     return df.withColumns({c: scrub(c) for c in cols if c in df.columns})
+
+
+# Multi-label public suffixes the registrable-domain heuristic must
+# not split (public-suffix-list-lite: the high-traffic ccTLD second
+# levels; swap in the full Mozilla PSL as a broadcast lookup table for
+# web-scale crawls).
+_MULTI_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.za", "com.ar", "com.tr",
+)
+
+
+def canonicalize_url(col):
+    """Canonical URL form for URL-keyed dedup and domain grouping:
+    lowercase scheme+host, strip ``www.``, default ports (:80/:443),
+    the fragment, every ``utm_*`` tracking parameter (dropping ``?``
+    when nothing survives), and a trailing ``/``.
+
+    Chained ``regexp_replace`` + ``lower`` on the scheme://host
+    prefix only (path/query case is significant) — all JVM
+    expressions, codegen'd into the scan stage, and every regex is
+    POSIX-portable so the DuckDB oracle runs the identical chain.
+    URL dedup before content dedup is the cheapest dedup pass a crawl
+    pipeline has: exact string groupBy, no signatures.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # lowercase scheme and authority (up to first '/', '?' or '#')
+    head = F.regexp_extract(c, r"^([^/?#]*//[^/?#]*)", 1)
+    rest = F.substring(c, F.length(head) + 1, F.lit(2**31 - 1))
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"^(https?://[^/?#]*):(80|443)(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"#.*$", "")
+    # drop utm_* params wherever they sit, then tidy separators
+    u = F.regexp_replace(u, r"([?&])utm_[^=&#]*=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_host(col):
+    """Hostname of a URL (no scheme, port, path, or userinfo),
+    lowercased."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.regexp_extract(c, r"^[^/?#]*//(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    )
+
+
+def registrable_domain(col):
+    """eTLD+1 of a URL or hostname: the unit crawls cap, rate-limit,
+    and block at (one site = one registrable domain, not one host —
+    ``a.blog.example.co.uk`` and ``b.blog.example.co.uk`` are the same
+    site ``example.co.uk``).
+
+    Heuristic PSL: last two labels, or last three when the last two
+    are a known multi-label public suffix (``_MULTI_SUFFIXES``). Pure
+    split/slice/concat on the host — no Python, no lookup join; for
+    full PSL fidelity broadcast-join the Mozilla list keyed on the
+    candidate suffixes instead.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.when(c.contains("//"), url_host(c)).otherwise(F.lower(c))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(parts, F.greatest(n - 2, F.lit(1)), 3))
+    is_multi = last2.isin(*_MULTI_SUFFIXES)
+    return F.when(n <= 2, host).otherwise(
+        F.when(is_multi & (n >= 3), last3).otherwise(last2)
+    )

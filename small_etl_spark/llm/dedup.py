@@ -155,6 +155,36 @@ def minhash_lsh_pairs(
     neither pins executor storage memory nor leaves state behind —
     the plan stays fully lazy and composable.
     """
+    sh, banded = _shingle_band_tables(
+        df, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_family
+    )
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # same pair can share several bands
+    )
+    return _verify_jaccard(cand, sh, sh, jaccard_threshold)
+
+
+def _shingle_band_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature machinery for :func:`minhash_lsh_pairs` and
+    the persisted index/probe pair: returns ``(sh, banded)`` where
+    ``sh`` is the id-repartitioned ``(id, sh)`` shingle table (the
+    exchange-reuse point, see the storage-discipline note in
+    :func:`minhash_lsh_pairs`) and ``banded`` the slim
+    ``(id, band, bucket)`` LSH rows."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rpb = num_hashes // bands
@@ -214,25 +244,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return sh, banded
 
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # same pair can share several bands
-    )
 
-    # fetch shingles only for surviving candidate pairs (≪ n²);
-    # |A∪B| = |A|+|B|-|A∩B| on the distinct shingle sets — one
-    # array_intersect pass instead of intersect + union
-    result = (
+def _verify_jaccard(
+    cand: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of ``(id_a, id_b)`` candidate pairs
+    against the ``(id, sh)`` shingle tables — fetch shingles only for
+    surviving candidates (≪ n²); |A∪B| = |A|+|B|-|A∩B| on the
+    distinct shingle sets, one array_intersect pass instead of
+    intersect + union."""
+    return (
         cand.join(
-            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            sh_a.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
         .join(
-            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            sh_b.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
             "id_b",
         )
         .select(
@@ -250,7 +282,6 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    return result
 
 
 def ngram_jaccard_pairs(
@@ -1071,4 +1102,233 @@ def dup_span_coverage(
                 6,
             ).alias("coverage"),
         )
+    )
+
+
+def segment_dedup_first_wins(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 3,
+) -> DataFrame:
+    """Corpus-wide exact-segment dedup, FIRST occurrence wins (the
+    exact-substring-dedup *edit* of Lee et al. 2022 rather than its
+    signal): every distinct ``seg_words``-word segment is kept only at
+    its first occurrence — ordered by (``id_col``, position) — and
+    struck from every later document (and later repeats inside the
+    same document); survivors are reassembled in order. Documents
+    whose every segment is a repeat vanish from the output.
+
+    Complements :func:`cross_doc_segment_dedup` (which strikes
+    boilerplate from ALL docs once it crosses a doc-frequency
+    threshold): here the canonical copy survives, matching the
+    train-data policy "keep one copy of every passage".
+
+    Returns ``(id_col, clean_text, n_kept, n_dropped)``.
+
+    Plan shape: map-only strided segmentation (split + slice under
+    transform, codegen'd) → posexplode → ONE segment-keyed shuffle
+    computing ``min(struct(id, pos))`` per segment (partial aggs
+    combine map-side, so hot segments collapse before the wire) →
+    equi-join back (AQE elects broadcast only if the distinct-segment
+    side is tiny) → per-doc reassembly with bounded group size. At
+    100 TB: two hash shuffles on bounded-group keys, nothing
+    pairwise — the same discipline as every explode→agg→join pass in
+    this module.
+    """
+    words = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    segs = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, (i - 1) * seg_words + 1, seg_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    firsts = exploded.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("pos").alias("fpos"))).alias(
+            "__first__"
+        )
+    )
+    joined = exploded.join(firsts, "seg")
+    keep = (F.col(id_col) == F.col("__first__.fid")) & (
+        F.col("pos") == F.col("__first__.fpos")
+    )
+    kept_struct = F.when(keep, F.struct(F.col("pos"), F.col("seg")))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.sum((~keep).cast("bigint")).alias("n_dropped"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+
+
+def prefix_dedup_keep_longest(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document whose text is an exact duplicate OR a
+    strict prefix of another document's text, keeping the longest
+    extension (truncated re-crawls, pagination stubs, and partial
+    fetches are prefixes of the full page). Exact ties keep the
+    smallest ``id_col``. Returns the surviving ``(id_col, text_col)``.
+
+    Why one global sort suffices — the lexicographic prefix lemma: if
+    ``P`` is a prefix of ``X`` then every string ``S`` with
+    ``P ≤ S ≤ X`` also starts with ``P`` (its first ``|P|`` chars are
+    pinned between ``P`` and ``X``'s, which are both ``P``). So a text
+    is a strict prefix of SOME other text iff it is a prefix of its
+    IMMEDIATE lexicographic successor — no pairwise comparison needed.
+
+    Plan shape: (1) exact-text first-wins collapse, one hash shuffle
+    (min per text, map-side combined); (2) the distributed
+    global-ordinal scaffold (range exchange pinned once, offsets
+    broadcast-joined — operators/sort.py::global_ordinal, NEVER a
+    single-partition window) orders the distinct texts; (3) one
+    self equi-join on ``ordinal+1`` pairs each text with its
+    successor for the startswith test. At 100 TB: one range sort +
+    two hash shuffles, all on distinct texts.
+    """
+    from small_etl_spark.operators.sort import global_ordinal
+
+    by_text = docs.groupBy(F.col(text_col).alias("text")).agg(
+        F.min(F.col(id_col)).alias("__keep_id__")
+    )
+    ordd = global_ordinal(by_text, ["text"], ordinal_col="__ord__")
+    nxt = ordd.select(
+        (F.col("__ord__") - 1).alias("__ord__"),
+        F.col("text").alias("__next_text__"),
+    )
+    return (
+        ordd.join(nxt, "__ord__", "left")
+        .filter(
+            F.col("__next_text__").isNull()
+            | ~F.col("__next_text__").startswith(F.col("text"))
+        )
+        .select(
+            F.col("__keep_id__").alias(id_col), F.col("text").alias(text_col)
+        )
+    )
+
+
+def minhash_lsh_index_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> None:
+    """Persist a MinHash-LSH dedup index for ``docs`` under ``path``:
+    ``bands/`` — the slim ``(id, bucket)`` rows partitioned BY BAND —
+    and ``shingles/`` — the ``(id, sh)`` shingle sets needed for exact
+    verification. Index parameters are stored in ``_params.json`` and
+    validated at probe time, so a probe can never silently mix hash
+    families or band geometries.
+
+    This is the build-once/probe-many half of INCREMENTAL corpus
+    dedup: at 100 TB the corpus signature pass is the dominant cost,
+    and re-running it for every ingest batch (the
+    :func:`minhash_lsh_pairs` shape) re-reads the whole corpus.
+    Persisting ``(band, bucket, id)`` once turns each batch into a
+    delta-sized job — see :func:`minhash_lsh_probe`.
+    """
+    import json as _json
+    import os as _os
+
+    sh, banded = _shingle_band_tables(
+        docs, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_family
+    )
+    banded.write.mode("overwrite").partitionBy("band").parquet(
+        _os.path.join(path, "bands")
+    )
+    sh.write.mode("overwrite").parquet(_os.path.join(path, "shingles"))
+    with open(_os.path.join(path, "_params.json"), "w") as fh:
+        _json.dump(
+            {
+                "shingle_n": shingle_n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "seed": seed,
+                "hash_family": hash_family,
+            },
+            fh,
+        )
+
+
+def minhash_lsh_probe(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Probe a persisted LSH index (:func:`minhash_lsh_index_write`)
+    with a delta batch: returns ``(probe_id, corpus_id, jaccard)`` for
+    every delta document whose Jaccard similarity against an INDEXED
+    document reaches the threshold — the "is this new page a near-dup
+    of anything we already have" gate of an incremental ingest
+    pipeline (compose with a LeftAnti on ``probe_id`` to admit only
+    novel docs, as in operators/sketches.py's Bloom delta path).
+
+    The probe never touches the raw corpus: its plan reads ONLY the
+    index parquet plus the delta (tests pin this on the physical
+    plan). Cost is delta-sized — signature the delta (map-only),
+    one (band, bucket) equi-join against the index's band rows
+    (partitioned by band, so each join task streams exactly one
+    band's files), then exact verification joining the candidates'
+    shingle sets: the delta side from the just-computed shingles, the
+    corpus side from the persisted ``shingles/`` table, equi-join on
+    id — only candidate ids' rows survive the join, and at 100 TB the
+    shingle store is id-bucketed so this is a semi-join-sized read,
+    never a corpus re-scan.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_params.json")) as fh:
+        p = _json.load(fh)
+
+    sh_d, banded_d = _shingle_band_tables(
+        delta,
+        id_col,
+        text_col,
+        p["shingle_n"],
+        p["num_hashes"],
+        p["bands"],
+        p["seed"],
+        p["hash_family"],
+    )
+    idx_bands = spark.read.parquet(_os.path.join(path, "bands"))
+    idx_sh = spark.read.parquet(_os.path.join(path, "shingles"))
+    cand = (
+        banded_d.alias("a")
+        .join(idx_bands.alias("b"), ["band", "bucket"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = _verify_jaccard(cand, sh_d, idx_sh, jaccard_threshold)
+    return out.select(
+        F.col("id_a").alias("probe_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
     )

@@ -50,6 +50,24 @@ def dedup_by_fields_first_wins(
     shuffle carries one row per key per input partition instead of
     every row into a window sort. At 100 TB this is the difference
     between a combiner-style agg and a full shuffle-sort.
+
+    Cost note (r4→r6 bench drift root cause): min_by's aggregation
+    buffer is a struct, which HashAggregate cannot hold in its
+    fixed-width UnsafeRow hash map, so Spark plans **SortAggregate**
+    on both sides of the exchange — the dominant cost is the
+    per-partition sort of the raw input, and locally that sort runs
+    on only ~3 cores because the sf0.1 parquet scan is row-group
+    bound at 3 input splits (dropping maxPartitionBytes to 16 MB does
+    not help: splits below row-group size produce empty tasks).
+    Measured alternatives at sf0.1, interleaved min-of-3: min_by
+    as-is 0.73-0.89 s; repartition(32, key)+min_by 0.70 s;
+    min(struct(order,payload)) 0.92 s; window row_number 0.98 s. The
+    repartition variant wins ~0.1 s locally but replaces the map-side
+    partial agg with a full-width shuffle of every row — strictly
+    worse at 100 TB where inputs have thousands of row groups and the
+    partial agg collapses duplicate-heavy partitions before the wire.
+    Keeping the partial-agg shape; the local gap is an artifact of
+    tiny-file split starvation, not the plan.
     """
     missing = [f for f in fields if f not in df.columns]
     work = df

@@ -1755,3 +1755,165 @@ def q_bloom_anti_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.filter(F.col("doc_id") % 2 == 0).select("fp")
     delta = docs.filter(F.col("doc_id") % 2 == 1)
     return bloom_anti_join(delta, hist, "fp").select("doc_id", "lang")
+
+
+@register(
+    "segment_dedup_first_wins",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ix AS (
+      SELECT doc_id, ws,
+             unnest(range(1, CAST(ceil(len(ws) / 3.0) AS BIGINT) + 1)) AS i
+      FROM w
+    ), seg AS (
+      SELECT doc_id, i,
+             array_to_string(ws[(i - 1) * 3 + 1 : i * 3], ' ') AS seg
+      FROM ix
+    ), rn AS (
+      SELECT doc_id, i, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY i) FILTER (WHERE rn = 1)
+             AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+    FROM rn GROUP BY doc_id HAVING n_kept > 0
+    """,
+)
+def q_segment_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-segment dedup, FIRST occurrence wins
+    (llm.dedup.segment_dedup_first_wins — the Lee et al. 2022
+    exact-substring-dedup EDIT): every distinct 3-word segment
+    survives only at its earliest (doc_id, position); later repeats
+    are struck and documents reassembled. Where ``segment_dedup_docs``
+    removes boilerplate from everyone, this keeps the canonical copy —
+    "one copy of every passage". One segment-keyed min(struct)
+    shuffle + join-back + bounded per-doc reassembly."""
+    from small_etl_spark.llm.dedup import segment_dedup_first_wins
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup_first_wins(docs, seg_words=3)
+
+
+@register(
+    "prefix_dedup_keep_longest",
+    """
+    WITH f AS (
+      SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ), o AS (
+      SELECT doc_id, text, lead(text) OVER (ORDER BY text) AS nxt FROM f
+    )
+    SELECT doc_id, text FROM o
+    WHERE nxt IS NULL OR NOT starts_with(nxt, text)
+    """,
+)
+def q_prefix_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup, keep-longest (llm.dedup.prefix_dedup_keep_longest):
+    drops exact duplicates and every document that is a strict prefix
+    of another (truncated re-crawls / partial fetches). Built on the
+    lexicographic prefix lemma — a text is a prefix of SOME document
+    iff it is a prefix of its immediate sorted successor — so the plan
+    is one exact-dedup shuffle, one distributed global-ordinal range
+    sort (operators/sort.py scaffold, never a single-partition
+    window), and one ordinal+1 self-join. The oracle replays the same
+    lemma with a lead() window."""
+    from small_etl_spark.llm.dedup import prefix_dedup_keep_longest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_dedup_keep_longest(docs)
+
+
+def _minhash_probe_md5_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of the persisted-index PROBE: identical md5
+    signature/band pipeline as ``_minhash_md5_oracle``, with the
+    candidate join restricted to (delta id, corpus id) pairs — delta =
+    doc_id % 10 = 0, corpus = the rest."""
+    rpb = num_hashes // bands
+    minima = ",\n             ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({concat}) AS bucket FROM m".format(
+            b=b,
+            concat=" || ',' || ".join(f"m{i}" for i in range(b * rpb, (b + 1) * rpb)),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      FROM t
+    ), m AS (
+      SELECT id, sh,
+             {minima}
+      FROM s
+    ), banded AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.id AS probe_id, b.id AS corpus_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.id % 10 = 0 AND b.id % 10 <> 0
+    )
+    SELECT c.probe_id, c.corpus_id,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+             AS jaccard
+    FROM cand c
+    JOIN s sa ON sa.id = c.probe_id
+    JOIN s sb ON sb.id = c.corpus_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= {threshold}
+    """
+
+
+@register("minhash_lsh_probe_md5", _minhash_probe_md5_oracle())
+def q_minhash_lsh_probe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED LSH index
+    (llm.dedup.minhash_lsh_index_write / minhash_lsh_probe): the
+    corpus (doc_id % 10 ≠ 0) is indexed once — band rows partitioned
+    BY BAND plus the shingle store — then the delta batch
+    (doc_id % 10 = 0) is signatured and probed without ever
+    re-scanning the corpus text (tests pin the probe plan's scans to
+    index parquet + delta only). The md5 hash family makes the whole
+    index+probe pipeline value-exact against the DuckDB replay; the
+    xxhash64 family is the bench/scale path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from small_etl_spark.llm.dedup import (
+        minhash_lsh_index_write,
+        minhash_lsh_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    # deterministic per-sf_dir path, overwritten each run, left on
+    # disk so the returned probe stays LAZY (the driver materializes
+    # it after this builder returns) — exactly the build-once/
+    # probe-many lifecycle the index exists for.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lsh_index_{tag}"
+    )
+    minhash_lsh_index_write(
+        corpus, path, num_hashes=16, bands=4, hash_family="md5"
+    )
+    return minhash_lsh_probe(spark, path, delta, jaccard_threshold=0.8)

@@ -303,3 +303,46 @@ def q_sequence_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctx = run_sequence(spark, seq)
     return ctx.results[-1].df
+
+
+@register(
+    "url_canonicalize_docs",
+    """
+    SELECT doc_id,
+           'https://' || source || '.example.co.uk/d/' || doc_id
+             || '?p=' || (doc_id % 7) AS canon,
+           'example.co.uk' AS dom
+    FROM documents
+    """,
+)
+def q_url_canonicalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction
+    (functions/text.py::canonicalize_url / registrable_domain): each
+    doc gets a deterministically messy URL — uppercase scheme/host,
+    ``www.``, an explicit ``:443``, a ``utm_*`` tracking param, and a
+    fragment — and the canonical form plus eTLD+1 must equal the
+    independently-derived clean value in the oracle (expected-value
+    oracle, not a replay — the SQL never sees the messy input). URL
+    dedup is the cheapest dedup pass a crawl pipeline has (exact
+    string groupBy before any signatures); the whole chain is
+    regexp_replace/split built-ins that fuse into the scan stage."""
+    from small_etl_spark.functions.text import (
+        canonicalize_url,
+        registrable_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.co.uk:443/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&p="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        canonicalize_url(messy).alias("canon"),
+        registrable_domain(messy).alias("dom"),
+    )

@@ -30,7 +30,7 @@ bench.main()
 """
 
 
-def test_bench_emits_json_despite_failing_query():
+def test_bench_emits_json_despite_failing_query(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-c", SCRIPT],
         capture_output=True,
@@ -43,6 +43,10 @@ def test_bench_emits_json_despite_failing_query():
             "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
             "SPARK_GRAFT_BENCH_REPS": "1",
             "SPARK_GRAFT_CPUS": "4",
+            # never let the slimmed-registry subprocess clobber the
+            # repo's real perf ledger or spend minutes on stress dirs
+            "SPARK_GRAFT_BENCH_SELF": str(tmp_path / "bench_self.json"),
+            "SPARK_GRAFT_STRESS_FACTOR": "0",
         },
     )
     assert proc.returncode == 0, proc.stderr[-3000:]

@@ -1,0 +1,203 @@
+"""Round-6 additions: first-wins segment dedup, prefix dedup
+(keep-longest), the persisted MinHash-LSH index/probe pair, and URL
+canonicalization / registrable-domain extraction."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_segment_dedup_first_wins_brute(spark):
+    """First-occurrence-wins segment dedup against a hand-computed
+    reference: each distinct 3-word segment survives only at its
+    earliest (doc_id, pos); docs reduced to nothing vanish."""
+    from small_etl_spark.llm.dedup import segment_dedup_first_wins
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # segs: "a b c", "d e f" — both first
+            (2, "a b c x y z"),          # "a b c" repeat, "x y z" first
+            (3, "a b c d e f"),          # both repeats -> doc vanishes
+            (4, "x y z x y z g"),        # 1st "x y z" repeat of doc2's,
+                                          # 2nd "x y z" also dropped, "g" kept
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in segment_dedup_first_wins(docs, seg_words=3).collect()
+    }
+    assert got == {
+        1: ("a b c d e f", 2, 0),
+        2: ("x y z", 1, 1),
+        4: ("g", 1, 2),
+    }
+
+
+def test_prefix_dedup_keep_longest_cases(spark):
+    """Exact dups collapse to the smallest id; strict prefixes drop
+    (including chains a < ab < abc); non-prefix neighbors survive."""
+    from small_etl_spark.llm.dedup import prefix_dedup_keep_longest
+
+    docs = spark.createDataFrame(
+        [
+            (10, "a"),
+            (11, "a b"),
+            (12, "a b c"),        # chain: only this survives
+            (20, "q r"),
+            (21, "q r"),          # exact dup: keep id 20
+            (30, "zz"),
+            (31, "z"),            # "z" prefix of "zz" -> drop 31
+            (40, "m n"),          # no relation -> survives
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.text)
+        for r in prefix_dedup_keep_longest(docs).collect()
+    )
+    assert got == [(12, "a b c"), (20, "q r"), (30, "zz"), (40, "m n")]
+
+
+def test_lsh_probe_matches_direct_pairs_and_never_rescans_corpus(
+    spark, tmp_path
+):
+    """The persisted-index probe must return exactly the cross-set
+    (delta, corpus) pairs the one-shot minhash_lsh_pairs finds, and
+    its physical plan must read ONLY the index parquet + the delta —
+    never the corpus text (the incrementality claim, pinned on the
+    plan, not the docstring)."""
+    from small_etl_spark.llm.dedup import (
+        minhash_lsh_index_write,
+        minhash_lsh_pairs,
+        minhash_lsh_probe,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "lsh_index")
+    try:
+        minhash_lsh_index_write(corpus, path, num_hashes=16, bands=4)
+        probe = minhash_lsh_probe(spark, path, delta, jaccard_threshold=0.8)
+        got = sorted(
+            (r.probe_id, r.corpus_id, round(r.jaccard, 9))
+            for r in probe.collect()
+        )
+
+        allp = minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, jaccard_threshold=0.8
+        )
+        cross = allp.filter(
+            ((F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0))
+            | ((F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 == 0))
+        )
+        want = sorted(
+            (
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                if r.id_a % 10 == 0
+                else (r.id_b, r.id_a, round(r.jaccard, 9))
+            )
+            for r in cross.collect()
+        )
+        assert got == want and got  # non-empty at sf0.001
+
+        # incrementality: every parquet scan in the probe plan reads
+        # either the index directory or the delta (with the delta
+        # filter pushed down) — no unfiltered corpus scan.
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        doc_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "documents.parquet" in ln
+        ]
+        assert doc_scans, "delta must come from the documents scan"
+        for ln in doc_scans:
+            assert "% 10) = 0" in ln, f"unfiltered corpus scan: {ln[:200]}"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_lsh_probe_rejects_mismatched_params(spark, tmp_path):
+    """_params.json pins the index geometry; a probe can't silently
+    mix hash families (it reads the stored params, so the signatures
+    always match the index)."""
+    import json
+    import os
+
+    from small_etl_spark.llm.dedup import (
+        minhash_lsh_index_write,
+        minhash_lsh_probe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w6")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    minhash_lsh_index_write(docs, path, num_hashes=8, bands=2, hash_family="md5")
+    with open(os.path.join(path, "_params.json")) as fh:
+        p = json.load(fh)
+    assert p == {
+        "shingle_n": 3,
+        "num_hashes": 8,
+        "bands": 2,
+        "seed": 42,
+        "hash_family": "md5",
+    }
+    # probing uses the stored md5 family even though the default is
+    # xxhash64 — a bucket join across families would return nothing
+    out = minhash_lsh_probe(spark, path, docs, jaccard_threshold=0.1)
+    assert out.count() > 0
+
+
+def test_url_canonicalize_and_domain(spark):
+    from small_etl_spark.functions.text import (
+        canonicalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    cases = [
+        # (raw, canonical, registrable domain)
+        (
+            "HTTPS://WWW.Example.COM:443/Path/To?a=1&utm_source=x&b=2#f",
+            "https://example.com/Path/To?a=1&b=2",
+            "example.com",
+        ),
+        ("http://example.com:80/", "http://example.com", "example.com"),
+        (
+            "https://a.blog.example.co.uk/x/?utm_campaign=z",
+            "https://a.blog.example.co.uk/x",
+            "example.co.uk",
+        ),
+        (
+            "https://example.com/path?utm_only=1",
+            "https://example.com/path",
+            "example.com",
+        ),
+        ("http://www.foo.com.au/bar/", "http://foo.com.au/bar", "foo.com.au"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = {
+        r.url: (r.canon, r.dom)
+        for r in df.select(
+            "url",
+            canonicalize_url("url").alias("canon"),
+            registrable_domain("url").alias("dom"),
+        ).collect()
+    }
+    for raw, canon, dom in cases:
+        assert got[raw] == (canon, dom), raw
+    # host extraction skips userinfo and port
+    h = (
+        df.limit(1)
+        .select(url_host(F.lit("https://u:p@Host.Example.ORG:8080/x")).alias("h"))
+        .collect()[0]
+        .h
+    )
+    assert h == "host.example.org"
