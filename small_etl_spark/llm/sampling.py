@@ -364,3 +364,53 @@ def dsir_logratio_weights(
             F.avg("lr").alias("logratio"),
         )
     )
+
+
+def domain_token_budget_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_tokens: int = 1000,
+    salt: str = "domain-cap-v1",
+) -> DataFrame:
+    """Per-domain token-budget admission (the CommonCrawl-style "no
+    domain may contribute more than B tokens" cap that stops a single
+    hot site from dominating the mix): within each ``group_col``
+    (registrable domain — see functions/text.py::registrable_domain),
+    documents are ordered by a deterministic salted hash of their id
+    (crawl-order- and partitioning-independent, re-runs admit the
+    same set) and admitted while the EXCLUSIVE running token total is
+    still under ``budget_tokens`` — so the first document of a domain
+    is always admitted, and the document that crosses the budget is
+    the last one in.
+
+    Output: the admitted rows of ``df`` plus ``n_tokens`` and
+    ``tokens_before`` (the exclusive prefix sum — keep it: it is the
+    audit column that explains every admission decision).
+
+    Scale shape: one hash shuffle partitioned BY DOMAIN and a
+    running-sum window WITHIN each domain — group-bounded state, no
+    global sort, no driver round-trip. A pathological mega-domain is
+    exactly the case the cap neuters: its window is long but its
+    output is cut at the budget, and AQE skew handling splits the
+    oversized partition upstream. Compare token_budget_resample
+    (GLOBAL budget via the pinned-range prefix-sum scaffold) — this
+    is its per-group sibling, where a plain window is the right tool
+    because groups, unlike the corpus, are bounded.
+    """
+    from small_etl_spark.llm.textstats import token_count
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("n_tokens", token_count(text_col).cast("bigint"))
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("tokens_before") < F.lit(budget_tokens))
+    )

@@ -1917,3 +1917,96 @@ def q_minhash_lsh_probe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, path, num_hashes=16, bands=4, hash_family="md5"
     )
     return minhash_lsh_probe(spark, path, delta, jaccard_threshold=0.8)
+
+
+@register(
+    "domain_token_budget_cap",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+               AS n_tokens,
+             substring(md5('domain-cap-v1|' || CAST(doc_id AS VARCHAR)), 1, 4)
+               AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, tokens_before
+    FROM c WHERE tokens_before < 1000
+    """,
+)
+def q_domain_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget admission
+    (llm.sampling.domain_token_budget_cap): no source may contribute
+    more than ~1000 tokens — docs within a domain are ordered by a
+    salted md5 of their id (deterministic, crawl-order-independent)
+    and admitted while the EXCLUSIVE running token total is under
+    budget, so a hot site stops dominating the mix. One
+    domain-partitioned window, group-bounded state; the global-budget
+    sibling is token_budget_resample's pinned-range prefix sum."""
+    from small_etl_spark.llm.sampling import domain_token_budget_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_token_budget_cap(docs, budget_tokens=1000).select(
+        "doc_id", "source", "n_tokens", "tokens_before"
+    )
+
+
+@register("stream_lsh_probe_md5", _minhash_probe_md5_oracle())
+def q_stream_lsh_probe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL Structured Streaming incremental dedup under the oracle
+    gate (streaming/windows.py::stream_lsh_probe_to_parquet): the
+    delta (doc_id % 10 = 0) arrives as TWO parquet files consumed one
+    per micro-batch (maxFilesPerTrigger=1), each batch probes the
+    PERSISTED corpus LSH index via foreachBatch and appends its pairs;
+    the drained union must value-match the same DuckDB replay as the
+    one-shot batch probe — stream ≡ batch, because probes are
+    per-document independent. foreachBatch is the production shape:
+    the probe's dropDuplicates/joins would need unbounded streaming
+    state, but per-batch they are bounded delta-sized jobs."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from small_etl_spark.llm.dedup import minhash_lsh_index_write
+    from small_etl_spark.streaming.windows import stream_lsh_probe_to_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_slsh_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "index")
+    stream_dir = os.path.join(root, "in")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    minhash_lsh_index_write(corpus, idx, num_hashes=16, bands=4, hash_family="md5")
+    # two files -> two micro-batches (multi-batch is the point)
+    delta.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.parquet(
+        os.path.join(stream_dir, "a")
+    )
+    delta.filter(F.col("doc_id") % 20 != 0).coalesce(1).write.parquet(
+        os.path.join(stream_dir, "b")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+    stream_lsh_probe_to_parquet(
+        spark, stream, idx, out_dir, ckpt, jaccard_threshold=0.8
+    )
+    return spark.read.parquet(out_dir).select(
+        "probe_id", "corpus_id", "jaccard"
+    )

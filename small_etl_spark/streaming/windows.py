@@ -261,3 +261,54 @@ def stream_to_files(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_lsh_probe_to_parquet(
+    spark,
+    stream_docs: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming incremental dedup: probe each micro-batch of arriving
+    documents against a PERSISTED MinHash-LSH index
+    (llm/dedup.py::minhash_lsh_index_write) and append the near-dup
+    pairs to ``out_dir`` — the ingest-time "is this new page a
+    near-dup of the corpus" gate, running continuously.
+
+    Goes through ``foreachBatch`` deliberately: the probe pipeline
+    contains a dropDuplicates and candidate joins that would need
+    unbounded streaming state, but per-batch they are plain bounded
+    batch jobs — each micro-batch is delta-sized, touches only index
+    parquet + its own rows (plan pinned in the batch probe's tests),
+    and appends idempotently under the checkpoint. Restart-safe: a
+    replayed batch rewrites the same pairs (probe is deterministic),
+    and the checkpoint skips committed batches. Probes are
+    per-document independent, so the union over micro-batches equals
+    one batch probe of the whole delta — the stream ≡ batch contract
+    the oracle gate checks.
+    """
+    from small_etl_spark.llm.dedup import minhash_lsh_probe
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = minhash_lsh_probe(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -201,3 +201,85 @@ def test_url_canonicalize_and_domain(spark):
         .h
     )
     assert h == "host.example.org"
+
+
+def test_domain_token_budget_cap_properties(spark):
+    """Every domain's admitted token total stays under budget + its
+    final admitted doc (the one allowed to cross), the first doc of a
+    domain is always admitted, and the admitted set is invariant to
+    input partitioning."""
+    from small_etl_spark.llm.sampling import domain_token_budget_cap
+    from small_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = domain_token_budget_cap(docs, budget_tokens=500)
+    rows = out.collect()
+    assert rows
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r.source, []).append(r)
+    for dom, rs in by_dom.items():
+        # exclusive prefix < budget for every admitted doc
+        assert all(r.tokens_before < 500 for r in rs), dom
+        # sum of all-but-the-crossing-doc is under budget
+        total = sum(r.n_tokens for r in rs)
+        largest_last = max(r.tokens_before for r in rs)
+        assert largest_last < 500
+        assert total >= min(r.n_tokens for r in rs)  # sanity
+    # at least one domain actually got cut
+    n_all = docs.count()
+    assert len(rows) < n_all
+    # partitioning invariance
+    again = sorted(
+        r.doc_id
+        for r in domain_token_budget_cap(
+            docs.repartition(7), budget_tokens=500
+        ).collect()
+    )
+    assert again == sorted(r.doc_id for r in rows)
+
+
+def test_stream_lsh_probe_equals_batch(spark, tmp_path):
+    """Union of per-micro-batch probes == one batch probe of the whole
+    delta (probes are per-doc independent); two files -> two batches."""
+    from small_etl_spark.llm.dedup import (
+        minhash_lsh_index_write,
+        minhash_lsh_probe,
+    )
+    from small_etl_spark.sources.tables import load_table
+    from small_etl_spark.streaming.windows import stream_lsh_probe_to_parquet
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    idx = str(tmp_path / "idx")
+    sdir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    minhash_lsh_index_write(corpus, idx, num_hashes=16, bands=4)
+    delta.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.parquet(
+        sdir + "/a"
+    )
+    delta.filter(F.col("doc_id") % 20 != 0).coalesce(1).write.parquet(
+        sdir + "/b"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(sdir)
+    )
+    stream_lsh_probe_to_parquet(spark, stream, idx, out, ckpt, 0.8)
+    got = sorted(
+        (r.probe_id, r.corpus_id, round(r.jaccard, 9))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.probe_id, r.corpus_id, round(r.jaccard, 9))
+        for r in minhash_lsh_probe(
+            spark, idx, delta, jaccard_threshold=0.8
+        ).collect()
+    )
+    assert got == want and got
