@@ -1290,17 +1290,23 @@ def minhash_lsh_probe(
     pipeline (compose with a LeftAnti on ``probe_id`` to admit only
     novel docs, as in operators/sketches.py's Bloom delta path).
 
-    The probe never touches the raw corpus: its plan reads ONLY the
-    index parquet plus the delta (tests pin this on the physical
-    plan). Cost is delta-sized — signature the delta (map-only),
-    one (band, bucket) equi-join against the index's band rows
-    (partitioned by band, so each join task streams exactly one
+    The probe never touches the raw corpus text: its plan reads ONLY
+    the index parquet plus the delta (tests pin this on the physical
+    plan). The signature COMPUTE is delta-sized — signature the delta
+    (map-only), one (band, bucket) equi-join against the index's band
+    rows (partitioned by band, so each join task streams exactly one
     band's files), then exact verification joining the candidates'
     shingle sets: the delta side from the just-computed shingles, the
-    corpus side from the persisted ``shingles/`` table, equi-join on
-    id — only candidate ids' rows survive the join, and at 100 TB the
-    shingle store is id-bucketed so this is a semi-join-sized read,
-    never a corpus re-scan.
+    corpus side from the persisted ``shingles/`` table. Honest read
+    accounting: the band rows and the shingle store are corpus-sized
+    SCANS (columnar, no text, no recompute, and no corpus-side
+    shuffle — AQE broadcasts the candidate side) — cut them further
+    at 100 TB by bucketing the store by id and letting the runtime
+    Bloom filter from the candidate ids prune row groups. Measured
+    (sf0.1, 10×-inflated corpus, fixed 10% delta, min-of-3): probe
+    1.96 s vs 4.80 s full :func:`minhash_lsh_pairs` recompute — 2.4×,
+    and the gap widens with corpus scale (probe grew 0.3 s from the
+    1× corpus, full recompute grew 3.1 s).
     """
     import json as _json
     import os as _os
