@@ -1046,3 +1046,133 @@ def dequantize_embeddings_int8(
             "codes", lambda c: c.cast("double") * F.col("scale")
         ).alias("embedding"),
     )
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez) coreset selection:
+    start from the smallest id, then ``k-1`` times pick the point
+    farthest (squared L2) from the chosen set — the classic
+    diversity-sampling pass for training-set curation (cover the
+    embedding space with k exemplars; 2-approximation to the optimal
+    k-center cover).
+
+    Returns ``(step, vec_id, d2)`` — ``d2`` is the squared distance
+    from the selected point to the set chosen before it (0.0 for the
+    seed), i.e. the coverage radius achieved at each step, rounded to
+    6 dp for oracle portability.
+
+    Scale shape: the chosen set is at most ``k`` vectors — broadcast
+    as literal arrays into a ``least()`` of JVM fold expressions — so
+    every iteration is ONE full-scan aggregation (max of d², tie-break
+    min id) with nothing shuffled but a 1-row result; the driver loop
+    is bounded by ``k`` (same contract as ivf_train's iteration
+    collects). O(k) passes over the corpus, O(k²·dim) driver memory.
+    At 100 TB: k passes of a codegen'd projection + single-row agg —
+    embarrassingly parallel; never a pairwise matrix.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+
+    def lit_arr(xs) -> Column:
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    def sq_l2_to(lit_vec) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit_vec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, seed["vec_id"], 0.0, list(seed["v"]))]
+    for step in range(1, k):
+        dists = [sq_l2_to(lit_arr(v)) for _, _, _, v in chosen]
+        d_min = dists[0] if len(dists) == 1 else F.least(*dists)
+        far = (
+            base.select("vec_id", "v", d_min.alias("d2"))
+            .orderBy(F.col("d2").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((step, far["vec_id"], float(far["d2"]), list(far["v"])))
+    return emb.sparkSession.createDataFrame(
+        [(s, i, round(d, 6)) for s, i, d, _ in chosen],
+        "step int, vec_id bigint, d2 double",
+    )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    k: int = 3,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking per query group
+    (Carbonell & Goldstein 1998): iteratively select the candidate
+    maximizing ``lam·relevance − (1−lam)·max cosine to the already
+    selected`` — the retrieve-then-diversify pass that stops a RAG
+    top-k from returning five near-identical passages. Ties break on
+    smaller id. Returns ``(query_col, rank, vec_id)``; ``rank`` is
+    0-based selection order.
+
+    This is the module's one deliberate ``applyInPandas`` operator:
+    the greedy argmax is sequential in ``k`` WITHIN a query, but
+    query groups are independent and each holds only that query's
+    top-N candidates (bounded — the retriever already cut to N), so
+    grouping by query gives Arrow-batched parallelism across queries
+    with O(N·dim) memory per group. The JVM-side alternative (k
+    joins against a growing selected set PER QUERY) would launch
+    k·queries jobs; here scale comes from the group count, exactly
+    the \"Python only where the operator is genuinely iterative\"
+    rule (cf. pack_sequences_ffd).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{query_col} bigint, rank int, {id_col} bigint"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        # penalty term = max cosine to the selected set; the max over
+        # an EMPTY set contributes nothing (first pick is pure
+        # relevance), and with one item it is that item's actual —
+        # possibly negative — similarity, so no zeros-floor here.
+        max_sim = None
+        for _ in range(min(k, n)):
+            score = (
+                lam * rel
+                if max_sim is None
+                else lam * rel - (1.0 - lam) * max_sim
+            )
+            score[selected] = -np.inf
+            # rows are id-sorted, so the first max index IS the tie-break
+            best = int(np.flatnonzero(score == score.max())[0])
+            selected.append(best)
+            sims = unit @ unit[best]
+            max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[0],
+                "rank": range(len(selected)),
+                id_col: pdf[id_col].iloc[selected].to_numpy(),
+            }
+        )
+
+    return cands.groupBy(query_col).applyInPandas(pick, out_schema)

@@ -575,3 +575,127 @@ def q_embedding_int8_contract(
         F.round(err, 6).alias("max_err"),
         (err <= F.col("scale") / 2 * 1.000000001).alias("within_bound"),
     )
+
+
+_SQ = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+
+@register(
+    "kcenter_sample_k4",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1
+    ), d1 AS (
+      SELECT e.vec_id, e.v, {_SQ.format(a='e.v', b='c0.v')} AS d
+      FROM e CROSS JOIN c0
+    ), c1 AS (
+      SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1
+    ), dd2 AS (
+      SELECT d1.vec_id, d1.v,
+             least(d1.d, {_SQ.format(a='d1.v', b='c1.v')}) AS d
+      FROM d1 CROSS JOIN c1
+    ), c2 AS (
+      SELECT vec_id, v, d FROM dd2 ORDER BY d DESC, vec_id LIMIT 1
+    ), dd3 AS (
+      SELECT dd2.vec_id, dd2.v,
+             least(dd2.d, {_SQ.format(a='dd2.v', b='c2.v')}) AS d
+      FROM dd2 CROSS JOIN c2
+    ), c3 AS (
+      SELECT vec_id, v, d FROM dd3 ORDER BY d DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(0 AS INTEGER) AS step, vec_id, 0.0 AS d2 FROM c0
+    UNION ALL SELECT 1, vec_id, round(d, 6) FROM c1
+    UNION ALL SELECT 2, vec_id, round(d, 6) FROM c2
+    UNION ALL SELECT 3, vec_id, round(d, 6) FROM c3
+    """,
+)
+def q_kcenter_sample_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection, k=4
+    (llm.similarity.kcenter_sample): diversity sampling that covers
+    the embedding space with exemplars — each step is one full-scan
+    max-of-d² aggregation against the ≤k broadcast chosen vectors,
+    never a pairwise matrix. The oracle UNROLLS the four greedy
+    iterations as chained CTEs (the same unroll discipline as the
+    logreg GD oracle), so the iterative algorithm itself is
+    value-checked, not just its output shape."""
+    from small_etl_spark.llm.similarity import kcenter_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_sample(emb, k=4)
+
+
+@register(
+    "mmr_rerank_diverse",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4
+    ), scored AS (
+      SELECT q.query_id, e.vec_id, e.v,
+             list_cosine_similarity(q.qv, e.v) AS rel
+      FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+    ), cand AS (
+      SELECT * FROM (
+        SELECT query_id, vec_id, v, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rk
+        FROM scored) WHERE rk <= 12
+    ), s1 AS (
+      SELECT query_id, vec_id, v FROM (
+        SELECT query_id, vec_id, v,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 0.7 * rel DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1
+    ), m1 AS (
+      SELECT c.query_id, c.vec_id, c.v, c.rel,
+             list_cosine_similarity(c.v, s1.v) AS msim
+      FROM cand c JOIN s1 USING (query_id)
+      WHERE c.vec_id <> s1.vec_id
+    ), s2 AS (
+      SELECT query_id, vec_id, v FROM (
+        SELECT query_id, vec_id, v,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 0.7 * rel - 0.3 * msim DESC,
+                                           vec_id) AS rn
+        FROM m1) WHERE rn = 1
+    ), m2 AS (
+      SELECT m1.query_id, m1.vec_id, m1.rel,
+             greatest(m1.msim,
+                      list_cosine_similarity(m1.v, s2.v)) AS msim
+      FROM m1 JOIN s2 USING (query_id)
+      WHERE m1.vec_id <> s2.vec_id
+    ), s3 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 0.7 * rel - 0.3 * msim DESC,
+                                           vec_id) AS rn
+        FROM m2) WHERE rn = 1
+    )
+    SELECT query_id, CAST(0 AS INTEGER) AS rank, vec_id FROM s1
+    UNION ALL SELECT query_id, 1, vec_id FROM s2
+    UNION ALL SELECT query_id, 2, vec_id FROM s3
+    """,
+)
+def q_mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-diversify: exact cosine top-12 per query (4
+    queries), then Maximal Marginal Relevance re-ranking to 3
+    diverse results (llm.similarity.mmr_rerank — the module's one
+    deliberate applyInPandas operator: greedy argmax is sequential in
+    k within a query, but query groups are independent and bounded,
+    so Arrow batching across queries is the scale axis). The oracle
+    unrolls all three greedy steps per query in SQL — selection
+    ORDER, not just membership, is value-checked."""
+    from small_etl_spark.llm.similarity import brute_force_topk, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    top = brute_force_topk(emb, queries, k=12)
+    cands = top.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        "vec_id",
+    ).select("query_id", "vec_id", F.col("cosine").alias("rel"), "embedding")
+    return mmr_rerank(cands, k=3, lam=0.7)

@@ -60,6 +60,9 @@ CARTESIAN_OK = {
     "bigram_interp_logprob_score",  # 1-row (V, n_total) normalizer
                                     # broadcast for the interpolated
                                     # LM (llm/textstats.py) — constant
+    "mmr_rerank_diverse",  # inherits cosine_topk's exact-baseline
+                           # broadcast-queries crossJoin for the
+                           # retrieve stage; MMR itself is grouped
 }
 
 # Unpartitioned windows allowed where the windowed frame is provably

@@ -283,3 +283,98 @@ def test_stream_lsh_probe_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_kcenter_matches_python_greedy(spark):
+    """Farthest-point selection against a sequential reference on a
+    planted geometry: 3 well-separated clusters + a far outlier —
+    greedy must visit each region before densifying."""
+    import numpy as np
+
+    from small_etl_spark.llm.similarity import kcenter_sample
+
+    rng = np.random.RandomState(7)
+    pts = np.vstack(
+        [
+            rng.normal(0.0, 0.05, (10, 4)),
+            rng.normal(5.0, 0.05, (10, 4)) * [1, -1, 1, -1],
+            rng.normal(-3.0, 0.05, (10, 4)),
+            [[50.0, 0, 0, 0]],
+        ]
+    )
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def ref(k):
+        chosen = [0]
+        out = [(0, 0, 0.0)]
+        for step in range(1, k):
+            d = np.min(
+                [((pts - pts[c]) ** 2).sum(axis=1) for c in chosen], axis=0
+            )
+            order = np.lexsort((np.arange(len(pts)), -d))
+            best = int(order[0])
+            out.append((step, best, round(float(d[best]), 6)))
+            chosen.append(best)
+        return out
+
+    got = sorted(
+        (r.step, r.vec_id, r.d2) for r in kcenter_sample(df, k=5).collect()
+    )
+    assert got == sorted(ref(5))
+    # the planted outlier must be picked first after the seed
+    assert got[1][1] == 30
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """Grouped MMR against an independent sequential reference,
+    including NEGATIVE similarities (a zeros-floor on the penalty
+    term would mis-rank — regression for the max-over-empty-set
+    bug)."""
+    import numpy as np
+
+    from small_etl_spark.llm.similarity import mmr_rerank
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vecs = {}
+    for q in range(3):
+        for i in range(8):
+            v = rng.normal(0, 1, 6)
+            vid = q * 100 + i
+            vecs[vid] = v
+            rows.append(
+                (q, vid, float(rng.uniform(0.1, 1.0)), [float(x) for x in v])
+            )
+    df = spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, rel double, embedding array<double>"
+    )
+    lam = 0.6
+
+    def ref(group):
+        ids = sorted(vid for (qq, vid, _, _) in rows if qq == group)
+        rel = {vid: r for (qq, vid, r, _) in rows if qq == group}
+        unit = {
+            vid: vecs[vid] / np.linalg.norm(vecs[vid]) for vid in ids
+        }
+        sel = []
+        for _ in range(3):
+            best, best_s = None, -np.inf
+            for vid in ids:
+                if vid in sel:
+                    continue
+                pen = max((unit[vid] @ unit[s] for s in sel), default=0.0)
+                s = lam * rel[vid] - (1 - lam) * (pen if sel else 0.0)
+                if s > best_s + 1e-12 or (
+                    abs(s - best_s) <= 1e-12 and vid < (best or 10**9)
+                ):
+                    best, best_s = vid, s
+            sel.append(best)
+        return [(group, r, v) for r, v in enumerate(sel)]
+
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in mmr_rerank(df, k=3, lam=lam).collect()
+    )
+    want = sorted(x for q in range(3) for x in ref(q))
+    assert got == want
