@@ -148,3 +148,115 @@ def bucketed_join(
         .hint("merge")
         .join(spark.table(right_table), key)
     )
+
+
+def list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """Recursive ``(file_uri, bytes)`` inventory of a table directory
+    via the Hadoop FileSystem API — works unchanged on ``file://``,
+    ``s3a://``, ``gs://`` etc. (the K6 storage story). Hidden/commit
+    artifacts (``_SUCCESS``, ``.crc``, ``_started``/``_committed``)
+    are skipped. The listing is METADATA-sized (one row per file);
+    at lakehouse scale read the table-format manifest instead of a
+    directory walk — same downstream planner either way.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    out: list[tuple[str, int]] = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def compaction_plan(
+    files: list[tuple[str, int]],
+    target_bytes: int,
+) -> list[list[tuple[str, int]]]:
+    """Bin-pack small files into compaction groups of ≈``target_bytes``
+    via first-fit-decreasing (the same FFD discipline as
+    llm/chunking.py::pack_sequences_ffd, ≤ 11/9·OPT + 1 bins):
+    oversized files get a singleton bin and are left alone by
+    :func:`compact_parquet`. Driver-side over the metadata-sized
+    inventory — never touches data.
+
+    Small files are the silent 100 TB scan killer: a 128 MB-target
+    table fragmented into 1 MB files pays 128× the open/seek cost and
+    starves vectored IO; a streaming sink appending per micro-batch
+    produces exactly that. Compaction is the maintenance pass every
+    lakehouse schedules (OPTIMIZE / rewrite_data_files); this is its
+    planner, decoupled so tests can assert bin arithmetic exactly.
+    """
+    bins: list[tuple[int, list[tuple[str, int]]]] = []
+    for f in sorted(files, key=lambda x: (-x[1], x[0])):
+        for i, (used, members) in enumerate(bins):
+            if used + f[1] <= target_bytes:
+                bins[i] = (used + f[1], members + [f])
+                break
+        else:
+            bins.append((f[1], [f]))
+    return [members for _, members in bins]
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Execute a :func:`compaction_plan`: rewrite ``src_path``'s many
+    small parquet files into ≈one file per bin under ``dst_path``.
+    Returns the plan as a DataFrame ``(bin, n_files, in_bytes)`` for
+    auditing.
+
+    One distributed job, no driver data movement: every source file
+    is read once, rows are tagged with their bin via a BROADCAST
+    (file → bin) map keyed on ``input_file_name()``, hash-exchanged
+    on the bin id (width = number of bins — each task writes ≈one
+    target-sized file), and written ``partitionBy(bin)``. Bins are
+    data-parallel, so a 10k-file backlog compacts at cluster width,
+    not sequentially. Readers take the whole ``dst_path`` recursively;
+    the bin= dirs are write artifacts, not a semantic partition.
+    """
+    import re
+
+    files = list_data_files(spark, src_path)
+    plan = compaction_plan(files, target_bytes)
+
+    def norm(p: str) -> str:
+        # Hadoop prints file:/x, input_file_name() file:///x — compare
+        # scheme-normalized
+        return re.sub(r"^file:/+", "/", p)
+
+    mapping = [
+        (norm(path), b)
+        for b, members in enumerate(plan)
+        for path, _ in members
+    ]
+    map_df = F.broadcast(
+        spark.createDataFrame(mapping, "__file__ string, __bin__ int")
+    )
+    df = spark.read.parquet(src_path).withColumn(
+        "__file__",
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+    )
+    (
+        df.join(map_df, "__file__")
+        .drop("__file__")
+        .repartition(max(len(plan), 1), F.col("__bin__"))
+        .write.mode("overwrite")
+        .partitionBy("__bin__")
+        .parquet(dst_path)
+    )
+    report = [
+        (b, len(members), sum(sz for _, sz in members))
+        for b, members in enumerate(plan)
+    ]
+    return spark.createDataFrame(
+        report, "bin int, n_files int, in_bytes bigint"
+    )

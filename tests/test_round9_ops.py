@@ -378,3 +378,59 @@ def test_mmr_rerank_matches_python_greedy(spark):
     )
     want = sorted(x for q in range(3) for x in ref(q))
     assert got == want
+
+
+def test_compaction_plan_and_execute(spark, tmp_path):
+    """FFD bin arithmetic is exact; the rewrite preserves every row,
+    respects the byte target per bin (modulo oversized singletons),
+    and collapses the file count to ~one per bin."""
+    import os
+
+    from small_etl_spark.operators.layout import (
+        compaction_plan,
+        compact_parquet,
+        list_data_files,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    # pure planner arithmetic
+    plan = compaction_plan(
+        [("a", 70), ("b", 40), ("c", 40), ("d", 15), ("e", 200)],
+        target_bytes=100,
+    )
+    by_size = sorted(
+        (sorted(p for p, _ in members) for members in plan),
+        key=lambda m: m[0],
+    )
+    # FFD: 200 alone (oversized), 70+15 share, 40+40 share
+    assert by_size == [["a", "d"], ["b", "c"], ["e"]]
+    assert all(
+        sum(s for _, s in m) <= 100 or len(m) == 1 for m in plan
+    )
+
+    # end-to-end: fragment orders into 37 tiny files, compact to few
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(37).write.parquet(src)
+    files = list_data_files(spark, src)
+    assert len(files) == 37
+    target = 4 * max(sz for _, sz in files)
+    report = compact_parquet(spark, src, dst, target).collect()
+    n_bins = len(report)
+    assert 1 < n_bins < 37
+    assert sum(r.n_files for r in report) == 37
+    # row-level equality
+    before = sorted(r.o_orderkey for r in orders.collect())
+    after_df = spark.read.option("recursiveFileLookup", "true").parquet(dst)
+    after = sorted(r.o_orderkey for r in after_df.collect())
+    assert before == after
+    # file count collapsed to about one per bin
+    out_files = [
+        (p, s)
+        for p, s in list_data_files(spark, dst)
+        if os.path.basename(p).startswith("part-")
+    ]
+    assert len(out_files) <= 2 * n_bins
