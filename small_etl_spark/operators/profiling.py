@@ -411,3 +411,35 @@ def benford_audit(df: DataFrame, col: str) -> DataFrame:
             ).alias("chi2_component"),
         )
     )
+
+
+def observe_during(
+    df: DataFrame, metrics: dict[str, "F.Column"]
+) -> tuple[DataFrame, "object"]:
+    """Attach zero-cost pipeline metrics to a DataFrame: the returned
+    ``Observation`` yields the aggregates AFTER the next action on the
+    returned frame, computed inside that action's single pass — no
+    second scan, no extra job (Spark's ``Dataset.observe``; the
+    CollectMetrics node rides the existing plan).
+
+    This is the scale-correct K7 metrics shape: the reference tallies
+    record counts per stage as it materializes
+    (/root/reference/src/core/contextual_pipeline.rs execution
+    summary); at 100 TB a separate ``count()`` per stage would re-run
+    the stage, while an observation is free. Usage::
+
+        stage, obs = observe_during(stage, {
+            "rows": F.count(F.lit(1)),
+            "null_keys": F.sum(F.col("k").isNull().cast("long")),
+        })
+        stage.write.parquet(...)          # the one and only pass
+        audit = obs.get                   # {'rows': ..., 'null_keys': ...}
+
+    Only aggregates over the observed frame are legal (no
+    distinct/sort); nulls count via sum-of-cast, the idiom above.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return observed, obs

@@ -818,3 +818,45 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         (F.col("cents_sum").cast("double") / 100.0).alias("sum_value"),
     )
+
+
+@register(
+    "observed_write_metrics",
+    """
+    SELECT COUNT(*) AS rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_flags
+    FROM lineitem
+    """,
+)
+def q_observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-cost pipeline metrics via Dataset.observe
+    (operators/profiling.py::observe_during): counts/sums ride the
+    write action's single pass as a CollectMetrics node — the
+    scale-correct K7 execution-summary shape, where a per-stage
+    count() would re-run the stage. The query drives a REAL noop
+    write with the observation attached and returns what the
+    Observation reported; the oracle recomputes the same aggregates
+    from the table, so the free-rider metrics are value-checked
+    against a ground-truth scan."""
+    from small_etl_spark.operators.profiling import observe_during
+
+    li = load_table(spark, sf_dir, "lineitem")
+    observed, obs = observe_during(
+        li,
+        {
+            "rows": F.count(F.lit(1)),
+            "price_cents": F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ),
+            "null_flags": F.sum(F.col("l_returnflag").isNull().cast("bigint")),
+        },
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows"], m["price_cents"], m["null_flags"])],
+        "rows bigint, price_cents bigint, null_flags bigint",
+    )

@@ -434,3 +434,29 @@ def test_compaction_plan_and_execute(spark, tmp_path):
         if os.path.basename(p).startswith("part-")
     ]
     assert len(out_files) <= 2 * n_bins
+
+
+def test_observe_during_single_pass(spark):
+    """The observation must (a) report the exact aggregates and (b)
+    ride the action's plan as a CollectMetrics node — not a second
+    scan/job."""
+    from small_etl_spark.operators.profiling import observe_during
+    from small_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    observed, obs = observe_during(
+        li,
+        {
+            "rows": F.count(F.lit(1)),
+            "qty": F.sum(F.col("l_quantity").cast("bigint")),
+        },
+    )
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    direct = li.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+    ).collect()[0]
+    assert (m["rows"], m["qty"]) == (direct["rows"], direct["qty"])
