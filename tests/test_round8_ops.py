@@ -119,22 +119,27 @@ def test_zip_intermediate_streams_multipartition_byte_identical(spark, tmp_path)
         assert zf.read("intermediate.json").decode() == "[]"
 
 
-def test_minhash_persists_nothing(spark):
-    """minhash_lsh_pairs must leave ZERO persisted state behind: since
-    round 6 the shingle table is shared across its three consumers via
-    EXCHANGE REUSE (a repartition("id") that all consumers' subtrees
-    end in, so ReuseExchange serves them from one shuffle) instead of
-    any persist/checkpoint scheme — caching competed with shuffle
-    memory at scale and leaked (r3) or barriered (r4). Running the
-    query must not add any entry to the persistent-RDD registry, and
-    the final adaptive plan must actually contain the reused exchange
-    the perf claim rests on."""
+def test_minhash_storage_contracts(spark):
+    """Round-6 storage contract, both schemes:
+
+    - default ``storage="localckpt"``: the lazily localCheckpointed
+      shingle table registers AT MOST ONE persistent-RDD entry, and —
+      unlike ``persist`` — nothing roots it in the CacheManager, so
+      it is releasable (we unpersist it explicitly here; in
+      production the ContextCleaner does the same once the plan is
+      garbage-collected);
+    - ``storage="reshuffle"``: ZERO persisted state, and the final
+      adaptive plan contains the ReusedExchange that serves all three
+      shingle consumers from one shuffle write (the fault-tolerant
+      cluster scheme — shuffle files recompute on executor loss,
+      checkpoint blocks do not)."""
     from small_etl_spark.llm.dedup import minhash_lsh_pairs
 
     df = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon doc {i % 5}") for i in range(40)],
         ["doc_id", "text"],
     )
+
     def persistent_ids():
         jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
         it = jmap.keysIterator()
@@ -143,10 +148,23 @@ def test_minhash_persists_nothing(spark):
             out.add(it.next())
         return out
 
+    # --- default: lazy localCheckpoint, self-cleaning -------------
     before = persistent_ids()
     pairs = minhash_lsh_pairs(df, jaccard_threshold=0.6)
-    pairs.collect()
-    after = persistent_ids()
-    assert after - before == set()
-    final_plan = pairs._jdf.queryExecution().executedPlan().toString()
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    new = persistent_ids() - before
+    assert len(new) <= 1
+    jsc = spark.sparkContext._jsc.sc()
+    for rid in new:  # releasable: no CacheManager root pins it
+        jsc.getPersistentRDDs().get(rid).get().unpersist(False)
+    assert persistent_ids() - before == set()
+
+    # --- reshuffle: zero state + the reused exchange --------------
+    before = persistent_ids()
+    pairs2 = minhash_lsh_pairs(df, jaccard_threshold=0.6, storage="reshuffle")
+    got2 = {(r.id_a, r.id_b) for r in pairs2.collect()}
+    assert persistent_ids() - before == set()
+    final_plan = pairs2._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final_plan
+    # identical answers across schemes
+    assert got == got2 and got

@@ -106,18 +106,21 @@ def test_lsh_probe_matches_direct_pairs_and_never_rescans_corpus(
         )
         assert got == want and got  # non-empty at sf0.001
 
-        # incrementality: every parquet scan in the probe plan reads
-        # either the index directory or the delta (with the delta
-        # filter pushed down) — no unfiltered corpus scan.
+        # incrementality: the probe plan never scans the corpus text.
+        # Under the default localckpt storage the delta side is a
+        # checkpointed ExistingRDD (its documents scan + filter ran
+        # once at materialization), so any documents FileScan that
+        # DOES appear must carry the pushed-down delta filter.
         plan = probe._jdf.queryExecution().executedPlan().toString()
         doc_scans = [
             ln
             for ln in plan.splitlines()
             if "FileScan parquet" in ln and "documents.parquet" in ln
         ]
-        assert doc_scans, "delta must come from the documents scan"
         for ln in doc_scans:
             assert "% 10) = 0" in ln, f"unfiltered corpus scan: {ln[:200]}"
+        # (plan strings truncate long paths, so match the dir prefix)
+        assert "lsh_" in plan, "probe must read the persisted index"
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
