@@ -943,3 +943,182 @@ def q_bucketed_join_colocated(
         [(n_rows, identical, no_shuffle)],
         "n_rows bigint, identical boolean, no_shuffle boolean",
     )
+
+
+def _versioned_table_path(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_vtbl_{tag}_{h}")
+
+
+@register(
+    "versioned_time_travel",
+    """
+    SELECT 'v0' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'latest' AS snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation round-trip through the versioned table sink
+    (sinks/versioned.py): commit the even-doc_id half as snapshot 0,
+    APPEND the odd half as snapshot 1, then read BOTH versions back —
+    v0 must still see exactly the pre-append table (time travel), the
+    latest must see the union. The manifest-only read path (no
+    directory LIST) is what makes this safe under concurrent writers
+    at 100 TB; the reference's in-place file writes
+    (contextual_pipeline.rs:1017-1229) cannot express this. Oracle
+    recomputes both snapshots' aggregates from the source table."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "tt")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+    )
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 1), path, mode="append"
+    )
+
+    def agg_of(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    return agg_of(V.read_snapshot(spark, path, version=0), "v0").unionAll(
+        agg_of(V.read_snapshot(spark, path), "latest")
+    )
+
+
+@register(
+    "versioned_pruned_read",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(1 AS BOOLEAN) AS pruned
+    FROM documents
+    WHERE doc_id >= (SELECT CAST(FLOOR(0.9 * MAX(doc_id)) AS BIGINT)
+                     FROM documents)
+    """,
+)
+def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stat file pruning (sinks/versioned.py::plan_files):
+    the corpus is committed range-clustered on doc_id (8 files with
+    tight min/max footers harvested into the manifest), then a
+    top-decile read plans from the manifest alone — the `pruned`
+    column asserts in-band that file-level skipping actually fired
+    (kept < total), and the aggregates prove the pruned read lost no
+    qualifying rows. This is the manifest-level half of partition
+    pruning that makes a 100 TB table scan proportional to the
+    predicate, not the table. Oracle recomputes the same top-decile
+    aggregates from the raw table."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "pr")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    # scalar gate, 1 row by construction (same pattern as J4 export)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    cutoff = int(0.9 * max_id)
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    kept, total = V.plan_files(path, where=[("doc_id", ">=", cutoff)])
+    snap = V.read_snapshot(
+        spark, path, where=[("doc_id", ">=", cutoff)]
+    ).filter(F.col("doc_id") >= cutoff)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.lit(len(kept) < total).alias("pruned"),
+    )
+
+
+@register(
+    "versioned_merge_upsert",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    src AS (
+      SELECT doc_id, n_chars + 1000000 AS n_chars
+      FROM documents, mx
+      WHERE doc_id >= CAST(FLOOR(0.95 * m) AS BIGINT)
+      UNION ALL
+      SELECT doc_id + m + 1 AS doc_id, n_chars
+      FROM documents, mx WHERE doc_id % 97 = 0
+    ),
+    merged AS (
+      SELECT d.doc_id, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+      UNION ALL
+      SELECT doc_id, n_chars FROM src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS cow
+    FROM merged
+    """,
+)
+def q_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE (sinks/versioned.py::merge_upsert): the
+    corpus is committed range-clustered on doc_id, then one MERGE
+    updates the top-5% ids (n_chars + 1e6) and inserts shifted new ids
+    — SQL ``MERGE INTO .. WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT``, which the reference engine cannot express at all. The
+    source's key range [0.95·max, 2·max] overlaps only the top range
+    file, so the other ~7/8 files carry into the new manifest BY
+    REFERENCE (the `cow` column asserts some file carried over):
+    at 100 TB a merge rewrites O(changed files), not the table. The
+    oracle replays update+insert+anti-join semantics in SQL."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "mg")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    cutoff = int(0.95 * max_id)
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    src = (
+        docs.filter(F.col("doc_id") >= cutoff)
+        .select("doc_id", (F.col("n_chars") + 1000000).alias("n_chars"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + max_id + 1).alias("doc_id"), "n_chars"
+            )
+        )
+    )
+    V.merge_upsert(spark, path, src, key="doc_id")
+    carried = {
+        e["path"] for e in V.read_manifest(path, 0)["files"]
+    } & {e["path"] for e in V.read_manifest(path, 1)["files"]}
+    return V.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(len(carried) > 0).alias("cow"),
+    )

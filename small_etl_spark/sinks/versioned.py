@@ -1,0 +1,635 @@
+"""Versioned table sink: snapshot manifests, time travel, file pruning.
+
+The reference engine (src/app/pipelines/contextual_pipeline.rs:1017-1229)
+writes plain files and overwrites in place; at 100 TB that model breaks
+— readers race writers, object-store LISTs are slow/eventually
+consistent, and there is no way to reproduce yesterday's training run.
+This module adds the minimal lakehouse commit protocol on top of the
+engine's parquet output (public design: the Delta Lake VLDB'20 paper and
+the Iceberg spec — re-implemented from scratch, no library):
+
+Layout::
+
+    table/
+      data/<commit-uuid>/part-*.parquet   # immutable, written once
+      _manifests/v000000000042.json       # immutable, atomically created
+
+- **Commit = one atomically-created manifest file.** Data files land in
+  a fresh UUID directory (two writers can never collide on data paths),
+  then the manifest — the full file list + schema + per-file column
+  stats — is created with ``O_CREAT|O_EXCL`` at version ``parent+1``.
+  Losing an optimistic race raises ``EEXIST``; the committer re-reads
+  the new latest and retries (append rebases trivially; overwrite
+  replaces whatever won). On an object store the same protocol rides
+  conditional PUT (``If-None-Match: *``); only ``_atomic_create``
+  changes.
+- **Readers never LIST data.** ``read_snapshot`` plans from the
+  manifest alone — O(1) metadata reads instead of an O(files) directory
+  walk, and a reader pinned to version N is immune to concurrent
+  commits (snapshot isolation).
+- **Per-file min/max/null-count stats** are harvested driver-side from
+  the parquet FOOTERS via pyarrow (metadata-only — no second data
+  scan), and ``read_snapshot(where=...)`` prunes files whose range
+  cannot satisfy the predicate before Spark ever opens them. With
+  range-clustered commits (``repartitionByRange`` upstream, or the
+  Z-order writer in operators/layout.py) this is the manifest-level
+  half of partition pruning. At 100 TB the footer harvest itself would
+  be a distributed job; the manifest format is unchanged.
+- **``vacuum``** deletes data directories referenced by no retained
+  manifest — safe because manifests are immutable and data files are
+  never shared across overwrite lineages (append manifests re-list
+  their parent's files, so retention is computed over the kept set).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_VERSION_WIDTH = 12
+
+
+class CommitConflict(RuntimeError):
+    """Raised when optimistic commit retries are exhausted."""
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(
+        table, _MANIFEST_DIR, f"v{version:0{_VERSION_WIDTH}d}.json"
+    )
+
+
+def _atomic_create(path: str, payload: dict[str, Any]) -> bool:
+    """Create ``path`` exclusively; False if another committer won.
+
+    Local-FS flavor of the commit primitive. Write-then-rename is NOT
+    used because rename overwrites silently on POSIX; ``O_EXCL`` is the
+    local equivalent of an object store's conditional PUT.
+    """
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return True
+
+
+def latest_version(table: str) -> int | None:
+    """Highest committed version, or None for an empty/new table."""
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(n[1 : 1 + _VERSION_WIDTH])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def read_manifest(table: str, version: int) -> dict[str, Any]:
+    with open(_manifest_path(table, version)) as f:
+        return json.load(f)
+
+
+def _footer_stats(path: str, columns: list[str]) -> dict[str, Any]:
+    """Per-file stats from the parquet footer (metadata-only read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, dict[str, Any]] = {}
+    for col in columns:
+        idx = name_to_idx.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        nulls = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            nulls += s.null_count or 0
+            lo = s.min if lo is None or s.min < lo else lo
+            hi = s.max if hi is None or s.max > hi else hi
+        if ok and lo is not None:
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                lo, hi = str(lo), str(hi)  # dates etc. — JSON-safe
+            stats[col] = {"min": lo, "max": hi, "nulls": nulls}
+    return {"rows": md.num_rows, "bytes": os.path.getsize(path), "stats": stats}
+
+
+def commit_snapshot(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    stats_columns: list[str] | None = None,
+    max_retries: int = 10,
+    merge_schema: bool = False,
+) -> int:
+    """Write ``df`` as a new snapshot of ``table``; returns the version.
+
+    ``mode="append"`` stacks on the parent snapshot's file list;
+    ``mode="overwrite"`` starts a fresh lineage (old files stay on disk
+    for time travel until ``vacuum``). Data is written ONCE to a fresh
+    UUID directory; only the manifest creation races, and a lost race
+    costs a metadata retry, never a data rewrite.
+
+    Appends are schema-ENFORCED against the parent manifest: identical
+    field names and types required, or — with ``merge_schema=True`` —
+    the append may ADD new fields (recorded nullable; old files simply
+    lack the column and read as null), while drops/type-changes always
+    raise. Without enforcement an append with a missing column would
+    silently erase that column from every subsequent read — the
+    classic schema-on-read data-loss trap.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown commit mode: {mode!r}")
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    commit_id = uuid.uuid4().hex[:16]
+    data_rel = os.path.join(_DATA_DIR, commit_id)
+    data_abs = os.path.join(table, data_rel)
+    df.write.mode("error").parquet(data_abs)
+
+    cols = stats_columns if stats_columns is not None else df.columns
+    new_files = []
+    for name in sorted(os.listdir(data_abs)):
+        if not name.endswith(".parquet"):
+            continue
+        entry = _footer_stats(os.path.join(data_abs, name), cols)
+        entry["path"] = os.path.join(data_rel, name)
+        new_files.append(entry)
+
+    for _ in range(max_retries):
+        parent = latest_version(table)
+        version = 0 if parent is None else parent + 1
+        files = list(new_files)
+        schema_json = df.schema.jsonValue()
+        if mode == "append" and parent is not None:
+            pm = read_manifest(table, parent)
+            files = pm["files"] + files
+            schema_json = _evolve_schema(
+                StructType.fromJson(pm["schema"]), df.schema, merge_schema
+            ).jsonValue()
+        manifest = {
+            "snapshot": version,
+            "parent": parent,
+            "mode": mode,
+            "schema": schema_json,
+            "files": files,
+            "commit_id": commit_id,
+        }
+        if _atomic_create(_manifest_path(table, version), manifest):
+            return version
+    raise CommitConflict(
+        f"lost {max_retries} optimistic commit races on {table!r}"
+    )
+
+
+def _evolve_schema(
+    parent: StructType, new: StructType, merge_schema: bool
+) -> StructType:
+    """Append-time schema check: parent fields must survive with the
+    same type; new fields are allowed only under ``merge_schema`` and
+    come out nullable (old files lack them and read as null)."""
+    pf = {f.name: f for f in parent.fields}
+    nf = {f.name: f for f in new.fields}
+    missing = [n for n in pf if n not in nf]
+    if missing:
+        raise ValueError(
+            f"append drops table columns {missing}; rewrite via "
+            "mode='overwrite' if that is intended"
+        )
+    for name, f in nf.items():
+        if name in pf and pf[name].dataType != f.dataType:
+            raise ValueError(
+                f"append changes type of {name!r}: "
+                f"{pf[name].dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()}"
+            )
+    added = [n for n in nf if n not in pf]
+    if added and not merge_schema:
+        raise ValueError(
+            f"append adds columns {added}; pass merge_schema=True to "
+            "evolve the table schema"
+        )
+    out = list(parent.fields)
+    for name in added:
+        f = nf[name]
+        out.append(type(f)(f.name, f.dataType, True))
+    return StructType(out)
+
+
+Predicate = tuple[str, str, Any]  # (column, op, literal)
+
+_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(entry: dict[str, Any], pred: Predicate) -> bool:
+    """Conservative range check: False only when NO row can satisfy."""
+    col, op, val = pred
+    st = entry.get("stats", {}).get(col)
+    if st is None:  # no stats harvested -> cannot prune
+        return True
+    lo, hi = st["min"], st["max"]
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:  # incomparable literal/stat types
+        return True
+    raise ValueError(f"unknown predicate op: {op!r} (use one of {_OPS})")
+
+
+def plan_files(
+    table: str,
+    version: int | None = None,
+    where: list[Predicate] | None = None,
+) -> tuple[list[str], int]:
+    """Manifest-level planning: (kept absolute file paths, total files).
+
+    ``where`` is a conjunction of simple predicates; a file survives
+    only if every predicate's [min,max] range may satisfy it. Exposed
+    separately from :func:`read_snapshot` so tests (and operators) can
+    assert the pruning ratio without running the scan.
+    """
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, v)
+    entries = manifest["files"]
+    total = len(entries)
+    for pred in where or []:
+        entries = [e for e in entries if _file_may_match(e, pred)]
+    return [os.path.join(table, e["path"]) for e in entries], total
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    where: list[Predicate] | None = None,
+) -> DataFrame:
+    """Time-travel read: version N's file list, manifest-pruned.
+
+    ``where`` prunes files by manifest stats only — it does NOT apply
+    the residual row filter (Spark's own pushdown handles that when the
+    caller adds ``.filter``); this mirrors how partition pruning and
+    row filtering compose in any lakehouse reader.
+    """
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    schema = StructType.fromJson(read_manifest(table, v)["schema"])
+    kept, _total = plan_files(table, v, where)
+    if not kept:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*kept)
+
+
+def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
+    """One row per committed snapshot (the audit/debug surface)."""
+    rows = []
+    v = latest_version(table)
+    for version in range((v + 1) if v is not None else 0):
+        m = read_manifest(table, version)
+        rows.append(
+            (
+                m["snapshot"],
+                m["parent"],
+                m["mode"],
+                len(m["files"]),
+                sum(e["rows"] for e in m["files"]),
+                sum(e["bytes"] for e in m["files"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot INT, parent INT, mode STRING, n_files INT, "
+        "n_rows BIGINT, n_bytes BIGINT",
+    )
+
+
+def vacuum(table: str, keep_last: int = 1) -> int:
+    """Delete data files unreferenced by the ``keep_last`` newest
+    manifests (older manifests are dropped too). Returns files deleted.
+
+    Safe by construction: manifests are immutable, so the live set of
+    the retained versions cannot change under us; a reader pinned to a
+    dropped version fails loudly on the missing manifest rather than
+    silently reading partial data.
+    """
+    v = latest_version(table)
+    if v is None:
+        return 0
+    keep_versions = range(max(0, v - keep_last + 1), v + 1)
+    live = {
+        e["path"]
+        for kv in keep_versions
+        for e in read_manifest(table, kv)["files"]
+    }
+    deleted = 0
+    data_root = os.path.join(table, _DATA_DIR)
+    for commit_dir in list(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        for name in os.listdir(os.path.join(data_root, commit_dir)):
+            rel = os.path.join(_DATA_DIR, commit_dir, name)
+            if name.endswith(".parquet") and rel not in live:
+                os.remove(os.path.join(table, rel))
+                deleted += 1
+        if not os.listdir(os.path.join(data_root, commit_dir)):
+            os.rmdir(os.path.join(data_root, commit_dir))
+    for old in range(0, keep_versions.start):
+        p = _manifest_path(table, old)
+        if os.path.exists(p):
+            os.remove(p)
+    return deleted
+
+
+@dataclass(frozen=True)
+class TableInfo:
+    """Convenience bundle for callers that want one handle."""
+
+    table: str
+
+    @property
+    def version(self) -> int | None:
+        return latest_version(self.table)
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: list[Predicate] | None = None,
+    ) -> DataFrame:
+        return read_snapshot(spark, self.table, version, where)
+
+
+def drop_table(table: str) -> None:
+    """Remove the whole versioned table directory (test hygiene)."""
+    shutil.rmtree(table, ignore_errors=True)
+
+
+def _files_touching_keys(
+    table: str,
+    version: int,
+    source: DataFrame,
+    key: str,
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Split version N's file entries into (maybe-touched, untouched)
+    by the source's key range — manifest-stat pruning applied to a
+    WRITE. Only maybe-touched files get read and rewritten; at 100 TB
+    a MERGE over a range-clustered table rewrites O(changed files),
+    not the table. Conservative: a file with no stats counts touched."""
+    stats = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    lo, hi = stats.lo, stats.hi
+    entries = read_manifest(table, version)["files"]
+    if lo is None:  # empty source: nothing can match
+        return [], entries
+    touched, untouched = [], []
+    for e in entries:
+        st = e.get("stats", {}).get(key)
+        overlap = True
+        if st is not None:
+            try:
+                overlap = not (st["max"] < lo or st["min"] > hi)
+            except TypeError:
+                overlap = True
+        (touched if overlap else untouched).append(e)
+    return touched, untouched
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key: str,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Copy-on-write MERGE: upsert ``source`` rows into the latest
+    snapshot by ``key`` (matched target rows are replaced, unmatched
+    source rows appended). Only files whose [min,max] key range
+    overlaps the source are rewritten; untouched files carry over into
+    the new manifest by reference. Returns the new version.
+
+    Equivalent SQL: ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED
+    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+    """
+    parent = latest_version(table)
+    if parent is None:
+        return commit_snapshot(source, table, mode="overwrite",
+                               stats_columns=stats_columns)
+    manifest = read_manifest(table, parent)
+    schema = StructType.fromJson(manifest["schema"])
+    if key not in [f.name for f in schema.fields]:
+        raise ValueError(f"merge key {key!r} not in table schema")
+    source = source.select([f.name for f in schema.fields])  # align
+
+    touched, untouched = _files_touching_keys(table, parent, source, key)
+    if touched:
+        tdf = spark.read.schema(schema).parquet(
+            *[os.path.join(table, e["path"]) for e in touched]
+        )
+        # anti join on the source's key projection; AQE picks broadcast
+        # when the changed-key set is small (the common MERGE shape)
+        survivors = tdf.join(
+            source.select(key).distinct(), on=key, how="left_anti"
+        )
+        rewritten = survivors.unionByName(source)
+    else:
+        rewritten = source
+
+    commit_id = uuid.uuid4().hex[:16]
+    data_rel = os.path.join(_DATA_DIR, commit_id)
+    data_abs = os.path.join(table, data_rel)
+    rewritten.write.mode("error").parquet(data_abs)
+    cols = (
+        stats_columns
+        if stats_columns is not None
+        else [f.name for f in schema.fields]
+    )
+    new_files = []
+    for name in sorted(os.listdir(data_abs)):
+        if name.endswith(".parquet"):
+            entry = _footer_stats(os.path.join(data_abs, name), cols)
+            entry["path"] = os.path.join(data_rel, name)
+            new_files.append(entry)
+
+    for _ in range(10):
+        head = latest_version(table)
+        if head != parent:
+            raise CommitConflict(
+                f"snapshot advanced {parent}->{head} during merge on "
+                f"{table!r}; re-run against the new head (write-write "
+                "conflicts on overlapping files cannot be auto-rebased)"
+            )
+        version = parent + 1
+        payload = {
+            "snapshot": version,
+            "parent": parent,
+            "mode": "merge",
+            "schema": manifest["schema"],
+            "files": untouched + new_files,
+            "commit_id": commit_id,
+        }
+        if _atomic_create(_manifest_path(table, version), payload):
+            return version
+    raise CommitConflict(f"lost 10 commit races on {table!r}")
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate: "F.Column | str",
+    prune: list[Predicate] | None = None,
+) -> int:
+    """Copy-on-write DELETE: drop rows matching ``predicate`` from the
+    latest snapshot. ``prune`` (manifest predicates matching the SQL
+    predicate's key range) limits the rewrite to overlapping files —
+    files outside it carry over untouched. Returns the new version."""
+    parent = latest_version(table)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, parent)
+    schema = StructType.fromJson(manifest["schema"])
+    entries = manifest["files"]
+    touched = entries
+    untouched: list[dict[str, Any]] = []
+    if prune:
+        touched, untouched = [], []
+        for e in entries:
+            if all(_file_may_match(e, p) for p in prune):
+                touched.append(e)
+            else:
+                untouched.append(e)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    new_files: list[dict[str, Any]] = []
+    commit_id = uuid.uuid4().hex[:16]
+    if touched:
+        tdf = spark.read.schema(schema).parquet(
+            *[os.path.join(table, e["path"]) for e in touched]
+        )
+        survivors = tdf.filter(~pred | pred.isNull())
+        data_rel = os.path.join(_DATA_DIR, commit_id)
+        data_abs = os.path.join(table, data_rel)
+        survivors.write.mode("error").parquet(data_abs)
+        cols = [f.name for f in schema.fields]
+        for name in sorted(os.listdir(data_abs)):
+            if name.endswith(".parquet"):
+                entry = _footer_stats(os.path.join(data_abs, name), cols)
+                entry["path"] = os.path.join(data_rel, name)
+                new_files.append(entry)
+
+    head = latest_version(table)
+    if head != parent:
+        raise CommitConflict(
+            f"snapshot advanced {parent}->{head} during delete"
+        )
+    version = parent + 1
+    payload = {
+        "snapshot": version,
+        "parent": parent,
+        "mode": "delete",
+        "schema": manifest["schema"],
+        "files": untouched + new_files,
+        "commit_id": commit_id,
+    }
+    if not _atomic_create(_manifest_path(table, version), payload):
+        raise CommitConflict(f"lost the commit race on {table!r}")
+    return version
+
+
+def committed_stream_batches(table: str) -> set[int]:
+    """Batch ids already durably committed (exactly-once bookkeeping)."""
+    v = latest_version(table)
+    seen: set[int] = set()
+    for version in range((v + 1) if v is not None else 0):
+        b = read_manifest(table, version).get("stream_batch_id")
+        if b is not None:
+            seen.add(b)
+    return seen
+
+
+def stream_commit_batch(
+    df: DataFrame, batch_id: int, table: str, mode: str = "append"
+) -> int | None:
+    """``foreachBatch`` sink: commit each micro-batch as a snapshot,
+    idempotently. Structured Streaming replays a batch after failure
+    with the SAME batch_id; recording it in the manifest turns the
+    at-least-once replay into exactly-once table state (the same
+    txn-version trick the Delta paper describes). Returns the new
+    version, or None when the batch was already committed.
+
+    Usage::
+
+        q = (events.writeStream.foreachBatch(
+                lambda b, i: stream_commit_batch(b, i, "/path/tbl"))
+             .option("checkpointLocation", ckpt).start())
+    """
+    if batch_id in committed_stream_batches(table):
+        return None
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    commit_id = uuid.uuid4().hex[:16]
+    data_rel = os.path.join(_DATA_DIR, commit_id)
+    data_abs = os.path.join(table, data_rel)
+    df.write.mode("error").parquet(data_abs)
+    cols = df.columns
+    new_files = []
+    for name in sorted(os.listdir(data_abs)):
+        if name.endswith(".parquet"):
+            entry = _footer_stats(os.path.join(data_abs, name), cols)
+            entry["path"] = os.path.join(data_rel, name)
+            new_files.append(entry)
+    for _ in range(10):
+        parent = latest_version(table)
+        version = 0 if parent is None else parent + 1
+        files = list(new_files)
+        schema_json = df.schema.jsonValue()
+        if mode == "append" and parent is not None:
+            pm = read_manifest(table, parent)
+            files = pm["files"] + files
+            # micro-batches carry a fixed query schema; enforce it the
+            # same way as batch appends (no silent column loss)
+            schema_json = _evolve_schema(
+                StructType.fromJson(pm["schema"]), df.schema, False
+            ).jsonValue()
+        payload = {
+            "snapshot": version,
+            "parent": parent,
+            "mode": mode,
+            "schema": schema_json,
+            "files": files,
+            "commit_id": commit_id,
+            "stream_batch_id": batch_id,
+        }
+        if _atomic_create(_manifest_path(table, version), payload):
+            return version
+    raise CommitConflict(f"lost 10 commit races on {table!r}")

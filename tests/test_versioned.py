@@ -1,0 +1,300 @@
+"""Versioned table sink: commit protocol, time travel, pruning, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from small_etl_spark.sinks import versioned as V
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("long").alias("k"),
+        F.lit(tag).alias("tag"),
+    )
+
+
+def test_commit_append_and_time_travel(spark, table):
+    v0 = V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    v1 = V.commit_snapshot(_df(spark, 10, 15, "b"), table, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert V.read_snapshot(spark, table, version=0).count() == 10
+    latest = V.read_snapshot(spark, table)
+    assert latest.count() == 15
+    assert set(r.tag for r in latest.select("tag").distinct().collect()) == {
+        "a",
+        "b",
+    }
+
+
+def test_overwrite_starts_fresh_lineage_old_versions_readable(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 0, 3, "c"), table, mode="overwrite")
+    assert V.read_snapshot(spark, table).count() == 3
+    assert V.read_snapshot(spark, table, version=0).count() == 10
+
+
+def test_schema_pinned_in_manifest(spark, table):
+    V.commit_snapshot(_df(spark, 0, 5, "a"), table, mode="overwrite")
+    got = V.read_snapshot(spark, table)
+    assert [f.name for f in got.schema.fields] == ["k", "tag"]
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+
+
+def test_manifest_pruning_skips_files(spark, table):
+    # range-cluster so each file owns a tight k interval
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    V.commit_snapshot(
+        df.repartitionByRange(8, "k"), table, mode="overwrite"
+    )
+    kept, total = V.plan_files(table, where=[("k", ">=", 900)])
+    assert total == 8
+    assert len(kept) < total  # manifest stats actually pruned
+    got = V.read_snapshot(spark, table, where=[("k", ">=", 900)])
+    # pruning is file-level; residual row filter still applies
+    assert got.filter(F.col("k") >= 900).count() == 100
+    # and no matching row was lost to pruning
+    assert got.filter(F.col("k") >= 900).agg(F.min("k")).first()[0] == 900
+
+
+def test_pruning_is_conservative_on_missing_stats(spark, table):
+    V.commit_snapshot(
+        _df(spark, 0, 10, "a"), table, mode="overwrite", stats_columns=[]
+    )
+    kept, total = V.plan_files(table, where=[("k", ">", 99)])
+    assert len(kept) == total  # no stats -> cannot prune
+
+
+def test_optimistic_commit_rebases_on_conflict(spark, table):
+    V.commit_snapshot(_df(spark, 0, 5, "a"), table, mode="overwrite")
+    # simulate a concurrent winner grabbing version 1
+    squatter = V._manifest_path(table, 1)
+    with open(V._manifest_path(table, 0)) as f:
+        m = json.load(f)
+    m["snapshot"] = 1
+    m["parent"] = 0
+    with open(squatter, "w") as f:
+        json.dump(m, f)
+    v = V.commit_snapshot(_df(spark, 5, 8, "b"), table, mode="append")
+    assert v == 2  # lost the race at v1, rebased onto it
+    # squatter's manifest re-lists v0's files, so the rebased append
+    # sees 5 (shared) + 3 (new) rows
+    assert V.read_snapshot(spark, table).count() == 5 + 3
+
+
+def test_commit_conflict_exhaustion_raises(spark, table, monkeypatch):
+    V.commit_snapshot(_df(spark, 0, 2, "a"), table, mode="overwrite")
+    monkeypatch.setattr(V, "_atomic_create", lambda *a, **k: False)
+    with pytest.raises(V.CommitConflict):
+        V.commit_snapshot(
+            _df(spark, 2, 4, "b"), table, mode="append", max_retries=3
+        )
+
+
+def test_history_and_vacuum(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 0, 2, "b"), table, mode="overwrite")
+    hist = V.snapshot_history(spark, table).collect()
+    assert [(r.snapshot, r.mode) for r in hist] == [
+        (0, "overwrite"),
+        (1, "overwrite"),
+    ]
+    assert hist[0].n_rows == 10 and hist[1].n_rows == 2
+    deleted = V.vacuum(table, keep_last=1)
+    assert deleted > 0  # v0's lineage dropped
+    assert V.read_snapshot(spark, table).count() == 2  # latest intact
+    with pytest.raises(FileNotFoundError):
+        V.read_manifest(table, 0)  # old manifest gone -> loud failure
+
+
+def test_vacuum_keeps_append_shared_files(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 10, 12, "b"), table, mode="append")
+    # keep only the append head: its manifest re-lists v0's files,
+    # so nothing it references may be deleted
+    V.vacuum(table, keep_last=1)
+    assert V.read_snapshot(spark, table).count() == 12
+
+
+def test_empty_prune_returns_empty_df_with_schema(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    got = V.read_snapshot(spark, table, where=[("k", ">", 10_000)])
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "tag"]
+
+
+def test_string_stats_prune(spark, table):
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("zeta",)], "name STRING"
+    ).repartitionByRange(2, "name")
+    V.commit_snapshot(df, table, mode="overwrite")
+    kept, total = V.plan_files(table, where=[("name", ">=", "z")])
+    assert total == 2 and len(kept) == 1
+
+
+def test_merge_upsert_updates_and_inserts(spark, table):
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("old").alias("tag")
+    )
+    V.commit_snapshot(
+        base.repartitionByRange(4, "k"), table, mode="overwrite"
+    )
+    src = spark.createDataFrame(
+        [(5, "new"), (7, "new"), (200, "new")], "k LONG, tag STRING"
+    )
+    v = V.merge_upsert(spark, table, src, key="k")
+    assert v == 1
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 101  # 100 - 2 updated + 2 updated + 1 inserted
+    assert got.filter(F.col("tag") == "new").count() == 3
+    assert got.filter((F.col("k") == 5) & (F.col("tag") == "old")).count() == 0
+    # time travel still sees the pre-merge table
+    assert (
+        V.read_snapshot(spark, table, version=0)
+        .filter(F.col("tag") == "new")
+        .count()
+        == 0
+    )
+
+
+def test_merge_rewrites_only_overlapping_files(spark, table):
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit("old").alias("tag")
+    )
+    V.commit_snapshot(
+        base.repartitionByRange(8, "k"), table, mode="overwrite"
+    )
+    n_before = len(V.read_manifest(table, 0)["files"])
+    src = spark.createDataFrame([(990, "new")], "k LONG, tag STRING")
+    V.merge_upsert(spark, table, src, key="k")
+    m = V.read_manifest(table, 1)
+    carried = {
+        e["path"] for e in V.read_manifest(table, 0)["files"]
+    } & {e["path"] for e in m["files"]}
+    # most of v0's files must carry over by reference (untouched)
+    assert len(carried) >= n_before - 2
+    assert V.read_snapshot(spark, table).count() == 1000
+
+
+def test_merge_conflict_detection(spark, table, monkeypatch):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    src = spark.createDataFrame([(1, "x")], "k LONG, tag STRING")
+    real_latest = V.latest_version
+    calls = {"n": 0}
+
+    def racing_latest(t):
+        # first call (planning) sees v0; by commit time a concurrent
+        # writer has advanced the head to v1
+        calls["n"] += 1
+        v = real_latest(t)
+        if calls["n"] > 1 and v == 0:
+            return 1
+        return v
+
+    monkeypatch.setattr(V, "latest_version", racing_latest)
+    with pytest.raises(V.CommitConflict, match="advanced"):
+        V.merge_upsert(spark, table, src, key="k")
+
+
+def test_delete_where_with_prune(spark, table):
+    base = spark.range(0, 1000).select(F.col("id").alias("k"))
+    V.commit_snapshot(
+        base.repartitionByRange(8, "k"), table, mode="overwrite"
+    )
+    v = V.delete_where(
+        spark,
+        table,
+        F.col("k") >= 900,
+        prune=[("k", ">=", 900)],
+    )
+    assert v == 1
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 900
+    assert got.agg(F.max("k")).first()[0] == 899
+    # untouched low-range files carried over by reference
+    carried = {
+        e["path"] for e in V.read_manifest(table, 0)["files"]
+    } & {e["path"] for e in V.read_manifest(table, 1)["files"]}
+    assert len(carried) >= 6
+
+
+def test_stream_commit_batch_idempotent(spark, table):
+    b0 = _df(spark, 0, 5, "s")
+    assert V.stream_commit_batch(b0, 0, table) == 0
+    # failure replay: same batch id arrives again -> no-op
+    assert V.stream_commit_batch(b0, 0, table) is None
+    assert V.stream_commit_batch(_df(spark, 5, 8, "s"), 1, table) == 1
+    assert V.read_snapshot(spark, table).count() == 8
+    assert V.committed_stream_batches(table) == {0, 1}
+
+
+def test_stream_commit_via_foreachbatch(spark, table, tmp_path):
+    from pyspark.sql.functions import col
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .select(col("value").alias("k"), F.lit("r").alias("tag"))
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            lambda b, i: V.stream_commit_batch(b, i, table)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            v = V.latest_version(table)
+            if v is not None and V.read_snapshot(spark, table).count() > 0:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert V.latest_version(table) is not None
+    # every committed snapshot carries its micro-batch id
+    assert len(V.committed_stream_batches(table)) >= 1
+
+
+def test_append_schema_enforced(spark, table):
+    V.commit_snapshot(_df(spark, 0, 5, "a"), table, mode="overwrite")
+    bad_drop = spark.range(5, 7).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="drops table columns"):
+        V.commit_snapshot(bad_drop, table, mode="append")
+    bad_type = spark.range(5, 7).select(
+        F.col("id").cast("int").alias("k"), F.lit("b").alias("tag")
+    )
+    with pytest.raises(ValueError, match="changes type"):
+        V.commit_snapshot(bad_type, table, mode="append")
+    wider = _df(spark, 5, 7, "b").withColumn("extra", F.lit(1.5))
+    with pytest.raises(ValueError, match="merge_schema"):
+        V.commit_snapshot(wider, table, mode="append")
+
+
+def test_append_schema_evolution(spark, table):
+    V.commit_snapshot(_df(spark, 0, 5, "a"), table, mode="overwrite")
+    wider = _df(spark, 5, 7, "b").withColumn("score", F.lit(1.5))
+    V.commit_snapshot(wider, table, mode="append", merge_schema=True)
+    got = V.read_snapshot(spark, table)
+    assert [f.name for f in got.schema.fields] == ["k", "tag", "score"]
+    # pre-evolution files read the new column as null
+    assert got.filter(F.col("score").isNull()).count() == 5
+    assert got.filter(F.col("score") == 1.5).count() == 2
+    # time travel to v0 keeps the original two-column schema
+    assert [
+        f.name for f in V.read_snapshot(spark, table, version=0).schema.fields
+    ] == ["k", "tag"]
