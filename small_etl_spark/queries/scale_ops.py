@@ -1122,3 +1122,73 @@ def q_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.lit(len(carried) > 0).alias("cow"),
     )
+
+
+@register(
+    "versioned_cdc_merge",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    upd AS (
+      SELECT doc_id, n_chars FROM documents, mx
+      WHERE doc_id >= CAST(FLOOR(0.95 * m) AS BIGINT)
+    ),
+    ins AS (
+      SELECT doc_id + m + 1 AS doc_id, n_chars
+      FROM documents, mx WHERE doc_id % 97 = 0
+    ),
+    changes AS (
+      SELECT 'delete' AS _change_type, doc_id, n_chars FROM upd
+      UNION ALL
+      SELECT 'insert', doc_id, n_chars + 1000000 FROM upd
+      UNION ALL
+      SELECT 'insert', doc_id, n_chars FROM ins
+    )
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM changes GROUP BY _change_type
+    """,
+)
+def q_versioned_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between snapshots
+    (sinks/versioned.py::table_changes): after a copy-on-write MERGE
+    (update top-5% ids, insert shifted ids), the v0→v1 delta must be
+    exactly delete(old value)+insert(new value) per updated key plus
+    insert per new key — and NOTHING for the untouched keys that were
+    rewritten alongside them (shared files cancel at the manifest
+    level; co-rewritten rows cancel in the multiset diff). The oracle
+    constructs the expected change set directly from the source
+    table. At 100 TB the append fast path reads only added files;
+    this general path reads only the files the merge touched."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "cdc")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    cutoff = int(0.95 * max_id)
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    src = (
+        docs.filter(F.col("doc_id") >= cutoff)
+        .select("doc_id", (F.col("n_chars") + 1000000).alias("n_chars"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + max_id + 1).alias("doc_id"), "n_chars"
+            )
+        )
+    )
+    V.merge_upsert(spark, path, src, key="doc_id")
+    return (
+        V.table_changes(spark, path, from_version=0, to_version=1)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

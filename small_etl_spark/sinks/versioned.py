@@ -633,3 +633,164 @@ def stream_commit_batch(
         if _atomic_create(_manifest_path(table, version), payload):
             return version
     raise CommitConflict(f"lost 10 commit races on {table!r}")
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """OPTIMIZE: bin-pack the latest snapshot's small files into
+    ~``target_bytes`` files and commit the rewrite as a new snapshot —
+    table contents unchanged, file count collapsed. Files already at
+    or above the target carry over by reference; only the small-file
+    tail is read and rewritten (first-fit-decreasing over manifest
+    byte sizes, so the rewrite cost is proportional to the fragmented
+    fraction, not the table). Returns the new version, or None when
+    there is nothing to compact (zero or one small file).
+
+    This is the recurring maintenance job that keeps a streaming-
+    ingested table (many per-batch files) scannable: at 100 TB the
+    scheduler overhead of a million 1 MB files dwarfs the scan itself.
+    """
+    parent = latest_version(table)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, parent)
+    schema = StructType.fromJson(manifest["schema"])
+    small = [e for e in manifest["files"] if e["bytes"] < target_bytes]
+    keep = [e for e in manifest["files"] if e["bytes"] >= target_bytes]
+    if len(small) <= 1:
+        return None
+    # FFD over manifest sizes -> number of output files
+    sizes = sorted((e["bytes"] for e in small), reverse=True)
+    bins: list[int] = []
+    for s in sizes:
+        for i, b in enumerate(bins):
+            if b + s <= target_bytes:
+                bins[i] = b + s
+                break
+        else:
+            bins.append(s)
+    n_out = max(1, len(bins))
+
+    commit_id = uuid.uuid4().hex[:16]
+    data_rel = os.path.join(_DATA_DIR, commit_id)
+    data_abs = os.path.join(table, data_rel)
+    (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(table, e["path"]) for e in small])
+        .repartition(n_out)
+        .write.mode("error")
+        .parquet(data_abs)
+    )
+    cols = [f.name for f in schema.fields]
+    new_files = []
+    for name in sorted(os.listdir(data_abs)):
+        if name.endswith(".parquet"):
+            entry = _footer_stats(os.path.join(data_abs, name), cols)
+            entry["path"] = os.path.join(data_rel, name)
+            new_files.append(entry)
+
+    head = latest_version(table)
+    if head != parent:
+        raise CommitConflict(
+            f"snapshot advanced {parent}->{head} during optimize"
+        )
+    version = parent + 1
+    payload = {
+        "snapshot": version,
+        "parent": parent,
+        "mode": "optimize",
+        "schema": manifest["schema"],
+        "files": keep + new_files,
+        "commit_id": commit_id,
+    }
+    if not _atomic_create(_manifest_path(table, version), payload):
+        raise CommitConflict(f"lost the commit race on {table!r}")
+    return version
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """CDC read: the row-level delta between two snapshots, each row
+    tagged ``_change_type`` ('insert' | 'delete'; an update under a
+    key appears as delete+insert of that key).
+
+    Fast path — when every ``from_version`` file is still listed in
+    ``to_version`` (pure appends/optimize): changes are exactly the
+    rows of the ADDED files, read directly, zero comparison work. A
+    consumer tailing an append-only 100 TB table pays only for the
+    new data, never a table diff.
+
+    General path (overwrite/merge/delete in between): two manifest
+    file sets diffed first — SHARED files cancel out and are never
+    read; only rows from from-only vs to-only files enter the
+    EXCEPT-ALL style anti diff (hash per row). With COW rewrites
+    localized by key range, that is O(changed files), not O(table).
+    """
+    to_v = latest_version(table) if to_version is None else to_version
+    if to_v is None or from_version > to_v:
+        raise ValueError(f"bad version range {from_version}..{to_v}")
+    fm = read_manifest(table, from_version)
+    tm = read_manifest(table, to_v)
+    schema = StructType.fromJson(tm["schema"])
+    f_paths = {e["path"] for e in fm["files"]}
+    t_paths = {e["path"] for e in tm["files"]}
+    added = sorted(t_paths - f_paths)
+    removed = sorted(f_paths - t_paths)
+
+    def _read(paths: list[str], sch: StructType) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], sch)
+        return spark.read.schema(sch).parquet(
+            *[os.path.join(table, p) for p in paths]
+        )
+
+    if not removed:  # append-only fast path
+        return _read(added, schema).withColumn(
+            "_change_type", F.lit("insert")
+        )
+
+    old_schema = StructType.fromJson(fm["schema"])
+    old_rows = _read(removed, old_schema)
+    new_rows = _read(added, schema)
+    # align evolved schemas: old rows gain nulls for added columns
+    for f in schema.fields:
+        if f.name not in old_rows.columns:
+            old_rows = old_rows.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    old_rows = old_rows.select([f.name for f in schema.fields])
+    # multiset diff via per-row counts (exceptAll without dedup loss)
+    cols = [f.name for f in schema.fields]
+    oc = old_rows.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_old__"))
+    nc = new_rows.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_new__"))
+    j = oc.join(nc, on=cols, how="full_outer").select(
+        *cols,
+        F.coalesce("__n_old__", F.lit(0)).alias("o"),
+        F.coalesce("__n_new__", F.lit(0)).alias("n"),
+    )
+    ins = j.filter(F.col("n") > F.col("o")).select(
+        *cols,
+        F.lit("insert").alias("_change_type"),
+        (F.col("n") - F.col("o")).alias("__times__"),
+    )
+    dele = j.filter(F.col("o") > F.col("n")).select(
+        *cols,
+        F.lit("delete").alias("_change_type"),
+        (F.col("o") - F.col("n")).alias("__times__"),
+    )
+    out = ins.unionAll(dele)
+    return out.select(
+        *cols,
+        "_change_type",
+        F.explode(
+            F.sequence(F.lit(1), F.col("__times__"))
+        ).alias("__i__"),
+    ).drop("__i__")

@@ -298,3 +298,81 @@ def test_append_schema_evolution(spark, table):
     assert [
         f.name for f in V.read_snapshot(spark, table, version=0).schema.fields
     ] == ["k", "tag"]
+
+
+def test_optimize_compacts_small_files(spark, table):
+    # 3 fragmented append batches -> many small files
+    for lo in (0, 100, 200):
+        V.commit_snapshot(
+            _df(spark, lo, lo + 100, "a").repartition(4),
+            table,
+            mode="append" if lo else "overwrite",
+        )
+    n_before = len(V.read_manifest(table, 2)["files"])
+    v = V.optimize_snapshot(spark, table, target_bytes=64 * 1024 * 1024)
+    assert v == 3
+    m = V.read_manifest(table, 3)
+    assert len(m["files"]) < n_before
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 300
+    # contents identical, order-insensitive
+    assert got.agg(F.sum("k")).first()[0] == sum(range(300))
+    # nothing left to compact on a second pass at a tiny threshold
+    assert V.optimize_snapshot(spark, table, target_bytes=1) is None
+
+
+def test_cdc_append_fast_path(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 10, 14, "b"), table, mode="append")
+    ch = V.table_changes(spark, table, from_version=0, to_version=1)
+    rows = ch.collect()
+    assert all(r._change_type == "insert" for r in rows)
+    assert sorted(r.k for r in rows) == list(range(10, 14))
+
+
+def test_cdc_merge_shows_updates_as_delete_insert(spark, table):
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("old").alias("tag")
+    )
+    V.commit_snapshot(
+        base.repartitionByRange(4, "k"), table, mode="overwrite"
+    )
+    src = spark.createDataFrame(
+        [(5, "new"), (200, "new")], "k LONG, tag STRING"
+    )
+    V.merge_upsert(spark, table, src, key="k")
+    ch = V.table_changes(spark, table, from_version=0, to_version=1)
+    by_type = {
+        (r.k, r._change_type): r.tag for r in ch.collect()
+    }
+    # update of k=5 -> delete(old)+insert(new); k=200 -> pure insert
+    assert by_type[(5, "delete")] == "old"
+    assert by_type[(5, "insert")] == "new"
+    assert by_type[(200, "insert")] == "new"
+    assert (200, "delete") not in by_type
+    # untouched keys in rewritten files cancel out of the diff
+    assert (1, "delete") not in by_type and (1, "insert") not in by_type
+
+
+def test_cdc_delete_rows(spark, table):
+    base = spark.range(0, 50).select(F.col("id").alias("k"))
+    V.commit_snapshot(
+        base.repartitionByRange(4, "k"), table, mode="overwrite"
+    )
+    V.delete_where(spark, table, F.col("k") >= 45, prune=[("k", ">=", 45)])
+    ch = V.table_changes(spark, table, 0, 1).collect()
+    assert sorted(r.k for r in ch) == [45, 46, 47, 48, 49]
+    assert all(r._change_type == "delete" for r in ch)
+
+
+def test_cdc_duplicate_rows_multiset(spark, table):
+    dup = spark.createDataFrame([(1, "x"), (1, "x")], "k LONG, tag STRING")
+    V.commit_snapshot(dup, table, mode="overwrite")
+    V.commit_snapshot(
+        spark.createDataFrame([(1, "x")], "k LONG, tag STRING"),
+        table,
+        mode="overwrite",
+    )
+    ch = V.table_changes(spark, table, 0, 1).collect()
+    # multiset diff: 2 copies -> 1 copy = exactly one delete
+    assert len(ch) == 1 and ch[0]._change_type == "delete"
