@@ -30,7 +30,7 @@ from urllib.parse import urlparse
 
 from small_etl_spark.functions.templating import substitute_env_vars
 
-VALID_FORMATS = ("csv", "tsv", "json", "parquet", "orc")
+VALID_FORMATS = ("csv", "tsv", "json", "parquet", "orc", "versioned")
 VALID_SOURCE_TYPES = (
     "api", "previous", "combined", "file", "table", "sample", "stream",
     "query",

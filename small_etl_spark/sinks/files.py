@@ -141,6 +141,17 @@ def write_outputs(
             # second bundled columnar format (zlib default codec) —
             # same binary-member handling as parquet in the ZIP pass
             writer.orc(path)
+        elif fmt == "versioned":
+            # snapshot table (sinks/versioned.py): each pipeline run
+            # APPENDS an atomically-committed, time-travelable
+            # snapshot instead of overwriting files in place — the
+            # 100 TB-safe form of a recurring stage output. Re-runs
+            # accumulate history; read via versioned.read_snapshot.
+            from small_etl_spark.sinks.versioned import commit_snapshot
+
+            commit_snapshot(
+                target, _local_path(path), mode="append"
+            )
         else:
             raise ValueError(f"invalid output format {fmt!r}")
         written[fmt] = path

@@ -1307,3 +1307,47 @@ def test_config_array_field_mapping(spark, mock_server, tmp_path, monkeypatch):
     ]
     assert list(row.office_cities) == ["San Francisco", "Austin"]
     assert row.latest_budget == 1000000
+
+
+def test_versioned_sink_in_sequence(spark, tmp_path):
+    """output.formats = ["versioned"]: each sequence run APPENDS an
+    atomic snapshot; re-running the same pipeline accumulates history
+    instead of clobbering the previous output (the lakehouse form of
+    a recurring stage sink)."""
+    from small_etl_spark.sinks import versioned as V
+
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "snap",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {"formats": ["versioned"]},
+                }
+            ]
+        }
+    )
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    table = str(tmp_path / "snap" / "versioned")
+    assert V.latest_version(table) == 0
+    assert V.read_snapshot(spark, table).count() == 3
+    # re-run: appends snapshot 1, snapshot 0 still readable
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    assert V.latest_version(table) == 1
+    assert V.read_snapshot(spark, table).count() == 6
+    assert V.read_snapshot(spark, table, version=0).count() == 3
+
+
+def test_versioned_format_validates(spark):
+    with pytest.raises(SpecError, match="invalid output format"):
+        sequence_from_dict(
+            {
+                "pipelines": [
+                    {
+                        "name": "bad",
+                        "source": {"type": "sample", "sample_data": SAMPLE},
+                        "load": {"formats": ["xlsx"]},
+                    }
+                ]
+            }
+        )
