@@ -41,6 +41,11 @@ STRESS_QUERIES = [
     # corpus LM + percentile cut, prefix-sum budget head — if THIS
     # stays ~linear, every stage it chains does too.
     "curation_pipeline",
+    # the lakehouse write path: commit + footer-stat harvest + COW
+    # merge + manifest read-back. Merge cost must track the CHANGED
+    # fraction (top-5% ids), so near-linear here means the rewrite
+    # really is O(changed files), not O(table).
+    "versioned_merge_upsert",
 ]
 # The most expensive stress queries re-run at 30× — the closest
 # local[32] gets to evidencing the 100× extrapolation. r6 adds the

@@ -48,6 +48,18 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+# Negative result, round 6 (do not retry): replacing string shingles
+# with bigint shingle hashes for the xxhash64 family — whether hashed
+# per token window (element_at×n inside the HOF: 1.63 s vs 0.86 s for
+# the shingle table alone), via pre-hashed tokens combined per window
+# (1.06 s), or by hashing the built strings in the same pass
+# (neutral: 0.83 s vs 0.73 s WITH the lazy localCheckpoint) — did not
+# beat concat_ws-over-slice strings at sf0.1. The interpreted HOF
+# element_at/hash calls cost more than the string allocation they
+# avoid, and the checkpoint of string arrays is not the bottleneck
+# either. Measured interleaved, same session, min-of-3.
+
+
 def minhash_signature(
     shingles: Column,
     num_hashes: int = 32,

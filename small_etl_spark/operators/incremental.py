@@ -112,3 +112,50 @@ def ivm_join_delta(
         .unionByName(base_left.join(delta_right, keys))
         .unionByName(delta_left.join(delta_right, keys))
     )
+
+
+def counts_sums_state(
+    df: DataFrame, key: str | list[str], val: str
+) -> DataFrame:
+    """Generic partial state ``(keys..., cnt, sum_val)`` over an exact
+    integer value column (the signed-maintenance twin of
+    :func:`partial_counts_sums`, which is money-in-cents specific)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(val).cast("bigint")).alias("sum_val"),
+    )
+
+
+def cdc_delta_state(
+    changes: DataFrame, key: str | list[str], val: str
+) -> DataFrame:
+    """Signed partial state from a CDC delta
+    (``sinks.versioned.table_changes`` output): inserts count +1/+val,
+    deletes −1/−val, so an update (delete+insert of the same key)
+    contributes exactly the value difference. Folding this into a
+    materialized state via :func:`fold_state` maintains the aggregate
+    under ARBITRARY changes — the retraction-counting extension the
+    insert-only :func:`ivm_join_delta` contract points at."""
+    keys = [key] if isinstance(key, str) else list(key)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return changes.groupBy(*keys).agg(
+        F.sum(sign).cast("bigint").alias("cnt"),
+        F.sum(sign * F.col(val).cast("bigint")).alias("sum_val"),
+    )
+
+
+def fold_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a (possibly signed) delta state into a materialized state:
+    union + re-sum, dropping keys whose count reaches zero (fully
+    retracted groups vanish, exactly as a recompute would show). One
+    delta-sized shuffle — the base is never rescanned."""
+    keys = [c for c in state.columns if c not in ("cnt", "sum_val")]
+    u = state.unionByName(delta)
+    return (
+        u.groupBy(*keys)
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_val").alias("sum_val"))
+        .filter(F.col("cnt") > 0)
+    )

@@ -1192,3 +1192,134 @@ def q_versioned_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "versioned_ivm_cdc",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    src AS (
+      SELECT doc_id, source, n_chars + 1000000 AS n_chars
+      FROM documents, mx
+      WHERE doc_id >= CAST(FLOOR(0.95 * m) AS BIGINT)
+      UNION ALL
+      SELECT doc_id + m + 1 AS doc_id, source, n_chars
+      FROM documents, mx WHERE doc_id % 97 = 0
+    ),
+    merged AS (
+      SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM src)
+      UNION ALL
+      SELECT doc_id, source, n_chars FROM src
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_val
+    FROM merged GROUP BY source
+    """,
+)
+def q_versioned_ivm_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance driven by CDC
+    (operators/incremental.py::{counts_sums_state,cdc_delta_state,
+    fold_state} over sinks/versioned.py::table_changes): a per-source
+    (cnt, sum of n_chars) aggregate is materialized at snapshot 0,
+    then a copy-on-write MERGE lands (updates + inserts), and the
+    materialized state is updated by folding in the SIGNED CDC delta
+    — insert +1/+val, delete −1/−val — with one delta-sized shuffle,
+    never rescanning the base. The oracle recomputes the aggregate
+    directly from the post-merge table, so a value match proves
+    maintained ≡ recomputed under arbitrary (not insert-only)
+    changes. This is the nightly-refresh pattern that keeps a 100 TB
+    rollup current for the cost of the day's changes."""
+    from small_etl_spark.operators.incremental import (
+        cdc_delta_state,
+        counts_sums_state,
+        fold_state,
+    )
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "ivm")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    cutoff = int(0.95 * max_id)
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    state0 = counts_sums_state(
+        V.read_snapshot(spark, path, version=0), "source", "n_chars"
+    )
+    src = (
+        docs.filter(F.col("doc_id") >= cutoff)
+        .select(
+            "doc_id", "source", (F.col("n_chars") + 1000000).alias("n_chars")
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + max_id + 1).alias("doc_id"),
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    V.merge_upsert(spark, path, src, key="doc_id")
+    delta = cdc_delta_state(
+        V.table_changes(spark, path, from_version=0, to_version=1),
+        "source",
+        "n_chars",
+    )
+    return fold_state(state0, delta)
+
+
+@register(
+    "stream_versioned_cdc",
+    """
+    SELECT doc_id, n_chars,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS _commit_version
+    FROM documents
+    """,
+)
+def q_stream_versioned_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming tail of a versioned table's commit log under
+    the oracle gate (sources/versioned_stream.py — offsets ARE
+    snapshot versions, the streamable-table design): the corpus lands
+    as two commits (evens = v0, odds = appended v1), then
+    ``readStream.format("versioned_cdc")`` drains the full history
+    with availableNow into a memory sink. Every row must carry the
+    commit version that introduced it, and the total content must
+    hash-match DuckDB reading the raw table — proving the
+    manifest-diff incremental read loses and duplicates nothing.
+    Replay determinism (immutable manifests + files ⇒ exactly-once
+    into idempotent sinks) is pinned in tests/test_versioned_stream."""
+    import uuid
+
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sources.versioned_stream import (
+        VersionedCdcDataSource,
+    )
+    from small_etl_spark.streaming.windows import run_to_memory_sink
+
+    path = _versioned_table_path(sf_dir, "strm")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+    )
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 1), path, mode="append"
+    )
+    try:
+        spark.dataSource.register(VersionedCdcDataSource)
+    except Exception:  # noqa: BLE001 - already registered in this session
+        pass
+    stream = (
+        spark.readStream.format("versioned_cdc").option("path", path).load()
+    )
+    sink = f"vcdc_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(stream, sink, output_mode="append")
+    return spark.table(sink)

@@ -794,3 +794,100 @@ def table_changes(
             F.sequence(F.lit(1), F.col("__times__"))
         ).alias("__i__"),
     ).drop("__i__")
+
+
+def cluster_snapshot(
+    spark: SparkSession,
+    table: str,
+    zorder: list[tuple[str, int, int]],
+    target_bytes: int = 128 * 1024 * 1024,
+    bits: int = 8,
+) -> int:
+    """Z-order clustering rewrite: replace the latest snapshot's files
+    with the same rows laid out along the Morton curve of the given
+    ``(column, lo, hi)`` specs (operators/layout.py::zorder_by), so
+    the manifest's per-file min/max become tight on EVERY z-column and
+    :func:`plan_files` prunes on any of them — linear sort clusters
+    one column, Z-order bounds all of them. Returns the new version.
+
+    Contents are unchanged (a ``table_changes`` diff across this
+    commit is empty); time travel to the pre-cluster layout still
+    works. This is the OPTIMIZE ZORDER BY maintenance job: pay one
+    bounded rewrite, then every multi-dimension range query prunes at
+    the manifest level forever after.
+    """
+    from small_etl_spark.operators.layout import morton_code, _bucket
+
+    parent = latest_version(table)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, parent)
+    schema = StructType.fromJson(manifest["schema"])
+    names = [f.name for f in schema.fields]
+    for col, _, _ in zorder:
+        if col not in names:
+            raise ValueError(f"z-order column {col!r} not in table schema")
+    total_bytes = sum(e["bytes"] for e in manifest["files"])
+    n_out = max(1, -(-total_bytes // target_bytes))
+
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, e["path"]) for e in manifest["files"]]
+    )
+    z = morton_code(
+        [_bucket(F.col(c), lo, hi, bits) for c, lo, hi in zorder], bits
+    )
+    clustered = (
+        df.withColumn("__z__", z)
+        .repartitionByRange(n_out, "__z__")
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+    )
+
+    commit_id = uuid.uuid4().hex[:16]
+    data_rel = os.path.join(_DATA_DIR, commit_id)
+    data_abs = os.path.join(table, data_rel)
+    clustered.write.mode("error").parquet(data_abs)
+    new_files = []
+    for name in sorted(os.listdir(data_abs)):
+        if name.endswith(".parquet"):
+            entry = _footer_stats(os.path.join(data_abs, name), names)
+            entry["path"] = os.path.join(data_rel, name)
+            new_files.append(entry)
+
+    head = latest_version(table)
+    if head != parent:
+        raise CommitConflict(
+            f"snapshot advanced {parent}->{head} during cluster"
+        )
+    version = parent + 1
+    payload = {
+        "snapshot": version,
+        "parent": parent,
+        "mode": "cluster",
+        "schema": manifest["schema"],
+        "files": new_files,
+        "commit_id": commit_id,
+    }
+    if not _atomic_create(_manifest_path(table, version), payload):
+        raise CommitConflict(f"lost the commit race on {table!r}")
+    return version
+
+
+def register_snapshot_view(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    version: int | None = None,
+) -> None:
+    """Expose a snapshot to ``spark.sql`` as a temp view pinned to one
+    version — the SQL face of time travel. The view's file list is
+    frozen at registration (manifest-planned), so concurrent commits
+    never shift results mid-session; re-register to follow the head.
+
+    Read-side design note: reads stay on Spark's NATIVE parquet reader
+    (``spark.read.schema(...).parquet(*files)``) rather than a custom
+    Python DataSource — rows never cross into Python, and Catalyst's
+    filter/column pushdown applies per file as usual; the manifest
+    contributes the file list and file-level pruning only.
+    """
+    read_snapshot(spark, table, version).createOrReplaceTempView(name)

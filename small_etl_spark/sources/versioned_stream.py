@@ -1,0 +1,136 @@
+"""Streaming CDC source over a versioned table: tail the commit log.
+
+``spark.readStream.format("versioned_cdc")`` turns a
+``sinks.versioned`` table into a Structured Streaming source whose
+OFFSETS ARE SNAPSHOT VERSIONS — the same design that makes a Delta
+table streamable (public: the Delta Lake VLDB'20 paper's streaming
+section). Because manifests are immutable and data files are
+append-only per commit, any offset range replays deterministically:
+``readBetweenOffsets`` re-reads exactly the files those commits added,
+so failure recovery is exactly-once into an idempotent sink.
+
+    spark.dataSource.register(VersionedCdcDataSource)
+    df = (spark.readStream.format("versioned_cdc")
+          .option("path", "/data/events_tbl")
+          .option("starting_version", "0")       # default: full history
+          .load())                               # schema from the manifest
+
+Semantics (mirrors Delta's streaming contract):
+
+- Append commits (``append`` / ``overwrite``-as-v0 / streaming batch)
+  stream their ADDED files' rows, tagged ``_commit_version``.
+- Non-append commits (merge / delete / optimize / later overwrite)
+  RAISE by default — silently streaming a rewrite would emit rewritten
+  rows as fresh inserts. ``skip_change_commits=true`` skips them
+  (Delta's ``skipChangeCommits``); consumers that need the row-level
+  delta of such commits read ``sinks.versioned.table_changes`` in
+  batch.
+
+This reader implements the Spark 4 SimpleDataSourceStreamReader
+protocol (driver-side reads, right for commit-log tailing where each
+micro-batch is delta-sized). A partition-per-file
+``DataSourceStreamReader`` is the drop-in upgrade if a single commit
+can exceed driver memory."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource
+from pyspark.sql.types import StructType
+
+from small_etl_spark.sinks import versioned as V
+
+
+class VersionedCdcDataSource(DataSource):
+    """``format("versioned_cdc")`` — stream a versioned table's commits."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_cdc"
+
+    def _table(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("versioned_cdc requires option 'path'")
+        return path
+
+    def schema(self) -> StructType:
+        # planning-time LOCAL manifest read (no network, no data scan)
+        table = self._table()
+        v = V.latest_version(table)
+        if v is None:
+            raise ValueError(f"no snapshots committed at {table!r}")
+        base = StructType.fromJson(V.read_manifest(table, v)["schema"])
+        return base.add("_commit_version", "long", False)
+
+    def simpleStreamReader(self, schema: StructType):
+        return VersionedCdcStreamReader(schema, self._table(), self.options)
+
+
+class VersionedCdcStreamReader:
+    """Offsets are ``{"version": N}`` = next snapshot version to emit."""
+
+    def __init__(self, schema: StructType, table: str, options: dict):
+        self.table = table
+        # last field is the injected _commit_version
+        self.data_fields = [f.name for f in schema.fields[:-1]]
+        self.start_version = int(options.get("starting_version", "0"))
+        self.skip_change_commits = (
+            str(options.get("skip_change_commits", "false")).lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def _added_paths(self, version: int) -> list[str]:
+        m = V.read_manifest(self.table, version)
+        cur = {e["path"] for e in m["files"]}
+        if version == 0 or m.get("parent") is None:
+            prev: set[str] = set()
+        else:
+            prev = {
+                e["path"]
+                for e in V.read_manifest(self.table, m["parent"])["files"]
+            }
+        removed = prev - cur
+        if removed and not self.skip_change_commits:
+            raise ValueError(
+                f"versioned_cdc: commit v{version} ({m['mode']}) rewrites "
+                "or removes files; set skip_change_commits=true to skip "
+                "such commits, or consume them in batch via table_changes"
+            )
+        if removed:
+            return []  # change commit skipped entirely
+        return sorted(cur - prev)
+
+    def _rows_of(self, version: int) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        for rel in self._added_paths(version):
+            tbl = pq.read_table(
+                os.path.join(self.table, rel), columns=None
+            ).to_pylist()
+            for rec in tbl:
+                yield tuple(
+                    [rec.get(c) for c in self.data_fields] + [version]
+                )
+
+    def read(self, start: dict):
+        head = V.latest_version(self.table)
+        frm = int(start["version"])
+        if head is None or frm > head:
+            return iter([]), dict(start)
+        rows: list[tuple] = []
+        for v in range(frm, head + 1):
+            rows.extend(self._rows_of(v))
+        return iter(rows), {"version": head + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay: manifests and data files are immutable
+        for v in range(int(start["version"]), int(end["version"])):
+            yield from self._rows_of(v)
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side bookkeeping; the checkpoint owns offsets

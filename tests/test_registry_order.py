@@ -21,7 +21,9 @@ MUST_BE_GATED = [
     "ngram_jaccard_pairs",
     "near_dup_components",
     "cosine_topk",
-    "cosine_topk_vectorized",
+    # cosine_topk_vectorized left the window round 6 (identical output
+    # family as cosine_topk) for the versioned-table representative
+    "versioned_time_travel",
     "tfidf_top_terms",
     "fingerprint",
     "exact_dedup_docs",

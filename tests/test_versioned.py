@@ -376,3 +376,41 @@ def test_cdc_duplicate_rows_multiset(spark, table):
     ch = V.table_changes(spark, table, 0, 1).collect()
     # multiset diff: 2 copies -> 1 copy = exactly one delete
     assert len(ch) == 1 and ch[0]._change_type == "delete"
+
+
+def test_cluster_snapshot_prunes_on_both_columns(spark, table):
+    # anti-clustered input: x ascending, y descending — a linear sort
+    # on either column leaves the other's per-file span full-width
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("x"), (F.lit(4095) - F.col("id")).alias("y")
+    )
+    V.commit_snapshot(df.repartition(8), table, mode="overwrite")
+    v = V.cluster_snapshot(
+        spark,
+        table,
+        zorder=[("x", 0, 4096), ("y", 0, 4096)],
+        target_bytes=8 * 1024,
+    )
+    assert v == 1
+    kept_x, total = V.plan_files(table, where=[("x", "<", 256)])
+    kept_y, _ = V.plan_files(table, where=[("y", "<", 256)])
+    assert total >= 4
+    assert len(kept_x) < total and len(kept_y) < total  # prunes on BOTH
+    # contents unchanged: CDC across the cluster commit is empty
+    assert V.table_changes(spark, table, 0, 1).count() == 0
+    got = V.read_snapshot(spark, table, where=[("x", "<", 256)])
+    assert got.filter(F.col("x") < 256).count() == 256
+
+
+def test_register_snapshot_view_sql(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 10, 12, "b"), table, mode="append")
+    V.register_snapshot_view(spark, table, "tbl_v0", version=0)
+    V.register_snapshot_view(spark, table, "tbl_head")
+    assert spark.sql("SELECT COUNT(*) FROM tbl_v0").first()[0] == 10
+    got = spark.sql(
+        "SELECT tag, COUNT(*) AS n FROM tbl_head GROUP BY tag ORDER BY tag"
+    ).collect()
+    assert [(r.tag, r.n) for r in got] == [("a", 10), ("b", 2)]
+    spark.catalog.dropTempView("tbl_v0")
+    spark.catalog.dropTempView("tbl_head")

@@ -1,0 +1,133 @@
+"""Model-based property test for the versioned table layer.
+
+Hypothesis drives random commit sequences (append / overwrite / merge /
+delete / optimize / cluster) against both the real sink and a trivial
+in-memory dict model; after EVERY commit the table must read back equal
+to the model at head AND at every historical version (time travel), and
+the CDC delta between consecutive versions must replay the model's
+transition. This is the reference repo's model-testing strategy
+(SURVEY §5) applied to the trickiest new subsystem: if any commit mode
+mishandles file carry-over, schema, or multiset semantics, some random
+sequence finds it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from small_etl_spark.sinks import versioned as V
+
+# ops: (kind, payload). Keys confined to 0..19 so merges/deletes collide
+# with existing rows often.
+_op = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=5),
+    ),
+    st.tuples(
+        st.just("overwrite"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=5),
+    ),
+    st.tuples(
+        st.just("merge"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("delete"), st.integers(0, 19)),
+    st.tuples(st.just("optimize"), st.none()),
+    st.tuples(st.just("cluster"), st.none()),
+)
+
+
+def _snap(model: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    return sorted(model)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_versioned_matches_model(spark, tmp_path_factory, ops):
+    table = str(tmp_path_factory.mktemp("prop") / "tbl")
+    tag = {"n": 0}
+
+    def mk(keys):
+        tag["n"] += 1
+        return (
+            spark.createDataFrame(
+                [(k, tag["n"]) for k in keys], "k LONG, ver LONG"
+            ),
+            [(k, tag["n"]) for k in keys],
+        )
+
+    history: list[list[tuple[int, int]]] = []  # model state per version
+    model: list[tuple[int, int]] = []
+
+    for kind, payload in ops:
+        if kind in ("append", "overwrite"):
+            df, rows = mk(payload)
+            V.commit_snapshot(df, table, mode=kind)
+            model = (model + rows) if kind == "append" else list(rows)
+        elif kind == "merge":
+            if V.latest_version(table) is None:
+                continue
+            df, rows = mk(payload)
+            # model MERGE: drop matched keys, add all source rows
+            # (source may carry duplicate keys; dedupe keep-last to
+            # mirror a well-formed upsert source)
+            dedup = {k: v for k, v in rows}
+            src_rows = sorted(dedup.items())
+            sdf = spark.createDataFrame(src_rows, "k LONG, ver LONG")
+            V.merge_upsert(spark, table, sdf, key="k")
+            keys = set(dedup)
+            model = [r for r in model if r[0] not in keys] + src_rows
+        elif kind == "delete":
+            if V.latest_version(table) is None:
+                continue
+            V.delete_where(
+                spark,
+                table,
+                F.col("k") >= payload,
+                prune=[("k", ">=", payload)],
+            )
+            model = [r for r in model if r[0] < payload]
+        elif kind == "optimize":
+            if V.latest_version(table) is None:
+                continue
+            if V.optimize_snapshot(spark, table) is None:
+                continue  # nothing to compact: no version was created
+        elif kind == "cluster":
+            if V.latest_version(table) is None:
+                continue
+            V.cluster_snapshot(
+                spark, table, zorder=[("k", 0, 20)], target_bytes=1 << 20
+            )
+        history.append(_snap(model))
+
+        got = sorted(
+            (r.k, r.ver) for r in V.read_snapshot(spark, table).collect()
+        )
+        assert got == _snap(model), f"head mismatch after {kind}"
+
+    # time travel: every historical version still reads as its model
+    for v, expected in enumerate(history):
+        got = sorted(
+            (r.k, r.ver)
+            for r in V.read_snapshot(spark, table, version=v).collect()
+        )
+        assert got == expected, f"time travel to v{v} diverged"
+
+    # CDC replay: folding each delta onto the prior model state gives
+    # the next one (multiset semantics)
+    for v in range(1, len(history)):
+        delta = V.table_changes(spark, table, v - 1, v).collect()
+        state = list(history[v - 1])
+        for r in delta:
+            if r._change_type == "insert":
+                state.append((r.k, r.ver))
+            else:
+                state.remove((r.k, r.ver))
+        assert sorted(state) == history[v], f"CDC v{v-1}->v{v} diverged"
