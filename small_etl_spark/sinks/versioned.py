@@ -104,6 +104,17 @@ def read_manifest(table: str, version: int) -> dict[str, Any]:
         return json.load(f)
 
 
+def _stream_high(parent_manifest: dict[str, Any] | None) -> int:
+    """Highest micro-batch id durably committed on this chain (-1 if
+    none). Propagated through EVERY commit mode so the streaming
+    sink's idempotence check reads ONE manifest, not the whole log —
+    at 100k commits/day the O(versions) scan would dominate the
+    micro-batch itself."""
+    if parent_manifest is None:
+        return -1
+    return int(parent_manifest.get("stream_batch_high", -1))
+
+
 def _footer_stats(path: str, columns: list[str]) -> dict[str, Any]:
     """Per-file stats from the parquet footer (metadata-only read)."""
     import pyarrow.parquet as pq
@@ -184,8 +195,8 @@ def commit_snapshot(
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         schema_json = df.schema.jsonValue()
-        if mode == "append" and parent is not None:
-            pm = read_manifest(table, parent)
+        pm = read_manifest(table, parent) if parent is not None else None
+        if mode == "append" and pm is not None:
             files = pm["files"] + files
             schema_json = _evolve_schema(
                 StructType.fromJson(pm["schema"]), df.schema, merge_schema
@@ -197,6 +208,7 @@ def commit_snapshot(
             "schema": schema_json,
             "files": files,
             "commit_id": commit_id,
+            "stream_batch_high": _stream_high(pm),
         }
         if _atomic_create(_manifest_path(table, version), manifest):
             return version
@@ -498,6 +510,7 @@ def merge_upsert(
             "schema": manifest["schema"],
             "files": untouched + new_files,
             "commit_id": commit_id,
+            "stream_batch_high": _stream_high(manifest),
         }
         if _atomic_create(_manifest_path(table, version), payload):
             return version
@@ -561,6 +574,7 @@ def delete_where(
         "schema": manifest["schema"],
         "files": untouched + new_files,
         "commit_id": commit_id,
+        "stream_batch_high": _stream_high(manifest),
     }
     if not _atomic_create(_manifest_path(table, version), payload):
         raise CommitConflict(f"lost the commit race on {table!r}")
@@ -568,7 +582,11 @@ def delete_where(
 
 
 def committed_stream_batches(table: str) -> set[int]:
-    """Batch ids already durably committed (exactly-once bookkeeping)."""
+    """Batch ids already durably committed — the O(versions) audit/
+    debug surface. The hot-path replay check in
+    :func:`stream_commit_batch` instead reads ONE manifest's
+    ``stream_batch_high`` high-water mark (batch ids are monotonic per
+    streaming query), which every commit mode propagates."""
     v = latest_version(table)
     seen: set[int] = set()
     for version in range((v + 1) if v is not None else 0):
@@ -594,8 +612,11 @@ def stream_commit_batch(
                 lambda b, i: stream_commit_batch(b, i, "/path/tbl"))
              .option("checkpointLocation", ckpt).start())
     """
-    if batch_id in committed_stream_batches(table):
-        return None
+    head_v = latest_version(table)
+    if head_v is not None:
+        high = _stream_high(read_manifest(table, head_v))
+        if batch_id <= high:
+            return None  # replay of a durably committed batch: no-op
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     commit_id = uuid.uuid4().hex[:16]
     data_rel = os.path.join(_DATA_DIR, commit_id)
@@ -613,8 +634,8 @@ def stream_commit_batch(
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         schema_json = df.schema.jsonValue()
-        if mode == "append" and parent is not None:
-            pm = read_manifest(table, parent)
+        pm = read_manifest(table, parent) if parent is not None else None
+        if mode == "append" and pm is not None:
             files = pm["files"] + files
             # micro-batches carry a fixed query schema; enforce it the
             # same way as batch appends (no silent column loss)
@@ -629,6 +650,7 @@ def stream_commit_batch(
             "files": files,
             "commit_id": commit_id,
             "stream_batch_id": batch_id,
+            "stream_batch_high": max(batch_id, _stream_high(pm)),
         }
         if _atomic_create(_manifest_path(table, version), payload):
             return version
@@ -705,6 +727,7 @@ def optimize_snapshot(
         "schema": manifest["schema"],
         "files": keep + new_files,
         "commit_id": commit_id,
+        "stream_batch_high": _stream_high(manifest),
     }
     if not _atomic_create(_manifest_path(table, version), payload):
         raise CommitConflict(f"lost the commit race on {table!r}")
@@ -867,6 +890,7 @@ def cluster_snapshot(
         "schema": manifest["schema"],
         "files": new_files,
         "commit_id": commit_id,
+        "stream_batch_high": _stream_high(manifest),
     }
     if not _atomic_create(_manifest_path(table, version), payload):
         raise CommitConflict(f"lost the commit race on {table!r}")

@@ -414,3 +414,17 @@ def test_register_snapshot_view_sql(spark, table):
     assert [(r.tag, r.n) for r in got] == [("a", 10), ("b", 2)]
     spark.catalog.dropTempView("tbl_v0")
     spark.catalog.dropTempView("tbl_head")
+
+
+def test_stream_high_water_survives_other_commits(spark, table):
+    # stream batch 0 -> batch (non-stream) append -> merge -> replay of
+    # batch 0 must STILL no-op: the high-water mark propagates through
+    # every commit mode, so the check reads one manifest, not the log
+    assert V.stream_commit_batch(_df(spark, 0, 3, "s"), 0, table) == 0
+    V.commit_snapshot(_df(spark, 3, 5, "b"), table, mode="append")
+    src = spark.createDataFrame([(0, "m")], "k LONG, tag STRING")
+    V.merge_upsert(spark, table, src, key="k")
+    assert V.stream_commit_batch(_df(spark, 0, 3, "s"), 0, table) is None
+    # and a genuinely new batch still lands
+    assert V.stream_commit_batch(_df(spark, 5, 6, "s"), 1, table) is not None
+    assert V.read_snapshot(spark, table).count() == 6
