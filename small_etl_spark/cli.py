@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
         seq_p.add_argument("--skip", help="comma-separated pipeline names to drop")
         seq_p.add_argument("--dry-run", action="store_true")
         seq_p.add_argument("--output-root", default=None)
+        seq_p.add_argument(
+            "--incremental-root",
+            default=None,
+            help="enable incremental runs: cache each stage's result in "
+            "a versioned table under this root, keyed by a chained spec "
+            "fingerprint; unchanged stages are served from the snapshot "
+            "instead of re-executing",
+        )
         seq_p.add_argument("--metrics", default=None, help="metrics JSON path")
         seq_p.add_argument("--master", default=None, help="spark master override")
         # reference CLI surface: toml_etl.rs:54-57 (--mvp overrides
@@ -83,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, seq, only=only, skip=skip,
             output_root=args.output_root, dry_run=args.dry_run,
             lookup_files=lookups, mvp=args.mvp,
+            incremental_root=args.incremental_root,
         )
     except SpecError as e:
         print(f"config error: {e}", file=sys.stderr)

@@ -658,6 +658,7 @@ def run_sequence(
     dry_run: bool = False,
     lookup_files: list[str] | None = None,
     mvp: bool | None = None,
+    incremental_root: str | None = None,
 ) -> PipelineContext:
     """Execute the enabled stages in ``execution_order``.
 
@@ -671,6 +672,15 @@ def run_sequence(
     ``lookup_files`` preloads csv/tsv/json catalogs (S8); ``mvp``
     overrides every stage's ``first_record_only``
     (toml_etl.rs:54-57's CLI override of config.extract).
+
+    ``incremental_root`` enables incremental runs (plans/increments.py):
+    each executed stage's result is committed to a versioned cache
+    table keyed by a chained spec fingerprint; on the next run,
+    fingerprint-matched stages are served from the snapshot instead of
+    re-executing (shared-scalar exports replayed, record counts from
+    the manifest, file sinks skipped). The reference recomputes
+    everything every run — this is the nightly-pipeline lever that
+    makes re-runs cost only what changed.
     """
     ctx = PipelineContext()
     if lookup_files:
@@ -678,11 +688,36 @@ def run_sequence(
     if mvp is not None:
         for spec in seq.pipelines:
             spec.source.first_record_only = mvp
+    fp_chain: list[str] = []
     for spec in seq.enabled_in_order(only, skip):
         if dry_run:
             print(f"[dry-run] {spec.name}: source={spec.source.type} "
                   f"formats={spec.load.formats}")
             continue
+        fp: str | None = None
+        if incremental_root:
+            from small_etl_spark.plans.increments import (
+                cache_lookup,
+                stage_fingerprint,
+            )
+
+            fp = stage_fingerprint(spec, fp_chain)
+            fp_chain.append(fp)
+            hit = cache_lookup(spark, incremental_root, spec.name, fp)
+            if hit is not None:
+                df, n, shared = hit
+                ctx.shared_data.update(shared)
+                ctx.add_result(
+                    PipelineResult(
+                        pipeline_name=spec.name,
+                        df=df,
+                        record_count=n,
+                        duration_s=0.0,
+                        success=True,
+                        metadata={"cache_hit": True, "fingerprint": fp},
+                    )
+                )
+                continue
         ok, reason = _should_execute(spec, ctx)
         if not ok:
             ctx.add_result(
@@ -698,9 +733,25 @@ def run_sequence(
             continue
         attempts = seq.retry_attempts if seq.on_pipeline_failure == "retry" else 0
         last_err: Exception | None = None
+        shared_before = dict(ctx.shared_data)
         for _ in range(attempts + 1):
             try:
                 ctx.add_result(execute_pipeline(spark, spec, ctx, output_root))
+                if incremental_root and fp is not None:
+                    from small_etl_spark.plans.increments import cache_store
+
+                    exports = {
+                        k: v
+                        for k, v in ctx.shared_data.items()
+                        if shared_before.get(k) != v
+                    }
+                    cache_store(
+                        ctx.results[-1].df,
+                        incremental_root,
+                        spec.name,
+                        fp,
+                        exports,
+                    )
                 last_err = None
                 break
             except Exception as e:  # noqa: BLE001

@@ -156,6 +156,7 @@ def commit_snapshot(
     stats_columns: list[str] | None = None,
     max_retries: int = 10,
     merge_schema: bool = False,
+    extra: dict[str, Any] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot of ``table``; returns the version.
 
@@ -210,6 +211,11 @@ def commit_snapshot(
             "commit_id": commit_id,
             "stream_batch_high": _stream_high(pm),
         }
+        if extra is not None:
+            # caller-owned JSON metadata rides the atomic commit (e.g.
+            # the incremental runner's stage fingerprint + shared
+            # scalars) — same durability as the file list itself
+            manifest["extra"] = extra
         if _atomic_create(_manifest_path(table, version), manifest):
             return version
     raise CommitConflict(

@@ -428,3 +428,38 @@ def test_stream_high_water_survives_other_commits(spark, table):
     # and a genuinely new batch still lands
     assert V.stream_commit_batch(_df(spark, 5, 6, "s"), 1, table) is not None
     assert V.read_snapshot(spark, table).count() == 6
+
+
+def test_concurrent_appends_all_land(spark, table):
+    """Four writer threads appending simultaneously: O_EXCL commit
+    races serialize them — every commit lands at a distinct version,
+    no rows lost, final table is the union (real threads, not a
+    simulated race)."""
+    import threading
+
+    V.commit_snapshot(_df(spark, 0, 1, "seed"), table, mode="overwrite")
+    errs = []
+
+    def writer(lo):
+        try:
+            V.commit_snapshot(
+                _df(spark, lo, lo + 10, f"w{lo}"), table, mode="append"
+            )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(lo,))
+        for lo in (100, 200, 300, 400)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert V.latest_version(table) == 4  # contiguous versions, no gaps
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 1 + 4 * 10
+    # every writer's rows survived the races
+    tags = {r.tag for r in got.select("tag").distinct().collect()}
+    assert tags == {"seed", "w100", "w200", "w300", "w400"}
