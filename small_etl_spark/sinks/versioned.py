@@ -921,3 +921,41 @@ def register_snapshot_view(
     contributes the file list and file-level pruning only.
     """
     read_snapshot(spark, table, version).createOrReplaceTempView(name)
+
+
+class ExpectationFailed(ValueError):
+    """A quality rule failed; the snapshot was NOT committed."""
+
+
+def commit_snapshot_checked(
+    df: DataFrame,
+    table: str,
+    rules: list[tuple[str, "F.Column"]],
+    mode: str = "append",
+    **kwargs: Any,
+) -> int:
+    """Expectation-gated commit: evaluate the quality ``rules``
+    (operators/profiling.py::expect — one aggregation pass, every rule
+    in one scan) and commit the snapshot only if ALL pass; otherwise
+    raise :class:`ExpectationFailed` naming each violated rule and its
+    violation count, with the table left exactly as it was.
+
+    This is write-audit-publish collapsed into the atomic commit: at
+    100 TB the alternative — publish first, detect bad data later —
+    means every downstream consumer of the bad snapshot must be
+    replayed. The validation scan runs BEFORE any data file is
+    written, so a failed gate costs one read and zero cleanup.
+    """
+    from small_etl_spark.operators.profiling import expect
+
+    report = expect(df, rules).collect()
+    failed = [r for r in report if not r.passed]
+    if failed:
+        detail = ", ".join(
+            f"{r.rule}: {r.violations}/{r.total} rows" for r in failed
+        )
+        raise ExpectationFailed(
+            f"refusing to commit to {table!r} — failed expectations: "
+            f"{detail}"
+        )
+    return commit_snapshot(df, table, mode=mode, **kwargs)

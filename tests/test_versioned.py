@@ -463,3 +463,19 @@ def test_concurrent_appends_all_land(spark, table):
     # every writer's rows survived the races
     tags = {r.tag for r in got.select("tag").distinct().collect()}
     assert tags == {"seed", "w100", "w200", "w300", "w400"}
+
+
+def test_expectation_gated_commit(spark, table):
+    good = _df(spark, 0, 10, "a")
+    rules = [
+        ("k_non_negative", F.col("k") >= 0),
+        ("tag_present", F.col("tag").isNotNull()),
+    ]
+    v = V.commit_snapshot_checked(good, table, rules, mode="overwrite")
+    assert v == 0
+    bad = _df(spark, -5, 5, "b")
+    with pytest.raises(V.ExpectationFailed, match="k_non_negative: 5/10"):
+        V.commit_snapshot_checked(bad, table, rules, mode="append")
+    # failed gate left the table untouched
+    assert V.latest_version(table) == 0
+    assert V.read_snapshot(spark, table).count() == 10
