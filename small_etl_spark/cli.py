@@ -20,6 +20,35 @@ import os
 import sys
 
 
+def _table_admin(args) -> int:
+    """``table <path> history|vacuum|optimize`` — the maintenance
+    surface of the versioned sink, runnable without writing a config.
+    history prints one JSON line per snapshot; vacuum reports files
+    deleted; optimize reports the new version (or no-op)."""
+    from small_etl_spark.sinks import versioned as V
+
+    if V.latest_version(args.path) is None:
+        print(f"no snapshots committed at {args.path!r}", file=sys.stderr)
+        return 1
+    if args.action == "vacuum":
+        deleted = V.vacuum(args.path, keep_last=args.keep_last)
+        print(json.dumps({"deleted_files": deleted,
+                          "kept_last": args.keep_last}))
+        return 0
+
+    from small_etl_spark.session import get_spark
+
+    spark = get_spark("small_etl_spark.table", master=args.tbl_master)
+    if args.action == "history":
+        for row in V.snapshot_history(spark, args.path).collect():
+            print(json.dumps(row.asDict()))
+        return 0
+    # optimize
+    v = V.optimize_snapshot(spark, args.path, target_bytes=args.target_bytes)
+    print(json.dumps({"new_version": v}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="small_etl_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -61,7 +90,28 @@ def main(argv: list[str] | None = None) -> int:
             "(--mvp / --no-mvp; default: config decides)",
         )
 
+    tbl_p = sub.add_parser(
+        "table", help="versioned-table maintenance (sinks/versioned.py)"
+    )
+    tbl_p.add_argument("path", help="versioned table root")
+    tbl_p.add_argument(
+        "action", choices=["history", "vacuum", "optimize"]
+    )
+    tbl_p.add_argument(
+        "--keep-last", type=int, default=2, help="vacuum: manifests kept"
+    )
+    tbl_p.add_argument(
+        "--target-bytes",
+        type=int,
+        default=128 * 1024 * 1024,
+        help="optimize: output file size target",
+    )
+    tbl_p.add_argument("--master", dest="tbl_master", default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "table":
+        return _table_admin(args)
 
     from small_etl_spark.plans.spec import SpecError, sequence_from_toml
 

@@ -94,3 +94,42 @@ def test_all_example_configs_parse_and_dry_run(capsys):
         out = capsys.readouterr().out
         assert rc == 0, (cfg, out)
         assert "DRY RUN" in out or "dry" in out.lower(), cfg
+
+
+def test_table_admin_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.cli import main
+    from small_etl_spark.sinks import versioned as V
+
+    table = str(tmp_path / "tbl")
+    V.commit_snapshot(
+        spark.range(0, 20).select(F.col("id").alias("k")).repartition(4),
+        table,
+        mode="overwrite",
+    )
+    V.commit_snapshot(
+        spark.range(20, 25).select(F.col("id").alias("k")),
+        table,
+        mode="append",
+    )
+    assert main(["table", table, "history"]) == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["snapshot"] for r in lines] == [0, 1]
+    assert lines[1]["n_rows"] == 25
+
+    assert main(["table", table, "optimize"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["new_version"] == 2
+
+    assert main(["table", table, "vacuum", "--keep-last", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["deleted_files"] >= 0
+    assert V.read_snapshot(spark, table).count() == 25
+
+    assert main(["table", str(tmp_path / "missing"), "history"]) == 1
