@@ -149,6 +149,59 @@ def _footer_stats(path: str, columns: list[str]) -> dict[str, Any]:
     return {"rows": md.num_rows, "bytes": os.path.getsize(path), "stats": stats}
 
 
+
+def _write_data_files(
+    df: DataFrame, table: str, columns: list[str]
+) -> tuple[str, list[dict[str, Any]]]:
+    """Write ``df`` into a fresh UUID data dir and harvest per-file
+    footer stats — the shared first half of every commit path.
+    Returns (commit_id, manifest file entries)."""
+    commit_id = uuid.uuid4().hex[:16]
+    data_rel = os.path.join(_DATA_DIR, commit_id)
+    data_abs = os.path.join(table, data_rel)
+    df.write.mode("error").parquet(data_abs)
+    entries = []
+    for name in sorted(os.listdir(data_abs)):
+        if name.endswith(".parquet"):
+            entry = _footer_stats(os.path.join(data_abs, name), columns)
+            entry["path"] = os.path.join(data_rel, name)
+            entries.append(entry)
+    return commit_id, entries
+
+
+def _commit_rewrite(
+    table: str,
+    parent: int,
+    parent_manifest: dict[str, Any],
+    mode: str,
+    files: list[dict[str, Any]],
+    commit_id: str,
+) -> int:
+    """Publish a rewrite-style commit (merge/delete/optimize/cluster)
+    at ``parent + 1``, aborting if the head moved — rewrites target a
+    specific snapshot's files and cannot be auto-rebased. Carries the
+    schema and the streaming high-water mark forward."""
+    head = latest_version(table)
+    if head != parent:
+        raise CommitConflict(
+            f"snapshot advanced {parent}->{head} during {mode} on "
+            f"{table!r}; re-run against the new head"
+        )
+    version = parent + 1
+    payload = {
+        "snapshot": version,
+        "parent": parent,
+        "mode": mode,
+        "schema": parent_manifest["schema"],
+        "files": files,
+        "commit_id": commit_id,
+        "stream_batch_high": _stream_high(parent_manifest),
+    }
+    if not _atomic_create(_manifest_path(table, version), payload):
+        raise CommitConflict(f"lost the commit race on {table!r}")
+    return version
+
+
 def commit_snapshot(
     df: DataFrame,
     table: str,
@@ -177,19 +230,8 @@ def commit_snapshot(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode!r}")
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
-    commit_id = uuid.uuid4().hex[:16]
-    data_rel = os.path.join(_DATA_DIR, commit_id)
-    data_abs = os.path.join(table, data_rel)
-    df.write.mode("error").parquet(data_abs)
-
     cols = stats_columns if stats_columns is not None else df.columns
-    new_files = []
-    for name in sorted(os.listdir(data_abs)):
-        if not name.endswith(".parquet"):
-            continue
-        entry = _footer_stats(os.path.join(data_abs, name), cols)
-        entry["path"] = os.path.join(data_rel, name)
-        new_files.append(entry)
+    commit_id, new_files = _write_data_files(df, table, cols)
 
     for _ in range(max_retries):
         parent = latest_version(table)
@@ -484,43 +526,15 @@ def merge_upsert(
     else:
         rewritten = source
 
-    commit_id = uuid.uuid4().hex[:16]
-    data_rel = os.path.join(_DATA_DIR, commit_id)
-    data_abs = os.path.join(table, data_rel)
-    rewritten.write.mode("error").parquet(data_abs)
     cols = (
         stats_columns
         if stats_columns is not None
         else [f.name for f in schema.fields]
     )
-    new_files = []
-    for name in sorted(os.listdir(data_abs)):
-        if name.endswith(".parquet"):
-            entry = _footer_stats(os.path.join(data_abs, name), cols)
-            entry["path"] = os.path.join(data_rel, name)
-            new_files.append(entry)
-
-    for _ in range(10):
-        head = latest_version(table)
-        if head != parent:
-            raise CommitConflict(
-                f"snapshot advanced {parent}->{head} during merge on "
-                f"{table!r}; re-run against the new head (write-write "
-                "conflicts on overlapping files cannot be auto-rebased)"
-            )
-        version = parent + 1
-        payload = {
-            "snapshot": version,
-            "parent": parent,
-            "mode": "merge",
-            "schema": manifest["schema"],
-            "files": untouched + new_files,
-            "commit_id": commit_id,
-            "stream_batch_high": _stream_high(manifest),
-        }
-        if _atomic_create(_manifest_path(table, version), payload):
-            return version
-    raise CommitConflict(f"lost 10 commit races on {table!r}")
+    commit_id, new_files = _write_data_files(rewritten, table, cols)
+    return _commit_rewrite(
+        table, parent, manifest, "merge", untouched + new_files, commit_id
+    )
 
 
 def delete_where(
@@ -557,34 +571,12 @@ def delete_where(
             *[os.path.join(table, e["path"]) for e in touched]
         )
         survivors = tdf.filter(~pred | pred.isNull())
-        data_rel = os.path.join(_DATA_DIR, commit_id)
-        data_abs = os.path.join(table, data_rel)
-        survivors.write.mode("error").parquet(data_abs)
-        cols = [f.name for f in schema.fields]
-        for name in sorted(os.listdir(data_abs)):
-            if name.endswith(".parquet"):
-                entry = _footer_stats(os.path.join(data_abs, name), cols)
-                entry["path"] = os.path.join(data_rel, name)
-                new_files.append(entry)
-
-    head = latest_version(table)
-    if head != parent:
-        raise CommitConflict(
-            f"snapshot advanced {parent}->{head} during delete"
+        commit_id, new_files = _write_data_files(
+            survivors, table, [f.name for f in schema.fields]
         )
-    version = parent + 1
-    payload = {
-        "snapshot": version,
-        "parent": parent,
-        "mode": "delete",
-        "schema": manifest["schema"],
-        "files": untouched + new_files,
-        "commit_id": commit_id,
-        "stream_batch_high": _stream_high(manifest),
-    }
-    if not _atomic_create(_manifest_path(table, version), payload):
-        raise CommitConflict(f"lost the commit race on {table!r}")
-    return version
+    return _commit_rewrite(
+        table, parent, manifest, "delete", untouched + new_files, commit_id
+    )
 
 
 def committed_stream_batches(table: str) -> set[int]:
@@ -624,17 +616,7 @@ def stream_commit_batch(
         if batch_id <= high:
             return None  # replay of a durably committed batch: no-op
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
-    commit_id = uuid.uuid4().hex[:16]
-    data_rel = os.path.join(_DATA_DIR, commit_id)
-    data_abs = os.path.join(table, data_rel)
-    df.write.mode("error").parquet(data_abs)
-    cols = df.columns
-    new_files = []
-    for name in sorted(os.listdir(data_abs)):
-        if name.endswith(".parquet"):
-            entry = _footer_stats(os.path.join(data_abs, name), cols)
-            entry["path"] = os.path.join(data_rel, name)
-            new_files.append(entry)
+    commit_id, new_files = _write_data_files(df, table, df.columns)
     for _ in range(10):
         parent = latest_version(table)
         version = 0 if parent is None else parent + 1
@@ -702,42 +684,17 @@ def optimize_snapshot(
             bins.append(s)
     n_out = max(1, len(bins))
 
-    commit_id = uuid.uuid4().hex[:16]
-    data_rel = os.path.join(_DATA_DIR, commit_id)
-    data_abs = os.path.join(table, data_rel)
-    (
+    compacted = (
         spark.read.schema(schema)
         .parquet(*[os.path.join(table, e["path"]) for e in small])
         .repartition(n_out)
-        .write.mode("error")
-        .parquet(data_abs)
     )
-    cols = [f.name for f in schema.fields]
-    new_files = []
-    for name in sorted(os.listdir(data_abs)):
-        if name.endswith(".parquet"):
-            entry = _footer_stats(os.path.join(data_abs, name), cols)
-            entry["path"] = os.path.join(data_rel, name)
-            new_files.append(entry)
-
-    head = latest_version(table)
-    if head != parent:
-        raise CommitConflict(
-            f"snapshot advanced {parent}->{head} during optimize"
-        )
-    version = parent + 1
-    payload = {
-        "snapshot": version,
-        "parent": parent,
-        "mode": "optimize",
-        "schema": manifest["schema"],
-        "files": keep + new_files,
-        "commit_id": commit_id,
-        "stream_batch_high": _stream_high(manifest),
-    }
-    if not _atomic_create(_manifest_path(table, version), payload):
-        raise CommitConflict(f"lost the commit race on {table!r}")
-    return version
+    commit_id, new_files = _write_data_files(
+        compacted, table, [f.name for f in schema.fields]
+    )
+    return _commit_rewrite(
+        table, parent, manifest, "optimize", keep + new_files, commit_id
+    )
 
 
 def table_changes(
@@ -872,35 +829,10 @@ def cluster_snapshot(
         .drop("__z__")
     )
 
-    commit_id = uuid.uuid4().hex[:16]
-    data_rel = os.path.join(_DATA_DIR, commit_id)
-    data_abs = os.path.join(table, data_rel)
-    clustered.write.mode("error").parquet(data_abs)
-    new_files = []
-    for name in sorted(os.listdir(data_abs)):
-        if name.endswith(".parquet"):
-            entry = _footer_stats(os.path.join(data_abs, name), names)
-            entry["path"] = os.path.join(data_rel, name)
-            new_files.append(entry)
-
-    head = latest_version(table)
-    if head != parent:
-        raise CommitConflict(
-            f"snapshot advanced {parent}->{head} during cluster"
-        )
-    version = parent + 1
-    payload = {
-        "snapshot": version,
-        "parent": parent,
-        "mode": "cluster",
-        "schema": manifest["schema"],
-        "files": new_files,
-        "commit_id": commit_id,
-        "stream_batch_high": _stream_high(manifest),
-    }
-    if not _atomic_create(_manifest_path(table, version), payload):
-        raise CommitConflict(f"lost the commit race on {table!r}")
-    return version
+    commit_id, new_files = _write_data_files(clustered, table, names)
+    return _commit_rewrite(
+        table, parent, manifest, "cluster", new_files, commit_id
+    )
 
 
 def register_snapshot_view(
