@@ -662,6 +662,10 @@ def optimize_snapshot(
     This is the recurring maintenance job that keeps a streaming-
     ingested table (many per-batch files) scannable: at 100 TB the
     scheduler overhead of a million 1 MB files dwarfs the scan itself.
+    The rewrite shuffles for even output sizes and does NOT preserve
+    any prior clustering of the small files — run
+    :func:`cluster_snapshot` after (or instead) when stat-tight files
+    matter more than pure file-count collapse.
     """
     parent = latest_version(table)
     if parent is None:
