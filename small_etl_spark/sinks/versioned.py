@@ -895,3 +895,70 @@ def commit_snapshot_checked(
             f"{detail}"
         )
     return commit_snapshot(df, table, mode=mode, **kwargs)
+
+
+def catalog_commit(
+    catalog_root: str,
+    pins: dict[str, "str | tuple[str, int | None]"],
+) -> int:
+    """Multi-table consistent snapshot: atomically pin one version of
+    EACH named table in a catalog manifest. ``pins`` maps a logical
+    name to a table path (pin its current latest) or ``(path,
+    version)`` (pin explicitly). Returns the catalog version.
+
+    Readers going through :func:`read_catalog` see a mutually
+    consistent set — the fact table at the same moment as its
+    dimensions — regardless of commits landing on individual tables
+    in between. Single-table manifests give per-table snapshot
+    isolation; this gives the cross-table variety for the cost of one
+    more O_EXCL file. Individual tables stay independently writable;
+    a catalog commit is a read-only pin, so it can never conflict
+    with table writers — only with other catalog commits.
+    """
+    resolved: dict[str, dict[str, Any]] = {}
+    for name, pin in pins.items():
+        path, version = pin if isinstance(pin, tuple) else (pin, None)
+        v = latest_version(path) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots committed at {path!r}")
+        if not os.path.exists(_manifest_path(path, v)):
+            raise FileNotFoundError(f"{path!r} has no version {v}")
+        resolved[name] = {"table": path, "version": v}
+    os.makedirs(os.path.join(catalog_root, _MANIFEST_DIR), exist_ok=True)
+    for _ in range(10):
+        parent = latest_version(catalog_root)
+        version = 0 if parent is None else parent + 1
+        payload = {
+            "snapshot": version,
+            "parent": parent,
+            "mode": "catalog",
+            "tables": resolved,
+        }
+        if _atomic_create(_manifest_path(catalog_root, version), payload):
+            return version
+    raise CommitConflict(f"lost 10 catalog-commit races on {catalog_root!r}")
+
+
+def read_catalog(
+    spark: SparkSession,
+    catalog_root: str,
+    name: str,
+    catalog_version: int | None = None,
+    where: list[Predicate] | None = None,
+) -> DataFrame:
+    """Read table ``name`` at the version the catalog snapshot pinned
+    — cross-table time travel. All reads against one
+    ``catalog_version`` are mutually consistent by construction."""
+    v = (
+        latest_version(catalog_root)
+        if catalog_version is None
+        else catalog_version
+    )
+    if v is None:
+        raise FileNotFoundError(f"no catalog commits at {catalog_root!r}")
+    entry = read_manifest(catalog_root, v)["tables"].get(name)
+    if entry is None:
+        raise KeyError(
+            f"catalog v{v} at {catalog_root!r} pins no table {name!r}"
+        )
+    return read_snapshot(spark, entry["table"], entry["version"], where)

@@ -479,3 +479,34 @@ def test_expectation_gated_commit(spark, table):
     # failed gate left the table untouched
     assert V.latest_version(table) == 0
     assert V.read_snapshot(spark, table).count() == 10
+
+
+def test_catalog_pins_consistent_cross_table_view(spark, tmp_path):
+    facts = str(tmp_path / "facts")
+    dims = str(tmp_path / "dims")
+    cat = str(tmp_path / "cat")
+    V.commit_snapshot(_df(spark, 0, 10, "f0"), facts, mode="overwrite")
+    V.commit_snapshot(_df(spark, 0, 3, "d0"), dims, mode="overwrite")
+    cv0 = V.catalog_commit(cat, {"facts": facts, "dims": dims})
+    assert cv0 == 0
+    # both tables move on independently
+    V.commit_snapshot(_df(spark, 10, 20, "f1"), facts, mode="append")
+    V.commit_snapshot(_df(spark, 0, 5, "d1"), dims, mode="overwrite")
+    # catalog v0 still yields the OLD pair together
+    assert V.read_catalog(spark, cat, "facts", 0).count() == 10
+    assert (
+        V.read_catalog(spark, cat, "dims", 0)
+        .filter(F.col("tag") == "d0")
+        .count()
+        == 3
+    )
+    # a fresh pin captures the new pair; v0 unchanged
+    cv1 = V.catalog_commit(cat, {"facts": facts, "dims": dims})
+    assert cv1 == 1
+    assert V.read_catalog(spark, cat, "facts").count() == 20
+    assert V.read_catalog(spark, cat, "facts", 0).count() == 10
+    with pytest.raises(KeyError):
+        V.read_catalog(spark, cat, "nope")
+    # explicit-version pin of a missing version fails loudly
+    with pytest.raises(FileNotFoundError):
+        V.catalog_commit(cat, {"facts": (facts, 99)})
