@@ -1351,3 +1351,23 @@ def test_versioned_format_validates(spark):
                 ]
             }
         )
+
+
+def test_config_two_stage_param_chain(spark, mock_server, tmp_path, monkeypatch):
+    """configs/two-stage-param-chain.toml (reference sam.toml twin):
+    stage 1 scans and renames to the chain's parameter names, stage 2
+    issues one /users/{ma_id} call per stage-1 record with
+    use_previous_output — plus required-field validation and an
+    explicitly disabled compression block."""
+    ctx = _run_config(
+        spark, "configs/two-stage-param-chain.toml",
+        mock_server, tmp_path, monkeypatch,
+    )
+    by = {r.pipeline_name: r for r in ctx.results}
+    assert by["get-ma"].record_count == 3
+    assert "ma_ref" in by["get-ma"].df.columns
+    assert by["get-calc"].record_count == 3
+    got = sorted(r.full_name for r in by["get-calc"].df.collect())
+    assert got == ["user1", "user2", "user3"]
+    # compression disabled -> no zip artifact
+    assert not list((tmp_path / "get-ma").glob("*.zip"))
