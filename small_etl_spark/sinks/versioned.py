@@ -253,6 +253,10 @@ def commit_snapshot(
             "commit_id": commit_id,
             "stream_batch_high": _stream_high(pm),
         }
+        if mode == "append" and pm is not None and pm.get("dv"):
+            # the parent's deletion vector targets files that survive
+            # an append untouched — it must ride along
+            manifest["dv"] = pm["dv"]
         if extra is not None:
             # caller-owned JSON metadata rides the atomic commit (e.g.
             # the incremental runner's stage fingerprint + shared
@@ -366,11 +370,23 @@ def read_snapshot(
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
-    schema = StructType.fromJson(read_manifest(table, v)["schema"])
+    manifest = read_manifest(table, v)
+    schema = StructType.fromJson(manifest["schema"])
     kept, _total = plan_files(table, v, where)
     if not kept:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*kept)
+    df = spark.read.schema(schema).parquet(*kept)
+    if _live_dv(manifest):
+        # merge-on-read: anti-join the deletion vector by (file, pos)
+        dv = _dv_rows(spark, table, manifest).withColumnsRenamed(
+            {"file": "__file__", "pos": "__pos__"}
+        )
+        df = (
+            _with_position(df)
+            .join(dv, ["__file__", "__pos__"], "left_anti")
+            .drop("__file__", "__pos__")
+        )
+    return df
 
 
 def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
@@ -409,11 +425,12 @@ def vacuum(table: str, keep_last: int = 1) -> int:
     if v is None:
         return 0
     keep_versions = range(max(0, v - keep_last + 1), v + 1)
-    live = {
-        e["path"]
-        for kv in keep_versions
-        for e in read_manifest(table, kv)["files"]
-    }
+    live = set()
+    for kv in keep_versions:
+        m = read_manifest(table, kv)
+        live.update(e["path"] for e in m["files"])
+        if m.get("dv"):
+            live.add(m["dv"]["path"])
     deleted = 0
     data_root = os.path.join(table, _DATA_DIR)
     for commit_dir in list(os.listdir(data_root)) if os.path.isdir(data_root) else []:
@@ -507,6 +524,7 @@ def merge_upsert(
         return commit_snapshot(source, table, mode="overwrite",
                                stats_columns=stats_columns)
     manifest = read_manifest(table, parent)
+    _require_no_dv(manifest, "merge_upsert")
     schema = StructType.fromJson(manifest["schema"])
     if key not in [f.name for f in schema.fields]:
         raise ValueError(f"merge key {key!r} not in table schema")
@@ -551,6 +569,7 @@ def delete_where(
     if parent is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
+    _require_no_dv(manifest, "delete_where")
     schema = StructType.fromJson(manifest["schema"])
     entries = manifest["files"]
     touched = entries
@@ -640,6 +659,8 @@ def stream_commit_batch(
             "stream_batch_id": batch_id,
             "stream_batch_high": max(batch_id, _stream_high(pm)),
         }
+        if mode == "append" and pm is not None and pm.get("dv"):
+            payload["dv"] = pm["dv"]
         if _atomic_create(_manifest_path(table, version), payload):
             return version
     raise CommitConflict(f"lost 10 commit races on {table!r}")
@@ -671,6 +692,7 @@ def optimize_snapshot(
     if parent is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
+    _require_no_dv(manifest, "optimize_snapshot")
     schema = StructType.fromJson(manifest["schema"])
     small = [e for e in manifest["files"] if e["bytes"] < target_bytes]
     keep = [e for e in manifest["files"] if e["bytes"] >= target_bytes]
@@ -742,14 +764,67 @@ def table_changes(
             *[os.path.join(table, p) for p in paths]
         )
 
-    if not removed:  # append-only fast path
+    if not removed and not added and fm.get("dv") != tm.get("dv"):
+        # pure merge-on-read delta (delete_mor commits): positions
+        # newly present in the target DV are the deletes; DVs only
+        # grow until compact_dv, and compaction changes the file set,
+        # so it takes the dv-aware general path below.
+        to_dv = _dv_rows(spark, table, tm)
+        if fm.get("dv"):
+            to_dv = to_dv.join(
+                _dv_rows(spark, table, fm), ["file", "pos"], "left_anti"
+            )
+        dv_files = [
+            r.file for r in to_dv.select("file").distinct().collect()
+        ]
+        hit = _with_position(_read(dv_files, schema)).join(
+            to_dv.withColumnsRenamed({"file": "__file__", "pos": "__pos__"}),
+            ["__file__", "__pos__"],
+            "left_semi",
+        )
+        return hit.drop("__file__", "__pos__").withColumn(
+            "_change_type", F.lit("delete")
+        )
+
+    if not removed and fm.get("dv") == tm.get("dv"):
+        # append-only fast path (a carried DV references only shared
+        # files, which cancel out of the diff by construction)
         return _read(added, schema).withColumn(
             "_change_type", F.lit("insert")
         )
 
     old_schema = StructType.fromJson(fm["schema"])
-    old_rows = _read(removed, old_schema)
-    new_rows = _read(added, schema)
+    shared = sorted(f_paths & t_paths)
+
+    def _dv_hit_shared(m: dict[str, Any]) -> set[str]:
+        if not m.get("dv"):
+            return set()
+        hits = (
+            _dv_rows(spark, table, m).select("file").distinct().collect()
+        )
+        return {r.file for r in hits} & set(shared)
+
+    # a DV on either endpoint may target files PRESENT ON BOTH sides;
+    # those files are not logically identical across the range, so
+    # they must enter the diff too (with each side's DV applied)
+    dv_shared = sorted(_dv_hit_shared(fm) | _dv_hit_shared(tm))
+    old_rows = _read(sorted(set(removed) | set(dv_shared)), old_schema)
+    new_rows = _read(sorted(set(added) | set(dv_shared)), schema)
+
+    def _apply_dv(rows: DataFrame, m: dict[str, Any]) -> DataFrame:
+        if not m.get("dv"):
+            return rows
+        dv = _dv_rows(spark, table, m).withColumnsRenamed(
+            {"file": "__file__", "pos": "__pos__"}
+        )
+        return (
+            _with_position(rows)
+            .join(dv, ["__file__", "__pos__"], "left_anti")
+            .drop("__file__", "__pos__")
+        )
+
+    old_rows = _apply_dv(old_rows, fm)
+    new_rows = _apply_dv(new_rows, tm)
     # align evolved schemas: old rows gain nulls for added columns
     for f in schema.fields:
         if f.name not in old_rows.columns:
@@ -812,6 +887,7 @@ def cluster_snapshot(
     if parent is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
+    _require_no_dv(manifest, "cluster_snapshot")
     schema = StructType.fromJson(manifest["schema"])
     names = [f.name for f in schema.fields]
     for col, _, _ in zorder:
@@ -962,3 +1038,193 @@ def read_catalog(
             f"catalog v{v} at {catalog_root!r} pins no table {name!r}"
         )
     return read_snapshot(spark, entry["table"], entry["version"], where)
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: merge-on-read deletes
+# ---------------------------------------------------------------------------
+#
+# delete_where rewrites every touched file (copy-on-write) — right when
+# deletes are rare and clustered, wrong when they are frequent and
+# scattered: deleting 100 rows from 100 different 1 GB files costs a
+# 100 GB rewrite. The merge-on-read alternative (public design: the
+# Iceberg v2 position-delete spec / Delta deletion vectors) records the
+# DELETED ROW POSITIONS in a side file and lets readers anti-join them
+# out, so a delete costs O(matched rows), not O(touched bytes).
+#
+# Scope contract, kept deliberately explicit:
+# - the manifest carries at most ONE live DV store ("dv": {"path",
+#   "rows"}), rewritten (tiny) on each merge-on-read delete;
+# - reads apply the DV transparently (position anti-join on the file's
+#   manifest-relative path + parquet row index — Spark's
+#   _metadata.file_path/row_index hidden columns);
+# - rewrite-style commits (merge/delete/optimize/cluster) REFUSE while
+#   a DV is live (a silent rewrite would resurrect dv-deleted rows);
+#   compact_dv materializes the survivors and clears the DV;
+# - CDC across a dv-delete commit emits the dv-delta rows as deletes.
+
+
+_DV_REL_RE = r"(data/[^/]+/[^/]+\.parquet)$"
+
+
+def _live_dv(manifest: dict[str, Any]) -> dict[str, Any] | None:
+    return manifest.get("dv")
+
+
+def _require_no_dv(manifest: dict[str, Any], op: str) -> None:
+    if _live_dv(manifest):
+        raise ValueError(
+            f"{op} on a table with a live deletion vector would "
+            "resurrect deleted rows; run compact_dv first"
+        )
+
+
+def _dv_rows(spark: SparkSession, table: str, manifest: dict) -> DataFrame:
+    dv = _live_dv(manifest)
+    return spark.read.schema("file STRING, pos BIGINT").parquet(
+        os.path.join(table, dv["path"])
+    )
+
+
+def _with_position(df: DataFrame) -> DataFrame:
+    """Attach the manifest-relative file path + row index."""
+    return df.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), _DV_REL_RE, 1
+        ).alias("__file__"),
+        F.col("_metadata.row_index").alias("__pos__"),
+    )
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table: str,
+    predicate: "F.Column | str",
+    prune: list[Predicate] | None = None,
+) -> int:
+    """Merge-on-read DELETE: append the matching rows' positions to the
+    deletion vector instead of rewriting any data file. Returns the new
+    version. The commit writes one delete-sized DV parquet; data files
+    are untouched, so cost tracks the MATCHED rows however many
+    gigabytes the touched files hold."""
+    parent = latest_version(table)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, parent)
+    schema = StructType.fromJson(manifest["schema"])
+    entries = manifest["files"]
+    touched = entries
+    if prune:
+        touched = [
+            e
+            for e in entries
+            if all(_file_may_match(e, p) for p in prune)
+        ]
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    commit_id = uuid.uuid4().hex[:16]
+    new_dv_rel = os.path.join(_DATA_DIR, commit_id, f"dv-{commit_id}.parquet")
+    pieces = []
+    if touched:
+        tdf = spark.read.schema(schema).parquet(
+            *[os.path.join(table, e["path"]) for e in touched]
+        )
+        pieces.append(
+            _with_position(tdf)
+            .filter(pred)
+            .select(
+                F.col("__file__").alias("file"),
+                F.col("__pos__").alias("pos"),
+            )
+        )
+    if _live_dv(manifest):
+        pieces.append(_dv_rows(spark, table, manifest))
+    if not pieces:
+        dv_payload = None
+        n_dv = 0
+    else:
+        from functools import reduce as _reduce
+
+        merged = _reduce(DataFrame.unionByName, pieces).dropDuplicates(
+            ["file", "pos"]
+        )
+        rows = merged.collect()  # delete-sized by contract
+        n_dv = len(rows)
+        if n_dv:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            abs_dv = os.path.join(table, new_dv_rel)
+            os.makedirs(os.path.dirname(abs_dv), exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "file": [r.file for r in rows],
+                        "pos": [r.pos for r in rows],
+                    }
+                ),
+                abs_dv,
+            )
+        dv_payload = {"path": new_dv_rel, "rows": n_dv} if n_dv else None
+
+    head = latest_version(table)
+    if head != parent:
+        raise CommitConflict(
+            f"snapshot advanced {parent}->{head} during delete_mor"
+        )
+    version = parent + 1
+    payload = {
+        "snapshot": version,
+        "parent": parent,
+        "mode": "delete_mor",
+        "schema": manifest["schema"],
+        "files": entries,
+        "commit_id": commit_id,
+        "stream_batch_high": _stream_high(manifest),
+    }
+    if dv_payload:
+        payload["dv"] = dv_payload
+    if not _atomic_create(_manifest_path(table, version), payload):
+        raise CommitConflict(f"lost the commit race on {table!r}")
+    return version
+
+
+def compact_dv(spark: SparkSession, table: str) -> int | None:
+    """Materialize the live deletion vector: rewrite ONLY the files
+    that have dv'd rows (survivor anti-join), carry the rest by
+    reference, and commit with the DV cleared — after which the
+    rewrite-style ops (merge/optimize/cluster/COW delete) are legal
+    again. Returns the new version, or None when no DV is live."""
+    parent = latest_version(table)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, parent)
+    if not _live_dv(manifest):
+        return None
+    schema = StructType.fromJson(manifest["schema"])
+    dv = _dv_rows(spark, table, manifest)
+    dv_files = {r.file for r in dv.select("file").distinct().collect()}
+    touched = [e for e in manifest["files"] if e["path"] in dv_files]
+    untouched = [e for e in manifest["files"] if e["path"] not in dv_files]
+    new_files: list[dict[str, Any]] = []
+    commit_id = uuid.uuid4().hex[:16]
+    if touched:
+        tdf = spark.read.schema(schema).parquet(
+            *[os.path.join(table, e["path"]) for e in touched]
+        )
+        survivors = (
+            _with_position(tdf)
+            .join(
+                dv.withColumnsRenamed({"file": "__file__", "pos": "__pos__"}),
+                ["__file__", "__pos__"],
+                "left_anti",
+            )
+            .drop("__file__", "__pos__")
+        )
+        commit_id, new_files = _write_data_files(
+            survivors, table, [f.name for f in schema.fields]
+        )
+    return _commit_rewrite(
+        table, parent, manifest, "compact_dv", untouched + new_files, commit_id
+    )

@@ -510,3 +510,85 @@ def test_catalog_pins_consistent_cross_table_view(spark, tmp_path):
     # explicit-version pin of a missing version fails loudly
     with pytest.raises(FileNotFoundError):
         V.catalog_commit(cat, {"facts": (facts, 99)})
+
+
+def test_delete_mor_reads_and_cost_shape(spark, table):
+    base = spark.range(0, 1000).select(F.col("id").alias("k"))
+    V.commit_snapshot(
+        base.repartitionByRange(8, "k"), table, mode="overwrite"
+    )
+    v = V.delete_where_mor(
+        spark, table, F.col("k") % 100 == 0, prune=None
+    )
+    assert v == 1
+    m = V.read_manifest(table, 1)
+    # ZERO data files rewritten — only the dv side file
+    assert {e["path"] for e in m["files"]} == {
+        e["path"] for e in V.read_manifest(table, 0)["files"]
+    }
+    assert m["dv"]["rows"] == 10
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 990
+    assert got.filter(F.col("k") % 100 == 0).count() == 0
+    # time travel to v0 ignores the dv
+    assert V.read_snapshot(spark, table, version=0).count() == 1000
+
+
+def test_delete_mor_accumulates_and_appends_carry(spark, table):
+    V.commit_snapshot(_df(spark, 0, 100, "a"), table, mode="overwrite")
+    V.delete_where_mor(spark, table, F.col("k") < 10)
+    V.delete_where_mor(spark, table, F.col("k") >= 90)
+    assert V.read_snapshot(spark, table).count() == 80
+    # append keeps the dv alive (it targets the old files only)
+    V.commit_snapshot(_df(spark, 100, 110, "b"), table, mode="append")
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 90
+    assert got.filter(F.col("k") < 10).count() == 0
+
+
+def test_rewrites_refuse_on_live_dv_until_compact(spark, table):
+    V.commit_snapshot(
+        spark.range(0, 200)
+        .select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        .repartitionByRange(4, "k"),
+        table,
+        mode="overwrite",
+    )
+    V.delete_where_mor(spark, table, F.col("k") == 7)
+    src = spark.createDataFrame([(1, "y")], "k LONG, tag STRING")
+    with pytest.raises(ValueError, match="compact_dv"):
+        V.merge_upsert(spark, table, src, key="k")
+    with pytest.raises(ValueError, match="compact_dv"):
+        V.optimize_snapshot(spark, table)
+    v = V.compact_dv(spark, table)
+    assert v is not None
+    assert "dv" not in V.read_manifest(table, v)
+    assert V.read_snapshot(spark, table).count() == 199
+    # only the file holding k=7 was rewritten
+    carried = {
+        e["path"] for e in V.read_manifest(table, 1)["files"]
+    } & {e["path"] for e in V.read_manifest(table, v)["files"]}
+    assert len(carried) == 3
+    # and rewrites are legal again
+    V.merge_upsert(spark, table, src, key="k")
+    assert V.read_snapshot(spark, table).count() == 199
+    # nothing to compact now
+    assert V.compact_dv(spark, table) is None
+
+
+def test_cdc_across_dv_and_compact(spark, table):
+    V.commit_snapshot(
+        spark.range(0, 50).select(F.col("id").alias("k")), table,
+        mode="overwrite",
+    )
+    V.delete_where_mor(spark, table, F.col("k") >= 45)  # v1
+    ch = V.table_changes(spark, table, 0, 1).collect()
+    assert sorted(r.k for r in ch) == [45, 46, 47, 48, 49]
+    assert all(r._change_type == "delete" for r in ch)
+    V.compact_dv(spark, table)  # v2
+    # logical delta across the compaction is EMPTY
+    assert V.table_changes(spark, table, 1, 2).count() == 0
+    # and the span 0 -> 2 still reports exactly the five deletes
+    span = V.table_changes(spark, table, 0, 2).collect()
+    assert sorted(r.k for r in span) == [45, 46, 47, 48, 49]
+    assert all(r._change_type == "delete" for r in span)

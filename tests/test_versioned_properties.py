@@ -35,6 +35,8 @@ _op = st.one_of(
         st.lists(st.integers(0, 19), min_size=1, max_size=4),
     ),
     st.tuples(st.just("delete"), st.integers(0, 19)),
+    st.tuples(st.just("delete_mor"), st.integers(0, 19)),
+    st.tuples(st.just("compact_dv"), st.none()),
     st.tuples(st.just("optimize"), st.none()),
     st.tuples(st.just("cluster"), st.none()),
 )
@@ -42,6 +44,11 @@ _op = st.one_of(
 
 def _snap(model: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return sorted(model)
+
+
+def _dv_live(table: str) -> bool:
+    v = V.latest_version(table)
+    return v is not None and bool(V.read_manifest(table, v).get("dv"))
 
 
 @settings(
@@ -74,6 +81,9 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
         elif kind == "merge":
             if V.latest_version(table) is None:
                 continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
             df, rows = mk(payload)
             # model MERGE: drop matched keys, add all source rows
             # (source may carry duplicate keys; dedupe keep-last to
@@ -87,6 +97,11 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
         elif kind == "delete":
             if V.latest_version(table) is None:
                 continue
+            if _dv_live(table):
+                # rewrite ops refuse on a live DV by contract;
+                # materialize first (its own version, model unchanged)
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
             V.delete_where(
                 spark,
                 table,
@@ -94,14 +109,30 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
                 prune=[("k", ">=", payload)],
             )
             model = [r for r in model if r[0] < payload]
+        elif kind == "delete_mor":
+            if V.latest_version(table) is None:
+                continue
+            V.delete_where_mor(spark, table, F.col("k") >= payload)
+            model = [r for r in model if r[0] < payload]
+        elif kind == "compact_dv":
+            if V.latest_version(table) is None:
+                continue
+            if V.compact_dv(spark, table) is None:
+                continue  # no live DV: no version created
         elif kind == "optimize":
             if V.latest_version(table) is None:
                 continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
             if V.optimize_snapshot(spark, table) is None:
                 continue  # nothing to compact: no version was created
         elif kind == "cluster":
             if V.latest_version(table) is None:
                 continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
             V.cluster_snapshot(
                 spark, table, zorder=[("k", 0, 20)], target_bytes=1 << 20
             )
