@@ -395,6 +395,7 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
     v = latest_version(table)
     for version in range((v + 1) if v is not None else 0):
         m = read_manifest(table, version)
+        dv_rows = (m.get("dv") or {}).get("rows", 0)
         rows.append(
             (
                 m["snapshot"],
@@ -403,12 +404,14 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
                 len(m["files"]),
                 sum(e["rows"] for e in m["files"]),
                 sum(e["bytes"] for e in m["files"]),
+                dv_rows,
             )
         )
+    # n_rows is PHYSICAL; logical = n_rows - dv_rows (live DV deletes)
     return spark.createDataFrame(
         rows,
         "snapshot INT, parent INT, mode STRING, n_files INT, "
-        "n_rows BIGINT, n_bytes BIGINT",
+        "n_rows BIGINT, n_bytes BIGINT, dv_rows BIGINT",
     )
 
 
