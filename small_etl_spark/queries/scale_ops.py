@@ -1323,3 +1323,47 @@ def q_stream_versioned_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"vcdc_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(stream, sink, output_mode="append")
     return spark.table(sink)
+
+
+@register(
+    "versioned_dv_delete",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS zero_rewrite
+    FROM documents WHERE doc_id % 7 <> 0
+    """,
+)
+def q_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors
+    (sinks/versioned.py::delete_where_mor): every 7th doc is deleted
+    by recording its ROW POSITION in a delete-sized side file — the
+    `zero_rewrite` column asserts in-band that the commit's data-file
+    set is byte-identical to the parent's (nothing rewritten), and
+    the aggregates prove the position anti-join on Spark's hidden
+    _metadata file/row-index columns removes exactly the matched
+    rows. At 100 TB this is the path for frequent scattered deletes
+    (GDPR erasure, label fixes): cost tracks matched rows, not
+    touched gigabytes; compact_dv amortizes the rewrite when the DV
+    grows. Oracle recomputes the surviving aggregates directly."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "dv")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    V.delete_where_mor(spark, path, F.col("doc_id") % 7 == 0)
+    same_files = {
+        e["path"] for e in V.read_manifest(path, 0)["files"]
+    } == {e["path"] for e in V.read_manifest(path, 1)["files"]}
+    return V.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(same_files).alias("zero_rewrite"),
+    )
