@@ -27,14 +27,17 @@ Layout::
   manifest alone — O(1) metadata reads instead of an O(files) directory
   walk, and a reader pinned to version N is immune to concurrent
   commits (snapshot isolation).
-- **Per-file min/max/null-count stats** are harvested driver-side from
-  the parquet FOOTERS via pyarrow (metadata-only — no second data
-  scan), and ``read_snapshot(where=...)`` prunes files whose range
-  cannot satisfy the predicate before Spark ever opens them. With
-  range-clustered commits (``repartitionByRange`` upstream, or the
-  Z-order writer in operators/layout.py) this is the manifest-level
-  half of partition pruning. At 100 TB the footer harvest itself would
-  be a distributed job; the manifest format is unchanged.
+- **Per-file min/max/null-count stats** are harvested from the parquet
+  FOOTERS via pyarrow (metadata-only — no second data scan), and
+  ``read_snapshot(where=...)`` prunes files whose range cannot satisfy
+  the predicate before Spark ever opens them. With range-clustered
+  commits (``repartitionByRange`` upstream, or the Z-order writer in
+  operators/layout.py) this is the manifest-level half of partition
+  pruning. Small commits harvest with a driver loop (no job-launch
+  latency); commits past ``_DIST_FOOTER_THRESHOLD`` files run the
+  harvest as a mapInPandas job over the file list — at 100 TB a
+  10k-file commit reads footers at cluster parallelism, not serially.
+  Both paths emit byte-identical manifest entries.
 - **``vacuum``** deletes data directories referenced by no retained
   manifest — safe because manifests are immutable and data files are
   never shared across overwrite lineages (append manifests re-list
@@ -150,8 +153,170 @@ def _footer_stats(path: str, columns: list[str]) -> dict[str, Any]:
 
 
 
+# Commits above this many data files harvest footer stats with a Spark
+# job (one task per slice of files) instead of a driver loop. Below it,
+# the driver loop wins: no job-launch latency for the common small
+# commit. The cutover keeps the harvest O(files/parallelism) wall-clock
+# at 100 TB (a 10k-file commit = 10k footer reads, minutes serially).
+_DIST_FOOTER_THRESHOLD = 64
+
+
+def _harvest_footer_entries(
+    spark: SparkSession | None,
+    data_abs: str,
+    data_rel: str,
+    names: list[str],
+    columns: list[str],
+) -> list[dict[str, Any]]:
+    """Per-file manifest entries (footer stats + path), driver-side for
+    small commits, distributed via mapInPandas past the threshold. Both
+    paths produce identical entries in identical order."""
+    if spark is None or len(names) < _DIST_FOOTER_THRESHOLD:
+        entries = []
+        for name in names:
+            entry = _footer_stats(os.path.join(data_abs, name), columns)
+            entry["path"] = os.path.join(data_rel, name)
+            entries.append(entry)
+        return entries
+
+    cols = list(columns)
+
+    def _read_footers(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for name in pdf["name"]:
+                e = _footer_stats(os.path.join(data_abs, name), cols)
+                e["path"] = os.path.join(data_rel, name)
+                out.append(json.dumps(e))
+            yield pd.DataFrame({"entry": out})
+
+    files_df = spark.createDataFrame(
+        [(n,) for n in names], "name string"
+    ).repartition(min(len(names), 32))
+    rows = files_df.mapInPandas(_read_footers, "entry string").collect()
+    entries = [json.loads(r.entry) for r in rows]  # file-count bounded
+    entries.sort(key=lambda e: e["path"])
+    return entries
+
+
+# --- per-file bloom filters: equality data skipping -----------------------
+#
+# min/max footer stats prune RANGE predicates, but an equality lookup
+# on a high-cardinality column that is NOT range-clustered (doc_id in a
+# hash-partitioned table) overlaps every file's [min,max] — zero
+# pruning. The standard fix (public design: the Parquet bloom-filter
+# spec, Delta/Iceberg bloom indexes) is a per-file Bloom filter on the
+# lookup column: ~10 bits/row buys a ~1% false-positive rate, so a
+# point lookup (GDPR erasure, id debugging) opens ~1% of files instead
+# of all of them. Build cost is one columnar read of the bloomed
+# columns at commit time; the filter rides in the manifest entry and
+# carries by reference through appends/merges like any other stat.
+# Values are keyed by ``str(value)`` — look up with the same type you
+# wrote (bigint 42 and string "42" collide on purpose: conservative).
+
+_BLOOM_K = 7  # hash probes per value; with 10 bits/row → fpp ≈ 1%
+
+
+def _bloom_nbits(rows: int) -> int:
+    # next power of two ≥ 10 bits/row, floor 8192 (1 KB per file)
+    target = max(8192, rows * 10)
+    return 1 << (target - 1).bit_length()
+
+
+def _bloom_positions(value: Any, nbits: int) -> list[int]:
+    import hashlib
+
+    key = str(value).encode()
+    out = []
+    for i in range(_BLOOM_K):
+        h = hashlib.sha256(key + bytes([i])).digest()
+        out.append(int.from_bytes(h[:8], "big") % nbits)
+    return out
+
+
+def _build_bloom(values, nbits: int) -> bytes:
+    buf = bytearray(nbits // 8)
+    for v in values:
+        if v is None:
+            continue
+        for p in _bloom_positions(v, nbits):
+            buf[p // 8] |= 1 << (p % 8)
+    return bytes(buf)
+
+
+def _bloom_may_contain(bloom: dict[str, Any], value: Any) -> bool:
+    import base64
+
+    buf = base64.b64decode(bloom["b64"])
+    nbits = int(bloom["bits"])
+    return all(
+        buf[p // 8] & (1 << (p % 8)) for p in _bloom_positions(value, nbits)
+    )
+
+
+def _bloom_entry_for_file(path: str, columns: list[str]) -> dict[str, Any]:
+    """Per-file blooms from a columnar read of ONLY the bloomed
+    columns (pyarrow; the data pages for other columns stay cold)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    present = [c for c in columns if c in pf.schema_arrow.names]
+    if not present:
+        return {}
+    tbl = pf.read(columns=present)
+    nbits = _bloom_nbits(tbl.num_rows)
+    out = {}
+    for c in present:
+        bloom = _build_bloom(tbl.column(c).to_pylist(), nbits)
+        out[c] = {"bits": nbits, "b64": base64.b64encode(bloom).decode()}
+    return out
+
+
+def _harvest_bloom_entries(
+    spark: SparkSession | None,
+    data_abs: str,
+    names: list[str],
+    columns: list[str],
+) -> list[dict[str, Any]]:
+    """Per-file bloom maps aligned to ``names`` order; distributed past
+    the same threshold as the footer harvest."""
+    if spark is None or len(names) < _DIST_FOOTER_THRESHOLD:
+        return [
+            _bloom_entry_for_file(os.path.join(data_abs, n), columns)
+            for n in names
+        ]
+
+    cols = list(columns)
+
+    def _read_blooms(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for name in pdf["name"]:
+                e = _bloom_entry_for_file(
+                    os.path.join(data_abs, name), cols
+                )
+                out.append(json.dumps({"name": name, "blooms": e}))
+            yield pd.DataFrame({"entry": out})
+
+    files_df = spark.createDataFrame(
+        [(n,) for n in names], "name string"
+    ).repartition(min(len(names), 32))
+    rows = files_df.mapInPandas(_read_blooms, "entry string").collect()
+    by_name = {d["name"]: d["blooms"] for d in (json.loads(r.entry) for r in rows)}
+    return [by_name[n] for n in names]
+
+
 def _write_data_files(
-    df: DataFrame, table: str, columns: list[str]
+    df: DataFrame,
+    table: str,
+    columns: list[str],
+    bloom_columns: list[str] | None = None,
 ) -> tuple[str, list[dict[str, Any]]]:
     """Write ``df`` into a fresh UUID data dir and harvest per-file
     footer stats — the shared first half of every commit path.
@@ -160,12 +325,19 @@ def _write_data_files(
     data_rel = os.path.join(_DATA_DIR, commit_id)
     data_abs = os.path.join(table, data_rel)
     df.write.mode("error").parquet(data_abs)
-    entries = []
-    for name in sorted(os.listdir(data_abs)):
-        if name.endswith(".parquet"):
-            entry = _footer_stats(os.path.join(data_abs, name), columns)
-            entry["path"] = os.path.join(data_rel, name)
-            entries.append(entry)
+    names = sorted(
+        n for n in os.listdir(data_abs) if n.endswith(".parquet")
+    )
+    entries = _harvest_footer_entries(
+        df.sparkSession, data_abs, data_rel, names, columns
+    )
+    if bloom_columns:
+        blooms = _harvest_bloom_entries(
+            df.sparkSession, data_abs, names, bloom_columns
+        )
+        for entry, bl in zip(entries, blooms):
+            if bl:
+                entry["bloom"] = bl
     return commit_id, entries
 
 
@@ -210,6 +382,7 @@ def commit_snapshot(
     max_retries: int = 10,
     merge_schema: bool = False,
     extra: dict[str, Any] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot of ``table``; returns the version.
 
@@ -218,6 +391,11 @@ def commit_snapshot(
     for time travel until ``vacuum``). Data is written ONCE to a fresh
     UUID directory; only the manifest creation races, and a lost race
     costs a metadata retry, never a data rewrite.
+
+    ``bloom_columns`` builds a per-file Bloom filter on each listed
+    column (one columnar read at commit time) so EQUALITY lookups
+    prune files even when the column is not range-clustered — see the
+    bloom section above for the design and cost model.
 
     Appends are schema-ENFORCED against the parent manifest: identical
     field names and types required, or — with ``merge_schema=True`` —
@@ -231,7 +409,7 @@ def commit_snapshot(
         raise ValueError(f"unknown commit mode: {mode!r}")
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     cols = stats_columns if stats_columns is not None else df.columns
-    commit_id, new_files = _write_data_files(df, table, cols)
+    commit_id, new_files = _write_data_files(df, table, cols, bloom_columns)
 
     for _ in range(max_retries):
         parent = latest_version(table)
@@ -309,8 +487,14 @@ _OPS = ("=", "<", "<=", ">", ">=")
 
 
 def _file_may_match(entry: dict[str, Any], pred: Predicate) -> bool:
-    """Conservative range check: False only when NO row can satisfy."""
+    """Conservative range check: False only when NO row can satisfy.
+    Equality predicates additionally consult the file's Bloom filter
+    when one was built at commit time (``bloom_columns``)."""
     col, op, val = pred
+    if op == "=":
+        bloom = entry.get("bloom", {}).get(col)
+        if bloom is not None and not _bloom_may_contain(bloom, val):
+            return False
     st = entry.get("stats", {}).get(col)
     if st is None:  # no stats harvested -> cannot prune
         return True
@@ -1065,6 +1249,27 @@ def read_catalog(
 #   a DV is live (a silent rewrite would resurrect dv-deleted rows);
 #   compact_dv materializes the survivors and clears the DV;
 # - CDC across a dv-delete commit emits the dv-delta rows as deletes.
+#
+# Which delete when (measured, bench.py::run_delete_crossover; per-
+# round numbers land in BENCH_SELF.json["delete_crossover"]):
+# - COW cost is O(touched file BYTES) and flat in the matched
+#   fraction: ~0.2-0.3 s at sf0.1 whether 0.1%, 14% or 50% match, at
+#   1×, 10× and with an 8 KB/row payload (40 MB table) alike — local
+#   NVMe rewrites MBs faster than any job can round-trip.
+# - MoR cost is O(matched ROWS) plus a fixed two-job overhead
+#   (position filter + distributed DV write): 0.33-0.56 s across the
+#   same grid, growing with matched rows, and its scan column-prunes
+#   to the predicate column (the fat-payload variant narrows the gap
+#   0.27 vs 0.33 precisely because MoR never reads payload bytes).
+# - Consequence: at every locally measurable scale COW wins outright —
+#   the honest local answer. MoR's regime starts where rewrite
+#   BANDWIDTH dominates job overhead: GB-scale files on object
+#   storage with scattered sub-percent deletes (GDPR erasure on a
+#   100 TB table: ~10⁸ DV rows ≈ a few GB written distributed, vs
+#   re-writing every touched file's gigabytes at S3 throughput, with
+#   S3 PUT/LIST amplification on top). Rule of thumb: MoR for matched
+#   fraction ≲ 1% on ≳ 100 MB files in object storage, COW (or MoR +
+#   prompt compact_dv) everywhere else.
 
 
 _DV_REL_RE = r"(data/[^/]+/[^/]+\.parquet)$"
@@ -1108,9 +1313,10 @@ def delete_where_mor(
 ) -> int:
     """Merge-on-read DELETE: append the matching rows' positions to the
     deletion vector instead of rewriting any data file. Returns the new
-    version. The commit writes one delete-sized DV parquet; data files
-    are untouched, so cost tracks the MATCHED rows however many
-    gigabytes the touched files hold."""
+    version. The DV is written as a distributed parquet job (no driver
+    collect — positions stream executor-to-disk); data files are
+    untouched, so cost tracks the MATCHED rows however many gigabytes
+    the touched files hold."""
     parent = latest_version(table)
     if parent is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
@@ -1149,26 +1355,29 @@ def delete_where_mor(
     else:
         from functools import reduce as _reduce
 
+        from pyspark.sql import Observation
+
         merged = _reduce(DataFrame.unionByName, pieces).dropDuplicates(
             ["file", "pos"]
         )
-        rows = merged.collect()  # delete-sized by contract
-        n_dv = len(rows)
-        if n_dv:
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            abs_dv = os.path.join(table, new_dv_rel)
-            os.makedirs(os.path.dirname(abs_dv), exist_ok=True)
-            pq.write_table(
-                pa.table(
-                    {
-                        "file": [r.file for r in rows],
-                        "pos": [r.pos for r in rows],
-                    }
-                ),
-                abs_dv,
-            )
+        # Distributed DV write: the vector is written by the executors as
+        # ordinary parquet (never collected to the driver — at 100 TB a
+        # 0.1%-selectivity predicate is ~1e8 positions, far past driver
+        # memory). Repartition by file so each data file's positions land
+        # together; sort within for locality when the scan-side anti-join
+        # probes it. Row count comes from the write job's observed metric.
+        obs = Observation()
+        abs_dv = os.path.join(table, new_dv_rel)
+        (
+            merged.repartition("file")
+            .sortWithinPartitions("file", "pos")
+            .observe(obs, F.count(F.lit(1)).alias("n_dv"))
+            .write.mode("overwrite")
+            .parquet(abs_dv)
+        )
+        n_dv = obs.get["n_dv"]
+        if not n_dv:
+            shutil.rmtree(abs_dv, ignore_errors=True)
         dv_payload = {"path": new_dv_rel, "rows": n_dv} if n_dv else None
 
     head = latest_version(table)

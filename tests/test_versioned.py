@@ -592,3 +592,126 @@ def test_cdc_across_dv_and_compact(spark, table):
     span = V.table_changes(spark, table, 0, 2).collect()
     assert sorted(r.k for r in span) == [45, 46, 47, 48, 49]
     assert all(r._change_type == "delete" for r in span)
+
+
+def test_delete_mor_dv_path_never_collects():
+    """The deletion-vector write must stay distributed: at 100 TB a
+    0.1%-selectivity predicate yields ~1e8 (file, pos) rows, which a
+    driver collect cannot hold. Pin it at the source level — no
+    ``.collect(`` call anywhere in ``delete_where_mor``."""
+    import ast
+    import inspect
+    import textwrap
+
+    src = textwrap.dedent(inspect.getsource(V.delete_where_mor))
+    calls = [
+        node.func.attr
+        for node in ast.walk(ast.parse(src))
+        if isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+    ]
+    assert "collect" not in calls, (
+        "delete_where_mor must write the DV with a distributed job, "
+        "never a driver collect"
+    )
+    assert "toPandas" not in calls and "toLocalIterator" not in calls
+
+
+def test_delete_mor_dv_written_by_spark_job(spark, table):
+    """The DV lands as Spark-written parquet (a directory of part
+    files produced by the executors), not a driver-side single file."""
+    base = spark.range(0, 1000).select(F.col("id").alias("k"))
+    V.commit_snapshot(
+        base.repartitionByRange(8, "k"), table, mode="overwrite"
+    )
+    V.delete_where_mor(spark, table, F.col("k") < 100)
+    m = V.read_manifest(table, 1)
+    abs_dv = os.path.join(table, m["dv"]["path"])
+    assert os.path.isdir(abs_dv), "DV must be a Spark-written directory"
+    parts = [f for f in os.listdir(abs_dv) if f.startswith("part-")]
+    assert parts, "no executor-written part files in the DV dir"
+    assert m["dv"]["rows"] == 100
+    assert V.read_snapshot(spark, table).count() == 900
+
+
+def test_footer_harvest_distributed_matches_driver(spark, table, monkeypatch):
+    """Above the file-count threshold the footer harvest runs as a
+    mapInPandas job; it must emit byte-identical manifest entries to
+    the driver loop (same stats, same order)."""
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(8, "k")
+    monkeypatch.setattr(V, "_DIST_FOOTER_THRESHOLD", 4)
+    V.commit_snapshot(df, table, mode="overwrite")
+    dist_entries = V.read_manifest(table, 0)["files"]
+    # re-harvest the same files with the driver loop and compare
+    data_rel = os.path.dirname(dist_entries[0]["path"])
+    data_abs = os.path.join(table, data_rel)
+    names = sorted(
+        n for n in os.listdir(data_abs) if n.endswith(".parquet")
+    )
+    driver_entries = V._harvest_footer_entries(
+        None, data_abs, data_rel, names, ["k", "v"]
+    )
+    assert json.dumps(dist_entries, sort_keys=True) == json.dumps(
+        driver_entries, sort_keys=True
+    )
+    # and the stats still drive pruning
+    pruned = V.read_snapshot(
+        spark, table, where=[("k", "<", 50)]
+    )
+    assert pruned.count() == 50
+
+
+def test_bloom_equality_pruning(spark, table):
+    """Hash-partitioned layout: min/max overlap on every file, so only
+    the per-file bloom can prune a point lookup — and it must never
+    produce a false NEGATIVE (every present id still found)."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    V.commit_snapshot(
+        df.repartition(8, "k"), table, mode="overwrite",
+        bloom_columns=["k"],
+    )
+    m = V.read_manifest(table, 0)
+    assert all("bloom" in e and "k" in e["bloom"] for e in m["files"])
+    # range stats alone prune nothing in this layout
+    ranges = [(e["stats"]["k"]["min"], e["stats"]["k"]["max"])
+              for e in m["files"]]
+    assert all(lo < 100 and hi > 1900 for lo, hi in ranges)
+    kept, total = V.plan_files(table, where=[("k", "=", 777)])
+    assert total == 8 and len(kept) < total
+    got = V.read_snapshot(spark, table, where=[("k", "=", 777)]).filter(
+        F.col("k") == 777
+    )
+    assert [(r.k, r.v) for r in got.collect()] == [(777, 2331)]
+    # no false negatives across a sample of present keys
+    for k in range(0, 2000, 97):
+        kept, _ = V.plan_files(table, where=[("k", "=", k)])
+        assert kept, f"bloom false-negative for k={k}"
+    # absent key: bloom prunes everything (w.h.p.) or nearly so
+    kept, _ = V.plan_files(table, where=[("k", "=", 999999)])
+    assert len(kept) <= 1
+
+
+def test_bloom_carries_through_append(spark, table):
+    V.commit_snapshot(
+        spark.range(0, 100).select(F.col("id").alias("k")),
+        table, mode="overwrite", bloom_columns=["k"],
+    )
+    # append WITHOUT blooms: new files lack them and must stay
+    # conservative (never pruned by equality), old files keep theirs
+    V.commit_snapshot(
+        spark.range(100, 200).select(F.col("id").alias("k")),
+        table, mode="append",
+    )
+    m = V.read_manifest(table, 1)
+    with_bloom = [e for e in m["files"] if "bloom" in e]
+    without = [e for e in m["files"] if "bloom" not in e]
+    assert with_bloom and without
+    # id 150 lives in a no-bloom file: present and found
+    got = V.read_snapshot(spark, table, where=[("k", "=", 150)]).filter(
+        F.col("k") == 150
+    )
+    assert got.count() == 1
