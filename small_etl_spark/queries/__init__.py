@@ -76,8 +76,14 @@ _GATED = [
     "percentiles",
     "semi_anti_join",
     "clean_text",
-    "normalize_fields",
-    "remove_html_tags",
+    # normalize_fields / remove_html_tags left the window round 7
+    # (clean_text carries the text-function family; both stay
+    # registered + locally swept) for round-6 flagships:
+    # versioned_merge_upsert (COW merge), minhash_lsh_probe_md5
+    # (persisted-index delta probe), domain_token_budget_cap
+    # (admission control) — VERDICT r6 item 3.
+    "versioned_merge_upsert",
+    "minhash_lsh_probe_md5",
     "q1_pricing_summary",
     # groupby_agg / window_functions were swapped out for the two
     # remaining dedup-family oracles (both stay registered + locally
@@ -103,7 +109,9 @@ _GATED = [
     "tfidf_top_terms",
     "gopher_quality",
     "lang_id",
-    "quality_score",
+    # quality_score left the window round 7 (gopher_quality carries
+    # the quality-scoring family) for domain_token_budget_cap.
+    "domain_token_budget_cap",
     "sequence_two_stage",
     "ngram_jaccard_pairs",
     "near_dup_components",

@@ -28,9 +28,14 @@ MUST_BE_GATED = [
     "fingerprint",
     "exact_dedup_docs",
     "lang_id",
-    "quality_score",
+    # quality_score/normalize_fields/remove_html_tags left round 7 for
+    # the round-6 flagships (VERDICT r6 item 3); gopher_quality and
+    # clean_text carry those families in the window.
     "gopher_quality",
     "token_count",
+    "versioned_merge_upsert",
+    "minhash_lsh_probe_md5",
+    "domain_token_budget_cap",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics
