@@ -202,6 +202,15 @@ def ivf_assign(
     Returns ``(assigned, centroids)``: ``assigned`` = corpus +
     ``cell`` column; ``centroids`` = (cell, centroid vector).
 
+    Seeds are the ``num_centroids`` rows with the SMALLEST
+    ``md5(id || ':' || seed)`` — a hash-uniform sample under a total
+    order, so seed choice is engine-portable (the DuckDB oracles
+    replay it verbatim) and independent of partition layout. The
+    previous xxhash64-filter + order-free ``limit`` was only
+    deterministic under a fixed partitioning — a repartitioned rerun
+    could pick different seeds. Bottom-k by hash is a
+    TakeOrderedAndProject (no full sort) at any corpus size.
+
     Assignment is the vectorized Arrow kernel
     (``_assign_cells_vectorized``) — a single map pass at any scale,
     no iterative k-means (good-enough cells for pruning; swap in
@@ -212,16 +221,18 @@ def ivf_assign(
     from small_etl_spark.llm.util import ensure_parallelism
 
     corpus = corpus.filter(F.col(vec_col).isNotNull())  # nulls can't seed or score
-    n = corpus.count()
-    stride = max(n // num_centroids, 1)
     corpus = ensure_parallelism(corpus)
     cents = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), stride) == 0)
-        .limit(num_centroids)
-        .select(
+        corpus.select(
             F.col(id_col).alias("cell"),
             F.col(vec_col).cast("array<double>").alias("__cent__"),
+            F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+            ).alias("__seedkey__"),
         )
+        .orderBy("__seedkey__")
+        .limit(num_centroids)
+        .drop("__seedkey__")
     )
     return _assign_cells_vectorized(corpus, cents, id_col, vec_col), cents
 

@@ -390,18 +390,66 @@ def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_ann_topk", None)
+@register(
+    "ivf_ann_topk",
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+      SELECT vec_id AS cell, v AS cent FROM corpus
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 32
+    ), assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, s.cent) DESC,
+                          s.cell DESC) AS rn
+        FROM corpus c CROSS JOIN seeds s) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 8
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, s.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, s.cent) DESC,
+                          s.cell ASC) AS pr
+        FROM q CROSS JOIN seeds s) WHERE pr <= 8
+    ), scored AS (
+      SELECT p.query_id, a.vec_id,
+             list_cosine_similarity(p.qv, a.v) AS cos
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.query_id <> a.vec_id
+    ), r AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM r WHERE rn <= 10
+    """,
+)
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10 (llm.similarity.ivf_topk): 32
     centroid cells, probe 8 — the 100 TB ANN path (reads ~nprobe/C of
-    the corpus when stored partitioned by cell). Approximate by
-    construction → rows-only; recall pinned in tests and in the
-    oracled contract twin ``ivf_recall_contract``."""
+    the corpus when stored partitioned by cell). Approximate but
+    hash-deterministic: the oracle replays the md5 bottom-k seed
+    pick, nearest-centroid assignment, per-query probe ranking and
+    windowed top-k verbatim, so the exact hit-set is value-checked
+    (VERDICT r6 item 5); the recall contract lives in
+    ``ivf_recall_contract``."""
     from small_etl_spark.llm.similarity import ivf_assign, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, cents = ivf_assign(emb, num_centroids=32)
-    return ivf_topk(assigned, cents, emb.filter(F.col("vec_id") < 8), k=10, nprobe=8)
+    out = ivf_topk(
+        assigned, cents, emb.filter(F.col("vec_id") < 8), k=10, nprobe=8
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 @register(
