@@ -30,7 +30,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -102,13 +107,16 @@ class HttpJsonReader(DataSourceReader):
             yield tuple(rec.get(name) for name in self.schema_fields)
 
 
-class HttpJsonStreamReader:
+class HttpJsonStreamReader(SimpleDataSourceStreamReader):
     """Poll-based micro-batch stream: each batch fetches every URL once
     (offset = poll counter). At-least-once on replay — an HTTP
     endpoint cannot be re-read at a past offset, so
     ``readBetweenOffsets`` re-fetches (document the semantic; for
     exactly-once land the fetches in files and stream those).
-    Implements the Spark 4 SimpleDataSourceStreamReader protocol.
+    Subclasses the Spark 4 SimpleDataSourceStreamReader so the
+    protocol's optional hooks (``commit`` — called on checkpoint
+    recovery and cache eviction) inherit their defaults instead of
+    failing the query at the first restart.
     """
 
     def __init__(self, schema: StructType, options: dict):

@@ -846,6 +846,41 @@ def test_http_json_stream_reader(spark, mock_server, tmp_path):
     assert rows == [1, 2, 3]
 
 
+def test_http_json_stream_two_microbatches(spark, mock_server, tmp_path):
+    """Two successive drains against one checkpoint advance the poll
+    offset twice — the stream really is a sequence of micro-batches
+    (poll 0→1, then 1→2), each fetching the endpoint once."""
+    from small_etl_spark.sources.http_datasource import HttpJsonDataSource
+
+    spark.dataSource.register(HttpJsonDataSource)
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out2")
+    for _ in range(2):
+        stream = (
+            spark.readStream.format("http_json")
+            .schema("id long, name string, value long")
+            .option("urls", f"{mock_server}/posts")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert rows == [1, 1, 2, 2, 3, 3]
+    # the checkpoint's committed offset reflects both polls
+    import json as _json
+    import os as _os
+
+    odir = _os.path.join(ckpt, "offsets")
+    batches = sorted(int(b) for b in _os.listdir(odir) if b.isdigit())
+    assert batches == [0, 1]
+
+
 def test_sequence_with_multi_url_source(spark, mock_server):
     seq = sequence_from_dict(
         {
