@@ -1367,3 +1367,52 @@ def q_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.lit(same_files).alias("zero_rewrite"),
     )
+
+
+@register(
+    "versioned_bloom_lookup",
+    """
+    WITH t AS (SELECT MAX(doc_id) AS target FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS bloom_pruned
+    FROM documents, t WHERE doc_id = target
+    """,
+)
+def q_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality data skipping via per-file Bloom filters
+    (sinks/versioned.py::commit_snapshot(bloom_columns=...)): the
+    corpus is committed HASH-partitioned on doc_id — every file's
+    [min,max] range spans the whole id space, so footer stats alone
+    prune NOTHING for a point lookup — then a single doc_id is read
+    back. The in-band `bloom_pruned` column asserts the manifest
+    planner opened strictly fewer files than the snapshot holds
+    (bloom negative ⇒ file skipped); the aggregates value-check that
+    skipping lost no rows. At 100 TB this is the GDPR-erasure /
+    id-debugging path: ~10 bits/row of manifest metadata turns a
+    full-table point lookup into a ~1%-of-files read."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "bloom")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    target = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartition(8, "doc_id"),  # hash layout: ranges all overlap
+        path,
+        mode="overwrite",
+        bloom_columns=["doc_id"],
+    )
+    kept, total = V.plan_files(path, where=[("doc_id", "=", target)])
+    pruned = len(kept) < total
+    return (
+        V.read_snapshot(spark, path, where=[("doc_id", "=", target)])
+        .filter(F.col("doc_id") == target)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.lit(pruned).alias("bloom_pruned"),
+        )
+    )
