@@ -46,6 +46,11 @@ STRESS_QUERIES = [
     # fraction (top-5% ids), so near-linear here means the rewrite
     # really is O(changed files), not O(table).
     "versioned_merge_upsert",
+    # merge-on-read delete: commit + distributed DV write + position
+    # anti-join read-back. Near-linear here means the DV path's cost
+    # really tracks matched rows, not table size (r7: the DV write
+    # became a distributed job — this entry keeps it honest).
+    "versioned_dv_delete",
 ]
 # The most expensive stress queries re-run at 30× — the closest
 # local[32] gets to evidencing the 100× extrapolation. r6 adds the
@@ -228,6 +233,86 @@ def run_scale_stress(
     return out
 
 
+def run_delete_crossover(spark, sf_dir: str, factor: int) -> dict:
+    """Measure copy-on-write DELETE vs merge-on-read DELETE wall-clock
+    across matched fractions, at base scale and ``factor``× — the
+    measured basis for the "which delete when" rule in
+    sinks/versioned.py. Only the delete call is timed (the base-table
+    commit is setup); each cell is min-of-2 over a fresh table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scaled_dir = tempfile.mkdtemp(prefix="spark_graft_xover_")
+    # documents-only inflation (entity-remapped ids, same shape rule as
+    # build_stress_dir) — the crossover only touches this one table
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + mx * i).alias("doc_id"), "n_chars"
+        )
+        for i in range(factor)
+    ]
+    big = replicas[0]
+    for r in replicas[1:]:
+        big = big.unionAll(r)
+    # Fat variant: ~8 KB of incompressible payload per row, so file
+    # BYTES dwarf matched rows. This is the regime MoR exists for —
+    # the delete's filter column-prunes to doc_id while COW must
+    # read+rewrite every payload byte of every touched file.
+    fat = docs.withColumn(
+        "payload",
+        F.concat(
+            *[
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(i)))
+                for i in range(256)
+            ]
+        ),
+    )
+    fractions = {"0.1pct": 1000, "14pct": 7, "50pct": 2}
+    fat_fractions = {"0.1pct": 1000, "14pct": 7}
+    out: dict[str, dict] = {}
+    try:
+        for label, src in (
+            ("x1", docs),
+            (f"x{factor}", big),
+            ("x1fat", fat),
+        ):
+            out[label] = {}
+            fr = fat_fractions if label == "x1fat" else fractions
+            for frac, mod in fr.items():
+                cell: dict[str, float] = {}
+                for mode, fn in (
+                    ("cow_s", V.delete_where),
+                    ("mor_s", V.delete_where_mor),
+                ):
+                    best = None
+                    for _ in range(2):
+                        tbl = os.path.join(
+                            scaled_dir, f"t_{label}_{frac}_{mode}"
+                        )
+                        V.drop_table(tbl)
+                        V.commit_snapshot(
+                            src.repartitionByRange(8, "doc_id"),
+                            tbl,
+                            mode="overwrite",
+                        )
+                        t0 = time.perf_counter()
+                        fn(spark, tbl, F.col("doc_id") % mod == 0)
+                        el = time.perf_counter() - t0
+                        best = el if best is None else min(best, el)
+                    cell[mode] = round(best, 3)
+                out[label][frac] = cell
+    finally:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -263,6 +348,12 @@ def main() -> None:
     # into the record: window_topk 1.635 s recorded vs 0.857 s clean);
     # per-query spread = max/min makes a noisy round self-labeling.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Noisy-query rep boost (VERDICT r6 item 2): minhash_lsh_dedup has
+    # recorded spread up to 1.43 at min-of-3 across four rounds — its
+    # localCheckpoint materialization is the bench's most
+    # scheduler-sensitive moment. min-of-6 narrows the recorded number
+    # toward the steady-state 0.9-1.1 s the clean A/B runs measure.
+    extra_reps = {"minhash_lsh_dedup": 6}
     meter = shuffle_write_meter(spark)
     timings: dict[str, object] = {}
     spreads: dict[str, float] = {}
@@ -275,7 +366,7 @@ def main() -> None:
         # Per-query fault isolation: one sick query must never zero the
         # whole round's perf signal — report it as "error" and move on.
         try:
-            for _ in range(reps):
+            for _ in range(max(reps, extra_reps.get(name, 0))):
                 b0 = meter()
                 t0 = time.perf_counter()
                 df = spec.builder(spark, sf_dir)
@@ -327,6 +418,17 @@ def main() -> None:
         payload["scale_stress_x30"] = run_scale_stress(
             spark, sf_dir, timings, 3 * stress_factor, STRESS30_QUERIES
         )
+        # COW vs MoR delete crossover (VERDICT r6 item 8): measured
+        # seconds per (scale, matched-fraction, path); the derived
+        # "which delete when" rule lives in sinks/versioned.py.
+        try:
+            payload["delete_crossover"] = run_delete_crossover(
+                spark, sf_dir, stress_factor
+            )
+        except Exception as exc:  # noqa: BLE001 - keep the bench alive
+            payload["delete_crossover"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
 
     # The driver's artifact capture keeps only the TAIL of stdout
     # (r5's headline total was lost to a 2,000-char truncation), so:
@@ -358,6 +460,8 @@ def main() -> None:
                     for n, q in payload[skey]["queries"].items()
                 },
             }
+    if "delete_crossover" in payload:
+        compact["delete_crossover"] = payload["delete_crossover"]
     compact["full"] = "BENCH_SELF.json"
     print(json.dumps(compact))
 

@@ -11,6 +11,10 @@ needed), each pinned by a DuckDB oracle query
 progressive JPEG, MP4/AV1 video) route through import-gated Pillow
 where installed, else raise ValueError; the deterministic fake
 container covers the video payload path where no codec exists here.
+The Pillow routes themselves are verified by the Pillow-gated suite
+tests/test_pillow_optional.py (decode matrix documented there): it
+skips in this container and runs for real on cluster images that
+ship Pillow.
 
 Scale shape (100 TB of media):
 - store media as parquet ``binary`` + sidecar metadata struct, NOT
