@@ -1416,3 +1416,52 @@ def q_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(pruned).alias("bloom_pruned"),
         )
     )
+
+
+@register(
+    "versioned_partition_prune",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE source = (SELECT MIN(source) FROM documents)
+    GROUP BY source
+    """,
+)
+def q_versioned_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned versioned table
+    (sinks/versioned.py::commit_snapshot(partition_by=...)): the
+    corpus is committed partitioned by ``source``, then one source is
+    read back with a partition-equality predicate. The manifest
+    planner must open ONLY that partition's files (asserted in-band:
+    the kept/total ratio via the n_docs value-check — if pruning
+    dropped a matching file the count would fall short, if it kept a
+    wrong file the residual filter catches it), and the partition
+    column itself is reconstructed from the PATH (hive layout writes
+    it in directory names, not data pages). At 100 TB this is the
+    first-order scan reducer: a per-domain/per-day read touches its
+    partition and nothing else, before footer stats or blooms even
+    run."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "part")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    target = docs.agg(F.min("source")).first()[0]
+    V.commit_snapshot(
+        docs, path, mode="overwrite", partition_by=["source"]
+    )
+    kept, total = V.plan_files(path, where=[("source", "=", target)])
+    assert len(kept) < total, "partition pruning must drop files"
+    return (
+        V.read_snapshot(spark, path, where=[("source", "=", target)])
+        .filter(F.col("source") == target)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -27,6 +27,14 @@ Layout::
   manifest alone — O(1) metadata reads instead of an O(files) directory
   walk, and a reader pinned to version N is immune to concurrent
   commits (snapshot isolation).
+- **Hive-style partitioned commits** (``partition_by=...``): files
+  land under ``data/<uuid>/col=val/`` with typed partition values
+  recorded per manifest entry, so partition predicates prune EXACTLY
+  (before footer stats or blooms run); readers reconstruct the column
+  from the path (per-commit ``basePath`` scans, unioned), appends must
+  keep the parent's partitioning, and rewrite ops (merge/compact/
+  optimize) emit flat files that carry the column as data — the mixed
+  layout reads correctly because layout is inferred per file path.
 - **Per-file min/max/null-count stats** are harvested from the parquet
   FOOTERS via pyarrow (metadata-only — no second data scan), and
   ``read_snapshot(where=...)`` prunes files whose range cannot satisfy
@@ -312,25 +320,72 @@ def _harvest_bloom_entries(
     return [by_name[n] for n in names]
 
 
+def _parse_partition_values(
+    rel_name: str, schema: StructType
+) -> dict[str, Any]:
+    """Hive-style ``col=value`` path segments → typed values (the same
+    decoding Spark's partition discovery applies: %XX unescaping,
+    ``__HIVE_DEFAULT_PARTITION__`` → null)."""
+    from urllib.parse import unquote
+
+    out: dict[str, Any] = {}
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for seg in rel_name.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        col, raw = seg.split("=", 1)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[col] = None
+            continue
+        val: Any = unquote(raw)
+        t = types.get(col, "string")
+        try:
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                val = int(val)
+            elif t in ("double", "float"):
+                val = float(val)
+            elif t == "boolean":
+                val = val.lower() == "true"
+        except ValueError:
+            pass  # keep the string; pruning stays conservative
+        out[col] = val
+    return out
+
+
 def _write_data_files(
     df: DataFrame,
     table: str,
     columns: list[str],
     bloom_columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> tuple[str, list[dict[str, Any]]]:
     """Write ``df`` into a fresh UUID data dir and harvest per-file
     footer stats — the shared first half of every commit path.
-    Returns (commit_id, manifest file entries)."""
+    Returns (commit_id, manifest file entries).
+
+    With ``partition_by``, files land hive-style
+    (``data/<uuid>/col=val/part-*.parquet``); each entry additionally
+    records its typed ``partition`` values parsed from the path, so
+    the planner prunes on them EXACTLY (not just by range)."""
     commit_id = uuid.uuid4().hex[:16]
     data_rel = os.path.join(_DATA_DIR, commit_id)
     data_abs = os.path.join(table, data_rel)
-    df.write.mode("error").parquet(data_abs)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_abs)
     names = sorted(
-        n for n in os.listdir(data_abs) if n.endswith(".parquet")
+        os.path.relpath(os.path.join(root, f), data_abs)
+        for root, _dirs, fs in os.walk(data_abs)
+        for f in fs
+        if f.endswith(".parquet")
     )
     entries = _harvest_footer_entries(
         df.sparkSession, data_abs, data_rel, names, columns
     )
+    if partition_by:
+        for name, entry in zip(names, entries):
+            entry["partition"] = _parse_partition_values(name, df.schema)
     if bloom_columns:
         blooms = _harvest_bloom_entries(
             df.sparkSession, data_abs, names, bloom_columns
@@ -339,6 +394,89 @@ def _write_data_files(
             if bl:
                 entry["bloom"] = bl
     return commit_id, entries
+
+
+def _read_files(
+    spark: SparkSession,
+    table: str,
+    rel_paths: list[str],
+    schema: StructType,
+    with_position: bool = False,
+) -> DataFrame:
+    """Read manifest-listed data files, reconstructing hive partition
+    columns where the path layout carries them. Layout is inferred
+    PER FILE from the path (``col=val`` segments below the commit
+    dir), so reads work on mixed tables — e.g. a partitioned commit
+    later compacted into flat files that carry the column as data.
+    Partitioned files are grouped by commit dir and read with that
+    dir as ``basePath`` (one scan per commit, unioned) — Spark refuses
+    a single basePath spanning the non-hive ``data/<uuid>`` levels.
+
+    ``with_position`` attaches the DV coordinates (``__file__``,
+    ``__pos__``) PER SCAN: the hidden ``_metadata`` struct resolves
+    only against a file relation, not through the union."""
+    if not rel_paths:
+        df = spark.createDataFrame([], schema)
+        if with_position:  # no file relation -> no _metadata to read
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias("__file__"),
+                F.lit(None).cast("bigint").alias("__pos__"),
+            )
+        return df
+    from collections import defaultdict
+
+    direct: list[str] = []
+    by_base: dict[str, list[str]] = defaultdict(list)
+    for p in rel_paths:
+        segs = p.split("/")
+        if any("=" in s for s in segs[2:-1]):
+            by_base["/".join(segs[:2])].append(os.path.join(table, p))
+        else:
+            direct.append(os.path.join(table, p))
+
+    def _deco(df: DataFrame) -> DataFrame:
+        return _with_position(df) if with_position else df
+
+    parts: list[DataFrame] = []
+    if direct:
+        parts.append(
+            _deco(spark.read.schema(schema).parquet(*sorted(direct)))
+        )
+    for base, paths in sorted(by_base.items()):
+        parts.append(
+            _deco(
+                spark.read.schema(schema)
+                .option("basePath", os.path.join(table, base))
+                .parquet(*sorted(paths))
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts)
+
+
+def _read_entries(
+    spark: SparkSession,
+    table: str,
+    entries: list[dict[str, Any]],
+    schema: StructType,
+    with_position: bool = False,
+) -> DataFrame:
+    return _read_files(
+        spark, table, [e["path"] for e in entries], schema, with_position
+    )
+
+
+def _parent_bloom_columns(manifest: dict[str, Any]) -> list[str] | None:
+    """Bloom columns to rebuild for a rewrite commit's new files: the
+    union of what the parent's files carried. Without this, every
+    merge/compact would silently strip the equality index the table
+    owner paid to build at commit time."""
+    cols: set[str] = set()
+    for e in manifest["files"]:
+        cols.update(e.get("bloom", {}))
+    return sorted(cols) or None
 
 
 def _commit_rewrite(
@@ -383,6 +521,7 @@ def commit_snapshot(
     merge_schema: bool = False,
     extra: dict[str, Any] | None = None,
     bloom_columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot of ``table``; returns the version.
 
@@ -404,12 +543,34 @@ def commit_snapshot(
     raise. Without enforcement an append with a missing column would
     silently erase that column from every subsequent read — the
     classic schema-on-read data-loss trap.
+
+    ``partition_by`` writes hive-style partition directories and
+    records each file's typed partition values in the manifest — the
+    classic lakehouse partition spec (Iceberg identity partitions /
+    Delta partition columns): predicates on the partition column
+    prune files EXACTLY, readers reconstruct the column from the
+    path, and appends must keep the parent's partitioning.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode!r}")
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns not in df: {missing}")
+    if mode == "append":
+        head = latest_version(table)
+        if head is not None:
+            parent_pb = read_manifest(table, head).get("partition_by")
+            if (parent_pb or None) != (partition_by or None):
+                raise ValueError(
+                    f"append partitioning {partition_by!r} does not match "
+                    f"the table's {parent_pb!r}; overwrite to repartition"
+                )
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     cols = stats_columns if stats_columns is not None else df.columns
-    commit_id, new_files = _write_data_files(df, table, cols, bloom_columns)
+    commit_id, new_files = _write_data_files(
+        df, table, cols, bloom_columns, partition_by
+    )
 
     for _ in range(max_retries):
         parent = latest_version(table)
@@ -431,6 +592,8 @@ def commit_snapshot(
             "commit_id": commit_id,
             "stream_batch_high": _stream_high(pm),
         }
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
             # the parent's deletion vector targets files that survive
             # an append untouched — it must ride along
@@ -495,6 +658,22 @@ def _file_may_match(entry: dict[str, Any], pred: Predicate) -> bool:
         bloom = entry.get("bloom", {}).get(col)
         if bloom is not None and not _bloom_may_contain(bloom, val):
             return False
+    pv = entry.get("partition", {})
+    if col in pv:
+        v = pv[col]
+        if v is None:
+            # SQL three-valued logic: null <op> literal is never true
+            return False
+        try:
+            return {
+                "=": v == val,
+                "<": v < val,
+                "<=": v <= val,
+                ">": v > val,
+                ">=": v >= val,
+            }[op]
+        except TypeError:
+            return True  # incomparable literal -> stay conservative
     st = entry.get("stats", {}).get(col)
     if st is None:  # no stats harvested -> cannot prune
         return True
@@ -556,19 +735,22 @@ def read_snapshot(
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, v)
     schema = StructType.fromJson(manifest["schema"])
-    kept, _total = plan_files(table, v, where)
-    if not kept:
+    entries = manifest["files"]
+    for pred in where or []:
+        entries = [e for e in entries if _file_may_match(e, pred)]
+    if not entries:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*kept)
-    if _live_dv(manifest):
+    has_dv = _live_dv(manifest) is not None
+    df = _read_entries(
+        spark, table, entries, schema, with_position=has_dv
+    )
+    if has_dv:
         # merge-on-read: anti-join the deletion vector by (file, pos)
         dv = _dv_rows(spark, table, manifest).withColumnsRenamed(
             {"file": "__file__", "pos": "__pos__"}
         )
-        df = (
-            _with_position(df)
-            .join(dv, ["__file__", "__pos__"], "left_anti")
-            .drop("__file__", "__pos__")
+        df = df.join(dv, ["__file__", "__pos__"], "left_anti").drop(
+            "__file__", "__pos__"
         )
     return df
 
@@ -719,9 +901,7 @@ def merge_upsert(
 
     touched, untouched = _files_touching_keys(table, parent, source, key)
     if touched:
-        tdf = spark.read.schema(schema).parquet(
-            *[os.path.join(table, e["path"]) for e in touched]
-        )
+        tdf = _read_entries(spark, table, touched, schema)
         # anti join on the source's key projection; AQE picks broadcast
         # when the changed-key set is small (the common MERGE shape)
         survivors = tdf.join(
@@ -736,7 +916,9 @@ def merge_upsert(
         if stats_columns is not None
         else [f.name for f in schema.fields]
     )
-    commit_id, new_files = _write_data_files(rewritten, table, cols)
+    commit_id, new_files = _write_data_files(
+        rewritten, table, cols, _parent_bloom_columns(manifest)
+    )
     return _commit_rewrite(
         table, parent, manifest, "merge", untouched + new_files, commit_id
     )
@@ -773,12 +955,11 @@ def delete_where(
     new_files: list[dict[str, Any]] = []
     commit_id = uuid.uuid4().hex[:16]
     if touched:
-        tdf = spark.read.schema(schema).parquet(
-            *[os.path.join(table, e["path"]) for e in touched]
-        )
+        tdf = _read_entries(spark, table, touched, schema)
         survivors = tdf.filter(~pred | pred.isNull())
         commit_id, new_files = _write_data_files(
-            survivors, table, [f.name for f in schema.fields]
+            survivors, table, [f.name for f in schema.fields],
+            _parent_bloom_columns(manifest),
         )
     return _commit_rewrite(
         table, parent, manifest, "delete", untouched + new_files, commit_id
@@ -898,12 +1079,12 @@ def optimize_snapshot(
     n_out = max(1, len(bins))
 
     compacted = (
-        spark.read.schema(schema)
-        .parquet(*[os.path.join(table, e["path"]) for e in small])
+        _read_entries(spark, table, small, schema)
         .repartition(n_out)
     )
     commit_id, new_files = _write_data_files(
-        compacted, table, [f.name for f in schema.fields]
+        compacted, table, [f.name for f in schema.fields],
+        _parent_bloom_columns(manifest),
     )
     return _commit_rewrite(
         table, parent, manifest, "optimize", keep + new_files, commit_id
@@ -945,11 +1126,7 @@ def table_changes(
     removed = sorted(f_paths - t_paths)
 
     def _read(paths: list[str], sch: StructType) -> DataFrame:
-        if not paths:
-            return spark.createDataFrame([], sch)
-        return spark.read.schema(sch).parquet(
-            *[os.path.join(table, p) for p in paths]
-        )
+        return _read_files(spark, table, paths, sch)
 
     if not removed and not added and fm.get("dv") != tm.get("dv"):
         # pure merge-on-read delta (delete_mor commits): positions
@@ -1083,9 +1260,7 @@ def cluster_snapshot(
     total_bytes = sum(e["bytes"] for e in manifest["files"])
     n_out = max(1, -(-total_bytes // target_bytes))
 
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(table, e["path"]) for e in manifest["files"]]
-    )
+    df = _read_entries(spark, table, manifest["files"], schema)
     z = morton_code(
         [_bucket(F.col(c), lo, hi, bits) for c, lo, hi in zorder], bits
     )
@@ -1096,7 +1271,9 @@ def cluster_snapshot(
         .drop("__z__")
     )
 
-    commit_id, new_files = _write_data_files(clustered, table, names)
+    commit_id, new_files = _write_data_files(
+        clustered, table, names, _parent_bloom_columns(manifest)
+    )
     return _commit_rewrite(
         table, parent, manifest, "cluster", new_files, commit_id
     )
@@ -1272,7 +1449,9 @@ def read_catalog(
 #   prompt compact_dv) everywhere else.
 
 
-_DV_REL_RE = r"(data/[^/]+/[^/]+\.parquet)$"
+# manifest-relative data path at the end of a _metadata.file_path URI;
+# the optional middle segments are hive partition dirs (col=val)
+_DV_REL_RE = r"(data/[^/]+/(?:[^/]+/)*[^/]+\.parquet)$"
 
 
 def _live_dv(manifest: dict[str, Any]) -> dict[str, Any] | None:
@@ -1336,13 +1515,11 @@ def delete_where_mor(
     new_dv_rel = os.path.join(_DATA_DIR, commit_id, f"dv-{commit_id}.parquet")
     pieces = []
     if touched:
-        tdf = spark.read.schema(schema).parquet(
-            *[os.path.join(table, e["path"]) for e in touched]
+        tdf = _read_entries(
+            spark, table, touched, schema, with_position=True
         )
         pieces.append(
-            _with_position(tdf)
-            .filter(pred)
-            .select(
+            tdf.filter(pred).select(
                 F.col("__file__").alias("file"),
                 F.col("__pos__").alias("pos"),
             )
@@ -1422,11 +1599,11 @@ def compact_dv(spark: SparkSession, table: str) -> int | None:
     new_files: list[dict[str, Any]] = []
     commit_id = uuid.uuid4().hex[:16]
     if touched:
-        tdf = spark.read.schema(schema).parquet(
-            *[os.path.join(table, e["path"]) for e in touched]
+        tdf = _read_entries(
+            spark, table, touched, schema, with_position=True
         )
         survivors = (
-            _with_position(tdf)
+            tdf
             .join(
                 dv.withColumnsRenamed({"file": "__file__", "pos": "__pos__"}),
                 ["__file__", "__pos__"],
@@ -1435,7 +1612,8 @@ def compact_dv(spark: SparkSession, table: str) -> int | None:
             .drop("__file__", "__pos__")
         )
         commit_id, new_files = _write_data_files(
-            survivors, table, [f.name for f in schema.fields]
+            survivors, table, [f.name for f in schema.fields],
+            _parent_bloom_columns(manifest),
         )
     return _commit_rewrite(
         table, parent, manifest, "compact_dv", untouched + new_files, commit_id

@@ -108,13 +108,25 @@ class VersionedCdcStreamReader:
     def _rows_of(self, version: int) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            V.read_manifest(self.table, version)["schema"]
+        )
         for rel in self._added_paths(version):
+            # hive-partitioned commits carry partition values in the
+            # PATH, not the file data — overlay them (typed) per file
+            pvals = V._parse_partition_values(rel, schema)
             tbl = pq.read_table(
                 os.path.join(self.table, rel), columns=None
             ).to_pylist()
             for rec in tbl:
                 yield tuple(
-                    [rec.get(c) for c in self.data_fields] + [version]
+                    [
+                        pvals[c] if c in pvals else rec.get(c)
+                        for c in self.data_fields
+                    ]
+                    + [version]
                 )
 
     def read(self, start: dict):

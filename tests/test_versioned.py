@@ -715,3 +715,121 @@ def test_bloom_carries_through_append(spark, table):
         F.col("k") == 150
     )
     assert got.count() == 1
+
+
+def test_partitioned_commit_read_and_prune(spark, table):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    m = V.read_manifest(table, 0)
+    assert m["partition_by"] == ["p"]
+    assert all(e["partition"]["p"] in (0, 1, 2) for e in m["files"])
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 300
+    assert sorted(got.columns) == ["k", "p", "v"]
+    # exact partition pruning: only p=1's files survive the plan
+    kept, total = V.plan_files(table, where=[("p", "=", 1)])
+    assert 0 < len(kept) < total
+    pruned = V.read_snapshot(spark, table, where=[("p", "=", 1)])
+    assert pruned.count() == 100
+    assert pruned.filter(F.col("p") != 1).count() == 0
+    # range predicates prune on partition values too
+    kept2, _ = V.plan_files(table, where=[("p", ">=", 2)])
+    assert len(kept2) < total
+
+
+def test_partitioned_append_must_match(spark, table):
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioning"):
+        V.commit_snapshot(df, table, mode="append")
+    with pytest.raises(ValueError, match="partitioning"):
+        V.commit_snapshot(df, table, mode="append", partition_by=["k"])
+    V.commit_snapshot(df, table, mode="append", partition_by=["p"])
+    assert V.read_snapshot(spark, table).count() == 60
+
+
+def test_partitioned_string_and_null_values(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a b/c"), (2, "plain"), (3, None)], "k LONG, s STRING"
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["s"])
+    got = V.read_snapshot(spark, table)
+    assert sorted(
+        [(r.k, r.s) for r in got.collect()], key=str
+    ) == [(1, "a b/c"), (2, "plain"), (3, None)]
+    # escaped value round-trips through the manifest too
+    vals = {e["partition"]["s"] for e in V.read_manifest(table, 0)["files"]}
+    assert vals == {"a b/c", "plain", None}
+    # null partition: no equality predicate matches it (3VL)
+    kept, total = V.plan_files(table, where=[("s", "=", "plain")])
+    assert len(kept) == 1
+
+
+def test_partitioned_mor_delete_and_rewrites(spark, table):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    V.delete_where_mor(spark, table, F.col("k") % 10 == 0)
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 180
+    assert got.filter(F.col("k") % 10 == 0).count() == 0
+    # compact_dv rewrites dv'd files FLAT (partition col becomes data);
+    # the mixed layout must still read correctly
+    V.compact_dv(spark, table)
+    got2 = V.read_snapshot(spark, table)
+    assert got2.count() == 180
+    assert got2.groupBy("p").count().count() == 4
+    # and a COW merge over the mixed table keeps every column
+    src = spark.createDataFrame([(1, 99), (9999, 1)], "k LONG, p LONG")
+    V.merge_upsert(spark, table, src, key="k")
+    g3 = V.read_snapshot(spark, table)
+    assert g3.count() == 181
+    assert g3.filter((F.col("k") == 1) & (F.col("p") == 99)).count() == 1
+
+
+def test_partitioned_cdc_stream_carries_partition_column(spark, table):
+    pytest.importorskip("pyarrow")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    from small_etl_spark.sources.versioned_stream import (
+        VersionedCdcStreamReader,
+    )
+
+    r = VersionedCdcStreamReader.__new__(VersionedCdcStreamReader)
+    r.table = table
+    r.start_version = 0
+    r.skip_change_commits = False
+    r.data_fields = ["k", "p"]
+    rows = list(r._rows_of(0))
+    assert len(rows) == 40
+    ps = {p for _, p, _ in rows}
+    assert ps == {0, 1}, "partition values must come from the path"
+
+
+def test_bloom_survives_rewrite_commits(spark, table):
+    """merge/compact rewrites must REBUILD blooms for their new files —
+    otherwise the equality index silently degrades with table churn."""
+    V.commit_snapshot(
+        spark.range(0, 500).select(F.col("id").alias("k")),
+        table, mode="overwrite", bloom_columns=["k"],
+    )
+    src = spark.createDataFrame([(5,), (700,)], "k LONG")
+    V.merge_upsert(spark, table, src, key="k")
+    m = V.read_manifest(table, 1)
+    assert all("bloom" in e and "k" in e["bloom"] for e in m["files"])
+    # and the rebuilt blooms still answer point lookups
+    kept, total = V.plan_files(table, where=[("k", "=", 700)])
+    assert kept and len(kept) <= total
+    got = V.read_snapshot(spark, table, where=[("k", "=", 700)]).filter(
+        F.col("k") == 700
+    )
+    assert got.count() == 1
