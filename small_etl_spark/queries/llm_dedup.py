@@ -1919,6 +1919,60 @@ def q_minhash_lsh_probe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_probe(spark, path, delta, jaccard_threshold=0.8)
 
 
+@register("cdc_lsh_probe_md5", _minhash_probe_md5_oracle())
+def q_cdc_lsh_probe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-driven incremental dedup of a GROWING LAKEHOUSE CORPUS —
+    the full composition a 100 TB crawl pipeline runs nightly: the
+    corpus lives in a versioned table (sinks/versioned.py); its v0
+    snapshot is LSH-indexed once (llm.dedup.minhash_lsh_index_write);
+    an ingest batch lands as an append commit; the delta is pulled
+    from the commit log via table_changes (CDC — exactly the rows v1
+    added, zero table diff on the append fast path) and probed
+    against the persisted index (llm.dedup.minhash_lsh_probe) without
+    re-scanning corpus text. Cost per ingest batch = delta signature
+    + band equi-join + candidate-only verify, however large the
+    accumulated corpus. Same DuckDB oracle as minhash_lsh_probe_md5:
+    the versioned plumbing must be a pure re-routing of the identical
+    delta, so any leak/duplicate in the CDC path breaks the value
+    hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from small_etl_spark.llm.dedup import (
+        minhash_lsh_index_write,
+        minhash_lsh_probe,
+    )
+    from small_etl_spark.sinks import versioned as V
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tbl = os.path.join(tempfile.gettempdir(), f"spark_graft_cdclsh_{tag}")
+    idx = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cdclsh_idx_{tag}"
+    )
+    V.drop_table(tbl)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 10 != 0), tbl, mode="overwrite"
+    )
+    minhash_lsh_index_write(
+        V.read_snapshot(spark, tbl, version=0),
+        idx,
+        num_hashes=16,
+        bands=4,
+        hash_family="md5",
+    )
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 10 == 0), tbl, mode="append"
+    )
+    delta = (
+        V.table_changes(spark, tbl, 0, 1)
+        .filter(F.col("_change_type") == "insert")
+        .drop("_change_type")
+    )
+    return minhash_lsh_probe(spark, idx, delta, jaccard_threshold=0.8)
+
+
 @register(
     "domain_token_budget_cap",
     r"""

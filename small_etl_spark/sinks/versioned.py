@@ -486,11 +486,16 @@ def _commit_rewrite(
     mode: str,
     files: list[dict[str, Any]],
     commit_id: str,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Publish a rewrite-style commit (merge/delete/optimize/cluster)
     at ``parent + 1``, aborting if the head moved — rewrites target a
     specific snapshot's files and cannot be auto-rebased. Carries the
-    schema and the streaming high-water mark forward."""
+    schema and the streaming high-water mark forward. ``partition_by``
+    keeps the table's partitioning contract alive when the rewrite
+    preserved the hive layout (partition-preserving OPTIMIZE); other
+    rewrites emit flat files and drop the flag, which only relaxes
+    the append check (mixed layouts always read correctly)."""
     head = latest_version(table)
     if head != parent:
         raise CommitConflict(
@@ -507,6 +512,8 @@ def _commit_rewrite(
         "commit_id": commit_id,
         "stream_batch_high": _stream_high(parent_manifest),
     }
+    if partition_by:
+        payload["partition_by"] = list(partition_by)
     if not _atomic_create(_manifest_path(table, version), payload):
         raise CommitConflict(f"lost the commit race on {table!r}")
     return version
@@ -1078,16 +1085,23 @@ def optimize_snapshot(
             bins.append(s)
     n_out = max(1, len(bins))
 
+    pb = manifest.get("partition_by")
+    src_df = _read_entries(spark, table, small, schema)
+    # partitioned tables compact WITHIN the hive layout: shuffle on the
+    # partition columns so each value's rows land together, then write
+    # partitionBy again — file counts collapse per partition and the
+    # partitioning contract (exact manifest pruning, append check)
+    # survives the rewrite
     compacted = (
-        _read_entries(spark, table, small, schema)
-        .repartition(n_out)
+        src_df.repartition(n_out, *pb) if pb else src_df.repartition(n_out)
     )
     commit_id, new_files = _write_data_files(
         compacted, table, [f.name for f in schema.fields],
-        _parent_bloom_columns(manifest),
+        _parent_bloom_columns(manifest), pb,
     )
     return _commit_rewrite(
-        table, parent, manifest, "optimize", keep + new_files, commit_id
+        table, parent, manifest, "optimize", keep + new_files, commit_id,
+        partition_by=pb,
     )
 
 

@@ -833,3 +833,29 @@ def test_bloom_survives_rewrite_commits(spark, table):
         F.col("k") == 700
     )
     assert got.count() == 1
+
+
+def test_partitioned_optimize_preserves_layout(spark, table):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    n0 = len(V.read_manifest(table, 0)["files"])
+    v = V.optimize_snapshot(spark, table)
+    assert v == 1
+    m = V.read_manifest(table, 1)
+    assert m["partition_by"] == ["p"], "optimize must keep the contract"
+    assert len(m["files"]) < n0
+    assert all("=" in e["path"].split("/")[-2] for e in m["files"]), (
+        "compacted files must stay in hive partition dirs"
+    )
+    assert all(e["partition"]["p"] in (0, 1) for e in m["files"])
+    # pruning still exact, content unchanged
+    kept, total = V.plan_files(table, 1, where=[("p", "=", 1)])
+    assert 0 < len(kept) < total
+    assert V.read_snapshot(spark, table).count() == 400
+    # and a further partitioned append is still legal
+    V.commit_snapshot(
+        df.limit(10), table, mode="append", partition_by=["p"]
+    )
+    assert V.read_snapshot(spark, table).count() == 410
