@@ -162,3 +162,123 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
             else:
                 state.remove((r.k, r.ver))
         assert sorted(state) == history[v], f"CDC v{v-1}->v{v} diverged"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_partitioned_versioned_matches_model(spark, tmp_path_factory, ops):
+    """Same random-sequence model, hive-partitioned flavor: overwrites
+    (re)establish partition_by=['p'] (p = k % 2), appends follow the
+    CURRENT manifest contract (rewrites other than OPTIMIZE drop it,
+    emitting flat files that carry p as data), and every read — head,
+    time travel, CDC — must still match the model across the mixed
+    layouts that sequence produces."""
+    table = str(tmp_path_factory.mktemp("pprop") / "tbl")
+    tag = {"n": 0}
+
+    def mk(keys):
+        tag["n"] += 1
+        rows = [(k, tag["n"], k % 2) for k in keys]
+        return (
+            spark.createDataFrame(rows, "k LONG, ver LONG, p LONG"),
+            rows,
+        )
+
+    def pb_now():
+        v = V.latest_version(table)
+        if v is None:
+            return None
+        return V.read_manifest(table, v).get("partition_by")
+
+    history: list[list[tuple[int, int, int]]] = []
+    model: list[tuple[int, int, int]] = []
+
+    for kind, payload in ops:
+        if kind in ("append", "overwrite"):
+            df, rows = mk(payload)
+            pb = ["p"] if kind == "overwrite" else pb_now()
+            V.commit_snapshot(df, table, mode=kind, partition_by=pb)
+            model = (model + rows) if kind == "append" else list(rows)
+        elif kind == "merge":
+            if V.latest_version(table) is None:
+                continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
+            df, rows = mk(payload)
+            dedup = {r[0]: r for r in rows}
+            src_rows = sorted(dedup.values())
+            sdf = spark.createDataFrame(
+                src_rows, "k LONG, ver LONG, p LONG"
+            )
+            V.merge_upsert(spark, table, sdf, key="k")
+            keys = set(dedup)
+            model = [r for r in model if r[0] not in keys] + src_rows
+        elif kind == "delete":
+            if V.latest_version(table) is None:
+                continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
+            V.delete_where(
+                spark,
+                table,
+                F.col("k") >= payload,
+                prune=[("k", ">=", payload)],
+            )
+            model = [r for r in model if r[0] < payload]
+        elif kind == "delete_mor":
+            if V.latest_version(table) is None:
+                continue
+            V.delete_where_mor(spark, table, F.col("k") >= payload)
+            model = [r for r in model if r[0] < payload]
+        elif kind == "compact_dv":
+            if V.latest_version(table) is None:
+                continue
+            if V.compact_dv(spark, table) is None:
+                continue
+        elif kind == "optimize":
+            if V.latest_version(table) is None:
+                continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
+            if V.optimize_snapshot(spark, table) is None:
+                continue
+        elif kind == "cluster":
+            if V.latest_version(table) is None:
+                continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
+            V.cluster_snapshot(
+                spark, table, zorder=[("k", 0, 20)], target_bytes=1 << 20
+            )
+        history.append(_snap(model))
+
+        got = sorted(
+            (r.k, r.ver, r.p)
+            for r in V.read_snapshot(spark, table).collect()
+        )
+        assert got == _snap(model), f"head mismatch after {kind}"
+
+    for v, expected in enumerate(history):
+        got = sorted(
+            (r.k, r.ver, r.p)
+            for r in V.read_snapshot(spark, table, version=v).collect()
+        )
+        assert got == expected, f"time travel to v{v} diverged"
+
+    for v in range(1, len(history)):
+        delta = V.table_changes(spark, table, v - 1, v).collect()
+        state = list(history[v - 1])
+        for r in delta:
+            if r._change_type == "insert":
+                state.append((r.k, r.ver, r.p))
+            else:
+                state.remove((r.k, r.ver, r.p))
+        assert sorted(state) == history[v], f"CDC v{v-1}->v{v} diverged"
