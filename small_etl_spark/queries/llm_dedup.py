@@ -2012,6 +2012,85 @@ def q_domain_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_domain_budget_cap",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+               AS n_tokens,
+             substring(md5('domain-cap-v1|' || CAST(doc_id AS VARCHAR)), 1, 4)
+               AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, tokens_before
+    FROM c WHERE tokens_before < 1000
+    """,
+)
+def q_stream_domain_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-domain token-budget admission under the oracle
+    gate (streaming/stateful.py::stream_domain_budget_cap): the corpus
+    arrives as TWO micro-batches split and ordered by the admission
+    hash (all of batch 1's hashes precede batch 2's), a one-bigint-
+    per-domain applyInPandasWithState operator admits docs while the
+    cross-batch running total is under budget, and the drained result
+    must value-match the BATCH op's DuckDB oracle — stream ≡ batch
+    when arrival follows hash order, the same contract the other
+    stateful ops pin. The batch twin is domain_token_budget_cap."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from small_etl_spark.llm.sampling import hash_bucket
+    from small_etl_spark.streaming.stateful import stream_domain_budget_cap
+    from small_etl_spark.streaming.windows import run_to_memory_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_scap_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "in")
+    h = hash_bucket("doc_id", "domain-cap-v1")
+    docs.filter(h < "8").coalesce(1).write.parquet(
+        os.path.join(in_dir, "a")
+    )
+    docs.filter(h >= "8").coalesce(1).write.parquet(
+        os.path.join(in_dir, "b")
+    )
+    # file-source order is mtime-based: pin it explicitly so batch 1
+    # (low hashes) always precedes batch 2
+    now = 1_700_000_000
+    for i, d in enumerate(("a", "b")):
+        for r, _dirs, fs in os.walk(os.path.join(in_dir, d)):
+            for f in fs:
+                os.utime(os.path.join(r, f), (now + i * 10, now + i * 10))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    sink = f"scap_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        stream_domain_budget_cap(stream, budget_tokens=1000),
+        sink,
+        output_mode="append",
+    )
+    return spark.table(sink)
+
+
 @register("stream_lsh_probe_md5", _minhash_probe_md5_oracle())
 def q_stream_lsh_probe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUAL Structured Streaming incremental dedup under the oracle

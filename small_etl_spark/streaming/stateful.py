@@ -413,3 +413,76 @@ def topk_values_tws(events: DataFrame, k: int = 3) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+_CAP_OUTPUT_SCHEMA = (
+    "doc_id BIGINT, source STRING, n_tokens BIGINT, tokens_before BIGINT"
+)
+_CAP_STATE_SCHEMA = "tokens_used BIGINT"
+
+
+def _domain_cap_update(budget_tokens: int):
+    def fn(key, pdfs: Iterator, state: GroupState):
+        import pandas as pd
+
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return
+        used = state.get[0] if state.exists else 0
+        pdf = (
+            pd.concat(rows)
+            .sort_values(["__h__", "doc_id"])
+            .reset_index(drop=True)
+        )
+        # exclusive running total across ALL batches so far: a domain
+        # whose budget is spent admits nothing ever again (state is
+        # the audit trail's tokens_before baseline)
+        n = pdf["n_tokens"].astype("int64")
+        before = used + n.cumsum().shift(fill_value=0)
+        admit = before < budget_tokens
+        out = pdf.loc[admit, ["doc_id", "source", "n_tokens"]].copy()
+        out["tokens_before"] = before[admit].astype("int64")
+        # tokens_used advances by EVERY seen doc's tokens? No — by
+        # ADMITTED tokens only would re-open the budget after a
+        # rejected doc; the batch twin's exclusive prefix sum runs
+        # over all docs in hash order, so mirror it: advance by all.
+        state.update((int(used + n.sum()),))
+        if len(out):
+            yield out
+
+    return fn
+
+
+def stream_domain_budget_cap(
+    docs: DataFrame, budget_tokens: int = 1000, salt: str = "domain-cap-v1"
+) -> DataFrame:
+    """Streaming per-domain token-budget admission — the Structured
+    Streaming twin of llm/sampling.py::domain_token_budget_cap, for
+    ingest pipelines that must cap a hot domain AS DOCUMENTS ARRIVE
+    rather than in a nightly batch. State per domain is ONE bigint
+    (tokens seen so far); each micro-batch sorts its group's rows by
+    the same salted hash the batch op uses and admits while the
+    exclusive running total (state + in-batch prefix) is under budget.
+    When the arrival order follows the hash order (the oracle feeds it
+    that way), the admitted set is IDENTICAL to the batch op's — the
+    stream ≡ batch contract under the DuckDB oracle; under arbitrary
+    arrival order the semantics are the honest streaming ones: first
+    arrived, first admitted, budget never exceeded. At 100 TB of
+    stream: state is O(domains) bigints, no window over history, and
+    the per-batch sort is bounded by the batch's group size."""
+    from small_etl_spark.llm.sampling import hash_bucket
+    from small_etl_spark.llm.textstats import token_count
+
+    pre = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        hash_bucket("doc_id", salt).alias("__h__"),
+    )
+    return pre.groupBy("source").applyInPandasWithState(
+        _domain_cap_update(budget_tokens),
+        outputStructType=_CAP_OUTPUT_SCHEMA,
+        stateStructType=_CAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
