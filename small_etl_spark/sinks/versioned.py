@@ -32,9 +32,11 @@ Layout::
   recorded per manifest entry, so partition predicates prune EXACTLY
   (before footer stats or blooms run); readers reconstruct the column
   from the path (per-commit ``basePath`` scans, unioned), appends must
-  keep the parent's partitioning, and rewrite ops (merge/compact/
-  optimize) emit flat files that carry the column as data — the mixed
-  layout reads correctly because layout is inferred per file path.
+  keep the parent's partitioning, and EVERY rewrite op (merge / COW
+  delete / optimize / cluster / compact_dv) writes its output in the
+  same hive layout and carries the ``partition_by`` contract forward —
+  partitioning survives the table's whole lifecycle. Reads infer
+  layout per file path, so even hand-mixed layouts stay readable.
 - **Per-file min/max/null-count stats** are harvested from the parquet
   FOOTERS via pyarrow (metadata-only — no second data scan), and
   ``read_snapshot(where=...)`` prunes files whose range cannot satisfy
@@ -495,10 +497,9 @@ def _commit_rewrite(
     at ``parent + 1``, aborting if the head moved — rewrites target a
     specific snapshot's files and cannot be auto-rebased. Carries the
     schema and the streaming high-water mark forward. ``partition_by``
-    keeps the table's partitioning contract alive when the rewrite
-    preserved the hive layout (partition-preserving OPTIMIZE); other
-    rewrites emit flat files and drop the flag, which only relaxes
-    the append check (mixed layouts always read correctly)."""
+    carries the table's partitioning contract through the rewrite —
+    every rewrite op passes the parent's flag and writes its output
+    in the same hive layout, so partitioning survives maintenance."""
     head = latest_version(table)
     if head != parent:
         raise CommitConflict(
@@ -926,11 +927,13 @@ def merge_upsert(
         if stats_columns is not None
         else [f.name for f in schema.fields]
     )
+    pb = manifest.get("partition_by")
     commit_id, new_files = _write_data_files(
-        rewritten, table, cols, _parent_bloom_columns(manifest)
+        rewritten, table, cols, _parent_bloom_columns(manifest), pb
     )
     return _commit_rewrite(
-        table, parent, manifest, "merge", untouched + new_files, commit_id
+        table, parent, manifest, "merge", untouched + new_files, commit_id,
+        partition_by=pb,
     )
 
 
@@ -969,10 +972,11 @@ def delete_where(
         survivors = tdf.filter(~pred | pred.isNull())
         commit_id, new_files = _write_data_files(
             survivors, table, [f.name for f in schema.fields],
-            _parent_bloom_columns(manifest),
+            _parent_bloom_columns(manifest), manifest.get("partition_by"),
         )
     return _commit_rewrite(
-        table, parent, manifest, "delete", untouched + new_files, commit_id
+        table, parent, manifest, "delete", untouched + new_files, commit_id,
+        partition_by=manifest.get("partition_by"),
     )
 
 
@@ -1288,11 +1292,13 @@ def cluster_snapshot(
         .drop("__z__")
     )
 
+    pb = manifest.get("partition_by")
     commit_id, new_files = _write_data_files(
-        clustered, table, names, _parent_bloom_columns(manifest)
+        clustered, table, names, _parent_bloom_columns(manifest), pb
     )
     return _commit_rewrite(
-        table, parent, manifest, "cluster", new_files, commit_id
+        table, parent, manifest, "cluster", new_files, commit_id,
+        partition_by=pb,
     )
 
 
@@ -1630,8 +1636,9 @@ def compact_dv(spark: SparkSession, table: str) -> int | None:
         )
         commit_id, new_files = _write_data_files(
             survivors, table, [f.name for f in schema.fields],
-            _parent_bloom_columns(manifest),
+            _parent_bloom_columns(manifest), manifest.get("partition_by"),
         )
     return _commit_rewrite(
-        table, parent, manifest, "compact_dv", untouched + new_files, commit_id
+        table, parent, manifest, "compact_dv", untouched + new_files,
+        commit_id, partition_by=manifest.get("partition_by"),
     )

@@ -780,13 +780,13 @@ def test_partitioned_mor_delete_and_rewrites(spark, table):
     got = V.read_snapshot(spark, table)
     assert got.count() == 180
     assert got.filter(F.col("k") % 10 == 0).count() == 0
-    # compact_dv rewrites dv'd files FLAT (partition col becomes data);
-    # the mixed layout must still read correctly
+    # compact_dv rewrites dv'd files in the SAME hive layout (the
+    # partition contract survives maintenance)
     V.compact_dv(spark, table)
     got2 = V.read_snapshot(spark, table)
     assert got2.count() == 180
     assert got2.groupBy("p").count().count() == 4
-    # and a COW merge over the mixed table keeps every column
+    # and a COW merge keeps every column and the partition contract
     src = spark.createDataFrame([(1, 99), (9999, 1)], "k LONG, p LONG")
     V.merge_upsert(spark, table, src, key="k")
     g3 = V.read_snapshot(spark, table)

@@ -173,10 +173,10 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
 def test_partitioned_versioned_matches_model(spark, tmp_path_factory, ops):
     """Same random-sequence model, hive-partitioned flavor: overwrites
     (re)establish partition_by=['p'] (p = k % 2), appends follow the
-    CURRENT manifest contract (rewrites other than OPTIMIZE drop it,
-    emitting flat files that carry p as data), and every read — head,
-    time travel, CDC — must still match the model across the mixed
-    layouts that sequence produces."""
+    CURRENT manifest contract (every rewrite op now carries it
+    forward, writing hive-layout output), and every read — head,
+    time travel, CDC — must still match the model across whatever
+    layouts the sequence produces."""
     table = str(tmp_path_factory.mktemp("pprop") / "tbl")
     tag = {"n": 0}
 
