@@ -792,39 +792,99 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+_TAGS_DIR = "_tags"
+
+
+def create_tag(table: str, name: str, version: int | None = None) -> int:
+    """Pin an immutable named TAG at ``version`` (default: head) — the
+    Iceberg-refs pattern for "the snapshot we trained run X on".
+    Tags are atomic-create-once (re-tagging a name raises: a moved
+    tag silently changes what an audit reproduces), resolvable via
+    :func:`resolve_tag`, and PROTECT their version from ``vacuum``:
+    retention keeps every tagged manifest and its files however old.
+    Returns the pinned version."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    if not os.path.exists(_manifest_path(table, v)):
+        raise FileNotFoundError(f"{table!r} has no version {v}")
+    os.makedirs(os.path.join(table, _TAGS_DIR), exist_ok=True)
+    if not _atomic_create(
+        os.path.join(table, _TAGS_DIR, f"{name}.json"), {"version": v}
+    ):
+        raise FileExistsError(
+            f"tag {name!r} already exists on {table!r}; tags are "
+            "immutable — delete_tag first if the move is intentional"
+        )
+    return v
+
+
+def resolve_tag(table: str, name: str) -> int:
+    with open(os.path.join(table, _TAGS_DIR, f"{name}.json")) as fh:
+        return int(json.load(fh)["version"])
+
+
+def delete_tag(table: str, name: str) -> None:
+    os.remove(os.path.join(table, _TAGS_DIR, f"{name}.json"))
+
+
+def list_tags(table: str) -> dict[str, int]:
+    tdir = os.path.join(table, _TAGS_DIR)
+    if not os.path.isdir(tdir):
+        return {}
+    return {
+        n[: -len(".json")]: resolve_tag(table, n[: -len(".json")])
+        for n in sorted(os.listdir(tdir))
+        if n.endswith(".json")
+    }
+
+
 def vacuum(table: str, keep_last: int = 1) -> int:
     """Delete data files unreferenced by the ``keep_last`` newest
-    manifests (older manifests are dropped too). Returns files deleted.
+    manifests or by any TAG (older untagged manifests are dropped
+    too). Returns files deleted.
 
     Safe by construction: manifests are immutable, so the live set of
     the retained versions cannot change under us; a reader pinned to a
     dropped version fails loudly on the missing manifest rather than
-    silently reading partial data.
-    """
+    silently reading partial data. The walk is recursive — hive-
+    partitioned commits nest files under ``col=val`` directories."""
     v = latest_version(table)
     if v is None:
         return 0
-    keep_versions = range(max(0, v - keep_last + 1), v + 1)
+    keep = set(range(max(0, v - keep_last + 1), v + 1))
+    keep.update(list_tags(table).values())
     live = set()
-    for kv in keep_versions:
+    for kv in sorted(keep):
         m = read_manifest(table, kv)
         live.update(e["path"] for e in m["files"])
         if m.get("dv"):
             live.add(m["dv"]["path"])
     deleted = 0
     data_root = os.path.join(table, _DATA_DIR)
-    for commit_dir in list(os.listdir(data_root)) if os.path.isdir(data_root) else []:
-        for name in os.listdir(os.path.join(data_root, commit_dir)):
-            rel = os.path.join(_DATA_DIR, commit_dir, name)
-            if name.endswith(".parquet") and rel not in live:
-                os.remove(os.path.join(table, rel))
-                deleted += 1
-        if not os.listdir(os.path.join(data_root, commit_dir)):
-            os.rmdir(os.path.join(data_root, commit_dir))
-    for old in range(0, keep_versions.start):
-        p = _manifest_path(table, old)
-        if os.path.exists(p):
-            os.remove(p)
+    if os.path.isdir(data_root):
+        for root, _dirs, files in os.walk(data_root, topdown=False):
+            for name in files:
+                rel = os.path.relpath(os.path.join(root, name), table)
+                # DV stores are Spark-written DIRECTORIES: their
+                # part files live under the manifest-listed dir path
+                if rel in live or os.path.dirname(rel) in live:
+                    continue
+                is_data = name.endswith(".parquet") or name.startswith(
+                    "part-"
+                )
+                is_marker = name == "_SUCCESS" or name.endswith(".crc")
+                if is_data or is_marker:
+                    os.remove(os.path.join(root, name))
+                    if is_data:
+                        deleted += 1
+            if root != data_root and not os.listdir(root):
+                os.rmdir(root)
+    for old in range(0, v):
+        if old not in keep:
+            p = _manifest_path(table, old)
+            if os.path.exists(p):
+                os.remove(p)
     return deleted
 
 

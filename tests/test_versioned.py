@@ -859,3 +859,48 @@ def test_partitioned_optimize_preserves_layout(spark, table):
         df.limit(10), table, mode="append", partition_by=["p"]
     )
     assert V.read_snapshot(spark, table).count() == 410
+
+
+def test_tags_pin_versions_and_survive_vacuum(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 10, 20, "b"), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 20, 25, "c"), table, mode="overwrite")
+    V.create_tag(table, "train-run-1", version=0)
+    assert V.resolve_tag(table, "train-run-1") == 0
+    assert V.list_tags(table) == {"train-run-1": 0}
+    # immutable: re-tagging the same name raises
+    with pytest.raises(FileExistsError):
+        V.create_tag(table, "train-run-1", version=1)
+    deleted = V.vacuum(table, keep_last=1)
+    assert deleted > 0  # v1's lineage went away
+    # head and the TAGGED v0 both still read; untagged v1 is gone
+    assert V.read_snapshot(spark, table).count() == 5
+    assert V.read_snapshot(spark, table, version=0).count() == 10
+    with pytest.raises(FileNotFoundError):
+        V.read_manifest(table, 1)
+    # dropping the tag releases it at the next vacuum
+    V.delete_tag(table, "train-run-1")
+    V.vacuum(table, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        V.read_manifest(table, 0)
+
+
+def test_vacuum_cleans_partitioned_and_dv_layouts(spark, table):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    V.delete_where_mor(spark, table, F.col("k") < 10)  # v1 with a DV
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    deleted = V.vacuum(table, keep_last=1)
+    assert deleted > 0, "nested hive files must actually be deleted"
+    # the old lineage's nested partition dirs are gone from disk
+    leftovers = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(table, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    m = V.read_manifest(table, 2)
+    assert len(leftovers) == len(m["files"])
+    assert V.read_snapshot(spark, table).count() == 100
