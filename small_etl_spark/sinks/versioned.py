@@ -75,6 +75,12 @@ class CommitConflict(RuntimeError):
     """Raised when optimistic commit retries are exhausted."""
 
 
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
 def _manifest_path(table: str, version: int) -> str:
     return os.path.join(
         table, _MANIFEST_DIR, f"v{version:0{_VERSION_WIDTH}d}.json"
@@ -515,6 +521,7 @@ def _commit_rewrite(
         "files": files,
         "commit_id": commit_id,
         "stream_batch_high": _stream_high(parent_manifest),
+        "committed_at_ms": _now_ms(),
     }
     if partition_by:
         payload["partition_by"] = list(partition_by)
@@ -602,6 +609,7 @@ def commit_snapshot(
             "files": files,
             "commit_id": commit_id,
             "stream_batch_high": _stream_high(pm),
+            "committed_at_ms": _now_ms(),
         }
         if partition_by:
             manifest["partition_by"] = list(partition_by)
@@ -728,19 +736,48 @@ def plan_files(
     return [os.path.join(table, e["path"]) for e in entries], total
 
 
+def version_as_of(table: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest version committed at or
+    before ``timestamp_ms`` (every manifest records its
+    ``committed_at_ms``). Raises if the table is newer than the asked
+    instant — same contract as Delta/Iceberg timestamp travel."""
+    v = latest_version(table)
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    for cand in range(v, -1, -1):
+        p = _manifest_path(table, cand)
+        if not os.path.exists(p):  # vacuumed below this point
+            break
+        if int(read_manifest(table, cand).get("committed_at_ms", 0)) <= (
+            timestamp_ms
+        ):
+            return cand
+    raise ValueError(
+        f"{table!r} has no snapshot committed at or before "
+        f"{timestamp_ms} ms"
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     where: list[Predicate] | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Time-travel read: version N's file list, manifest-pruned.
 
     ``where`` prunes files by manifest stats only — it does NOT apply
     the residual row filter (Spark's own pushdown handles that when the
     caller adds ``.filter``); this mirrors how partition pruning and
-    row filtering compose in any lakehouse reader.
+    row filtering compose in any lakehouse reader. ``as_of_ms``
+    resolves the version by commit timestamp (``version_as_of``) —
+    mutually exclusive with ``version``.
     """
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ms, not both")
+        version = version_as_of(table, as_of_ms)
     v = latest_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
@@ -771,6 +808,8 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
     rows = []
     v = latest_version(table)
     for version in range((v + 1) if v is not None else 0):
+        if not os.path.exists(_manifest_path(table, version)):
+            continue  # vacuumed away (tags can leave gaps)
         m = read_manifest(table, version)
         dv_rows = (m.get("dv") or {}).get("rows", 0)
         rows.append(
@@ -782,13 +821,15 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
                 sum(e["rows"] for e in m["files"]),
                 sum(e["bytes"] for e in m["files"]),
                 dv_rows,
+                int(m.get("committed_at_ms", 0)),
             )
         )
     # n_rows is PHYSICAL; logical = n_rows - dv_rows (live DV deletes)
     return spark.createDataFrame(
         rows,
         "snapshot INT, parent INT, mode STRING, n_files INT, "
-        "n_rows BIGINT, n_bytes BIGINT, dv_rows BIGINT",
+        "n_rows BIGINT, n_bytes BIGINT, dv_rows BIGINT, "
+        "committed_at_ms BIGINT",
     )
 
 
@@ -1056,7 +1097,11 @@ def committed_stream_batches(table: str) -> set[int]:
 
 
 def stream_commit_batch(
-    df: DataFrame, batch_id: int, table: str, mode: str = "append"
+    df: DataFrame,
+    batch_id: int,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """``foreachBatch`` sink: commit each micro-batch as a snapshot,
     idempotently. Structured Streaming replays a batch after failure
@@ -1076,8 +1121,17 @@ def stream_commit_batch(
         high = _stream_high(read_manifest(table, head_v))
         if batch_id <= high:
             return None  # replay of a durably committed batch: no-op
+    if mode == "append" and head_v is not None:
+        parent_pb = read_manifest(table, head_v).get("partition_by")
+        if (parent_pb or None) != (partition_by or None):
+            raise ValueError(
+                f"stream append partitioning {partition_by!r} does not "
+                f"match the table's {parent_pb!r}"
+            )
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
-    commit_id, new_files = _write_data_files(df, table, df.columns)
+    commit_id, new_files = _write_data_files(
+        df, table, df.columns, None, partition_by
+    )
     for _ in range(10):
         parent = latest_version(table)
         version = 0 if parent is None else parent + 1
@@ -1100,7 +1154,10 @@ def stream_commit_batch(
             "commit_id": commit_id,
             "stream_batch_id": batch_id,
             "stream_batch_high": max(batch_id, _stream_high(pm)),
+            "committed_at_ms": _now_ms(),
         }
+        if partition_by:
+            payload["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
             payload["dv"] = pm["dv"]
         if _atomic_create(_manifest_path(table, version), payload):
@@ -1654,7 +1711,12 @@ def delete_where_mor(
         "files": entries,
         "commit_id": commit_id,
         "stream_batch_high": _stream_high(manifest),
+        "committed_at_ms": _now_ms(),
     }
+    if manifest.get("partition_by"):
+        # a MoR delete touches no data file: the partitioning
+        # contract survives verbatim
+        payload["partition_by"] = manifest["partition_by"]
     if dv_payload:
         payload["dv"] = dv_payload
     if not _atomic_create(_manifest_path(table, version), payload):

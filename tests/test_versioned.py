@@ -904,3 +904,38 @@ def test_vacuum_cleans_partitioned_and_dv_layouts(spark, table):
     m = V.read_manifest(table, 2)
     assert len(leftovers) == len(m["files"])
     assert V.read_snapshot(spark, table).count() == 100
+
+
+def test_timestamp_as_of_travel(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    t0 = V.read_manifest(table, 0)["committed_at_ms"]
+    V.commit_snapshot(_df(spark, 10, 30, "b"), table, mode="append")
+    t1 = V.read_manifest(table, 1)["committed_at_ms"]
+    assert t1 >= t0 > 0
+    assert V.version_as_of(table, t0) in (0, 1)  # ms ties allowed
+    assert V.version_as_of(table, t1 + 10_000) == 1
+    got = V.read_snapshot(spark, table, as_of_ms=t0)
+    assert got.count() in (10, 30)
+    with pytest.raises(ValueError):
+        V.version_as_of(table, t0 - 10_000)
+    with pytest.raises(ValueError):
+        V.read_snapshot(spark, table, version=0, as_of_ms=t1)
+
+
+def test_partitioned_stream_commit_batch(spark, table):
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    v = V.stream_commit_batch(df, 0, table, partition_by=["p"])
+    assert v == 0
+    m = V.read_manifest(table, 0)
+    assert m["partition_by"] == ["p"]
+    # replay of batch 0 is a no-op; batch 1 must keep the partitioning
+    assert V.stream_commit_batch(df, 0, table, partition_by=["p"]) is None
+    with pytest.raises(ValueError, match="partitioning"):
+        V.stream_commit_batch(df, 1, table)
+    V.stream_commit_batch(df, 1, table, partition_by=["p"])
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 40
+    kept, total = V.plan_files(table, where=[("p", "=", 1)])
+    assert 0 < len(kept) < total
