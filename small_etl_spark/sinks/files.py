@@ -150,7 +150,10 @@ def write_outputs(
             from small_etl_spark.sinks.versioned import commit_snapshot
 
             commit_snapshot(
-                target, _local_path(path), mode="append"
+                target,
+                _local_path(path),
+                mode="append",
+                partition_by=partition_by or None,
             )
         else:
             raise ValueError(f"invalid output format {fmt!r}")

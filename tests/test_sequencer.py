@@ -1373,6 +1373,36 @@ def test_versioned_sink_in_sequence(spark, tmp_path):
     assert V.read_snapshot(spark, table, version=0).count() == 3
 
 
+def test_versioned_sink_partitioned_in_sequence(spark, tmp_path):
+    """load.partition_by flows through the versioned sink: the stage
+    output lands as a hive-partitioned snapshot table with the
+    manifest contract, so downstream reads prune on the partition."""
+    from small_etl_spark.sinks import versioned as V
+
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "psnap",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {
+                        "formats": ["versioned"],
+                        "partition_by": ["value"],
+                    },
+                }
+            ]
+        }
+    )
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    table = str(tmp_path / "psnap" / "versioned")
+    m = V.read_manifest(table, 0)
+    assert m["partition_by"] == ["value"]
+    kept, total = V.plan_files(table, where=[("value", "=", 25)])
+    assert 0 < len(kept) < total
+    got = V.read_snapshot(spark, table, where=[("value", "=", 25)])
+    assert [r.id for r in got.collect()] == [2]
+
+
 def test_versioned_format_validates(spark):
     with pytest.raises(SpecError, match="invalid output format"):
         sequence_from_dict(
