@@ -51,6 +51,10 @@ STRESS_QUERIES = [
     # really tracks matched rows, not table size (r7: the DV write
     # became a distributed job — this entry keeps it honest).
     "versioned_dv_delete",
+    # hive-partitioned commit + pruned read: at 10x the partition
+    # COUNT grows 10x (entity-remapped sources), so this carries the
+    # many-partitions write/harvest/prune curve.
+    "versioned_partition_prune",
 ]
 # The most expensive stress queries re-run at 30× — the closest
 # local[32] gets to evidencing the 100× extrapolation. r6 adds the

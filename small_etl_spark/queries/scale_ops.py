@@ -1451,8 +1451,15 @@ def q_versioned_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     target = docs.agg(F.min("source")).first()[0]
+    # repartition by the partition column first: each value lands in
+    # ONE task, so partitionBy writes |values| files, not tasks*values
+    # (the production shape — without it a 1000-task write of 200
+    # partitions can emit 200k small files)
     V.commit_snapshot(
-        docs, path, mode="overwrite", partition_by=["source"]
+        docs.repartition("source"),
+        path,
+        mode="overwrite",
+        partition_by=["source"],
     )
     kept, total = V.plan_files(path, where=[("source", "=", target)])
     assert len(kept) < total, "partition pruning must drop files"
