@@ -21,10 +21,12 @@ import sys
 
 
 def _table_admin(args) -> int:
-    """``table <path> history|vacuum|optimize`` — the maintenance
-    surface of the versioned sink, runnable without writing a config.
-    history prints one JSON line per snapshot; vacuum reports files
-    deleted; optimize reports the new version (or no-op)."""
+    """``table <path> history|vacuum|optimize|tags|tag|untag`` — the
+    maintenance surface of the versioned sink, runnable without
+    writing a config. history prints one JSON line per snapshot;
+    vacuum reports files deleted (tagged versions protected);
+    optimize reports the new version (or no-op); tag pins an
+    immutable named version."""
     from small_etl_spark.sinks import versioned as V
 
     if V.latest_version(args.path) is None:
@@ -34,6 +36,23 @@ def _table_admin(args) -> int:
         deleted = V.vacuum(args.path, keep_last=args.keep_last)
         print(json.dumps({"deleted_files": deleted,
                           "kept_last": args.keep_last}))
+        return 0
+    if args.action == "tags":
+        print(json.dumps(V.list_tags(args.path)))
+        return 0
+    if args.action == "tag":
+        if not args.name:
+            print("tag requires --name", file=sys.stderr)
+            return 1
+        v = V.create_tag(args.path, args.name, version=args.at_version)
+        print(json.dumps({"tag": args.name, "version": v}))
+        return 0
+    if args.action == "untag":
+        if not args.name:
+            print("untag requires --name", file=sys.stderr)
+            return 1
+        V.delete_tag(args.path, args.name)
+        print(json.dumps({"deleted_tag": args.name}))
         return 0
 
     from small_etl_spark.session import get_spark
@@ -95,10 +114,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     tbl_p.add_argument("path", help="versioned table root")
     tbl_p.add_argument(
-        "action", choices=["history", "vacuum", "optimize"]
+        "action",
+        choices=["history", "vacuum", "optimize", "tags", "tag", "untag"],
     )
     tbl_p.add_argument(
         "--keep-last", type=int, default=2, help="vacuum: manifests kept"
+    )
+    tbl_p.add_argument("--name", default=None, help="tag/untag: tag name")
+    tbl_p.add_argument(
+        "--at-version", type=int, default=None,
+        help="tag: version to pin (default head)"
     )
     tbl_p.add_argument(
         "--target-bytes",

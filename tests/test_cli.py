@@ -132,4 +132,15 @@ def test_table_admin_cli(spark, tmp_path, capsys):
     assert out["deleted_files"] >= 0
     assert V.read_snapshot(spark, table).count() == 25
 
+    # tag admin: pin, list, protect is exercised in test_versioned;
+    # here the CLI surface round-trips
+    assert main(["table", table, "tag", "--name", "run1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out == {"tag": "run1", "version": 2}
+    assert main(["table", table, "tags"]) == 0
+    assert _json.loads(capsys.readouterr().out.strip()) == {"run1": 2}
+    assert main(["table", table, "untag", "--name", "run1"]) == 0
+    capsys.readouterr()
+    assert main(["table", table, "tag"]) == 1  # --name required
+
     assert main(["table", str(tmp_path / "missing"), "history"]) == 1
