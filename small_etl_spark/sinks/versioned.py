@@ -422,6 +422,11 @@ def _read_files(
     Partitioned files are grouped by commit dir and read with that
     dir as ``basePath`` (one scan per commit, unioned) — Spark refuses
     a single basePath spanning the non-hive ``data/<uuid>`` levels.
+    Plan size therefore grows with the number of SURVIVING partitioned
+    commit dirs: a streaming-ingested partitioned table should run
+    ``optimize_snapshot`` regularly (it consolidates the tail into one
+    commit dir, so the union collapses back toward one scan) — the
+    same maintenance cadence any lakehouse needs for small files.
 
     ``with_position`` attaches the DV coordinates (``__file__``,
     ``__pos__``) PER SCAN: the hidden ``_metadata`` struct resolves
