@@ -688,6 +688,12 @@ def _file_may_match(entry: dict[str, Any], pred: Predicate) -> bool:
         if v is None:
             # SQL three-valued logic: null <op> literal is never true
             return False
+        # cross-type predicate (int-typed partition vs "1"): Python
+        # would compare unequal where the engine's cast would match —
+        # stay conservative and let the row filter decide
+        num = (int, float)
+        if isinstance(v, num) != isinstance(val, num):
+            return True
         try:
             return {
                 "=": v == val,

@@ -939,3 +939,19 @@ def test_partitioned_stream_commit_batch(spark, table):
     assert got.count() == 40
     kept, total = V.plan_files(table, where=[("p", "=", 1)])
     assert 0 < len(kept) < total
+
+
+def test_partition_prune_cross_type_is_conservative(spark, table):
+    """An int-typed partition probed with a string literal must NOT
+    prune (Python would compare unequal where the engine's cast
+    matches) — the row filter decides instead."""
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    kept, total = V.plan_files(table, where=[("p", "=", "1")])
+    assert len(kept) == total  # conservative: nothing dropped
+    got = V.read_snapshot(spark, table, where=[("p", "=", "1")]).filter(
+        F.col("p") == "1"
+    )
+    assert got.count() == 10
