@@ -983,14 +983,28 @@ def _files_touching_keys(
     if lo is None:  # empty source: nothing can match
         return [], entries
     touched, untouched = [], []
+    num = (int, float)
     for e in entries:
-        st = e.get("stats", {}).get(key)
         overlap = True
-        if st is not None:
-            try:
-                overlap = not (st["max"] < lo or st["min"] > hi)
-            except TypeError:
-                overlap = True
+        pv = e.get("partition", {})
+        if key in pv:
+            # merging ON the partition column: the file holds exactly
+            # one key value (hive layout), so the range test is exact
+            v = pv[key]
+            if v is None:
+                overlap = False  # null key never matches a source key
+            elif isinstance(v, num) == isinstance(lo, num):
+                try:
+                    overlap = lo <= v <= hi
+                except TypeError:
+                    overlap = True
+        else:
+            st = e.get("stats", {}).get(key)
+            if st is not None:
+                try:
+                    overlap = not (st["max"] < lo or st["min"] > hi)
+                except TypeError:
+                    overlap = True
         (touched if overlap else untouched).append(e)
     return touched, untouched
 

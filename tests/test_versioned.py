@@ -955,3 +955,31 @@ def test_partition_prune_cross_type_is_conservative(spark, table):
         F.col("p") == "1"
     )
     assert got.count() == 10
+
+
+def test_merge_on_partition_key_rewrites_one_partition(spark, table):
+    """MERGE keyed on the partition column: each hive file holds one
+    key value, so the planner must touch only the matching partition's
+    files — the others carry over by reference."""
+    df = spark.range(0, 400).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("v")
+    )
+    V.commit_snapshot(
+        df.repartition("p"), table, mode="overwrite", partition_by=["p"]
+    )
+    n0 = len(V.read_manifest(table, 0)["files"])
+    src = spark.createDataFrame([(2, 999999)], "p LONG, v LONG")
+    V.merge_upsert(spark, table, src, key="p")
+    m1 = V.read_manifest(table, 1)
+    carried = {
+        e["path"] for e in V.read_manifest(table, 0)["files"]
+    } & {e["path"] for e in m1["files"]}
+    p2_files_v0 = [
+        e for e in V.read_manifest(table, 0)["files"]
+        if e["partition"]["p"] == 2
+    ]
+    # every non-p=2 file carried; every p=2 file rewritten
+    assert len(carried) == n0 - len(p2_files_v0)
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 301  # 400 - 100 (p=2 replaced) + 1 source row
+    assert got.filter(F.col("p") == 2).count() == 1
