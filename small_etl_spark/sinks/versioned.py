@@ -1288,8 +1288,10 @@ def table_changes(
     added = sorted(t_paths - f_paths)
     removed = sorted(f_paths - t_paths)
 
-    def _read(paths: list[str], sch: StructType) -> DataFrame:
-        return _read_files(spark, table, paths, sch)
+    def _read(
+        paths: list[str], sch: StructType, with_position: bool = False
+    ) -> DataFrame:
+        return _read_files(spark, table, paths, sch, with_position)
 
     if not removed and not added and fm.get("dv") != tm.get("dv"):
         # pure merge-on-read delta (delete_mor commits): positions
@@ -1304,7 +1306,7 @@ def table_changes(
         dv_files = [
             r.file for r in to_dv.select("file").distinct().collect()
         ]
-        hit = _with_position(_read(dv_files, schema)).join(
+        hit = _read(dv_files, schema, with_position=True).join(
             to_dv.withColumnsRenamed({"file": "__file__", "pos": "__pos__"}),
             ["__file__", "__pos__"],
             "left_semi",
@@ -1339,19 +1341,32 @@ def table_changes(
     new_rows = _read(sorted(set(added) | set(dv_shared)), schema)
 
     def _apply_dv(rows: DataFrame, m: dict[str, Any]) -> DataFrame:
-        if not m.get("dv"):
-            return rows
+        # rows arrive WITH position columns already attached
         dv = _dv_rows(spark, table, m).withColumnsRenamed(
             {"file": "__file__", "pos": "__pos__"}
         )
-        return (
-            _with_position(rows)
-            .join(dv, ["__file__", "__pos__"], "left_anti")
-            .drop("__file__", "__pos__")
+        return rows.join(dv, ["__file__", "__pos__"], "left_anti").drop(
+            "__file__", "__pos__"
         )
 
-    old_rows = _apply_dv(old_rows, fm)
-    new_rows = _apply_dv(new_rows, tm)
+    dv_range = bool(fm.get("dv") or tm.get("dv"))
+    if dv_range:
+        # re-read with positions attached PER SCAN (resolvable even
+        # when a side's path list is empty)
+        old_rows = _read(
+            sorted(set(removed) | set(dv_shared)), old_schema,
+            with_position=True,
+        )
+        new_rows = _read(
+            sorted(set(added) | set(dv_shared)), schema,
+            with_position=True,
+        )
+    old_rows = _apply_dv(old_rows, fm) if fm.get("dv") else (
+        old_rows.drop("__file__", "__pos__") if dv_range else old_rows
+    )
+    new_rows = _apply_dv(new_rows, tm) if tm.get("dv") else (
+        new_rows.drop("__file__", "__pos__") if dv_range else new_rows
+    )
     # align evolved schemas: old rows gain nulls for added columns
     for f in schema.fields:
         if f.name not in old_rows.columns:

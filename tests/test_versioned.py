@@ -983,3 +983,27 @@ def test_merge_on_partition_key_rewrites_one_partition(spark, table):
     got = V.read_snapshot(spark, table)
     assert got.count() == 301  # 400 - 100 (p=2 replaced) + 1 source row
     assert got.filter(F.col("p") == 2).count() == 1
+
+
+def test_cdc_across_noop_mor_delete(spark, table):
+    """Regression (hypothesis-found): a delete_mor matching ZERO new
+    rows after a prior delete_mor rewrites the DV store at a new path,
+    so the CDC dv-delta branch sees an EMPTY delta — reading zero
+    files with position columns must not try to resolve _metadata on
+    a local relation."""
+    V.commit_snapshot(
+        spark.range(0, 50).select(F.col("id").alias("k")),
+        table, mode="overwrite",
+    )
+    V.delete_where_mor(spark, table, F.col("k") >= 40)   # v1: 10 dv rows
+    V.delete_where_mor(spark, table, F.col("k") >= 45)   # v2: no new rows
+    delta = V.table_changes(spark, table, 1, 2)
+    assert delta.count() == 0
+    # the non-empty dv-delta still works across the same machinery
+    d01 = V.table_changes(spark, table, 0, 1)
+    assert d01.count() == 10
+    assert {r._change_type for r in d01.collect()} == {"delete"}
+    # and the general path with a DV on one endpoint stays green
+    V.compact_dv(spark, table)                            # v3
+    d13 = V.table_changes(spark, table, 1, 3)
+    assert d13.count() == 0  # logical content unchanged across compact
