@@ -414,3 +414,43 @@ def domain_token_budget_cap(
         )
         .filter(F.col("tokens_before") < F.lit(budget_tokens))
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val split: assign whole near-duplicate
+    COMPONENTS to a side, never individual documents. A plain
+    :func:`hash_split` puts ~2·p·(1-p) of each near-dup pair across
+    the boundary — val examples whose near-copies sit in train, the
+    classic eval-contamination leak (the reason Lee et al. 2022 and
+    the GPT-3 paper dedup across, not just within, splits). Here every
+    doc is labeled with its connected component over ``pairs``
+    (llm/dedup.py::connected_components — singletons label
+    themselves), and the salted hash that decides the side reads the
+    COMPONENT id, so a chain A~B~C moves as one unit by construction.
+
+    Returns ``docs`` + ``component`` + ``split_col`` ∈ {'train','val'}.
+
+    Scale shape: the component labeling is the O(log n)-round
+    min-propagation already benched under ``cc_star_components``; the
+    split itself is a pure map over the labeled rows. ``pairs`` comes
+    from any dedup family in this package (exact n-gram, MinHash-LSH,
+    SimHash, embedding cosine) — pass the pairs you already computed
+    for dedup; nothing is recomputed here.
+    """
+    from small_etl_spark.llm.dedup import connected_components
+
+    comps = connected_components(docs, pairs, id_col=id_col)
+    thresh = _hex_threshold(val_fraction)
+    return docs.join(comps, id_col).withColumn(
+        split_col,
+        F.when(
+            hash_bucket("component", salt) < F.lit(thresh), F.lit("val")
+        ).otherwise(F.lit("train")),
+    )

@@ -734,6 +734,59 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs, pairs)
 
 
+@register(
+    "leakage_safe_split",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT source AS g, doc_id AS id,
+             regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT g, id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      FROM t
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM s a JOIN s b ON a.g = b.g AND a.id < b.id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    )
+    SELECT doc_id, component,
+           CASE WHEN substring(
+                  md5('split-v1|' || CAST(component AS VARCHAR)), 1, 4
+                ) < '3333' THEN 'val' ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val split (llm.sampling.leakage_safe_split):
+    whole near-duplicate components move to one side, so no val doc has
+    a near-copy in train (the eval-contamination leak a per-doc hash
+    split commits on ~2·p·(1-p) of every near-dup pair). Oracle replays
+    pair finding, the recursive-CTE component closure, AND the salted
+    component-hash side assignment; the no-straddling property is
+    additionally pinned in pytest."""
+    from small_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from small_etl_spark.llm.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, group_col="source", min_jaccard=0.8)
+    return leakage_safe_split(docs, pairs, val_fraction=0.2).select(
+        "doc_id", "component", "split"
+    )
+
+
 @register("minhash_lsh_dedup", None, headline=True)
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (llm.dedup.minhash_lsh_pairs):

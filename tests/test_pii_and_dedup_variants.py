@@ -118,3 +118,65 @@ def test_prefix_filter_equals_brute_force(spark):
     }
     assert want, "fixture must produce at least one qualifying pair"
     assert got == want
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """The property the op exists for: NO near-dup pair crosses the
+    train/val boundary (a per-doc hash split provably crosses some),
+    and membership is a pure function of ids (rerun-stable)."""
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from small_etl_spark.llm.sampling import hash_split, leakage_safe_split
+
+    # 30 clone pairs (near-dups by construction) + 40 singletons
+    rows = []
+    for i in range(30):
+        text = f"shared passage number {i} repeated across both copies"
+        rows.append((2 * i, "s", text))
+        rows.append((2 * i + 1, "s", text + " tail"))
+    for j in range(40):
+        rows.append((100 + j, "s", f"unique document {j} {j*7} {j*13} xyz"))
+    docs_df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    pairs = ngram_jaccard_pairs(docs_df, group_col="source", min_jaccard=0.8)
+    assert pairs.count() >= 30
+    out = leakage_safe_split(docs_df, pairs, val_fraction=0.3)
+    side = out.select("doc_id", "split")
+    straddle = (
+        pairs.join(
+            side.withColumnsRenamed({"doc_id": "id_a", "split": "sa"}), "id_a"
+        )
+        .join(
+            side.withColumnsRenamed({"doc_id": "id_b", "split": "sb"}), "id_b"
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0
+    # both sides populated (the split didn't degenerate)
+    sides = {r.split for r in side.select("split").distinct().collect()}
+    assert sides == {"train", "val"}
+    # determinism: a rerun assigns identical sides
+    again = leakage_safe_split(docs_df, pairs, val_fraction=0.3)
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+    # contrast: the naive per-doc split DOES straddle at least one
+    # near-dup pair on this corpus (the leak this op closes)
+    naive = hash_split(docs_df, val_fraction=0.3).select("doc_id", "split")
+    naive_straddle = (
+        pairs.join(
+            naive.withColumnsRenamed({"doc_id": "id_a", "split": "sa"}),
+            "id_a",
+        )
+        .join(
+            naive.withColumnsRenamed({"doc_id": "id_b", "split": "sb"}),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert naive_straddle.count() > 0
