@@ -63,6 +63,7 @@ def pack_sequences_ffd(
     n_tokens_col: str = "n_tokens",
     context_len: int = 2048,
     num_shards: int = 64,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Distributed first-fit-decreasing bin packing: group whole
     documents into packs of ≤ ``context_len`` tokens without
@@ -123,9 +124,16 @@ def pack_sequences_ffd(
 
     # a doc with unknown length cannot be packed — drop it before the
     # Python kernel (int(NaN) throws); upstream QC owns null counts
+    # shard_col overrides the default xxhash64 sharding with a caller
+    # expression (the portable oracle twin shards by doc_id % k so the
+    # DuckDB replay can reproduce the exact shard membership)
+    shard_expr = (
+        F.col(shard_col).cast("bigint")
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
+    )
     sharded = df.filter(F.col(n_tokens_col).isNotNull()).select(
-        F.col(id_col), F.col(n_tokens_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).alias("_shard"),
+        F.col(id_col), F.col(n_tokens_col), shard_expr.alias("_shard")
     )
     return sharded.groupBy("_shard").applyInPandas(ffd, schema=out_schema)
 

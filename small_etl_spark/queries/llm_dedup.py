@@ -588,6 +588,76 @@ def q_pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_ffd_portable",
+    r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+               AS n,
+             doc_id % 8 AS shard
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, n, shard,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n DESC, doc_id) AS rn
+      FROM base
+    ), steps(shard, i, caps, assigns) AS (
+      SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST([] AS BIGINT[])
+      FROM (SELECT DISTINCT shard FROM ordered)
+      UNION ALL
+      SELECT s.shard, s.i + 1,
+             CASE WHEN fit.fidx IS NULL
+                  THEN list_append(s.caps, greatest(2048 - o.n, 0))
+                  ELSE [CASE WHEN k = fit.fidx THEN s.caps[k] - o.n
+                             ELSE s.caps[k] END
+                        for k in range(1, len(s.caps) + 1)] END,
+             list_append(s.assigns, COALESCE(fit.fidx, len(s.caps) + 1))
+      FROM steps s
+      JOIN ordered o ON o.shard = s.shard AND o.rn = s.i + 1,
+      LATERAL (SELECT list_filter(range(1, len(s.caps) + 1),
+                                  x -> s.caps[x] >= o.n)[1] AS fidx) fit
+    ), final AS (
+      SELECT s.shard, s.assigns FROM steps s
+      JOIN (SELECT shard, max(i) AS mi FROM steps GROUP BY shard) m
+        ON m.shard = s.shard AND m.mi = s.i
+    ), packed AS (
+      SELECT o.doc_id, o.n AS n_tokens,
+             o.shard * 4294967296 + (f.assigns[o.rn] - 1) AS pack_id
+      FROM ordered o JOIN final f ON f.shard = o.shard
+    )
+    SELECT doc_id, n_tokens, pack_id,
+           SUM(n_tokens) OVER (PARTITION BY pack_id) AS pack_tokens
+    FROM packed
+    """,
+)
+def q_pack_sequences_ffd_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-fit-decreasing packing, the PORTABLE twin: shards by
+    doc_id % 8 (instead of the bench path's xxhash64) so the DuckDB
+    oracle can replay EVERY sequential FFD decision — a recursive CTE
+    steps one document at a time per shard, carrying the open-bin
+    capacity list as state and picking the first bin that fits
+    (lateral list_filter), exactly mirroring the applyInPandas
+    kernel's loop. Every doc's pack assignment and every pack's token
+    total is value-checked, closing the 'sequential algorithm → not
+    SQL-expressible' gap for this op; ``pack_sequences_ffd`` stays
+    the hash-sharded scale path with the bin-count contract."""
+    from small_etl_spark.llm.chunking import pack_sequences_ffd
+    from small_etl_spark.llm.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
+    )
+    return pack_sequences_ffd(
+        docs, context_len=2048, num_shards=8, shard_col="shard"
+    )
+
+
+@register(
     "ffd_pack_contract",
     r"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
