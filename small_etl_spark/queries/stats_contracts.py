@@ -217,16 +217,120 @@ def q_phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pq_ann_topk", None)  # rows-only: codebooks come from
-# iterative per-subspace k-means (not SQL-expressible); recall and
-# determinism are pinned by the contract query + pytest
+
+
+def _pq_oracle(m: int = 8, k: int = 16, dim: int = 64, kq: int = 10) -> str:
+    """DuckDB twin of the full PQ pipeline (pq_train -> pq_encode ->
+    pq_topk): per subspace, the md5 bottom-k seed pick and two Lloyd
+    rounds are unrolled exactly like the kmeans_clusters oracle; codes
+    densify by cell order; encode is an L2 argmin against the
+    codebook; ADC sums the per-subspace table lookups. Sequential
+    list_sum folds mirror the engine's F.aggregate folds bit-for-bit."""
+    dsub = dim // m
+
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"for i in range(1, len({a}) + 1)])"
+        )
+
+    parts = []
+    books = []
+    subs = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, j * dsub + dsub
+        seed = 42 + j
+        parts.append(f"""
+    s{j} AS (
+      SELECT vec_id, CAST(embedding[{lo}:{hi}] AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds{j} AS (
+      SELECT vec_id AS cell, v AS cent FROM s{j}
+      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}') LIMIT {k}
+    ), a{j}0 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, s.cent) DESC,
+                          s.cell DESC) AS rn
+        FROM s{j} c CROSS JOIN seeds{j} s) WHERE rn = 1
+    ), c{j}1 AS (
+      SELECT cell, list(mm ORDER BY pos) AS cent FROM (
+        SELECT cell, pos, AVG(x) AS mm FROM (
+          SELECT cell, unnest(v) AS x,
+                 unnest(range(1, len(v)+1)) AS pos FROM a{j}0)
+        GROUP BY cell, pos) GROUP BY cell
+    ), a{j}1 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, s.cent) DESC,
+                          s.cell DESC) AS rn
+        FROM s{j} c CROSS JOIN c{j}1 s) WHERE rn = 1
+    ), c{j}2 AS (
+      SELECT cell, list(mm ORDER BY pos) AS cent FROM (
+        SELECT cell, pos, AVG(x) AS mm FROM (
+          SELECT cell, unnest(v) AS x,
+                 unnest(range(1, len(v)+1)) AS pos FROM a{j}1)
+        GROUP BY cell, pos) GROUP BY cell
+    )""")
+        books.append(
+            f"SELECT {j} AS sub_idx, cell, cent FROM c{j}2"
+        )
+        subs.append(f"SELECT vec_id, {j} AS sub_idx, v FROM s{j}")
+    body = ",".join(parts)
+    return f"""
+    WITH {body.lstrip()},
+    rawbook AS (
+      {" UNION ALL ".join(books)}
+    ), book AS (
+      SELECT sub_idx, cent,
+             CAST(dense_rank() OVER (PARTITION BY sub_idx ORDER BY cell)
+                  - 1 AS INT) AS code
+      FROM rawbook
+    ), subs AS (
+      {" UNION ALL ".join(subs)}
+    ), enc AS (
+      SELECT vec_id, sub_idx, code FROM (
+        SELECT s.vec_id, s.sub_idx, b.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_idx
+                 ORDER BY {l2sq("s.v", "b.cent")} ASC, b.code ASC) AS rn
+        FROM subs s JOIN book b USING (sub_idx)) WHERE rn = 1
+    ), dtab AS (
+      SELECT q.vec_id AS query_id, q.sub_idx, b.code,
+             {l2sq("q.v", "b.cent")} AS qd
+      FROM subs q JOIN book b USING (sub_idx)
+      WHERE q.vec_id < 8
+    ), scored AS (
+      SELECT d.query_id, e.vec_id, SUM(d.qd) AS adist
+      FROM enc e JOIN dtab d ON d.sub_idx = e.sub_idx AND d.code = e.code
+      GROUP BY d.query_id, e.vec_id
+      HAVING COUNT(*) = {m}
+    ), ranked AS (
+      SELECT query_id, vec_id, adist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adist ASC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, CAST(rn AS BIGINT) AS rank,
+           round(adist, 6) AS adist
+    FROM ranked WHERE rn <= {kq}
+    """
+
+
+@register("pq_ann_topk", _pq_oracle())
 def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (llm/similarity.py::pq_train/encode/
     topk): 64-dim float vectors compressed to 8 one-byte codes
     (m=8 subspaces × 16 centroids), searched by asymmetric distance
     — per query one m×16 lookup table, per corpus vector m adds over
     INTEGER codes. The 100 TB vector-search storage path: the float
-    corpus is touched once at encode time, never per query."""
+    corpus is touched once at encode time, never per query.
+    Round 7 made the per-subspace Lloyd seeds engine-portable, so the
+    ENTIRE pipeline — 8 seed picks, 16 Lloyd rounds, code
+    densification, L2-argmin encode, ADC table build and the windowed
+    top-k — now replays as one DuckDB statement (``_pq_oracle``):
+    every hit and its asymmetric distance is value-checked."""
     from small_etl_spark.llm.similarity import pq_encode, pq_topk, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
