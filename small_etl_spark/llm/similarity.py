@@ -135,6 +135,7 @@ def _assign_cells_vectorized(
     cents: DataFrame,
     id_col: str,
     vec_col: str,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Nearest-centroid assignment as an Arrow ``mapInPandas`` kernel:
     the centroid table (small by contract — ≤ ~1k cells) is collected
@@ -161,14 +162,22 @@ def _assign_cells_vectorized(
     mn[mn == 0] = 1.0
     mhat = (m / mn[:, None]).T  # dim × C
 
+    m_raw = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    m_sq = (m_raw * m_raw).sum(axis=1)
+
     def assign(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            xn = np.linalg.norm(x, axis=1)
-            xn[xn == 0] = 1.0
-            sims = (x / xn[:, None]) @ mhat
+            if metric == "l2":
+                # argmin ||x - m||² = argmax (2 x·m - ||m||²); same
+                # reversed-argmax tie convention (larger cell id)
+                sims = 2.0 * (x @ m_raw.T) - m_sq[None, :]
+            else:
+                xn = np.linalg.norm(x, axis=1)
+                xn[xn == 0] = 1.0
+                sims = (x / xn[:, None]) @ mhat
             # tie → larger cell id (cells are column-sorted ascending,
             # so argmax over the reversed columns picks the last max)
             idx = sims.shape[1] - 1 - sims[:, ::-1].argmax(axis=1)
@@ -195,6 +204,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    metric: str = "cosine",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: pick C corpus rows as centroids (deterministic
     hash-sample), assign every corpus vector to its nearest centroid.
@@ -234,7 +244,10 @@ def ivf_assign(
         .limit(num_centroids)
         .drop("__seedkey__")
     )
-    return _assign_cells_vectorized(corpus, cents, id_col, vec_col), cents
+    return (
+        _assign_cells_vectorized(corpus, cents, id_col, vec_col, metric),
+        cents,
+    )
 
 
 def ivf_topk(
@@ -293,6 +306,7 @@ def ivf_refine(
     assigned: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> tuple[DataFrame, DataFrame]:
     """One Lloyd iteration: recompute each cell's centroid as the
     element-wise mean of its members, then re-assign.
@@ -320,7 +334,10 @@ def ivf_refine(
         )
     )
     corpus = assigned.drop("cell")
-    return _assign_cells_vectorized(corpus, cents, id_col, vec_col), cents
+    return (
+        _assign_cells_vectorized(corpus, cents, id_col, vec_col, metric),
+        cents,
+    )
 
 
 def brute_force_topk_vectorized(
@@ -408,6 +425,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    metric: str = "cosine",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index with ``iters`` Lloyd refinements over the hash-sampled
     seed centroids. Each iteration is one shuffle (per-(cell,pos)
@@ -418,9 +436,13 @@ def ivf_train(
     ``ivf_refine`` consumes it twice (centroid means + re-assign), so
     an uncut lineage would re-execute the whole upstream chain on both
     branches — 2^iters recompute by the last round."""
-    assigned, cents = ivf_assign(corpus, num_centroids, id_col, vec_col, seed)
+    assigned, cents = ivf_assign(
+        corpus, num_centroids, id_col, vec_col, seed, metric
+    )
     for _ in range(iters):
-        assigned, cents = ivf_refine(assigned.localCheckpoint(), id_col, vec_col)
+        assigned, cents = ivf_refine(
+            assigned.localCheckpoint(), id_col, vec_col, metric
+        )
     return assigned, cents
 
 
@@ -761,6 +783,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Train product-quantization codebooks: split the embedding into
     ``m`` contiguous subvectors and k-means each subspace
@@ -788,7 +811,7 @@ def pq_train(
         )
         _assigned, cents = ivf_train(
             sub, num_centroids=num_centroids, iters=iters,
-            id_col=id_col, vec_col=vec_col, seed=seed + j,
+            id_col=id_col, vec_col=vec_col, seed=seed + j, metric=metric,
         )
         books.append(
             cents.select(F.lit(j).alias("sub_idx"), "cell", "__cent__")
@@ -1187,3 +1210,125 @@ def mmr_rerank(
         )
 
     return cands.groupBy(query_col).applyInPandas(pick, out_schema)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    pq_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the production vector-index recipe
+    (public design: Jégou et al. 2011 / the FAISS IVFPQ index): a
+    coarse IVF quantizer routes vectors to ``num_cells`` cells, each
+    vector's RESIDUAL against its cell centroid is PQ-encoded to
+    ``m`` byte codes, and a query probes only ``nprobe`` cells,
+    scoring candidates by asymmetric distance between its per-cell
+    query residual and the codes. Returns ``query_id, vec_id, adist,
+    rank``.
+
+    Why the composite at 100 TB: IVF-Flat prunes the scan but still
+    moves floats; PQ compresses but scans everything. IVF-PQ does
+    both — the probe touches nprobe/num_cells of the corpus AND only
+    byte codes move (m bytes/vector + one small residual table per
+    probed cell). Residual encoding (not raw-vector PQ) is what makes
+    the shared codebook tight: residuals are centered near zero, so
+    16 centroids/subspace cover them far better than raw positions.
+
+    All pieces reuse the oracled machinery: `ivf_assign` with
+    ``metric="l2"`` (portable md5 bottom-k seeds; L2 routing because
+    ADC approximates L2 — cosine cells would send L2 neighbors to
+    different cells and cap recall at noise), `pq_train`/`pq_encode`
+    over the residual table, and an ADC scored exactly like
+    `pq_topk` but keyed per (query, probed cell). Hash-deterministic
+    end to end — the recall contract is a stable driver row.
+    """
+    assigned, cents = ivf_assign(
+        corpus, num_centroids=num_cells, id_col=id_col, vec_col=vec_col,
+        seed=seed, metric="l2",
+    )
+    sub = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("__cent__"),
+        lambda x, c: x - c,
+    )
+    residuals = assigned.join(F.broadcast(cents), "cell").select(
+        id_col, "cell", sub.alias(vec_col)
+    )
+    books = pq_train(
+        residuals, m=m, num_centroids=pq_centroids, id_col=id_col,
+        vec_col=vec_col, seed=seed + 100, metric="l2",
+    )
+    codes = pq_encode(
+        residuals, books, m=m, id_col=id_col, vec_col=vec_col
+    ).join(residuals.select(id_col, "cell"), id_col)
+
+    # probe: nprobe nearest cells per query, then the query's residual
+    # AGAINST EACH PROBED CELL feeds the ADC table for that cell
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv__"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__pd__").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__pd__", _sq_l2(F.col("__qv__"), F.col("__cent__")))
+        .withColumn("__pr__", F.row_number().over(probe_w))
+        .filter(F.col("__pr__") <= nprobe)
+        .select(
+            query_id_col,
+            "cell",
+            F.zip_with(
+                "__qv__", "__cent__", lambda x, c: x - c
+            ).alias("__qres__"),
+        )
+    )
+    dim = queries.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    dsub = dim // m
+    qsubs = probes.select(
+        query_id_col,
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub_idx"),
+                        F.slice(F.col("__qres__"), j * dsub + 1, dsub).alias(
+                            "qv"
+                        ),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(query_id_col, "cell", "s.sub_idx", "s.qv")
+    dtab = qsubs.join(F.broadcast(books), "sub_idx").select(
+        query_id_col,
+        "cell",
+        "sub_idx",
+        "code",
+        _sq_l2(F.col("qv"), F.col("__cent__")).alias("__d__"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["cell", "sub_idx", "code"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d__").alias("adist"), F.count(F.lit(1)).alias("__m__"))
+        .filter(F.col("__m__") == m)
+        .drop("__m__")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)

@@ -1890,3 +1890,94 @@ def q_quantile_sketch_contract(
         "q",
         (F.col("rank_err") <= 0.005).alias("rank_ok"),
     ).orderBy("l_returnflag", "q")
+
+
+@register(
+    "ivfpq_recall_contract",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS recall_ok,
+           TRUE AS probe_bounded
+    """,
+)
+def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality contract for the IVF-PQ composite
+    (llm/similarity.py::ivfpq_topk — Jégou et al. 2011 / the FAISS
+    IVFPQ recipe: L2 coarse cells + PQ-encoded RESIDUALS, probed by
+    per-cell asymmetric distance; m=16 subspaces x 32 centroids,
+    nprobe=8/16): recall@10 against the exact L2 top-10 over the same
+    8 queries must clear 0.15 (measured 0.41 at sf0.01, 0.25 at
+    sf0.1 — this synthetic corpus is near-uniform 64-dim noise, the
+    worst case for any quantizer: pairwise distances concentrate, so
+    quantization error rivals the signal; real embedding manifolds
+    sit far from this floor), and every returned candidate must come
+    from a probed cell (probe_bounded — the scan really is
+    nprobe/num_cells of the corpus). Hash-deterministic end to end →
+    a stable driver row; the flat-IVF and raw-PQ halves carry their
+    own value-exact oracles (ivf_ann_topk, pq_ann_topk)."""
+    from pyspark.sql import Window
+
+    from small_etl_spark.llm.similarity import (
+        _sq_l2,
+        ivf_assign,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    ann = ivfpq_topk(
+        emb, q, k=10, num_cells=16, nprobe=8, m=16, pq_centroids=32
+    ).select("query_id", "vec_id")
+    a = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    b = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    d = (
+        a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("d", _sq_l2(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("vec_id").asc()
+    )
+    bf = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    marked = bf.join(
+        ann.withColumn("__hit__", F.lit(1)), ["query_id", "vec_id"], "left"
+    )
+    # probe-bounded: every ANN candidate's cell is within the probed
+    # set of its query (assignments + probes re-derived independently,
+    # with the same L2 routing the composite uses)
+    assigned, cents = ivf_assign(emb, num_centroids=16, metric="l2")
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__pd__").asc(), F.col("cell").asc()
+    )
+    probed = (
+        a.crossJoin(F.broadcast(cents))
+        .withColumn("__pd__", _sq_l2(F.col("qv"), F.col("__cent__")))
+        .withColumn("__pr__", F.row_number().over(pw))
+        .filter(F.col("__pr__") <= 8)
+        .select("query_id", "cell")
+    )
+    outside = (
+        ann.join(assigned.select("vec_id", "cell"), "vec_id")
+        .join(probed, ["query_id", "cell"], "left_anti")
+    )
+    n_outside = outside.count()
+    return marked.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("__hits__"),
+    ).select(
+        "n_queries",
+        (
+            F.col("__hits__").cast("double")
+            / (F.lit(10.0) * F.col("n_queries"))
+            > 0.15
+        ).alias("recall_ok"),
+        F.lit(n_outside == 0).alias("probe_bounded"),
+    )

@@ -678,3 +678,47 @@ class TestInt8Quantization:
         codes = {r["vec_id"]: r["codes"] for r in qd.collect()}
         assert codes[1] == [0, 0, 0, 0]
         assert max(abs(c) for c in codes[0]) == 127
+
+
+def test_ivf_assign_l2_metric_routes_by_distance(spark):
+    """metric='l2' must assign by Euclidean distance, not cosine: a
+    vector collinear with a far centroid but adjacent to a near one
+    separates the two metrics."""
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.llm.similarity import _assign_cells_vectorized
+
+    # centroids: c1=(1,0) scaled far (10,0); c2=(0,1)
+    cents = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [0.0, 1.0])], "cell LONG, __cent__ ARRAY<DOUBLE>"
+    )
+    # v=(1, 0.9): cosine prefers c1 (collinear-ish); L2 prefers c2
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.9])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cos = _assign_cells_vectorized(
+        corpus, cents, "vec_id", "embedding", metric="cosine"
+    ).first()
+    l2 = _assign_cells_vectorized(
+        corpus, cents, "vec_id", "embedding", metric="l2"
+    ).first()
+    assert cos.cell == 1 and l2.cell == 2
+
+
+def test_ivfpq_returns_k_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.llm.similarity import ivfpq_topk
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out1 = ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=4, m=8,
+                      pq_centroids=8)
+    rows1 = sorted((r.query_id, r.vec_id, r.rank) for r in out1.collect())
+    assert len(rows1) == 15  # 3 queries x k=5
+    assert all(1 <= r[2] <= 5 for r in rows1)
+    out2 = ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=4, m=8,
+                      pq_centroids=8)
+    rows2 = sorted((r.query_id, r.vec_id, r.rank) for r in out2.collect())
+    assert rows1 == rows2
