@@ -50,6 +50,11 @@ CARTESIAN_OK = {
     "shard_plan",  # broadcast of the 1-row corpus token total
     "pq_recall_contract",  # exact-L2 crossJoin is the labeled ground
                            # truth the PQ recall is measured against
+    "ivfpq_recall_contract",  # same exact-L2 ground-truth crossJoin,
+                              # plus the broadcast 16-row centroid
+                              # probe ranking (constant build side) —
+                              # the composite being measured only
+                              # touches probed cells by construction
     "hll_setops_contract",  # broadcast of a 1-row exact-count aggregate
     "rrf_fusion_docs",     # inherits bm25's corpus-constant folds
     "part_revenue_pareto",  # broadcast of the 1-row (n, total) fold
