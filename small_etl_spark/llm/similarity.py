@@ -1259,8 +1259,14 @@ def ivfpq_topk(
         F.col("__cent__"),
         lambda x, c: x - c,
     )
-    residuals = assigned.join(F.broadcast(cents), "cell").select(
-        id_col, "cell", sub.alias(vec_col)
+    # cut the lineage ONCE: residuals sit under pq_train's m subspaces
+    # × Lloyd iterations plus pq_encode and the cell join — without the
+    # checkpoint each consumer re-executes the full mapInPandas coarse
+    # assignment (the same recompute blow-up ivf_train cuts per round)
+    residuals = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(id_col, "cell", sub.alias(vec_col))
+        .localCheckpoint(eager=False)
     )
     books = pq_train(
         residuals, m=m, num_centroids=pq_centroids, id_col=id_col,

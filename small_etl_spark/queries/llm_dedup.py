@@ -627,7 +627,8 @@ def q_pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered o JOIN final f ON f.shard = o.shard
     )
     SELECT doc_id, n_tokens, pack_id,
-           SUM(n_tokens) OVER (PARTITION BY pack_id) AS pack_tokens
+           CAST(SUM(n_tokens) OVER (PARTITION BY pack_id) AS BIGINT)
+             AS pack_tokens
     FROM packed
     """,
 )
@@ -2108,10 +2109,10 @@ def q_cdc_lsh_probe_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT doc_id, source, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS tokens_before
+               AS BIGINT) AS tokens_before
       FROM t
     )
     SELECT doc_id, source, n_tokens, tokens_before
@@ -2147,10 +2148,10 @@ def q_domain_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT doc_id, source, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS tokens_before
+               AS BIGINT) AS tokens_before
       FROM t
     )
     SELECT doc_id, source, n_tokens, tokens_before

@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass
@@ -229,10 +230,28 @@ def _harvest_footer_entries(
 # of all of them. Build cost is one columnar read of the bloomed
 # columns at commit time; the filter rides in the manifest entry and
 # carries by reference through appends/merges like any other stat.
-# Values are keyed by ``str(value)`` — look up with the same type you
-# wrote (bigint 42 and string "42" collide on purpose: conservative).
+# Values are keyed by ``_bloom_key`` — str(value) with numerics
+# canonicalized so an int-literal lookup probes the same positions a
+# double column's build inserted (bigint 42 and string "42" still
+# collide on purpose: conservative).
 
 _BLOOM_K = 7  # hash probes per value; with 10 bits/row → fpp ≈ 1%
+
+
+def _bloom_key(value: Any) -> str:
+    """Canonical bloom hash key. Integral floats normalize to the int
+    form: pyarrow hands a DOUBLE column's 42.0 back as float, and a
+    predicate literal ``("id", "=", 42)`` arrives as int — keying by
+    raw str() hashed '42.0' vs '42', so ``_file_may_match`` returned
+    False on every file and ``read_snapshot`` silently dropped the
+    matching rows (the stats and partition paths stay conservative on
+    cross-type compares; the bloom path must too). Bools keep their
+    own repr (bool is an int subclass in Python)."""
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, float) and value.is_integer():
+        return str(int(value))
+    return str(value)
 
 
 def _bloom_nbits(rows: int) -> int:
@@ -249,7 +268,7 @@ def _bloom_positions(value: Any, nbits: int) -> list[int]:
     # difference between ~1 s and ~7 s per 5M-row file at commit time.
     import hashlib
 
-    d = hashlib.sha256(str(value).encode()).digest()
+    d = hashlib.sha256(_bloom_key(value).encode()).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:16], "big") | 1  # odd -> full-cycle stride
     return [(h1 + i * h2) % nbits for i in range(_BLOOM_K)]
@@ -452,7 +471,7 @@ def _read_files(
             direct.append(os.path.join(table, p))
 
     def _deco(df: DataFrame) -> DataFrame:
-        return _with_position(df) if with_position else df
+        return _with_position(df, table) if with_position else df
 
     parts: list[DataFrame] = []
     if direct:
@@ -757,8 +776,11 @@ def version_as_of(table: str, timestamp_ms: int) -> int:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     for cand in range(v, -1, -1):
         p = _manifest_path(table, cand)
-        if not os.path.exists(p):  # vacuumed below this point
-            break
+        if not os.path.exists(p):
+            # vacuumed — but a TAG-protected older manifest may survive
+            # BELOW the gap (vacuum keeps tagged versions); keep
+            # scanning instead of giving up at the first hole
+            continue
         if int(read_manifest(table, cand).get("committed_at_ms", 0)) <= (
             timestamp_ms
         ):
@@ -1629,9 +1651,18 @@ def read_catalog(
 #   prompt compact_dv) everywhere else.
 
 
-# manifest-relative data path at the end of a _metadata.file_path URI;
-# the optional middle segments are hive partition dirs (col=val)
-_DV_REL_RE = r"(data/[^/]+/(?:[^/]+/)*[^/]+\.parquet)$"
+def _rel_path_pattern(table: str) -> str:
+    """Regex that strips the TABLE ROOT prefix off a
+    ``_metadata.file_path`` URI, leaving the manifest-relative data
+    path. Anchored on the known root rather than searching for a
+    ``data/`` segment: a greedy ``data/...`` search can lock onto an
+    ANCESTOR directory named ``data`` (e.g. a table rooted under
+    ``/srv/data/...``), yielding ``__file__`` values that disagree
+    with manifest-relative paths — DV anti-joins then silently drop
+    nothing and CDC misses MoR deletes. Tolerates the ``file:/`` vs
+    ``file:///`` authority forms Spark/Hadoop emit."""
+    root = os.path.abspath(table).strip("/")
+    return r"^file:/+" + re.escape(root) + r"/(.+)$"
 
 
 def _live_dv(manifest: dict[str, Any]) -> dict[str, Any] | None:
@@ -1653,12 +1684,12 @@ def _dv_rows(spark: SparkSession, table: str, manifest: dict) -> DataFrame:
     )
 
 
-def _with_position(df: DataFrame) -> DataFrame:
+def _with_position(df: DataFrame, table: str) -> DataFrame:
     """Attach the manifest-relative file path + row index."""
     return df.select(
         "*",
         F.regexp_extract(
-            F.col("_metadata.file_path"), _DV_REL_RE, 1
+            F.col("_metadata.file_path"), _rel_path_pattern(table), 1
         ).alias("__file__"),
         F.col("_metadata.row_index").alias("__pos__"),
     )

@@ -1007,3 +1007,96 @@ def test_cdc_across_noop_mor_delete(spark, table):
     V.compact_dv(spark, table)                            # v3
     d13 = V.table_changes(spark, table, 1, 3)
     assert d13.count() == 0  # logical content unchanged across compact
+
+
+def test_dv_paths_survive_ancestor_dir_named_data(spark, tmp_path):
+    """Regression (r7 ADVICE): ``__file__`` extraction used to search
+    for a ``data/`` segment anywhere in the file URI, so a table
+    rooted UNDER an ancestor directory named ``data`` (think
+    ``/srv/data/warehouse/tbl``) produced __file__ values prefixed
+    with the ancestor path. DV anti-joins then matched nothing:
+    read_snapshot resurrected MoR-deleted rows and table_changes
+    missed the deletes. The extraction is now anchored on the table
+    root itself."""
+    table = str(tmp_path / "data" / "warehouse" / "tbl")
+    V.commit_snapshot(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ),
+        table,
+        mode="overwrite",
+        partition_by=["p"],  # hive dirs under data/<commit>/ too
+    )
+    V.delete_where_mor(spark, table, F.col("k") >= 90)  # v1
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 90
+    assert got.filter(F.col("k") >= 90).count() == 0
+    ch = V.table_changes(spark, table, 0, 1)
+    assert sorted(r.k for r in ch.collect()) == list(range(90, 100))
+    assert {r._change_type for r in ch.collect()} == {"delete"}
+    # second MoR delete exercises the dv-delta/shared-file CDC branch
+    V.delete_where_mor(spark, table, F.col("k") < 5)  # v2
+    d12 = V.table_changes(spark, table, 1, 2)
+    assert sorted(r.k for r in d12.collect()) == [0, 1, 2, 3, 4]
+    assert V.read_snapshot(spark, table).count() == 85
+
+
+def test_bloom_cross_type_numeric_lookup(spark, table):
+    """Regression (r7 ADVICE): blooms keyed raw str(value), so an int
+    literal 42 probed '42' while a DOUBLE column's build inserted
+    '42.0' — _file_may_match returned False everywhere and
+    read_snapshot silently dropped matching rows. Numeric keys are
+    now canonicalized; string-vs-number still collides conservatively."""
+    df = spark.range(0, 500).select(
+        F.col("id").cast("double").alias("d"),
+        F.col("id").alias("k"),
+    )
+    V.commit_snapshot(
+        df.repartition(4, "k"), table, mode="overwrite",
+        bloom_columns=["d", "k"],
+    )
+    # int literal against the DOUBLE column: found, and still prunes
+    kept, total = V.plan_files(table, where=[("d", "=", 123)])
+    assert kept, "bloom false-negative on int-vs-double lookup"
+    got = V.read_snapshot(spark, table, where=[("d", "=", 123)]).filter(
+        F.col("d") == 123
+    )
+    assert got.count() == 1
+    # float literal against the BIGINT column: same
+    kept, _ = V.plan_files(table, where=[("k", "=", 321.0)])
+    assert kept, "bloom false-negative on double-vs-int lookup"
+    assert (
+        V.read_snapshot(spark, table, where=[("k", "=", 321.0)])
+        .filter(F.col("k") == 321).count() == 1
+    )
+    # absent value still prunes sharply either way
+    kept, total = V.plan_files(table, where=[("d", "=", 99999)])
+    assert len(kept) <= 1
+    # non-integral lookup on the double column keeps exact keying
+    kept, _ = V.plan_files(table, where=[("d", "=", 123.5)])
+    assert len(kept) <= 1
+
+
+def test_timestamp_travel_reaches_tagged_version_below_vacuum_gap(
+    spark, table
+):
+    """Regression (r7 ADVICE): version_as_of stopped at the FIRST
+    missing (vacuumed) manifest scanning downward, so a tag-protected
+    older snapshot beyond the gap could never be resolved by
+    timestamp even though its manifest survived the vacuum."""
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    V.create_tag(table, "pinned-v0", version=0)
+    V.commit_snapshot(_df(spark, 10, 20, "b"), table, mode="append")
+    V.commit_snapshot(_df(spark, 20, 30, "c"), table, mode="append")
+    t0 = int(V.read_manifest(table, 0)["committed_at_ms"])
+    t1 = int(V.read_manifest(table, 1)["committed_at_ms"])
+    assert t1 > t0  # spark commits are well over 1 ms apart
+    V.vacuum(table, keep_last=1)  # drops v1; v0 survives via the tag
+    assert not os.path.exists(V._manifest_path(table, 1))
+    assert os.path.exists(V._manifest_path(table, 0))
+    # timestamp between v0 and v1 must land on the tagged v0
+    assert V.version_as_of(table, t1 - 1) == 0
+    assert V.read_snapshot(spark, table, version=0).count() == 10
+    # and a too-early instant still raises
+    with pytest.raises(ValueError, match="no snapshot"):
+        V.version_as_of(table, t0 - 1)
