@@ -96,15 +96,21 @@ _GATED = [
     "q18_large_orders",
     "cube_agg",
     "simhash_dedup_md5",
-    "rollup_agg",
-    "pivot_agg",
-    "distinct_agg",
+    # rollup_agg / pivot_agg / distinct_agg / token_count / fingerprint
+    # left the window round 8 (cube_agg carries the grouping-sets
+    # family; exact_dedup_docs and the text-quality rows carry
+    # hashing/token shapes; all five stay registered + locally swept)
+    # for the round-7 flagships the driver had never verified —
+    # VERDICT r7 item 4:
+    "versioned_partition_prune",
+    "versioned_bloom_lookup",
+    "cdc_lsh_probe_md5",
+    "pq_ann_topk",
+    "leakage_safe_split",
     "sessionize",
     "window_agg_hourly",
     "session_window_agg",
     "salted_agg",
-    "token_count",
-    "fingerprint",
     "exact_dedup_docs",
     "tfidf_top_terms",
     "gopher_quality",

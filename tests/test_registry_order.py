@@ -25,17 +25,25 @@ MUST_BE_GATED = [
     # family as cosine_topk) for the versioned-table representative
     "versioned_time_travel",
     "tfidf_top_terms",
-    "fingerprint",
     "exact_dedup_docs",
     "lang_id",
     # quality_score/normalize_fields/remove_html_tags left round 7 for
     # the round-6 flagships (VERDICT r6 item 3); gopher_quality and
     # clean_text carry those families in the window.
+    # token_count/fingerprint left round 8 for the round-7 flagships
+    # (VERDICT r7 item 4); exact_dedup_docs + the text-quality rows
+    # carry the hashing/token shapes.
     "gopher_quality",
-    "token_count",
     "versioned_merge_upsert",
     "minhash_lsh_probe_md5",
     "domain_token_budget_cap",
+    # round-7 flagships: partitioned commits, blooms, CDC-driven LSH
+    # probe, the full PQ pipeline, leakage-safe splitting
+    "versioned_partition_prune",
+    "versioned_bloom_lookup",
+    "cdc_lsh_probe_md5",
+    "pq_ann_topk",
+    "leakage_safe_split",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics
