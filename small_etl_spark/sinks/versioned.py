@@ -114,14 +114,119 @@ def latest_version(table: str) -> int | None:
     versions = [
         int(n[1 : 1 + _VERSION_WIDTH])
         for n in os.listdir(mdir)
-        if n.startswith("v") and n.endswith(".json")
+        if n.startswith("v")
+        and n.endswith(".json")
+        and ".checkpoint." not in n
     ]
     return max(versions) if versions else None
 
 
-def read_manifest(table: str, version: int) -> dict[str, Any]:
+# --- paged manifest log ----------------------------------------------------
+#
+# A commit record is ONE of:
+#   - a BASE record carrying the full ``files`` list (version 0,
+#     overwrites — a fresh lineage is its own checkpoint), or
+#   - a DELTA record carrying only ``add`` (new entries) and ``remove``
+#     (dropped manifest-relative paths) against its parent.
+# Every record carries the full header (schema, dv, partition_by,
+# stream high-water mark, timestamps) — headers are small and make
+# header-only reads (append planning, idempotence checks, timestamp
+# travel) O(1) in table file count.
+#
+# Readers fold: nearest checkpoint-or-base at/below the asked version,
+# then the delta chain forward (removes, then adds — so a same-path
+# replace folds correctly). ``read_manifest`` keeps its dict contract
+# (``files`` always materialized), so no reader or table op changes.
+#
+# Every ``_CHECKPOINT_INTERVAL``-th commit also writes a side
+# checkpoint file (``vN.checkpoint.json``, idempotent O_EXCL create)
+# with the folded list, bounding every fold to ≤ interval deltas.
+# This is the public two-level design (Delta checkpoints + JSON
+# actions log; Iceberg's manifest-list plays the same role): commit
+# metadata cost is O(changed files) + O(files/interval) amortized —
+# previously each APPEND re-serialized the full file list, the known
+# metadata wall at ~10⁶ files (VERDICT r7 item 3).
+
+_CHECKPOINT_INTERVAL = 16
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(
+        table,
+        _MANIFEST_DIR,
+        f"v{version:0{_VERSION_WIDTH}d}.checkpoint.json",
+    )
+
+
+def _read_record(table: str, version: int) -> dict[str, Any]:
+    """Raw commit record — header + (files | add/remove), no folding.
+    Header-only consumers (schema checks, stream idempotence,
+    timestamp travel) use this to stay O(1) in table file count."""
     with open(_manifest_path(table, version)) as f:
         return json.load(f)
+
+
+def _fold_files(table: str, version: int, rec: dict[str, Any]) -> list:
+    """Materialize the file list for a delta record at ``version``."""
+    cp = _checkpoint_path(table, version)
+    if os.path.exists(cp):
+        with open(cp) as f:
+            return json.load(f)["files"]
+    deltas = [rec]
+    v = rec.get("parent")
+    while True:
+        if v is None:
+            # delta chain with no base below it — corrupt log
+            raise FileNotFoundError(
+                f"{table!r} v{version}: delta chain has no base manifest"
+            )
+        cp = _checkpoint_path(table, v)
+        if os.path.exists(cp):
+            with open(cp) as f:
+                files = json.load(f)["files"]
+            break
+        prec = _read_record(table, v)
+        if "files" in prec:
+            files = prec["files"]
+            break
+        deltas.append(prec)
+        v = prec.get("parent")
+    for d in reversed(deltas):
+        rm = set(d.get("remove", ()))
+        if rm:
+            files = [e for e in files if e["path"] not in rm]
+        files = files + d.get("add", [])
+    return files
+
+
+def read_manifest(table: str, version: int) -> dict[str, Any]:
+    """Commit record with ``files`` MATERIALIZED (the dict contract
+    every reader and table op plans from). Base records pass through;
+    delta records fold from the nearest checkpoint/base (≤ interval
+    steps). Records without file semantics (catalog commits) pass
+    through untouched."""
+    rec = _read_record(table, version)
+    if "files" in rec or "add" not in rec:
+        return rec
+    rec = dict(rec)
+    rec["files"] = _fold_files(table, version, rec)
+    return rec
+
+
+def _write_checkpoint(table: str, version: int, files: list) -> None:
+    # idempotent: two committers folding the same immutable log write
+    # identical content; losing the O_EXCL race is success
+    _atomic_create(_checkpoint_path(table, version), {"files": files})
+
+
+def _maybe_checkpoint(table: str, version: int) -> None:
+    """Amortized checkpointing after a successful delta commit: every
+    interval-th version folds its (≤ interval-long) chain once and
+    pins the result, so reads and future folds stay bounded."""
+    if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(
+            table, version, read_manifest(table, version)["files"]
+        )
 
 
 def _stream_high(parent_manifest: dict[str, Any] | None) -> int:
@@ -537,12 +642,24 @@ def _commit_rewrite(
             f"{table!r}; re-run against the new head"
         )
     version = parent + 1
+    # delta record: rewrites carry most files BY REFERENCE, so the
+    # commit serializes only what changed (a merge touching 3 of 10k
+    # files logs 3 adds + 3 removes, not 10k entries)
+    parent_entries = {e["path"]: e for e in parent_manifest["files"]}
+    final_entries = {e["path"]: e for e in files}
+    add = [e for e in files if parent_entries.get(e["path"]) != e]
+    remove = sorted(
+        p
+        for p, e in parent_entries.items()
+        if final_entries.get(p) != e
+    )
     payload = {
         "snapshot": version,
         "parent": parent,
         "mode": mode,
         "schema": parent_manifest["schema"],
-        "files": files,
+        "add": add,
+        "remove": remove,
         "commit_id": commit_id,
         "stream_batch_high": _stream_high(parent_manifest),
         "committed_at_ms": _now_ms(),
@@ -551,6 +668,7 @@ def _commit_rewrite(
         payload["partition_by"] = list(partition_by)
     if not _atomic_create(_manifest_path(table, version), payload):
         raise CommitConflict(f"lost the commit race on {table!r}")
+    _maybe_checkpoint(table, version)
     return version
 
 
@@ -602,7 +720,7 @@ def commit_snapshot(
     if mode == "append":
         head = latest_version(table)
         if head is not None:
-            parent_pb = read_manifest(table, head).get("partition_by")
+            parent_pb = _read_record(table, head).get("partition_by")
             if (parent_pb or None) != (partition_by or None):
                 raise ValueError(
                     f"append partitioning {partition_by!r} does not match "
@@ -617,24 +735,28 @@ def commit_snapshot(
     for _ in range(max_retries):
         parent = latest_version(table)
         version = 0 if parent is None else parent + 1
-        files = list(new_files)
         schema_json = df.schema.jsonValue()
-        pm = read_manifest(table, parent) if parent is not None else None
-        if mode == "append" and pm is not None:
-            files = pm["files"] + files
-            schema_json = _evolve_schema(
-                StructType.fromJson(pm["schema"]), df.schema, merge_schema
-            ).jsonValue()
+        # header-only parent read: an append's commit cost must stay
+        # FLAT in table file count — the new entries ride as a delta
+        # record; the full list is never re-serialized per commit
+        pm = _read_record(table, parent) if parent is not None else None
         manifest = {
             "snapshot": version,
             "parent": parent,
             "mode": mode,
-            "schema": schema_json,
-            "files": files,
             "commit_id": commit_id,
             "stream_batch_high": _stream_high(pm),
             "committed_at_ms": _now_ms(),
         }
+        if mode == "append" and pm is not None:
+            manifest["schema"] = _evolve_schema(
+                StructType.fromJson(pm["schema"]), df.schema, merge_schema
+            ).jsonValue()
+            manifest["add"] = list(new_files)
+            manifest["remove"] = []
+        else:
+            manifest["schema"] = schema_json
+            manifest["files"] = list(new_files)  # base: fresh lineage
         if partition_by:
             manifest["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
@@ -647,6 +769,8 @@ def commit_snapshot(
             # scalars) — same durability as the file list itself
             manifest["extra"] = extra
         if _atomic_create(_manifest_path(table, version), manifest):
+            if "add" in manifest:
+                _maybe_checkpoint(table, version)
             return version
     raise CommitConflict(
         f"lost {max_retries} optimistic commit races on {table!r}"
@@ -781,7 +905,7 @@ def version_as_of(table: str, timestamp_ms: int) -> int:
             # BELOW the gap (vacuum keeps tagged versions); keep
             # scanning instead of giving up at the first hole
             continue
-        if int(read_manifest(table, cand).get("committed_at_ms", 0)) <= (
+        if int(_read_record(table, cand).get("committed_at_ms", 0)) <= (
             timestamp_ms
         ):
             return cand
@@ -934,6 +1058,11 @@ def vacuum(table: str, keep_last: int = 1) -> int:
         live.update(e["path"] for e in m["files"])
         if m.get("dv"):
             live.add(m["dv"]["path"])
+        if "add" in _read_record(table, kv):
+            # a retained DELTA record may fold through manifests about
+            # to be dropped — pin its materialized list first so every
+            # retained version stays independently readable
+            _write_checkpoint(table, kv, m["files"])
     deleted = 0
     data_root = os.path.join(table, _DATA_DIR)
     if os.path.isdir(data_root):
@@ -956,9 +1085,12 @@ def vacuum(table: str, keep_last: int = 1) -> int:
                 os.rmdir(root)
     for old in range(0, v):
         if old not in keep:
-            p = _manifest_path(table, old)
-            if os.path.exists(p):
-                os.remove(p)
+            for p in (
+                _manifest_path(table, old),
+                _checkpoint_path(table, old),
+            ):
+                if os.path.exists(p):
+                    os.remove(p)
     return deleted
 
 
@@ -1137,7 +1269,7 @@ def committed_stream_batches(table: str) -> set[int]:
     v = latest_version(table)
     seen: set[int] = set()
     for version in range((v + 1) if v is not None else 0):
-        b = read_manifest(table, version).get("stream_batch_id")
+        b = _read_record(table, version).get("stream_batch_id")
         if b is not None:
             seen.add(b)
     return seen
@@ -1165,16 +1297,18 @@ def stream_commit_batch(
     """
     head_v = latest_version(table)
     if head_v is not None:
-        high = _stream_high(read_manifest(table, head_v))
-        if batch_id <= high:
+        # header-only reads: the idempotence + partitioning checks run
+        # EVERY micro-batch and must stay O(1) in table file count
+        head_rec = _read_record(table, head_v)
+        if batch_id <= _stream_high(head_rec):
             return None  # replay of a durably committed batch: no-op
-    if mode == "append" and head_v is not None:
-        parent_pb = read_manifest(table, head_v).get("partition_by")
-        if (parent_pb or None) != (partition_by or None):
-            raise ValueError(
-                f"stream append partitioning {partition_by!r} does not "
-                f"match the table's {parent_pb!r}"
-            )
+        if mode == "append":
+            parent_pb = head_rec.get("partition_by")
+            if (parent_pb or None) != (partition_by or None):
+                raise ValueError(
+                    f"stream append partitioning {partition_by!r} does "
+                    f"not match the table's {parent_pb!r}"
+                )
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     commit_id, new_files = _write_data_files(
         df, table, df.columns, None, partition_by
@@ -1182,32 +1316,34 @@ def stream_commit_batch(
     for _ in range(10):
         parent = latest_version(table)
         version = 0 if parent is None else parent + 1
-        files = list(new_files)
-        schema_json = df.schema.jsonValue()
-        pm = read_manifest(table, parent) if parent is not None else None
-        if mode == "append" and pm is not None:
-            files = pm["files"] + files
-            # micro-batches carry a fixed query schema; enforce it the
-            # same way as batch appends (no silent column loss)
-            schema_json = _evolve_schema(
-                StructType.fromJson(pm["schema"]), df.schema, False
-            ).jsonValue()
+        pm = _read_record(table, parent) if parent is not None else None
         payload = {
             "snapshot": version,
             "parent": parent,
             "mode": mode,
-            "schema": schema_json,
-            "files": files,
             "commit_id": commit_id,
             "stream_batch_id": batch_id,
             "stream_batch_high": max(batch_id, _stream_high(pm)),
             "committed_at_ms": _now_ms(),
         }
+        if mode == "append" and pm is not None:
+            # micro-batches carry a fixed query schema; enforce it the
+            # same way as batch appends (no silent column loss)
+            payload["schema"] = _evolve_schema(
+                StructType.fromJson(pm["schema"]), df.schema, False
+            ).jsonValue()
+            payload["add"] = list(new_files)
+            payload["remove"] = []
+        else:
+            payload["schema"] = df.schema.jsonValue()
+            payload["files"] = list(new_files)
         if partition_by:
             payload["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
             payload["dv"] = pm["dv"]
         if _atomic_create(_manifest_path(table, version), payload):
+            if "add" in payload:
+                _maybe_checkpoint(table, version)
             return version
     raise CommitConflict(f"lost 10 commit races on {table!r}")
 
@@ -1779,7 +1915,10 @@ def delete_where_mor(
         "parent": parent,
         "mode": "delete_mor",
         "schema": manifest["schema"],
-        "files": entries,
+        # data files untouched: the commit is a pure-header delta (the
+        # whole point of MoR — only the DV pointer changes)
+        "add": [],
+        "remove": [],
         "commit_id": commit_id,
         "stream_batch_high": _stream_high(manifest),
         "committed_at_ms": _now_ms(),
@@ -1792,6 +1931,7 @@ def delete_where_mor(
         payload["dv"] = dv_payload
     if not _atomic_create(_manifest_path(table, version), payload):
         raise CommitConflict(f"lost the commit race on {table!r}")
+    _maybe_checkpoint(table, version)
     return version
 
 

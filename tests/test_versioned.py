@@ -1100,3 +1100,117 @@ def test_timestamp_travel_reaches_tagged_version_below_vacuum_gap(
     # and a too-early instant still raises
     with pytest.raises(ValueError, match="no snapshot"):
         V.version_as_of(table, t0 - 1)
+
+
+def test_paged_manifest_append_records_stay_flat(spark, table, monkeypatch):
+    """The r7 metadata wall: appends used to re-serialize the FULL
+    file list every commit (O(files) driver metadata per commit). The
+    paged log writes a delta record per commit — its size must stay
+    flat as the table's file count grows — plus an interval checkpoint
+    that bounds every read's fold."""
+    monkeypatch.setattr(V, "_CHECKPOINT_INTERVAL", 4)
+    V.commit_snapshot(_df(spark, 0, 10, "base"), table, mode="overwrite")
+    sizes = []
+    for i in range(1, 13):
+        V.commit_snapshot(
+            _df(spark, i * 10, i * 10 + 10, f"a{i}"), table, mode="append"
+        )
+        sizes.append(os.path.getsize(V._manifest_path(table, i)))
+    assert max(sizes) <= 2 * min(sizes), (
+        f"append record size grew with table file count: {sizes}"
+    )
+    for cp in (4, 8, 12):
+        assert os.path.exists(V._checkpoint_path(table, cp))
+    assert not os.path.exists(V._checkpoint_path(table, 5))
+    # every version still reads exactly its prefix, via checkpoint or fold
+    for v in range(13):
+        assert (
+            V.read_snapshot(spark, table, version=v).count() == (v + 1) * 10
+        )
+    # the materialized manifest lists every commit's files
+    m = V.read_manifest(table, 12)
+    assert sum(e["rows"] for e in m["files"]) == 130
+
+
+def test_paged_manifest_rewrites_log_only_the_diff(spark, table):
+    """Rewrite commits (merge/COW delete/compact) carry untouched files
+    by reference — their records must serialize only the changed
+    entries, not the whole list."""
+    V.commit_snapshot(
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        .repartitionByRange(10, "k"),
+        table,
+        mode="overwrite",
+    )
+    n0 = len(V.read_manifest(table, 0)["files"])
+    assert n0 == 10
+    src = spark.createDataFrame([(5, "y")], "k LONG, tag STRING")
+    V.merge_upsert(spark, table, src, key="k")  # touches 1 of 10 files
+    rec = V._read_record(table, 1)
+    assert "files" not in rec
+    assert len(rec["remove"]) <= 2 and 1 <= len(rec["add"]) <= 2
+    # MoR delete is a pure-header delta (zero file changes)
+    V.delete_where_mor(spark, table, F.col("k") == 7)
+    rec2 = V._read_record(table, 2)
+    assert rec2["add"] == [] and rec2["remove"] == []
+    assert rec2["dv"]["rows"] == 1
+    # and the folded read is still exact
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 999
+    assert got.filter((F.col("k") == 5) & (F.col("tag") == "y")).count() == 1
+
+
+def test_paged_manifest_mixed_walk_time_travel_and_cdc(
+    spark, table, monkeypatch
+):
+    """Deterministic mixed walk crossing several checkpoint boundaries:
+    head reads, time travel to every version, and CDC between
+    consecutive versions must all hold on the paged log."""
+    monkeypatch.setattr(V, "_CHECKPOINT_INTERVAL", 3)
+    V.commit_snapshot(_df(spark, 0, 40, "a"), table, mode="overwrite")  # v0
+    V.commit_snapshot(_df(spark, 40, 50, "b"), table, mode="append")  # v1
+    src = spark.createDataFrame(
+        [(0, "up"), (99, "new")], "k LONG, tag STRING"
+    )
+    V.merge_upsert(spark, table, src, key="k")  # v2
+    V.delete_where_mor(spark, table, F.col("k") >= 45)  # v3 (cp)
+    V.compact_dv(spark, table)  # v4
+    V.delete_where(spark, table, F.col("k") < 5)  # v5 COW
+    expected = {0: 40, 1: 50, 2: 51, 3: 45, 4: 45, 5: 40}
+    for v, n in expected.items():
+        assert (
+            V.read_snapshot(spark, table, version=v).count() == n
+        ), f"v{v}"
+    # CDC between consecutive versions replays the walk
+    d23 = V.table_changes(spark, table, 2, 3).collect()
+    assert sorted(r.k for r in d23) == [45, 46, 47, 48, 49, 99]
+    assert {r._change_type for r in d23} == {"delete"}
+    assert V.table_changes(spark, table, 3, 4).count() == 0
+    d45 = V.table_changes(spark, table, 4, 5).collect()
+    assert sorted(r.k for r in d45) == [0, 1, 2, 3, 4]
+    h = V.snapshot_history(spark, table).collect()
+    assert [r.snapshot for r in h] == [0, 1, 2, 3, 4, 5]
+
+
+def test_vacuum_pins_checkpoints_for_retained_delta_versions(
+    spark, table, monkeypatch
+):
+    """A retained (tagged or recent) DELTA version whose fold chain
+    passes through vacuumed manifests must survive: vacuum writes its
+    checkpoint before dropping the chain."""
+    monkeypatch.setattr(V, "_CHECKPOINT_INTERVAL", 100)  # no auto cps
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 10, 20, "b"), table, mode="append")
+    V.create_tag(table, "keep-v1", version=1)  # delta record, tagged
+    V.commit_snapshot(_df(spark, 20, 30, "c"), table, mode="append")
+    V.commit_snapshot(_df(spark, 30, 40, "d"), table, mode="append")
+    V.vacuum(table, keep_last=1)  # drops v0 (base!) and v2
+    assert not os.path.exists(V._manifest_path(table, 0))
+    assert not os.path.exists(V._manifest_path(table, 2))
+    # v1's chain bottomed at the dropped v0 — checkpoint must exist
+    assert os.path.exists(V._checkpoint_path(table, 1))
+    assert V.read_snapshot(spark, table, version=1).count() == 20
+    assert V.read_snapshot(spark, table).count() == 40
+    # dropped versions lost their checkpoints too (nothing leaks)
+    assert not os.path.exists(V._checkpoint_path(table, 2))
