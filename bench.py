@@ -66,7 +66,38 @@ STRESS30_QUERIES = [
     "q18_large_orders",
     "cc_star_components",
     "curation_pipeline",
+    # r7 item 6: the DV and partition write paths at 30×, with the
+    # manifest-bytes column recorded alongside (see
+    # _VERSIONED_STRESS_TABLES) so the paged-log "metadata cost flat"
+    # claim is measured, not asserted.
+    "versioned_dv_delete",
+    "versioned_partition_prune",
 ]
+# Versioned stress queries build their tables at deterministic temp
+# paths keyed by the data dir; after the timed run we read the LAST
+# commit record's size — the per-commit metadata cost. The paged log
+# makes delta commits flat in table file count (a MoR delete logs a
+# header, however many files the table holds); base/overwrite commits
+# legitimately list their full (fresh) file set.
+_VERSIONED_STRESS_TABLES = {
+    "versioned_merge_upsert": "mg",
+    "versioned_dv_delete": "dv",
+    "versioned_partition_prune": "part",
+}
+
+
+def _last_record_bytes(data_dir: str, tag: str) -> int | None:
+    from small_etl_spark.queries.scale_ops import _versioned_table_path
+    from small_etl_spark.sinks import versioned as V
+
+    try:
+        tbl = _versioned_table_path(data_dir, tag)
+        v = V.latest_version(tbl)
+        if v is None:
+            return None
+        return os.path.getsize(V._manifest_path(tbl, v))
+    except Exception:  # noqa: BLE001 - metric is best-effort
+        return None
 _STRESS_ID_COLS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
@@ -222,12 +253,24 @@ def run_scale_stress(
                 base = timings.get(name)
                 if not isinstance(base, float):
                     base = round(_time_noop(spark, name, sf_dir, 2), 3)
+                mb_base = None
+                if name in _VERSIONED_STRESS_TABLES:
+                    mb_base = _last_record_bytes(
+                        sf_dir, _VERSIONED_STRESS_TABLES[name]
+                    )
                 best = _time_noop(spark, name, stress_dir, 2)
                 out["queries"][name] = {
                     "base_s": base,
                     "scaled_s": round(best, 3),
                     "ratio": round(best / base, 2) if base > 0 else None,
                 }
+                if name in _VERSIONED_STRESS_TABLES:
+                    out["queries"][name]["manifest_bytes"] = {
+                        "base": mb_base,
+                        "scaled": _last_record_bytes(
+                            stress_dir, _VERSIONED_STRESS_TABLES[name]
+                        ),
+                    }
             except Exception as exc:  # noqa: BLE001 - isolate per query
                 out["queries"][name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     finally:
@@ -317,6 +360,55 @@ def run_delete_crossover(spark, sf_dir: str, factor: int) -> dict:
     return out
 
 
+def run_manifest_paging(spark) -> dict:
+    """Measure the r7 metadata-wall fix directly: the wall-clock and
+    commit-record bytes of ONE single-file append to a ~100-file table
+    vs a ~10,000-file table. With the paged log both must be flat in
+    table file count (the append logs only its own entry); before the
+    fix the big-table append re-serialized all 10k entries per commit.
+    Only commit_snapshot is timed — the appended DataFrame is a tiny
+    pre-built single partition, identical for both tiers."""
+    import shutil
+    import tempfile
+
+    from small_etl_spark.sinks import versioned as V
+
+    root = tempfile.mkdtemp(prefix="spark_graft_paging_")
+    out: dict[str, object] = {}
+    try:
+        tiers = {"small": (1, 100), "big": (25, 128)}  # commits × files
+        one = spark.range(0, 10).coalesce(1)
+        for label, (commits, files_per) in tiers.items():
+            tbl = os.path.join(root, label)
+            # ~10 rows/file (no empty partitions → exact file counts);
+            # the tiers exist to grow the FILE COUNT — row volume would
+            # only slow the untimed setup writes
+            df = spark.range(0, files_per * 10).repartition(files_per)
+            V.commit_snapshot(df, tbl, mode="overwrite")
+            for _ in range(commits - 1):
+                V.commit_snapshot(df, tbl, mode="append")
+            n_files = len(
+                V.read_manifest(tbl, V.latest_version(tbl))["files"]
+            )
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                v = V.commit_snapshot(one, tbl, mode="append")
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            out[label] = {
+                "table_files": n_files,
+                "append_s": round(best, 3),
+                "record_bytes": os.path.getsize(V._manifest_path(tbl, v)),
+            }
+        out["append_ratio"] = round(
+            out["big"]["append_s"] / out["small"]["append_s"], 2
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -357,7 +449,15 @@ def main() -> None:
     # localCheckpoint materialization is the bench's most
     # scheduler-sensitive moment. min-of-6 narrows the recorded number
     # toward the steady-state 0.9-1.1 s the clean A/B runs measure.
-    extra_reps = {"minhash_lsh_dedup": 6}
+    # r7 item 8: the same min-of-6 treatment for every headline query
+    # whose recorded spread crossed 2.0 in a BENCH round (exact_dedup
+    # 2.72, q5 2.05 in r7) — sub-second queries otherwise read phantom
+    # regressions out of host noise.
+    extra_reps = {
+        "minhash_lsh_dedup": 6,
+        "exact_dedup_docs": 6,
+        "q5_local_supplier_volume": 6,
+    }
     meter = shuffle_write_meter(spark)
     timings: dict[str, object] = {}
     spreads: dict[str, float] = {}
@@ -433,6 +533,14 @@ def main() -> None:
             payload["delete_crossover"] = {
                 "error": f"{type(exc).__name__}: {exc}"[:200]
             }
+        # paged-manifest commit cost (VERDICT r7 item 3's "Done" bar):
+        # append cost flat in table file count, measured per round.
+        try:
+            payload["manifest_paging"] = run_manifest_paging(spark)
+        except Exception as exc:  # noqa: BLE001
+            payload["manifest_paging"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
 
     # The driver's artifact capture keeps only the TAIL of stdout
     # (r5's headline total was lost to a 2,000-char truncation), so:
@@ -466,6 +574,8 @@ def main() -> None:
             }
     if "delete_crossover" in payload:
         compact["delete_crossover"] = payload["delete_crossover"]
+    if "manifest_paging" in payload:
+        compact["manifest_paging"] = payload["manifest_paging"]
     compact["full"] = "BENCH_SELF.json"
     print(json.dumps(compact))
 
