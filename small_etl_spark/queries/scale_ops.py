@@ -1472,3 +1472,84 @@ def q_versioned_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "versioned_wap_publish",
+    """
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    staged AS (
+      SELECT doc_id, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + (SELECT m FROM mx) AS doc_id, n_chars
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    final AS (SELECT * FROM staged WHERE doc_id % 11 <> 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS staged_isolated,
+           CAST(1 AS BOOLEAN) AS published_atomic
+    FROM final
+    """,
+)
+def q_versioned_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish staging branch
+    (sinks/versioned.py::branch_create/branch_publish): the corpus is
+    committed to main, a branch stages an append (every-7th doc
+    re-keyed past the id space) plus a merge-on-read DELETE (every
+    11th id), an expectation rule audits the branch head, and publish
+    atomically fast-forwards main with ONE squashed delta commit. Two
+    in-band booleans pin the protocol: `staged_isolated` asserts main
+    still read EXACTLY its base row count while the branch held
+    staged commits (main never observes an unpublished commit), and
+    `published_atomic` asserts main advanced by exactly one version
+    whose record is the publish (no intermediate states). The
+    aggregates value-check the published state — the staged dv rode
+    the publish. At 100 TB this is the ingest review gate: bad data
+    costs one abandoned branch, never a downstream replay. The
+    reference's F6 stage gating
+    (src/app/pipelines/sequence_pipeline.rs:175-273) is the
+    single-process ancestor. Oracle recomputes the published corpus
+    (append then delete) directly."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "wap")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    base_count = V.read_snapshot(spark, path).count()
+    br = V.branch_create(path, "audit")
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + mx).alias("doc_id"), "n_chars"
+        ),
+        br,
+        mode="append",
+    )
+    V.delete_where_mor(spark, br, F.col("doc_id") % 11 == 0)
+    staged_isolated = (
+        V.read_snapshot(spark, path).count() == base_count
+        and V.latest_version(path) == 0
+    )
+    v = V.branch_publish(
+        path, "audit", spark=spark,
+        rules=[("chars_nonneg", F.col("n_chars") >= 0)],
+    )
+    published_atomic = (
+        v == 1
+        and V.latest_version(path) == 1
+        and V._read_record(path, 1)["mode"] == "publish"
+    )
+    return V.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(bool(staged_isolated)).alias("staged_isolated"),
+        F.lit(bool(published_atomic)).alias("published_atomic"),
+    )

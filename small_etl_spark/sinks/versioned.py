@@ -1037,6 +1037,206 @@ def list_tags(table: str) -> dict[str, int]:
     }
 
 
+# --- write-audit-publish branches ------------------------------------------
+#
+# The public Iceberg WAP / staging-branch review pattern, composed from
+# the pieces this layer already has (expectation gates, atomic O_EXCL
+# commits, snapshot isolation): a BRANCH is a private manifest log that
+# SHARES the table's immutable data directory, so every table op —
+# commit/merge/COW+MoR delete/optimize/read/time-travel/CDC — runs on
+# the branch handle UNCHANGED while main's readers see nothing. Publish
+# audits the branch head (one-scan expectation rules) and atomically
+# fast-forwards main with ONE squashed delta commit (O_EXCL create at
+# base+1 — if main moved since the branch was cut, the create races and
+# publish raises CommitConflict instead of clobbering anyone). Abandon
+# deletes the branch log; its staged data files become unreferenced and
+# the next main vacuum collects them. The reference's single-process
+# ancestor of this is F6 stage gating (record-count/required-stage
+# checks before a stage's output feeds the next —
+# /root/reference/src/app/pipelines/sequence_pipeline.rs:175-273);
+# branches are the multi-writer, durable version of the same idea.
+#
+# Layout::
+#
+#     table/_branches/<name>/
+#       _branch.json            # {"base": B} — immutable branch meta
+#       data -> ../../data      # SHARED data root (uuid dirs never collide)
+#       _manifests/vB.json      # base record: main@B materialized
+#       _manifests/vB+k.json    # staged commits (ordinary records)
+
+_BRANCHES_DIR = "_branches"
+_BRANCH_META = "_branch.json"
+
+
+def _branch_root(table: str, name: str) -> str:
+    return os.path.join(table, _BRANCHES_DIR, name)
+
+
+def _is_branch_root(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _BRANCH_META))
+
+
+def branch_create(table: str, name: str, version: int | None = None) -> str:
+    """Cut a staging branch at ``version`` (default: head) and return
+    its handle — a path every table op accepts in place of the table.
+    Branch names are create-once (like tags). Only head-based branches
+    can ever publish (fast-forward OCC); an older ``version`` gives a
+    read/experiment sandbox."""
+    if _is_branch_root(table):
+        raise ValueError("branching a branch is not supported")
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"invalid branch name: {name!r}")
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    base = read_manifest(table, v)
+    root = _branch_root(table, name)
+    if os.path.exists(root):
+        raise FileExistsError(
+            f"branch {name!r} already exists on {table!r}"
+        )
+    os.makedirs(os.path.join(root, _MANIFEST_DIR))
+    os.symlink(
+        os.path.join("..", "..", _DATA_DIR), os.path.join(root, _DATA_DIR)
+    )
+    # base record: main@v with files MATERIALIZED, so the branch log is
+    # self-contained (main may checkpoint/vacuum independently)
+    rec = dict(base)
+    rec["branch_base_of"] = v
+    _atomic_create(_manifest_path(root, v), rec)
+    _atomic_create(os.path.join(root, _BRANCH_META), {"base": v})
+    return root
+
+
+def list_branches(table: str) -> dict[str, dict[str, int]]:
+    bdir = os.path.join(table, _BRANCHES_DIR)
+    if not os.path.isdir(bdir):
+        return {}
+    out: dict[str, dict[str, int]] = {}
+    for name in sorted(os.listdir(bdir)):
+        root = os.path.join(bdir, name)
+        if not _is_branch_root(root):
+            continue
+        with open(os.path.join(root, _BRANCH_META)) as fh:
+            base = int(json.load(fh)["base"])
+        out[name] = {"base": base, "head": latest_version(root)}
+    return out
+
+
+def branch_publish(
+    table: str,
+    name: str,
+    spark: SparkSession | None = None,
+    rules: "list[tuple[str, F.Column]] | None" = None,
+) -> int | None:
+    """Audit-then-publish: optionally evaluate expectation ``rules``
+    against the BRANCH head (one aggregation scan — the audit step;
+    any violation raises :class:`ExpectationFailed` and main is
+    untouched), then atomically fast-forward main to the branch head
+    state as ONE squashed delta commit at ``base+1``.
+
+    OCC: the publish is the O_EXCL create of main's ``base+1`` record
+    — if main advanced since the branch was cut, publish raises
+    :class:`CommitConflict` (re-cut the branch from the new head and
+    replay). Returns the new main version, or None when the branch has
+    no staged commits."""
+    root = _branch_root(table, name)
+    if not _is_branch_root(root):
+        raise FileNotFoundError(f"no branch {name!r} on {table!r}")
+    with open(os.path.join(root, _BRANCH_META)) as fh:
+        base = int(json.load(fh)["base"])
+    bh = latest_version(root)
+    if bh == base:
+        return None  # nothing staged
+    bm = read_manifest(root, bh)
+    if rules:
+        if spark is None:
+            raise ValueError("publish with rules needs a SparkSession")
+        from small_etl_spark.operators.profiling import expect
+
+        report = expect(read_snapshot(spark, root), rules).collect()
+        failed = [r for r in report if not r.passed]
+        if failed:
+            detail = ", ".join(
+                f"{r.rule}: {r.violations}/{r.total} rows" for r in failed
+            )
+            raise ExpectationFailed(
+                f"refusing to publish branch {name!r} to {table!r} — "
+                f"failed expectations: {detail}"
+            )
+    head = latest_version(table)
+    if head != base:
+        raise CommitConflict(
+            f"main advanced {base}->{head} since branch {name!r} was "
+            f"cut; re-branch from the new head and replay"
+        )
+    parent_manifest = read_manifest(table, base)
+    parent_entries = {e["path"]: e for e in parent_manifest["files"]}
+    final_entries = {e["path"]: e for e in bm["files"]}
+    payload = {
+        "snapshot": base + 1,
+        "parent": base,
+        "mode": "publish",
+        "schema": bm["schema"],
+        "add": [
+            e for e in bm["files"] if parent_entries.get(e["path"]) != e
+        ],
+        "remove": sorted(
+            p
+            for p, e in parent_entries.items()
+            if final_entries.get(p) != e
+        ),
+        "commit_id": uuid.uuid4().hex[:16],
+        "branch": name,
+        "branch_commits": bh - base,
+        "stream_batch_high": max(
+            _stream_high(parent_manifest), _stream_high(bm)
+        ),
+        "committed_at_ms": _now_ms(),
+    }
+    if bm.get("partition_by"):
+        payload["partition_by"] = bm["partition_by"]
+    if bm.get("dv"):
+        # staged MoR deletes ride along: the DV store's files live in
+        # the SHARED data dir and its paths are manifest-relative
+        payload["dv"] = bm["dv"]
+    if not _atomic_create(_manifest_path(table, base + 1), payload):
+        raise CommitConflict(
+            f"lost the publish race on {table!r} (main moved to "
+            f"{latest_version(table)})"
+        )
+    _maybe_checkpoint(table, base + 1)
+    return base + 1
+
+
+def branch_abandon(table: str, name: str) -> None:
+    """Drop a branch log. Its staged (unpublished) data files become
+    unreferenced and the next main ``vacuum`` collects them."""
+    root = _branch_root(table, name)
+    if not _is_branch_root(root):
+        raise FileNotFoundError(f"no branch {name!r} on {table!r}")
+    shutil.rmtree(root)
+
+
+def _branch_live_paths(table: str) -> set[str]:
+    """Data paths referenced by ANY version of ANY live branch — a
+    main vacuum must not collect a staging branch's files out from
+    under its audit."""
+    live: set[str] = set()
+    for name, info in list_branches(table).items():
+        root = _branch_root(table, name)
+        with open(os.path.join(root, _BRANCH_META)) as fh:
+            base = int(json.load(fh)["base"])
+        for bv in range(base, (info["head"] or base) + 1):
+            if not os.path.exists(_manifest_path(root, bv)):
+                continue
+            m = read_manifest(root, bv)
+            live.update(e["path"] for e in m["files"])
+            if m.get("dv"):
+                live.add(m["dv"]["path"])
+    return live
+
+
 def vacuum(table: str, keep_last: int = 1) -> int:
     """Delete data files unreferenced by the ``keep_last`` newest
     manifests or by any TAG (older untagged manifests are dropped
@@ -1047,12 +1247,17 @@ def vacuum(table: str, keep_last: int = 1) -> int:
     dropped version fails loudly on the missing manifest rather than
     silently reading partial data. The walk is recursive — hive-
     partitioned commits nest files under ``col=val`` directories."""
+    if _is_branch_root(table):
+        raise ValueError(
+            "vacuum the main table, not a branch handle — the shared "
+            "data dir is retained from the main table's reference set"
+        )
     v = latest_version(table)
     if v is None:
         return 0
     keep = set(range(max(0, v - keep_last + 1), v + 1))
     keep.update(list_tags(table).values())
-    live = set()
+    live = _branch_live_paths(table)
     for kv in sorted(keep):
         m = read_manifest(table, kv)
         live.update(e["path"] for e in m["files"])

@@ -1214,3 +1214,109 @@ def test_vacuum_pins_checkpoints_for_retained_delta_versions(
     assert V.read_snapshot(spark, table).count() == 40
     # dropped versions lost their checkpoints too (nothing leaks)
     assert not os.path.exists(V._checkpoint_path(table, 2))
+
+
+# --- write-audit-publish branches -----------------------------------------
+
+
+def test_branch_isolation_and_publish(spark, table):
+    V.commit_snapshot(_df(spark, 0, 100, "m"), table, mode="overwrite")
+    br = V.branch_create(table, "audit")
+    assert V.list_branches(table) == {"audit": {"base": 0, "head": 0}}
+    # every table op works on the branch handle; main sees NOTHING
+    V.commit_snapshot(_df(spark, 100, 120, "b"), br, mode="append")
+    V.delete_where_mor(spark, br, F.col("k") < 5)
+    src = spark.createDataFrame([(50, "up")], "k LONG, tag STRING")
+    with pytest.raises(ValueError, match="compact_dv"):
+        V.merge_upsert(spark, br, src, key="k")  # dv contract holds
+    assert V.read_snapshot(spark, table).count() == 100
+    assert V.read_snapshot(spark, br).count() == 115
+    # branch time travel + CDC work like any table
+    assert V.read_snapshot(spark, br, version=0).count() == 100
+    assert V.table_changes(spark, br, 0, 1).count() == 20
+    # audit gate refuses a bad branch...
+    with pytest.raises(V.ExpectationFailed, match="k_small"):
+        V.branch_publish(
+            table, "audit", spark=spark,
+            rules=[("k_small", F.col("k") < 110)],
+        )
+    assert V.latest_version(table) == 0  # main untouched by the refusal
+    # ...and passes a good one: ONE squashed atomic commit on main
+    v = V.branch_publish(
+        table, "audit", spark=spark, rules=[("k_nonneg", F.col("k") >= 0)]
+    )
+    assert v == 1
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 115
+    assert got.filter(F.col("k") < 5).count() == 0  # staged MoR dv rode along
+    assert V.read_snapshot(spark, table, version=0).count() == 100
+    rec = V._read_record(table, 1)
+    assert rec["mode"] == "publish" and rec["branch"] == "audit"
+    assert rec["branch_commits"] == 2
+    # CDC across the publish shows the squashed logical delta
+    ch = V.table_changes(spark, table, 0, 1)
+    assert ch.filter(F.col("_change_type") == "insert").count() == 20
+    assert ch.filter(F.col("_change_type") == "delete").count() == 5
+
+
+def test_branch_publish_occ_and_abandon(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "m"), table, mode="overwrite")
+    br = V.branch_create(table, "late")
+    V.commit_snapshot(_df(spark, 10, 20, "b"), br, mode="append")
+    # main advances while the branch is staged -> fast-forward refused
+    V.commit_snapshot(_df(spark, 50, 55, "m2"), table, mode="append")
+    with pytest.raises(V.CommitConflict, match="re-branch"):
+        V.branch_publish(table, "late")
+    assert V.read_snapshot(spark, table).count() == 15  # main unharmed
+    # abandon drops the log; vacuum then collects the staged files
+    V.branch_abandon(table, "late")
+    assert V.list_branches(table) == {}
+    with pytest.raises(FileNotFoundError):
+        V.branch_publish(table, "late")
+    V.vacuum(table, keep_last=2)
+    assert V.read_snapshot(spark, table).count() == 15
+
+
+def test_branch_edges(spark, table):
+    V.commit_snapshot(_df(spark, 0, 10, "m"), table, mode="overwrite")
+    br = V.branch_create(table, "b1")
+    # empty branch publishes as a no-op
+    assert V.branch_publish(table, "b1") is None
+    # create-once semantics, name validation, no branch-of-branch
+    with pytest.raises(FileExistsError):
+        V.branch_create(table, "b1")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        V.branch_create(table, "a/b")
+    with pytest.raises(ValueError, match="branching a branch"):
+        V.branch_create(br, "nested")
+    with pytest.raises(ValueError, match="main table"):
+        V.vacuum(br)
+    # vacuum on main keeps files live to an un-published branch
+    V.commit_snapshot(_df(spark, 10, 20, "s"), br, mode="append")
+    V.commit_snapshot(_df(spark, 90, 95, "m2"), table, mode="append")
+    V.vacuum(table, keep_last=1)
+    assert V.read_snapshot(spark, br).count() == 20  # staged data survived
+
+
+def test_branch_publish_carries_partitioning(spark, table):
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    br = V.branch_create(table, "part")
+    V.commit_snapshot(
+        spark.range(40, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        ),
+        br,
+        mode="append",
+        partition_by=["p"],
+    )
+    v = V.branch_publish(table, "part")
+    m = V.read_manifest(table, v)
+    assert m["partition_by"] == ["p"]
+    kept, total = V.plan_files(table, where=[("p", "=", 1)])
+    assert kept and len(kept) < total
+    assert V.read_snapshot(
+        spark, table, where=[("p", "=", 1)]
+    ).count() == 30

@@ -282,3 +282,113 @@ def test_partitioned_versioned_matches_model(spark, tmp_path_factory, ops):
             else:
                 state.remove((r.k, r.ver, r.p))
         assert sorted(state) == history[v], f"CDC v{v-1}->v{v} diverged"
+
+
+# branched-history walk: main ops interleave with staging-branch ops;
+# the invariants are (a) main NEVER observes an unpublished commit,
+# (b) a publish folds exactly the branch model into main, (c) a publish
+# after main advanced raises CommitConflict and changes nothing,
+# (d) abandon leaves main untouched.
+_branch_op = st.one_of(
+    st.tuples(
+        st.just("main_append"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("branch_create"), st.none()),
+    st.tuples(
+        st.just("branch_append"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("branch_delete"), st.integers(0, 19)),
+    st.tuples(st.just("publish"), st.none()),
+    st.tuples(st.just("abandon"), st.none()),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_branch_op, min_size=2, max_size=6))
+def test_branched_histories_match_model(spark, tmp_path_factory, ops):
+    table = str(tmp_path_factory.mktemp("wap") / "tbl")
+    tag = {"n": 0}
+
+    def mk(keys):
+        tag["n"] += 1
+        rows = [(k, tag["n"]) for k in keys]
+        return spark.createDataFrame(rows, "k LONG, ver LONG"), rows
+
+    df, rows = mk([0, 1, 2])
+    V.commit_snapshot(df, table, mode="overwrite")
+    main_model = list(rows)
+    branch: dict | None = None  # {"model": rows, "stale": bool, "n": int}
+    bname = "staging"
+
+    def check_main():
+        got = sorted(
+            (r.k, r.ver) for r in V.read_snapshot(spark, table).collect()
+        )
+        assert got == sorted(main_model), "main observed unpublished state"
+
+    for kind, payload in ops:
+        if kind == "main_append":
+            df, rows = mk(payload)
+            V.commit_snapshot(df, table, mode="append")
+            main_model += rows
+            if branch is not None:
+                branch["stale"] = True
+        elif kind == "branch_create":
+            if branch is not None:
+                continue
+            V.branch_create(table, bname)
+            branch = {"model": list(main_model), "stale": False, "n": 0}
+        elif kind == "branch_append":
+            if branch is None:
+                continue
+            df, rows = mk(payload)
+            V.commit_snapshot(
+                df, V._branch_root(table, bname), mode="append"
+            )
+            branch["model"] += rows
+            branch["n"] += 1
+        elif kind == "branch_delete":
+            if branch is None:
+                continue
+            V.delete_where(
+                spark,
+                V._branch_root(table, bname),
+                F.col("k") >= payload,
+                prune=[("k", ">=", payload)],
+            )
+            branch["model"] = [r for r in branch["model"] if r[0] < payload]
+            branch["n"] += 1
+        elif kind == "publish":
+            if branch is None:
+                continue
+            if branch["n"] == 0:
+                assert V.branch_publish(table, bname) is None
+            elif branch["stale"]:
+                with pytest.raises(V.CommitConflict):
+                    V.branch_publish(table, bname)
+                check_main()  # conflict must change nothing
+            else:
+                V.branch_publish(table, bname)
+                main_model = list(branch["model"])
+                V.branch_abandon(table, bname)
+                branch = None
+        elif kind == "abandon":
+            if branch is None:
+                continue
+            V.branch_abandon(table, bname)
+            branch = None
+        check_main()
+        if branch is not None:
+            got = sorted(
+                (r.k, r.ver)
+                for r in V.read_snapshot(
+                    spark, V._branch_root(table, bname)
+                ).collect()
+            )
+            assert got == sorted(branch["model"]), "branch diverged"
