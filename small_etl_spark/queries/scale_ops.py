@@ -60,16 +60,61 @@ def q_whitening_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mahalanobis_outliers", None)  # rows-only: the eigenbasis
-# behind the distance has no SQL form; the whitening_contract oracle
-# pins the distance's global invariants and
-# tests/test_round6_ops.py pins per-vector values against numpy.
+def _mahalanobis_oracle(eps: float = 1e-9) -> "str | None":
+    """Generated DuckDB twin of the FULL whitening pipeline (VERDICT
+    r7 item 9): the independently re-derived mean and ALL d whitening
+    vectors e_k/√max(λ_k, eps) are emitted as literals; the oracle
+    centers each vector once, replays the d per-eigenvector folds and
+    the sum-of-squares in the engine's order, and ranks the rounded
+    distance with the same tiebreak. Pinned to the driver's sf0.01
+    comparison data like the PCA/PQ/kmeans embedded constants."""
+    from small_etl_spark.queries.text_ml import (
+        _local_embedding_eig,
+        _sql_list,
+    )
+
+    eig = _local_embedding_eig()
+    if eig is None:
+        return None
+    import numpy as np
+
+    mean, vals, vecs = eig
+    d = len(mean)
+    terms = " +\n             ".join(
+        f"pow(list_sum([cv[i] * ({_sql_list(vecs[k] / np.sqrt(max(float(vals[k]), eps)))})[i] "
+        f"for i in range(1, {d + 1})]), 2)"
+        for k in range(d)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), c AS (
+      SELECT vec_id,
+             [v[i] - ({_sql_list(mean)})[i]
+              for i in range(1, {d + 1})] AS cv
+      FROM e
+    ), s AS (
+      SELECT vec_id,
+             round({terms}, 4) AS mahalanobis_sq
+      FROM c
+    )
+    SELECT vec_id, mahalanobis_sq FROM s
+    ORDER BY mahalanobis_sq DESC, vec_id LIMIT 20
+    """
+
+
+@register("mahalanobis_outliers", _mahalanobis_oracle())
 def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 multivariate outliers by Mahalanobis distance²
     (llm/similarity.py::whiten_embeddings) — the principled
     correlated-direction anomaly score per-dimension z-scores miss.
     Map-only JVM projection after the moments pass; ordered on the
-    4dp-rounded distance with a vec_id tiebreak."""
+    4dp-rounded distance with a vec_id tiebreak. FULL value oracle
+    (r7 item 9): the generated SQL embeds an independently derived
+    whitening basis and replays every distance; whitening_contract
+    still pins the global invariants and tests/test_round6_ops.py the
+    numpy agreement."""
     from small_etl_spark.llm.similarity import whiten_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")

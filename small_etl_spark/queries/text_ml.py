@@ -504,23 +504,100 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pca_project", None)  # rows-only: eigendecomposition has no
-# SQL expression — exactness vs numpy full-data PCA is pinned in
-# tests/test_llm_similarity.py, and pca_contract below oracles the
-# invariants that ARE SQL-expressible.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's comparison SF
+
+
+def _local_embedding_eig(sf_dir: str = _ORACLE_SF_DIR):
+    """Mean + eigenbasis of the sf0.01 embedding covariance, derived
+    INDEPENDENTLY of the engine: a local pyarrow read and the
+    centered-matrix covariance ``Cᵀ·C/n`` (the engine's distributed
+    pass sums per-batch Gram partials and subtracts the mean outer
+    product — a different floating-point path), then the same
+    deterministic eigh sign convention ``pca_project`` documents.
+    Returns ``(mean, eigvals_desc, eigvecs_desc)`` or None when the
+    canonical test parquet is absent (registration then degrades to a
+    rows-only check instead of failing the import)."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(p):
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = [
+        r
+        for r in pq.read_table(p, columns=["embedding"])
+        .column("embedding")
+        .to_pylist()
+        if r is not None
+    ]
+    m = np.array(rows, dtype=np.float64)
+    mean = m.mean(axis=0)
+    c = m - mean
+    cov = (c.T @ c) / m.shape[0]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    out_vecs = []
+    for j in order:
+        e = vecs[:, j]
+        pivot = int(np.argmax(np.abs(e)))
+        if e[pivot] < 0:
+            e = -e
+        out_vecs.append(e)
+    return mean, vals[order], out_vecs
+
+
+def _sql_list(xs) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
+
+
+def _pca_oracle(k: int = 2) -> "str | None":
+    """Generated DuckDB twin of the FULL pca_project pipeline (VERDICT
+    r7 item 9): the independently re-derived mean and top-k
+    eigenvectors are emitted as literal lists, and the oracle projects
+    every vector with the same sequential center-multiply-fold the
+    engine runs JVM-side (list-comprehension + list_sum — the
+    bit-for-bit fold-order precedent _pq_oracle established). The
+    oracle is pinned to the driver's sf0.01 comparison data, like the
+    embedded PQ/kmeans seeds."""
+    eig = _local_embedding_eig()
+    if eig is None:
+        return None
+    mean, _vals, vecs = eig
+    d = len(mean)
+    pcs = ",\n           ".join(
+        f"round(list_sum([(v[i] - ({_sql_list(mean)})[i]) * "
+        f"({_sql_list(vecs[j])})[i] for i in range(1, {d + 1})]), 4) "
+        f"AS pc{j + 1}"
+        for j in range(k)
+    )
+    return f"""
+    SELECT vec_id,
+           {pcs}
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL)
+    """
+
+
+@register("pca_project", _pca_oracle())
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-2 PCA projection of the embeddings corpus
     (llm/similarity.py::pca_project): distributed sufficient
     statistics (one Arrow pass, d×d numbers to the driver), numpy
     eigh on the 64×64 covariance, then a JVM-side literal-eigenvector
     projection — no Python in the per-row path. Deterministic sign
-    convention; rounded to 6dp for stable comparison."""
+    convention. FULL value oracle (r7 item 9): the generated SQL
+    embeds an independently derived eigenbasis (local read, different
+    covariance summation path) and replays the projection per vector
+    — 4dp rounding absorbs the two derivations' last-ulp covariance
+    differences while pinning every projected value."""
     from small_etl_spark.llm.similarity import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = pca_project(emb, k=2)
     return out.select(
-        "vec_id", F.round("pc1", 6).alias("pc1"), F.round("pc2", 6).alias("pc2")
+        "vec_id", F.round("pc1", 4).alias("pc1"), F.round("pc2", 4).alias("pc2")
     )
 
 
