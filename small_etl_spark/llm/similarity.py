@@ -1276,8 +1276,30 @@ def ivfpq_topk(
         residuals, books, m=m, id_col=id_col, vec_col=vec_col
     ).join(residuals.select(id_col, "cell"), id_col)
 
-    # probe: nprobe nearest cells per query, then the query's residual
-    # AGAINST EACH PROBED CELL feeds the ADC table for that cell
+    return _ivfpq_adc_topk(
+        codes, cents, books, queries, k=k, nprobe=nprobe, m=m,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def _ivfpq_adc_topk(
+    codes: DataFrame,
+    cents: DataFrame,
+    books: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The IVF-PQ probe/score tail shared by the in-memory and
+    persisted paths: nprobe nearest cells per query by L2, the query's
+    residual AGAINST EACH PROBED CELL feeds that cell's ADC table,
+    codes join the broadcast tables, per-(query, vector) sums rank.
+    Keeping one implementation means the persisted index's
+    equivalence contract proves layout, not arithmetic."""
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv__"),
@@ -1338,3 +1360,118 @@ def ivfpq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= k)
+
+
+def ivfpq_save(
+    corpus: DataFrame,
+    path: str,
+    num_cells: int = 16,
+    m: int = 4,
+    pq_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the production IVF-PQ index (the FAISS on-disk shape):
+    PQ byte codes partitioned BY CELL plus the two broadcastable
+    tables (coarse centroids, PQ codebooks) and a params file pinning
+    the geometry. Build once, probe many: the corpus's float vectors
+    are never read again — a probe touches only the probed cells'
+    CODE files (m rows of (sub_idx, code) per vector, bytes not
+    floats), which is the full 100 TB story: nprobe/num_cells of the
+    corpus × m bytes per vector.
+
+    Same training pipeline as :func:`ivfpq_topk` (L2 routing,
+    residual encoding, localCheckpointed residuals), so a persisted
+    index scores identically to the in-memory composite — pinned by
+    the oracled ``ivfpq_persisted_equivalence`` contract."""
+    import json as _json
+    import os as _os
+
+    assigned, cents = ivf_assign(
+        corpus, num_centroids=num_cells, id_col=id_col, vec_col=vec_col,
+        seed=seed, metric="l2",
+    )
+    sub = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("__cent__"),
+        lambda x, c: x - c,
+    )
+    residuals = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(id_col, "cell", sub.alias(vec_col))
+        .localCheckpoint(eager=False)
+    )
+    books = pq_train(
+        residuals, m=m, num_centroids=pq_centroids, id_col=id_col,
+        vec_col=vec_col, seed=seed + 100, metric="l2",
+    )
+    codes = pq_encode(
+        residuals, books, m=m, id_col=id_col, vec_col=vec_col
+    ).join(residuals.select(id_col, "cell"), id_col)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        path + "/codes"
+    )
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    books.write.mode("overwrite").parquet(path + "/codebooks")
+    with open(_os.path.join(path, "_params.json"), "w") as fh:
+        _json.dump(
+            {"num_cells": num_cells, "m": m,
+             "pq_centroids": pq_centroids, "seed": seed},
+            fh,
+        )
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN search over a persisted IVF-PQ index with STATIC partition
+    pruning: rank cells per query against the broadcast centroid
+    table, collect the distinct probed cell ids (bounded by num_cells,
+    never the corpus — the same collect-then-IN rationale as
+    :func:`ivf_topk_persisted`: an explicit IN on the partition column
+    always prunes at planning time), push ``cell IN (...)`` into the
+    CODES scan, and run the identical shared ADC scorer. Row-identical
+    to :func:`ivfpq_topk` on the same geometry."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_params.json")) as fh:
+        params = _json.load(fh)
+    m = int(params["m"])
+    codes = spark.read.parquet(path + "/codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    cents = spark.read.parquet(path + "/centroids")
+    books = spark.read.parquet(path + "/codebooks")
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv__"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__pd__").asc(), F.col("cell").asc()
+    )
+    probed_cells = [
+        r["cell"]
+        for r in (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("__pd__", _sq_l2(F.col("__qv__"), F.col("__cent__")))
+            .withColumn("__pr__", F.row_number().over(probe_w))
+            .filter(F.col("__pr__") <= nprobe)
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+    ]
+    pruned = codes.filter(F.col("cell").isin(probed_cells))
+    return _ivfpq_adc_topk(
+        pruned, cents, books, queries, k=k, nprobe=nprobe, m=m,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )

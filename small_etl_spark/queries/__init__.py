@@ -57,7 +57,10 @@ from small_etl_spark.queries import stats_contracts  # noqa: E402,F401
 # tests/test_registry_order.py enforces the invariant.
 _GATED = [
     "rename_project",
-    "exclude_fields",
+    # exclude_fields left the window round 8 (rename_project /
+    # computed_markers / default_fill_union carry the projection
+    # family; it stays registered + locally swept) for the round-8
+    # flagship versioned_wap_publish.
     "computed_markers",
     "default_fill_union",
     "json_path_extract",
@@ -107,6 +110,8 @@ _GATED = [
     "cdc_lsh_probe_md5",
     "pq_ann_topk",
     "leakage_safe_split",
+    # round-8 flagship: write-audit-publish staging branches
+    "versioned_wap_publish",
     "sessionize",
     "window_agg_hourly",
     "session_window_agg",

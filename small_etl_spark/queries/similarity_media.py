@@ -747,3 +747,61 @@ def q_mmr_rerank_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
     ).select("query_id", "vec_id", F.col("cosine").alias("rel"), "embedding")
     return mmr_rerank(cands, k=3, lam=0.7)
+
+
+@register(
+    "ivfpq_persisted_equivalence",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS identical,
+           TRUE AS pruned
+    """,
+)
+def q_ivfpq_persisted_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build-once/probe-many contract for the persisted IVF-PQ index
+    (llm/similarity.py::ivfpq_save/ivfpq_topk_persisted) — the
+    production on-disk ANN shape (FAISS IVFPQ): PQ byte codes
+    partitioned BY CELL plus broadcastable centroid/codebook tables.
+    The contract asserts (a) the persisted+pruned search is
+    row-identical to the in-memory ``ivfpq_topk`` composite on the
+    same geometry (both run the SHARED ADC scorer, so this proves the
+    layout, and the in-memory path's pq_ann_topk/ivfpq_recall_contract
+    value-oracles transfer), and (b) the CODES scan plan carries a
+    PartitionFilter on ``cell`` — at 100 TB a probe reads
+    nprobe/num_cells of the corpus × m BYTES per vector, floats never
+    touched after build."""
+    import shutil
+    import tempfile
+
+    from small_etl_spark.llm.similarity import (
+        ivfpq_save,
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    try:
+        ivfpq_save(emb, path, num_cells=16, m=4, pq_centroids=16)
+        mem = ivfpq_topk(
+            emb, q, k=10, num_cells=16, nprobe=4, m=4, pq_centroids=16
+        )
+        per = ivfpq_topk_persisted(spark, path, q, k=10, nprobe=4)
+        identical = (
+            per.exceptAll(mem).count() == 0
+            and mem.exceptAll(per).count() == 0
+        )
+        plan = per._jdf.queryExecution().executedPlan().toString()
+        pruned = any(
+            "PartitionFilters" in ln and "cell" in ln
+            for ln in plan.splitlines()
+        )
+        n_queries = q.count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_queries, identical, pruned)],
+        "n_queries bigint, identical boolean, pruned boolean",
+    )

@@ -722,3 +722,31 @@ def test_ivfpq_returns_k_and_deterministic(spark):
                       pq_centroids=8)
     rows2 = sorted((r.query_id, r.vec_id, r.rank) for r in out2.collect())
     assert rows1 == rows2
+
+
+def test_ivfpq_persisted_matches_memory_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.llm.similarity import (
+        ivfpq_save,
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_save(emb, path, num_cells=8, m=8, pq_centroids=8)
+    mem = ivfpq_topk(emb, q, k=5, num_cells=8, nprobe=4, m=8,
+                     pq_centroids=8)
+    per = ivfpq_topk_persisted(spark, path, q, k=5, nprobe=4)
+    a = sorted((r.query_id, r.vec_id, r.rank) for r in mem.collect())
+    b = sorted((r.query_id, r.vec_id, r.rank) for r in per.collect())
+    assert a == b and len(a) == 15
+    # codes scan must carry the partition filter (bytes-read story)
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in ln and "cell" in ln
+        for ln in plan.splitlines()
+    )

@@ -44,6 +44,10 @@ MUST_BE_GATED = [
     "cdc_lsh_probe_md5",
     "pq_ann_topk",
     "leakage_safe_split",
+    # round-8 flagship: WAP staging branches (exclude_fields left the
+    # window; the projection family is carried by rename/computed/
+    # default_fill)
+    "versioned_wap_publish",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics
