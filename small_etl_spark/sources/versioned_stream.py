@@ -85,16 +85,30 @@ class VersionedCdcStreamReader:
         return {"version": self.start_version}
 
     def _added_paths(self, version: int) -> list[str]:
-        m = V.read_manifest(self.table, version)
-        cur = {e["path"] for e in m["files"]}
-        if version == 0 or m.get("parent") is None:
-            prev: set[str] = set()
+        m = V._read_record(self.table, version)
+        if "add" in m:
+            # paged-log DELTA record: the added/removed file sets are
+            # the record itself — O(changed files) per streamed commit,
+            # never a fold of the full table list (the same reason the
+            # commit side went delta: a micro-batch tail must not pay
+            # O(table) metadata per batch)
+            removed: "set[str] | list[str]" = m.get("remove", [])
+            added = sorted(e["path"] for e in m["add"])
         else:
-            prev = {
-                e["path"]
-                for e in V.read_manifest(self.table, m["parent"])["files"]
-            }
-        removed = prev - cur
+            # base record (v0, overwrite, legacy full manifest): diff
+            # against the parent's materialized list
+            cur = {e["path"] for e in m["files"]}
+            if version == 0 or m.get("parent") is None:
+                prev: set[str] = set()
+            else:
+                prev = {
+                    e["path"]
+                    for e in V.read_manifest(self.table, m["parent"])[
+                        "files"
+                    ]
+                }
+            removed = prev - cur
+            added = sorted(cur - prev)
         if removed and not self.skip_change_commits:
             raise ValueError(
                 f"versioned_cdc: commit v{version} ({m['mode']}) rewrites "
@@ -103,7 +117,7 @@ class VersionedCdcStreamReader:
             )
         if removed:
             return []  # change commit skipped entirely
-        return sorted(cur - prev)
+        return added
 
     def _rows_of(self, version: int) -> Iterator[tuple]:
         import pyarrow.parquet as pq
@@ -111,7 +125,7 @@ class VersionedCdcStreamReader:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(
-            V.read_manifest(self.table, version)["schema"]
+            V._read_record(self.table, version)["schema"]  # header-only
         )
         for rel in self._added_paths(version):
             # hive-partitioned commits carry partition values in the
