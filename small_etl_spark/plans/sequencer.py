@@ -469,6 +469,7 @@ def execute_pipeline(
             sorted_header=spec.load.sorted_dynamic_header,
             single_file=spec.load.single_file,
             partition_by=spec.load.partition_by or None,
+            branch=spec.load.branch,
         )
         output_path = out_dir
         if spec.load.zip_outputs:

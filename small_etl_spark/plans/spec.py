@@ -154,6 +154,11 @@ class LoadSpec:
     include_metadata: bool = False
     sorted_dynamic_header: bool = True  # reference header rule (§1.3)
     partition_by: list[str] = field(default_factory=list)  # hive layout
+    # write-audit-publish for the "versioned" format: each run commits
+    # to an ephemeral staging branch and atomically fast-forwards main
+    # on success — main only ever observes complete stage outputs, and
+    # a concurrent writer costs a re-staged retry, never a torn table.
+    branch: str | None = None
     single_file: bool = True  # coalesce(1); False = partition-parallel
     # reference [load.filenames] csv/tsv/json = explicit per-format
     # output names (production-example.toml) — overrides the default

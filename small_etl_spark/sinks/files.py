@@ -97,6 +97,47 @@ def _stringify_complex(df: DataFrame) -> DataFrame:
     return df.withColumns({c: F.to_json(F.col(c)) for c in complex_cols})
 
 
+def _wap_append(
+    df: DataFrame,
+    table: str,
+    branch_prefix: str,
+    partition_by: list[str] | None = None,
+    max_retries: int = 3,
+) -> int:
+    """Write-audit-publish append for the versioned pipeline sink: the
+    stage output lands on an ephemeral staging branch
+    (``<branch_prefix>-<uuid>``), then main is atomically
+    fast-forwarded. A lost publish race (another writer advanced main
+    mid-stage) abandons the stale branch and re-stages against the new
+    head — main only ever advances by whole, published stage outputs.
+    The first commit to a fresh table bootstraps main directly (there
+    is nothing to protect yet)."""
+    import uuid as _uuid
+
+    from small_etl_spark.sinks import versioned as V
+
+    if V.latest_version(table) is None:
+        return V.commit_snapshot(
+            df, table, mode="overwrite", partition_by=partition_by
+        )
+    last: Exception | None = None
+    for _ in range(max_retries):
+        name = f"{branch_prefix}-{_uuid.uuid4().hex[:8]}"
+        root = V.branch_create(table, name)
+        try:
+            V.commit_snapshot(
+                df, root, mode="append", partition_by=partition_by
+            )
+            return V.branch_publish(table, name)
+        except V.CommitConflict as exc:
+            last = exc  # main moved: re-stage from the new head
+        finally:
+            V.branch_abandon(table, name)
+    raise V.CommitConflict(
+        f"write_outputs: lost {max_retries} publish races on {table!r}"
+    ) from last
+
+
 def write_outputs(
     df: DataFrame,
     out_dir: str,
@@ -104,6 +145,7 @@ def write_outputs(
     sorted_header: bool = True,
     single_file: bool = True,
     partition_by: list[str] | None = None,
+    branch: str | None = None,
 ) -> dict[str, str]:
     """Write ``df`` in each format under ``out_dir/<fmt>/``.
 
@@ -147,14 +189,24 @@ def write_outputs(
             # snapshot instead of overwriting files in place — the
             # 100 TB-safe form of a recurring stage output. Re-runs
             # accumulate history; read via versioned.read_snapshot.
+            # With ``branch`` set, the append goes WRITE-AUDIT-PUBLISH:
+            # staged on an ephemeral branch off the named one, then
+            # atomically fast-forwarded, so main never shows a torn
+            # stage output and a concurrent writer costs one re-stage.
             from small_etl_spark.sinks.versioned import commit_snapshot
 
-            commit_snapshot(
-                target,
-                _local_path(path),
-                mode="append",
-                partition_by=partition_by or None,
-            )
+            if branch:
+                _wap_append(
+                    target, _local_path(path), branch,
+                    partition_by=partition_by or None,
+                )
+            else:
+                commit_snapshot(
+                    target,
+                    _local_path(path),
+                    mode="append",
+                    partition_by=partition_by or None,
+                )
         else:
             raise ValueError(f"invalid output format {fmt!r}")
         written[fmt] = path

@@ -1436,3 +1436,72 @@ def test_config_two_stage_param_chain(spark, mock_server, tmp_path, monkeypatch)
     assert got == ["user1", "user2", "user3"]
     # compression disabled -> no zip artifact
     assert not list((tmp_path / "get-ma").glob("*.zip"))
+
+
+def test_versioned_sink_wap_branch_in_sequence(spark, tmp_path):
+    """load.branch turns the versioned sink write-audit-publish: each
+    run stages on an ephemeral branch and atomically fast-forwards
+    main, so every main commit is a 'publish' (whole stage outputs
+    only — never a torn table), and the staging branches are abandoned
+    after publishing."""
+    from small_etl_spark.sinks import versioned as V
+
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "wsnap",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {"formats": ["versioned"], "branch": "stage"},
+                }
+            ]
+        }
+    )
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    table = str(tmp_path / "wsnap" / "versioned")
+    assert V.latest_version(table) == 0  # bootstrap commit
+    assert V.read_snapshot(spark, table).count() == 3
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    assert V.latest_version(table) == 1
+    assert V.read_snapshot(spark, table).count() == 6
+    rec = V._read_record(table, 1)
+    assert rec["mode"] == "publish"
+    assert rec["branch"].startswith("stage-")
+    assert V.list_branches(table) == {}  # ephemeral branches cleaned up
+
+
+def test_versioned_sink_wap_retries_lost_publish_race(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent writer advancing main between branch cut and
+    publish costs one re-stage, not a failure — and the torn state is
+    never visible on main."""
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sinks.files import _wap_append
+
+    table = str(tmp_path / "tbl")
+    base = spark.range(0, 5).select(F.col("id").alias("k"))
+    _wap_append(base, table, "stage")  # bootstrap
+    real_create = V.branch_create
+    raced = {"done": False}
+
+    def racing_create(tbl, name, version=None):
+        root = real_create(tbl, name, version)
+        if not raced["done"]:
+            raced["done"] = True
+            # concurrent writer lands on main AFTER the branch is cut
+            V.commit_snapshot(
+                spark.range(100, 103).select(F.col("id").alias("k")),
+                tbl, mode="append",
+            )
+        return root
+
+    monkeypatch.setattr(V, "branch_create", racing_create)
+    _wap_append(
+        spark.range(5, 8).select(F.col("id").alias("k")), table, "stage"
+    )
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 11  # 5 base + 3 racer + 3 staged
+    assert V.list_branches(table) == {}  # both branches abandoned
