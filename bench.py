@@ -451,12 +451,18 @@ def main() -> None:
     # toward the steady-state 0.9-1.1 s the clean A/B runs measure.
     # r7 item 8: the same min-of-6 treatment for every headline query
     # whose recorded spread crossed 2.0 in a BENCH round (exact_dedup
-    # 2.72, q5 2.05 in r7) — sub-second queries otherwise read phantom
-    # regressions out of host noise.
+    # 2.72, q5 2.05 in r7; window_agg_hourly 2.45, cosine_topk 2.2 in
+    # the r8 preview) — sub-second queries otherwise read phantom
+    # regressions out of host noise. Note the spread metric is doing
+    # its job when it exceeds 2 on a 0.2 s query: it LABELS the
+    # recorded min as noise-adjacent; the min itself stabilizes with
+    # the extra reps.
     extra_reps = {
         "minhash_lsh_dedup": 6,
         "exact_dedup_docs": 6,
         "q5_local_supplier_volume": 6,
+        "window_agg_hourly": 6,
+        "cosine_topk": 6,
     }
     meter = shuffle_write_meter(spark)
     timings: dict[str, object] = {}
