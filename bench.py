@@ -55,6 +55,11 @@ STRESS_QUERIES = [
     # COUNT grows 10x (entity-remapped sources), so this carries the
     # many-partitions write/harvest/prune curve.
     "versioned_partition_prune",
+    # write-audit-publish round trip: base commit + branch + staged
+    # append + MoR delete + audited atomic publish — the r8 staging
+    # protocol's end-to-end scale curve (cost must track the staged
+    # delta plus the base write, never re-stage the table).
+    "versioned_wap_publish",
 ]
 # The most expensive stress queries re-run at 30× — the closest
 # local[32] gets to evidencing the 100× extrapolation. r6 adds the
@@ -83,6 +88,7 @@ _VERSIONED_STRESS_TABLES = {
     "versioned_merge_upsert": "mg",
     "versioned_dv_delete": "dv",
     "versioned_partition_prune": "part",
+    "versioned_wap_publish": "wap",
 }
 
 
