@@ -392,3 +392,96 @@ def test_branched_histories_match_model(spark, tmp_path_factory, ops):
                 ).collect()
             )
             assert got == sorted(branch["model"]), "branch diverged"
+
+
+# retention walk: vacuum interleaves with commits, MoR deletes, tags —
+# with a SMALL checkpoint interval so folds, checkpoint pinning, and
+# manifest deletion interact. Invariants: (a) every retained version
+# (last keep_last or tagged) still reads exactly its model state after
+# any vacuum — including delta versions whose fold chains crossed
+# dropped manifests; (b) every dropped version fails LOUDLY.
+_vac_op = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=3),
+    ),
+    st.tuples(
+        st.just("overwrite"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("delete_mor"), st.integers(0, 19)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("tag"), st.none()),
+    st.tuples(st.just("vacuum"), st.integers(1, 3)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_vac_op, min_size=3, max_size=8))
+def test_vacuum_retention_matches_model(spark, tmp_path_factory, ops):
+    table = str(tmp_path_factory.mktemp("vac") / "tbl")
+    old_interval = V._CHECKPOINT_INTERVAL
+    V._CHECKPOINT_INTERVAL = 3
+    try:
+        tag = {"n": 0}
+
+        def mk(keys):
+            tag["n"] += 1
+            rows = [(k, tag["n"]) for k in keys]
+            return (
+                spark.createDataFrame(rows, "k LONG, ver LONG"), rows
+            )
+
+        df, rows = mk([0, 1])
+        V.commit_snapshot(df, table, mode="overwrite")
+        model = list(rows)
+        alive: dict[int, list] = {0: sorted(model)}  # version -> rows
+        dropped: set[int] = set()
+        tags: set[int] = set()
+
+        for kind, payload in ops:
+            head = V.latest_version(table)
+            if kind in ("append", "overwrite"):
+                df, rows = mk(payload)
+                V.commit_snapshot(df, table, mode=kind)
+                model = (model + rows) if kind == "append" else list(rows)
+                alive[head + 1] = sorted(model)
+            elif kind == "delete_mor":
+                V.delete_where_mor(spark, table, F.col("k") >= payload)
+                model = [r for r in model if r[0] < payload]
+                alive[head + 1] = sorted(model)
+            elif kind == "compact":
+                if V.compact_dv(spark, table) is None:
+                    continue
+                alive[head + 1] = sorted(model)
+            elif kind == "tag":
+                if head in tags:
+                    continue
+                V.create_tag(table, f"t{head}-{tag['n']}", version=head)
+                tags.add(head)
+            elif kind == "vacuum":
+                V.vacuum(table, keep_last=payload)
+                head = V.latest_version(table)
+                keep = set(range(max(0, head - payload + 1), head + 1))
+                keep |= tags
+                dropped |= {v for v in alive if v not in keep}
+                alive = {v: r for v, r in alive.items() if v in keep}
+            # every retained version must still read its exact state
+            for v, expected in alive.items():
+                got = sorted(
+                    (r.k, r.ver)
+                    for r in V.read_snapshot(
+                        spark, table, version=v
+                    ).collect()
+                )
+                assert got == expected, f"v{v} diverged after {kind}"
+            # every dropped version must fail loudly
+            for v in dropped:
+                with pytest.raises(FileNotFoundError):
+                    V.read_manifest(table, v)
+    finally:
+        V._CHECKPOINT_INTERVAL = old_interval
