@@ -1598,3 +1598,72 @@ def q_versioned_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(staged_isolated)).alias("staged_isolated"),
         F.lit(bool(published_atomic)).alias("published_atomic"),
     )
+
+
+@register(
+    "versioned_hidden_partition_prune",
+    """
+    WITH t AS (SELECT MIN(user_id) AS u FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(1 AS BOOLEAN) AS day_pruned,
+           CAST(1 AS BOOLEAN) AS bucket_pruned,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events, t
+             WHERE user_id = u) AS n_user_rows
+    FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def q_versioned_hidden_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN partitioning (partition transforms — the public Iceberg
+    design; sinks/versioned.py::_parse_partition_spec): events are
+    committed partitioned by ``day(ts)`` and ``bucket(8, user_id)``
+    while BOTH base columns stay untouched in the data files; a
+    timestamp-range predicate prunes through the day transform and a
+    user-id point lookup prunes through the crc32 bucket (computable
+    driver-side at planning time — the engine-portability rule). The
+    in-band booleans assert each plan opened strictly fewer files than
+    the snapshot holds; the aggregates value-check that transform
+    pruning lost no rows. At 100 TB this is how an events table
+    partitions by day WITHOUT the writer materializing a date column
+    or readers remembering to filter on it — the #1 practical
+    partitioning ergonomics gap of hive-style identity layouts."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "hp")
+    V.drop_table(path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # shuffle on the day value so each task writes one day's files,
+    # not tasks×days small files (the same production write shape as
+    # the identity-partitioned twin)
+    V.commit_snapshot(
+        ev.repartition(F.date_format("ts", "yyyy-MM-dd")),
+        path,
+        mode="overwrite",
+        partition_by=["day(ts)", "bucket(8, user_id)"],
+    )
+    cutoff = "2024-01-20 00:00:00"
+    kept_d, total = V.plan_files(path, where=[("ts", ">=", cutoff)])
+    target = int(ev.agg(F.min("user_id")).first()[0])
+    kept_b, _ = V.plan_files(path, where=[("user_id", "=", target)])
+    day_pruned = 0 < len(kept_d) < total
+    bucket_pruned = 0 < len(kept_b) < total
+    n_user = (
+        V.read_snapshot(spark, path, where=[("user_id", "=", target)])
+        .filter(F.col("user_id") == target)
+        .count()
+    )
+    return (
+        V.read_snapshot(spark, path, where=[("ts", ">=", cutoff)])
+        .filter(F.col("ts") >= cutoff)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+            F.lit(bool(day_pruned)).alias("day_pruned"),
+            F.lit(bool(bucket_pruned)).alias("bucket_pruned"),
+            F.lit(n_user).cast("bigint").alias("n_user_rows"),
+        )
+    )

@@ -455,6 +455,118 @@ def _harvest_bloom_entries(
     return [by_name[n] for n in names]
 
 
+# --- partition transforms (hidden partitioning) ----------------------------
+#
+# ``partition_by`` entries may be TRANSFORMS of a data column — the
+# public Iceberg hidden-partitioning design: the table partitions on a
+# DERIVED value (day of a timestamp, a hash bucket of an id) while the
+# base column stays in the data files untouched, and predicates on the
+# BASE column prune partitions through the transform. Supported:
+#
+#   "col"            identity (hive classic; column lives in the path)
+#   "day(col)"       <col>_day = the date part, "YYYY-MM-DD"
+#   "month(col)"     <col>_month = "YYYY-MM"
+#   "bucket(N, col)" <col>_bucket = crc32(CAST(col AS STRING)) % N
+#
+# crc32 is used for buckets because Python computes the identical
+# value (zlib.crc32) driver-side at planning time — the same
+# engine-portability rule the oracle hashes follow. Readers of
+# transform-partitioned files take the DIRECT path (no hive
+# reconstruction: the base column is in the data), so the derived
+# value exists only as path metadata + manifest entries for pruning.
+
+_TRANSFORM_RE = re.compile(
+    r"^(?:(day|month)\((\w+)\)|bucket\((\d+),\s*(\w+)\)|(\w+))$"
+)
+
+
+def _parse_partition_spec(partition_by: list[str]) -> list[dict[str, Any]]:
+    out = []
+    for raw in partition_by:
+        m = _TRANSFORM_RE.match(raw.strip())
+        if not m:
+            raise ValueError(f"bad partition_by entry: {raw!r}")
+        dm, dcol, bn, bcol, ident = m.groups()
+        if ident:
+            out.append(
+                {"transform": "identity", "column": ident, "name": ident}
+            )
+        elif dm:
+            out.append(
+                {"transform": dm, "column": dcol, "name": f"{dcol}_{dm}"}
+            )
+        else:
+            out.append(
+                {
+                    "transform": "bucket",
+                    "column": bcol,
+                    "name": f"{bcol}_bucket",
+                    "n": int(bn),
+                }
+            )
+    return out
+
+
+def _transform_expr(s: dict[str, Any]) -> "F.Column":
+    c = F.col(s["column"])
+    if s["transform"] == "identity":
+        return c
+    if s["transform"] == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if s["transform"] == "month":
+        return F.date_format(c, "yyyy-MM")
+    return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(s["n"]))
+
+
+def _bucket_of(value: Any, n: int) -> int | None:
+    """Python twin of the bucket transform — same crc32, same string
+    form for ints/strings (the id-bucketing use cases). Floats and
+    other types return None → pruning stays conservative."""
+    import zlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    return (zlib.crc32(str(value).encode()) & 0xFFFFFFFF) % n
+
+
+def _time_prefix(value: Any, width: int) -> str | None:
+    """'2024-01-05 13:00:00' / date / datetime → its day ('2024-01-05',
+    width 10) or month ('2024-01', width 7) prefix; None when the
+    literal's form is not a recognizable timestamp (conservative)."""
+    s = str(value)
+    if len(s) >= width and s[4] == "-" and (width <= 7 or s[7] == "-"):
+        return s[:width]
+    return None
+
+
+def _transform_may_match(
+    pv: Any, s: dict[str, Any], op: str, val: Any
+) -> bool:
+    """Conservative partition-transform pruning: False only when NO
+    row under partition value ``pv`` can satisfy ``col <op> literal``.
+    Strict range ops widen to inclusive at transform granularity (a
+    file holding day(lit) may still hold rows strictly beyond lit)."""
+    if pv is None:
+        return False  # SQL three-valued logic: null <op> lit never true
+    if s["transform"] == "bucket":
+        if op != "=":
+            return True  # buckets scramble order: only equality prunes
+        b = _bucket_of(val, s["n"])
+        return True if b is None else int(pv) == b
+    width = 10 if s["transform"] == "day" else 7
+    lit = _time_prefix(val, width)
+    if lit is None:
+        return True
+    pv = str(pv)
+    return {
+        "=": pv == lit,
+        ">": pv >= lit,
+        ">=": pv >= lit,
+        "<": pv <= lit,
+        "<=": pv <= lit,
+    }[op]
+
+
 def _parse_partition_values(
     rel_name: str, schema: StructType
 ) -> dict[str, Any]:
@@ -505,9 +617,18 @@ def _write_data_files(
     commit_id = uuid.uuid4().hex[:16]
     data_rel = os.path.join(_DATA_DIR, commit_id)
     data_abs = os.path.join(table, data_rel)
-    writer = df.write.mode("error")
+    out_df = df
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        # derive transform columns for the write; partitionBy consumes
+        # them into the path, so the BASE column stays in the data
+        # files and the derived value exists only as layout metadata
+        spec = _parse_partition_spec(partition_by)
+        for s in spec:
+            if s["transform"] != "identity":
+                out_df = out_df.withColumn(s["name"], _transform_expr(s))
+    writer = out_df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*[s["name"] for s in spec])
     writer.parquet(data_abs)
     names = sorted(
         os.path.relpath(os.path.join(root, f), data_abs)
@@ -566,17 +687,31 @@ def _read_files(
         return df
     from collections import defaultdict
 
+    data_cols = set(schema.fieldNames())
     direct: list[str] = []
     by_base: dict[str, list[str]] = defaultdict(list)
     for p in rel_paths:
         segs = p.split("/")
-        if any("=" in s for s in segs[2:-1]):
+        hive = [s.split("=", 1)[0] for s in segs[2:-1] if "=" in s]
+        if any(h in data_cols for h in hive):
+            # identity partitioning: the column lives ONLY in the path
+            # and must be reconstructed via a per-commit basePath scan
             by_base["/".join(segs[:2])].append(os.path.join(table, p))
         else:
+            # flat files, or TRANSFORM partition dirs (day/month/
+            # bucket): the base column is in the data, the derived
+            # value is layout metadata only — read the files directly
             direct.append(os.path.join(table, p))
 
     def _deco(df: DataFrame) -> DataFrame:
-        return _with_position(df, table) if with_position else df
+        df = _with_position(df, table) if with_position else df
+        keep = list(schema.fieldNames()) + (
+            ["__file__", "__pos__"] if with_position else []
+        )
+        # basePath scans APPEND any path column even under an explicit
+        # schema — a transform dir riding next to an identity dir must
+        # not leak its derived column into the table's output
+        return df.select(*keep) if set(df.columns) != set(keep) else df
 
     parts: list[DataFrame] = []
     if direct:
@@ -714,7 +849,11 @@ def commit_snapshot(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode!r}")
     if partition_by:
-        missing = [c for c in partition_by if c not in df.columns]
+        missing = [
+            s["column"]
+            for s in _parse_partition_spec(partition_by)
+            if s["column"] not in df.columns
+        ]
         if missing:
             raise ValueError(f"partition_by columns not in df: {missing}")
     if mode == "append":
@@ -816,15 +955,32 @@ Predicate = tuple[str, str, Any]  # (column, op, literal)
 _OPS = ("=", "<", "<=", ">", ">=")
 
 
-def _file_may_match(entry: dict[str, Any], pred: Predicate) -> bool:
+def _file_may_match(
+    entry: dict[str, Any],
+    pred: Predicate,
+    spec: list[dict[str, Any]] | None = None,
+) -> bool:
     """Conservative range check: False only when NO row can satisfy.
     Equality predicates additionally consult the file's Bloom filter
-    when one was built at commit time (``bloom_columns``)."""
+    when one was built at commit time (``bloom_columns``); with a
+    partition ``spec``, predicates on a TRANSFORM-partitioned base
+    column prune through the transform (hidden partitioning)."""
     col, op, val = pred
     if op == "=":
         bloom = entry.get("bloom", {}).get(col)
         if bloom is not None and not _bloom_may_contain(bloom, val):
             return False
+    if spec:
+        for s in spec:
+            if (
+                s["column"] == col
+                and s["transform"] != "identity"
+                and s["name"] in entry.get("partition", {})
+            ):
+                if not _transform_may_match(
+                    entry["partition"][s["name"]], s, op, val
+                ):
+                    return False
     pv = entry.get("partition", {})
     if col in pv:
         v = pv[col]
@@ -884,9 +1040,10 @@ def plan_files(
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, v)
     entries = manifest["files"]
+    spec = _parse_partition_spec(manifest.get("partition_by") or [])
     total = len(entries)
     for pred in where or []:
-        entries = [e for e in entries if _file_may_match(e, pred)]
+        entries = [e for e in entries if _file_may_match(e, pred, spec)]
     return [os.path.join(table, e["path"]) for e in entries], total
 
 
@@ -941,8 +1098,9 @@ def read_snapshot(
     manifest = read_manifest(table, v)
     schema = StructType.fromJson(manifest["schema"])
     entries = manifest["files"]
+    spec = _parse_partition_spec(manifest.get("partition_by") or [])
     for pred in where or []:
-        entries = [e for e in entries if _file_may_match(e, pred)]
+        entries = [e for e in entries if _file_may_match(e, pred, spec)]
     if not entries:
         return spark.createDataFrame([], schema)
     has_dv = _live_dv(manifest) is not None
@@ -1441,10 +1599,11 @@ def delete_where(
     entries = manifest["files"]
     touched = entries
     untouched: list[dict[str, Any]] = []
+    spec = _parse_partition_spec(manifest.get("partition_by") or [])
     if prune:
         touched, untouched = [], []
         for e in entries:
-            if all(_file_may_match(e, p) for p in prune):
+            if all(_file_may_match(e, p, spec) for p in prune):
                 touched.append(e)
             else:
                 untouched.append(e)
@@ -1605,7 +1764,11 @@ def optimize_snapshot(
     # partitioning contract (exact manifest pruning, append check)
     # survives the rewrite
     compacted = (
-        src_df.repartition(n_out, *pb) if pb else src_df.repartition(n_out)
+        src_df.repartition(
+            n_out, *[_transform_expr(s) for s in _parse_partition_spec(pb)]
+        )
+        if pb
+        else src_df.repartition(n_out)
     )
     commit_id, new_files = _write_data_files(
         compacted, table, [f.name for f in schema.fields],
@@ -2055,11 +2218,12 @@ def delete_where_mor(
     schema = StructType.fromJson(manifest["schema"])
     entries = manifest["files"]
     touched = entries
+    spec = _parse_partition_spec(manifest.get("partition_by") or [])
     if prune:
         touched = [
             e
             for e in entries
-            if all(_file_may_match(e, p) for p in prune)
+            if all(_file_may_match(e, p, spec) for p in prune)
         ]
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 

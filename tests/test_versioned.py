@@ -1320,3 +1320,109 @@ def test_branch_publish_carries_partitioning(spark, table):
     assert V.read_snapshot(
         spark, table, where=[("p", "=", 1)]
     ).count() == 30
+
+
+# --- hidden partitioning (partition transforms) ----------------------------
+
+
+def test_hidden_partitioning_day_and_bucket(spark, table):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0,0,0,0,0,0,id*7200)"
+        ).alias("ts"),
+    )
+    V.commit_snapshot(
+        df, table, mode="overwrite",
+        partition_by=["day(ts)", "bucket(4, k)"],
+    )
+    # the BASE columns stay in the data files; no derived column leaks
+    got = V.read_snapshot(spark, table)
+    assert got.columns == ["k", "ts"]
+    assert got.count() == 500
+    # day-range predicate prunes through the transform
+    kept, total = V.plan_files(
+        table, where=[("ts", ">=", "2024-02-05 00:00:00")]
+    )
+    assert 0 < len(kept) < total
+    want = df.filter(F.col("ts") >= "2024-02-05 00:00:00").count()
+    assert (
+        V.read_snapshot(
+            spark, table, where=[("ts", ">=", "2024-02-05 00:00:00")]
+        )
+        .filter(F.col("ts") >= "2024-02-05 00:00:00")
+        .count()
+        == want
+    )
+    # bucket equality prunes; other ops on the bucketed column do not
+    kept, total = V.plan_files(table, where=[("k", "=", 123)])
+    assert len(kept) < total
+    assert (
+        V.read_snapshot(spark, table, where=[("k", "=", 123)])
+        .filter(F.col("k") == 123)
+        .count()
+        == 1
+    )
+    # strict ops widen to inclusive at day granularity: no false prune
+    # for a row later the same day
+    kept, _ = V.plan_files(
+        table, where=[("ts", ">", "2024-01-01 01:00:00")]
+    )
+    assert any("ts_day=2024-01-01" in p for p in kept)
+
+
+def test_hidden_partitioning_survives_lifecycle(spark, table):
+    pb = ["day(ts)", "bucket(4, k)"]
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0,0,0,0,0,0,id*43200)"
+        ).alias("ts"),
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=pb)
+    # appends must keep the spec (string-equal transform list)
+    with pytest.raises(ValueError, match="partitioning"):
+        V.commit_snapshot(df.limit(5), table, mode="append")
+    V.commit_snapshot(
+        spark.range(200, 220).select(
+            F.col("id").alias("k"),
+            F.lit("2024-03-09 12:00:00").cast("timestamp").alias("ts"),
+        ),
+        table, mode="append", partition_by=pb,
+    )
+    assert V.read_snapshot(spark, table).count() == 220
+    # MoR delete + CDC + compaction on the transform layout
+    V.delete_where_mor(spark, table, F.col("k") % 50 == 0)
+    assert V.read_snapshot(spark, table).count() == 215
+    ch = V.table_changes(spark, table, 1, 2)
+    assert sorted(r.k for r in ch.collect()) == [0, 50, 100, 150, 200]
+    V.compact_dv(spark, table)
+    # optimize keeps the spec and re-emits the hive layout
+    v = V.optimize_snapshot(spark, table, target_bytes=1 << 30)
+    if v is not None:
+        m = V.read_manifest(table, v)
+        assert m["partition_by"] == pb
+        assert all(
+            "ts_day=" in e["path"] for e in m["files"] if e["rows"]
+        )
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 215 and got.columns == ["k", "ts"]
+    # pruning still fires after the rewrite
+    kept, total = V.plan_files(
+        table, where=[("ts", ">=", "2024-03-09 00:00:00")]
+    )
+    assert len(kept) < total
+
+
+def test_partition_spec_validation(spark, table):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="bad partition_by"):
+        V.commit_snapshot(
+            df, table, mode="overwrite", partition_by=["years(k)"]
+        )
+    with pytest.raises(ValueError, match="not in df"):
+        V.commit_snapshot(
+            df, table, mode="overwrite", partition_by=["day(ts)"]
+        )
