@@ -476,7 +476,9 @@ def _harvest_bloom_entries(
 # value exists only as path metadata + manifest entries for pruning.
 
 _TRANSFORM_RE = re.compile(
-    r"^(?:(day|month)\((\w+)\)|bucket\((\d+),\s*(\w+)\)|(\w+))$"
+    r"^(?:(day|month)\((\w+)\)"
+    r"|(bucket|truncate)\((\d+),\s*(\w+)\)"
+    r"|(\w+))$"
 )
 
 
@@ -486,7 +488,7 @@ def _parse_partition_spec(partition_by: list[str]) -> list[dict[str, Any]]:
         m = _TRANSFORM_RE.match(raw.strip())
         if not m:
             raise ValueError(f"bad partition_by entry: {raw!r}")
-        dm, dcol, bn, bcol, ident = m.groups()
+        dm, dcol, fn, fn_n, fn_col, ident = m.groups()
         if ident:
             out.append(
                 {"transform": "identity", "column": ident, "name": ident}
@@ -496,18 +498,21 @@ def _parse_partition_spec(partition_by: list[str]) -> list[dict[str, Any]]:
                 {"transform": dm, "column": dcol, "name": f"{dcol}_{dm}"}
             )
         else:
+            suffix = "bucket" if fn == "bucket" else "trunc"
             out.append(
                 {
-                    "transform": "bucket",
-                    "column": bcol,
-                    "name": f"{bcol}_bucket",
-                    "n": int(bn),
+                    "transform": fn,
+                    "column": fn_col,
+                    "name": f"{fn_col}_{suffix}",
+                    "n": int(fn_n),
                 }
             )
     return out
 
 
-def _transform_expr(s: dict[str, Any]) -> "F.Column":
+def _transform_expr(
+    s: dict[str, Any], schema: StructType | None = None
+) -> "F.Column":
     c = F.col(s["column"])
     if s["transform"] == "identity":
         return c
@@ -515,6 +520,13 @@ def _transform_expr(s: dict[str, Any]) -> "F.Column":
         return F.date_format(c, "yyyy-MM-dd")
     if s["transform"] == "month":
         return F.date_format(c, "yyyy-MM")
+    if s["transform"] == "truncate":
+        # Iceberg truncate: strings keep their W-char prefix, ints
+        # floor to W-wide bins (pmod keeps negatives correct) — both
+        # ORDER-PRESERVING, so range predicates prune through them
+        if schema is not None and schema[s["column"]].dataType.simpleString() == "string":
+            return F.substring(c, 1, s["n"])
+        return c - F.pmod(c, F.lit(s["n"]))
     return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(s["n"]))
 
 
@@ -553,6 +565,28 @@ def _transform_may_match(
             return True  # buckets scramble order: only equality prunes
         b = _bucket_of(val, s["n"])
         return True if b is None else int(pv) == b
+    if s["transform"] == "truncate":
+        # order-preserving: map the literal into its bin/prefix, then
+        # compare at transform granularity (strict ops widen)
+        if isinstance(val, bool):
+            return True
+        if isinstance(val, int):
+            try:
+                pb = int(pv)
+            except (TypeError, ValueError):
+                return True
+            lit = val - (val % s["n"])  # floored like the engine's pmod
+        elif isinstance(val, str):
+            pb, lit = str(pv), val[: s["n"]]
+        else:
+            return True  # unrecognized literal form: stay conservative
+        return {
+            "=": pb == lit,
+            ">": pb >= lit,
+            ">=": pb >= lit,
+            "<": pb <= lit,
+            "<=": pb <= lit,
+        }[op]
     width = 10 if s["transform"] == "day" else 7
     lit = _time_prefix(val, width)
     if lit is None:
@@ -625,7 +659,9 @@ def _write_data_files(
         spec = _parse_partition_spec(partition_by)
         for s in spec:
             if s["transform"] != "identity":
-                out_df = out_df.withColumn(s["name"], _transform_expr(s))
+                out_df = out_df.withColumn(
+                    s["name"], _transform_expr(s, df.schema)
+                )
     writer = out_df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*[s["name"] for s in spec])
@@ -1765,7 +1801,11 @@ def optimize_snapshot(
     # survives the rewrite
     compacted = (
         src_df.repartition(
-            n_out, *[_transform_expr(s) for s in _parse_partition_spec(pb)]
+            n_out,
+            *[
+                _transform_expr(s, schema)
+                for s in _parse_partition_spec(pb)
+            ],
         )
         if pb
         else src_df.repartition(n_out)

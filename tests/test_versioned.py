@@ -1426,3 +1426,43 @@ def test_partition_spec_validation(spark, table):
         V.commit_snapshot(
             df, table, mode="overwrite", partition_by=["day(ts)"]
         )
+
+
+def test_hidden_partitioning_truncate(spark, table):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.lpad((F.col("id") % 7).cast("string"), 2, "0"),
+            F.lit("-host-"),
+            F.col("id").cast("string"),
+        ).alias("host"),
+    )
+    V.commit_snapshot(
+        df, table, mode="overwrite",
+        partition_by=["truncate(100, k)", "truncate(2, host)"],
+    )
+    got = V.read_snapshot(spark, table)
+    assert got.columns == ["k", "host"] and got.count() == 400
+    # int bins: a range predicate prunes to the overlapping bins
+    kept, total = V.plan_files(table, where=[("k", ">=", 250)])
+    assert 0 < len(kept) < total
+    assert (
+        V.read_snapshot(spark, table, where=[("k", ">=", 250)])
+        .filter(F.col("k") >= 250).count() == 150
+    )
+    # string prefix: equality and ranges prune through the prefix
+    kept, total = V.plan_files(table, where=[("host", "=", "03-host-3")])
+    assert 0 < len(kept) < total
+    assert (
+        V.read_snapshot(spark, table, where=[("host", "=", "03-host-3")])
+        .filter(F.col("host") == "03-host-3").count() == 1
+    )
+    kept, _ = V.plan_files(table, where=[("host", ">=", "05")])
+    assert 0 < len(kept) < total
+    # strict > inside a bin keeps that bin (rows 251..299 satisfy)
+    kept, _ = V.plan_files(table, where=[("k", ">", 250)])
+    assert any("k_trunc=200" in p for p in kept)
+    assert (
+        V.read_snapshot(spark, table, where=[("k", ">", 250)])
+        .filter(F.col("k") > 250).count() == 149
+    )
