@@ -1453,6 +1453,11 @@ def vacuum(table: str, keep_last: int = 1) -> int:
     keep.update(list_tags(table).values())
     live = _branch_live_paths(table)
     for kv in sorted(keep):
+        if not os.path.exists(_manifest_path(table, kv)):
+            # an EARLIER vacuum with tighter retention already dropped
+            # this version; a later, looser keep_last cannot resurrect
+            # it — skip instead of crashing on the hole
+            continue
         m = read_manifest(table, kv)
         live.update(e["path"] for e in m["files"])
         if m.get("dv"):
