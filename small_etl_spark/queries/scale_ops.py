@@ -1667,3 +1667,81 @@ def q_versioned_hidden_partition_prune(
             F.lit(n_user).cast("bigint").alias("n_user_rows"),
         )
     )
+
+
+@register(
+    "versioned_stream_upsert",
+    """
+    WITH b1 AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS val, 1 AS b
+      FROM documents
+    ), b2 AS (
+      SELECT doc_id, CAST(n_chars + 1000 AS BIGINT) AS val, 2 AS b
+      FROM documents WHERE doc_id % 3 = 0
+    ), b3 AS (
+      SELECT doc_id, CAST(n_chars + 2000 AS BIGINT) AS val, 3 AS b
+      FROM documents WHERE doc_id % 5 = 0
+    ), unioned AS (
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL
+      SELECT * FROM b3
+    ), lww AS (
+      SELECT doc_id, val FROM (
+        SELECT doc_id, val,
+               row_number() OVER (PARTITION BY doc_id ORDER BY b DESC)
+                 AS rn
+        FROM unioned) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(1 AS BOOLEAN) AS compact_identical
+    FROM lww
+    """,
+)
+def q_versioned_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING UPSERTS via equality deletes
+    (sinks/versioned.py::stream_upsert_batch — the public Iceberg-v2
+    equality-delete / Flink upsert-sink design): three micro-batches
+    land last-write-wins on doc_id WITHOUT ever reading the table —
+    each commit appends the batch's rows plus an equality-delete file
+    of the batch's keys, scoped by per-file sequence numbers so the
+    batch's own rows survive its delete. The read side anti-joins the
+    accumulated key sets; ``compact_eq_deletes`` then materializes the
+    survivors, and the in-band ``compact_identical`` flag asserts the
+    compacted table reads EXACTLY like the delete-filtered one. At
+    100 TB this is the CDC-ingest write path: per-batch cost is
+    O(batch), independent of table size. The DuckDB oracle replays
+    the three batches as a window LWW."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "ups")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("val")
+    )
+    V.stream_upsert_batch(docs, 0, path, key="doc_id")
+    V.stream_upsert_batch(
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "val", F.col("val") + 1000
+        ),
+        1, path, key="doc_id",
+    )
+    V.stream_upsert_batch(
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "val", F.col("val") + 2000
+        ),
+        2, path, key="doc_id",
+    )
+    before = V.read_snapshot(spark, path)
+    v = V.compact_eq_deletes(spark, path)
+    after = V.read_snapshot(spark, path, version=v)
+    compact_identical = (
+        after.exceptAll(before).count() == 0
+        and before.exceptAll(after).count() == 0
+    )
+    return after.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("val").alias("sum_val"),
+        F.lit(bool(compact_identical)).alias("compact_identical"),
+    )

@@ -818,7 +818,9 @@ def _commit_rewrite(
     # files logs 3 adds + 3 removes, not 10k entries)
     parent_entries = {e["path"]: e for e in parent_manifest["files"]}
     final_entries = {e["path"]: e for e in files}
-    add = [e for e in files if parent_entries.get(e["path"]) != e]
+    add = _stamp_seq(
+        [e for e in files if parent_entries.get(e["path"]) != e], version
+    )
     remove = sorted(
         p
         for p, e in parent_entries.items()
@@ -927,17 +929,23 @@ def commit_snapshot(
             manifest["schema"] = _evolve_schema(
                 StructType.fromJson(pm["schema"]), df.schema, merge_schema
             ).jsonValue()
-            manifest["add"] = list(new_files)
+            manifest["add"] = _stamp_seq(new_files, version)
             manifest["remove"] = []
         else:
             manifest["schema"] = schema_json
-            manifest["files"] = list(new_files)  # base: fresh lineage
+            # base: fresh lineage
+            manifest["files"] = _stamp_seq(new_files, version)
         if partition_by:
             manifest["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
             # the parent's deletion vector targets files that survive
             # an append untouched — it must ride along
             manifest["dv"] = pm["dv"]
+        if mode == "append" and pm is not None and pm.get("eq_deletes"):
+            # equality deletes ride along too: the new files' seq
+            # (= this version) exceeds every live delete's, so the
+            # appended rows are untouched by construction
+            manifest["eq_deletes"] = pm["eq_deletes"]
         if extra is not None:
             # caller-owned JSON metadata rides the atomic commit (e.g.
             # the incremental runner's stage fingerprint + shared
@@ -989,6 +997,16 @@ def _evolve_schema(
 Predicate = tuple[str, str, Any]  # (column, op, literal)
 
 _OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _stamp_seq(entries: list[dict[str, Any]], version: int) -> list:
+    """Copy entries with their data SEQUENCE NUMBER = the committing
+    version (Iceberg sequence numbers): an equality delete at seq D
+    applies only to rows in files with seq < D, so an upsert's own
+    re-inserted rows (same commit, seq == D) survive it. Carried
+    entries keep their original seq by reference; legacy entries
+    default to 0."""
+    return [dict(e, seq=version) for e in entries]
 
 
 def _file_may_match(
@@ -1140,18 +1158,252 @@ def read_snapshot(
     if not entries:
         return spark.createDataFrame([], schema)
     has_dv = _live_dv(manifest) is not None
+    eqds = manifest.get("eq_deletes") or []
     df = _read_entries(
-        spark, table, entries, schema, with_position=has_dv
+        spark, table, entries, schema, with_position=has_dv or bool(eqds)
     )
     if has_dv:
         # merge-on-read: anti-join the deletion vector by (file, pos)
         dv = _dv_rows(spark, table, manifest).withColumnsRenamed(
             {"file": "__file__", "pos": "__pos__"}
         )
-        df = df.join(dv, ["__file__", "__pos__"], "left_anti").drop(
-            "__file__", "__pos__"
-        )
+        df = df.join(dv, ["__file__", "__pos__"], "left_anti")
+    if eqds:
+        df = _apply_eq_deletes(spark, table, df, entries, eqds, schema)
+    if has_dv or eqds:
+        df = df.drop("__file__", "__pos__")
     return df
+
+
+# --- equality deletes: streaming upserts without reading the table --------
+#
+# The second merge-on-read delete flavor (public design: Iceberg v2
+# equality deletes — the format Flink's upsert sink writes): a delete
+# file carries KEY VALUES, not positions, so a writer can retire a
+# key's old rows WITHOUT scanning the table to locate them. Combined
+# with the data append in one atomic commit, that is the exactly-once
+# STREAMING UPSERT: each micro-batch costs O(batch) — write batch rows
+# + write batch keys + one manifest record — however many petabytes
+# the table holds. Position DVs (delete_where_mor) stay the right tool
+# for predicate deletes; equality deletes are the CDC-ingest tool.
+#
+# Scope semantics ride the per-entry SEQUENCE NUMBER: an equality
+# delete at seq D applies to rows in files with seq < D only, so the
+# upsert's own re-inserted rows (same commit ⇒ same seq) survive.
+# Rewrite-style ops refuse while equality deletes are live (a rewrite
+# would materialize deleted rows under a NEW seq, resurrecting them);
+# ``compact_eq_deletes`` materializes survivors and clears the list —
+# the same maintenance contract as position DVs, and the reason any
+# production Iceberg stream-upsert table runs periodic compaction.
+
+
+def _live_eq_deletes(manifest: dict[str, Any]) -> list[dict[str, Any]]:
+    return manifest.get("eq_deletes") or []
+
+
+def _require_no_eq_deletes(manifest: dict[str, Any], op: str) -> None:
+    if _live_eq_deletes(manifest):
+        raise ValueError(
+            f"{op} on a table with live equality deletes would "
+            "resurrect deleted keys; run compact_eq_deletes first"
+        )
+
+
+def _eq_delete_keys(
+    spark: SparkSession,
+    table: str,
+    eqds: list[dict[str, Any]],
+    schema: StructType,
+) -> tuple[str, DataFrame]:
+    """Union the live equality-delete key files into
+    ``(key value, __del_seq__)`` rows. All live deletes must share one
+    key column (the upsert stream's key) — enforced at write."""
+    keys = {d["key"] for d in eqds}
+    if len(keys) != 1:
+        raise ValueError(f"mixed equality-delete keys: {sorted(keys)}")
+    key = next(iter(keys))
+    ktype = schema[key].dataType.simpleString()
+    from functools import reduce as _reduce
+
+    parts = [
+        spark.read.schema(f"{key} {ktype}")
+        .parquet(os.path.join(table, d["path"]))
+        .select(key, F.lit(int(d["seq"])).alias("__del_seq__"))
+        for d in eqds
+    ]
+    return key, _reduce(DataFrame.unionByName, parts)
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    entries: list[dict[str, Any]],
+    eqds: list[dict[str, Any]],
+    schema: StructType,
+) -> DataFrame:
+    """Anti-join rows against the live equality deletes: a row dies
+    when SOME delete carries its key with ``del_seq > file seq``. The
+    file→seq map is manifest-sized and broadcast; the key sets are
+    delete-sized. ``df`` arrives with ``__file__`` attached."""
+    key, dels = _eq_delete_keys(spark, table, eqds, schema)
+    seq_map = spark.createDataFrame(
+        [(e["path"], int(e.get("seq", 0))) for e in entries],
+        "__file__ STRING, __fseq__ BIGINT",
+    )
+    df = df.join(F.broadcast(seq_map), "__file__", "left")
+    dels = dels.withColumnsRenamed({key: "__delk__"})
+    return df.join(
+        dels,
+        (F.col(key) == F.col("__delk__"))
+        & (F.col("__del_seq__") > F.col("__fseq__")),
+        "left_anti",
+    ).drop("__fseq__")
+
+
+def stream_upsert_batch(
+    df: DataFrame,
+    batch_id: int,
+    table: str,
+    key: str,
+    partition_by: list[str] | None = None,
+) -> int | None:
+    """``foreachBatch`` UPSERT sink: commit each micro-batch as
+    last-write-wins on ``key`` WITHOUT reading the table — one atomic
+    commit appends the batch's data files plus an equality-delete file
+    holding the batch's distinct keys (retiring every older row of
+    those keys via the sequence rule). Idempotent on replay like
+    :func:`stream_commit_batch`. Returns the new version, or None for
+    an already-committed batch.
+
+    This is the CDC-ingest write path at 100 TB: per-batch cost is
+    O(batch) writes + one manifest record, independent of table size;
+    the read-side anti-join cost grows with accumulated deletes until
+    ``compact_eq_deletes`` materializes them (run it on the same
+    cadence as small-file OPTIMIZE)."""
+    head_v = latest_version(table)
+    if head_v is None:
+        # bootstrap: nothing to retire; a plain base commit suffices,
+        # but dedupe the batch itself (last arbitrary wins within the
+        # bootstrap batch, matching the eq-delete same-seq semantics)
+        return stream_commit_batch(
+            df.dropDuplicates([key]), batch_id, table, mode="overwrite",
+            partition_by=partition_by,
+        )
+    head_rec = _read_record(table, head_v)
+    if batch_id <= _stream_high(head_rec):
+        return None
+    if _live_dv({"dv": head_rec.get("dv")}):
+        raise ValueError(
+            "stream_upsert_batch on a table with a live position DV is "
+            "not supported; run compact_dv first"
+        )
+    existing = _live_eq_deletes(head_rec)
+    if existing and {d["key"] for d in existing} != {key}:
+        raise ValueError(
+            f"table already carries equality deletes on "
+            f"{sorted({d['key'] for d in existing})}; one upsert key "
+            "per table"
+        )
+    parent_pb = head_rec.get("partition_by")
+    if (parent_pb or None) != (partition_by or None):
+        raise ValueError(
+            f"stream upsert partitioning {partition_by!r} does not "
+            f"match the table's {parent_pb!r}"
+        )
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    batch = df.dropDuplicates([key])  # one row per key (arbitrary
+    # within the batch; pre-aggregate upstream if intra-batch order matters)
+    commit_id, new_files = _write_data_files(
+        batch, table, batch.columns, None, partition_by
+    )
+    # the delete file: this batch's keys, written distributed
+    del_rel = os.path.join(_DATA_DIR, commit_id, f"eqdel-{commit_id}")
+    batch.select(key).write.mode("overwrite").parquet(
+        os.path.join(table, del_rel)
+    )
+    for _ in range(10):
+        parent = latest_version(table)
+        version = parent + 1
+        pm = _read_record(table, parent)
+        payload = {
+            "snapshot": version,
+            "parent": parent,
+            "mode": "upsert",
+            "schema": _evolve_schema(
+                StructType.fromJson(pm["schema"]), df.schema, False
+            ).jsonValue(),
+            "add": _stamp_seq(new_files, version),
+            "remove": [],
+            "eq_deletes": _live_eq_deletes(pm)
+            + [{"path": del_rel, "key": key, "seq": version}],
+            "commit_id": commit_id,
+            "stream_batch_id": batch_id,
+            "stream_batch_high": max(batch_id, _stream_high(pm)),
+            "committed_at_ms": _now_ms(),
+        }
+        if partition_by:
+            payload["partition_by"] = list(partition_by)
+        if _atomic_create(_manifest_path(table, version), payload):
+            _maybe_checkpoint(table, version)
+            return version
+    raise CommitConflict(f"lost 10 commit races on {table!r}")
+
+
+def compact_eq_deletes(spark: SparkSession, table: str) -> int | None:
+    """Materialize the live equality deletes: rewrite ONLY the files
+    that hold retired keys (found with one distributed semi probe),
+    carry the rest by reference, clear the delete list — after which
+    the rewrite-style ops are legal again. Returns the new version,
+    or None when no equality deletes are live."""
+    parent = latest_version(table)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, parent)
+    eqds = _live_eq_deletes(manifest)
+    if not eqds:
+        return None
+    schema = StructType.fromJson(manifest["schema"])
+    entries = manifest["files"]
+    key, dels = _eq_delete_keys(spark, table, eqds, schema)
+    rows = _read_entries(spark, table, entries, schema, with_position=True)
+    seq_map = spark.createDataFrame(
+        [(e["path"], int(e.get("seq", 0))) for e in entries],
+        "__file__ STRING, __fseq__ BIGINT",
+    )
+    rows = rows.join(F.broadcast(seq_map), "__file__", "left")
+    dels_r = dels.withColumnsRenamed({key: "__delk__"})
+    hit_cond = (F.col(key) == F.col("__delk__")) & (
+        F.col("__del_seq__") > F.col("__fseq__")
+    )
+    hit_files = {
+        r["__file__"]
+        for r in rows.join(dels_r, hit_cond, "left_semi")
+        .select("__file__")
+        .distinct()
+        .collect()
+    }  # file-count bounded
+    touched = [e for e in entries if e["path"] in hit_files]
+    untouched = [e for e in entries if e["path"] not in hit_files]
+    new_files: list[dict[str, Any]] = []
+    commit_id = uuid.uuid4().hex[:16]
+    if touched:
+        trows = _read_entries(
+            spark, table, touched, schema, with_position=True
+        ).join(F.broadcast(seq_map), "__file__", "left")
+        survivors = trows.join(dels_r, hit_cond, "left_anti").drop(
+            "__file__", "__pos__", "__fseq__"
+        )
+        commit_id, new_files = _write_data_files(
+            survivors, table, [f.name for f in schema.fields],
+            _parent_bloom_columns(manifest), manifest.get("partition_by"),
+        )
+    # _commit_rewrite emits a delta WITHOUT eq_deletes (rewrite records
+    # carry no eq_deletes header ⇒ the list clears atomically)
+    return _commit_rewrite(
+        table, parent, manifest, "compact_eq", untouched + new_files,
+        commit_id, partition_by=manifest.get("partition_by"),
+    )
 
 
 def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
@@ -1364,6 +1616,7 @@ def branch_publish(
             f"main advanced {base}->{head} since branch {name!r} was "
             f"cut; re-branch from the new head and replay"
         )
+    _require_no_eq_deletes(bm, "branch_publish")
     parent_manifest = read_manifest(table, base)
     parent_entries = {e["path"]: e for e in parent_manifest["files"]}
     final_entries = {e["path"]: e for e in bm["files"]}
@@ -1372,9 +1625,12 @@ def branch_publish(
         "parent": base,
         "mode": "publish",
         "schema": bm["schema"],
-        "add": [
-            e for e in bm["files"] if parent_entries.get(e["path"]) != e
-        ],
+        # staged entries restamp to MAIN's sequence (the branch's own
+        # version numbers mean nothing in main's log)
+        "add": _stamp_seq(
+            [e for e in bm["files"] if parent_entries.get(e["path"]) != e],
+            base + 1,
+        ),
         "remove": sorted(
             p
             for p, e in parent_entries.items()
@@ -1428,6 +1684,7 @@ def _branch_live_paths(table: str) -> set[str]:
             live.update(e["path"] for e in m["files"])
             if m.get("dv"):
                 live.add(m["dv"]["path"])
+            live.update(d["path"] for d in m.get("eq_deletes") or [])
     return live
 
 
@@ -1462,6 +1719,7 @@ def vacuum(table: str, keep_last: int = 1) -> int:
         live.update(e["path"] for e in m["files"])
         if m.get("dv"):
             live.add(m["dv"]["path"])
+        live.update(d["path"] for d in m.get("eq_deletes") or [])
         if "add" in _read_record(table, kv):
             # a retained DELTA record may fold through manifests about
             # to be dropped — pin its materialized list first so every
@@ -1589,6 +1847,7 @@ def merge_upsert(
                                stats_columns=stats_columns)
     manifest = read_manifest(table, parent)
     _require_no_dv(manifest, "merge_upsert")
+    _require_no_eq_deletes(manifest, "merge_upsert")
     schema = StructType.fromJson(manifest["schema"])
     if key not in [f.name for f in schema.fields]:
         raise ValueError(f"merge key {key!r} not in table schema")
@@ -1636,6 +1895,7 @@ def delete_where(
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
     _require_no_dv(manifest, "delete_where")
+    _require_no_eq_deletes(manifest, "delete_where")
     schema = StructType.fromJson(manifest["schema"])
     entries = manifest["files"]
     touched = entries
@@ -1737,15 +1997,17 @@ def stream_commit_batch(
             payload["schema"] = _evolve_schema(
                 StructType.fromJson(pm["schema"]), df.schema, False
             ).jsonValue()
-            payload["add"] = list(new_files)
+            payload["add"] = _stamp_seq(new_files, version)
             payload["remove"] = []
         else:
             payload["schema"] = df.schema.jsonValue()
-            payload["files"] = list(new_files)
+            payload["files"] = _stamp_seq(new_files, version)
         if partition_by:
             payload["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
             payload["dv"] = pm["dv"]
+        if mode == "append" and pm is not None and pm.get("eq_deletes"):
+            payload["eq_deletes"] = pm["eq_deletes"]
         if _atomic_create(_manifest_path(table, version), payload):
             if "add" in payload:
                 _maybe_checkpoint(table, version)
@@ -1780,6 +2042,7 @@ def optimize_snapshot(
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
     _require_no_dv(manifest, "optimize_snapshot")
+    _require_no_eq_deletes(manifest, "optimize_snapshot")
     schema = StructType.fromJson(manifest["schema"])
     small = [e for e in manifest["files"] if e["bytes"] < target_bytes]
     keep = [e for e in manifest["files"] if e["bytes"] >= target_bytes]
@@ -1853,6 +2116,8 @@ def table_changes(
         raise ValueError(f"bad version range {from_version}..{to_v}")
     fm = read_manifest(table, from_version)
     tm = read_manifest(table, to_v)
+    f_eq = fm.get("eq_deletes") or []
+    t_eq = tm.get("eq_deletes") or []
     schema = StructType.fromJson(tm["schema"])
     f_paths = {e["path"] for e in fm["files"]}
     t_paths = {e["path"] for e in tm["files"]}
@@ -1864,7 +2129,12 @@ def table_changes(
     ) -> DataFrame:
         return _read_files(spark, table, paths, sch, with_position)
 
-    if not removed and not added and fm.get("dv") != tm.get("dv"):
+    if (
+        not removed
+        and not added
+        and f_eq == t_eq
+        and fm.get("dv") != tm.get("dv")
+    ):
         # pure merge-on-read delta (delete_mor commits): positions
         # newly present in the target DV are the deletes; DVs only
         # grow until compact_dv, and compaction changes the file set,
@@ -1886,9 +2156,11 @@ def table_changes(
             "_change_type", F.lit("delete")
         )
 
-    if not removed and fm.get("dv") == tm.get("dv"):
+    if not removed and fm.get("dv") == tm.get("dv") and f_eq == t_eq:
         # append-only fast path (a carried DV references only shared
-        # files, which cancel out of the diff by construction)
+        # files, which cancel out of the diff by construction; equal
+        # eq-delete lists filter added files identically on both
+        # sides — every live delete's seq precedes the added files')
         return _read(added, schema).withColumn(
             "_change_type", F.lit("insert")
         )
@@ -1908,36 +2180,66 @@ def table_changes(
     # those files are not logically identical across the range, so
     # they must enter the diff too (with each side's DV applied)
     dv_shared = sorted(_dv_hit_shared(fm) | _dv_hit_shared(tm))
-    old_rows = _read(sorted(set(removed) | set(dv_shared)), old_schema)
-    new_rows = _read(sorted(set(added) | set(dv_shared)), schema)
 
-    def _apply_dv(rows: DataFrame, m: dict[str, Any]) -> DataFrame:
-        # rows arrive WITH position columns already attached
-        dv = _dv_rows(spark, table, m).withColumnsRenamed(
-            {"file": "__file__", "pos": "__pos__"}
+    # likewise for EQUALITY deletes new in the range (an upsert CDC):
+    # a shared file whose rows carry a newly deleted key is live on
+    # the from side and dead on the to side — probe the shared files
+    # for hits (one key-column scan of the shared set). Deletes that
+    # LEFT the list (compact_eq_deletes) never hit shared files: the
+    # compactor carries only no-hit files by construction.
+    ent_by_path = {e["path"]: e for e in fm["files"]}
+    ent_by_path.update({e["path"]: e for e in tm["files"]})
+    new_eq = [d for d in t_eq if d not in f_eq]
+    eq_shared: set[str] = set()
+    if new_eq and shared:
+        key, dels = _eq_delete_keys(spark, table, new_eq, schema)
+        seq_map = spark.createDataFrame(
+            [(p, int(ent_by_path[p].get("seq", 0))) for p in shared],
+            "__file__ STRING, __fseq__ BIGINT",
         )
-        return rows.join(dv, ["__file__", "__pos__"], "left_anti").drop(
-            "__file__", "__pos__"
+        srows = (
+            _read(shared, old_schema, with_position=True)
+            .join(F.broadcast(seq_map), "__file__", "left")
         )
+        hit_cond = (
+            F.col(key) == F.col("__delk__")
+        ) & (F.col("__del_seq__") > F.col("__fseq__"))
+        eq_shared = {
+            r["__file__"]
+            for r in srows.join(
+                dels.withColumnsRenamed({key: "__delk__"}),
+                hit_cond,
+                "left_semi",
+            )
+            .select("__file__")
+            .distinct()
+            .collect()
+        }  # file-count bounded
 
     dv_range = bool(fm.get("dv") or tm.get("dv"))
-    if dv_range:
-        # re-read with positions attached PER SCAN (resolvable even
-        # when a side's path list is empty)
-        old_rows = _read(
-            sorted(set(removed) | set(dv_shared)), old_schema,
-            with_position=True,
-        )
-        new_rows = _read(
-            sorted(set(added) | set(dv_shared)), schema,
-            with_position=True,
-        )
-    old_rows = _apply_dv(old_rows, fm) if fm.get("dv") else (
-        old_rows.drop("__file__", "__pos__") if dv_range else old_rows
-    )
-    new_rows = _apply_dv(new_rows, tm) if tm.get("dv") else (
-        new_rows.drop("__file__", "__pos__") if dv_range else new_rows
-    )
+    pos_needed = dv_range or bool(f_eq or t_eq)
+    old_paths = sorted(set(removed) | set(dv_shared) | eq_shared)
+    new_paths = sorted(set(added) | set(dv_shared) | eq_shared)
+    old_rows = _read(old_paths, old_schema, with_position=pos_needed)
+    new_rows = _read(new_paths, schema, with_position=pos_needed)
+
+    def _apply_side(
+        rows: DataFrame, m: dict[str, Any], eq: list[dict[str, Any]]
+    ) -> DataFrame:
+        # rows arrive WITH position columns attached when pos_needed
+        if m.get("dv"):
+            dv = _dv_rows(spark, table, m).withColumnsRenamed(
+                {"file": "__file__", "pos": "__pos__"}
+            )
+            rows = rows.join(dv, ["__file__", "__pos__"], "left_anti")
+        if eq:
+            rows = _apply_eq_deletes(
+                spark, table, rows, list(ent_by_path.values()), eq, schema
+            )
+        return rows.drop("__file__", "__pos__") if pos_needed else rows
+
+    old_rows = _apply_side(old_rows, fm, f_eq)
+    new_rows = _apply_side(new_rows, tm, t_eq)
     # align evolved schemas: old rows gain nulls for added columns
     for f in schema.fields:
         if f.name not in old_rows.columns:
@@ -2001,6 +2303,7 @@ def cluster_snapshot(
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
     _require_no_dv(manifest, "cluster_snapshot")
+    _require_no_eq_deletes(manifest, "cluster_snapshot")
     schema = StructType.fromJson(manifest["schema"])
     names = [f.name for f in schema.fields]
     for col, _, _ in zorder:
@@ -2260,6 +2563,7 @@ def delete_where_mor(
     if parent is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
+    _require_no_eq_deletes(manifest, "delete_where_mor")
     schema = StructType.fromJson(manifest["schema"])
     entries = manifest["files"]
     touched = entries
@@ -2361,6 +2665,7 @@ def compact_dv(spark: SparkSession, table: str) -> int | None:
     manifest = read_manifest(table, parent)
     if not _live_dv(manifest):
         return None
+    _require_no_eq_deletes(manifest, "compact_dv")
     schema = StructType.fromJson(manifest["schema"])
     dv = _dv_rows(spark, table, manifest)
     dv_files = {r.file for r in dv.select("file").distinct().collect()}

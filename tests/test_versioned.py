@@ -653,7 +653,12 @@ def test_footer_harvest_distributed_matches_driver(spark, table, monkeypatch):
     driver_entries = V._harvest_footer_entries(
         None, data_abs, data_rel, names, ["k", "v"]
     )
-    assert json.dumps(dist_entries, sort_keys=True) == json.dumps(
+    # the commit stamps each entry's sequence number AFTER harvest —
+    # strip it so the comparison isolates the harvest itself
+    harvested = [
+        {k: v for k, v in e.items() if k != "seq"} for e in dist_entries
+    ]
+    assert json.dumps(harvested, sort_keys=True) == json.dumps(
         driver_entries, sort_keys=True
     )
     # and the stats still drive pruning
@@ -1466,3 +1471,135 @@ def test_hidden_partitioning_truncate(spark, table):
         V.read_snapshot(spark, table, where=[("k", ">", 250)])
         .filter(F.col("k") > 250).count() == 149
     )
+
+
+# --- equality deletes / streaming upserts ----------------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, v STRING")
+
+
+def test_stream_upsert_last_write_wins(spark, table):
+    assert V.stream_upsert_batch(
+        _kv(spark, [(1, "a1"), (2, "a2"), (3, "a3")]), 0, table, key="k"
+    ) == 0
+    assert V.stream_upsert_batch(
+        _kv(spark, [(2, "b2"), (4, "b4")]), 1, table, key="k"
+    ) == 1
+    got = sorted((r.k, r.v) for r in V.read_snapshot(spark, table).collect())
+    assert got == [(1, "a1"), (2, "b2"), (3, "a3"), (4, "b4")]
+    # replay of a committed batch is a no-op (exactly-once)
+    assert V.stream_upsert_batch(
+        _kv(spark, [(2, "b2"), (4, "b4")]), 1, table, key="k"
+    ) is None
+    V.stream_upsert_batch(
+        _kv(spark, [(1, "c1"), (4, "c4"), (5, "c5")]), 2, table, key="k"
+    )
+    got = sorted((r.k, r.v) for r in V.read_snapshot(spark, table).collect())
+    assert got == [(1, "c1"), (2, "b2"), (3, "a3"), (4, "c4"), (5, "c5")]
+    # time travel shows each batch's LWW state
+    assert sorted(
+        (r.k, r.v)
+        for r in V.read_snapshot(spark, table, version=1).collect()
+    ) == [(1, "a1"), (2, "b2"), (3, "a3"), (4, "b4")]
+    # history: 2 upsert commits carry growing delete lists
+    assert len(V._live_eq_deletes(V.read_manifest(table, 2))) == 2
+
+
+def test_eq_delete_guards_and_compaction(spark, table):
+    V.stream_upsert_batch(_kv(spark, [(1, "a"), (2, "b")]), 0, table, "k")
+    V.stream_upsert_batch(_kv(spark, [(2, "b2")]), 1, table, "k")
+    # rewrites refuse while equality deletes are live
+    for op, call in (
+        ("merge_upsert", lambda: V.merge_upsert(
+            spark, table, _kv(spark, [(9, "x")]), key="k")),
+        ("delete_where", lambda: V.delete_where(
+            spark, table, F.col("k") == 1)),
+        ("delete_where_mor", lambda: V.delete_where_mor(
+            spark, table, F.col("k") == 1)),
+        ("optimize_snapshot", lambda: V.optimize_snapshot(spark, table)),
+    ):
+        with pytest.raises(ValueError, match="equality deletes"):
+            call()
+    # CDC across an upsert commit nets the last-write-wins delta
+    ch = sorted(
+        (r.k, r.v, r._change_type)
+        for r in V.table_changes(spark, table, 0, 1).collect()
+    )
+    assert ch == [(2, "b", "delete"), (2, "b2", "insert")]
+    # compaction materializes LWW state, clears the list, re-enables ops
+    v = V.compact_eq_deletes(spark, table)
+    assert V._live_eq_deletes(V.read_manifest(table, v)) == []
+    assert sorted(
+        (r.k, r.v) for r in V.read_snapshot(spark, table).collect()
+    ) == [(1, "a"), (2, "b2")]
+    assert V.compact_eq_deletes(spark, table) is None  # nothing live
+    V.merge_upsert(spark, table, _kv(spark, [(9, "x")]), key="k")
+    assert V.read_snapshot(spark, table).count() == 3
+    # CDC across the compaction span works and nets to the LWW delta
+    ch = V.table_changes(spark, table, 1, v).collect()
+    assert ch == []  # logical content unchanged by compaction
+
+
+def test_stream_upsert_key_and_dv_exclusivity(spark, table):
+    V.stream_upsert_batch(_kv(spark, [(1, "a")]), 0, table, "k")
+    V.stream_upsert_batch(_kv(spark, [(1, "a2")]), 1, table, "k")
+    # the live delete list pins ONE upsert key per table
+    with pytest.raises(ValueError, match="one upsert key"):
+        V.stream_upsert_batch(_kv(spark, [(2, "b")]), 2, table, "v")
+    V.compact_eq_deletes(spark, table)
+    # a live position DV blocks upserts (positions vs keys don't mix)
+    V.commit_snapshot(_kv(spark, [(7, "z")]), table, mode="append")
+    V.delete_where_mor(spark, table, F.col("k") == 7)
+    with pytest.raises(ValueError, match="position DV"):
+        V.stream_upsert_batch(_kv(spark, [(8, "w")]), 5, table, "k")
+    # and a live delete list blocks MoR position deletes symmetrically
+    V.compact_dv(spark, table)
+    V.stream_upsert_batch(_kv(spark, [(8, "w")]), 6, table, "k")
+    with pytest.raises(ValueError, match="equality deletes"):
+        V.delete_where_mor(spark, table, F.col("k") == 8)
+
+
+def test_stream_upsert_vacuum_keeps_key_files(spark, table):
+    V.stream_upsert_batch(_kv(spark, [(1, "a"), (2, "b")]), 0, table, "k")
+    V.stream_upsert_batch(_kv(spark, [(1, "a2")]), 1, table, "k")
+    V.commit_snapshot(_kv(spark, [(3, "c")]), table, mode="append")
+    V.vacuum(table, keep_last=2)  # v1 + v2 retained, both carry deletes
+    got = sorted((r.k, r.v) for r in V.read_snapshot(spark, table).collect())
+    assert got == [(1, "a2"), (2, "b"), (3, "c")]
+    assert sorted(
+        (r.k, r.v)
+        for r in V.read_snapshot(spark, table, version=1).collect()
+    ) == [(1, "a2"), (2, "b")]
+
+
+def test_stream_upsert_via_foreachbatch(spark, table, tmp_path):
+    src_dir = str(tmp_path / "src")
+    _kv(spark, [(1, "a1"), (2, "a2")]).write.parquet(src_dir + "/b0")
+    stream = (
+        spark.readStream.schema("k LONG, v STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: V.stream_upsert_batch(b, i, table, key="k")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _kv(spark, [(2, "b2"), (3, "b3")]).write.parquet(src_dir + "/b1")
+    q2 = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: V.stream_upsert_batch(b, i, table, key="k")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = sorted((r.k, r.v) for r in V.read_snapshot(spark, table).collect())
+    assert got == [(1, "a1"), (2, "b2"), (3, "b3")]

@@ -642,3 +642,89 @@ def test_transform_partitioned_matches_model(
             else:
                 state.remove((r.k, r.ver))
         assert sorted(state) == history[v], f"CDC v{v-1}->v{v} diverged"
+
+
+# streaming-upsert walk: equality-delete batches interleave with plain
+# appends and compactions; head reads and time travel must match a
+# last-write-wins dict model at every step, and CDC between
+# consecutive versions must replay the model transition (upsert
+# ranges emit delete+insert pairs through the eq-aware diff).
+_ups_op = st.one_of(
+    st.tuples(
+        st.just("upsert"),
+        st.lists(st.integers(0, 9), min_size=1, max_size=4),
+    ),
+    st.tuples(
+        st.just("append"),
+        st.lists(st.integers(100, 104), min_size=1, max_size=2),
+    ),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_ups_op, min_size=2, max_size=6))
+def test_stream_upserts_match_lww_model(spark, tmp_path_factory, ops):
+    table = str(tmp_path_factory.mktemp("ups") / "tbl")
+    tag = {"n": 0}
+
+    def mk(keys):
+        tag["n"] += 1
+        # dedupe keys within a batch (the sink keeps one row per key)
+        rows = [(k, tag["n"]) for k in sorted(set(keys))]
+        return spark.createDataFrame(rows, "k LONG, ver LONG"), rows
+
+    df, rows = mk([0, 1])
+    V.stream_upsert_batch(df, 0, table, key="k")
+    model: dict[int, int] = dict(rows)
+    history = [sorted(model.items())]
+    batch = 1
+
+    for kind, payload in ops:
+        if kind == "upsert":
+            df, rows = mk(payload)
+            V.stream_upsert_batch(df, batch, table, key="k")
+            batch += 1
+            model.update(dict(rows))
+        elif kind == "append":
+            # plain appends coexist with live deletes (new keys only,
+            # so the LWW dict model stays exact)
+            df, rows = mk(payload)
+            fresh = [(k, v) for k, v in rows if k not in model]
+            if not fresh:
+                continue
+            V.commit_snapshot(
+                spark.createDataFrame(fresh, "k LONG, ver LONG"),
+                table, mode="append",
+            )
+            model.update(dict(fresh))
+        elif kind == "compact":
+            if V.compact_eq_deletes(spark, table) is None:
+                continue
+        history.append(sorted(model.items()))
+
+        got = sorted(
+            (r.k, r.ver) for r in V.read_snapshot(spark, table).collect()
+        )
+        assert got == sorted(model.items()), f"head diverged after {kind}"
+
+    for v, expected in enumerate(history):
+        got = sorted(
+            (r.k, r.ver)
+            for r in V.read_snapshot(spark, table, version=v).collect()
+        )
+        assert got == expected, f"time travel to v{v} diverged"
+
+    for v in range(1, len(history)):
+        delta = V.table_changes(spark, table, v - 1, v).collect()
+        state = list(history[v - 1])
+        for r in delta:
+            if r._change_type == "insert":
+                state.append((r.k, r.ver))
+            else:
+                state.remove((r.k, r.ver))
+        assert sorted(state) == history[v], f"CDC v{v-1}->v{v} diverged"
