@@ -57,11 +57,10 @@ from small_etl_spark.queries import stats_contracts  # noqa: E402,F401
 # tests/test_registry_order.py enforces the invariant.
 _GATED = [
     "rename_project",
-    # exclude_fields left the window round 8 (rename_project /
-    # computed_markers / default_fill_union carry the projection
-    # family; it stays registered + locally swept) for the round-8
-    # flagship versioned_wap_publish.
-    "computed_markers",
+    # exclude_fields and computed_markers left the window round 8
+    # (rename_project / json_path / array_path / default_fill_union
+    # carry the projection family; both stay registered + locally
+    # swept) for round-8 flagships.
     "default_fill_union",
     "json_path_extract",
     "array_path_extract",
@@ -77,7 +76,9 @@ _GATED = [
     "asof_join_events",
     "range_join_events",
     "percentiles",
-    "semi_anti_join",
+    # semi_anti_join left round 8 (the join family is carried by
+    # lookup_enrich / merge_with_previous / asof / range) for
+    # versioned_stream_upsert.
     "clean_text",
     # normalize_fields / remove_html_tags left the window round 7
     # (clean_text carries the text-function family; both stay
@@ -110,11 +111,17 @@ _GATED = [
     "cdc_lsh_probe_md5",
     "pq_ann_topk",
     "leakage_safe_split",
-    # round-8 flagship: write-audit-publish staging branches
+    # round-8 flagships: WAP staging branches, hidden partitioning,
+    # equality-delete streaming upserts, and the pca value-oracle
+    # upgrade (VERDICT r7 item 9)
     "versioned_wap_publish",
+    "versioned_hidden_partition_prune",
+    "versioned_stream_upsert",
+    "pca_project",
     "sessionize",
     "window_agg_hourly",
-    "session_window_agg",
+    # session_window_agg left round 8 (window_agg_hourly + sessionize
+    # carry the family) for pca_project's new full value oracle.
     "salted_agg",
     "exact_dedup_docs",
     "tfidf_top_terms",

@@ -44,10 +44,16 @@ MUST_BE_GATED = [
     "cdc_lsh_probe_md5",
     "pq_ann_topk",
     "leakage_safe_split",
-    # round-8 flagship: WAP staging branches (exclude_fields left the
-    # window; the projection family is carried by rename/computed/
-    # default_fill)
+    # round-8 flagships: WAP staging branches, hidden partitioning,
+    # equality-delete streaming upserts, the pca value-oracle upgrade
+    # (exclude_fields/computed_markers/semi_anti_join/
+    # session_window_agg left; their families are carried by
+    # rename/json_path/default_fill, lookup/merge/asof/range, and
+    # window_agg_hourly/sessionize)
     "versioned_wap_publish",
+    "versioned_hidden_partition_prune",
+    "versioned_stream_upsert",
+    "pca_project",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics
