@@ -1756,6 +1756,88 @@ def vacuum(table: str, keep_last: int = 1) -> int:
     return deleted
 
 
+def maintenance_report(
+    table: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict[str, Any]:
+    """Metadata-only health report with concrete maintenance
+    recommendations — the ops loop every 100 TB table needs on a
+    cadence, derivable from ONE manifest read (no data scan):
+
+    - small-file fraction vs ``target_bytes`` → ``optimize_snapshot``
+      (scheduler overhead of many small files dwarfs the scan);
+    - live position-DV row fraction → ``compact_dv`` (every read pays
+      the anti-join until materialized);
+    - live equality-delete count → ``compact_eq_deletes`` (read-side
+      key anti-join grows with accumulated upsert batches, and
+      rewrite ops are blocked while the list is live);
+    - partitioned commit-dir count → ``optimize_snapshot`` (reads
+      union one basePath scan per surviving commit dir);
+    - retained manifest count → ``vacuum`` (time travel headroom vs
+      metadata growth).
+    """
+    v = latest_version(table)
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    m = read_manifest(table, v)
+    entries = m["files"]
+    n_rows = sum(e["rows"] for e in entries)
+    n_bytes = sum(e["bytes"] for e in entries)
+    small = [e for e in entries if e["bytes"] < target_bytes]
+    commit_dirs = {
+        e["path"].split("/")[1]
+        for e in entries
+        if any("=" in s for s in e["path"].split("/")[2:-1])
+    }
+    dv_rows = int((m.get("dv") or {}).get("rows", 0))
+    eqds = _live_eq_deletes(m)
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    retained = sum(
+        1
+        for n in os.listdir(mdir)
+        if n.endswith(".json") and ".checkpoint." not in n
+    )
+    recs: list[str] = []
+    if len(small) > 8 and len(small) > 0.5 * len(entries):
+        recs.append(
+            f"optimize_snapshot: {len(small)}/{len(entries)} files are "
+            f"under the {target_bytes}-byte target"
+        )
+    if n_rows and dv_rows > 0.1 * n_rows:
+        recs.append(
+            f"compact_dv: the deletion vector holds {dv_rows} of "
+            f"{n_rows} rows (>10%); reads pay the anti-join until "
+            "materialized"
+        )
+    if len(eqds) > 8:
+        recs.append(
+            f"compact_eq_deletes: {len(eqds)} equality-delete files "
+            "accumulated; the read-side key anti-join grows per upsert "
+            "batch and rewrite ops are blocked meanwhile"
+        )
+    if len(commit_dirs) > 8:
+        recs.append(
+            f"optimize_snapshot: {len(commit_dirs)} partitioned commit "
+            "dirs survive; reads union one scan per dir"
+        )
+    if retained > 100:
+        recs.append(
+            f"vacuum: {retained} manifests retained; prune old "
+            "versions (tags protect what must stay)"
+        )
+    return {
+        "version": v,
+        "n_files": len(entries),
+        "n_rows": n_rows,
+        "n_bytes": n_bytes,
+        "small_files": len(small),
+        "partitioned_commit_dirs": len(commit_dirs),
+        "dv_rows": dv_rows,
+        "eq_delete_files": len(eqds),
+        "retained_manifests": retained,
+        "recommendations": recs,
+    }
+
+
 @dataclass(frozen=True)
 class TableInfo:
     """Convenience bundle for callers that want one handle."""

@@ -1603,3 +1603,39 @@ def test_stream_upsert_via_foreachbatch(spark, table, tmp_path):
     q2.awaitTermination(120)
     got = sorted((r.k, r.v) for r in V.read_snapshot(spark, table).collect())
     assert got == [(1, "a1"), (2, "b2"), (3, "b3")]
+
+
+def test_maintenance_report_recommendations(spark, table):
+    # healthy small table: facts reported, nothing recommended
+    V.commit_snapshot(
+        _df(spark, 0, 100, "a").coalesce(1), table, mode="overwrite"
+    )
+    rep = V.maintenance_report(table)
+    assert rep["version"] == 0 and rep["n_rows"] == 100
+    assert rep["recommendations"] == []
+    # a fragmented table trips the small-file advice
+    V.commit_snapshot(
+        spark.range(0, 200)
+        .select(F.col("id").alias("k"), F.lit("f").alias("tag"))
+        .repartition(20),
+        table,
+        mode="overwrite",
+    )
+    rep = V.maintenance_report(table)
+    assert any("optimize_snapshot" in r for r in rep["recommendations"])
+    # a fat DV trips the compaction advice
+    V.delete_where_mor(spark, table, F.col("k") < 50)
+    rep = V.maintenance_report(table)
+    assert rep["dv_rows"] == 50
+    assert any("compact_dv" in r for r in rep["recommendations"])
+    # accumulated upsert batches trip the eq-delete advice
+    V.drop_table(table)
+    for i in range(10):
+        V.stream_upsert_batch(
+            _kv(spark, [(i, f"v{i}")]), i, table, key="k"
+        )
+    rep = V.maintenance_report(table)
+    assert rep["eq_delete_files"] == 9  # batch 0 bootstraps
+    assert any(
+        "compact_eq_deletes" in r for r in rep["recommendations"]
+    )
