@@ -21,17 +21,41 @@ import sys
 
 
 def _table_admin(args) -> int:
-    """``table <path> history|vacuum|optimize|tags|tag|untag`` — the
+    """``table <path> history|report|vacuum|optimize|compact-dv|
+    compact-eq|tags|tag|untag|branches|abandon|publish`` — the
     maintenance surface of the versioned sink, runnable without
     writing a config. history prints one JSON line per snapshot;
-    vacuum reports files deleted (tagged versions protected);
-    optimize reports the new version (or no-op); tag pins an
-    immutable named version."""
+    report prints the metadata-only health advisor; vacuum reports
+    files deleted (tagged versions and live branches protected);
+    optimize / compact-dv / compact-eq report the new version (or
+    no-op); tag pins an immutable named version; publish atomically
+    fast-forwards main to a staged branch."""
     from small_etl_spark.sinks import versioned as V
 
     if V.latest_version(args.path) is None:
         print(f"no snapshots committed at {args.path!r}", file=sys.stderr)
         return 1
+    if args.action == "report":
+        print(json.dumps(V.maintenance_report(
+            args.path, target_bytes=args.target_bytes)))
+        return 0
+    if args.action == "branches":
+        print(json.dumps(V.list_branches(args.path)))
+        return 0
+    if args.action == "abandon":
+        if not args.name:
+            print("abandon requires --name", file=sys.stderr)
+            return 1
+        V.branch_abandon(args.path, args.name)
+        print(json.dumps({"abandoned_branch": args.name}))
+        return 0
+    if args.action == "publish":
+        if not args.name:
+            print("publish requires --name", file=sys.stderr)
+            return 1
+        v = V.branch_publish(args.path, args.name)
+        print(json.dumps({"published_branch": args.name, "version": v}))
+        return 0
     if args.action == "vacuum":
         deleted = V.vacuum(args.path, keep_last=args.keep_last)
         print(json.dumps({"deleted_files": deleted,
@@ -61,6 +85,14 @@ def _table_admin(args) -> int:
     if args.action == "history":
         for row in V.snapshot_history(spark, args.path).collect():
             print(json.dumps(row.asDict()))
+        return 0
+    if args.action == "compact-dv":
+        v = V.compact_dv(spark, args.path)
+        print(json.dumps({"new_version": v}))
+        return 0
+    if args.action == "compact-eq":
+        v = V.compact_eq_deletes(spark, args.path)
+        print(json.dumps({"new_version": v}))
         return 0
     # optimize
     v = V.optimize_snapshot(spark, args.path, target_bytes=args.target_bytes)
@@ -115,12 +147,19 @@ def main(argv: list[str] | None = None) -> int:
     tbl_p.add_argument("path", help="versioned table root")
     tbl_p.add_argument(
         "action",
-        choices=["history", "vacuum", "optimize", "tags", "tag", "untag"],
+        choices=[
+            "history", "report", "vacuum", "optimize", "compact-dv",
+            "compact-eq", "tags", "tag", "untag", "branches", "abandon",
+            "publish",
+        ],
     )
     tbl_p.add_argument(
         "--keep-last", type=int, default=2, help="vacuum: manifests kept"
     )
-    tbl_p.add_argument("--name", default=None, help="tag/untag: tag name")
+    tbl_p.add_argument(
+        "--name", default=None,
+        help="tag/untag: tag name; publish/abandon: branch name",
+    )
     tbl_p.add_argument(
         "--at-version", type=int, default=None,
         help="tag: version to pin (default head)"

@@ -144,3 +144,44 @@ def test_table_admin_cli(spark, tmp_path, capsys):
     assert main(["table", table, "tag"]) == 1  # --name required
 
     assert main(["table", str(tmp_path / "missing"), "history"]) == 1
+
+
+def test_table_admin_round8_actions(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.cli import main
+    from small_etl_spark.sinks import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.commit_snapshot(
+        spark.range(50).select(F.col("id").alias("k")), tbl,
+        mode="overwrite",
+    )
+    assert main(["table", tbl, "report"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["n_rows"] == 50 and "recommendations" in rep
+    # branch lifecycle through the CLI
+    br = V.branch_create(tbl, "stage")
+    V.commit_snapshot(
+        spark.range(50, 60).select(F.col("id").alias("k")), br,
+        mode="append",
+    )
+    assert main(["table", tbl, "branches"]) == 0
+    assert "stage" in _json.loads(capsys.readouterr().out.strip())
+    assert main(["table", tbl, "publish", "--name", "stage"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out == {"published_branch": "stage", "version": 1}
+    assert V.read_snapshot(spark, tbl).count() == 60
+    assert main(["table", tbl, "abandon", "--name", "stage"]) == 0
+    capsys.readouterr()
+    assert V.list_branches(tbl) == {}
+    # compactions report their new version (or null no-op)
+    V.delete_where_mor(spark, tbl, F.col("k") < 5)
+    assert main(["table", tbl, "compact-dv"]) == 0
+    assert _json.loads(capsys.readouterr().out.strip())["new_version"] == 3
+    assert main(["table", tbl, "compact-eq"]) == 0
+    assert (
+        _json.loads(capsys.readouterr().out.strip())["new_version"] is None
+    )
