@@ -659,6 +659,17 @@ def _write_data_files(
         spec = _parse_partition_spec(partition_by)
         for s in spec:
             if s["transform"] != "identity":
+                if s["name"] in df.columns:
+                    # withColumn would silently OVERWRITE the real
+                    # column and partitionBy would then consume it —
+                    # the original column's data would vanish from
+                    # the files
+                    raise ValueError(
+                        f"partition transform {s['transform']}"
+                        f"({s['column']}) derives column "
+                        f"{s['name']!r}, which collides with an "
+                        "existing data column; rename one of them"
+                    )
                 out_df = out_df.withColumn(
                     s["name"], _transform_expr(s, df.schema)
                 )
@@ -1326,6 +1337,23 @@ def stream_upsert_batch(
         parent = latest_version(table)
         version = parent + 1
         pm = _read_record(table, parent)
+        # Re-validate against the CURRENT head every attempt: a
+        # concurrent delete_where_mor (or a foreign-key upsert) landing
+        # between the pre-write check and a won retry would otherwise
+        # have its DV silently dropped from this payload — MoR-deleted
+        # rows would resurrect on the next read.
+        if _live_dv(pm):
+            raise ValueError(
+                "stream_upsert_batch lost a race to a position-DV "
+                "delete; run compact_dv and replay the batch"
+            )
+        cur_eq = _live_eq_deletes(pm)
+        if cur_eq and {d["key"] for d in cur_eq} != {key}:
+            raise ValueError(
+                f"table now carries equality deletes on "
+                f"{sorted({d['key'] for d in cur_eq})}; one upsert key "
+                "per table"
+            )
         payload = {
             "snapshot": version,
             "parent": parent,
@@ -2594,7 +2622,9 @@ def _rel_path_pattern(table: str) -> str:
     ``/srv/data/...``), yielding ``__file__`` values that disagree
     with manifest-relative paths — DV anti-joins then silently drop
     nothing and CDC misses MoR deletes. Tolerates the ``file:/`` vs
-    ``file:///`` authority forms Spark/Hadoop emit."""
+    ``file:///`` authority forms Spark/Hadoop emit. Matched against
+    the URL-DECODED path (see :func:`_with_position`), so the raw
+    filesystem root escapes here verbatim."""
     root = os.path.abspath(table).strip("/")
     return r"^file:/+" + re.escape(root) + r"/(.+)$"
 
@@ -2619,12 +2649,37 @@ def _dv_rows(spark: SparkSession, table: str, manifest: dict) -> DataFrame:
 
 
 def _with_position(df: DataFrame, table: str) -> DataFrame:
-    """Attach the manifest-relative file path + row index."""
+    """Attach the manifest-relative file path + row index.
+
+    ``_metadata.file_path`` is a URI, so roots with characters Spark
+    percent-encodes (a space → ``%20``) would never match a pattern
+    built from the raw filesystem path — every DV / equality-delete
+    anti-join would silently match nothing and deleted rows would
+    reappear. Decode first (literal ``+`` is pre-escaped: parquet file
+    paths are percent-encoded, where ``+`` means itself, but
+    ``url_decode`` speaks form-encoding, where it means space), match
+    the RAW root, and FAIL LOUDLY if any row still extracts empty —
+    a wrong ``__file__`` must never degrade into silent resurrection."""
+    decoded = F.url_decode(
+        F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
+    )
+    rel = F.regexp_extract(decoded, _rel_path_pattern(table), 1)
     return df.select(
         "*",
-        F.regexp_extract(
-            F.col("_metadata.file_path"), _rel_path_pattern(table), 1
-        ).alias("__file__"),
+        F.when(rel != "", rel)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "versioned table position extraction failed: "
+                        "file_path "
+                    ),
+                    F.col("_metadata.file_path"),
+                    F.lit(f" is not under table root {table!r}"),
+                )
+            )
+        )
+        .alias("__file__"),
         F.col("_metadata.row_index").alias("__pos__"),
     )
 

@@ -86,6 +86,12 @@ class VersionedCdcStreamReader:
 
     def _added_paths(self, version: int) -> list[str]:
         m = V._read_record(self.table, version)
+        parent = m.get("parent")
+        prec = (
+            V._read_record(self.table, parent)
+            if parent is not None and version > 0
+            else None
+        )
         if "add" in m:
             # paged-log DELTA record: the added/removed file sets are
             # the record itself — O(changed files) per streamed commit,
@@ -98,24 +104,39 @@ class VersionedCdcStreamReader:
             # base record (v0, overwrite, legacy full manifest): diff
             # against the parent's materialized list
             cur = {e["path"] for e in m["files"]}
-            if version == 0 or m.get("parent") is None:
+            if prec is None:
                 prev: set[str] = set()
             else:
                 prev = {
                     e["path"]
-                    for e in V.read_manifest(self.table, m["parent"])[
-                        "files"
-                    ]
+                    for e in V.read_manifest(self.table, parent)["files"]
                 }
             removed = prev - cur
             added = sorted(cur - prev)
-        if removed and not self.skip_change_commits:
-            raise ValueError(
-                f"versioned_cdc: commit v{version} ({m['mode']}) rewrites "
-                "or removes files; set skip_change_commits=true to skip "
-                "such commits, or consume them in batch via table_changes"
+        # Merge-on-read commits delete rows WITHOUT touching the file
+        # list: a delete_mor grows the position DV, a stream-upsert
+        # batch grows the equality-delete list (retiring the keys it
+        # re-inserts). Both are CHANGE commits — streaming only their
+        # added files would silently keep every retired row live
+        # downstream — so they follow the same raise-or-skip policy as
+        # file rewrites. Header-only parent read: O(1) per commit.
+        mor_change = prec is not None and (
+            m.get("dv") != prec.get("dv")
+            or (m.get("eq_deletes") or []) != (prec.get("eq_deletes") or [])
+        )
+        if (removed or mor_change) and not self.skip_change_commits:
+            what = (
+                "rewrites or removes files"
+                if removed
+                else "deletes rows merge-on-read (position DV or "
+                "equality-delete change)"
             )
-        if removed:
+            raise ValueError(
+                f"versioned_cdc: commit v{version} ({m['mode']}) {what}; "
+                "set skip_change_commits=true to skip such commits, or "
+                "consume them in batch via table_changes"
+            )
+        if removed or mor_change:
             return []  # change commit skipped entirely
         return added
 

@@ -1639,3 +1639,69 @@ def test_maintenance_report_recommendations(spark, table):
     assert any(
         "compact_eq_deletes" in r for r in rep["recommendations"]
     )
+
+
+def test_table_root_with_uri_hostile_chars(spark, tmp_path):
+    """A table root Spark percent-encodes in ``_metadata.file_path``
+    (space -> %20) must still anti-join DVs and equality deletes
+    correctly: the position extraction decodes the URI before matching
+    the raw root, so deleted rows stay deleted (ADVICE r8)."""
+    table = str(tmp_path / "dir with space" / "t+plus")
+    V.commit_snapshot(_df(spark, 0, 100, "a"), table, mode="overwrite")
+    V.delete_where_mor(spark, table, F.col("k") < 30)
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 70
+    assert got.agg(F.min("k")).first()[0] == 30
+    # equality-delete path through the same extraction
+    V.compact_dv(spark, table)
+    V.stream_upsert_batch(
+        spark.createDataFrame([(50, "new")], "k LONG, tag STRING"),
+        99, table, key="k",
+    )
+    g2 = V.read_snapshot(spark, table)
+    assert g2.count() == 70
+    assert g2.filter(F.col("k") == 50).first().tag == "new"
+
+
+def test_transform_partition_name_collision_raises(spark, table):
+    """day(ts) derives ts_day; a real ts_day data column must refuse,
+    not silently lose its data to the derived path column."""
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit("2024-01-05 10:00:00").cast("timestamp").alias("ts"),
+        F.lit("real").alias("ts_day"),
+    )
+    with pytest.raises(ValueError, match="collides"):
+        V.commit_snapshot(
+            df, table, mode="overwrite", partition_by=["day(ts)"]
+        )
+
+
+def test_stream_upsert_recheck_dv_inside_retry(spark, table, monkeypatch):
+    """A delete_where_mor landing between stream_upsert_batch's head
+    check and its winning commit must NOT have its DV dropped: the
+    retry loop re-validates and raises (ADVICE r8)."""
+    V.commit_snapshot(_df(spark, 0, 10, "a"), table, mode="overwrite")
+    real_create = V._atomic_create
+    state = {"raced": False}
+
+    def racing_create(path, payload):
+        if payload.get("mode") == "upsert" and not state["raced"]:
+            state["raced"] = True
+            # concurrent MoR delete wins the race first
+            V.delete_where_mor(spark, table, F.col("k") == 3)
+            return False  # upsert loses this round, loops, re-reads
+        return real_create(path, payload)
+
+    monkeypatch.setattr(V, "_atomic_create", racing_create)
+    with pytest.raises(ValueError, match="position-DV"):
+        V.stream_upsert_batch(
+            spark.createDataFrame([(5, "x")], "k LONG, tag STRING"),
+            7,
+            table,
+            key="k",
+        )
+    # the table is intact: the MoR delete survived, no upsert landed
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 9
+    assert got.filter(F.col("k") == 3).count() == 0

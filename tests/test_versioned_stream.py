@@ -109,3 +109,34 @@ def test_end_to_end_stream(spark, table, tmp_path):
     got = spark.sql("SELECT k, _commit_version FROM vcdc_sink").collect()
     assert sorted(r.k for r in got) == list(range(9))
     assert {r._commit_version for r in got} == {0, 1}
+
+
+def test_mor_delete_is_change_commit(spark, table):
+    """A delete_where_mor commit touches no files but retires rows via
+    the DV; streaming it as 'nothing happened' would keep stale rows
+    live downstream — it must follow the change-commit policy."""
+    V.commit_snapshot(_df(spark, 0, 20), table, mode="overwrite")
+    V.delete_where_mor(spark, table, F.col("k") >= 10)
+    r = _reader(spark, table)
+    with pytest.raises(ValueError, match="skip_change_commits"):
+        list(r.readBetweenOffsets({"version": 1}, {"version": 2}))
+    r2 = _reader(spark, table, skip_change_commits="true")
+    assert list(r2.readBetweenOffsets({"version": 1}, {"version": 2})) == []
+
+
+def test_stream_upsert_is_change_commit(spark, table):
+    """stream_upsert_batch commits add files AND grow the equality-
+    delete list; emitting only the added rows would silently keep the
+    retired keys' old rows downstream (ADVICE r8)."""
+    V.commit_snapshot(_df(spark, 0, 5), table, mode="overwrite")
+    V.stream_upsert_batch(
+        _df(spark, 3, 7), 11, table, key="k"
+    )
+    r = _reader(spark, table)
+    # v0 still streams fine
+    assert sorted(x[0] for x in r.readBetweenOffsets(
+        {"version": 0}, {"version": 1})) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError, match="skip_change_commits"):
+        list(r.readBetweenOffsets({"version": 1}, {"version": 2}))
+    r2 = _reader(spark, table, skip_change_commits="true")
+    assert list(r2.readBetweenOffsets({"version": 1}, {"version": 2})) == []
