@@ -784,20 +784,75 @@ def _read_entries(
     entries: list[dict[str, Any]],
     schema: StructType,
     with_position: bool = False,
+    column_ids: dict[str, int] | None = None,
 ) -> DataFrame:
-    return _read_files(
-        spark, table, [e["path"] for e in entries], schema, with_position
-    )
+    """Read manifest entries resolved BY COLUMN ID to ``schema``.
+
+    Entries are grouped by their resolution plan (one group per schema
+    generation in practice); a group whose physical layout matches the
+    target reads untouched, every other group reads under its PHYSICAL
+    schema and gets one codegen'd Project on top — rename = alias,
+    widen = cast, column added later = null fill. The union is by
+    name, so mixed-generation snapshots read as one DataFrame."""
+    if not entries or column_ids is None:
+        return _read_files(
+            spark, table, [e["path"] for e in entries], schema,
+            with_position,
+        )
+    ident = tuple((f.name, f.dataType.jsonValue()) for f in schema.fields)
+    groups: dict[tuple, list[dict[str, Any]]] = {}
+    for e in entries:
+        groups.setdefault(
+            _entry_resolution(e, schema, column_ids), []
+        ).append(e)
+    parts: list[DataFrame] = []
+    for sig in sorted(groups, key=repr):
+        paths = [e["path"] for e in groups[sig]]
+        if sig == ident:
+            parts.append(
+                _read_files(spark, table, paths, schema, with_position)
+            )
+            continue
+        phys = StructType(
+            [_field_from_json(n, tj) for p in sig if p for (n, tj) in [p]]
+        )
+        df = _read_files(spark, table, paths, phys, with_position)
+        sel = []
+        for f, p in zip(schema.fields, sig):
+            if p is None:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                continue
+            n, tj = p
+            c = F.col(n)
+            if _field_from_json(n, tj).dataType != f.dataType:
+                c = c.cast(f.dataType)
+            sel.append(c.alias(f.name))
+        if with_position:
+            sel += [F.col("__file__"), F.col("__pos__")]
+        parts.append(df.select(*sel))
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts)
 
 
 def _parent_bloom_columns(manifest: dict[str, Any]) -> list[str] | None:
     """Bloom columns to rebuild for a rewrite commit's new files: the
-    union of what the parent's files carried. Without this, every
-    merge/compact would silently strip the equality index the table
-    owner paid to build at commit time."""
+    union of what the parent's files carried, translated to CURRENT
+    names (bloom maps are keyed by each file's physical name; after a
+    rename the rebuild must target the new name or the index would
+    silently die with table churn). Dropped columns fall out."""
+    ids = manifest.get("column_ids") or {}
+    cur_by_id = {cid: name for name, cid in ids.items()}
     cols: set[str] = set()
     for e in manifest["files"]:
-        cols.update(e.get("bloom", {}))
+        phys2id = {c[1]: c[0] for c in e.get("cols") or []}
+        for p in e.get("bloom", {}):
+            if p in phys2id:
+                cur = cur_by_id.get(phys2id[p])
+                if cur is not None:
+                    cols.add(cur)
+            elif not ids or p in ids:
+                cols.add(p)
     return sorted(cols) or None
 
 
@@ -809,6 +864,7 @@ def _commit_rewrite(
     files: list[dict[str, Any]],
     commit_id: str,
     partition_by: list[str] | None = None,
+    extra_header: dict[str, Any] | None = None,
 ) -> int:
     """Publish a rewrite-style commit (merge/delete/optimize/cluster)
     at ``parent + 1``, aborting if the head moved — rewrites target a
@@ -832,6 +888,17 @@ def _commit_rewrite(
     add = _stamp_seq(
         [e for e in files if parent_entries.get(e["path"]) != e], version
     )
+    # rewrites materialize under the CURRENT schema: freshly written
+    # entries (no cols yet) get the parent's id mapping — this is how
+    # a rename "bakes in" as maintenance naturally churns files
+    ids = parent_manifest.get("column_ids")
+    if ids is not None:
+        schema = StructType.fromJson(parent_manifest["schema"])
+        stamped = _stamp_cols(
+            [e for e in add if e.get("cols") is None], schema, ids
+        )
+        by_path = {e["path"]: e for e in stamped}
+        add = [by_path.get(e["path"], e) for e in add]
     remove = sorted(
         p
         for p, e in parent_entries.items()
@@ -848,8 +915,11 @@ def _commit_rewrite(
         "stream_batch_high": _stream_high(parent_manifest),
         "committed_at_ms": _now_ms(),
     }
+    _header_ids(payload, ids, parent_manifest.get("next_column_id"))
     if partition_by:
         payload["partition_by"] = list(partition_by)
+    if extra_header:
+        payload.update(extra_header)
     if not _atomic_create(_manifest_path(table, version), payload):
         raise CommitConflict(f"lost the commit race on {table!r}")
     _maybe_checkpoint(table, version)
@@ -937,15 +1007,24 @@ def commit_snapshot(
             "committed_at_ms": _now_ms(),
         }
         if mode == "append" and pm is not None:
-            manifest["schema"] = _evolve_schema(
+            final = _evolve_schema(
                 StructType.fromJson(pm["schema"]), df.schema, merge_schema
-            ).jsonValue()
-            manifest["add"] = _stamp_seq(new_files, version)
+            )
+            manifest["schema"] = final.jsonValue()
+            ids, nxt = _column_ids_for(pm, final, "inherit")
+            manifest["add"] = _stamp_cols(
+                _stamp_seq(new_files, version), df.schema, ids
+            )
             manifest["remove"] = []
         else:
             manifest["schema"] = schema_json
-            # base: fresh lineage
-            manifest["files"] = _stamp_seq(new_files, version)
+            # base: fresh lineage (ids assigned, name+type matches reuse
+            # the parent's so CDC id-alignment survives an overwrite)
+            ids, nxt = _column_ids_for(pm, df.schema, "base")
+            manifest["files"] = _stamp_cols(
+                _stamp_seq(new_files, version), df.schema, ids
+            )
+        _header_ids(manifest, ids, nxt)
         if partition_by:
             manifest["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
@@ -1005,6 +1084,401 @@ def _evolve_schema(
     return StructType(out)
 
 
+# --- column IDs: schema evolution without data rewrites -------------------
+#
+# The public Iceberg column-ID design: every column gets a STABLE
+# integer ID at assignment; the name is a lookup key, not an identity.
+# Data files record which (id -> physical name, physical type) they
+# were written under, so RENAME / DROP / WIDEN are METADATA-ONLY
+# commits — at 100 TB a rename that rewrote data would cost a full
+# table pass; here it costs one O_EXCL commit record, and reads
+# resolve every file through its own id mapping:
+#
+# - header carries ``column_ids`` ({current name -> id}) and
+#   ``next_column_id`` (monotonic; dropped ids are NEVER reused, so a
+#   re-added name gets a fresh id and old files' bytes for the dead
+#   id stay invisible — no accidental resurrection);
+# - every data-file entry carries ``cols`` ([[id, physical_name,
+#   physical_type_json], ...]) stamped at write time;
+# - readers group a snapshot's files by their resolution plan and
+#   emit per-group projections (rename = alias, widen = cast, column
+#   added later = null fill) — one extra codegen'd Project per schema
+#   generation, no Python in the row path;
+# - stats / bloom / partition pruning translate predicate columns to
+#   each file's physical name first, so manifest pruning keeps firing
+#   across renames; a predicate on a column a file PREDATES prunes
+#   that file outright (every row is null there).
+#
+# Legacy tables (committed before ids existed) stay id-less until the
+# first evolution op, which UPGRADES them: assigns ids in field order
+# and restamps every cols-less entry in one metadata commit (the one
+# O(files)-metadata toll a legacy table pays once). Invariant after
+# that: a header with ``column_ids`` lists no entry without ``cols``.
+
+_WIDENINGS = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def _field_from_json(name: str, type_json: Any) -> "StructField":
+    from pyspark.sql.types import StructField
+
+    return StructField.fromJson(
+        {"name": name, "type": type_json, "nullable": True, "metadata": {}}
+    )
+
+
+def _column_ids_for(
+    pm: dict[str, Any] | None, schema: StructType, mode: str
+) -> tuple[dict[str, int] | None, int | None]:
+    """(column_ids, next_column_id) for a commit producing ``schema``.
+
+    Base commits (fresh table / overwrite) assign ids, reusing the
+    parent's id for a column whose name AND type survive (keeps CDC
+    id-alignment meaningful across an overwrite of the same logical
+    shape) and fresh ids otherwise. Appends/rewrites inherit — or stay
+    id-less on a legacy lineage (ids arrive via the first evolution
+    op's upgrade, never half-way through an append)."""
+    pids = (pm or {}).get("column_ids")
+    if mode != "base":
+        if pids is None:
+            return None, None
+        nxt = int((pm or {}).get("next_column_id", max(pids.values()) + 1))
+        ids = {}
+        for f in schema.fields:
+            if f.name in pids:
+                ids[f.name] = pids[f.name]
+            else:
+                ids[f.name] = nxt
+                nxt += 1
+        return ids, nxt
+    # base commit: fresh assignment with name+type-stable reuse
+    ptypes: dict[str, Any] = {}
+    if pm is not None and pids is not None and pm.get("schema"):
+        ptypes = {
+            f["name"]: f["type"] for f in pm["schema"].get("fields", [])
+        }
+    nxt = int((pm or {}).get("next_column_id", 1)) if pids else 1
+    ids = {}
+    for f in schema.fields:
+        fid = (pids or {}).get(f.name)
+        if fid is not None and ptypes.get(f.name) == f.dataType.jsonValue():
+            ids[f.name] = fid
+        else:
+            ids[f.name] = nxt
+            nxt += 1
+    return ids, nxt
+
+
+def _stamp_cols(
+    entries: list[dict[str, Any]],
+    schema: StructType,
+    column_ids: dict[str, int] | None,
+) -> list[dict[str, Any]]:
+    """Stamp freshly written entries with their physical id mapping.
+    No-op on id-less lineages. Cheap (metadata-sized), re-runnable on
+    commit retries — the mapping depends only on (schema, ids)."""
+    if column_ids is None:
+        return entries
+    cols = [
+        [column_ids[f.name], f.name, f.dataType.jsonValue()]
+        for f in schema.fields
+        if f.name in column_ids
+    ]
+    return [dict(e, cols=cols) for e in entries]
+
+
+def _header_ids(payload: dict[str, Any], ids, nxt) -> dict[str, Any]:
+    if ids is not None:
+        payload["column_ids"] = ids
+        payload["next_column_id"] = nxt
+    return payload
+
+
+def _entry_resolution(
+    entry: dict[str, Any],
+    schema: StructType,
+    column_ids: dict[str, int] | None,
+) -> tuple:
+    """Per-file projection plan: for each target field, (physical
+    name, physical type json), or None when the file predates the
+    column (reads null-fill it). Files without ``cols`` resolve by
+    name (legacy lineage: names never moved)."""
+    cols = entry.get("cols")
+    if cols is None or not column_ids:
+        return tuple(
+            (f.name, f.dataType.jsonValue()) for f in schema.fields
+        )
+    by_id = {c[0]: (c[1], c[2]) for c in cols}
+    return tuple(
+        by_id.get(column_ids[f.name]) if f.name in column_ids else
+        (f.name, f.dataType.jsonValue())
+        for f in schema.fields
+    )
+
+
+def _phys_name(
+    entry: dict[str, Any], col: str, column_ids: dict[str, int] | None
+) -> str | None:
+    """The physical column name ``col`` had when ``entry`` was
+    written; ``col`` itself for id-less files; None when the file
+    predates the column (every row is null there)."""
+    cols = entry.get("cols")
+    if cols is None or not column_ids:
+        return col
+    cid = column_ids.get(col)
+    if cid is None:
+        return col
+    for c in cols:
+        if c[0] == cid:
+            return c[1]
+    return None
+
+
+def _derived_name(transform: str, base: str) -> str:
+    suffix = {"bucket": "bucket", "truncate": "trunc"}.get(
+        transform, transform
+    )
+    return f"{base}_{suffix}"
+
+
+def _spec_entry_str(s: dict[str, Any]) -> str:
+    if s["transform"] == "identity":
+        return s["column"]
+    if s["transform"] in ("day", "month"):
+        return f"{s['transform']}({s['column']})"
+    return f"{s['transform']}({s['n']}, {s['column']})"
+
+
+class SchemaEvolutionError(ValueError):
+    """An illegal rename/drop/widen request; the table is untouched."""
+
+
+def _evolution_commit(
+    table: str,
+    mode: str,
+    mutate,
+    max_retries: int = 10,
+) -> int:
+    """Shared OCC loop for the metadata-only evolution ops.
+
+    ``mutate(schema, hdr)`` returns ``(new_schema, header_updates)``
+    and must validate against the CURRENT head — the loop re-reads and
+    re-plans on every lost race (evolution is trivially re-plannable:
+    no data files are written). Legacy lineages are upgraded in the
+    same commit: ids assigned in field order, every cols-less entry
+    restamped via add/remove of itself (one O(files)-metadata toll,
+    paid once per legacy table — files themselves never move)."""
+    for _ in range(max_retries):
+        parent = latest_version(table)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshots committed at {table!r}")
+        manifest = read_manifest(table, parent)
+        schema = StructType.fromJson(manifest["schema"])
+        ids = manifest.get("column_ids")
+        nxt = manifest.get("next_column_id")
+        restamp: list[dict[str, Any]] = []
+        if ids is None:
+            # upgrade: assign ids by field order, restamp legacy entries
+            ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+            nxt = len(schema.fields) + 1
+            restamp = [
+                e for e in manifest["files"] if e.get("cols") is None
+            ]
+        else:
+            nxt = int(nxt if nxt is not None else max(ids.values()) + 1)
+        hdr = dict(manifest, column_ids=ids, next_column_id=nxt)
+        new_schema, updates = mutate(StructType.fromJson(hdr["schema"]), hdr)
+        version = parent + 1
+        stamped = _stamp_cols(restamp, schema, ids)
+        # preserve carried seq: these entries are NOT new data
+        for orig, st in zip(restamp, stamped):
+            st["seq"] = orig.get("seq", 0)
+        payload = {
+            "snapshot": version,
+            "parent": parent,
+            "mode": mode,
+            "schema": new_schema.jsonValue(),
+            "add": stamped,
+            "remove": [e["path"] for e in stamped],
+            "commit_id": uuid.uuid4().hex[:16],
+            "stream_batch_high": _stream_high(manifest),
+            "committed_at_ms": _now_ms(),
+            "column_ids": updates.get("column_ids", ids),
+            "next_column_id": updates.get("next_column_id", nxt),
+        }
+        for k in ("partition_by", "dv", "eq_deletes"):
+            if k in updates:
+                if updates[k]:
+                    payload[k] = updates[k]
+            elif manifest.get(k):
+                payload[k] = manifest[k]
+        if _atomic_create(_manifest_path(table, version), payload):
+            _maybe_checkpoint(table, version)
+            return version
+    raise CommitConflict(
+        f"lost {max_retries} optimistic commit races on {table!r}"
+    )
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """METADATA-ONLY rename: the column keeps its id (and therefore
+    every data file, stat, bloom and delete written under the old
+    name); only the lookup name changes. Partition specs and live
+    equality-delete key names follow the rename; old files keep
+    serving through their id mapping — including time travel to
+    pre-rename versions, which still shows the old name."""
+
+    def mutate(schema: StructType, hdr: dict[str, Any]):
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise SchemaEvolutionError(
+                f"rename_column: no column {old!r} in {names}"
+            )
+        if new in names:
+            raise SchemaEvolutionError(
+                f"rename_column: {new!r} already exists"
+            )
+        spec = _parse_partition_spec(hdr.get("partition_by") or [])
+        derived = {
+            _derived_name(s["transform"], s["column"])
+            for s in spec
+            if s["transform"] != "identity"
+        }
+        if new in derived:
+            raise SchemaEvolutionError(
+                f"rename_column: {new!r} collides with a derived "
+                "partition column name"
+            )
+        fields = [
+            type(f)(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+        ids = dict(hdr["column_ids"])
+        ids[new] = ids.pop(old)
+        updates: dict[str, Any] = {"column_ids": ids}
+        if hdr.get("partition_by"):
+            new_spec = [
+                dict(s, column=new) if s["column"] == old else s
+                for s in spec
+            ]
+            updates["partition_by"] = [
+                _spec_entry_str(s) for s in new_spec
+            ]
+        if hdr.get("eq_deletes"):
+            updates["eq_deletes"] = [
+                dict(d, key=new, stored_as=d.get("stored_as", old))
+                if d["key"] == old
+                else d
+                for d in hdr["eq_deletes"]
+            ]
+        return StructType(fields), updates
+
+    return _evolution_commit(table, "rename_column", mutate)
+
+
+def drop_column(table: str, name: str) -> int:
+    """METADATA-ONLY drop: the column leaves the schema and its id is
+    retired (never reused — re-adding the name later creates a NEW
+    column that reads null from files written before the re-add, the
+    Iceberg contract). Data files are untouched; the bytes become
+    unreachable and are reclaimed as files get rewritten by normal
+    maintenance. Refuses to drop partition-spec columns, a live
+    equality-delete key, or the last column."""
+
+    def mutate(schema: StructType, hdr: dict[str, Any]):
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise SchemaEvolutionError(
+                f"drop_column: no column {name!r} in {names}"
+            )
+        if len(names) == 1:
+            raise SchemaEvolutionError("drop_column: cannot drop the last column")
+        spec = _parse_partition_spec(hdr.get("partition_by") or [])
+        if any(s["column"] == name for s in spec):
+            raise SchemaEvolutionError(
+                f"drop_column: {name!r} is a partition column; "
+                "repartition via mode='overwrite' first"
+            )
+        for d in hdr.get("eq_deletes") or []:
+            if d["key"] == name:
+                raise SchemaEvolutionError(
+                    f"drop_column: {name!r} is the live equality-delete "
+                    "key; run compact_eq_deletes first"
+                )
+        ids = dict(hdr["column_ids"])
+        del ids[name]
+        fields = [f for f in schema.fields if f.name != name]
+        return StructType(fields), {"column_ids": ids}
+
+    return _evolution_commit(table, "drop_column", mutate)
+
+
+def widen_type(table: str, name: str, new_type: str) -> int:
+    """METADATA-ONLY type widening (int→bigint, float→double, and the
+    byte/short ladder): the schema's declared type moves up; old files
+    keep their physical type and reads cast per file group. Narrowing
+    or cross-family changes refuse — they would corrupt old data."""
+
+    def mutate(schema: StructType, hdr: dict[str, Any]):
+        if name not in [f.name for f in schema.fields]:
+            raise SchemaEvolutionError(
+                f"widen_type: no column {name!r}"
+            )
+        target = _field_from_json(name, new_type).dataType
+        cur = schema[name].dataType
+        if target.typeName() not in _WIDENINGS.get(cur.typeName(), set()):
+            raise SchemaEvolutionError(
+                f"widen_type: {cur.simpleString()} -> "
+                f"{target.simpleString()} is not a safe widening "
+                f"(allowed: {_WIDENINGS})"
+            )
+        fields = [
+            type(f)(f.name, target, f.nullable) if f.name == name else f
+            for f in schema.fields
+        ]
+        return StructType(fields), {}
+
+    return _evolution_commit(table, "widen_type", mutate)
+
+
+def add_column(table: str, name: str, dtype: str) -> int:
+    """METADATA-ONLY column add with a fresh id: existing files simply
+    lack the column and read as null (exactly what merge_schema=True
+    appends do, exposed as a standalone op so a table can evolve
+    before any new data lands)."""
+
+    def mutate(schema: StructType, hdr: dict[str, Any]):
+        if name in [f.name for f in schema.fields]:
+            raise SchemaEvolutionError(
+                f"add_column: {name!r} already exists"
+            )
+        spec = _parse_partition_spec(hdr.get("partition_by") or [])
+        derived = {
+            _derived_name(s["transform"], s["column"])
+            for s in spec
+            if s["transform"] != "identity"
+        }
+        if name in derived:
+            raise SchemaEvolutionError(
+                f"add_column: {name!r} collides with a derived "
+                "partition column name"
+            )
+        f = _field_from_json(name, dtype)
+        ids = dict(hdr["column_ids"])
+        nxt = int(hdr["next_column_id"])
+        ids[name] = nxt
+        return (
+            StructType(list(schema.fields) + [f]),
+            {"column_ids": ids, "next_column_id": nxt + 1},
+        )
+
+    return _evolution_commit(table, "add_column", mutate)
+
+
 Predicate = tuple[str, str, Any]  # (column, op, literal)
 
 _OPS = ("=", "<", "<=", ">", ">=")
@@ -1024,26 +1498,33 @@ def _file_may_match(
     entry: dict[str, Any],
     pred: Predicate,
     spec: list[dict[str, Any]] | None = None,
+    column_ids: dict[str, int] | None = None,
 ) -> bool:
     """Conservative range check: False only when NO row can satisfy.
     Equality predicates additionally consult the file's Bloom filter
     when one was built at commit time (``bloom_columns``); with a
     partition ``spec``, predicates on a TRANSFORM-partitioned base
-    column prune through the transform (hidden partitioning)."""
+    column prune through the transform (hidden partitioning). The
+    predicate column translates to each file's PHYSICAL name first
+    (column-id resolution), so stats/bloom/partition pruning keeps
+    firing across renames; a file that PREDATES the column prunes
+    outright — every row is null there."""
     col, op, val = pred
+    col = _phys_name(entry, col, column_ids)
+    if col is None:
+        return False  # column didn't exist: all-null, <op> never true
     if op == "=":
         bloom = entry.get("bloom", {}).get(col)
         if bloom is not None and not _bloom_may_contain(bloom, val):
             return False
     if spec:
         for s in spec:
-            if (
-                s["column"] == col
-                and s["transform"] != "identity"
-                and s["name"] in entry.get("partition", {})
-            ):
+            if s["column"] != pred[0] or s["transform"] == "identity":
+                continue
+            dname = _derived_name(s["transform"], col)
+            if dname in entry.get("partition", {}):
                 if not _transform_may_match(
-                    entry["partition"][s["name"]], s, op, val
+                    entry["partition"][dname], s, op, val
                 ):
                     return False
     pv = entry.get("partition", {})
@@ -1106,9 +1587,12 @@ def plan_files(
     manifest = read_manifest(table, v)
     entries = manifest["files"]
     spec = _parse_partition_spec(manifest.get("partition_by") or [])
+    cids = manifest.get("column_ids")
     total = len(entries)
     for pred in where or []:
-        entries = [e for e in entries if _file_may_match(e, pred, spec)]
+        entries = [
+            e for e in entries if _file_may_match(e, pred, spec, cids)
+        ]
     return [os.path.join(table, e["path"]) for e in entries], total
 
 
@@ -1164,14 +1648,18 @@ def read_snapshot(
     schema = StructType.fromJson(manifest["schema"])
     entries = manifest["files"]
     spec = _parse_partition_spec(manifest.get("partition_by") or [])
+    cids = manifest.get("column_ids")
     for pred in where or []:
-        entries = [e for e in entries if _file_may_match(e, pred, spec)]
+        entries = [
+            e for e in entries if _file_may_match(e, pred, spec, cids)
+        ]
     if not entries:
         return spark.createDataFrame([], schema)
     has_dv = _live_dv(manifest) is not None
     eqds = manifest.get("eq_deletes") or []
     df = _read_entries(
-        spark, table, entries, schema, with_position=has_dv or bool(eqds)
+        spark, table, entries, schema,
+        with_position=has_dv or bool(eqds), column_ids=cids,
     )
     if has_dv:
         # merge-on-read: anti-join the deletion vector by (file, pos)
@@ -1201,11 +1689,14 @@ def read_snapshot(
 # Scope semantics ride the per-entry SEQUENCE NUMBER: an equality
 # delete at seq D applies to rows in files with seq < D only, so the
 # upsert's own re-inserted rows (same commit ⇒ same seq) survive.
-# Rewrite-style ops refuse while equality deletes are live (a rewrite
-# would materialize deleted rows under a NEW seq, resurrecting them);
-# ``compact_eq_deletes`` materializes survivors and clears the list —
-# the same maintenance contract as position DVs, and the reason any
-# production Iceberg stream-upsert table runs periodic compaction.
+# A naive rewrite would materialize deleted rows under a NEW seq,
+# resurrecting them — so OPTIMIZE/cluster FOLD the live deletes into
+# their rewrite (survivors only, stamped past every delete; cluster
+# touches all files and clears the list, optimize carries it for the
+# files it didn't touch), while merge/COW-delete refuse until
+# ``compact_eq_deletes`` clears the backlog explicitly. That keeps a
+# streaming-upsert table maintainable WITHOUT a write stop — the same
+# contract production Iceberg reached for the Flink upsert sink.
 
 
 def _live_eq_deletes(manifest: dict[str, Any]) -> list[dict[str, Any]]:
@@ -1233,13 +1724,19 @@ def _eq_delete_keys(
     if len(keys) != 1:
         raise ValueError(f"mixed equality-delete keys: {sorted(keys)}")
     key = next(iter(keys))
-    ktype = schema[key].dataType.simpleString()
+    ktype = schema[key].dataType
     from functools import reduce as _reduce
 
+    # a delete file stores the key under the PHYSICAL name it had at
+    # write time ("stored_as", maintained by rename_column); read it
+    # by that name, cast up to the current declared type (widen_type),
+    # and alias to the current logical name
     parts = [
-        spark.read.schema(f"{key} {ktype}")
-        .parquet(os.path.join(table, d["path"]))
-        .select(key, F.lit(int(d["seq"])).alias("__del_seq__"))
+        spark.read.parquet(os.path.join(table, d["path"]))
+        .select(
+            F.col(d.get("stored_as", d["key"])).cast(ktype).alias(key),
+            F.lit(int(d["seq"])).alias("__del_seq__"),
+        )
         for d in eqds
     ]
     return key, _reduce(DataFrame.unionByName, parts)
@@ -1354,22 +1851,34 @@ def stream_upsert_batch(
                 f"{sorted({d['key'] for d in cur_eq})}; one upsert key "
                 "per table"
             )
+        up_final = _evolve_schema(
+            StructType.fromJson(pm["schema"]), df.schema, False
+        )
+        up_ids, up_nxt = _column_ids_for(pm, up_final, "inherit")
         payload = {
             "snapshot": version,
             "parent": parent,
             "mode": "upsert",
-            "schema": _evolve_schema(
-                StructType.fromJson(pm["schema"]), df.schema, False
-            ).jsonValue(),
-            "add": _stamp_seq(new_files, version),
+            "schema": up_final.jsonValue(),
+            "add": _stamp_cols(
+                _stamp_seq(new_files, version), batch.schema, up_ids
+            ),
             "remove": [],
             "eq_deletes": _live_eq_deletes(pm)
-            + [{"path": del_rel, "key": key, "seq": version}],
+            + [
+                {
+                    "path": del_rel,
+                    "key": key,
+                    "stored_as": key,
+                    "seq": version,
+                }
+            ],
             "commit_id": commit_id,
             "stream_batch_id": batch_id,
             "stream_batch_high": max(batch_id, _stream_high(pm)),
             "committed_at_ms": _now_ms(),
         }
+        _header_ids(payload, up_ids, up_nxt)
         if partition_by:
             payload["partition_by"] = list(partition_by)
         if _atomic_create(_manifest_path(table, version), payload):
@@ -1394,7 +1903,11 @@ def compact_eq_deletes(spark: SparkSession, table: str) -> int | None:
     schema = StructType.fromJson(manifest["schema"])
     entries = manifest["files"]
     key, dels = _eq_delete_keys(spark, table, eqds, schema)
-    rows = _read_entries(spark, table, entries, schema, with_position=True)
+    cids = manifest.get("column_ids")
+    rows = _read_entries(
+        spark, table, entries, schema, with_position=True,
+        column_ids=cids,
+    )
     seq_map = spark.createDataFrame(
         [(e["path"], int(e.get("seq", 0))) for e in entries],
         "__file__ STRING, __fseq__ BIGINT",
@@ -1417,7 +1930,8 @@ def compact_eq_deletes(spark: SparkSession, table: str) -> int | None:
     commit_id = uuid.uuid4().hex[:16]
     if touched:
         trows = _read_entries(
-            spark, table, touched, schema, with_position=True
+            spark, table, touched, schema, with_position=True,
+            column_ids=cids,
         ).join(F.broadcast(seq_map), "__file__", "left")
         survivors = trows.join(dels_r, hit_cond, "left_anti").drop(
             "__file__", "__pos__", "__fseq__"
@@ -1672,6 +2186,7 @@ def branch_publish(
         ),
         "committed_at_ms": _now_ms(),
     }
+    _header_ids(payload, bm.get("column_ids"), bm.get("next_column_id"))
     if bm.get("partition_by"):
         payload["partition_by"] = bm["partition_by"]
     if bm.get("dv"):
@@ -1840,7 +2355,8 @@ def maintenance_report(
         recs.append(
             f"compact_eq_deletes: {len(eqds)} equality-delete files "
             "accumulated; the read-side key anti-join grows per upsert "
-            "batch and rewrite ops are blocked meanwhile"
+            "batch (optimize folds deletes for the files it rewrites, "
+            "but merge/COW-delete stay blocked until the list clears)"
         )
     if len(commit_dirs) > 8:
         recs.append(
@@ -1905,7 +2421,9 @@ def _files_touching_keys(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).first()
     lo, hi = stats.lo, stats.hi
-    entries = read_manifest(table, version)["files"]
+    m = read_manifest(table, version)
+    entries = m["files"]
+    cids = m.get("column_ids")
     if lo is None:  # empty source: nothing can match
         return [], entries
     touched, untouched = [], []
@@ -1913,10 +2431,13 @@ def _files_touching_keys(
     for e in entries:
         overlap = True
         pv = e.get("partition", {})
-        if key in pv:
+        # pre-column files have no rows under the key either way; the
+        # stats miss keeps them conservative (touched, read, carried)
+        k = _phys_name(e, key, cids) or key
+        if k in pv:
             # merging ON the partition column: the file holds exactly
             # one key value (hive layout), so the range test is exact
-            v = pv[key]
+            v = pv[k]
             if v is None:
                 overlap = False  # null key never matches a source key
             elif isinstance(v, num) == isinstance(lo, num):
@@ -1925,7 +2446,7 @@ def _files_touching_keys(
                 except TypeError:
                     overlap = True
         else:
-            st = e.get("stats", {}).get(key)
+            st = e.get("stats", {}).get(k)
             if st is not None:
                 try:
                     overlap = not (st["max"] < lo or st["min"] > hi)
@@ -1965,7 +2486,10 @@ def merge_upsert(
 
     touched, untouched = _files_touching_keys(table, parent, source, key)
     if touched:
-        tdf = _read_entries(spark, table, touched, schema)
+        tdf = _read_entries(
+            spark, table, touched, schema,
+            column_ids=manifest.get("column_ids"),
+        )
         # anti join on the source's key projection; AQE picks broadcast
         # when the changed-key set is small (the common MERGE shape)
         survivors = tdf.join(
@@ -2011,10 +2535,11 @@ def delete_where(
     touched = entries
     untouched: list[dict[str, Any]] = []
     spec = _parse_partition_spec(manifest.get("partition_by") or [])
+    cids = manifest.get("column_ids")
     if prune:
         touched, untouched = [], []
         for e in entries:
-            if all(_file_may_match(e, p, spec) for p in prune):
+            if all(_file_may_match(e, p, spec, cids) for p in prune):
                 touched.append(e)
             else:
                 untouched.append(e)
@@ -2023,7 +2548,7 @@ def delete_where(
     new_files: list[dict[str, Any]] = []
     commit_id = uuid.uuid4().hex[:16]
     if touched:
-        tdf = _read_entries(spark, table, touched, schema)
+        tdf = _read_entries(spark, table, touched, schema, column_ids=cids)
         survivors = tdf.filter(~pred | pred.isNull())
         commit_id, new_files = _write_data_files(
             survivors, table, [f.name for f in schema.fields],
@@ -2104,14 +2629,22 @@ def stream_commit_batch(
         if mode == "append" and pm is not None:
             # micro-batches carry a fixed query schema; enforce it the
             # same way as batch appends (no silent column loss)
-            payload["schema"] = _evolve_schema(
+            final = _evolve_schema(
                 StructType.fromJson(pm["schema"]), df.schema, False
-            ).jsonValue()
-            payload["add"] = _stamp_seq(new_files, version)
+            )
+            payload["schema"] = final.jsonValue()
+            ids, nxt = _column_ids_for(pm, final, "inherit")
+            payload["add"] = _stamp_cols(
+                _stamp_seq(new_files, version), df.schema, ids
+            )
             payload["remove"] = []
         else:
             payload["schema"] = df.schema.jsonValue()
-            payload["files"] = _stamp_seq(new_files, version)
+            ids, nxt = _column_ids_for(pm, df.schema, "base")
+            payload["files"] = _stamp_cols(
+                _stamp_seq(new_files, version), df.schema, ids
+            )
+        _header_ids(payload, ids, nxt)
         if partition_by:
             payload["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
@@ -2146,13 +2679,23 @@ def optimize_snapshot(
     any prior clustering of the small files — run
     :func:`cluster_snapshot` after (or instead) when stat-tight files
     matter more than pure file-count collapse.
+
+    EQUALITY-DELETE AWARE: live equality deletes are FOLDED into the
+    rewrite — the compacted files hold only surviving rows and are
+    stamped at the new commit's sequence number (past every live
+    delete), while untouched files keep their seq and the carried
+    delete list keeps applying to them. A streaming-upsert table can
+    therefore be compacted mid-stream, no write stop: the delete
+    backlog shrinks naturally as maintenance churns files, and
+    ``compact_eq_deletes`` remains the explicit backlog-clearing op.
+    (Position DVs still refuse: run ``compact_dv`` first.)
     """
     parent = latest_version(table)
     if parent is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
     _require_no_dv(manifest, "optimize_snapshot")
-    _require_no_eq_deletes(manifest, "optimize_snapshot")
+    eqds = _live_eq_deletes(manifest)
     schema = StructType.fromJson(manifest["schema"])
     small = [e for e in manifest["files"] if e["bytes"] < target_bytes]
     keep = [e for e in manifest["files"] if e["bytes"] >= target_bytes]
@@ -2171,7 +2714,17 @@ def optimize_snapshot(
     n_out = max(1, len(bins))
 
     pb = manifest.get("partition_by")
-    src_df = _read_entries(spark, table, small, schema)
+    src_df = _read_entries(
+        spark, table, small, schema, with_position=bool(eqds),
+        column_ids=manifest.get("column_ids"),
+    )
+    if eqds:
+        # fold the live deletes into the rewrite: survivors only, and
+        # the new files' seq (= this commit) postdates every delete —
+        # the same net-effect contract compact_eq_deletes proves
+        src_df = _apply_eq_deletes(
+            spark, table, src_df, small, eqds, schema
+        ).drop("__file__", "__pos__")
     # partitioned tables compact WITHIN the hive layout: shuffle on the
     # partition columns so each value's rows land together, then write
     # partitionBy again — file counts collapse per partition and the
@@ -2195,6 +2748,7 @@ def optimize_snapshot(
     return _commit_rewrite(
         table, parent, manifest, "optimize", keep + new_files, commit_id,
         partition_by=pb,
+        extra_header={"eq_deletes": eqds} if eqds else None,
     )
 
 
@@ -2233,11 +2787,28 @@ def table_changes(
     t_paths = {e["path"] for e in tm["files"]}
     added = sorted(t_paths - f_paths)
     removed = sorted(f_paths - t_paths)
+    ent_by_path = {e["path"]: e for e in fm["files"]}
+    ent_by_path.update({e["path"]: e for e in tm["files"]})
+    fids = fm.get("column_ids")
+    tids = tm.get("column_ids")
 
     def _read(
-        paths: list[str], sch: StructType, with_position: bool = False
+        paths: list[str],
+        sch: StructType,
+        cids: dict[str, int] | None,
+        with_position: bool = False,
     ) -> DataFrame:
-        return _read_files(spark, table, paths, sch, with_position)
+        # entry-based read: every file resolves to ``sch`` through its
+        # own column-id mapping, so a diff spanning a rename compares
+        # the COLUMN, not the name it happened to carry on each side
+        return _read_entries(
+            spark,
+            table,
+            [ent_by_path[p] for p in paths],
+            sch,
+            with_position,
+            column_ids=cids,
+        )
 
     if (
         not removed
@@ -2257,7 +2828,7 @@ def table_changes(
         dv_files = [
             r.file for r in to_dv.select("file").distinct().collect()
         ]
-        hit = _read(dv_files, schema, with_position=True).join(
+        hit = _read(dv_files, schema, tids, with_position=True).join(
             to_dv.withColumnsRenamed({"file": "__file__", "pos": "__pos__"}),
             ["__file__", "__pos__"],
             "left_semi",
@@ -2271,7 +2842,7 @@ def table_changes(
         # files, which cancel out of the diff by construction; equal
         # eq-delete lists filter added files identically on both
         # sides — every live delete's seq precedes the added files')
-        return _read(added, schema).withColumn(
+        return _read(added, schema, tids).withColumn(
             "_change_type", F.lit("insert")
         )
 
@@ -2297,8 +2868,6 @@ def table_changes(
     # for hits (one key-column scan of the shared set). Deletes that
     # LEFT the list (compact_eq_deletes) never hit shared files: the
     # compactor carries only no-hit files by construction.
-    ent_by_path = {e["path"]: e for e in fm["files"]}
-    ent_by_path.update({e["path"]: e for e in tm["files"]})
     new_eq = [d for d in t_eq if d not in f_eq]
     eq_shared: set[str] = set()
     if new_eq and shared:
@@ -2308,7 +2877,7 @@ def table_changes(
             "__file__ STRING, __fseq__ BIGINT",
         )
         srows = (
-            _read(shared, old_schema, with_position=True)
+            _read(shared, schema, tids, with_position=True)
             .join(F.broadcast(seq_map), "__file__", "left")
         )
         hit_cond = (
@@ -2330,13 +2899,18 @@ def table_changes(
     pos_needed = dv_range or bool(f_eq or t_eq)
     old_paths = sorted(set(removed) | set(dv_shared) | eq_shared)
     new_paths = sorted(set(added) | set(dv_shared) | eq_shared)
-    old_rows = _read(old_paths, old_schema, with_position=pos_needed)
-    new_rows = _read(new_paths, schema, with_position=pos_needed)
+    old_rows = _read(old_paths, old_schema, fids, with_position=pos_needed)
+    new_rows = _read(new_paths, schema, tids, with_position=pos_needed)
 
     def _apply_side(
-        rows: DataFrame, m: dict[str, Any], eq: list[dict[str, Any]]
+        rows: DataFrame,
+        m: dict[str, Any],
+        eq: list[dict[str, Any]],
+        sch: StructType,
     ) -> DataFrame:
-        # rows arrive WITH position columns attached when pos_needed
+        # rows arrive WITH position columns attached when pos_needed;
+        # ``sch`` is the side's own schema (eq-delete keys are named
+        # in the vocabulary of the version that wrote them)
         if m.get("dv"):
             dv = _dv_rows(spark, table, m).withColumnsRenamed(
                 {"file": "__file__", "pos": "__pos__"}
@@ -2344,19 +2918,28 @@ def table_changes(
             rows = rows.join(dv, ["__file__", "__pos__"], "left_anti")
         if eq:
             rows = _apply_eq_deletes(
-                spark, table, rows, list(ent_by_path.values()), eq, schema
+                spark, table, rows, list(ent_by_path.values()), eq, sch
             )
         return rows.drop("__file__", "__pos__") if pos_needed else rows
 
-    old_rows = _apply_side(old_rows, fm, f_eq)
-    new_rows = _apply_side(new_rows, tm, t_eq)
-    # align evolved schemas: old rows gain nulls for added columns
+    old_rows = _apply_side(old_rows, fm, f_eq, old_schema)
+    new_rows = _apply_side(new_rows, tm, t_eq, schema)
+    # align evolved schemas BY COLUMN ID: a renamed column matches its
+    # old self (old name aliased across), a widened one casts up, a
+    # column the from-side predates null-fills; name-based fallback
+    # covers legacy/cross-lineage diffs where ids are absent
+    old_name_by_id = {cid: n for n, cid in (fids or {}).items()}
+    sel = []
     for f in schema.fields:
-        if f.name not in old_rows.columns:
-            old_rows = old_rows.withColumn(
-                f.name, F.lit(None).cast(f.dataType)
-            )
-    old_rows = old_rows.select([f.name for f in schema.fields])
+        cid = (tids or {}).get(f.name)
+        src_name = old_name_by_id.get(cid) if cid is not None else None
+        if src_name is None and f.name in old_rows.columns:
+            src_name = f.name
+        if src_name is not None and src_name in old_rows.columns:
+            sel.append(F.col(src_name).cast(f.dataType).alias(f.name))
+        else:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+    old_rows = old_rows.select(*sel)
     # multiset diff via per-row counts (exceptAll without dedup loss)
     cols = [f.name for f in schema.fields]
     oc = old_rows.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_old__"))
@@ -2413,7 +2996,7 @@ def cluster_snapshot(
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
     manifest = read_manifest(table, parent)
     _require_no_dv(manifest, "cluster_snapshot")
-    _require_no_eq_deletes(manifest, "cluster_snapshot")
+    eqds = _live_eq_deletes(manifest)
     schema = StructType.fromJson(manifest["schema"])
     names = [f.name for f in schema.fields]
     for col, _, _ in zorder:
@@ -2422,7 +3005,18 @@ def cluster_snapshot(
     total_bytes = sum(e["bytes"] for e in manifest["files"])
     n_out = max(1, -(-total_bytes // target_bytes))
 
-    df = _read_entries(spark, table, manifest["files"], schema)
+    df = _read_entries(
+        spark, table, manifest["files"], schema,
+        with_position=bool(eqds),
+        column_ids=manifest.get("column_ids"),
+    )
+    if eqds:
+        # a cluster rewrite touches EVERY file, so folding the live
+        # deletes in fully materializes them — the commit clears the
+        # list (same net effect as compact_eq_deletes + cluster)
+        df = _apply_eq_deletes(
+            spark, table, df, manifest["files"], eqds, schema
+        ).drop("__file__", "__pos__")
     z = morton_code(
         [_bucket(F.col(c), lo, hi, bits) for c, lo, hi in zorder], bits
     )
@@ -2705,11 +3299,12 @@ def delete_where_mor(
     entries = manifest["files"]
     touched = entries
     spec = _parse_partition_spec(manifest.get("partition_by") or [])
+    cids = manifest.get("column_ids")
     if prune:
         touched = [
             e
             for e in entries
-            if all(_file_may_match(e, p, spec) for p in prune)
+            if all(_file_may_match(e, p, spec, cids) for p in prune)
         ]
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
@@ -2718,7 +3313,8 @@ def delete_where_mor(
     pieces = []
     if touched:
         tdf = _read_entries(
-            spark, table, touched, schema, with_position=True
+            spark, table, touched, schema, with_position=True,
+            column_ids=cids,
         )
         pieces.append(
             tdf.filter(pred).select(
@@ -2778,6 +3374,11 @@ def delete_where_mor(
         "stream_batch_high": _stream_high(manifest),
         "committed_at_ms": _now_ms(),
     }
+    _header_ids(
+        payload,
+        manifest.get("column_ids"),
+        manifest.get("next_column_id"),
+    )
     if manifest.get("partition_by"):
         # a MoR delete touches no data file: the partitioning
         # contract survives verbatim
@@ -2812,7 +3413,8 @@ def compact_dv(spark: SparkSession, table: str) -> int | None:
     commit_id = uuid.uuid4().hex[:16]
     if touched:
         tdf = _read_entries(
-            spark, table, touched, schema, with_position=True
+            spark, table, touched, schema, with_position=True,
+            column_ids=manifest.get("column_ids"),
         )
         survivors = (
             tdf

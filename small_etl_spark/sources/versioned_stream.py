@@ -80,11 +80,17 @@ class VersionedCdcStreamReader:
         self.skip_change_commits = (
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )
+        # column ids pinned at planning time: historical files resolve
+        # each consumed field by ID (a file written before a rename
+        # carries the old physical name)
+        v = V.latest_version(table)
+        head = V._read_record(table, v) if v is not None else {}
+        self.field_ids = head.get("column_ids") or {}
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
-    def _added_paths(self, version: int) -> list[str]:
+    def _added_entries(self, version: int) -> list[dict]:
         m = V._read_record(self.table, version)
         parent = m.get("parent")
         prec = (
@@ -99,11 +105,12 @@ class VersionedCdcStreamReader:
             # commit side went delta: a micro-batch tail must not pay
             # O(table) metadata per batch)
             removed: "set[str] | list[str]" = m.get("remove", [])
-            added = sorted(e["path"] for e in m["add"])
+            added = sorted(m["add"], key=lambda e: e["path"])
         else:
             # base record (v0, overwrite, legacy full manifest): diff
             # against the parent's materialized list
-            cur = {e["path"] for e in m["files"]}
+            by_path = {e["path"]: e for e in m["files"]}
+            cur = set(by_path)
             if prec is None:
                 prev: set[str] = set()
             else:
@@ -112,7 +119,7 @@ class VersionedCdcStreamReader:
                     for e in V.read_manifest(self.table, parent)["files"]
                 }
             removed = prev - cur
-            added = sorted(cur - prev)
+            added = [by_path[p] for p in sorted(cur - prev)]
         # Merge-on-read commits delete rows WITHOUT touching the file
         # list: a delete_mor grows the position DV, a stream-upsert
         # batch grows the equality-delete list (retiring the keys it
@@ -124,10 +131,31 @@ class VersionedCdcStreamReader:
             m.get("dv") != prec.get("dv")
             or (m.get("eq_deletes") or []) != (prec.get("eq_deletes") or [])
         )
-        if (removed or mor_change) and not self.skip_change_commits:
+        # Non-additive schema evolution (rename/drop/widen) mid-stream
+        # is a breaking event too — the consumer's schema was pinned at
+        # planning time (Delta's streaming contract: fail, restart to
+        # pick up the new schema; additive column adds are safe).
+        def _additive(old: dict | None, new: dict) -> bool:
+            if old is None:
+                return True
+            of = {f["name"]: f["type"] for f in old.get("fields", [])}
+            nf = {f["name"]: f["type"] for f in new.get("fields", [])}
+            return all(n in nf and nf[n] == t for n, t in of.items())
+
+        schema_break = (
+            prec is not None
+            and m.get("schema") is not None
+            and not _additive(prec.get("schema"), m["schema"])
+        )
+        if (
+            removed or mor_change or schema_break
+        ) and not self.skip_change_commits:
             what = (
                 "rewrites or removes files"
                 if removed
+                else "changes the schema non-additively (restart the "
+                "stream to adopt it)"
+                if schema_break
                 else "deletes rows merge-on-read (position DV or "
                 "equality-delete change)"
             )
@@ -136,7 +164,7 @@ class VersionedCdcStreamReader:
                 "set skip_change_commits=true to skip such commits, or "
                 "consume them in batch via table_changes"
             )
-        if removed or mor_change:
+        if removed or mor_change or schema_break:
             return []  # change commit skipped entirely
         return added
 
@@ -148,7 +176,15 @@ class VersionedCdcStreamReader:
         schema = StructType.fromJson(
             V._read_record(self.table, version)["schema"]  # header-only
         )
-        for rel in self._added_paths(version):
+        for entry in self._added_entries(version):
+            rel = entry["path"]
+            # consumed fields resolve to this FILE's physical names by
+            # column id (a file written before a rename carries the
+            # old name; one the column predates yields null)
+            phys = [
+                V._phys_name(entry, c, self.field_ids)
+                for c in self.data_fields
+            ]
             # hive-partitioned commits carry partition values in the
             # PATH, not the file data — overlay them (typed) per file
             pvals = V._parse_partition_values(rel, schema)
@@ -158,8 +194,10 @@ class VersionedCdcStreamReader:
             for rec in tbl:
                 yield tuple(
                     [
-                        pvals[c] if c in pvals else rec.get(c)
-                        for c in self.data_fields
+                        None
+                        if p is None
+                        else (pvals[p] if p in pvals else rec.get(p))
+                        for p in phys
                     ]
                     + [version]
                 )

@@ -653,10 +653,12 @@ def test_footer_harvest_distributed_matches_driver(spark, table, monkeypatch):
     driver_entries = V._harvest_footer_entries(
         None, data_abs, data_rel, names, ["k", "v"]
     )
-    # the commit stamps each entry's sequence number AFTER harvest —
-    # strip it so the comparison isolates the harvest itself
+    # the commit stamps each entry's sequence number AND column-id
+    # mapping AFTER harvest — strip both so the comparison isolates
+    # the harvest itself
     harvested = [
-        {k: v for k, v in e.items() if k != "seq"} for e in dist_entries
+        {k: v for k, v in e.items() if k not in ("seq", "cols")}
+        for e in dist_entries
     ]
     assert json.dumps(harvested, sort_keys=True) == json.dumps(
         driver_entries, sort_keys=True
@@ -814,6 +816,7 @@ def test_partitioned_cdc_stream_carries_partition_column(spark, table):
     r.start_version = 0
     r.skip_change_commits = False
     r.data_fields = ["k", "p"]
+    r.field_ids = V.read_manifest(table, 0).get("column_ids") or {}
     rows = list(r._rows_of(0))
     assert len(rows) == 40
     ps = {p for _, p, _ in rows}
@@ -1510,7 +1513,8 @@ def test_stream_upsert_last_write_wins(spark, table):
 def test_eq_delete_guards_and_compaction(spark, table):
     V.stream_upsert_batch(_kv(spark, [(1, "a"), (2, "b")]), 0, table, "k")
     V.stream_upsert_batch(_kv(spark, [(2, "b2")]), 1, table, "k")
-    # rewrites refuse while equality deletes are live
+    # non-eq-aware rewrites refuse while equality deletes are live
+    # (optimize/cluster FOLD the deletes instead — tested separately)
     for op, call in (
         ("merge_upsert", lambda: V.merge_upsert(
             spark, table, _kv(spark, [(9, "x")]), key="k")),
@@ -1518,7 +1522,6 @@ def test_eq_delete_guards_and_compaction(spark, table):
             spark, table, F.col("k") == 1)),
         ("delete_where_mor", lambda: V.delete_where_mor(
             spark, table, F.col("k") == 1)),
-        ("optimize_snapshot", lambda: V.optimize_snapshot(spark, table)),
     ):
         with pytest.raises(ValueError, match="equality deletes"):
             call()
@@ -1705,3 +1708,72 @@ def test_stream_upsert_recheck_dv_inside_retry(spark, table, monkeypatch):
     got = V.read_snapshot(spark, table)
     assert got.count() == 9
     assert got.filter(F.col("k") == 3).count() == 0
+
+
+def test_optimize_folds_live_eq_deletes(spark, table):
+    """OPTIMIZE on a streaming-upsert table must fold the live
+    equality deletes into its rewrite: identical reads before/after,
+    no resurrection of retired keys, backlog still applying to the
+    files it didn't touch — no write stop (VERDICT r8 #2)."""
+    for i in range(6):
+        V.stream_upsert_batch(
+            _kv(spark, [(k, f"b{i}") for k in range(i, i + 3)]),
+            i, table, "k",
+        )
+    before = sorted(
+        (r.k, r.v) for r in V.read_snapshot(spark, table).collect()
+    )
+    m0 = V.read_manifest(table, V.latest_version(table))
+    n_files0 = len(m0["files"])
+    n_eq0 = len(V._live_eq_deletes(m0))
+    v = V.optimize_snapshot(spark, table, target_bytes=1 << 20)
+    assert v is not None
+    m1 = V.read_manifest(table, v)
+    assert len(m1["files"]) < n_files0, "file count must collapse"
+    assert len(V._live_eq_deletes(m1)) == n_eq0, (
+        "optimize carries the delete list (untouched files still need it)"
+    )
+    after = sorted(
+        (r.k, r.v) for r in V.read_snapshot(spark, table).collect()
+    )
+    assert after == before, "optimize changed table contents"
+    # CDC across the compaction nets empty (logical no-op)
+    assert V.table_changes(spark, table, v - 1, v).count() == 0
+    # the stream keeps flowing: further upserts land on the compacted
+    # table and still retire old rows
+    V.stream_upsert_batch(_kv(spark, [(0, "new0")]), 99, table, "k")
+    got = {r.k: r.v for r in V.read_snapshot(spark, table).collect()}
+    assert got[0] == "new0"
+    # and an explicit compact still clears the backlog
+    V.compact_eq_deletes(spark, table)
+    m2 = V.read_manifest(table, V.latest_version(table))
+    assert V._live_eq_deletes(m2) == []
+    assert {
+        r.k: r.v for r in V.read_snapshot(spark, table).collect()
+    } == got
+
+
+def test_cluster_folds_and_clears_eq_deletes(spark, table):
+    """cluster_snapshot rewrites EVERY file, so folding the live
+    deletes fully materializes them — the commit clears the list."""
+    for i in range(4):
+        V.stream_upsert_batch(
+            _kv(spark, [(k, f"c{i}") for k in range(i, i + 4)]),
+            i, table, "k",
+        )
+    before = sorted(
+        (r.k, r.v) for r in V.read_snapshot(spark, table).collect()
+    )
+    v = V.cluster_snapshot(
+        spark, table, zorder=[("k", 0, 16)], target_bytes=1 << 20
+    )
+    m = V.read_manifest(table, v)
+    assert V._live_eq_deletes(m) == [], "full rewrite clears the backlog"
+    after = sorted(
+        (r.k, r.v) for r in V.read_snapshot(spark, table).collect()
+    )
+    assert after == before
+    assert V.table_changes(spark, table, v - 1, v).count() == 0
+    # merge is legal again without an explicit compact_eq_deletes
+    V.merge_upsert(spark, table, _kv(spark, [(99, "m")]), key="k")
+    assert V.read_snapshot(spark, table).count() == len(before) + 1

@@ -659,6 +659,10 @@ _ups_op = st.one_of(
         st.lists(st.integers(100, 104), min_size=1, max_size=2),
     ),
     st.tuples(st.just("compact"), st.none()),
+    # eq-aware OPTIMIZE interleaves with live deletes (r9): folds the
+    # backlog for rewritten files, carries it for the rest — the LWW
+    # model must hold right through it
+    st.tuples(st.just("optimize"), st.none()),
 )
 
 
@@ -705,6 +709,9 @@ def test_stream_upserts_match_lww_model(spark, tmp_path_factory, ops):
         elif kind == "compact":
             if V.compact_eq_deletes(spark, table) is None:
                 continue
+        elif kind == "optimize":
+            if V.optimize_snapshot(spark, table) is None:
+                continue
         history.append(sorted(model.items()))
 
         got = sorted(
@@ -728,3 +735,151 @@ def test_stream_upserts_match_lww_model(spark, tmp_path_factory, ops):
             else:
                 state.remove((r.k, r.ver))
         assert sorted(state) == history[v], f"CDC v{v-1}->v{v} diverged"
+
+
+# schema-evolution walk: rename/widen/drop+readd interleave with
+# appends, merges, MoR deletes and compactions. Invariants: (a) the
+# head always reads as the LOGICAL model regardless of which physical
+# name/type each surviving file was written under; (b) time travel to
+# every version shows that version's OWN schema and rows; (c) every
+# evolution commit is metadata-only — its CDC delta is EMPTY and it
+# touches no data file; (d) data-commit CDC still replays the model.
+_evo_op = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=4),
+    ),
+    st.tuples(
+        st.just("merge"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("delete_mor"), st.integers(0, 19)),
+    st.tuples(st.just("compact_dv"), st.none()),
+    st.tuples(st.just("optimize"), st.none()),
+    st.tuples(st.just("rename"), st.none()),
+    st.tuples(st.just("widen"), st.none()),
+    st.tuples(st.just("drop_readd"), st.none()),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_evo_op, min_size=2, max_size=6))
+def test_evolving_schema_matches_model(spark, tmp_path_factory, ops):
+    table = str(tmp_path_factory.mktemp("evo") / "tbl")
+    tag = {"n": 0}
+    cur = {"val": "v0", "type": "int"}  # the wandering value column
+
+    def mk(keys):
+        tag["n"] += 1
+        rows = [(k, tag["n"]) for k in sorted(set(keys))]
+        df = spark.createDataFrame(
+            rows, f"k LONG, {cur['val']} {cur['type'].upper()}"
+        )
+        return df, rows
+
+    def collect(version=None):
+        df = V.read_snapshot(spark, table, version=version)
+        name = None
+        for c in df.columns:
+            if c != "k":
+                name = c
+        if name is None:
+            return sorted((r.k,) for r in df.collect())
+        return sorted((r.k, r[name]) for r in df.collect())
+
+    df, rows = mk([0, 1, 2])
+    V.commit_snapshot(df, table, mode="overwrite")
+    model: list[tuple] = list(rows)  # logical (k, val); val None after drop
+    # per version: (expected projected rows, was this commit evolution?)
+    history: list[tuple[list, bool]] = [(sorted(model), False)]
+
+    for kind, payload in ops:
+        if kind == "append":
+            df, rows = mk(payload)
+            V.commit_snapshot(df, table, mode="append")
+            model = model + rows
+            history.append((sorted(model), False))
+        elif kind == "merge":
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append((sorted(model), False))
+            df, rows = mk(payload)
+            V.merge_upsert(spark, table, df, key="k")
+            keys = {r[0] for r in rows}
+            model = [r for r in model if r[0] not in keys] + rows
+            history.append((sorted(model), False))
+        elif kind == "delete_mor":
+            V.delete_where_mor(spark, table, F.col("k") >= payload)
+            model = [r for r in model if r[0] < payload]
+            history.append((sorted(model), False))
+        elif kind == "compact_dv":
+            if V.compact_dv(spark, table) is None:
+                continue
+            history.append((sorted(model), False))
+        elif kind == "optimize":
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append((sorted(model), False))
+            if V.optimize_snapshot(spark, table) is None:
+                continue
+            history.append((sorted(model), False))
+        elif kind == "rename":
+            tag["n"] += 1
+            new = f"v{tag['n']}"
+            files_before = {
+                e["path"]
+                for e in V.read_manifest(
+                    table, V.latest_version(table)
+                )["files"]
+            }
+            V.rename_column(table, cur["val"], new)
+            cur["val"] = new
+            m = V.read_manifest(table, V.latest_version(table))
+            assert {e["path"] for e in m["files"]} == files_before, (
+                "rename touched data files"
+            )
+            history.append((sorted(model), True))
+        elif kind == "widen":
+            if cur["type"] != "int":
+                continue
+            V.widen_type(table, cur["val"], "long")
+            cur["type"] = "long"
+            history.append((sorted(model), True))
+        elif kind == "drop_readd":
+            V.drop_column(table, cur["val"])
+            history.append((sorted((r[0],) for r in model), True))
+            tag["n"] += 1
+            cur["val"], cur["type"] = f"v{tag['n']}", "int"
+            V.add_column(table, cur["val"], "integer")
+            model = [(r[0], None) for r in model]
+            history.append((sorted(model), True))
+
+        assert collect() == sorted(model), f"head diverged after {kind}"
+
+    # time travel: every version reads its own schema's projection
+    for v, (expected, _evolve) in enumerate(history):
+        assert collect(version=v) == expected, f"time travel v{v} diverged"
+
+    # CDC: evolution commits are empty deltas; data commits replay
+    for v in range(1, len(history)):
+        delta = V.table_changes(spark, table, v - 1, v)
+        rows = delta.collect()
+        if history[v][1]:
+            assert rows == [], f"evolution commit v{v} leaked a CDC delta"
+            continue
+        name = None
+        for c in delta.columns:
+            if c not in ("k", "_change_type"):
+                name = c
+        state = list(history[v - 1][0])
+        for r in rows:
+            t = (r.k,) if name is None else (r.k, r[name])
+            if r._change_type == "insert":
+                state.append(t)
+            else:
+                state.remove(t)
+        assert sorted(state) == history[v][0], f"CDC v{v-1}->{v} diverged"
