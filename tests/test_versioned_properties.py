@@ -883,3 +883,87 @@ def test_evolving_schema_matches_model(spark, tmp_path_factory, ops):
             else:
                 state.remove(t)
         assert sorted(state) == history[v][0], f"CDC v{v-1}->{v} diverged"
+
+
+# interleaved-writers walk: each op may LOSE its first commit race to
+# an interloper append that lands mid-plan (injected at the O_EXCL
+# boundary — exactly where a real concurrent writer wins). Invariants:
+# re-plannable ops (append, delete_mor, rename) rebase and land, the
+# interloper's rows are never lost, and the final table matches a
+# model that saw both writers.
+_race_op = st.tuples(
+    st.sampled_from(["append", "delete_mor", "rename"]),
+    st.lists(st.integers(0, 19), min_size=1, max_size=3),
+    st.booleans(),  # race this op?
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_race_op, min_size=1, max_size=4))
+def test_interleaved_writers_match_model(spark, tmp_path_factory, ops):
+    table = str(tmp_path_factory.mktemp("race") / "tbl")
+    tag = {"n": 0}
+    cur = {"val": "ver"}
+
+    def mk(keys, lo=0):
+        tag["n"] += 1
+        rows = [(k + lo, tag["n"]) for k in sorted(set(keys))]
+        return (
+            spark.createDataFrame(rows, f"k LONG, {cur['val']} LONG"),
+            rows,
+        )
+
+    df, rows = mk([0, 1, 2])
+    V.commit_snapshot(df, table, mode="overwrite")
+    model = list(rows)
+
+    real_create = V._atomic_create
+    state = {"arm": False, "busy": False}
+
+    def racing_create(path, payload):
+        if state["arm"] and not state["busy"]:
+            state["arm"] = False
+            state["busy"] = True  # interloper goes through for real
+            try:
+                df, rows = mk([0, 1], lo=100)  # keys 100+: outside
+                V.commit_snapshot(df, table, mode="append")
+                model.extend(rows)
+            finally:
+                state["busy"] = False
+            return False  # the op under test lost this round
+        return real_create(path, payload)
+
+    V._atomic_create = racing_create
+    try:
+        for kind, payload, race in ops:
+            state["arm"] = race
+            if kind == "append":
+                df, rows = mk(payload)
+                V.commit_snapshot(df, table, mode="append")
+                model.extend(rows)
+            elif kind == "delete_mor":
+                cut = payload[0]
+                V.delete_where_mor(
+                    spark, table,
+                    (F.col("k") >= cut) & (F.col("k") < 100),
+                )
+                model[:] = [
+                    r for r in model if r[0] < cut or r[0] >= 100
+                ]
+            elif kind == "rename":
+                tag["n"] += 1
+                new = f"ver{tag['n']}"
+                V.rename_column(table, cur["val"], new)
+                cur["val"] = new
+            state["arm"] = False
+            got = sorted(
+                (r.k, r[cur["val"]])
+                for r in V.read_snapshot(spark, table).collect()
+            )
+            assert got == sorted(model), f"diverged after {kind} race={race}"
+    finally:
+        V._atomic_create = real_create
