@@ -60,6 +60,10 @@ STRESS_QUERIES = [
     # protocol's end-to-end scale curve (cost must track the staged
     # delta plus the base write, never re-stage the table).
     "versioned_wap_publish",
+    # exactly-once streaming upserts (equality deletes): bootstrap +
+    # two LWW batches + the accumulated-delete read — phase-split
+    # below so the O(batch) commit claim is a measured number.
+    "versioned_stream_upsert",
 ]
 # The most expensive stress queries re-run at 30× — the closest
 # local[32] gets to evidencing the 100× extrapolation. r6 adds the
@@ -89,6 +93,7 @@ _VERSIONED_STRESS_TABLES = {
     "versioned_dv_delete": "dv",
     "versioned_partition_prune": "part",
     "versioned_wap_publish": "wap",
+    "versioned_stream_upsert": "ups",
 }
 
 
@@ -224,6 +229,134 @@ def build_stress_dir(spark, sf_dir: str, factor: int) -> str:
     return dst
 
 
+def _noop_save(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+# The four versioned stress entries whose registry builders conflate
+# table BUILD with the operation under test (VERDICT r8 #3: the 22.21×
+# partition_prune ratio at 30× was dominated by writing 30× more
+# parquet). The phase runner times BUILD (base-table commit), OP (the
+# versioned operation itself) and READ (the final snapshot read — the
+# phase the 100 TB pruning/anti-join claims rest on) separately.
+_PHASE_SPLIT = {
+    "versioned_partition_prune",
+    "versioned_dv_delete",
+    "versioned_wap_publish",
+    "versioned_stream_upsert",
+}
+
+
+def _versioned_phases(spark, data_dir: str, name: str) -> dict:
+    """(build_s, op_s, read_s) for one versioned stress entry at one
+    data dir. Mirrors the registry builder's exact shape; reads are
+    min-of-2 noop sinks, build/op are single-shot (they mutate)."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sources.tables import load_table
+
+    h = hashlib.md5(data_dir.encode()).hexdigest()[:12]
+    tbl = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_phase_{name}_{h}"
+    )
+    V.drop_table(tbl)
+    docs = load_table(spark, data_dir, "documents")
+    out: dict[str, float] = {}
+
+    def timed(key: str, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        out[key] = round(time.perf_counter() - t0, 3)
+        return r
+
+    def timed_read(fn):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _noop_save(fn())
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        out["read_s"] = round(best, 3)
+
+    try:
+        if name == "versioned_partition_prune":
+            d = docs.select("doc_id", "source", "n_chars")
+            target = d.agg(F.min("source")).first()[0]  # untimed scalar
+            timed("build_s", lambda: V.commit_snapshot(
+                d.repartition("source"), tbl, mode="overwrite",
+                partition_by=["source"],
+            ))
+            timed("op_s", lambda: V.plan_files(
+                tbl, where=[("source", "=", target)]
+            ))
+            timed_read(lambda: V.read_snapshot(
+                spark, tbl, where=[("source", "=", target)]
+            ).filter(F.col("source") == target))
+        elif name == "versioned_dv_delete":
+            d = docs.select("doc_id", "n_chars")
+            timed("build_s", lambda: V.commit_snapshot(
+                d.repartitionByRange(8, "doc_id"), tbl, mode="overwrite"
+            ))
+            timed("op_s", lambda: V.delete_where_mor(
+                spark, tbl, F.col("doc_id") % 7 == 0
+            ))
+            timed_read(lambda: V.read_snapshot(spark, tbl))
+        elif name == "versioned_wap_publish":
+            d = docs.select("doc_id", "n_chars")
+            mx = d.agg(F.max("doc_id")).first()[0] + 1  # untimed scalar
+            timed("build_s", lambda: V.commit_snapshot(
+                d.repartitionByRange(8, "doc_id"), tbl, mode="overwrite"
+            ))
+
+            def _stage_and_publish():
+                br = V.branch_create(tbl, "audit")
+                V.commit_snapshot(
+                    d.filter(F.col("doc_id") % 7 == 0).select(
+                        (F.col("doc_id") + mx).alias("doc_id"), "n_chars"
+                    ),
+                    br, mode="append",
+                )
+                V.delete_where_mor(spark, br, F.col("doc_id") % 11 == 0)
+                V.branch_publish(
+                    tbl, "audit", spark=spark,
+                    rules=[("chars_nonneg", F.col("n_chars") >= 0)],
+                )
+
+            timed("op_s", _stage_and_publish)
+            timed_read(lambda: V.read_snapshot(spark, tbl))
+        elif name == "versioned_stream_upsert":
+            d = docs.select(
+                "doc_id", F.col("n_chars").cast("bigint").alias("val")
+            )
+            timed("build_s", lambda: V.stream_upsert_batch(
+                d, 0, tbl, key="doc_id"
+            ))
+
+            def _two_batches():
+                V.stream_upsert_batch(
+                    d.filter(F.col("doc_id") % 3 == 0).withColumn(
+                        "val", F.col("val") + 1000
+                    ),
+                    1, tbl, key="doc_id",
+                )
+                V.stream_upsert_batch(
+                    d.filter(F.col("doc_id") % 5 == 0).withColumn(
+                        "val", F.col("val") + 2000
+                    ),
+                    2, tbl, key="doc_id",
+                )
+
+            timed("op_s", _two_batches)
+            timed_read(lambda: V.read_snapshot(spark, tbl))
+    finally:
+        V.drop_table(tbl)
+    return out
+
+
 def _time_noop(spark, name: str, data_dir: str, reps: int) -> float:
     best = None
     for _ in range(reps):
@@ -277,6 +410,21 @@ def run_scale_stress(
                             stress_dir, _VERSIONED_STRESS_TABLES[name]
                         ),
                     }
+                if name in _PHASE_SPLIT:
+                    # split BUILD / OP / READ (VERDICT r8 #3): the
+                    # conflated total above is dominated by writing
+                    # factor× more parquet; the 100 TB claim rests on
+                    # the READ (and OP) ratios staying ~flat /
+                    # delta-proportional, reported here per phase
+                    pb = _versioned_phases(spark, sf_dir, name)
+                    ps = _versioned_phases(spark, stress_dir, name)
+                    phases = {"base": pb, "scaled": ps}
+                    for k in ("build_s", "op_s", "read_s"):
+                        if pb.get(k) and ps.get(k):
+                            phases[k.replace("_s", "_ratio")] = round(
+                                ps[k] / pb[k], 2
+                            )
+                    out["queries"][name]["phases"] = phases
             except Exception as exc:  # noqa: BLE001 - isolate per query
                 out["queries"][name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     finally:
@@ -410,6 +558,77 @@ def run_manifest_paging(spark) -> dict:
         out["append_ratio"] = round(
             out["big"]["append_s"] / out["small"]["append_s"], 2
         )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def run_stream_upsert_latency(spark, sf_dir: str) -> dict:
+    """Exactly-once stream→versioned END-TO-END latency (VERDICT r8
+    #6): per-micro-batch commit wall-clock at two batch sizes (~10×
+    apart), the read-amplification curve as the equality-delete
+    backlog deepens (read_s after each batch — batches-since-
+    compaction is the x axis), and the compaction that resets it.
+    The O(batch) claim is commit_s staying flat across the batch
+    index however deep the table; the backlog curve is the measured
+    cost #2's eq-aware OPTIMIZE exists to bound."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("val")
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_upslat_")
+    out: dict[str, dict] = {}
+    n_batches = 6
+    try:
+        for label, mod in (("x1", 50), ("x10", 5)):
+            tbl = os.path.join(root, label)
+            # batch b = the doc_ids ≡ b (mod `mod`): disjoint slices of
+            # ~N/mod rows each, overlapping keys across batches via the
+            # +1 shift so upserts genuinely retire rows
+            rows_per = None
+            commit_s: list[float] = []
+            read_s: list[float] = []
+            for b in range(n_batches):
+                batch = docs.filter(
+                    F.col("doc_id") % mod == b % mod
+                ).withColumn("val", F.col("val") + b)
+                if b > 0:
+                    # half the batch overwrites the PREVIOUS slice's
+                    # keys — every commit both inserts and retires
+                    batch = batch.unionAll(
+                        docs.filter(
+                            (F.col("doc_id") % mod == (b - 1) % mod)
+                            & (F.col("doc_id") % 2 == 0)
+                        ).withColumn("val", F.col("val") + 100 + b)
+                    )
+                if rows_per is None:
+                    rows_per = batch.count()
+                t0 = time.perf_counter()
+                V.stream_upsert_batch(batch, b, tbl, key="doc_id")
+                commit_s.append(round(time.perf_counter() - t0, 3))
+                t0 = time.perf_counter()
+                _noop_save(V.read_snapshot(spark, tbl))
+                read_s.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            V.compact_eq_deletes(spark, tbl)
+            compact_s = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            _noop_save(V.read_snapshot(spark, tbl))
+            read_after = round(time.perf_counter() - t0, 3)
+            out[label] = {
+                "batch_rows": rows_per,
+                "commit_s_by_batch": commit_s,
+                "read_s_by_backlog": read_s,
+                "compact_s": compact_s,
+                "read_after_compact_s": read_after,
+            }
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -553,6 +772,16 @@ def main() -> None:
             payload["manifest_paging"] = {
                 "error": f"{type(exc).__name__}: {exc}"[:200]
             }
+        # streaming-upsert latency + delete-backlog read amplification
+        # (VERDICT r8 #6): per-batch commit_s flat, read_s vs backlog.
+        try:
+            payload["stream_upsert_latency"] = run_stream_upsert_latency(
+                spark, sf_dir
+            )
+        except Exception as exc:  # noqa: BLE001
+            payload["stream_upsert_latency"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
 
     # The driver's artifact capture keeps only the TAIL of stdout
     # (r5's headline total was lost to a 2,000-char truncation), so:
@@ -588,6 +817,25 @@ def main() -> None:
         compact["delete_crossover"] = payload["delete_crossover"]
     if "manifest_paging" in payload:
         compact["manifest_paging"] = payload["manifest_paging"]
+    if isinstance(payload.get("stream_upsert_latency"), dict):
+        # compact summary: commit-latency envelope + backlog read
+        # amplification (full curves live in BENCH_SELF.json)
+        compact["stream_upsert_latency"] = {
+            label: {
+                "batch_rows": d.get("batch_rows"),
+                "commit_s_minmax": [
+                    min(d["commit_s_by_batch"]),
+                    max(d["commit_s_by_batch"]),
+                ],
+                "read_amp_at_backlog": round(
+                    d["read_s_by_backlog"][-1] / d["read_s_by_backlog"][0],
+                    2,
+                ),
+                "read_after_compact_s": d.get("read_after_compact_s"),
+            }
+            for label, d in payload["stream_upsert_latency"].items()
+            if isinstance(d, dict) and d.get("commit_s_by_batch")
+        }
     compact["full"] = "BENCH_SELF.json"
     print(json.dumps(compact))
 

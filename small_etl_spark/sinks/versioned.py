@@ -2382,6 +2382,96 @@ def maintenance_report(
     }
 
 
+def auto_maintain(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_file_trigger: int = 8,
+    dv_fraction: float = 0.10,
+    eq_backlog: int = 8,
+    commit_dir_trigger: int = 8,
+    vacuum_keep_last: int | None = None,
+    branch_name: str = "__maintenance",
+) -> dict[str, Any]:
+    """Opt-in maintenance policy hook (VERDICT r8 #7): read ONE
+    manifest, act on what :func:`maintenance_report` would recommend,
+    return what was done. Work per call is bounded by each op's own
+    contract — compact_dv / compact_eq_deletes rewrite only files with
+    retired rows, optimize_snapshot rewrites only the small-file tail —
+    so a periodic caller (every N commits, a cron tick, a foreachBatch
+    hook) keeps file count and delete backlog bounded without a human
+    in the loop.
+
+    When the resulting state is publishable, the compactions are
+    STAGED ON A WAP BRANCH and land on main as ONE atomic publish —
+    readers see either the old table or the fully maintained one,
+    never a half-maintained middle; a concurrent writer winning the
+    race costs us the branch (abandoned, files vacuumed later), never
+    them a conflict. The direct path (each op its own atomic commit)
+    is used when live equality deletes would survive the call —
+    publish restamps staged entries to main's sequence, which is
+    exactly the resurrection hazard the eq-delete seq rule exists to
+    prevent, so optimize-with-live-eq runs on main where sequences
+    are preserved.
+
+    Returns ``{"actions": [...], "conflict": bool, "before": report,
+    "after": report}``.
+    """
+    rep = maintenance_report(table, target_bytes)
+    n_rows = rep["n_rows"]
+    need_dv = rep["dv_rows"] > 0 and (
+        n_rows == 0 or rep["dv_rows"] > dv_fraction * n_rows
+    )
+    need_eq = rep["eq_delete_files"] > eq_backlog
+    need_opt = (
+        rep["small_files"] > small_file_trigger
+        or rep["partitioned_commit_dirs"] > commit_dir_trigger
+    )
+    actions: list[str] = []
+    conflict = False
+    if need_dv or need_eq or need_opt:
+        eq_live = rep["eq_delete_files"] > 0
+        # stage on a branch only when the branch head will be clean of
+        # equality deletes at publish time (see docstring)
+        stage = (not eq_live) or need_eq
+        root = table
+        if stage:
+            if branch_name in list_branches(table):
+                # a crashed prior run left its branch behind; its
+                # base is stale by now — drop and re-cut
+                branch_abandon(table, branch_name)
+            root = branch_create(table, branch_name)
+        try:
+            if need_dv and compact_dv(spark, root) is not None:
+                actions.append("compact_dv")
+            if need_eq and compact_eq_deletes(spark, root) is not None:
+                actions.append("compact_eq_deletes")
+            if need_opt and optimize_snapshot(
+                spark, root, target_bytes
+            ) is not None:
+                actions.append("optimize")
+            if stage:
+                if actions:
+                    branch_publish(table, branch_name)
+                branch_abandon(table, branch_name)
+        except CommitConflict:
+            # a real writer advanced main while we staged: their
+            # commit wins, our staged work is abandoned (the next
+            # periodic call re-plans against the new head)
+            branch_abandon(table, branch_name)
+            actions, conflict = [], True
+    if vacuum_keep_last is not None:
+        n = vacuum(table, keep_last=vacuum_keep_last)
+        if n:
+            actions.append(f"vacuum:{n}")
+    return {
+        "actions": actions,
+        "conflict": conflict,
+        "before": rep,
+        "after": maintenance_report(table, target_bytes),
+    }
+
+
 @dataclass(frozen=True)
 class TableInfo:
     """Convenience bundle for callers that want one handle."""

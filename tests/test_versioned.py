@@ -1859,3 +1859,91 @@ def test_delete_mor_replans_after_lost_race(spark, table, monkeypatch):
     # the merged DV carries BOTH deletes' positions
     m = V.read_manifest(table, 2)
     assert m["dv"]["rows"] == 20
+
+
+def test_auto_maintain_policy(spark, table):
+    """auto_maintain acts on exactly what the report recommends, is a
+    logical no-op on table contents, and stages via WAP when clean."""
+    # healthy table (one compact file): nothing to do
+    V.commit_snapshot(
+        _df(spark, 0, 100, "a").coalesce(1), table, mode="overwrite"
+    )
+    out = V.auto_maintain(spark, table)
+    assert out["actions"] == [] and not out["conflict"]
+    # fragment it: 20 tiny files -> optimize fires (branch-staged)
+    V.commit_snapshot(
+        _df(spark, 100, 300, "b").repartition(20), table, mode="append"
+    )
+    before = sorted(
+        (r.k, r.tag) for r in V.read_snapshot(spark, table).collect()
+    )
+    out = V.auto_maintain(spark, table, small_file_trigger=4)
+    assert out["actions"] == ["optimize"]
+    assert out["after"]["small_files"] <= out["before"]["small_files"]
+    assert V._read_record(table, V.latest_version(table))["mode"] == (
+        "publish"
+    ), "clean maintenance lands as ONE atomic WAP publish"
+    assert V.list_branches(table) == {}, "maintenance branch cleaned up"
+    after = sorted(
+        (r.k, r.tag) for r in V.read_snapshot(spark, table).collect()
+    )
+    assert after == before, "maintenance changed table contents"
+    # fat DV -> compact_dv fires
+    V.delete_where_mor(spark, table, F.col("k") < 150)
+    out = V.auto_maintain(spark, table, dv_fraction=0.05)
+    assert "compact_dv" in out["actions"]
+    assert out["after"]["dv_rows"] == 0
+    assert V.read_snapshot(spark, table).count() == 150
+
+
+def test_auto_maintain_upsert_backlog(spark, table):
+    """Repeated streaming upserts with a periodic auto_maintain keep
+    the delete backlog AND file count bounded — no manual calls, no
+    write stop (the VERDICT r8 #7 'Done' bar)."""
+    max_files = 0
+    max_backlog = 0
+    for i in range(12):
+        V.stream_upsert_batch(
+            _kv(spark, [(k, f"b{i}") for k in range(i, i + 3)]),
+            i, table, "k",
+        )
+        if i % 4 == 3:
+            out = V.auto_maintain(
+                spark, table, eq_backlog=2, small_file_trigger=4
+            )
+            assert not out["conflict"]
+        rep = V.maintenance_report(table)
+        max_files = max(max_files, rep["n_files"])
+        max_backlog = max(max_backlog, rep["eq_delete_files"])
+    # bounded: between maintains the backlog grows by at most the
+    # cadence; right after each maintain it is zero
+    assert rep["eq_delete_files"] <= 4
+    assert max_backlog <= 2 + 4, "backlog unbounded between maintains"
+    assert rep["n_files"] <= 12, "file count unbounded"
+    # LWW contents intact across all maintenance
+    got = {r.k: r.v for r in V.read_snapshot(spark, table).collect()}
+    expect = {}
+    for i in range(12):
+        for k in range(i, i + 3):
+            expect[k] = f"b{i}"
+    assert got == expect
+
+
+def test_auto_maintain_conflict_yields_to_writer(spark, table, monkeypatch):
+    """A writer landing while maintenance stages: the publish loses,
+    the branch is abandoned, the writer's commit is untouched."""
+    V.commit_snapshot(
+        _df(spark, 0, 100, "a").repartition(10), table, mode="overwrite"
+    )
+    real_publish = V.branch_publish
+
+    def racing_publish(tbl, name, **kw):
+        V.commit_snapshot(_df(spark, 100, 105, "w"), table, mode="append")
+        return real_publish(tbl, name, **kw)
+
+    monkeypatch.setattr(V, "branch_publish", racing_publish)
+    out = V.auto_maintain(spark, table, small_file_trigger=4)
+    assert out["conflict"] and out["actions"] == []
+    assert V.list_branches(table) == {}
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 105, "the winning writer's rows survive"

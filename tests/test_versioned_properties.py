@@ -663,6 +663,9 @@ _ups_op = st.one_of(
     # backlog for rewritten files, carries it for the rest — the LWW
     # model must hold right through it
     st.tuples(st.just("optimize"), st.none()),
+    # the policy hook (r9): whatever combination of compactions it
+    # decides to run (possibly WAP-staged), contents must not move
+    st.tuples(st.just("auto_maintain"), st.none()),
 )
 
 
@@ -712,6 +715,17 @@ def test_stream_upserts_match_lww_model(spark, tmp_path_factory, ops):
         elif kind == "optimize":
             if V.optimize_snapshot(spark, table) is None:
                 continue
+        elif kind == "auto_maintain":
+            out = V.auto_maintain(
+                spark, table, eq_backlog=1, small_file_trigger=2
+            )
+            assert not out["conflict"]
+            if V.latest_version(table) + 1 == len(history):
+                continue  # no commit landed: no new version to track
+            # a maintain may land 1-2 commits (publish, or direct
+            # compact+optimize); model is unchanged for each
+            while len(history) < V.latest_version(table):
+                history.append(sorted(model.items()))
         history.append(sorted(model.items()))
 
         got = sorted(
