@@ -62,14 +62,20 @@ _GATED = [
     # carry the projection family; both stay registered + locally
     # swept) for round-8 flagships.
     "default_fill_union",
-    "json_path_extract",
     "array_path_extract",
     "threshold_filter",
-    "equality_filter",
+    # equality_filter / top_k / json_path_extract left the window
+    # round 9 (extract_filters carries conjunctive equality,
+    # limit_sorted + window_topk_per_group carry ordered-limit,
+    # array_path_extract carries nested-path extraction; all three
+    # stay registered + locally swept) for the round-9 flagships:
+    # ivfpq_persisted_equivalence (r8's persisted-ANN flagship the
+    # driver never verified), versioned_schema_evolution (column-id
+    # rename/widen/add/drop) and versioned_optimize_live_eq (eq-aware
+    # compaction) — VERDICT r8 item 5.
     "extract_filters",
     "limit_sorted",
     "dedup_first_wins",
-    "top_k",
     "full_record_dedup",
     "merge_with_previous",
     "lookup_enrich",
@@ -140,6 +146,12 @@ _GATED = [
     # versioned-table layer's representative: commit + append + time
     # travel round-trip, oracle-replayed at both snapshots.
     "versioned_time_travel",
+    # round-9 flagships (VERDICT r8 item 5): the persisted IVF-PQ
+    # equivalence contract, column-id schema evolution, and
+    # eq-delete-aware OPTIMIZE
+    "ivfpq_persisted_equivalence",
+    "versioned_schema_evolution",
+    "versioned_optimize_live_eq",
 ]
 
 

@@ -54,6 +54,14 @@ MUST_BE_GATED = [
     "versioned_hidden_partition_prune",
     "versioned_stream_upsert",
     "pca_project",
+    # round-9 flagships: the persisted IVF-PQ index the driver never
+    # verified, column-id schema evolution, eq-delete-aware OPTIMIZE
+    # (equality_filter/top_k/json_path_extract left; extract_filters,
+    # limit_sorted+window_topk_per_group and array_path_extract carry
+    # those families)
+    "ivfpq_persisted_equivalence",
+    "versioned_schema_evolution",
+    "versioned_optimize_live_eq",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics
