@@ -1276,13 +1276,19 @@ def _evolution_commit(
         parent = latest_version(table)
         if parent is None:
             raise FileNotFoundError(f"no snapshots committed at {table!r}")
-        manifest = read_manifest(table, parent)
+        # header-only read first: on an id-carrying lineage the
+        # invariant (header has ids ⇒ every entry has cols) means no
+        # restamp is needed, so an evolution commit is O(1) in table
+        # file count — a rename on a 10⁶-file table never folds the
+        # manifest. Only the one-time legacy upgrade pays the fold.
+        manifest = _read_record(table, parent)
         schema = StructType.fromJson(manifest["schema"])
         ids = manifest.get("column_ids")
         nxt = manifest.get("next_column_id")
         restamp: list[dict[str, Any]] = []
         if ids is None:
             # upgrade: assign ids by field order, restamp legacy entries
+            manifest = read_manifest(table, parent)
             ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
             nxt = len(schema.fields) + 1
             restamp = [

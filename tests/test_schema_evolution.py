@@ -411,3 +411,77 @@ def test_vacuum_and_history_across_evolution(spark, table):
     assert deleted == 0  # rename/append share v0's files: all still live
     got = V.read_snapshot(spark, table)
     assert got.count() == 12 and "score" in got.columns
+
+
+def test_resolution_projection_stays_jvm_side(spark, table):
+    """The per-generation resolution Project must be transparent to
+    Catalyst: a filter on the RENAMED+WIDENED column pushes down to
+    the parquet scan as a DataFilter on the PHYSICAL column, and no
+    Python appears in the plan — at 100 TB the rename must not cost
+    the scan its pushdown."""
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("int").alias("x")
+    )
+    V.commit_snapshot(df.repartitionByRange(4, "k"), table, mode="overwrite")
+    V.rename_column(table, "x", "score")
+    V.widen_type(table, "score", "long")
+    q = (
+        V.read_snapshot(spark, table)
+        .filter(F.col("score") > 39000)
+        .select("k", "score")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, "resolution must stay JVM-side"
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert any(
+        "DataFilters" in l and "x#" in l.split("DataFilters")[1][:80]
+        for l in scan_lines
+    ), f"filter must push through the rename Project to the scan: {scan_lines}"
+    assert q.count() == 499
+
+
+def test_mixed_generations_one_scan_per_generation(spark, table):
+    """N schema generations -> N scans unioned, not N×files scans and
+    not one scan per file: the resolution groups by PLAN, so plan
+    size stays O(generations), which is O(evolution ops), not
+    O(table)."""
+    V.commit_snapshot(_df(spark, 0, 10), table, mode="overwrite")
+    V.rename_column(table, "x", "s1")
+    V.commit_snapshot(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("int").alias("s1"),
+            F.lit("b").alias("tag"),
+        ),
+        table, mode="append",
+    )
+    V.rename_column(table, "s1", "s2")
+    V.commit_snapshot(
+        spark.range(20, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("int").alias("s2"),
+            F.lit("c").alias("tag"),
+        ),
+        table, mode="append",
+    )
+    q = V.read_snapshot(spark, table)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("FileScan")
+    assert n_scans == 3, (
+        f"3 physical layouts (x | s1 | s2) -> 3 scans, plan has {n_scans}"
+    )
+    assert q.count() == 30
+    # another commit under the CURRENT schema joins the identity
+    # group: scan count tracks schema GENERATIONS, never commits/files
+    V.commit_snapshot(
+        spark.range(30, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("int").alias("s2"),
+            F.lit("d").alias("tag"),
+        ),
+        table, mode="append",
+    )
+    q2 = V.read_snapshot(spark, table)
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("FileScan") == 3, "same-schema commits share a scan"
+    assert q2.count() == 40
