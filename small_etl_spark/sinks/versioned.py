@@ -820,7 +820,11 @@ def _read_entries(
         sel = []
         for f, p in zip(schema.fields, sig):
             if p is None:
-                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                # file predates the column: initial default (or null)
+                sel.append(
+                    F.lit(_initial_default(f)).cast(f.dataType)
+                    .alias(f.name)
+                )
                 continue
             n, tj = p
             c = F.col(n)
@@ -1451,11 +1455,21 @@ def widen_type(table: str, name: str, new_type: str) -> int:
     return _evolution_commit(table, "widen_type", mutate)
 
 
-def add_column(table: str, name: str, dtype: str) -> int:
+def add_column(
+    table: str, name: str, dtype: str, default: Any = None
+) -> int:
     """METADATA-ONLY column add with a fresh id: existing files simply
     lack the column and read as null (exactly what merge_schema=True
     appends do, exposed as a standalone op so a table can evolve
-    before any new data lands)."""
+    before any new data lands).
+
+    ``default`` is the INITIAL DEFAULT (the public Iceberg v3
+    initial-default design): rows in files that PREDATE the column
+    read this constant instead of null — a metadata-only backfill.
+    Files written after the add store real values (including real
+    nulls); the default never applies to them. It rides the schema
+    field's metadata, so every commit mode and time-travel read
+    carries it without a separate header."""
 
     def mutate(schema: StructType, hdr: dict[str, Any]):
         if name in [f.name for f in schema.fields]:
@@ -1474,6 +1488,12 @@ def add_column(table: str, name: str, dtype: str) -> int:
                 "partition column name"
             )
         f = _field_from_json(name, dtype)
+        if default is not None:
+            if not isinstance(default, (int, float, str, bool)):
+                raise SchemaEvolutionError(
+                    "add_column: default must be a JSON scalar"
+                )
+            f = type(f)(f.name, f.dataType, True, {"default": default})
         ids = dict(hdr["column_ids"])
         nxt = int(hdr["next_column_id"])
         ids[name] = nxt
@@ -1483,6 +1503,24 @@ def add_column(table: str, name: str, dtype: str) -> int:
         )
 
     return _evolution_commit(table, "add_column", mutate)
+
+
+def _initial_default(f) -> Any:
+    try:
+        return (f.metadata or {}).get("default")
+    except Exception:  # pragma: no cover - metadata access is total
+        return None
+
+
+def _defaults_of(manifest: dict[str, Any]) -> dict[str, Any]:
+    """{column name: initial default} for the manifest's schema —
+    computed once per plan, consulted when a file predates a column."""
+    out: dict[str, Any] = {}
+    for f in (manifest.get("schema") or {}).get("fields", []):
+        d = (f.get("metadata") or {}).get("default")
+        if d is not None:
+            out[f["name"]] = d
+    return out
 
 
 Predicate = tuple[str, str, Any]  # (column, op, literal)
@@ -1505,6 +1543,7 @@ def _file_may_match(
     pred: Predicate,
     spec: list[dict[str, Any]] | None = None,
     column_ids: dict[str, int] | None = None,
+    defaults: dict[str, Any] | None = None,
 ) -> bool:
     """Conservative range check: False only when NO row can satisfy.
     Equality predicates additionally consult the file's Bloom filter
@@ -1516,9 +1555,24 @@ def _file_may_match(
     firing across renames; a file that PREDATES the column prunes
     outright — every row is null there."""
     col, op, val = pred
+    target_name = col
     col = _phys_name(entry, col, column_ids)
     if col is None:
-        return False  # column didn't exist: all-null, <op> never true
+        # the file predates the column: every row reads the column's
+        # INITIAL DEFAULT (or null, which never satisfies <op>)
+        d = (defaults or {}).get(target_name)
+        if d is None:
+            return False
+        try:
+            return {
+                "=": d == val,
+                "<": d < val,
+                "<=": d <= val,
+                ">": d > val,
+                ">=": d >= val,
+            }[op]
+        except TypeError:
+            return True  # incomparable: stay conservative
     if op == "=":
         bloom = entry.get("bloom", {}).get(col)
         if bloom is not None and not _bloom_may_contain(bloom, val):
@@ -1594,10 +1648,13 @@ def plan_files(
     entries = manifest["files"]
     spec = _parse_partition_spec(manifest.get("partition_by") or [])
     cids = manifest.get("column_ids")
+    dflt = _defaults_of(manifest)
     total = len(entries)
     for pred in where or []:
         entries = [
-            e for e in entries if _file_may_match(e, pred, spec, cids)
+            e
+            for e in entries
+            if _file_may_match(e, pred, spec, cids, dflt)
         ]
     return [os.path.join(table, e["path"]) for e in entries], total
 
@@ -1655,9 +1712,12 @@ def read_snapshot(
     entries = manifest["files"]
     spec = _parse_partition_spec(manifest.get("partition_by") or [])
     cids = manifest.get("column_ids")
+    dflt = _defaults_of(manifest)
     for pred in where or []:
         entries = [
-            e for e in entries if _file_may_match(e, pred, spec, cids)
+            e
+            for e in entries
+            if _file_may_match(e, pred, spec, cids, dflt)
         ]
     if not entries:
         return spark.createDataFrame([], schema)
@@ -3034,7 +3094,9 @@ def table_changes(
         if src_name is not None and src_name in old_rows.columns:
             sel.append(F.col(src_name).cast(f.dataType).alias(f.name))
         else:
-            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            sel.append(
+                F.lit(_initial_default(f)).cast(f.dataType).alias(f.name)
+            )
     old_rows = old_rows.select(*sel)
     # multiset diff via per-row counts (exceptAll without dedup loss)
     cols = [f.name for f in schema.fields]

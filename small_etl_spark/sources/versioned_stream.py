@@ -76,6 +76,10 @@ class VersionedCdcStreamReader:
         self.table = table
         # last field is the injected _commit_version
         self.data_fields = [f.name for f in schema.fields[:-1]]
+        self.defaults = {
+            f.name: (f.metadata or {}).get("default")
+            for f in schema.fields[:-1]
+        }
         self.start_version = int(options.get("starting_version", "0"))
         self.skip_change_commits = (
             str(options.get("skip_change_commits", "false")).lower() == "true"
@@ -194,10 +198,10 @@ class VersionedCdcStreamReader:
             for rec in tbl:
                 yield tuple(
                     [
-                        None
+                        self.defaults.get(c)
                         if p is None
                         else (pvals[p] if p in pvals else rec.get(p))
-                        for p in phys
+                        for c, p in zip(self.data_fields, phys)
                     ]
                     + [version]
                 )

@@ -485,3 +485,50 @@ def test_mixed_generations_one_scan_per_generation(spark, table):
     plan2 = q2._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("FileScan") == 3, "same-schema commits share a scan"
     assert q2.count() == 40
+
+
+def test_add_column_initial_default(spark, table):
+    """Iceberg-v3-style INITIAL DEFAULT: pre-add files read the
+    constant (metadata-only backfill); post-add files store real
+    values including real nulls; pruning and CDC honor it."""
+    V.commit_snapshot(_df(spark, 0, 10), table, mode="overwrite")
+    V.add_column(table, "lang", "string", default="en")
+    got = V.read_snapshot(spark, table)
+    assert got.filter(F.col("lang") == "en").count() == 10
+    # post-add rows keep their written values — including real nulls
+    V.commit_snapshot(
+        spark.range(10, 14).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("int").alias("x"),
+            F.lit("b").alias("tag"),
+            F.when(F.col("id") % 2 == 0, F.lit("fr")).alias("lang"),
+        ),
+        table,
+        mode="append",
+    )
+    got = V.read_snapshot(spark, table)
+    assert got.filter(F.col("lang") == "en").count() == 10
+    assert got.filter(F.col("lang") == "fr").count() == 2
+    assert got.filter(F.col("lang").isNull()).count() == 2, (
+        "the default must never overwrite a post-add real null"
+    )
+    # pruning: '= default' must keep every PRE-add file (they all
+    # read the default); stats may still drop post-add files that
+    # hold only other values. '= other' drops all pre-add files.
+    n_pre = len(V.read_manifest(table, 0)["files"])
+    kept_en, total = V.plan_files(table, where=[("lang", "=", "en")])
+    assert len(kept_en) >= n_pre, "default matches pre-add files"
+    en = V.read_snapshot(spark, table, where=[("lang", "=", "en")])
+    assert en.filter(F.col("lang") == "en").count() == 10
+    kept_fr, _ = V.plan_files(table, where=[("lang", "=", "fr")])
+    assert len(kept_fr) <= total - n_pre, (
+        "pre-add files cannot hold a non-default value"
+    )
+    # CDC across a rewrite spanning the add: old side reads the default
+    V.delete_where(spark, table, F.col("k") == 3)
+    ch = V.table_changes(spark, table, 0).filter(
+        F.col("_change_type") == "delete"
+    )
+    assert [(r.k, r.lang) for r in ch.collect()] == [(3, "en")]
+    # time travel to pre-add shows no lang at all
+    assert "lang" not in V.read_snapshot(spark, table, version=0).columns
