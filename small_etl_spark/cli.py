@@ -22,19 +22,59 @@ import sys
 
 def _table_admin(args) -> int:
     """``table <path> history|report|vacuum|optimize|compact-dv|
-    compact-eq|tags|tag|untag|branches|abandon|publish`` — the
-    maintenance surface of the versioned sink, runnable without
-    writing a config. history prints one JSON line per snapshot;
-    report prints the metadata-only health advisor; vacuum reports
-    files deleted (tagged versions and live branches protected);
-    optimize / compact-dv / compact-eq report the new version (or
-    no-op); tag pins an immutable named version; publish atomically
-    fast-forwards main to a staged branch."""
+    compact-eq|tags|tag|untag|branches|abandon|publish|
+    rename-column|drop-column|widen-type|add-column|auto-maintain``
+    — the maintenance + evolution surface of the versioned sink,
+    runnable without writing a config. history prints one JSON line
+    per snapshot; report prints the metadata-only health advisor;
+    vacuum reports files deleted (tagged versions and live branches
+    protected); optimize / compact-dv / compact-eq report the new
+    version (or no-op); tag pins an immutable named version; publish
+    atomically fast-forwards main to a staged branch; the evolution
+    ops are metadata-only commits (r9: column-id rename/drop/widen/
+    add never rewrite data); auto-maintain runs the report's
+    recommendations (WAP-staged when clean)."""
     from small_etl_spark.sinks import versioned as V
 
     if V.latest_version(args.path) is None:
         print(f"no snapshots committed at {args.path!r}", file=sys.stderr)
         return 1
+    if args.action == "rename-column":
+        if not args.column or not args.to:
+            print("rename-column requires --column and --to",
+                  file=sys.stderr)
+            return 1
+        v = V.rename_column(args.path, args.column, args.to)
+        print(json.dumps({"renamed": [args.column, args.to],
+                          "version": v}))
+        return 0
+    if args.action == "drop-column":
+        if not args.column:
+            print("drop-column requires --column", file=sys.stderr)
+            return 1
+        v = V.drop_column(args.path, args.column)
+        print(json.dumps({"dropped": args.column, "version": v}))
+        return 0
+    if args.action == "widen-type":
+        if not args.column or not args.to:
+            print("widen-type requires --column and --to (a type)",
+                  file=sys.stderr)
+            return 1
+        v = V.widen_type(args.path, args.column, args.to)
+        print(json.dumps({"widened": [args.column, args.to],
+                          "version": v}))
+        return 0
+    if args.action == "add-column":
+        if not args.column or not args.to:
+            print("add-column requires --column and --to (a type)",
+                  file=sys.stderr)
+            return 1
+        v = V.add_column(
+            args.path, args.column, args.to, default=args.default
+        )
+        print(json.dumps({"added": [args.column, args.to],
+                          "default": args.default, "version": v}))
+        return 0
     if args.action == "report":
         print(json.dumps(V.maintenance_report(
             args.path, target_bytes=args.target_bytes)))
@@ -94,6 +134,13 @@ def _table_admin(args) -> int:
         v = V.compact_eq_deletes(spark, args.path)
         print(json.dumps({"new_version": v}))
         return 0
+    if args.action == "auto-maintain":
+        out = V.auto_maintain(
+            spark, args.path, target_bytes=args.target_bytes
+        )
+        print(json.dumps({"actions": out["actions"],
+                          "conflict": out["conflict"]}))
+        return 0
     # optimize
     v = V.optimize_snapshot(spark, args.path, target_bytes=args.target_bytes)
     print(json.dumps({"new_version": v}))
@@ -150,8 +197,21 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "report", "vacuum", "optimize", "compact-dv",
             "compact-eq", "tags", "tag", "untag", "branches", "abandon",
-            "publish",
+            "publish", "rename-column", "drop-column", "widen-type",
+            "add-column", "auto-maintain",
         ],
+    )
+    tbl_p.add_argument(
+        "--column", default=None,
+        help="evolution ops: the column to rename/drop/widen/add",
+    )
+    tbl_p.add_argument(
+        "--to", default=None,
+        help="rename-column: new name; widen-type/add-column: the type",
+    )
+    tbl_p.add_argument(
+        "--default", default=None,
+        help="add-column: initial default for pre-add files",
     )
     tbl_p.add_argument(
         "--keep-last", type=int, default=2, help="vacuum: manifests kept"

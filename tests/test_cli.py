@@ -185,3 +185,50 @@ def test_table_admin_round8_actions(spark, tmp_path, capsys):
     assert (
         _json.loads(capsys.readouterr().out.strip())["new_version"] is None
     )
+
+
+def test_table_admin_round9_evolution_actions(spark, tmp_path, capsys):
+    """CLI surface for the r9 evolution ops + auto-maintain: each a
+    metadata-only commit reported as one JSON line."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.cli import main
+    from small_etl_spark.sinks import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.commit_snapshot(
+        spark.range(0, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("int").alias("x"),
+        ).repartition(12),
+        tbl,
+        mode="overwrite",
+    )
+    assert main(["table", tbl, "rename-column",
+                 "--column", "x", "--to", "score"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["renamed"] == ["x", "score"] and out["version"] == 1
+    assert main(["table", tbl, "widen-type",
+                 "--column", "score", "--to", "long"]) == 0
+    capsys.readouterr()
+    assert main(["table", tbl, "add-column",
+                 "--column", "lang", "--to", "string",
+                 "--default", "en"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["added"] == ["lang", "string"] and out["default"] == "en"
+    got = V.read_snapshot(spark, tbl)
+    assert got.columns == ["k", "score", "lang"]
+    assert got.filter(F.col("lang") == "en").count() == 30
+    assert main(["table", tbl, "drop-column", "--column", "lang"]) == 0
+    capsys.readouterr()
+    assert V.read_snapshot(spark, tbl).columns == ["k", "score"]
+    # validation errors surface as exit 1, not tracebacks
+    assert main(["table", tbl, "rename-column", "--column", "x"]) == 1
+    capsys.readouterr()
+    # auto-maintain compacts the fragmented layout in one call
+    assert main(["table", tbl, "auto-maintain"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["actions"] == ["optimize"] and not out["conflict"]
+    assert V.read_snapshot(spark, tbl).count() == 30
