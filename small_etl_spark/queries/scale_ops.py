@@ -1908,3 +1908,80 @@ def q_versioned_optimize_live_eq(
         F.lit(bool(compacted)).alias("compacted"),
         F.lit(v2 is not None).alias("stream_continued"),
     )
+
+
+@register(
+    "versioned_partition_spec_evolution",
+    """
+    WITH tgt AS (SELECT MIN(source) AS s FROM documents),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    final AS (
+      SELECT doc_id, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + m + 1, source, n_chars
+      FROM documents, mx WHERE doc_id % 2 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM final, tgt
+             WHERE source = s) AS n_target,
+           CAST(1 AS BOOLEAN) AS metadata_only,
+           CAST(1 AS BOOLEAN) AS pruned
+    FROM final
+    """,
+)
+def q_versioned_partition_spec_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (sinks/versioned.py::
+    set_partition_spec — the public Iceberg spec-evolution design):
+    the corpus lands UNPARTITIONED, one metadata-only commit moves the
+    spec to ``source`` (the in-band ``metadata_only`` flag asserts no
+    file moved), and the post-evolution append writes hive layout.
+    The mixed-layout read must see every row, and a source-equality
+    read must still prune (``pruned``: the planner drops at least the
+    other partitions' NEW files; old flat files stay conservatively).
+    At 100 TB this is how a table re-partitions without a rewrite
+    wall — one commit record now, migration amortized into the
+    compactions already being paid for. Oracle rebuilds the final
+    corpus and the per-source count in SQL."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "pse")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    target = docs.agg(F.min("source")).first()[0]  # 1-row scalar gate
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(docs, path, mode="overwrite")
+    files_v0 = {e["path"] for e in V.read_manifest(path, 0)["files"]}
+    v = V.set_partition_spec(path, ["source"])
+    metadata_only = {
+        e["path"] for e in V.read_manifest(path, v)["files"]
+    } == files_v0
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") + max_id + 1).alias("doc_id"),
+            "source",
+            "n_chars",
+        )
+        .repartition("source"),
+        path,
+        mode="append",
+        partition_by=["source"],
+    )
+    kept, total = V.plan_files(path, where=[("source", "=", target)])
+    n_target = (
+        V.read_snapshot(spark, path, where=[("source", "=", target)])
+        .filter(F.col("source") == target)
+        .count()
+    )
+    return V.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(n_target).cast("bigint").alias("n_target"),
+        F.lit(bool(metadata_only)).alias("metadata_only"),
+        F.lit(len(kept) < total).alias("pruned"),
+    )

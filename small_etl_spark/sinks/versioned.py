@@ -1505,6 +1505,54 @@ def add_column(
     return _evolution_commit(table, "add_column", mutate)
 
 
+def set_partition_spec(
+    table: str, partition_by: list[str] | None
+) -> int:
+    """METADATA-ONLY partition-spec change (the public Iceberg
+    partition-spec-evolution design): the header's ``partition_by``
+    moves to the new spec; NO existing file moves. Old files keep
+    their recorded layout and keep pruning under it (identity values
+    prune by column name regardless of spec; old transform dirs fall
+    back to stats — conservative, never wrong), new appends write the
+    new layout, and every rewrite-style op (optimize / cluster /
+    merge / compacts) writes ITS output under the new spec — so
+    normal maintenance migrates the table file by file, the same
+    progressive migration Iceberg documents. ``partition_by=None``
+    (or ``[]``) unpartitions the spec for future writes.
+
+    At 100 TB this is how a table moves from day(ts) to
+    day(ts)+bucket(id) without a rewrite wall: one commit record now,
+    migration amortized into compaction already being paid for."""
+
+    def mutate(schema: StructType, hdr: dict[str, Any]):
+        new_pb = list(partition_by or [])
+        names = {f.name for f in schema.fields}
+        spec = _parse_partition_spec(new_pb)
+        missing = [s["column"] for s in spec if s["column"] not in names]
+        if missing:
+            raise SchemaEvolutionError(
+                f"set_partition_spec: columns not in schema: {missing}"
+            )
+        derived = [
+            _derived_name(s["transform"], s["column"])
+            for s in spec
+            if s["transform"] != "identity"
+        ]
+        clash = [d for d in derived if d in names]
+        if clash:
+            raise SchemaEvolutionError(
+                f"set_partition_spec: derived names {clash} collide "
+                "with data columns"
+            )
+        if len(set(derived)) != len(derived):
+            raise SchemaEvolutionError(
+                "set_partition_spec: duplicate derived names"
+            )
+        return schema, {"partition_by": new_pb}
+
+    return _evolution_commit(table, "set_partition_spec", mutate)
+
+
 def _initial_default(f) -> Any:
     try:
         return (f.metadata or {}).get("default")

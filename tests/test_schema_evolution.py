@@ -532,3 +532,82 @@ def test_add_column_initial_default(spark, table):
     assert [(r.k, r.lang) for r in ch.collect()] == [(3, "en")]
     # time travel to pre-add shows no lang at all
     assert "lang" not in V.read_snapshot(spark, table, version=0).columns
+
+
+def test_partition_spec_evolution(spark, table):
+    """set_partition_spec: metadata-only spec change; old files keep
+    their layout (and pruning), new appends write the new layout,
+    and OPTIMIZE migrates everything — the Iceberg progressive
+    migration story."""
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite")  # unpartitioned
+    files_v0 = {e["path"] for e in V.read_manifest(table, 0)["files"]}
+    v = V.set_partition_spec(table, ["p"])
+    m = V.read_manifest(table, v)
+    assert m["partition_by"] == ["p"]
+    assert {e["path"] for e in m["files"]} == files_v0, "no file moved"
+    # appends now REQUIRE (and write) the new layout
+    with pytest.raises(ValueError, match="partitioning"):
+        V.commit_snapshot(
+            spark.range(40, 44).select(
+                F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+            ),
+            table, mode="append",
+        )
+    V.commit_snapshot(
+        spark.range(40, 48).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+        ),
+        table, mode="append", partition_by=["p"],
+    )
+    got = V.read_snapshot(spark, table)
+    assert got.count() == 48
+    # pruning fires for the new hive files; old flat files stay
+    # (stats may prune them too, but never a wrong drop)
+    kept, total = V.plan_files(table, where=[("p", "=", 2)])
+    assert len(kept) < total
+    sat = V.read_snapshot(spark, table, where=[("p", "=", 2)]).filter(
+        F.col("p") == 2
+    )
+    assert sat.count() == 12
+    # OPTIMIZE migrates old files into the new layout
+    v2 = V.optimize_snapshot(spark, table, target_bytes=1 << 20)
+    m2 = V.read_manifest(table, v2)
+    assert all(
+        "=" in e["path"].split("/")[-2] for e in m2["files"]
+    ), "compaction output must land in the NEW hive layout"
+    assert V.read_snapshot(spark, table).count() == 48
+    # and the spec can evolve to a transform (no rewrite either)
+    v3 = V.set_partition_spec(table, ["bucket(4, k)"])
+    assert V.read_manifest(table, v3)["partition_by"] == ["bucket(4, k)"]
+    V.commit_snapshot(
+        spark.range(48, 52).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+        ),
+        table, mode="append", partition_by=["bucket(4, k)"],
+    )
+    assert V.read_snapshot(spark, table).count() == 52
+    # unpartition for future writes
+    V.set_partition_spec(table, None)
+    V.commit_snapshot(
+        spark.range(52, 54).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+        ),
+        table, mode="append",
+    )
+    assert V.read_snapshot(spark, table).count() == 54
+
+
+def test_partition_spec_evolution_guards(spark, table):
+    V.commit_snapshot(_df(spark, 0, 5), table, mode="overwrite")
+    with pytest.raises(V.SchemaEvolutionError, match="not in schema"):
+        V.set_partition_spec(table, ["nope"])
+    # a transform whose derived name collides with a data column
+    V.add_column(table, "x_day", "string")
+    with pytest.raises(V.SchemaEvolutionError, match="collide"):
+        V.set_partition_spec(table, ["day(x)"])
+    # duplicate derived names in one spec
+    with pytest.raises(V.SchemaEvolutionError, match="duplicate"):
+        V.set_partition_spec(table, ["bucket(2, k)", "bucket(4, k)"])

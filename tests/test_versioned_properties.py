@@ -39,6 +39,9 @@ _op = st.one_of(
     st.tuples(st.just("compact_dv"), st.none()),
     st.tuples(st.just("optimize"), st.none()),
     st.tuples(st.just("cluster"), st.none()),
+    # r9: partition-spec evolution mid-walk — metadata-only, model
+    # unchanged; appends pick up the new spec via pb_now()
+    st.tuples(st.just("respec"), st.integers(0, 2)),
 )
 
 
@@ -136,6 +139,11 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
             V.cluster_snapshot(
                 spark, table, zorder=[("k", 0, 20)], target_bytes=1 << 20
             )
+        elif kind == "respec":
+            if V.latest_version(table) is None:
+                continue
+            specs = [None, ["bucket(2, k)"], ["k"]]
+            V.set_partition_spec(table, specs[payload])
         history.append(_snap(model))
 
         got = sorted(
@@ -258,6 +266,11 @@ def test_partitioned_versioned_matches_model(spark, tmp_path_factory, ops):
             V.cluster_snapshot(
                 spark, table, zorder=[("k", 0, 20)], target_bytes=1 << 20
             )
+        elif kind == "respec":
+            if V.latest_version(table) is None:
+                continue
+            specs = [["p"], ["bucket(2, k)"], None]
+            V.set_partition_spec(table, specs[payload])
         history.append(_snap(model))
 
         got = sorted(
@@ -607,6 +620,11 @@ def test_transform_partitioned_matches_model(
             V.cluster_snapshot(
                 spark, table, zorder=[("k", 0, 20)], target_bytes=1 << 20
             )
+        elif kind == "respec":
+            if V.latest_version(table) is None:
+                continue
+            specs = [PB, ["day(ts)"], None]
+            V.set_partition_spec(table, specs[payload])
         history.append(_snap(model))
 
         got = sorted(
