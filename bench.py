@@ -838,6 +838,19 @@ def main() -> None:
         }
     compact["full"] = "BENCH_SELF.json"
     print(json.dumps(compact))
+    # The driver keeps the LAST ~2000 chars of stdout and parses the
+    # final line; the compact line above has outgrown that window
+    # (r8: 2.5k chars -> the tail cut its FRONT and parsed=null). So
+    # the very last line is a minimal core guaranteed to fit: totals +
+    # per-query seconds. Everything else lives one line up and in
+    # BENCH_SELF.json.
+    core = {
+        k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")
+    }
+    if errors:
+        core["errors"] = errors
+    core["full"] = "BENCH_SELF.json"
+    print(json.dumps(core))
 
 
 if __name__ == "__main__":

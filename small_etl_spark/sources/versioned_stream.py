@@ -57,12 +57,13 @@ class VersionedCdcDataSource(DataSource):
         return path
 
     def schema(self) -> StructType:
-        # planning-time LOCAL manifest read (no network, no data scan)
+        # planning-time LOCAL header read (no fold, no data scan —
+        # O(1) in table file count)
         table = self._table()
         v = V.latest_version(table)
         if v is None:
             raise ValueError(f"no snapshots committed at {table!r}")
-        base = StructType.fromJson(V.read_manifest(table, v)["schema"])
+        base = StructType.fromJson(V._read_record(table, v)["schema"])
         return base.add("_commit_version", "long", False)
 
     def simpleStreamReader(self, schema: StructType):
