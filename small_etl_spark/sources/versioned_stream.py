@@ -13,6 +13,8 @@ so failure recovery is exactly-once into an idempotent sink.
     df = (spark.readStream.format("versioned_cdc")
           .option("path", "/data/events_tbl")
           .option("starting_version", "0")       # default: full history
+          .option("starting_timestamp",          # OR: resolve by commit
+                  "1700000000000")               # time (ms, version_as_of)
           .load())                               # schema from the manifest
 
 Semantics (mirrors Delta's streaming contract):
@@ -81,7 +83,23 @@ class VersionedCdcStreamReader:
             f.name: (f.metadata or {}).get("default")
             for f in schema.fields[:-1]
         }
-        self.start_version = int(options.get("starting_version", "0"))
+        ts = options.get("starting_timestamp")
+        if ts is not None and "starting_version" in options:
+            raise ValueError(
+                "versioned_cdc: pass starting_version OR "
+                "starting_timestamp, not both"
+            )
+        if ts is not None:
+            # Delta's startingTimestamp contract: begin at the first
+            # commit at-or-after the instant (version_as_of finds the
+            # one at-or-before; +1 unless it IS at/after the instant)
+            v = V.version_as_of(table, int(ts))
+            at = int(
+                V._read_record(table, v).get("committed_at_ms", 0)
+            )
+            self.start_version = v if at >= int(ts) else v + 1
+        else:
+            self.start_version = int(options.get("starting_version", "0"))
         self.skip_change_commits = (
             str(options.get("skip_change_commits", "false")).lower() == "true"
         )

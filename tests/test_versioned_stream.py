@@ -140,3 +140,27 @@ def test_stream_upsert_is_change_commit(spark, table):
         list(r.readBetweenOffsets({"version": 1}, {"version": 2}))
     r2 = _reader(spark, table, skip_change_commits="true")
     assert list(r2.readBetweenOffsets({"version": 1}, {"version": 2})) == []
+
+
+def test_starting_timestamp_resolves_version(spark, table):
+    """starting_timestamp begins at the first commit AT-OR-AFTER the
+    instant (Delta's startingTimestamp contract), resolved through
+    version_as_of's commit-time index."""
+    V.commit_snapshot(_df(spark, 0, 3), table, mode="overwrite")
+    V.commit_snapshot(_df(spark, 3, 6), table, mode="append")
+    t1 = V._read_record(table, 1)["committed_at_ms"]
+    V.commit_snapshot(_df(spark, 6, 9), table, mode="append")
+    # exactly v1's instant -> start at v1
+    r = _reader(spark, table, starting_timestamp=t1)
+    assert r.initialOffset() == {"version": 1}
+    rows, end = r.read({"version": 1})
+    assert sorted(x[0] for x in rows) == list(range(3, 9))
+    assert end == {"version": 3}
+    # between v1 and v2 -> start at v2
+    r2 = _reader(spark, table, starting_timestamp=t1 + 1)
+    assert r2.initialOffset()["version"] >= 2
+    # both options together refuse
+    with pytest.raises(ValueError, match="not both"):
+        _reader(
+            spark, table, starting_version=0, starting_timestamp=t1
+        )
