@@ -799,7 +799,10 @@ def _read_entries(
             spark, table, [e["path"] for e in entries], schema,
             with_position,
         )
-    ident = tuple((f.name, f.dataType.jsonValue()) for f in schema.fields)
+    ident = tuple(
+        (f.name, json.dumps(f.dataType.jsonValue(), sort_keys=True))
+        for f in schema.fields
+    )
     groups: dict[tuple, list[dict[str, Any]]] = {}
     for e in entries:
         groups.setdefault(
@@ -814,7 +817,12 @@ def _read_entries(
             )
             continue
         phys = StructType(
-            [_field_from_json(n, tj) for p in sig if p for (n, tj) in [p]]
+            [
+                _field_from_json(n, json.loads(tj))
+                for p in sig
+                if p
+                for (n, tj) in [p]
+            ]
         )
         df = _read_files(spark, table, paths, phys, with_position)
         sel = []
@@ -828,7 +836,7 @@ def _read_entries(
                 continue
             n, tj = p
             c = F.col(n)
-            if _field_from_json(n, tj).dataType != f.dataType:
+            if _field_from_json(n, json.loads(tj)).dataType != f.dataType:
                 c = c.cast(f.dataType)
             sel.append(c.alias(f.name))
         if with_position:
@@ -1165,7 +1173,14 @@ def _column_ids_for(
         ptypes = {
             f["name"]: f["type"] for f in pm["schema"].get("fields", [])
         }
-    nxt = int((pm or {}).get("next_column_id", 1)) if pids else 1
+    # counter continues past every parent id — a header missing the
+    # counter (hand-edited / partial upgrade) must not hand a fresh
+    # name an id that collides with a reused one
+    nxt = (
+        int((pm or {}).get("next_column_id", max(pids.values()) + 1))
+        if pids
+        else 1
+    )
     ids = {}
     for f in schema.fields:
         fid = (pids or {}).get(f.name)
@@ -1211,15 +1226,21 @@ def _entry_resolution(
     name, physical type json), or None when the file predates the
     column (reads null-fill it). Files without ``cols`` resolve by
     name (legacy lineage: names never moved)."""
+    # type components canonicalize to JSON STRINGS: complex types
+    # (array/struct/map) serialize to dicts, and the signature must
+    # stay hashable to key the read groups
     cols = entry.get("cols")
     if cols is None or not column_ids:
         return tuple(
-            (f.name, f.dataType.jsonValue()) for f in schema.fields
+            (f.name, json.dumps(f.dataType.jsonValue(), sort_keys=True))
+            for f in schema.fields
         )
-    by_id = {c[0]: (c[1], c[2]) for c in cols}
+    by_id = {
+        c[0]: (c[1], json.dumps(c[2], sort_keys=True)) for c in cols
+    }
     return tuple(
         by_id.get(column_ids[f.name]) if f.name in column_ids else
-        (f.name, f.dataType.jsonValue())
+        (f.name, json.dumps(f.dataType.jsonValue(), sort_keys=True))
         for f in schema.fields
     )
 

@@ -611,3 +611,37 @@ def test_partition_spec_evolution_guards(spark, table):
     # duplicate derived names in one spec
     with pytest.raises(V.SchemaEvolutionError, match="duplicate"):
         V.set_partition_spec(table, ["bucket(2, k)", "bucket(4, k)"])
+
+
+def test_evolution_with_complex_typed_columns(spark, table):
+    """array<float> columns (embeddings) must survive the id-aware
+    read path: resolution signatures canonicalize complex types, so
+    grouping stays hashable and renames resolve."""
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"),
+        F.array(
+            (F.col("id") * 1.0).cast("float"),
+            (F.col("id") * 2.0).cast("float"),
+        ).alias("emb"),
+    )
+    V.commit_snapshot(df, table, mode="overwrite")
+    V.rename_column(table, "emb", "embedding")
+    got = V.read_snapshot(spark, table)
+    assert got.columns == ["k", "embedding"]
+    assert got.schema["embedding"].dataType.simpleString() == "array<float>"
+    s = got.select(
+        F.sum(F.col("embedding")[0] + F.col("embedding")[1]).alias("s")
+    ).first()[0]
+    assert abs(s - sum(3.0 * i for i in range(8))) < 1e-6
+    # append post-rename, mixed-generation read
+    V.commit_snapshot(
+        spark.range(8, 10).select(
+            F.col("id").alias("k"),
+            F.array(
+                (F.col("id") * 1.0).cast("float"),
+                (F.col("id") * 2.0).cast("float"),
+            ).alias("embedding"),
+        ),
+        table, mode="append",
+    )
+    assert V.read_snapshot(spark, table).count() == 10
