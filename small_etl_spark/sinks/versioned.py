@@ -1888,7 +1888,18 @@ def _apply_eq_deletes(
     """Anti-join rows against the live equality deletes: a row dies
     when SOME delete carries its key with ``del_seq > file seq``. The
     file→seq map is manifest-sized and broadcast; the key sets are
-    delete-sized. ``df`` arrives with ``__file__`` attached."""
+    delete-sized. ``df`` arrives with ``__file__`` attached.
+
+    Delete files that cannot affect ANY file in this read — their
+    sequence number is ≤ every read file's — are pruned from the
+    union up front: after maintenance has churned old files past a
+    delete's seq, the read stops paying for it entirely (the join
+    condition would discard its rows anyway, but only after reading
+    them)."""
+    min_seq = min((int(e.get("seq", 0)) for e in entries), default=0)
+    eqds = [d for d in eqds if int(d["seq"]) > min_seq]
+    if not eqds:
+        return df
     key, dels = _eq_delete_keys(spark, table, eqds, schema)
     seq_map = spark.createDataFrame(
         [(e["path"], int(e.get("seq", 0))) for e in entries],

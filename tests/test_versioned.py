@@ -1947,3 +1947,42 @@ def test_auto_maintain_conflict_yields_to_writer(spark, table, monkeypatch):
     assert V.list_branches(table) == {}
     got = V.read_snapshot(spark, table)
     assert got.count() == 105, "the winning writer's rows survive"
+
+
+def test_shadowed_eq_delete_files_pruned_from_read(spark, table):
+    """A delete whose seq <= every read file's seq cannot kill any
+    row; the read plan must not even scan its key file (after a full
+    cluster/compact rewrite migrates files past old deletes, reads
+    stop paying for the backlog they no longer owe)."""
+    for i in range(3):
+        V.stream_upsert_batch(
+            _kv(spark, [(k, f"b{i}") for k in range(i, i + 3)]),
+            i, table, "k",
+        )
+    # cluster rewrites ALL files at a fresh seq and clears the list;
+    # re-upsert to create ONE new delete (seq > all clustered files)
+    V.cluster_snapshot(spark, table, zorder=[("k", 0, 16)],
+                       target_bytes=1 << 20)
+    V.stream_upsert_batch(_kv(spark, [(0, "new")]), 10, table, "k")
+    m = V.read_manifest(table, V.latest_version(table))
+    assert len(V._live_eq_deletes(m)) == 1
+    got = {r.k: r.v for r in V.read_snapshot(spark, table).collect()}
+    assert got[0] == "new" and got[1] == "b1" and got[2] == "b2"
+    # plan-level check: reading ONLY the newest file (seq == delete
+    # seq) applies zero delete scans — _apply_eq_deletes prunes the
+    # whole list and returns the frame untouched
+    newest = max(int(e.get("seq", 0)) for e in m["files"])
+    new_entries = [
+        e for e in m["files"] if int(e.get("seq", 0)) == newest
+    ]
+    schema = __import__(
+        "pyspark.sql.types", fromlist=["StructType"]
+    ).StructType.fromJson(m["schema"])
+    df = V._read_entries(
+        spark, table, new_entries, schema, with_position=True,
+        column_ids=m.get("column_ids"),
+    )
+    out = V._apply_eq_deletes(
+        spark, table, df, new_entries, V._live_eq_deletes(m), schema
+    )
+    assert out is df, "fully shadowed delete list must prune to a no-op"
