@@ -563,6 +563,71 @@ def run_manifest_paging(spark) -> dict:
     return out
 
 
+def run_schema_evolution_cost(spark) -> dict:
+    """Measure the r9 column-id claims directly, manifest_paging
+    style: (a) rename_column wall-clock and commit-record bytes on a
+    ~100-file vs a ~3,200-file table — both must be FLAT in file
+    count (the evolution commit is a header-only record on an
+    id-carrying lineage); (b) the read-side resolution overhead — a
+    full scan of the renamed table vs the same data un-renamed (the
+    per-generation Project must cost ~nothing)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.sinks import versioned as V
+
+    root = tempfile.mkdtemp(prefix="spark_graft_evo_")
+    out: dict[str, object] = {}
+    try:
+        tiers = {"small": (1, 100), "big": (25, 128)}  # commits × files
+        for label, (commits, files_per) in tiers.items():
+            tbl = os.path.join(root, label)
+            df = spark.range(0, files_per * 10).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).cast("int").alias("x"),
+            ).repartition(files_per)
+            V.commit_snapshot(df, tbl, mode="overwrite")
+            for _ in range(commits - 1):
+                V.commit_snapshot(df, tbl, mode="append")
+            n_files = len(
+                V.read_manifest(tbl, V.latest_version(tbl))["files"]
+            )
+            # plain-read baseline BEFORE the rename (same bytes)
+            best_plain = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _noop_save(V.read_snapshot(spark, tbl))
+                el = time.perf_counter() - t0
+                best_plain = el if best_plain is None else min(best_plain, el)
+            t0 = time.perf_counter()
+            v = V.rename_column(tbl, "x", "score")
+            rename_s = time.perf_counter() - t0
+            best_res = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _noop_save(V.read_snapshot(spark, tbl))
+                el = time.perf_counter() - t0
+                best_res = el if best_res is None else min(best_res, el)
+            out[label] = {
+                "table_files": n_files,
+                "rename_s": round(rename_s, 3),
+                "record_bytes": os.path.getsize(V._manifest_path(tbl, v)),
+                "read_plain_s": round(best_plain, 3),
+                "read_resolved_s": round(best_res, 3),
+            }
+        out["rename_ratio"] = round(
+            out["big"]["rename_s"] / out["small"]["rename_s"], 2
+        )
+        out["resolution_overhead"] = round(
+            out["big"]["read_resolved_s"] / out["big"]["read_plain_s"], 2
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def run_stream_upsert_latency(spark, sf_dir: str) -> dict:
     """Exactly-once stream→versioned END-TO-END latency (VERDICT r8
     #6): per-micro-batch commit wall-clock at two batch sizes (~10×
@@ -782,6 +847,16 @@ def main() -> None:
             payload["stream_upsert_latency"] = {
                 "error": f"{type(exc).__name__}: {exc}"[:200]
             }
+        # r9 column-id claims measured: rename flat in file count,
+        # resolution read overhead ~1.0.
+        try:
+            payload["schema_evolution_cost"] = run_schema_evolution_cost(
+                spark
+            )
+        except Exception as exc:  # noqa: BLE001
+            payload["schema_evolution_cost"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
 
     # The driver's artifact capture keeps only the TAIL of stdout
     # (r5's headline total was lost to a 2,000-char truncation), so:
@@ -817,6 +892,8 @@ def main() -> None:
         compact["delete_crossover"] = payload["delete_crossover"]
     if "manifest_paging" in payload:
         compact["manifest_paging"] = payload["manifest_paging"]
+    if "schema_evolution_cost" in payload:
+        compact["schema_evolution_cost"] = payload["schema_evolution_cost"]
     if isinstance(payload.get("stream_upsert_latency"), dict):
         # compact summary: commit-latency envelope + backlog read
         # amplification (full curves live in BENCH_SELF.json)
