@@ -80,7 +80,11 @@ _GATED = [
     "merge_with_previous",
     "lookup_enrich",
     "asof_join_events",
-    "range_join_events",
+    # range_join_events left the window round 9 (asof_join_events
+    # carries the temporal-join family; stays registered + swept) for
+    # versioned_row_lineage — the round's second headline (Iceberg v3
+    # row ids: base range exact, survivors stable through maintenance)
+    "versioned_row_lineage",
     "percentiles",
     # semi_anti_join left round 8 (the join family is carried by
     # lookup_enrich / merge_with_previous / asof / range) for

@@ -1985,3 +1985,92 @@ def q_versioned_partition_spec_evolution(
         F.lit(bool(metadata_only)).alias("metadata_only"),
         F.lit(len(kept) < total).alias("pruned"),
     )
+
+
+@register(
+    "versioned_row_lineage",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents)
+    SELECT c AS n_base,
+           CAST(c * (c - 1) // 2 AS BIGINT) AS sum_ids_base,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE doc_id % 7 <> 0) AS n_after_delete,
+           CAST(1 AS BOOLEAN) AS ids_unique,
+           CAST(1 AS BOOLEAN) AS survivors_stable,
+           CAST(c + (SELECT COUNT(*) FROM documents
+                      WHERE doc_id % 3 = 0) - 1 AS BIGINT)
+             AS max_id_after_append
+    FROM n
+    """,
+)
+def q_versioned_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW LINEAGE (sinks/versioned.py — the public Iceberg v3
+    design): the base commit claims ids 0..n-1 from the header
+    counter (nothing written per row — the oracle checks the exact
+    id sum n(n-1)/2), OPTIMIZE then rewrites the files while every
+    survivor KEEPS its id (materialized as a physical column in the
+    compacted files; ``survivors_stable`` asserts the full id->row
+    mapping is unchanged, Spark-verified since the mapping itself is
+    engine-internal), a COW delete drops every 7th doc without moving
+    anyone else's id, and a fresh append mints the NEXT contiguous
+    range (``max_id_after_append`` is exactly base+appended-1 — ids
+    are never reused). At 100 TB this is the durable join key for
+    labels/feedback/audit: compactions churn files forever, _row_id
+    never moves. ``ids_unique`` pins global uniqueness in-band."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "rl")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    base = V.read_snapshot(spark, path, with_lineage=True)
+    n_base, sum_base = base.agg(
+        F.count(F.lit(1)), F.sum("_row_id")
+    ).first()
+    before = {
+        r.doc_id: r._row_id for r in base.select(
+            "doc_id", "_row_id"
+        ).collect()
+    }  # corpus-bounded (sf0.01 gate scale); the contract check needs
+    # the exact mapping, which only the engine knows
+    V.optimize_snapshot(spark, path, target_bytes=1 << 30)
+    after_opt = {
+        r.doc_id: r._row_id
+        for r in V.read_snapshot(spark, path, with_lineage=True)
+        .select("doc_id", "_row_id").collect()
+    }
+    stable = after_opt == before
+    V.delete_where(spark, path, F.col("doc_id") % 7 == 0)
+    after_del = {
+        r.doc_id: r._row_id
+        for r in V.read_snapshot(spark, path, with_lineage=True)
+        .select("doc_id", "_row_id").collect()
+    }
+    stable = stable and all(
+        after_del[k] == before[k] for k in after_del
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0] + 1
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + mx).alias("doc_id"), "n_chars"
+        ),
+        path, mode="append",
+    )
+    fin = V.read_snapshot(spark, path, with_lineage=True)
+    n_after, n_ids, max_id = fin.agg(
+        F.count(F.lit(1)),
+        F.countDistinct("_row_id"),
+        F.max("_row_id"),
+    ).first()
+    return spark.range(1).select(
+        F.lit(int(n_base)).cast("bigint").alias("n_base"),
+        F.lit(int(sum_base)).cast("bigint").alias("sum_ids_base"),
+        F.lit(int(len(after_del))).cast("bigint").alias("n_after_delete"),
+        F.lit(bool(n_ids == n_after)).alias("ids_unique"),
+        F.lit(bool(stable)).alias("survivors_stable"),
+        F.lit(int(max_id)).cast("bigint").alias("max_id_after_append"),
+    )

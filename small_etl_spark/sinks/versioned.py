@@ -785,6 +785,7 @@ def _read_entries(
     schema: StructType,
     with_position: bool = False,
     column_ids: dict[str, int] | None = None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Read manifest entries resolved BY COLUMN ID to ``schema``.
 
@@ -793,7 +794,18 @@ def _read_entries(
     target reads untouched, every other group reads under its PHYSICAL
     schema and gets one codegen'd Project on top — rename = alias,
     widen = cast, column added later = null fill. The union is by
-    name, so mixed-generation snapshots read as one DataFrame."""
+    name, so mixed-generation snapshots read as one DataFrame.
+
+    ``with_lineage`` adds a ``_row_id`` column: files with
+    MATERIALIZED lineage (rewrite outputs) read their physical
+    ``__row_id`` column; every other file emits null here and the
+    caller computes ``first_row_id + row_index`` (see
+    :func:`_read_with_lineage`)."""
+    if with_lineage:
+        # lineage forces the grouped path (physical files carry an
+        # extra column) and needs positions for the computed side
+        with_position = True
+        column_ids = column_ids or {}
     if not entries or column_ids is None:
         return _read_files(
             spark, table, [e["path"] for e in entries], schema,
@@ -805,28 +817,34 @@ def _read_entries(
     )
     groups: dict[tuple, list[dict[str, Any]]] = {}
     for e in entries:
-        groups.setdefault(
-            _entry_resolution(e, schema, column_ids), []
-        ).append(e)
+        sig = _entry_resolution(e, schema, column_ids)
+        if with_lineage:
+            sig = sig + (bool(e.get("lineage")),)
+        groups.setdefault(sig, []).append(e)
     parts: list[DataFrame] = []
     for sig in sorted(groups, key=repr):
         paths = [e["path"] for e in groups[sig]]
-        if sig == ident:
+        mat = False
+        rsig = sig
+        if with_lineage:
+            rsig, mat = sig[:-1], sig[-1]
+        if rsig == ident and not with_lineage:
             parts.append(
                 _read_files(spark, table, paths, schema, with_position)
             )
             continue
-        phys = StructType(
-            [
-                _field_from_json(n, json.loads(tj))
-                for p in sig
-                if p
-                for (n, tj) in [p]
-            ]
-        )
+        phys_fields = [
+            _field_from_json(n, json.loads(tj))
+            for p in rsig
+            if p
+            for (n, tj) in [p]
+        ]
+        if mat:
+            phys_fields.append(_field_from_json(_ROW_ID, "long"))
+        phys = StructType(phys_fields)
         df = _read_files(spark, table, paths, phys, with_position)
         sel = []
-        for f, p in zip(schema.fields, sig):
+        for f, p in zip(schema.fields, rsig):
             if p is None:
                 # file predates the column: initial default (or null)
                 sel.append(
@@ -839,12 +857,61 @@ def _read_entries(
             if _field_from_json(n, json.loads(tj)).dataType != f.dataType:
                 c = c.cast(f.dataType)
             sel.append(c.alias(f.name))
+        if with_lineage:
+            sel.append(
+                (F.col(_ROW_ID) if mat else F.lit(None).cast("long"))
+                .alias("_row_id")
+            )
         if with_position:
             sel += [F.col("__file__"), F.col("__pos__")]
         parts.append(df.select(*sel))
     from functools import reduce as _reduce
 
     return _reduce(DataFrame.unionByName, parts)
+
+
+def _read_with_lineage(
+    spark: SparkSession,
+    table: str,
+    manifest: dict[str, Any],
+    entries: list[dict[str, Any]],
+    schema: StructType,
+) -> DataFrame:
+    """Entries' rows with ``_row_id`` attached — physical for
+    materialized files, ``first_row_id + row_index`` elsewhere (the
+    per-file base rides a manifest-sized broadcast). Returns the frame
+    WITH ``__file__``/``__pos__`` still attached (callers that
+    anti-join DVs/eq-deletes need them; drop when done)."""
+    df = _read_entries(
+        spark, table, entries, schema, with_position=True,
+        column_ids=manifest.get("column_ids"), with_lineage=True,
+    )
+    missing = [
+        e["path"]
+        for e in entries
+        if not e.get("lineage") and "first_row_id" not in e
+    ]
+    if missing:
+        raise ValueError(
+            f"row lineage unavailable: {len(missing)} file(s) predate "
+            "the table's lineage counter (overwrite to establish it)"
+        )
+    computed = [
+        (e["path"], int(e["first_row_id"]))
+        for e in entries
+        if not e.get("lineage")
+    ]
+    fri = spark.createDataFrame(
+        computed, "__file__ STRING, __fri__ BIGINT"
+    )
+    return (
+        df.join(F.broadcast(fri), "__file__", "left")
+        .withColumn(
+            "_row_id",
+            F.coalesce(F.col("_row_id"), F.col("__fri__") + F.col("__pos__")),
+        )
+        .drop("__fri__")
+    )
 
 
 def _parent_bloom_columns(manifest: dict[str, Any]) -> list[str] | None:
@@ -916,6 +983,11 @@ def _commit_rewrite(
         for p, e in parent_entries.items()
         if final_entries.get(p) != e
     )
+    # fresh rows in a rewrite (a merge's source half) claim new id
+    # ranges; materialized-lineage entries pass through untouched
+    add, rid = _assign_row_ids(
+        add, _parent_next_row_id(parent_manifest, "inherit")
+    )
     payload = {
         "snapshot": version,
         "parent": parent,
@@ -928,6 +1000,7 @@ def _commit_rewrite(
         "committed_at_ms": _now_ms(),
     }
     _header_ids(payload, ids, parent_manifest.get("next_column_id"))
+    _header_row_ids(payload, rid)
     if partition_by:
         payload["partition_by"] = list(partition_by)
     if extra_header:
@@ -1024,8 +1097,9 @@ def commit_snapshot(
             )
             manifest["schema"] = final.jsonValue()
             ids, nxt = _column_ids_for(pm, final, "inherit")
-            manifest["add"] = _stamp_cols(
-                _stamp_seq(new_files, version), df.schema, ids
+            manifest["add"], rid = _assign_row_ids(
+                _stamp_cols(_stamp_seq(new_files, version), df.schema, ids),
+                _parent_next_row_id(pm, "inherit"),
             )
             manifest["remove"] = []
         else:
@@ -1033,10 +1107,12 @@ def commit_snapshot(
             # base: fresh lineage (ids assigned, name+type matches reuse
             # the parent's so CDC id-alignment survives an overwrite)
             ids, nxt = _column_ids_for(pm, df.schema, "base")
-            manifest["files"] = _stamp_cols(
-                _stamp_seq(new_files, version), df.schema, ids
+            manifest["files"], rid = _assign_row_ids(
+                _stamp_cols(_stamp_seq(new_files, version), df.schema, ids),
+                _parent_next_row_id(pm, "base"),
             )
         _header_ids(manifest, ids, nxt)
+        _header_row_ids(manifest, rid)
         if partition_by:
             manifest["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
@@ -1341,6 +1417,7 @@ def _evolution_commit(
             "column_ids": updates.get("column_ids", ids),
             "next_column_id": updates.get("next_column_id", nxt),
         }
+        _header_row_ids(payload, manifest.get("next_row_id"))
         for k in ("partition_by", "dv", "eq_deletes"):
             if k in updates:
                 if updates[k]:
@@ -1597,6 +1674,64 @@ Predicate = tuple[str, str, Any]  # (column, op, literal)
 _OPS = ("=", "<", "<=", ">", ">=")
 
 
+# --- row lineage: stable per-row ids (public Iceberg v3 design) -----------
+#
+# Every data-adding commit claims a contiguous ID RANGE from the
+# header counter ``next_row_id`` and stamps each new entry with its
+# ``first_row_id``; a row's id is ``first_row_id + its position in
+# the file`` — nothing is written per row at ingest (zero write
+# amplification). Maintenance rewrites shuffle rows across files, so
+# every survivor-preserving rewrite (optimize / cluster / compact_dv
+# / compact_eq / COW delete / a merge's survivor half) MATERIALIZES
+# the ids as a physical ``__row_id`` column in its output and marks
+# those entries ``lineage: true``; reads take the physical column
+# where present and compute ``first_row_id + row_index`` elsewhere.
+# Fresh rows (appends, upsert batches, a merge's source half) always
+# get fresh ranges — ids are never reused, so ``_row_id`` is a stable
+# join key for feedback/labels/audit across the table's whole life,
+# however many compactions later. Invariant (mirrors the column-id
+# one): a header with ``next_row_id`` lists no data entry without
+# ``first_row_id`` or ``lineage``. Legacy tables (no counter) gain
+# lineage at their next ``mode="overwrite"``.
+
+_ROW_ID = "__row_id"  # physical column name in materialized files
+
+
+def _assign_row_ids(
+    entries: list[dict[str, Any]], next_row_id: int | None
+) -> tuple[list[dict[str, Any]], int | None]:
+    """Stamp ``first_row_id`` on fresh data entries (in path order,
+    deterministic across commit retries) and advance the counter.
+    Entries already carrying materialized lineage pass through."""
+    if next_row_id is None:
+        return entries, None
+    nxt = int(next_row_id)
+    out = []
+    for e in entries:
+        if e.get("lineage") or "first_row_id" in e:
+            out.append(e)
+            continue
+        out.append(dict(e, first_row_id=nxt))
+        nxt += int(e["rows"])
+    return out, nxt
+
+
+def _parent_next_row_id(pm: dict[str, Any] | None, mode: str) -> int | None:
+    """The counter a commit continues from: base commits START lineage
+    (fresh lineage, ids from 0); appends/rewrites inherit — or stay
+    lineage-less on a legacy lineage (no half-lineaged tables)."""
+    if mode == "base":
+        return int((pm or {}).get("next_row_id", 0))
+    if pm is None or pm.get("next_row_id") is None:
+        return None
+    return int(pm["next_row_id"])
+
+
+def _header_row_ids(payload: dict[str, Any], nxt: int | None) -> None:
+    if nxt is not None:
+        payload["next_row_id"] = int(nxt)
+
+
 def _stamp_seq(entries: list[dict[str, Any]], version: int) -> list:
     """Copy entries with their data SEQUENCE NUMBER = the committing
     version (Iceberg sequence numbers): an equality delete at seq D
@@ -1759,6 +1894,7 @@ def read_snapshot(
     version: int | None = None,
     where: list[Predicate] | None = None,
     as_of_ms: int | None = None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Time-travel read: version N's file list, manifest-pruned.
 
@@ -1768,6 +1904,12 @@ def read_snapshot(
     row filtering compose in any lakehouse reader. ``as_of_ms``
     resolves the version by commit timestamp (``version_as_of``) —
     mutually exclusive with ``version``.
+
+    ``with_lineage=True`` adds the stable ``_row_id`` column (Iceberg
+    v3 row lineage): ids survive every maintenance rewrite, so it is
+    a durable join key for labels/feedback/audit however many
+    compactions later. Raises if the snapshot predates the table's
+    lineage counter.
     """
     if as_of_ms is not None:
         if version is not None:
@@ -1788,14 +1930,31 @@ def read_snapshot(
             for e in entries
             if _file_may_match(e, pred, spec, cids, dflt)
         ]
+    if with_lineage and manifest.get("next_row_id") is None:
+        raise ValueError(
+            f"{table!r} v{v} has no row-lineage counter; commit with "
+            "mode='overwrite' to establish lineage"
+        )
     if not entries:
-        return spark.createDataFrame([], schema)
+        out_schema = (
+            StructType(
+                list(schema.fields)
+                + [_field_from_json("_row_id", "long")]
+            )
+            if with_lineage
+            else schema
+        )
+        return spark.createDataFrame([], out_schema)
     has_dv = _live_dv(manifest) is not None
     eqds = manifest.get("eq_deletes") or []
-    df = _read_entries(
-        spark, table, entries, schema,
-        with_position=has_dv or bool(eqds), column_ids=cids,
-    )
+    need_pos = has_dv or bool(eqds) or with_lineage
+    if with_lineage:
+        df = _read_with_lineage(spark, table, manifest, entries, schema)
+    else:
+        df = _read_entries(
+            spark, table, entries, schema,
+            with_position=need_pos, column_ids=cids,
+        )
     if has_dv:
         # merge-on-read: anti-join the deletion vector by (file, pos)
         dv = _dv_rows(spark, table, manifest).withColumnsRenamed(
@@ -1804,7 +1963,7 @@ def read_snapshot(
         df = df.join(dv, ["__file__", "__pos__"], "left_anti")
     if eqds:
         df = _apply_eq_deletes(spark, table, df, entries, eqds, schema)
-    if has_dv or eqds:
+    if need_pos:
         df = df.drop("__file__", "__pos__")
     return df
 
@@ -2006,9 +2165,12 @@ def stream_upsert_batch(
             "parent": parent,
             "mode": "upsert",
             "schema": up_final.jsonValue(),
-            "add": _stamp_cols(
-                _stamp_seq(new_files, version), batch.schema, up_ids
-            ),
+            "add": _assign_row_ids(
+                _stamp_cols(
+                    _stamp_seq(new_files, version), batch.schema, up_ids
+                ),
+                _parent_next_row_id(pm, "inherit"),
+            )[0],
             "remove": [],
             "eq_deletes": _live_eq_deletes(pm)
             + [
@@ -2025,6 +2187,11 @@ def stream_upsert_batch(
             "committed_at_ms": _now_ms(),
         }
         _header_ids(payload, up_ids, up_nxt)
+        up_rid = _parent_next_row_id(pm, "inherit")
+        if up_rid is not None:
+            _header_row_ids(
+                payload, up_rid + sum(int(e["rows"]) for e in new_files)
+            )
         if partition_by:
             payload["partition_by"] = list(partition_by)
         if _atomic_create(_manifest_path(table, version), payload):
@@ -2074,18 +2241,28 @@ def compact_eq_deletes(spark: SparkSession, table: str) -> int | None:
     untouched = [e for e in entries if e["path"] not in hit_files]
     new_files: list[dict[str, Any]] = []
     commit_id = uuid.uuid4().hex[:16]
+    lineage = manifest.get("next_row_id") is not None
     if touched:
-        trows = _read_entries(
-            spark, table, touched, schema, with_position=True,
-            column_ids=cids,
-        ).join(F.broadcast(seq_map), "__file__", "left")
+        if lineage:
+            trows = _read_with_lineage(
+                spark, table, manifest, touched, schema
+            ).join(F.broadcast(seq_map), "__file__", "left")
+        else:
+            trows = _read_entries(
+                spark, table, touched, schema, with_position=True,
+                column_ids=cids,
+            ).join(F.broadcast(seq_map), "__file__", "left")
         survivors = trows.join(dels_r, hit_cond, "left_anti").drop(
             "__file__", "__pos__", "__fseq__"
         )
+        if lineage:
+            survivors = survivors.withColumnRenamed("_row_id", _ROW_ID)
         commit_id, new_files = _write_data_files(
             survivors, table, [f.name for f in schema.fields],
             _parent_bloom_columns(manifest), manifest.get("partition_by"),
         )
+        if lineage:
+            new_files = [dict(e, lineage=True) for e in new_files]
     # _commit_rewrite emits a delta WITHOUT eq_deletes (rewrite records
     # carry no eq_deletes header ⇒ the list clears atomically)
     return _commit_rewrite(
@@ -2333,6 +2510,7 @@ def branch_publish(
         "committed_at_ms": _now_ms(),
     }
     _header_ids(payload, bm.get("column_ids"), bm.get("next_column_id"))
+    _header_row_ids(payload, bm.get("next_row_id"))
     if bm.get("partition_by"):
         payload["partition_by"] = bm["partition_by"]
     if bm.get("dv"):
@@ -2721,6 +2899,39 @@ def merge_upsert(
     source = source.select([f.name for f in schema.fields])  # align
 
     touched, untouched = _files_touching_keys(table, parent, source, key)
+    cols = (
+        stats_columns
+        if stats_columns is not None
+        else [f.name for f in schema.fields]
+    )
+    pb = manifest.get("partition_by")
+    lineage = manifest.get("next_row_id") is not None
+    if lineage:
+        # row lineage splits the rewrite in two: survivors keep their
+        # ids (materialized), source rows are NEW data written plain —
+        # the commit assigns them a fresh id range like any append
+        new_files: list[dict[str, Any]] = []
+        commit_id = uuid.uuid4().hex[:16]
+        if touched:
+            tdf = _read_with_lineage(
+                spark, table, manifest, touched, schema
+            ).drop("__file__", "__pos__")
+            survivors = tdf.join(
+                source.select(key).distinct(), on=key, how="left_anti"
+            ).withColumnRenamed("_row_id", _ROW_ID)
+            commit_id, surv_files = _write_data_files(
+                survivors, table, cols, _parent_bloom_columns(manifest),
+                pb,
+            )
+            new_files += [dict(e, lineage=True) for e in surv_files]
+        _, src_files = _write_data_files(
+            source, table, cols, _parent_bloom_columns(manifest), pb
+        )
+        new_files += src_files
+        return _commit_rewrite(
+            table, parent, manifest, "merge", untouched + new_files,
+            commit_id, partition_by=pb,
+        )
     if touched:
         tdf = _read_entries(
             spark, table, touched, schema,
@@ -2735,12 +2946,6 @@ def merge_upsert(
     else:
         rewritten = source
 
-    cols = (
-        stats_columns
-        if stats_columns is not None
-        else [f.name for f in schema.fields]
-    )
-    pb = manifest.get("partition_by")
     commit_id, new_files = _write_data_files(
         rewritten, table, cols, _parent_bloom_columns(manifest), pb
     )
@@ -2783,13 +2988,25 @@ def delete_where(
 
     new_files: list[dict[str, Any]] = []
     commit_id = uuid.uuid4().hex[:16]
+    lineage = manifest.get("next_row_id") is not None
     if touched:
-        tdf = _read_entries(spark, table, touched, schema, column_ids=cids)
+        if lineage:
+            tdf = _read_with_lineage(
+                spark, table, manifest, touched, schema
+            ).drop("__file__", "__pos__")
+        else:
+            tdf = _read_entries(
+                spark, table, touched, schema, column_ids=cids
+            )
         survivors = tdf.filter(~pred | pred.isNull())
+        if lineage:
+            survivors = survivors.withColumnRenamed("_row_id", _ROW_ID)
         commit_id, new_files = _write_data_files(
             survivors, table, [f.name for f in schema.fields],
             _parent_bloom_columns(manifest), manifest.get("partition_by"),
         )
+        if lineage:
+            new_files = [dict(e, lineage=True) for e in new_files]
     return _commit_rewrite(
         table, parent, manifest, "delete", untouched + new_files, commit_id,
         partition_by=manifest.get("partition_by"),
@@ -2870,17 +3087,20 @@ def stream_commit_batch(
             )
             payload["schema"] = final.jsonValue()
             ids, nxt = _column_ids_for(pm, final, "inherit")
-            payload["add"] = _stamp_cols(
-                _stamp_seq(new_files, version), df.schema, ids
+            payload["add"], rid = _assign_row_ids(
+                _stamp_cols(_stamp_seq(new_files, version), df.schema, ids),
+                _parent_next_row_id(pm, "inherit"),
             )
             payload["remove"] = []
         else:
             payload["schema"] = df.schema.jsonValue()
             ids, nxt = _column_ids_for(pm, df.schema, "base")
-            payload["files"] = _stamp_cols(
-                _stamp_seq(new_files, version), df.schema, ids
+            payload["files"], rid = _assign_row_ids(
+                _stamp_cols(_stamp_seq(new_files, version), df.schema, ids),
+                _parent_next_row_id(pm, "base"),
             )
         _header_ids(payload, ids, nxt)
+        _header_row_ids(payload, rid)
         if partition_by:
             payload["partition_by"] = list(partition_by)
         if mode == "append" and pm is not None and pm.get("dv"):
@@ -2950,17 +3170,27 @@ def optimize_snapshot(
     n_out = max(1, len(bins))
 
     pb = manifest.get("partition_by")
-    src_df = _read_entries(
-        spark, table, small, schema, with_position=bool(eqds),
-        column_ids=manifest.get("column_ids"),
-    )
+    lineage = manifest.get("next_row_id") is not None
+    if lineage:
+        src_df = _read_with_lineage(spark, table, manifest, small, schema)
+    else:
+        src_df = _read_entries(
+            spark, table, small, schema, with_position=bool(eqds),
+            column_ids=manifest.get("column_ids"),
+        )
     if eqds:
         # fold the live deletes into the rewrite: survivors only, and
         # the new files' seq (= this commit) postdates every delete —
         # the same net-effect contract compact_eq_deletes proves
         src_df = _apply_eq_deletes(
             spark, table, src_df, small, eqds, schema
-        ).drop("__file__", "__pos__")
+        )
+    if eqds or lineage:
+        src_df = src_df.drop("__file__", "__pos__")
+    if lineage:
+        # survivors keep their ids: materialize them physically (the
+        # Iceberg v3 rewrite contract — a compaction must not mint ids)
+        src_df = src_df.withColumnRenamed("_row_id", _ROW_ID)
     # partitioned tables compact WITHIN the hive layout: shuffle on the
     # partition columns so each value's rows land together, then write
     # partitionBy again — file counts collapse per partition and the
@@ -2981,6 +3211,8 @@ def optimize_snapshot(
         compacted, table, [f.name for f in schema.fields],
         _parent_bloom_columns(manifest), pb,
     )
+    if lineage:
+        new_files = [dict(e, lineage=True) for e in new_files]
     return _commit_rewrite(
         table, parent, manifest, "optimize", keep + new_files, commit_id,
         partition_by=pb,
@@ -3243,18 +3475,28 @@ def cluster_snapshot(
     total_bytes = sum(e["bytes"] for e in manifest["files"])
     n_out = max(1, -(-total_bytes // target_bytes))
 
-    df = _read_entries(
-        spark, table, manifest["files"], schema,
-        with_position=bool(eqds),
-        column_ids=manifest.get("column_ids"),
-    )
+    lineage = manifest.get("next_row_id") is not None
+    if lineage:
+        df = _read_with_lineage(
+            spark, table, manifest, manifest["files"], schema
+        )
+    else:
+        df = _read_entries(
+            spark, table, manifest["files"], schema,
+            with_position=bool(eqds),
+            column_ids=manifest.get("column_ids"),
+        )
     if eqds:
         # a cluster rewrite touches EVERY file, so folding the live
         # deletes in fully materializes them — the commit clears the
         # list (same net effect as compact_eq_deletes + cluster)
         df = _apply_eq_deletes(
             spark, table, df, manifest["files"], eqds, schema
-        ).drop("__file__", "__pos__")
+        )
+    if eqds or lineage:
+        df = df.drop("__file__", "__pos__")
+    if lineage:
+        df = df.withColumnRenamed("_row_id", _ROW_ID)
     z = morton_code(
         [_bucket(F.col(c), lo, hi, bits) for c, lo, hi in zorder], bits
     )
@@ -3269,6 +3511,8 @@ def cluster_snapshot(
     commit_id, new_files = _write_data_files(
         clustered, table, names, _parent_bloom_columns(manifest), pb
     )
+    if lineage:
+        new_files = [dict(e, lineage=True) for e in new_files]
     return _commit_rewrite(
         table, parent, manifest, "cluster", new_files, commit_id,
         partition_by=pb,
@@ -3641,6 +3885,7 @@ def _delete_where_mor_once(
         manifest.get("column_ids"),
         manifest.get("next_column_id"),
     )
+    _header_row_ids(payload, manifest.get("next_row_id"))
     if manifest.get("partition_by"):
         # a MoR delete touches no data file: the partitioning
         # contract survives verbatim
@@ -3676,11 +3921,17 @@ def compact_dv(spark: SparkSession, table: str) -> int | None:
     untouched = [e for e in manifest["files"] if e["path"] not in dv_files]
     new_files: list[dict[str, Any]] = []
     commit_id = uuid.uuid4().hex[:16]
+    lineage = manifest.get("next_row_id") is not None
     if touched:
-        tdf = _read_entries(
-            spark, table, touched, schema, with_position=True,
-            column_ids=manifest.get("column_ids"),
-        )
+        if lineage:
+            tdf = _read_with_lineage(
+                spark, table, manifest, touched, schema
+            )
+        else:
+            tdf = _read_entries(
+                spark, table, touched, schema, with_position=True,
+                column_ids=manifest.get("column_ids"),
+            )
         survivors = (
             tdf
             .join(
@@ -3690,10 +3941,14 @@ def compact_dv(spark: SparkSession, table: str) -> int | None:
             )
             .drop("__file__", "__pos__")
         )
+        if lineage:
+            survivors = survivors.withColumnRenamed("_row_id", _ROW_ID)
         commit_id, new_files = _write_data_files(
             survivors, table, [f.name for f in schema.fields],
             _parent_bloom_columns(manifest), manifest.get("partition_by"),
         )
+        if lineage:
+            new_files = [dict(e, lineage=True) for e in new_files]
     return _commit_rewrite(
         table, parent, manifest, "compact_dv", untouched + new_files,
         commit_id, partition_by=manifest.get("partition_by"),

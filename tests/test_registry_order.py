@@ -62,6 +62,9 @@ MUST_BE_GATED = [
     "ivfpq_persisted_equivalence",
     "versioned_schema_evolution",
     "versioned_optimize_live_eq",
+    # round-9 second headline: stable row ids (range_join_events
+    # left; asof_join_events carries temporal joins)
+    "versioned_row_lineage",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics

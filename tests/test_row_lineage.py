@@ -1,0 +1,243 @@
+"""Row lineage (sinks/versioned.py — the public Iceberg v3 design):
+stable per-row ids assigned from a header counter at commit time,
+materialized as a physical column by every survivor-preserving
+rewrite, never reused. ``_row_id`` is the durable join key for
+labels/feedback/audit across the table's whole maintenance life.
+
+Reference parity note: the reference rewrites whole outputs per run
+(contextual_pipeline.rs:1017-1229) and has no persistent row identity;
+this is engine-side extension surface tested against the public spec.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from small_etl_spark.sinks import versioned as V
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _ids(spark, table, version=None):
+    return {
+        r.k: r._row_id
+        for r in V.read_snapshot(
+            spark, table, version=version, with_lineage=True
+        ).collect()
+    }
+
+
+def test_base_commit_ids_are_dense_from_zero(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 50).repartition(4), table,
+                      mode="overwrite")
+    ids = _ids(spark, table)
+    assert sorted(ids.values()) == list(range(50))
+    # appends claim the NEXT contiguous range
+    V.commit_snapshot(_kv(spark, 50, 60), table, mode="append")
+    ids = _ids(spark, table)
+    assert sorted(ids.values()) == list(range(60))
+    m = V.read_manifest(table, 1)
+    assert m["next_row_id"] == 60
+    # zero write amplification at ingest: no entry is materialized
+    assert all("first_row_id" in e and not e.get("lineage")
+               for e in m["files"])
+
+
+def test_ids_stable_across_full_maintenance_cycle(spark, table):
+    """optimize, COW delete, MoR delete + compact_dv, Z-order cluster:
+    every survivor keeps its id through all of it."""
+    V.commit_snapshot(_kv(spark, 0, 40).repartition(8), table,
+                      mode="overwrite")
+    before = _ids(spark, table)
+    v = V.optimize_snapshot(spark, table, target_bytes=1 << 20)
+    assert _ids(spark, table) == before
+    # the compacted files carry MATERIALIZED lineage
+    m = V.read_manifest(table, v)
+    assert all(e.get("lineage") for e in m["files"])
+    V.delete_where(spark, table, F.col("k") < 10)
+    got = _ids(spark, table)
+    assert got == {k: rid for k, rid in before.items() if k >= 10}
+    V.delete_where_mor(spark, table, F.col("k") == 20)
+    V.compact_dv(spark, table)
+    got2 = _ids(spark, table)
+    assert got2 == {k: r for k, r in got.items() if k != 20}
+    V.cluster_snapshot(spark, table, zorder=[("k", 0, 64)],
+                       target_bytes=1 << 20)
+    assert _ids(spark, table) == got2
+
+
+def test_merge_keeps_survivors_and_mints_for_source(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 30).repartitionByRange(4, "k"),
+                      table, mode="overwrite")
+    before = _ids(spark, table)
+    src = spark.createDataFrame([(5, 999), (100, 1)], "k LONG, v LONG")
+    V.merge_upsert(spark, table, src, key="k")
+    after = _ids(spark, table)
+    # survivors (everything but the matched key) keep their ids
+    assert all(after[k] == before[k] for k in after if k not in (5, 100))
+    # the updated row and the insert get FRESH ids past the old range
+    assert after[5] >= 30 and after[100] >= 30 and after[5] != after[100]
+    assert len(set(after.values())) == len(after), "ids stay unique"
+    # and the old id of k=5 is never reused
+    V.commit_snapshot(_kv(spark, 200, 205), table, mode="append")
+    final = _ids(spark, table)
+    assert before[5] not in set(final.values())
+
+
+def test_stream_upserts_mint_fresh_ids(spark, table):
+    V.stream_upsert_batch(_kv(spark, 0, 10), 0, table, key="k")
+    a = _ids(spark, table)
+    V.stream_upsert_batch(_kv(spark, 5, 12).withColumn(
+        "v", F.col("v") + 100), 1, table, key="k")
+    b = _ids(spark, table)
+    # unchanged keys keep ids; re-upserted keys get fresh ones
+    assert all(b[k] == a[k] for k in range(5))
+    assert all(b[k] != a.get(k) for k in range(5, 12) if k in a)
+    assert len(set(b.values())) == len(b)
+    # eq compaction materializes without moving a single id
+    V.compact_eq_deletes(spark, table)
+    assert _ids(spark, table) == b
+
+
+def test_lineage_time_travel_and_guards(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 10), table, mode="overwrite")
+    V.commit_snapshot(_kv(spark, 10, 15), table, mode="append")
+    # time travel reads lineage at the OLD version
+    assert sorted(_ids(spark, table, version=0).values()) == list(range(10))
+    # a legacy table (no counter) refuses loudly
+    import json as _json
+    import os as _os
+
+    for v in (0, 1):
+        p = V._manifest_path(table, v)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("next_row_id", None)
+        for e in m.get("files", []) + m.get("add", []):
+            e.pop("first_row_id", None)
+        _os.remove(p)
+        assert V._atomic_create(p, m)
+    with pytest.raises(ValueError, match="lineage"):
+        V.read_snapshot(spark, table, with_lineage=True)
+    # ...until an overwrite establishes the counter
+    V.commit_snapshot(_kv(spark, 0, 5), table, mode="overwrite")
+    assert sorted(_ids(spark, table).values()) == list(range(5))
+
+
+def test_lineage_composes_with_schema_evolution(spark, table):
+    """Rename + widen between commits: lineage reads resolve through
+    the id-aware projection like any other read."""
+    V.commit_snapshot(
+        spark.range(0, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 2).cast("int").alias("x")
+        ),
+        table, mode="overwrite",
+    )
+    before = _ids(spark, table)
+    V.rename_column(table, "x", "score")
+    V.widen_type(table, "score", "long")
+    got = V.read_snapshot(spark, table, with_lineage=True)
+    assert set(got.columns) == {"k", "score", "_row_id"}
+    assert {r.k: r._row_id for r in got.collect()} == before
+    V.optimize_snapshot(spark, table, target_bytes=1 << 20)
+    assert _ids(spark, table) == before
+
+
+def test_lineage_on_partitioned_table(spark, table):
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["p"])
+    before = _ids(spark, table)
+    assert sorted(before.values()) == list(range(40))
+    V.optimize_snapshot(spark, table, target_bytes=1 << 20)
+    assert _ids(spark, table) == before
+
+
+# lineage walk: random sequences of data ops + maintenance; after
+# EVERY op: ids unique, survivors stable, new rows' ids strictly
+# above every id ever seen (no reuse, ever).
+_lin_op = st.one_of(
+    st.tuples(
+        st.just("append"), st.lists(st.integers(0, 19), min_size=1,
+                                    max_size=3),
+    ),
+    st.tuples(
+        st.just("merge"), st.lists(st.integers(0, 19), min_size=1,
+                                   max_size=2),
+    ),
+    st.tuples(st.just("delete_mor"), st.integers(0, 19)),
+    st.tuples(st.just("compact_dv"), st.none()),
+    st.tuples(st.just("optimize"), st.none()),
+    st.tuples(st.just("cluster"), st.none()),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_lin_op, min_size=2, max_size=5))
+def test_lineage_walk(spark, tmp_path_factory, ops):
+    table = str(tmp_path_factory.mktemp("lin") / "tbl")
+    tag = {"n": 0}
+
+    def mk(keys):
+        tag["n"] += 1
+        rows = [(k, tag["n"]) for k in sorted(set(keys))]
+        return spark.createDataFrame(rows, "k LONG, ver LONG"), rows
+
+    df, _ = mk([0, 1, 2])
+    V.commit_snapshot(df, table, mode="overwrite")
+
+    def snap():
+        return {
+            (r.k, r.ver): r._row_id
+            for r in V.read_snapshot(
+                spark, table, with_lineage=True
+            ).collect()
+        }
+
+    prev = snap()
+    high = max(prev.values())
+    for kind, payload in ops:
+        if kind == "append":
+            df, _ = mk(payload)
+            V.commit_snapshot(df, table, mode="append")
+        elif kind == "merge":
+            df, _ = mk(payload)
+            V.merge_upsert(spark, table, df, key="k")
+        elif kind == "delete_mor":
+            V.delete_where_mor(spark, table, F.col("k") >= payload)
+        elif kind == "compact_dv":
+            if V.compact_dv(spark, table) is None:
+                continue
+        elif kind == "optimize":
+            if V.optimize_snapshot(spark, table) is None:
+                continue
+        elif kind == "cluster":
+            V.cluster_snapshot(
+                spark, table, zorder=[("k", 0, 20)], target_bytes=1 << 20
+            )
+        cur = snap()
+        ids = list(cur.values())
+        assert len(ids) == len(set(ids)), f"duplicate ids after {kind}"
+        for row, rid in cur.items():
+            if row in prev:
+                assert rid == prev[row], f"{row} moved after {kind}"
+            else:
+                assert rid > high, f"reused id for {row} after {kind}"
+        high = max([high] + ids)
+        prev = cur
