@@ -210,6 +210,12 @@ def test_lineage_walk(spark, tmp_path_factory, ops):
             ).collect()
         }
 
+    def _clear_dv():
+        # rewrite ops refuse on a live DV by contract; materialize
+        # first (ids survive compact_dv — the invariants below check)
+        if V.read_manifest(table, V.latest_version(table)).get("dv"):
+            V.compact_dv(spark, table)
+
     prev = snap()
     high = max(prev.values())
     for kind, payload in ops:
@@ -217,6 +223,7 @@ def test_lineage_walk(spark, tmp_path_factory, ops):
             df, _ = mk(payload)
             V.commit_snapshot(df, table, mode="append")
         elif kind == "merge":
+            _clear_dv()
             df, _ = mk(payload)
             V.merge_upsert(spark, table, df, key="k")
         elif kind == "delete_mor":
@@ -225,9 +232,11 @@ def test_lineage_walk(spark, tmp_path_factory, ops):
             if V.compact_dv(spark, table) is None:
                 continue
         elif kind == "optimize":
+            _clear_dv()
             if V.optimize_snapshot(spark, table) is None:
                 continue
         elif kind == "cluster":
+            _clear_dv()
             V.cluster_snapshot(
                 spark, table, zorder=[("k", 0, 20)], target_bytes=1 << 20
             )

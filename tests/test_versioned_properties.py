@@ -813,6 +813,10 @@ def test_evolving_schema_matches_model(spark, tmp_path_factory, ops):
         )
         return df, rows
 
+    def _key(t):
+        # post-drop rows carry None values; sort them below any int
+        return (t[0], -1 if len(t) < 2 or t[1] is None else t[1])
+
     def collect(version=None):
         df = V.read_snapshot(spark, table, version=version)
         name = None
@@ -820,45 +824,45 @@ def test_evolving_schema_matches_model(spark, tmp_path_factory, ops):
             if c != "k":
                 name = c
         if name is None:
-            return sorted((r.k,) for r in df.collect())
-        return sorted((r.k, r[name]) for r in df.collect())
+            return sorted(((r.k,) for r in df.collect()), key=_key)
+        return sorted(((r.k, r[name]) for r in df.collect()), key=_key)
 
     df, rows = mk([0, 1, 2])
     V.commit_snapshot(df, table, mode="overwrite")
     model: list[tuple] = list(rows)  # logical (k, val); val None after drop
     # per version: (expected projected rows, was this commit evolution?)
-    history: list[tuple[list, bool]] = [(sorted(model), False)]
+    history: list[tuple[list, bool]] = [(sorted(model, key=_key), False)]
 
     for kind, payload in ops:
         if kind == "append":
             df, rows = mk(payload)
             V.commit_snapshot(df, table, mode="append")
             model = model + rows
-            history.append((sorted(model), False))
+            history.append((sorted(model, key=_key), False))
         elif kind == "merge":
             if _dv_live(table):
                 V.compact_dv(spark, table)
-                history.append((sorted(model), False))
+                history.append((sorted(model, key=_key), False))
             df, rows = mk(payload)
             V.merge_upsert(spark, table, df, key="k")
             keys = {r[0] for r in rows}
             model = [r for r in model if r[0] not in keys] + rows
-            history.append((sorted(model), False))
+            history.append((sorted(model, key=_key), False))
         elif kind == "delete_mor":
             V.delete_where_mor(spark, table, F.col("k") >= payload)
             model = [r for r in model if r[0] < payload]
-            history.append((sorted(model), False))
+            history.append((sorted(model, key=_key), False))
         elif kind == "compact_dv":
             if V.compact_dv(spark, table) is None:
                 continue
-            history.append((sorted(model), False))
+            history.append((sorted(model, key=_key), False))
         elif kind == "optimize":
             if _dv_live(table):
                 V.compact_dv(spark, table)
-                history.append((sorted(model), False))
+                history.append((sorted(model, key=_key), False))
             if V.optimize_snapshot(spark, table) is None:
                 continue
-            history.append((sorted(model), False))
+            history.append((sorted(model, key=_key), False))
         elif kind == "rename":
             tag["n"] += 1
             new = f"v{tag['n']}"
@@ -874,23 +878,25 @@ def test_evolving_schema_matches_model(spark, tmp_path_factory, ops):
             assert {e["path"] for e in m["files"]} == files_before, (
                 "rename touched data files"
             )
-            history.append((sorted(model), True))
+            history.append((sorted(model, key=_key), True))
         elif kind == "widen":
             if cur["type"] != "int":
                 continue
             V.widen_type(table, cur["val"], "long")
             cur["type"] = "long"
-            history.append((sorted(model), True))
+            history.append((sorted(model, key=_key), True))
         elif kind == "drop_readd":
             V.drop_column(table, cur["val"])
-            history.append((sorted((r[0],) for r in model), True))
+            history.append(
+                (sorted(((r[0],) for r in model), key=_key), True)
+            )
             tag["n"] += 1
             cur["val"], cur["type"] = f"v{tag['n']}", "int"
             V.add_column(table, cur["val"], "integer")
             model = [(r[0], None) for r in model]
-            history.append((sorted(model), True))
+            history.append((sorted(model, key=_key), True))
 
-        assert collect() == sorted(model), f"head diverged after {kind}"
+        assert collect() == sorted(model, key=_key), f"head diverged after {kind}"
 
     # time travel: every version reads its own schema's projection
     for v, (expected, _evolve) in enumerate(history):
@@ -914,7 +920,7 @@ def test_evolving_schema_matches_model(spark, tmp_path_factory, ops):
                 state.append(t)
             else:
                 state.remove(t)
-        assert sorted(state) == history[v][0], f"CDC v{v-1}->{v} diverged"
+        assert sorted(state, key=_key) == history[v][0], f"CDC v{v-1}->{v} diverged"
 
 
 # interleaved-writers walk: each op may LOSE its first commit race to
