@@ -1,0 +1,461 @@
+"""Incrementally maintained materialized views over versioned tables.
+
+A materialized view is ``SELECT group_by..., agg(...) FROM base WHERE
+filter GROUP BY group_by`` kept PHYSICALLY as its own versioned table
+and maintained from the base table's row-level change feed
+(versioned.py::table_changes) instead of recomputation — the classic
+*counting algorithm* for self-maintainable aggregate views (Gupta &
+Mumick, "Maintenance of Materialized Views: Problems, Techniques, and
+Applications", IEEE Data Eng. Bulletin 1995; the same contract Delta
+Live Tables / Materialize ship today), specialized to a single base
+table and distributive/algebraic aggregates.
+
+Cost model at 100 TB — the whole point:
+
+- a refresh reads the CDC DELTA (O(changed files), never a table
+  scan: appends read only added files, merges read only rewritten
+  files, and logically-identical rewrite rows cancel in the diff),
+- aggregates the signed delta per group (one shuffle the size of the
+  delta),
+- joins it against the CURRENT view state (MV-sized, i.e. aggregated
+  — orders of magnitude below the base; AQE broadcasts the delta
+  side when small),
+- and rewrites only the STATE FILES whose group-key range overlaps
+  the touched groups (the state update is a ``merge_upsert`` keyed
+  on a group hash, so untouched state files carry by reference).
+
+``count``/``sum``/``avg`` never touch the base at all. ``min``/``max``
+are not self-maintainable under deletes (removing the current minimum
+needs the runner-up), so groups that saw a delete are recomputed from
+the base — filtered to EXACTLY those groups, a pushed-down semi-join
+that manifest stats/partition/bloom pruning bound to the files that
+can hold them. Insert-only deltas update min/max algebraically.
+
+Atomicity: the refresh WATERMARK (base version the state reflects)
+rides in the state commit's ``extra`` header — the state commit IS
+the refresh record, so there is no second file to desynchronize.
+Concurrent refreshers race on the state table's O_EXCL commit and the
+loser raises ``CommitConflict``: re-run, it re-reads head + watermark
+and recomputes the (now different) delta. A group whose support count
+reaches zero stays as an ``n=0`` tombstone row (filtered on read,
+swept whenever maintenance rewrites that state file); without it a
+later re-insert of the group could not be distinguished from a group
+never seen.
+
+The reference engine (src/core/contextual_pipeline.rs) recomputes
+every derived output from scratch each run; this module is the
+versioned-layer extension that makes derived tables affordable when
+the base is 100 TB and the day's change is 0.01% of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from . import versioned as V
+
+_GK = "__gk__"
+_N = "__n__"
+
+_FUNCS = ("count", "sum", "avg", "min", "max")
+
+
+class MatviewError(ValueError):
+    pass
+
+
+def _state_root(view_root: str) -> str:
+    return os.path.join(view_root, "state")
+
+
+def _scol(name: str) -> str:  # running sum for sum/avg
+    return f"__s_{name}__"
+
+
+def _ccol(name: str) -> str:  # running non-null count for sum/avg/count(col)
+    return f"__c_{name}__"
+
+
+def _mcol(name: str) -> str:  # current value for min/max
+    return f"__m_{name}__"
+
+
+def _check_defn(group_by: list[str], aggs: dict[str, Any]) -> None:
+    if not group_by:
+        raise MatviewError("group_by must name at least one column")
+    if not aggs:
+        raise MatviewError("aggs must define at least one aggregate")
+    for name, (func, expr) in aggs.items():
+        if func not in _FUNCS:
+            raise MatviewError(
+                f"agg {name!r}: unsupported function {func!r} "
+                f"(supported: {', '.join(_FUNCS)})"
+            )
+        if func == "count" and expr != "*":
+            # count(col) is sum/avg's non-null counter with no sum —
+            # supported through the same state column
+            pass
+        if name in group_by:
+            raise MatviewError(f"agg name {name!r} collides with group_by")
+
+
+def _gk_expr(group_by: list[str]) -> F.Column:
+    # group identity as a single sortable merge key; ignoreNullFields
+    # off so (NULL, 1) and (1, NULL) stay distinct
+    return F.to_json(
+        F.struct(*[F.col(c) for c in group_by]),
+        {"ignoreNullFields": "false"},
+    ).alias(_GK)
+
+
+def _state_aggs(aggs: dict[str, Any]) -> list[F.Column]:
+    """Full-recompute aggregate list producing the state columns
+    (used at create time and for delete-touched min/max groups)."""
+    out = [F.count(F.lit(1)).alias(_N)]
+    for name, (func, expr) in aggs.items():
+        if func == "count" and expr == "*":
+            continue  # rides __n__
+        col = F.expr(expr)
+        if func in ("sum", "avg"):
+            out.append(F.sum(col).alias(_scol(name)))
+            out.append(
+                F.count(col).alias(_ccol(name))
+            )  # count() skips nulls
+        elif func == "count":
+            out.append(F.count(col).alias(_ccol(name)))
+        else:  # min / max
+            out.append(getattr(F, func)(col).alias(_mcol(name)))
+    return out
+
+
+def _has_minmax(aggs: dict[str, Any]) -> bool:
+    return any(f in ("min", "max") for f, _ in aggs.values())
+
+
+def _state_df(
+    base_df: DataFrame, group_by: list[str], aggs: dict[str, Any],
+    where: str | None,
+) -> DataFrame:
+    if where:
+        base_df = base_df.filter(F.expr(where))
+    return (
+        base_df.groupBy(*group_by)
+        .agg(*_state_aggs(aggs))
+        .select(_gk_expr(group_by), "*")
+    )
+
+
+def create_matview(
+    spark: SparkSession,
+    view_root: str,
+    base_table: str,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str]],
+    where: str | None = None,
+) -> int:
+    """Define + initially populate a materialized view.
+
+    ``aggs`` maps output column name -> ``(func, sql_expr)`` with func
+    in count/sum/avg/min/max (``("count", "*")`` for row counts).
+    ``where`` is an optional SQL predicate on the base. Returns the
+    base version the view reflects.
+    """
+    _check_defn(group_by, aggs)
+    base_v = V.latest_version(base_table)
+    if base_v is None:
+        raise FileNotFoundError(f"no snapshots committed at {base_table!r}")
+    if V.latest_version(_state_root(view_root)) is not None:
+        raise MatviewError(f"matview already exists at {view_root!r}")
+    defn = {
+        "base_table": os.path.abspath(base_table),
+        "group_by": list(group_by),
+        "aggs": {k: list(v) for k, v in aggs.items()},
+        "where": where,
+    }
+    state = _state_df(
+        V.read_snapshot(spark, base_table, version=base_v),
+        group_by, aggs, where,
+    )
+    V.commit_snapshot(
+        state.repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism // 8), _GK
+        ),
+        _state_root(view_root),
+        mode="overwrite",
+        extra={"matview": defn, "refreshed_to": base_v},
+    )
+    return base_v
+
+
+def _head_extra(view_root: str) -> tuple[int, dict[str, Any]]:
+    sroot = _state_root(view_root)
+    head = V.latest_version(sroot)
+    if head is None:
+        raise FileNotFoundError(f"no matview at {view_root!r}")
+    rec = V._read_record(sroot, head)  # header-only: O(1) in state size
+    extra = rec.get("extra") or {}
+    if "matview" not in extra or "refreshed_to" not in extra:
+        raise MatviewError(
+            f"{view_root!r}: state head v{head} carries no matview "
+            "header (not a matview state table, or foreign commit)"
+        )
+    return head, extra
+
+
+def matview_info(view_root: str) -> dict[str, Any]:
+    """The view definition + the base version the state reflects."""
+    head, extra = _head_extra(view_root)
+    return {
+        "state_version": head,
+        "refreshed_to": extra["refreshed_to"],
+        **extra["matview"],
+    }
+
+
+def read_matview(spark: SparkSession, view_root: str) -> DataFrame:
+    """The view contents under the user-facing aggregate names."""
+    _, extra = _head_extra(view_root)
+    defn = extra["matview"]
+    st = V.read_snapshot(spark, _state_root(view_root)).filter(
+        F.col(_N) > 0
+    )
+    sel: list[F.Column] = [F.col(c) for c in defn["group_by"]]
+    for name, (func, expr) in defn["aggs"].items():
+        if func == "count" and expr == "*":
+            sel.append(F.col(_N).alias(name))
+        elif func == "count":
+            sel.append(F.col(_ccol(name)).alias(name))
+        elif func == "sum":
+            sel.append(
+                F.when(F.col(_ccol(name)) > 0, F.col(_scol(name)))
+                .alias(name)
+            )
+        elif func == "avg":
+            sel.append(
+                F.when(
+                    F.col(_ccol(name)) > 0,
+                    F.col(_scol(name)).cast("double")
+                    / F.col(_ccol(name)),
+                ).alias(name)
+            )
+        else:
+            sel.append(F.col(_mcol(name)).alias(name))
+    return st.select(*sel)
+
+
+def refresh_matview(
+    spark: SparkSession, view_root: str
+) -> dict[str, Any]:
+    """Advance the view to the base table's head.
+
+    Returns ``{"from", "to", "mode", "groups_changed",
+    "groups_rescanned"}``; mode is ``"noop"`` (already at head),
+    ``"watermark"`` (delta empty — e.g. the range was pure
+    maintenance — metadata-only commit), or ``"incremental"``.
+    Raises CommitConflict if another refresher wins the state commit;
+    re-running re-plans from the new watermark.
+    """
+    sroot = _state_root(view_root)
+    head, extra = _head_extra(view_root)
+    defn = extra["matview"]
+    base = defn["base_table"]
+    group_by = list(defn["group_by"])
+    aggs = {k: tuple(v) for k, v in defn["aggs"].items()}
+    where = defn.get("where")
+    from_v = int(extra["refreshed_to"])
+    to_v = V.latest_version(base)
+    if to_v is None:
+        raise FileNotFoundError(f"base table vanished: {base!r}")
+    if to_v == from_v:
+        return {
+            "from": from_v, "to": to_v, "mode": "noop",
+            "groups_changed": 0, "groups_rescanned": 0,
+        }
+    if to_v < from_v:
+        raise MatviewError(
+            f"base head v{to_v} is behind the view watermark v{from_v} "
+            f"(base table replaced?); drop + recreate the view"
+        )
+
+    changes = V.table_changes(spark, base, from_v, to_v)
+    if where:
+        changes = changes.filter(F.expr(where))
+    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    dagg = [F.sum(w).alias("__dn__")]
+    minmax = _has_minmax(aggs)
+    for name, (func, expr) in aggs.items():
+        if func == "count" and expr == "*":
+            continue
+        col = F.expr(expr)
+        nn = F.when(col.isNotNull(), w).otherwise(F.lit(0))
+        if func in ("sum", "avg", "count"):
+            dagg.append(F.sum(nn).alias(f"__dc_{name}__"))
+        if func in ("sum", "avg"):
+            dagg.append(
+                F.sum(
+                    F.when(col.isNotNull(), w * col).otherwise(F.lit(None))
+                ).alias(f"__ds_{name}__")
+            )
+        if func in ("min", "max"):
+            dagg.append(
+                getattr(F, func)(
+                    F.when(F.col("_change_type") == "insert", col)
+                ).alias(f"__i_{name}__")
+            )
+    if minmax:
+        dagg.append(
+            F.max(
+                (F.col("_change_type") == "delete").cast("int")
+            ).alias("__hasdel__")
+        )
+    # one shuffle, sized by the delta — cancelled rewrite rows
+    # (optimize/cluster/compaction) net to dn=0 groups, dropped below
+    delta = (
+        changes.groupBy(*group_by)
+        .agg(*dagg)
+        .select(_gk_expr(group_by), "*")
+    )
+    delta = delta.localCheckpoint(eager=True)
+    n_groups = delta.count()
+    if n_groups == 0:
+        return _watermark_only(sroot, defn, from_v, to_v)
+
+    state = V.read_snapshot(spark, sroot)
+    stypes = {f.name: f.dataType for f in state.schema.fields}
+    # join on the group-identity hash ONLY: it encodes NULL group
+    # values null-safely, where a raw-column join key would never
+    # match NULL = NULL and silently fork null-keyed groups
+    joined = delta.join(state.drop(*group_by), on=_GK, how="left")
+
+    upd: list[F.Column] = [F.col(_GK)] + [F.col(c) for c in group_by]
+    new_n = (F.coalesce(F.col(_N), F.lit(0)) + F.col("__dn__")).cast(
+        stypes[_N].simpleString()
+    )
+    upd.append(new_n.alias(_N))
+    for name, (func, expr) in aggs.items():
+        if func == "count" and expr == "*":
+            continue
+        if func in ("sum", "avg", "count"):
+            c = _ccol(name)
+            upd.append(
+                (F.coalesce(F.col(c), F.lit(0)) + F.col(f"__dc_{name}__"))
+                .cast(stypes[c].simpleString()).alias(c)
+            )
+        if func in ("sum", "avg"):
+            s = _scol(name)
+            upd.append(
+                F.when(
+                    F.coalesce(F.col(c), F.lit(0))
+                    + F.col(f"__dc_{name}__") > 0,
+                    F.coalesce(F.col(s), F.lit(0))
+                    + F.coalesce(F.col(f"__ds_{name}__"), F.lit(0)),
+                ).cast(stypes[s].simpleString()).alias(s)
+            )
+        if func in ("min", "max"):
+            m = _mcol(name)
+            comb = F.least if func == "min" else F.greatest
+            # insert-only algebraic combine; delete-touched groups are
+            # replaced by the rescan below, so this value is discarded
+            upd.append(
+                comb(F.col(m), F.col(f"__i_{name}__"))
+                .cast(stypes[m].simpleString()).alias(m)
+            )
+    algebraic = joined.select(*upd)
+    src = algebraic
+    rescanned = 0
+
+    if minmax:
+        del_groups = joined.filter(F.col("__hasdel__") == 1).select(
+            _GK, *group_by
+        )
+        del_groups = del_groups.localCheckpoint(eager=True)
+        rescanned = del_groups.count()
+        if rescanned:
+            # min/max under deletes: rescan exactly the touched groups
+            # from the base at to_v — a pushed semi-join, bounded by
+            # manifest pruning to files that can hold those groups
+            base_df = V.read_snapshot(spark, base, version=to_v)
+            if where:
+                base_df = base_df.filter(F.expr(where))
+            # null-safe semi-join: a NULL group key must still select
+            # its base rows for the rescan
+            dg = F.broadcast(
+                del_groups.select(
+                    *[
+                        F.col(c).alias(f"__dg{i}__")
+                        for i, c in enumerate(group_by)
+                    ]
+                )
+            )
+            cond = None
+            for i, c in enumerate(group_by):
+                e = F.col(c).eqNullSafe(F.col(f"__dg{i}__"))
+                cond = e if cond is None else (cond & e)
+            live = (
+                base_df.join(dg, on=cond, how="left_semi")
+                .groupBy(*group_by)
+                .agg(*_state_aggs(aggs))
+                .select(_gk_expr(group_by), "*")
+            )
+            # groups deleted to extinction: tombstone with n=0
+            gone = del_groups.join(live, on=_GK, how="left_anti")
+            tomb: list[F.Column] = [F.col(_GK)] + [
+                F.col(c) for c in group_by
+            ]
+            for f in state.schema.fields:
+                if f.name in [_GK] + group_by:
+                    continue
+                v = F.lit(0) if f.name == _N or f.name.startswith(
+                    "__c_"
+                ) else F.lit(None)
+                tomb.append(v.cast(f.dataType.simpleString()).alias(f.name))
+            src = (
+                algebraic.join(del_groups, on=_GK, how="left_anti")
+                .unionByName(
+                    live.select(*[f.name for f in state.schema.fields])
+                )
+                .unionByName(gone.select(*tomb))
+            )
+
+    src = src.select(*[f.name for f in state.schema.fields])
+    V.merge_upsert(
+        spark, sroot, src, key=_GK,
+        extra={"matview": defn, "refreshed_to": to_v},
+    )
+    return {
+        "from": from_v, "to": to_v, "mode": "incremental",
+        "groups_changed": n_groups, "groups_rescanned": rescanned,
+    }
+
+
+def _watermark_only(
+    sroot: str, defn: dict[str, Any], from_v: int, to_v: int
+) -> dict[str, Any]:
+    parent = V.latest_version(sroot)
+    pm = V.read_manifest(sroot, parent)
+    V._commit_rewrite(
+        sroot, parent, pm, "matview_watermark", pm["files"],
+        uuid.uuid4().hex[:16],
+        partition_by=pm.get("partition_by"),
+        extra_header={
+            "extra": {"matview": defn, "refreshed_to": to_v}
+        },
+    )
+    return {
+        "from": from_v, "to": to_v, "mode": "watermark",
+        "groups_changed": 0, "groups_rescanned": 0,
+    }
+
+
+def drop_matview(view_root: str) -> None:
+    V.drop_table(_state_root(view_root))
+    if os.path.isdir(view_root) and not os.listdir(view_root):
+        os.rmdir(view_root)

@@ -2876,6 +2876,7 @@ def merge_upsert(
     source: DataFrame,
     key: str,
     stats_columns: list[str] | None = None,
+    extra: dict[str, Any] | None = None,
 ) -> int:
     """Copy-on-write MERGE: upsert ``source`` rows into the latest
     snapshot by ``key`` (matched target rows are replaced, unmatched
@@ -2883,13 +2884,19 @@ def merge_upsert(
     overlaps the source are rewritten; untouched files carry over into
     the new manifest by reference. Returns the new version.
 
+    ``extra`` rides in the commit record's ``extra`` header (same
+    contract as commit_snapshot) — the matview layer stores its
+    refresh watermark there so state update + watermark are one
+    atomic commit.
+
     Equivalent SQL: ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED
     THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
     """
+    eh = {"extra": extra} if extra else None
     parent = latest_version(table)
     if parent is None:
         return commit_snapshot(source, table, mode="overwrite",
-                               stats_columns=stats_columns)
+                               stats_columns=stats_columns, extra=extra)
     manifest = read_manifest(table, parent)
     _require_no_dv(manifest, "merge_upsert")
     _require_no_eq_deletes(manifest, "merge_upsert")
@@ -2930,7 +2937,7 @@ def merge_upsert(
         new_files += src_files
         return _commit_rewrite(
             table, parent, manifest, "merge", untouched + new_files,
-            commit_id, partition_by=pb,
+            commit_id, partition_by=pb, extra_header=eh,
         )
     if touched:
         tdf = _read_entries(
@@ -2951,7 +2958,7 @@ def merge_upsert(
     )
     return _commit_rewrite(
         table, parent, manifest, "merge", untouched + new_files, commit_id,
-        partition_by=pb,
+        partition_by=pb, extra_header=eh,
     )
 
 
@@ -3410,12 +3417,31 @@ def table_changes(
                 F.lit(_initial_default(f)).cast(f.dataType).alias(f.name)
             )
     old_rows = old_rows.select(*sel)
-    # multiset diff via per-row counts (exceptAll without dedup loss)
+    # multiset diff via per-row counts (exceptAll without dedup loss).
+    # The join must be NULL-SAFE: name-list joins use plain equality,
+    # under which NULL keys never match — identical null-carrying rows
+    # would fail to cancel and a logically-empty rewrite (compact_dv,
+    # optimize) would emit a spurious delete+insert pair per null row.
     cols = [f.name for f in schema.fields]
     oc = old_rows.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_old__"))
     nc = new_rows.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_new__"))
-    j = oc.join(nc, on=cols, how="full_outer").select(
-        *cols,
+    oc = oc.select(
+        *[F.col(c).alias(f"__l{i}__") for i, c in enumerate(cols)],
+        "__n_old__",
+    )
+    nc = nc.select(
+        *[F.col(c).alias(f"__r{i}__") for i, c in enumerate(cols)],
+        "__n_new__",
+    )
+    cond = None
+    for i in range(len(cols)):
+        e = F.col(f"__l{i}__").eqNullSafe(F.col(f"__r{i}__"))
+        cond = e if cond is None else (cond & e)
+    j = oc.join(nc, on=cond, how="full_outer").select(
+        *[
+            F.coalesce(F.col(f"__l{i}__"), F.col(f"__r{i}__")).alias(c)
+            for i, c in enumerate(cols)
+        ],
         F.coalesce("__n_old__", F.lit(0)).alias("o"),
         F.coalesce("__n_new__", F.lit(0)).alias("n"),
     )
