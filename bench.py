@@ -699,6 +699,89 @@ def run_stream_upsert_latency(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_matview_bench(spark, sf_dir: str) -> dict:
+    """Materialized-view refresh cost (round 9): the incremental-
+    maintenance claim is that a refresh costs O(delta + touched state
+    files), independent of the BASE size. Measured: two bases ~8×
+    apart, the SAME fixed-size append applied to each, refresh timed
+    (best of 3 cycles) — `refresh_ratio` should sit near 1.0 while
+    the bases differ 8×; `recompute_ratio_big` is refresh vs a full
+    from-scratch rebuild at the big tier (the factor a 100 TB user
+    banks every refresh)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.sinks import matview as M
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    n_docs = docs.count()
+    root = tempfile.mkdtemp(prefix="spark_graft_mv_")
+    out: dict[str, object] = {}
+    aggs = {"n_docs": ("count", "*"), "sum_chars": ("sum", "n_chars")}
+    try:
+        for label, copies in (("small", 1), ("big", 8)):
+            base = os.path.join(root, label, "base")
+            view = os.path.join(root, label, "view")
+            big = docs
+            for c in range(1, copies):
+                big = big.unionAll(
+                    docs.select(
+                        (F.col("doc_id") + c * n_docs).alias("doc_id"),
+                        "lang", "n_chars",
+                    )
+                )
+            t0 = time.perf_counter()
+            V.commit_snapshot(
+                big.repartitionByRange(4 * copies, "doc_id"),
+                base, mode="overwrite",
+            )
+            build_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            M.create_matview(
+                spark, view, base, group_by=["lang"], aggs=aggs
+            )
+            recompute_s = time.perf_counter() - t0
+            # same fixed delta per tier: 3 append+refresh cycles,
+            # min refresh wall-clock (each cycle appends ~2k rows)
+            best = None
+            for c in range(3):
+                V.commit_snapshot(
+                    docs.filter(F.col("doc_id") % 31 == c).select(
+                        (
+                            F.col("doc_id") + (copies + 1 + c) * n_docs
+                        ).alias("doc_id"),
+                        "lang", "n_chars",
+                    ),
+                    base, mode="append",
+                )
+                t0 = time.perf_counter()
+                r = M.refresh_matview(spark, view)
+                el = time.perf_counter() - t0
+                assert r["mode"] == "incremental"
+                best = el if best is None else min(best, el)
+            out[label] = {
+                "base_rows": n_docs * copies,
+                "build_s": round(build_s, 3),
+                "recompute_s": round(recompute_s, 3),
+                "refresh_s": round(best, 3),
+            }
+        out["refresh_ratio"] = round(
+            out["big"]["refresh_s"] / out["small"]["refresh_s"], 2
+        )
+        out["recompute_ratio_big"] = round(
+            out["big"]["recompute_s"] / out["big"]["refresh_s"], 2
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -857,6 +940,14 @@ def main() -> None:
             payload["schema_evolution_cost"] = {
                 "error": f"{type(exc).__name__}: {exc}"[:200]
             }
+        # r9 matview claim measured: refresh flat in base size, and
+        # the refresh-vs-recompute factor at the big tier.
+        try:
+            payload["matview_refresh"] = run_matview_bench(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            payload["matview_refresh"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
 
     # The driver's artifact capture keeps only the TAIL of stdout
     # (r5's headline total was lost to a 2,000-char truncation), so:
@@ -894,6 +985,12 @@ def main() -> None:
         compact["manifest_paging"] = payload["manifest_paging"]
     if "schema_evolution_cost" in payload:
         compact["schema_evolution_cost"] = payload["schema_evolution_cost"]
+    if isinstance(payload.get("matview_refresh"), dict):
+        compact["matview_refresh"] = {
+            k: payload["matview_refresh"][k]
+            for k in ("refresh_ratio", "recompute_ratio_big")
+            if k in payload["matview_refresh"]
+        } or payload["matview_refresh"]
     if isinstance(payload.get("stream_upsert_latency"), dict):
         # compact summary: commit-latency envelope + backlog read
         # amplification (full curves live in BENCH_SELF.json)

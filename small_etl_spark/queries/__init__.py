@@ -85,7 +85,12 @@ _GATED = [
     # versioned_row_lineage — the round's second headline (Iceberg v3
     # row ids: base range exact, survivors stable through maintenance)
     "versioned_row_lineage",
-    "percentiles",
+    # percentiles left the window round 9 (quantile family carried by
+    # quantile_sketch_contract in the sweep; stays registered) for
+    # matview_incremental_refresh — the round's third headline
+    # (CDC-maintained materialized views: counting algorithm + bounded
+    # min/max rescan, refresh cost tracks the delta, never the base)
+    "matview_incremental_refresh",
     # semi_anti_join left round 8 (the join family is carried by
     # lookup_enrich / merge_with_previous / asof / range) for
     # versioned_stream_upsert.

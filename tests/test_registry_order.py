@@ -65,6 +65,10 @@ MUST_BE_GATED = [
     # round-9 second headline: stable row ids (range_join_events
     # left; asof_join_events carries temporal joins)
     "versioned_row_lineage",
+    # round-9 third headline: CDC-maintained materialized views
+    # (percentiles left; quantile_sketch_contract carries quantiles
+    # in the sweep)
+    "matview_incremental_refresh",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics
