@@ -1170,6 +1170,243 @@ def q_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_metadata_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           MIN(lang) AS min_lang,
+           CAST(1 AS BOOLEAN) AS meta_served
+    FROM documents
+    """,
+)
+def q_versioned_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-less aggregate push-down
+    (sinks/versioned.py::manifest_agg): COUNT(*)/MIN/MAX over the
+    corpus answered ENTIRELY from manifest row counts and parquet
+    footer stats — zero data files opened (``meta_served`` asserts
+    the metadata path fired; a live DV/eq-delete or a stats-less file
+    would flip it to 'scan'). DuckDB recomputes the same figures from
+    the data. At 100 TB this turns the most common interactive
+    queries into a metadata read — the same push-down Iceberg and
+    Delta ship."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "magg")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    return V.manifest_agg(
+        spark, path,
+        {
+            "n_docs": ("count", "*"),
+            "min_id": ("min", "doc_id"),
+            "max_id": ("max", "doc_id"),
+            "min_chars": ("min", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+            "min_lang": ("min", "lang"),
+        },
+    ).select(
+        "n_docs", "min_id", "max_id", "min_chars", "max_chars",
+        "min_lang",
+        (F.col("_served_from") == "manifest").alias("meta_served"),
+    )
+
+
+@register(
+    "versioned_partitions_meta",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BOOLEAN) AS has_files
+    FROM documents GROUP BY lang
+    """,
+)
+def q_versioned_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``$partitions`` metadata table
+    (sinks/versioned.py::table_partitions): per-partition row counts
+    aggregated from manifest entries of a lang-partitioned commit —
+    no data read — must equal the GROUP BY DuckDB computes from the
+    data. This is the skew/compaction dashboard for a 100 TB table:
+    one manifest read answers which partitions are hot."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "pmeta")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    V.commit_snapshot(docs, path, mode="overwrite",
+                      partition_by=["lang"])
+    return V.table_partitions(spark, path).select(
+        F.element_at("partition", "lang").alias("lang"),
+        F.col("n_rows"),
+        (F.col("n_files") > 0).alias("has_files"),
+    )
+
+
+@register(
+    "versioned_restore",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS metadata_only,
+           CAST(0 AS BIGINT) AS net_cdc_rows
+    FROM documents
+    """,
+)
+def q_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (sinks/versioned.py::restore_snapshot): commit the
+    corpus (v0), COW-delete the short docs (v1), append a shifted
+    slice (v2), then RESTORE to v0 — one metadata-only commit that
+    re-references v0's files (``metadata_only`` asserts the restored
+    file set is exactly v0's, so a bad backfill at 100 TB is undone
+    for ~500 bytes). The restored read must equal the original corpus
+    bit-for-bit (the oracle recomputes it from the source table), and
+    CDC over the whole detour v0→v3 must net EMPTY
+    (``net_cdc_rows``) — the engine proves the round trip, DuckDB
+    proves the state."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "rst")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    V.delete_where(spark, path, F.col("n_chars") < 200)  # v1
+    V.commit_snapshot(  # v2
+        docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + max_id + 1).alias("doc_id"), "n_chars"
+        ),
+        path, mode="append",
+    )
+    v = V.restore_snapshot(path, 0)
+    f0 = {e["path"] for e in V.read_manifest(path, 0)["files"]}
+    fv = {e["path"] for e in V.read_manifest(path, v)["files"]}
+    net = V.table_changes(spark, path, 0, v).count()
+    return V.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(fv == f0).alias("metadata_only"),
+        F.lit(net).cast("long").alias("net_cdc_rows"),
+    )
+
+
+@register(
+    "versioned_merge_multi",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    src AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 14 = 0 THEN n_chars * 2 ELSE 0 END
+               AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + m + 1 AS doc_id, lang, n_chars
+      FROM documents, mx WHERE doc_id % 31 = 0
+    ),
+    merged AS (
+      -- WHEN MATCHED AND s.n_chars > t.n_chars THEN UPDATE (clause 1)
+      SELECT t.doc_id, t.lang, s.n_chars
+      FROM documents t JOIN src s USING (doc_id)
+      WHERE s.n_chars > t.n_chars
+      UNION ALL
+      -- WHEN MATCHED THEN DELETE (clause 2): matched rows failing
+      -- clause 1 vanish -> contribute nothing
+      -- WHEN NOT MATCHED BY SOURCE AND t.doc_id % 13 = 0
+      --   THEN UPDATE SET lang = 'xx' (else keep as-is)
+      SELECT t.doc_id,
+             CASE WHEN t.doc_id % 13 = 0 THEN 'xx' ELSE t.lang END,
+             t.n_chars
+      FROM documents t
+      WHERE t.doc_id NOT IN (SELECT doc_id FROM src)
+      UNION ALL
+      -- WHEN NOT MATCHED AND s.n_chars > 500 THEN INSERT
+      SELECT s.doc_id, s.lang, s.n_chars FROM src s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM documents)
+        AND s.n_chars > 500
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN lang = 'xx' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stale
+    FROM merged
+    """,
+)
+def q_versioned_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-clause MERGE (sinks/versioned.py::merge) — the
+    general SQL:2023 statement the single-shape merge_upsert cannot
+    express: WHEN MATCHED AND s.n_chars > t.n_chars THEN UPDATE,
+    WHEN MATCHED THEN DELETE (ordered fallthrough), WHEN NOT MATCHED
+    AND s.n_chars > 500 THEN INSERT, and WHEN NOT MATCHED BY SOURCE
+    AND t.doc_id % 13 = 0 THEN UPDATE SET lang='xx'. One shuffle join
+    computes every clause via a codegen'd CASE; the oracle replays the
+    clause algebra as set operations. The reference engine has no
+    MERGE of any kind (its closest shape is the read-only
+    merge-with-previous join, sequence_pipeline.rs)."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "mgm")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    src = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id", "lang",
+            F.when(F.col("doc_id") % 14 == 0, F.col("n_chars") * 2)
+            .otherwise(F.lit(0)).alias("n_chars"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 31 == 0).select(
+                (F.col("doc_id") + max_id + 1).alias("doc_id"),
+                "lang", "n_chars",
+            )
+        )
+    )
+    V.merge(
+        spark, path, src, on="doc_id",
+        matched=[
+            {"action": "update", "set": "all",
+             "condition": "s.n_chars > t.n_chars"},
+            {"action": "delete"},
+        ],
+        not_matched=[
+            {"action": "insert", "values": "all",
+             "condition": "s.n_chars > 500"},
+        ],
+        not_matched_by_source=[
+            {"action": "update", "set": {"lang": "'xx'"},
+             "condition": "t.doc_id % 13 = 0"},
+        ],
+    )
+    return V.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum((F.col("lang") == "xx").cast("long")).alias("n_stale"),
+    )
+
+
+@register(
     "versioned_cdc_merge",
     """
     WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),

@@ -1888,6 +1888,91 @@ def version_as_of(table: str, timestamp_ms: int) -> int:
     )
 
 
+def restore_snapshot(table: str, version: int) -> int:
+    """RESTORE the table to an earlier snapshot as ONE new metadata
+    commit (Delta's ``RESTORE TABLE t TO VERSION AS OF v``; Iceberg's
+    rollback) — no data is copied or rewritten, the new head simply
+    re-references version ``version``'s files. History is preserved
+    (the bad commits stay readable for forensics; this is a roll
+    *forward* to an old state, not a log truncation), CDC over the
+    restore emits exactly the rows that changed, and the restore
+    record carries the old schema/column-id/partition-spec/DV/
+    eq-delete headers so the restored state is bit-identical to the
+    original read, even across schema evolution. Counters
+    (``next_column_id``, ``next_row_id``, ``stream_batch_high``) keep
+    the HEAD's high-water marks — a restore never re-issues ids.
+
+    At 100 TB this is the disaster-recovery primitive: undoing a bad
+    backfill costs one ~500-byte commit record, not a table rewrite.
+    Raises FileNotFoundError when the target's data files were
+    vacuumed (list the missing files; pick a retained version)."""
+    head = latest_version(table)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    if not (0 <= version <= head):
+        raise ValueError(f"version {version} outside [0, {head}]")
+    if version == head:
+        return head  # already there; no commit needed
+    tm = read_manifest(table, version)
+    hm = read_manifest(table, head)
+    # every referenced byte must still exist — vacuum may have
+    # reclaimed versions outside retention
+    missing = [
+        e["path"]
+        for e in tm["files"]
+        if not os.path.exists(os.path.join(table, e["path"]))
+    ]
+    for extra_ref in ([tm.get("dv")] if tm.get("dv") else []) + list(
+        tm.get("eq_deletes") or []
+    ):
+        p = extra_ref["path"] if isinstance(extra_ref, dict) else extra_ref
+        if not os.path.exists(os.path.join(table, p)):
+            missing.append(p)
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table!r} to v{version}: "
+            f"{len(missing)} data file(s) were vacuumed "
+            f"(first: {missing[0]!r})"
+        )
+    head_entries = {e["path"]: e for e in hm["files"]}
+    final_entries = {e["path"]: e for e in tm["files"]}
+    # entries keep their ORIGINAL seq / first_row_id / cols verbatim —
+    # restored state must apply eq-deletes and lineage exactly as the
+    # target version did
+    add = [e for e in tm["files"] if head_entries.get(e["path"]) != e]
+    remove = sorted(
+        p for p, e in head_entries.items() if final_entries.get(p) != e
+    )
+    payload: dict[str, Any] = {
+        "snapshot": head + 1,
+        "parent": head,
+        "mode": "restore",
+        "restored_from": version,
+        "schema": tm["schema"],
+        "add": add,
+        "remove": remove,
+        "commit_id": uuid.uuid4().hex[:16],
+        "stream_batch_high": _stream_high(hm),
+        "committed_at_ms": _now_ms(),
+    }
+    for k in ("partition_by", "dv", "eq_deletes"):
+        if tm.get(k):
+            payload[k] = tm[k]
+    ids = tm.get("column_ids")
+    if ids is not None or hm.get("column_ids") is not None:
+        payload["column_ids"] = ids if ids is not None else {}
+        payload["next_column_id"] = max(
+            int(tm.get("next_column_id") or 0),
+            int(hm.get("next_column_id") or 0),
+        )
+    nxt = hm.get("next_row_id", tm.get("next_row_id"))
+    _header_row_ids(payload, nxt)
+    if not _atomic_create(_manifest_path(table, head + 1), payload):
+        raise CommitConflict(f"lost the commit race on {table!r}")
+    _maybe_checkpoint(table, head + 1)
+    return head + 1
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
@@ -2299,6 +2384,187 @@ def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
         "n_rows BIGINT, n_bytes BIGINT, dv_rows BIGINT, "
         "committed_at_ms BIGINT",
     )
+
+
+def table_files(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """The ``$files`` metadata table (Iceberg's files metadata table /
+    Delta's DESCRIBE DETAIL, per file): one row per live data file of
+    a snapshot, straight from the manifest — zero data files opened.
+    ``n_rows`` is PHYSICAL file rows (MoR deletes subtract at read
+    time; see snapshot_history's dv_rows for the live DV total).
+    O(manifest entries) driver work — metadata scale, not data scale;
+    this is how an operator answers "what does this table look like"
+    on a 100 TB table in milliseconds."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    m = read_manifest(table, v)
+    rows = [
+        (
+            e["path"],
+            int(e["rows"]),
+            int(e["bytes"]),
+            int(e.get("seq", 0)),
+            {k: str(pv) for k, pv in (e.get("partition") or {}).items()}
+            or None,
+            e.get("first_row_id"),
+            bool(e.get("lineage", False)),
+            sorted(e.get("stats", {}).keys()),
+        )
+        for e in m["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path STRING, n_rows BIGINT, n_bytes BIGINT, seq BIGINT, "
+        "partition MAP<STRING,STRING>, first_row_id BIGINT, "
+        "lineage_materialized BOOLEAN, stats_columns ARRAY<STRING>",
+    )
+
+
+def table_partitions(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """The ``$partitions`` metadata table: per-partition file count /
+    physical row count / bytes, aggregated from manifest entries
+    (files written before partitioning or compacted flat group under
+    the NULL partition). Answers "is this table skewed, which
+    partition needs compaction" from metadata alone."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    m = read_manifest(table, v)
+    agg: dict[tuple, list[int]] = {}
+    for e in m["files"]:
+        pv = e.get("partition") or {}
+        key = tuple(sorted((k, str(x)) for k, x in pv.items()))
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(e["rows"])
+        a[2] += int(e["bytes"])
+    rows = [
+        (dict(k) or None, a[0], a[1], a[2])
+        for k, a in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition MAP<STRING,STRING>, n_files BIGINT, n_rows BIGINT, "
+        "n_bytes BIGINT",
+    )
+
+
+def manifest_agg(
+    spark: SparkSession,
+    table: str,
+    aggs: dict[str, tuple[str, str]],
+    version: int | None = None,
+    fallback: bool = True,
+) -> DataFrame:
+    """Aggregates answered from the MANIFEST when provably exact —
+    ``COUNT(*)`` from per-entry row counts, ``MIN``/``MAX`` from
+    footer stats — falling back to a real scan otherwise. The result
+    carries a ``_served_from`` column ('manifest' | 'scan') so callers
+    (and the oracle gate) can assert the fast path actually fired.
+
+    ``aggs`` maps output name -> ("count", "*") | ("min"|"max", col).
+
+    Exactness rules (violations -> scan fallback, never a wrong
+    answer): no live deletion vector, no live equality deletes (both
+    hide logically-deleted rows inside physical counts); every live
+    file must carry footer stats for a min/max column (a stats-less
+    file could hide the true extremum) — files that PREDATE an added
+    column contribute its initial default instead. At 100 TB this is
+    the difference between a metadata read and a full-table scan for
+    the most common interactive queries (Iceberg and Delta both ship
+    exactly this push-down)."""
+    v = latest_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    m = read_manifest(table, v)
+    for name, (fn, col) in aggs.items():
+        if fn not in ("count", "min", "max"):
+            raise ValueError(f"manifest_agg supports count/min/max; "
+                             f"got {fn!r} for {name!r}")
+        if fn == "count" and col != "*":
+            raise ValueError("count supports only '*' (COUNT(*))")
+
+    def _scan() -> DataFrame:
+        if not fallback:
+            raise ValueError(
+                f"manifest_agg on {table!r} v{v} cannot be answered "
+                "from metadata exactly (live deletes or missing file "
+                "stats) and fallback=False"
+            )
+        df = read_snapshot(spark, table, version=v)
+        exprs = []
+        for name, (fn, col) in aggs.items():
+            e = (
+                F.count(F.lit(1))
+                if fn == "count"
+                else getattr(F, fn)(col)
+            )
+            exprs.append(e.alias(name))
+        return df.agg(*exprs).withColumn("_served_from", F.lit("scan"))
+
+    if _live_dv(m) or _live_eq_deletes(m):
+        return _scan()
+    schema = StructType.fromJson(m["schema"])
+    cids = m.get("column_ids")
+    defaults = _defaults_of(m)
+    out: dict[str, Any] = {}
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            out[name] = sum(int(e["rows"]) for e in m["files"])
+            continue
+        if col not in schema.fieldNames():
+            raise ValueError(f"unknown column {col!r} in {name!r}")
+        best = None
+        ok = True
+        for e in m["files"]:
+            if int(e["rows"]) == 0:
+                continue
+            phys = _phys_name(e, col, cids)
+            if phys is None:
+                # file predates the column: every row reads the
+                # initial default (nulls contribute nothing to min/max)
+                d = defaults.get(col)
+                if d is None:
+                    continue
+                cand_lo = cand_hi = d
+            else:
+                st = e.get("stats", {}).get(phys)
+                if st is None:
+                    ok = False  # stats-less file could hide the answer
+                    break
+                if int(st.get("nulls", 0)) == int(e["rows"]):
+                    continue  # all-null file: contributes nothing
+                cand_lo, cand_hi = st["min"], st["max"]
+            cand = cand_lo if fn == "min" else cand_hi
+            if best is None:
+                best = cand
+            else:
+                try:
+                    best = min(best, cand) if fn == "min" else max(
+                        best, cand
+                    )
+                except TypeError:
+                    ok = False
+                    break
+        if not ok:
+            return _scan()
+        out[name] = best
+    row = tuple(out[name] for name in aggs) + ("manifest",)
+    fields = []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            fields.append(f"{name} BIGINT")
+        else:
+            fields.append(
+                f"{name} {schema[col].dataType.simpleString()}"
+            )
+    fields.append("_served_from STRING")
+    return spark.createDataFrame([row], ", ".join(fields))
 
 
 _TAGS_DIR = "_tags"
@@ -2956,6 +3222,292 @@ def merge_upsert(
     commit_id, new_files = _write_data_files(
         rewritten, table, cols, _parent_bloom_columns(manifest), pb
     )
+    return _commit_rewrite(
+        table, parent, manifest, "merge", untouched + new_files, commit_id,
+        partition_by=pb, extra_header=eh,
+    )
+
+
+class MergeCardinalityError(ValueError):
+    """A target row matched more than one source row while an update/
+    delete clause was present — SQL MERGE's cardinality violation."""
+
+
+def _merge_clause_cond(clause: dict[str, Any]) -> "F.Column":
+    c = clause.get("condition")
+    if c is None:
+        return F.lit(True)
+    return F.expr(c) if isinstance(c, str) else c
+
+
+def _merge_set_expr(spec: Any, col: str, side: str) -> "F.Column":
+    """Resolve one assigned column for an update/insert clause.
+
+    ``spec`` is the clause's ``set``/``values``: ``"all"`` takes the
+    source's column verbatim; a dict maps column -> SQL expression
+    over the ``t``/``s`` aliases; a column absent from the dict keeps
+    the target value (update) or becomes NULL (insert) — ``side``
+    carries that default."""
+    if spec == "all":
+        return F.col(f"s.{col}")
+    v = spec.get(col)
+    if v is None:
+        return F.col(f"t.{col}") if side == "t" else F.lit(None)
+    return F.expr(v) if isinstance(v, str) else v
+
+
+def merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: "str | list[str]",
+    matched: list[dict[str, Any]] | None = None,
+    not_matched: list[dict[str, Any]] | None = None,
+    not_matched_by_source: list[dict[str, Any]] | None = None,
+    stats_columns: list[str] | None = None,
+    extra: dict[str, Any] | None = None,
+) -> int:
+    """Full multi-clause SQL MERGE over the latest snapshot —
+    copy-on-write, clause order honored, conditions allowed on every
+    clause. The reference engine has no MERGE at all; the single-shape
+    :func:`merge_upsert` covers the common upsert, this is the general
+    statement (the Delta/Iceberg ``MERGE INTO`` surface)::
+
+        MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE
+        WHEN NOT MATCHED [AND cond] THEN INSERT ...
+        WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE ... | DELETE
+
+    Clause dicts (each list is ordered; the FIRST clause whose
+    condition holds applies to a row, later clauses never see it):
+
+    - ``matched``: ``{"action": "update", "set": {"col": "expr"} |
+      "all", "condition": "t.v < s.v" | None}`` or ``{"action":
+      "delete", "condition": ...}``.
+    - ``not_matched``: ``{"action": "insert", "values": {"col":
+      "expr"} | "all", "condition": ...}`` (expressions over ``s``
+      only; a source row matching no insert clause is ignored).
+    - ``not_matched_by_source``: update/delete clauses whose
+      conditions/sets reference ``t`` only (SQL:2023's BY SOURCE
+      branch; Delta's whenNotMatchedBySource).
+
+    Condition and set expressions are SQL strings over the aliases
+    ``t`` (target) and ``s`` (source) — e.g. ``"s.ts > t.ts"``.
+
+    Scale shape: target rows are only read from files whose key range
+    overlaps the source (manifest-stat pruning — O(changed files) at
+    100 TB), except when a BY SOURCE clause is present (it can touch
+    any target row, so every file is read — same as SQL). One shuffle
+    join computes every clause via a codegen'd CASE; inserts are the
+    anti-join of the source. Matched rows keep their lineage row ids
+    (an UPDATE mutates the row, it does not replace it); inserted
+    rows claim a fresh id range at commit. Duplicate source keys that
+    actually match a target row raise :class:`MergeCardinalityError`
+    when an update/delete clause exists (SQL's non-determinism rule);
+    duplicate keys that only insert are legal and insert both rows.
+    """
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    not_matched_by_source = list(not_matched_by_source or [])
+    if not (matched or not_matched or not_matched_by_source):
+        raise ValueError("merge requires at least one WHEN clause")
+    for cl, ok in (
+        (matched, {"update", "delete"}),
+        (not_matched, {"insert"}),
+        (not_matched_by_source, {"update", "delete"}),
+    ):
+        for c in cl:
+            if c.get("action") not in ok:
+                raise ValueError(
+                    f"bad merge clause action {c.get('action')!r}; "
+                    f"expected one of {sorted(ok)}"
+                )
+    keys = [on] if isinstance(on, str) else list(on)
+    eh = {"extra": extra} if extra else None
+    parent = latest_version(table)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, parent)
+    _require_no_dv(manifest, "merge")
+    _require_no_eq_deletes(manifest, "merge")
+    schema = StructType.fromJson(manifest["schema"])
+    tcols = [f.name for f in schema.fields]
+    for k in keys:
+        if k not in tcols:
+            raise ValueError(f"merge key {k!r} not in table schema")
+        if k not in source.columns:
+            raise ValueError(f"merge key {k!r} not in source")
+
+    # file pruning: BY SOURCE clauses may touch any target row; plain
+    # matched/insert merges only read files overlapping the source's
+    # first-key range (conservative and exact for range-clustered
+    # tables — the untouched majority carries by reference)
+    if not_matched_by_source:
+        touched, untouched = list(manifest["files"]), []
+    else:
+        touched, untouched = _files_touching_keys(
+            table, parent, source, keys[0]
+        )
+
+    cids = manifest.get("column_ids")
+    lineage = manifest.get("next_row_id") is not None
+    pb = manifest.get("partition_by")
+    cols = stats_columns if stats_columns is not None else tcols
+
+    tdf = (
+        _read_with_lineage(spark, table, manifest, touched, schema)
+        .drop("__file__", "__pos__")
+        if lineage and touched
+        else _read_entries(spark, table, touched, schema, column_ids=cids)
+    )
+
+    # cardinality: duplicate source keys are a violation ONLY when
+    # they match a target row and an update/delete clause could apply
+    if matched:
+        dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+        if dup.limit(1).count() > 0:
+            hit = dup.join(
+                tdf.select(*keys), on=keys, how="left_semi"
+            ).limit(1)
+            if hit.count() > 0:
+                row = hit.first()
+                raise MergeCardinalityError(
+                    "multiple source rows match one target row for key "
+                    f"{tuple(row[k] for k in keys)!r}; dedup the source "
+                    "or make the ON condition more specific"
+                )
+
+    t = tdf.alias("t")
+    s = source.withColumn("__m", F.lit(True)).alias("s")
+    jcond = None
+    for k in keys:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        jcond = c if jcond is None else (jcond & c)
+    j = t.join(s, jcond, "left_outer")
+
+    # one CASE picks the applying clause per row: codes 100+i for
+    # matched clauses, 200+i for BY SOURCE clauses, 0 = keep as-is
+    is_m = F.col("s.__m").isNotNull()
+    act = F.lit(0)
+    chain = None
+    delete_codes: list[int] = []
+    upd: list[tuple[int, Any]] = []  # (code, set spec)
+    for i, c in enumerate(matched):
+        code = 100 + i
+        cond = is_m & _merge_clause_cond(c)
+        chain = (
+            F.when(cond, code) if chain is None else chain.when(cond, code)
+        )
+        if c["action"] == "delete":
+            delete_codes.append(code)
+        else:
+            if c.get("set") == "all":
+                missing = [x for x in tcols if x not in source.columns]
+                if missing:
+                    raise ValueError(
+                        f"update set 'all' but source lacks {missing}"
+                    )
+            upd.append((code, c.get("set") or {}))
+    for i, c in enumerate(not_matched_by_source):
+        code = 200 + i
+        cond = ~is_m & _merge_clause_cond(c)
+        chain = (
+            F.when(cond, code) if chain is None else chain.when(cond, code)
+        )
+        if c["action"] == "delete":
+            delete_codes.append(code)
+        else:
+            upd.append((code, c.get("set") or {}))
+    if chain is not None:
+        act = chain.otherwise(0)
+
+    out_cols = []
+    for name in tcols:
+        v = F.col(f"t.{name}")
+        for code, spec in upd:
+            side = "t"
+            v = F.when(
+                F.col("__act") == code,
+                _merge_set_expr(spec, name, side).cast(
+                    schema[name].dataType
+                ),
+            ).otherwise(v)
+        out_cols.append(v.alias(name))
+    with_ids = lineage and bool(touched)
+    if with_ids:
+        out_cols.append(F.col("t._row_id").alias(_ROW_ID))
+    survivors = (
+        j.withColumn("__act", act)
+        .filter(~F.col("__act").isin(delete_codes) if delete_codes
+                else F.lit(True))
+        .select(*out_cols)
+    )
+
+    inserts = None
+    if not_matched:
+        anti = source.join(
+            tdf.select(*keys).distinct(), on=keys, how="left_anti"
+        ).alias("s")
+        ichain = None
+        ivals: list[tuple[int, Any]] = []
+        for i, c in enumerate(not_matched):
+            spec = c.get("values") or c.get("set") or "all"
+            if spec == "all":
+                missing = [x for x in tcols if x not in source.columns]
+                if missing:
+                    raise ValueError(
+                        f"insert 'all' but source lacks {missing}"
+                    )
+            code = i + 1
+            cond = _merge_clause_cond(c)
+            ichain = (
+                F.when(cond, code)
+                if ichain is None
+                else ichain.when(cond, code)
+            )
+            ivals.append((code, spec))
+        anti = anti.withColumn("__ic", ichain.otherwise(0)).filter(
+            F.col("__ic") > 0
+        )
+        icols = []
+        for name in tcols:
+            v = F.lit(None).cast(schema[name].dataType)
+            for code, spec in ivals:
+                v = F.when(
+                    F.col("__ic") == code,
+                    _merge_set_expr(spec, name, "s").cast(
+                        schema[name].dataType
+                    ),
+                ).otherwise(v)
+            icols.append(v.alias(name))
+        inserts = anti.select(*icols)
+
+    new_files: list[dict[str, Any]] = []
+    commit_id = uuid.uuid4().hex[:16]
+    if lineage:
+        if touched:
+            commit_id, surv_files = _write_data_files(
+                survivors, table, cols, _parent_bloom_columns(manifest),
+                pb,
+            )
+            new_files += [dict(e, lineage=True) for e in surv_files]
+        if inserts is not None:
+            _, ins_files = _write_data_files(
+                inserts.select(*tcols), table, cols,
+                _parent_bloom_columns(manifest), pb,
+            )
+            new_files += ins_files
+    else:
+        if touched and inserts is not None:
+            rewritten = survivors.unionByName(inserts)
+        elif touched:
+            rewritten = survivors
+        else:
+            rewritten = inserts
+        if rewritten is not None:
+            commit_id, new_files = _write_data_files(
+                rewritten, table, cols, _parent_bloom_columns(manifest), pb
+            )
     return _commit_rewrite(
         table, parent, manifest, "merge", untouched + new_files, commit_id,
         partition_by=pb, extra_header=eh,
