@@ -782,6 +782,91 @@ def run_matview_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_metadata_ops_bench(spark) -> dict:
+    """Measure the session's metadata-only claims, manifest_paging
+    style: (a) RESTORE on a ~100-file vs a ~3,200-file table — the
+    commit RECORD must be flat in file count (it is a delta: removes
+    + re-adds only what changed between head and target, here one
+    append's worth; ``restore_record_ratio`` ~1.0), while wall-clock
+    tracks the in-memory manifest fold (O(files) JSON parse, tens of
+    ms at 3,200 files — the same metadata-scale cost every commit
+    mode pays to read its parent, so ``restore_s`` is reported, not
+    claimed flat); (b) the scan-less COUNT/MIN/MAX — manifest_agg vs
+    the same aggregate as a real scan at the big tier (the factor a
+    100 TB dashboard query banks, and it GROWS with data size while
+    the manifest side only grows with file count)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.sinks import versioned as V
+
+    root = tempfile.mkdtemp(prefix="spark_graft_meta_")
+    out: dict[str, object] = {}
+    try:
+        tiers = {"small": (1, 100), "big": (25, 128)}  # commits × files
+        for label, (commits, files_per) in tiers.items():
+            tbl = os.path.join(root, label)
+            df = spark.range(0, files_per * 10).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("v"),
+            ).repartition(files_per)
+            V.commit_snapshot(df, tbl, mode="overwrite")
+            for _ in range(commits - 1):
+                V.commit_snapshot(df, tbl, mode="append")
+            head = V.latest_version(tbl)
+            n_files = len(V.read_manifest(tbl, head)["files"])
+            # detour: one small append, then restore to the prior head
+            V.commit_snapshot(
+                spark.range(0, 10).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+                ),
+                tbl, mode="append",
+            )
+            t0 = time.perf_counter()
+            v = V.restore_snapshot(tbl, head)
+            restore_s = time.perf_counter() - t0
+            tier = {
+                "table_files": n_files,
+                "restore_s": round(restore_s, 3),
+                "record_bytes": os.path.getsize(V._manifest_path(tbl, v)),
+            }
+            if label == "big":
+                best_meta = best_scan = None
+                aggs = {
+                    "n": ("count", "*"),
+                    "lo": ("min", "k"),
+                    "hi": ("max", "v"),
+                }
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    r = V.manifest_agg(spark, tbl, aggs).first()
+                    el = time.perf_counter() - t0
+                    assert r._served_from == "manifest"
+                    best_meta = (
+                        el if best_meta is None else min(best_meta, el)
+                    )
+                    t0 = time.perf_counter()
+                    V.read_snapshot(spark, tbl).agg(
+                        F.count(F.lit(1)), F.min("k"), F.max("v")
+                    ).first()
+                    el = time.perf_counter() - t0
+                    best_scan = (
+                        el if best_scan is None else min(best_scan, el)
+                    )
+                tier["agg_manifest_s"] = round(best_meta, 3)
+                tier["agg_scan_s"] = round(best_scan, 3)
+                out["agg_speedup"] = round(best_scan / best_meta, 2)
+            out[label] = tier
+        out["restore_record_ratio"] = round(
+            out["big"]["record_bytes"] / out["small"]["record_bytes"], 2
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -948,6 +1033,14 @@ def main() -> None:
             payload["matview_refresh"] = {
                 "error": f"{type(exc).__name__}: {exc}"[:200]
             }
+        # r9 session 2: restore flat in table file count; manifest_agg
+        # vs a real scan for COUNT/MIN/MAX
+        try:
+            payload["metadata_ops"] = run_metadata_ops_bench(spark)
+        except Exception as exc:  # noqa: BLE001
+            payload["metadata_ops"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
 
     # The driver's artifact capture keeps only the TAIL of stdout
     # (r5's headline total was lost to a 2,000-char truncation), so:
@@ -991,6 +1084,12 @@ def main() -> None:
             for k in ("refresh_ratio", "recompute_ratio_big")
             if k in payload["matview_refresh"]
         } or payload["matview_refresh"]
+    if isinstance(payload.get("metadata_ops"), dict):
+        compact["metadata_ops"] = {
+            k: payload["metadata_ops"][k]
+            for k in ("restore_record_ratio", "agg_speedup")
+            if k in payload["metadata_ops"]
+        } or payload["metadata_ops"]
     if isinstance(payload.get("stream_upsert_latency"), dict):
         # compact summary: commit-latency envelope + backlog read
         # amplification (full curves live in BENCH_SELF.json)

@@ -23,7 +23,8 @@ import sys
 def _table_admin(args) -> int:
     """``table <path> history|report|vacuum|optimize|compact-dv|
     compact-eq|tags|tag|untag|branches|abandon|publish|
-    rename-column|drop-column|widen-type|add-column|auto-maintain``
+    rename-column|drop-column|widen-type|add-column|auto-maintain|
+    remove-orphans|restore|files|partitions``
     — the maintenance + evolution surface of the versioned sink,
     runnable without writing a config. history prints one JSON line
     per snapshot; report prints the metadata-only health advisor;
@@ -96,6 +97,22 @@ def _table_admin(args) -> int:
         v = V.branch_publish(args.path, args.name)
         print(json.dumps({"published_branch": args.name, "version": v}))
         return 0
+    if args.action == "remove-orphans":
+        removed = V.remove_orphan_files(
+            args.path, older_than_ms=args.older_than_ms,
+            dry_run=args.dry_run_orphans,
+        )
+        print(json.dumps({"orphans": removed,
+                          "dry_run": args.dry_run_orphans}))
+        return 0
+    if args.action == "restore":
+        if args.at_version is None:
+            print("restore requires --at-version", file=sys.stderr)
+            return 1
+        v = V.restore_snapshot(args.path, args.at_version)
+        print(json.dumps({"restored_from": args.at_version,
+                          "version": v}))
+        return 0
     if args.action == "vacuum":
         deleted = V.vacuum(args.path, keep_last=args.keep_last)
         print(json.dumps({"deleted_files": deleted,
@@ -124,6 +141,18 @@ def _table_admin(args) -> int:
     spark = get_spark("small_etl_spark.table", master=args.tbl_master)
     if args.action == "history":
         for row in V.snapshot_history(spark, args.path).collect():
+            print(json.dumps(row.asDict()))
+        return 0
+    if args.action == "files":
+        for row in V.table_files(
+            spark, args.path, version=args.at_version
+        ).collect():
+            print(json.dumps(row.asDict()))
+        return 0
+    if args.action == "partitions":
+        for row in V.table_partitions(
+            spark, args.path, version=args.at_version
+        ).collect():
             print(json.dumps(row.asDict()))
         return 0
     if args.action == "compact-dv":
@@ -198,7 +227,8 @@ def main(argv: list[str] | None = None) -> int:
             "history", "report", "vacuum", "optimize", "compact-dv",
             "compact-eq", "tags", "tag", "untag", "branches", "abandon",
             "publish", "rename-column", "drop-column", "widen-type",
-            "add-column", "auto-maintain",
+            "add-column", "auto-maintain", "remove-orphans",
+            "restore", "files", "partitions",
         ],
     )
     tbl_p.add_argument(
@@ -222,7 +252,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     tbl_p.add_argument(
         "--at-version", type=int, default=None,
-        help="tag: version to pin (default head)"
+        help="tag: version to pin (default head); restore: the "
+        "version to restore to; files/partitions: version to inspect",
+    )
+    tbl_p.add_argument(
+        "--older-than-ms", type=int, default=24 * 3600 * 1000,
+        help="remove-orphans: in-flight-writer age guard",
+    )
+    tbl_p.add_argument(
+        "--dry-run-orphans", action="store_true",
+        help="remove-orphans: list without deleting",
     )
     tbl_p.add_argument(
         "--target-bytes",

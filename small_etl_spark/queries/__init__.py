@@ -63,7 +63,6 @@ _GATED = [
     # swept) for round-8 flagships.
     "default_fill_union",
     "array_path_extract",
-    "threshold_filter",
     # equality_filter / top_k / json_path_extract left the window
     # round 9 (extract_filters carries conjunctive equality,
     # limit_sorted + window_topk_per_group carry ordered-limit,
@@ -75,7 +74,14 @@ _GATED = [
     # compaction) — VERDICT r8 item 5.
     "extract_filters",
     "limit_sorted",
-    "dedup_first_wins",
+    # threshold_filter / dedup_first_wins left the window round 9
+    # session 2 (extract_filters carries the filter family;
+    # full_record_dedup + exact_dedup_docs carry first-wins dedup;
+    # both stay registered + locally swept) for this session's
+    # flagships: versioned_restore (metadata-only rollback) and
+    # versioned_metadata_agg (scan-less COUNT/MIN/MAX push-down)
+    "versioned_restore",
+    "versioned_metadata_agg",
     "full_record_dedup",
     "merge_with_previous",
     "lookup_enrich",
@@ -101,7 +107,11 @@ _GATED = [
     # versioned_merge_upsert (COW merge), minhash_lsh_probe_md5
     # (persisted-index delta probe), domain_token_budget_cap
     # (admission control) — VERDICT r6 item 3.
-    "versioned_merge_upsert",
+    # versioned_merge_upsert left the window round 9 session 2 for
+    # versioned_merge_multi — the full multi-clause MERGE is a strict
+    # superset of the single-shape upsert (which stays registered,
+    # swept, and benched)
+    "versioned_merge_multi",
     "minhash_lsh_probe_md5",
     "q1_pricing_summary",
     # groupby_agg / window_functions were swapped out for the two

@@ -1888,7 +1888,9 @@ def version_as_of(table: str, timestamp_ms: int) -> int:
     )
 
 
-def restore_snapshot(table: str, version: int) -> int:
+def restore_snapshot(
+    table: str, version: int, verify_files: bool = False
+) -> int:
     """RESTORE the table to an earlier snapshot as ONE new metadata
     commit (Delta's ``RESTORE TABLE t TO VERSION AS OF v``; Iceberg's
     rollback) — no data is copied or rewritten, the new head simply
@@ -1904,8 +1906,16 @@ def restore_snapshot(table: str, version: int) -> int:
 
     At 100 TB this is the disaster-recovery primitive: undoing a bad
     backfill costs one ~500-byte commit record, not a table rewrite.
-    Raises FileNotFoundError when the target's data files were
-    vacuumed (list the missing files; pick a retained version)."""
+    Raises FileNotFoundError when the target version was vacuumed.
+
+    Liveness relies on the retention invariant: vacuum drops a
+    version's manifest record and its now-unreferenced files
+    TOGETHER, and remove_orphan_files never touches a referenced
+    path — so a readable target record implies its files exist. The
+    commit therefore costs O(delta between head and target), never an
+    O(files) stat sweep (measured flat in bench run_metadata_ops).
+    ``verify_files=True`` adds the full existence sweep for tables
+    whose storage may have been mutated out-of-band."""
     head = latest_version(table)
     if head is None:
         raise FileNotFoundError(f"no snapshots committed at {table!r}")
@@ -1913,27 +1923,32 @@ def restore_snapshot(table: str, version: int) -> int:
         raise ValueError(f"version {version} outside [0, {head}]")
     if version == head:
         return head  # already there; no commit needed
+    if not os.path.exists(_manifest_path(table, version)):
+        raise FileNotFoundError(
+            f"cannot restore {table!r} to v{version}: that version "
+            "was vacuumed (its record is gone); pick a retained or "
+            "tagged version"
+        )
     tm = read_manifest(table, version)
     hm = read_manifest(table, head)
-    # every referenced byte must still exist — vacuum may have
-    # reclaimed versions outside retention
-    missing = [
-        e["path"]
-        for e in tm["files"]
-        if not os.path.exists(os.path.join(table, e["path"]))
-    ]
-    for extra_ref in ([tm.get("dv")] if tm.get("dv") else []) + list(
-        tm.get("eq_deletes") or []
-    ):
-        p = extra_ref["path"] if isinstance(extra_ref, dict) else extra_ref
-        if not os.path.exists(os.path.join(table, p)):
-            missing.append(p)
-    if missing:
-        raise FileNotFoundError(
-            f"cannot restore {table!r} to v{version}: "
-            f"{len(missing)} data file(s) were vacuumed "
-            f"(first: {missing[0]!r})"
-        )
+    if verify_files:
+        missing = [
+            e["path"]
+            for e in tm["files"]
+            if not os.path.exists(os.path.join(table, e["path"]))
+        ]
+        for extra_ref in (
+            [tm.get("dv")] if tm.get("dv") else []
+        ) + list(tm.get("eq_deletes") or []):
+            p = extra_ref["path"]
+            if not os.path.exists(os.path.join(table, p)):
+                missing.append(p)
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {table!r} to v{version}: "
+                f"{len(missing)} data file(s) missing on disk "
+                f"(first: {missing[0]!r})"
+            )
     head_entries = {e["path"]: e for e in hm["files"]}
     final_entries = {e["path"]: e for e in tm["files"]}
     # entries keep their ORIGINAL seq / first_row_id / cols verbatim —
@@ -2821,7 +2836,71 @@ def _branch_live_paths(table: str) -> set[str]:
     return live
 
 
-def vacuum(table: str, keep_last: int = 1) -> int:
+def remove_orphan_files(
+    table: str,
+    older_than_ms: int = 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete data files referenced by NO commit record of the main
+    log, any branch, or any retained checkpoint — the debris the
+    commit protocol inherently produces: a writer that loses the
+    O_EXCL race (or dies mid-write) leaves fully-written data dirs no
+    manifest ever points at, invisible to :func:`vacuum` *retention*
+    reasoning because they were never part of any version (vacuum does
+    sweep them, but only as a side effect of its walk; this is the
+    surgical tool that touches NOTHING a manifest references, so it is
+    safe on any cadence without dropping history).
+
+    ``older_than_ms`` is the in-flight-writer guard (Iceberg's
+    ``remove_orphan_files(older_than)``): a file younger than the
+    cutoff may belong to a commit that has not yet published its
+    manifest — deleting it would corrupt a commit that then succeeds.
+    The default 24 h is safe for any realistic commit duration; tests
+    pass 0 deliberately. Returns the table-relative paths removed
+    (``dry_run`` lists without deleting)."""
+    v = latest_version(table)
+    if v is None:
+        return []
+    referenced: set[str] = _branch_live_paths(table)
+    for ver in range(v + 1):
+        p = _manifest_path(table, ver)
+        if not os.path.exists(p):
+            continue
+        rec = _read_record(table, ver)
+        for e in rec.get("files", []) + rec.get("add", []):
+            referenced.add(e["path"])
+        if rec.get("dv"):
+            referenced.add(rec["dv"]["path"])
+        referenced.update(d["path"] for d in rec.get("eq_deletes") or [])
+    cutoff = _now_ms() - older_than_ms
+    removed: list[str] = []
+    data_root = os.path.join(table, _DATA_DIR)
+    if not os.path.isdir(data_root):
+        return []
+    for root, _dirs, files in os.walk(data_root, topdown=False):
+        for name in files:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table)
+            if rel in referenced or os.path.dirname(rel) in referenced:
+                continue
+            is_data = name.endswith(".parquet") or name.startswith(
+                "part-"
+            )
+            is_marker = name == "_SUCCESS" or name.endswith(".crc")
+            if not (is_data or is_marker):
+                continue
+            if int(os.path.getmtime(full) * 1000) > cutoff:
+                continue  # possibly an in-flight commit's data
+            if is_data:
+                removed.append(rel)
+            if not dry_run:
+                os.remove(full)
+        if not dry_run and root != data_root and not os.listdir(root):
+            os.rmdir(root)
+    return sorted(removed)
+
+
+def vacuum(table: str, keep_last: int = 1, min_age_ms: int = 0) -> int:
     """Delete data files unreferenced by the ``keep_last`` newest
     manifests or by any TAG (older untagged manifests are dropped
     too). Returns files deleted.
@@ -2830,7 +2909,13 @@ def vacuum(table: str, keep_last: int = 1) -> int:
     the retained versions cannot change under us; a reader pinned to a
     dropped version fails loudly on the missing manifest rather than
     silently reading partial data. The walk is recursive — hive-
-    partitioned commits nest files under ``col=val`` directories."""
+    partitioned commits nest files under ``col=val`` directories.
+
+    ``min_age_ms`` guards concurrent writers: a data dir younger than
+    this may belong to a commit whose manifest has not landed yet
+    (written-then-publish is the protocol's whole point), so a vacuum
+    racing a live writer should pass e.g. 3600_000. The default 0
+    keeps single-writer semantics exact."""
     if _is_branch_root(table):
         raise ValueError(
             "vacuum the main table, not a branch handle — the shared "
@@ -2859,11 +2944,13 @@ def vacuum(table: str, keep_last: int = 1) -> int:
             # retained version stays independently readable
             _write_checkpoint(table, kv, m["files"])
     deleted = 0
+    age_cutoff = _now_ms() - min_age_ms
     data_root = os.path.join(table, _DATA_DIR)
     if os.path.isdir(data_root):
         for root, _dirs, files in os.walk(data_root, topdown=False):
             for name in files:
-                rel = os.path.relpath(os.path.join(root, name), table)
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, table)
                 # DV stores are Spark-written DIRECTORIES: their
                 # part files live under the manifest-listed dir path
                 if rel in live or os.path.dirname(rel) in live:
@@ -2873,7 +2960,11 @@ def vacuum(table: str, keep_last: int = 1) -> int:
                 )
                 is_marker = name == "_SUCCESS" or name.endswith(".crc")
                 if is_data or is_marker:
-                    os.remove(os.path.join(root, name))
+                    if min_age_ms and int(
+                        os.path.getmtime(full) * 1000
+                    ) > age_cutoff:
+                        continue  # possibly an in-flight commit
+                    os.remove(full)
                     if is_data:
                         deleted += 1
             if root != data_root and not os.listdir(root):

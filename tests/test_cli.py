@@ -232,3 +232,62 @@ def test_table_admin_round9_evolution_actions(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["actions"] == ["optimize"] and not out["conflict"]
     assert V.read_snapshot(spark, tbl).count() == 30
+
+
+def test_table_admin_restore_orphans_files_partitions(
+    spark, tmp_path, capsys
+):
+    """CLI surface for RESTORE, orphan GC, and the $files/$partitions
+    metadata tables — each one JSON line per row/op."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.cli import main
+    from small_etl_spark.sinks import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.commit_snapshot(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("part")
+        ),
+        tbl, mode="overwrite", partition_by=["part"],
+    )
+    V.delete_where(spark, tbl, F.col("part") == 1)
+
+    assert main(["table", tbl, "restore", "--at-version", "0"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"restored_from": 0, "version": 2}
+    assert V.read_snapshot(spark, tbl).count() == 20
+
+    # an abandoned write (lost commit race) becomes an orphan
+    V._write_data_files(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("part")
+        ),
+        tbl, ["k"],
+    )
+    assert main(["table", tbl, "remove-orphans",
+                 "--older-than-ms", "0", "--dry-run-orphans"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dry_run"] and len(out["orphans"]) >= 1
+    assert main(["table", tbl, "remove-orphans",
+                 "--older-than-ms", "0"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out["dry_run"] and len(out["orphans"]) >= 1
+    assert V.read_snapshot(spark, tbl).count() == 20
+
+    assert main(["table", tbl, "files"]) == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sum(r["n_rows"] for r in rows) == 20
+
+    assert main(["table", tbl, "partitions"]) == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    got = {r["partition"]["part"]: r["n_rows"] for r in rows}
+    assert got == {"0": 10, "1": 10}
+
+    # restore without --at-version is a usage error, not a traceback
+    assert main(["table", tbl, "restore"]) == 1
+    capsys.readouterr()

@@ -1,0 +1,127 @@
+"""Orphan-file GC (sinks/versioned.py::remove_orphan_files) and the
+vacuum in-flight-writer age guard: the commit protocol writes data
+BEFORE publishing the manifest, so a writer that loses the O_EXCL
+race or dies mid-commit leaves fully-written data dirs no manifest
+references. remove_orphan_files reclaims exactly those — never a
+referenced byte — with an age cutoff so a racing vacuum can never
+eat a commit that is about to publish (the public Iceberg
+remove_orphan_files(older_than) contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from small_etl_spark.sinks import versioned as V
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _abandoned_write(spark, table, lo=100, hi=110):
+    """Simulate a writer that wrote data but never won its commit."""
+    _cid, entries = V._write_data_files(
+        _kv(spark, lo, hi), table, ["k", "v"]
+    )
+    return [e["path"] for e in entries]
+
+
+def test_orphans_removed_referenced_kept(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 20), table, mode="overwrite")
+    V.commit_snapshot(_kv(spark, 20, 30), table, mode="append")
+    orphans = _abandoned_write(spark, table)
+    removed = V.remove_orphan_files(table, older_than_ms=0)
+    assert sorted(orphans) == removed
+    # every referenced file still present, table reads fine
+    for ver in (0, 1):
+        for e in V.read_manifest(table, ver)["files"]:
+            assert os.path.exists(os.path.join(table, e["path"]))
+    assert V.read_snapshot(spark, table).count() == 30
+
+
+def test_age_guard_protects_inflight_writes(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 10), table, mode="overwrite")
+    orphans = _abandoned_write(spark, table)
+    # freshly written "in-flight" files survive a 1 h cutoff
+    assert V.remove_orphan_files(table, older_than_ms=3600_000) == []
+    for p in orphans:
+        assert os.path.exists(os.path.join(table, p))
+    # and are reclaimed once old enough
+    assert V.remove_orphan_files(table, older_than_ms=0) == sorted(orphans)
+
+
+def test_dry_run_lists_without_deleting(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 10), table, mode="overwrite")
+    orphans = _abandoned_write(spark, table)
+    listed = V.remove_orphan_files(table, older_than_ms=0, dry_run=True)
+    assert listed == sorted(orphans)
+    for p in orphans:
+        assert os.path.exists(os.path.join(table, p))
+    assert V.remove_orphan_files(table, older_than_ms=0) == listed
+
+
+def test_branch_staged_files_are_not_orphans(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 10), table, mode="overwrite")
+    root = V.branch_create(table, "audit")
+    V.commit_snapshot(_kv(spark, 10, 15), root, mode="append")
+    removed = V.remove_orphan_files(table, older_than_ms=0)
+    assert removed == []
+    # the staged branch still reads intact
+    assert V.read_snapshot(spark, root).count() == 15
+
+
+def test_orphans_under_partition_dirs(spark, table):
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    V.commit_snapshot(df, table, mode="overwrite", partition_by=["part"])
+    _cid, entries = V._write_data_files(
+        df, table, ["k", "v"], partition_by=["part"]
+    )
+    removed = V.remove_orphan_files(table, older_than_ms=0)
+    assert removed == sorted(e["path"] for e in entries)
+    assert V.read_snapshot(spark, table).count() == 20
+
+
+def test_mor_dv_and_eq_delete_stores_are_referenced(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 20), table, mode="overwrite")
+    V.delete_where_mor(spark, table, F.col("k") < 3)  # live DV
+    assert V.remove_orphan_files(table, older_than_ms=0) == []
+    V.compact_dv(spark, table)
+    src = spark.createDataFrame([(5, 50)], "k bigint, v bigint")
+    V.stream_upsert_batch(src, batch_id=0, table=table, key="k")
+    # live equality-delete store must also be treated as referenced
+    assert V.remove_orphan_files(table, older_than_ms=0) == []
+    got = {r.k: r.v for r in V.read_snapshot(spark, table).collect()}
+    assert 0 not in got and got[5] == 50
+
+
+def test_vacuum_min_age_guard(spark, table):
+    V.commit_snapshot(_kv(spark, 0, 10), table, mode="overwrite")
+    f0 = [e["path"] for e in V.read_manifest(table, 0)["files"]]
+    V.commit_snapshot(_kv(spark, 10, 20), table, mode="overwrite")
+    # v0 is expired; the guard spares its DATA (seconds old — could
+    # in principle be an in-flight writer's) while retention still
+    # drops the record, exactly like Iceberg's expire-then-orphan split
+    assert V.vacuum(table, keep_last=1, min_age_ms=3600_000) == 0
+    assert all(os.path.exists(os.path.join(table, p)) for p in f0)
+    # an unguarded pass reclaims them
+    assert V.vacuum(table, keep_last=1) == len(f0)
+    assert V.read_snapshot(spark, table).count() == 10
+
+
+def test_empty_table_and_no_orphans(spark, table):
+    assert V.remove_orphan_files(table, older_than_ms=0) == []
+    V.commit_snapshot(_kv(spark, 0, 5), table, mode="overwrite")
+    assert V.remove_orphan_files(table, older_than_ms=0) == []

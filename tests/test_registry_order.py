@@ -34,7 +34,11 @@ MUST_BE_GATED = [
     # (VERDICT r7 item 4); exact_dedup_docs + the text-quality rows
     # carry the hashing/token shapes.
     "gopher_quality",
-    "versioned_merge_upsert",
+    # versioned_merge_upsert left round 9 session 2 for
+    # versioned_merge_multi — the full multi-clause MERGE (ordered
+    # conditional update/delete, conditional inserts, NOT MATCHED BY
+    # SOURCE) strictly generalizes the single-shape upsert
+    "versioned_merge_multi",
     "minhash_lsh_probe_md5",
     "domain_token_budget_cap",
     # round-7 flagships: partitioned commits, blooms, CDC-driven LSH
@@ -69,6 +73,12 @@ MUST_BE_GATED = [
     # (percentiles left; quantile_sketch_contract carries quantiles
     # in the sweep)
     "matview_incremental_refresh",
+    # round-9 session-2 flagships: metadata-only RESTORE and the
+    # scan-less COUNT/MIN/MAX push-down (threshold_filter and
+    # dedup_first_wins left; extract_filters carries filters,
+    # full_record_dedup + exact_dedup_docs carry first-wins dedup)
+    "versioned_restore",
+    "versioned_metadata_agg",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics

@@ -42,6 +42,19 @@ _op = st.one_of(
     # r9: partition-spec evolution mid-walk — metadata-only, model
     # unchanged; appends pick up the new spec via pb_now()
     st.tuples(st.just("respec"), st.integers(0, 2)),
+    # r9 session 2: RESTORE to a random earlier version (model jumps
+    # back to that version's recorded state), a multi-clause MERGE
+    # (conditional update-or-delete by key parity + inserts), and an
+    # orphan GC sweep after an abandoned write (state must not move)
+    st.tuples(st.just("restore"), st.integers(0, 30)),
+    st.tuples(
+        st.just("merge_multi"),
+        st.tuples(
+            st.lists(st.integers(0, 19), min_size=1, max_size=4),
+            st.integers(0, 1),  # parity whose matched keys DELETE
+        ),
+    ),
+    st.tuples(st.just("orphans"), st.none()),
 )
 
 
@@ -144,6 +157,59 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
                 continue
             specs = [None, ["bucket(2, k)"], ["k"]]
             V.set_partition_spec(table, specs[payload])
+        elif kind == "restore":
+            if not history:
+                continue
+            chosen = payload % len(history)
+            if chosen == V.latest_version(table):
+                continue  # no-op restore creates no version
+            V.restore_snapshot(table, chosen)
+            model = list(history[chosen])
+        elif kind == "merge_multi":
+            keys, parity = payload
+            if V.latest_version(table) is None:
+                continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
+            df, rows = mk(keys)
+            dedup = {k: v for k, v in rows}
+            src_rows = sorted(dedup.items())
+            sdf = spark.createDataFrame(src_rows, "k LONG, ver LONG")
+            V.merge(
+                spark, table, sdf, on="k",
+                matched=[
+                    {"action": "delete",
+                     "condition": f"t.k % 2 = {parity}"},
+                    {"action": "update", "set": "all"},
+                ],
+                not_matched=[{"action": "insert", "values": "all"}],
+            )
+            existing = {k for k, _ in model}
+            model = (
+                # matched, wrong parity -> updated to source row
+                [(k, v) for k, v in src_rows
+                 if k in existing and k % 2 != parity]
+                # unmatched by source -> kept
+                + [r for r in model if r[0] not in dedup]
+                # unmatched by target -> inserted
+                + [(k, v) for k, v in src_rows if k not in existing]
+            )
+        elif kind == "orphans":
+            if V.latest_version(table) is None:
+                continue
+            V._write_data_files(  # an abandoned (raced-out) write
+                spark.createDataFrame([(99, 99)], "k LONG, ver LONG"),
+                table, ["k", "ver"],
+            )
+            removed = V.remove_orphan_files(table, older_than_ms=0)
+            assert len(removed) >= 1
+            got = sorted(
+                (r.k, r.ver)
+                for r in V.read_snapshot(spark, table).collect()
+            )
+            assert got == _snap(model), "orphan GC moved table state"
+            continue  # no version created
         history.append(_snap(model))
 
         got = sorted(
