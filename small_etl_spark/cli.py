@@ -97,6 +97,16 @@ def _table_admin(args) -> int:
         v = V.branch_publish(args.path, args.name)
         print(json.dumps({"published_branch": args.name, "version": v}))
         return 0
+    if args.action == "constraints":
+        print(json.dumps(V.list_constraints(args.path)))
+        return 0
+    if args.action == "drop-constraint":
+        if not args.name:
+            print("drop-constraint requires --name", file=sys.stderr)
+            return 1
+        v = V.drop_constraint(args.path, args.name)
+        print(json.dumps({"dropped_constraint": args.name, "version": v}))
+        return 0
     if args.action == "remove-orphans":
         removed = V.remove_orphan_files(
             args.path, older_than_ms=args.older_than_ms,
@@ -142,6 +152,15 @@ def _table_admin(args) -> int:
     if args.action == "history":
         for row in V.snapshot_history(spark, args.path).collect():
             print(json.dumps(row.asDict()))
+        return 0
+    if args.action == "add-constraint":
+        if not args.name or not args.expr:
+            print("add-constraint requires --name and --expr",
+                  file=sys.stderr)
+            return 1
+        v = V.add_constraint(spark, args.path, args.name, args.expr)
+        print(json.dumps({"added_constraint": args.name,
+                          "expr": args.expr, "version": v}))
         return 0
     if args.action == "files":
         for row in V.table_files(
@@ -228,7 +247,8 @@ def main(argv: list[str] | None = None) -> int:
             "compact-eq", "tags", "tag", "untag", "branches", "abandon",
             "publish", "rename-column", "drop-column", "widen-type",
             "add-column", "auto-maintain", "remove-orphans",
-            "restore", "files", "partitions",
+            "restore", "files", "partitions", "add-constraint",
+            "drop-constraint", "constraints",
         ],
     )
     tbl_p.add_argument(
@@ -258,6 +278,10 @@ def main(argv: list[str] | None = None) -> int:
     tbl_p.add_argument(
         "--older-than-ms", type=int, default=24 * 3600 * 1000,
         help="remove-orphans: in-flight-writer age guard",
+    )
+    tbl_p.add_argument(
+        "--expr", default=None,
+        help="add-constraint: SQL CHECK expression",
     )
     tbl_p.add_argument(
         "--dry-run-orphans", action="store_true",

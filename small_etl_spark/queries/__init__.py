@@ -61,7 +61,13 @@ _GATED = [
     # (rename_project / json_path / array_path / default_fill_union
     # carry the projection family; both stay registered + locally
     # swept) for round-8 flagships.
-    "default_fill_union",
+    # default_fill_union left the window round 9 session 2 (the
+    # projection/union families are carried by rename_project +
+    # array_path_extract; default-fill + type-widening union stay
+    # registered, locally swept and pytest-covered) for
+    # versioned_constraints — CHECK constraints enforced on every
+    # data-adding commit path
+    "versioned_constraints",
     "array_path_extract",
     # equality_filter / top_k / json_path_extract left the window
     # round 9 (extract_filters carries conjunctive equality,
@@ -84,7 +90,11 @@ _GATED = [
     "versioned_metadata_agg",
     "full_record_dedup",
     "merge_with_previous",
-    "lookup_enrich",
+    # lookup_enrich left the window round 9 session 2 (the enrichment
+    # join family is carried by merge_with_previous + asof_join_events
+    # + the new anti-join SQL flagship; stays registered + swept) for
+    # sql_time_travel_join — the SQL front-end with VERSION AS OF
+    "sql_time_travel_join",
     "asof_join_events",
     # range_join_events left the window round 9 (asof_join_events
     # carries the temporal-join family; stays registered + swept) for
@@ -112,7 +122,12 @@ _GATED = [
     # superset of the single-shape upsert (which stays registered,
     # swept, and benched)
     "versioned_merge_multi",
-    "minhash_lsh_probe_md5",
+    # minhash_lsh_probe_md5 left the window round 9 session 2 (the
+    # persisted-probe family is carried by cdc_lsh_probe_md5, whose
+    # CDC-driven probe is a strict superset of the plain probe; stays
+    # registered + swept) for versioned_update — COW UPDATE with
+    # file pruning and the exact per-changed-row CDC contract
+    "versioned_update",
     "q1_pricing_summary",
     # groupby_agg / window_functions were swapped out for the two
     # remaining dedup-family oracles (both stay registered + locally

@@ -1170,6 +1170,188 @@ def q_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_time_travel_join",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    appended AS (
+      SELECT doc_id + m + 1 AS doc_id, lang, n_chars
+      FROM documents, mx WHERE doc_id % 11 = 0
+    ),
+    head AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      UNION ALL SELECT * FROM appended
+    )
+    SELECT h.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(h.n_chars) AS BIGINT) AS sum_chars
+    FROM head h
+    WHERE h.doc_id NOT IN (SELECT doc_id FROM documents)
+    GROUP BY h.lang
+    """,
+)
+def q_sql_time_travel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end (small_etl_spark/sql.py): one SQL statement
+    anti-joins the table's HEAD against ``VERSION AS OF 0`` of ITSELF
+    to compute per-lang stats of exactly the appended rows — the
+    between-snapshots diff expressed as plain SQL, both snapshot scans
+    resolved through read_snapshot (manifest planning, column ids,
+    deletes all apply) and optimized by Catalyst as ONE plan. The
+    reference has no SQL at all; DuckDB replays the two-snapshot
+    algebra from the source table."""
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sql import sql as vsql
+
+    path = _versioned_table_path(sf_dir, "sqltt")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + max_id + 1).alias("doc_id"),
+            "lang", "n_chars",
+        ),
+        path, mode="append",
+    )
+    return vsql(
+        spark,
+        """
+        SELECT h.lang,
+               COUNT(*) AS n_new,
+               SUM(h.n_chars) AS sum_chars
+        FROM docs h
+        LEFT ANTI JOIN docs VERSION AS OF 0 o ON h.doc_id = o.doc_id
+        GROUP BY h.lang
+        """,
+        tables={"docs": path},
+    )
+
+
+@register(
+    "versioned_update",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    upd AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id >= CAST(FLOOR(0.9 * m) AS BIGINT)
+                       AND lang = 'en'
+                  THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+      FROM documents, mx
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS cow,
+           (SELECT CAST(2 * COUNT(*) AS BIGINT) FROM documents, mx
+            WHERE doc_id >= CAST(FLOOR(0.9 * m) AS BIGINT)
+              AND lang = 'en') AS cdc_rows
+    FROM upd
+    """,
+)
+def q_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE (sinks/versioned.py::update_where): ``SET
+    n_chars = n_chars + 1e6 WHERE doc_id >= 0.9·max AND lang = 'en'``
+    over the range-clustered corpus, pruned on the doc_id range so
+    only the top file(s) rewrite (``cow`` asserts untouched files
+    carried by reference — at 100 TB an UPDATE rewrites O(matched
+    files)). ``cdc_rows`` pins the CDC contract: exactly one
+    delete+insert pair per row the predicate actually changed —
+    co-rewritten neighbors cancel in the multiset diff. The oracle
+    replays the assignment as a CASE and recomputes the pair count."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "upd")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    cutoff = int(0.9 * max_id)
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    V.update_where(
+        spark, path, {"n_chars": "n_chars + 1000000"},
+        f"doc_id >= {cutoff} AND lang = 'en'",
+        prune=[("doc_id", ">=", cutoff)],
+    )
+    carried = {
+        e["path"] for e in V.read_manifest(path, 0)["files"]
+    } & {e["path"] for e in V.read_manifest(path, 1)["files"]}
+    cdc = V.table_changes(spark, path, 0, 1).count()
+    return V.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(len(carried) > 0).alias("cow"),
+        F.lit(cdc).cast("long").alias("cdc_rows"),
+    )
+
+
+@register(
+    "versioned_constraints",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS bad_batch_rejected,
+           CAST(1 AS BOOLEAN) AS clean_batch_landed,
+           CAST(1 AS BIGINT) AS n_constraints
+    FROM documents
+    """,
+)
+def q_versioned_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (sinks/versioned.py::add_constraint): the
+    corpus is committed, ``n_chars >= 0`` added as a table constraint
+    (validating all existing rows first), then a violating batch is
+    REJECTED before any data lands (``bad_batch_rejected`` asserts
+    both the raise and that the head did not move) while the same
+    batch with the violation removed commits fine — after which the
+    table reads exactly the original corpus (the clean batch is
+    deleted again so DuckDB can recompute the final state from the
+    source table). The public Delta constraints contract; the
+    reference only DECLARES validation (sequence_config.rs:102-108),
+    this enforces it at the table layer."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "cons")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    V.add_constraint(spark, path, "chars_nonneg", "n_chars >= 0")
+    head_before = V.latest_version(path)
+    bad = spark.createDataFrame(
+        [(max_id + 1, 10), (max_id + 2, -5)], "doc_id bigint, n_chars bigint"
+    )
+    rejected = False
+    try:
+        V.commit_snapshot(bad, path, mode="append")
+    except V.ConstraintViolation:
+        rejected = True
+    rejected = rejected and V.latest_version(path) == head_before
+    V.commit_snapshot(
+        bad.filter(F.col("n_chars") >= 0), path, mode="append"
+    )
+    landed = V.latest_version(path) == head_before + 1
+    V.delete_where(spark, path, F.col("doc_id") > max_id)
+    return V.read_snapshot(spark, path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(rejected).alias("bad_batch_rejected"),
+        F.lit(landed).alias("clean_batch_landed"),
+        F.lit(len(V.list_constraints(path))).cast("long").alias(
+            "n_constraints"
+        ),
+    )
+
+
+@register(
     "versioned_metadata_agg",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

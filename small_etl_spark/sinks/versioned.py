@@ -935,6 +935,124 @@ def _parent_bloom_columns(manifest: dict[str, Any]) -> list[str] | None:
     return sorted(cols) or None
 
 
+class ConstraintViolation(ValueError):
+    """Incoming rows violate a table CHECK constraint."""
+
+
+def _constraints_of(manifest: dict[str, Any] | None) -> dict[str, str]:
+    return (manifest or {}).get("constraints") or {}
+
+
+def _carry_constraints(
+    payload: dict[str, Any], pm: dict[str, Any] | None
+) -> None:
+    if pm and pm.get("constraints"):
+        payload["constraints"] = pm["constraints"]
+
+
+def _enforce_constraints(
+    df: DataFrame, pm: dict[str, Any] | None, op: str
+) -> None:
+    """Reject a write whose rows violate any table CHECK constraint.
+
+    SQL CHECK semantics: a row passes when the predicate is TRUE or
+    NULL; only FALSE violates (eqNullSafe below). One agg pass over
+    the INCOMING batch computes every constraint's violation count at
+    once — O(batch), never O(table); row-preserving maintenance
+    (optimize/cluster/compact/delete) skips the check entirely since
+    surviving rows passed at their original write."""
+    cons = _constraints_of(pm)
+    if not cons:
+        return
+    names = list(cons)
+    try:
+        row = df.agg(
+            *[
+                F.sum(
+                    F.expr(e).eqNullSafe(F.lit(False)).cast("long")
+                ).alias(f"c{i}")
+                for i, e in enumerate(cons.values())
+            ]
+        ).first()
+    except Exception as exc:  # noqa: BLE001 - analysis errors
+        raise ConstraintViolation(
+            f"{op}: CHECK constraint(s) {sorted(cons)} do not resolve "
+            f"against the incoming batch's schema ({exc}); drop the "
+            "constraint before writing an incompatible schema"
+        ) from None
+    bad = {
+        names[i]: int(row[f"c{i}"] or 0)
+        for i in range(len(names))
+        if (row[f"c{i}"] or 0) > 0
+    }
+    if bad:
+        raise ConstraintViolation(
+            f"{op}: incoming rows violate CHECK constraint(s) "
+            + ", ".join(
+                f"{n!r} ({cons[n]}): {c} row(s)" for n, c in bad.items()
+            )
+        )
+
+
+def add_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta's CHECK constraints): a
+    metadata-only commit recording ``expr`` (a SQL boolean over the
+    table's columns); every subsequent data-adding commit (append,
+    overwrite, merge, streaming batch/upsert) rejects batches with a
+    violating row. Existing data is validated FIRST (one scan, the
+    same contract Delta's ADD CONSTRAINT has) so a constraint can
+    never be born already broken. NOT NULL is the special case
+    ``col IS NOT NULL``."""
+    head = latest_version(table)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    hm = read_manifest(table, head)
+    if name in _constraints_of(hm):
+        raise ValueError(f"constraint {name!r} already exists")
+    snap = read_snapshot(spark, table)
+    try:
+        snap.filter(F.expr(expr) | F.lit(True)).limit(0).collect()
+    except Exception as exc:  # noqa: BLE001 - surface parse errors
+        raise ValueError(
+            f"constraint expression {expr!r} does not resolve against "
+            f"the table schema: {exc}"
+        ) from None
+    _enforce_constraints(
+        snap, {"constraints": {name: expr}}, "add_constraint(existing data)"
+    )
+
+    def mutate(schema: StructType, hdr: dict[str, Any]):
+        cons = dict(_constraints_of(hdr))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        cons[name] = expr
+        return schema, {"constraints": cons}
+
+    return _evolution_commit(table, "add_constraint", mutate)
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only."""
+
+    def mutate(schema: StructType, hdr: dict[str, Any]):
+        cons = dict(_constraints_of(hdr))
+        if name not in cons:
+            raise ValueError(f"no constraint named {name!r}")
+        del cons[name]
+        return schema, {"constraints": cons}
+
+    return _evolution_commit(table, "drop_constraint", mutate)
+
+
+def list_constraints(table: str) -> dict[str, str]:
+    v = latest_version(table)
+    if v is None:
+        return {}
+    return dict(_constraints_of(_read_record(table, v)))
+
+
 def _commit_rewrite(
     table: str,
     parent: int,
@@ -1003,6 +1121,7 @@ def _commit_rewrite(
     _header_row_ids(payload, rid)
     if partition_by:
         payload["partition_by"] = list(partition_by)
+    _carry_constraints(payload, parent_manifest)
     if extra_header:
         payload.update(extra_header)
     if not _atomic_create(_manifest_path(table, version), payload):
@@ -1070,6 +1189,14 @@ def commit_snapshot(
                     f"the table's {parent_pb!r}; overwrite to repartition"
                 )
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    head0 = latest_version(table)
+    if head0 is not None:
+        # CHECK constraints gate the batch BEFORE any data is written
+        # (one agg over the batch; constraints survive overwrite —
+        # they are a table property, not a snapshot property)
+        _enforce_constraints(
+            df, _read_record(table, head0), f"commit_snapshot({mode})"
+        )
     cols = stats_columns if stats_columns is not None else df.columns
     commit_id, new_files = _write_data_files(
         df, table, cols, bloom_columns, partition_by
@@ -1124,6 +1251,7 @@ def commit_snapshot(
             # (= this version) exceeds every live delete's, so the
             # appended rows are untouched by construction
             manifest["eq_deletes"] = pm["eq_deletes"]
+        _carry_constraints(manifest, pm)
         if extra is not None:
             # caller-owned JSON metadata rides the atomic commit (e.g.
             # the incremental runner's stage fingerprint + shared
@@ -1418,7 +1546,7 @@ def _evolution_commit(
             "next_column_id": updates.get("next_column_id", nxt),
         }
         _header_row_ids(payload, manifest.get("next_row_id"))
-        for k in ("partition_by", "dv", "eq_deletes"):
+        for k in ("partition_by", "dv", "eq_deletes", "constraints"):
             if k in updates:
                 if updates[k]:
                     payload[k] = updates[k]
@@ -1430,6 +1558,25 @@ def _evolution_commit(
     raise CommitConflict(
         f"lost {max_retries} optimistic commit races on {table!r}"
     )
+
+
+def _refuse_constrained(
+    hdr: dict[str, Any], column: str, op: str
+) -> None:
+    """Refuse renaming/dropping a column a CHECK constraint mentions —
+    the stored expression text would silently stop resolving (or worse,
+    resolve to a different column). Conservative word-boundary match;
+    drop the constraint first, evolve, re-add under the new name."""
+    hits = [
+        n
+        for n, e in _constraints_of(hdr).items()
+        if re.search(rf"(?<![\w.`]){re.escape(column)}(?![\w`])", e)
+    ]
+    if hits:
+        raise SchemaEvolutionError(
+            f"{op}: column {column!r} is referenced by CHECK "
+            f"constraint(s) {hits}; drop_constraint first"
+        )
 
 
 def rename_column(table: str, old: str, new: str) -> int:
@@ -1461,6 +1608,7 @@ def rename_column(table: str, old: str, new: str) -> int:
                 f"rename_column: {new!r} collides with a derived "
                 "partition column name"
             )
+        _refuse_constrained(hdr, old, "rename_column")
         fields = [
             type(f)(new, f.dataType, f.nullable) if f.name == old else f
             for f in schema.fields
@@ -1517,6 +1665,7 @@ def drop_column(table: str, name: str) -> int:
                     f"drop_column: {name!r} is the live equality-delete "
                     "key; run compact_eq_deletes first"
                 )
+        _refuse_constrained(hdr, name, "drop_column")
         ids = dict(hdr["column_ids"])
         del ids[name]
         fields = [f for f in schema.fields if f.name != name]
@@ -1970,7 +2119,7 @@ def restore_snapshot(
         "stream_batch_high": _stream_high(hm),
         "committed_at_ms": _now_ms(),
     }
-    for k in ("partition_by", "dv", "eq_deletes"):
+    for k in ("partition_by", "dv", "eq_deletes", "constraints"):
         if tm.get(k):
             payload[k] = tm[k]
     ids = tm.get("column_ids")
@@ -2206,6 +2355,7 @@ def stream_upsert_batch(
     head_rec = _read_record(table, head_v)
     if batch_id <= _stream_high(head_rec):
         return None
+    _enforce_constraints(df, head_rec, "stream_upsert_batch")
     if _live_dv({"dv": head_rec.get("dv")}):
         raise ValueError(
             "stream_upsert_batch on a table with a live position DV is "
@@ -2286,6 +2436,7 @@ def stream_upsert_batch(
             "stream_batch_high": max(batch_id, _stream_high(pm)),
             "committed_at_ms": _now_ms(),
         }
+        _carry_constraints(payload, pm)
         _header_ids(payload, up_ids, up_nxt)
         up_rid = _parent_next_row_id(pm, "inherit")
         if up_rid is not None:
@@ -2785,6 +2936,11 @@ def branch_publish(
         "commit_id": uuid.uuid4().hex[:16],
         "branch": name,
         "branch_commits": bh - base,
+        **(
+            {"constraints": bm["constraints"]}
+            if bm.get("constraints")
+            else {}
+        ),
         "stream_batch_high": max(
             _stream_high(parent_manifest), _stream_high(bm)
         ),
@@ -3261,6 +3417,9 @@ def merge_upsert(
     if key not in [f.name for f in schema.fields]:
         raise ValueError(f"merge key {key!r} not in table schema")
     source = source.select([f.name for f in schema.fields])  # align
+    # replaced rows come verbatim from the source; survivors passed at
+    # their original write — checking the source covers the commit
+    _enforce_constraints(source, manifest, "merge_upsert")
 
     touched, untouched = _files_touching_keys(table, parent, source, key)
     cols = (
@@ -3573,6 +3732,17 @@ def merge(
             icols.append(v.alias(name))
         inserts = anti.select(*icols)
 
+    # UPDATE SET expressions can manufacture violating values, so the
+    # check runs on the computed OUTPUT (O(touched files) — the same
+    # rows being rewritten anyway), not just the source
+    if touched:
+        _enforce_constraints(
+            survivors.select(*tcols), manifest, "merge(matched)"
+        )
+    if inserts is not None:
+        _enforce_constraints(
+            inserts.select(*tcols), manifest, "merge(insert)"
+        )
     new_files: list[dict[str, Any]] = []
     commit_id = uuid.uuid4().hex[:16]
     if lineage:
@@ -3663,6 +3833,101 @@ def delete_where(
     )
 
 
+def update_where(
+    spark: SparkSession,
+    table: str,
+    set: "dict[str, F.Column | str]",  # noqa: A002 - SQL keyword
+    predicate: "F.Column | str | None" = None,
+    prune: list[Predicate] | None = None,
+) -> int:
+    """Copy-on-write UPDATE: ``UPDATE t SET col = expr, ... [WHERE
+    predicate]``. Assignment expressions are SQL over the table's
+    columns (the pre-update row values, per SQL semantics — all
+    assignments see the OLD row). ``prune`` limits the rewrite to
+    files whose stats may match, so a predicate on a range-clustered
+    key rewrites O(matched files), not the table. Updated rows keep
+    their lineage row ids (an UPDATE mutates the row in place,
+    logically); CHECK constraints are enforced on the rewritten
+    output. CDC shows delete(old)+insert(new) per actually-changed
+    row — co-rewritten untouched rows cancel in the multiset diff."""
+    if not set:
+        raise ValueError("update_where requires at least one assignment")
+    parent = latest_version(table)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots committed at {table!r}")
+    manifest = read_manifest(table, parent)
+    _require_no_dv(manifest, "update_where")
+    _require_no_eq_deletes(manifest, "update_where")
+    schema = StructType.fromJson(manifest["schema"])
+    names = [f.name for f in schema.fields]
+    for col in set:
+        if col not in names:
+            raise ValueError(f"update_where: no column {col!r} in {names}")
+    spec = _parse_partition_spec(manifest.get("partition_by") or [])
+    for s in spec:
+        if s["column"] in set:
+            raise ValueError(
+                f"update_where: {s['column']!r} is a partition column; "
+                "rewrite via merge/overwrite instead"
+            )
+    entries = manifest["files"]
+    touched, untouched = entries, []
+    cids = manifest.get("column_ids")
+    if prune:
+        touched, untouched = [], []
+        for e in entries:
+            if all(_file_may_match(e, p, spec, cids) for p in prune):
+                touched.append(e)
+            else:
+                untouched.append(e)
+    pred = (
+        F.lit(True)
+        if predicate is None
+        else (F.expr(predicate) if isinstance(predicate, str) else predicate)
+    )
+    new_files: list[dict[str, Any]] = []
+    commit_id = uuid.uuid4().hex[:16]
+    lineage = manifest.get("next_row_id") is not None
+    if touched:
+        if lineage:
+            tdf = _read_with_lineage(
+                spark, table, manifest, touched, schema
+            ).drop("__file__", "__pos__")
+        else:
+            tdf = _read_entries(
+                spark, table, touched, schema, column_ids=cids
+            )
+        hit = pred & pred.isNotNull()
+        out_cols = []
+        for f in schema.fields:
+            if f.name in set:
+                v = set[f.name]
+                v = F.expr(v) if isinstance(v, str) else v
+                out_cols.append(
+                    F.when(hit, v.cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                out_cols.append(F.col(f.name))
+        if lineage:
+            out_cols.append(F.col("_row_id").alias(_ROW_ID))
+        rewritten = tdf.select(*out_cols)
+        _enforce_constraints(
+            rewritten.select(*names), manifest, "update_where"
+        )
+        commit_id, new_files = _write_data_files(
+            rewritten, table, names,
+            _parent_bloom_columns(manifest), manifest.get("partition_by"),
+        )
+        if lineage:
+            new_files = [dict(e, lineage=True) for e in new_files]
+    return _commit_rewrite(
+        table, parent, manifest, "update", untouched + new_files,
+        commit_id, partition_by=manifest.get("partition_by"),
+    )
+
+
 def committed_stream_batches(table: str) -> set[int]:
     """Batch ids already durably committed — the O(versions) audit/
     debug surface. The hot-path replay check in
@@ -3713,6 +3978,11 @@ def stream_commit_batch(
                     f"not match the table's {parent_pb!r}"
                 )
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    head0 = latest_version(table)
+    if head0 is not None:
+        _enforce_constraints(
+            df, _read_record(table, head0), "stream_commit_batch"
+        )
     commit_id, new_files = _write_data_files(
         df, table, df.columns, None, partition_by
     )
@@ -3729,6 +3999,7 @@ def stream_commit_batch(
             "stream_batch_high": max(batch_id, _stream_high(pm)),
             "committed_at_ms": _now_ms(),
         }
+        _carry_constraints(payload, pm)
         if mode == "append" and pm is not None:
             # micro-batches carry a fixed query schema; enforce it the
             # same way as batch appends (no silent column loss)
@@ -4541,6 +4812,11 @@ def _delete_where_mor_once(
         "parent": parent,
         "mode": "delete_mor",
         "schema": manifest["schema"],
+        **(
+            {"constraints": manifest["constraints"]}
+            if manifest.get("constraints")
+            else {}
+        ),
         # data files untouched: the commit is a pure-header delta (the
         # whole point of MoR — only the DV pointer changes)
         "add": [],

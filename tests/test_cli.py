@@ -291,3 +291,45 @@ def test_table_admin_restore_orphans_files_partitions(
     # restore without --at-version is a usage error, not a traceback
     assert main(["table", tbl, "restore"]) == 1
     capsys.readouterr()
+
+
+def test_table_admin_constraints(spark, tmp_path, capsys):
+    """CLI surface for CHECK constraints: add validates existing data,
+    enforcement rejects violating appends, drop lifts it."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.cli import main
+    from small_etl_spark.sinks import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.commit_snapshot(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        tbl, mode="overwrite",
+    )
+    assert main(["table", tbl, "add-constraint",
+                 "--name", "v_nonneg", "--expr", "v >= 0"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["added_constraint"] == "v_nonneg" and out["version"] == 1
+
+    assert main(["table", tbl, "constraints"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"v_nonneg": "v >= 0"}
+
+    import pytest as _pytest
+    with _pytest.raises(V.ConstraintViolation):
+        V.commit_snapshot(
+            spark.createDataFrame([(1, -1)], "k bigint, v bigint"),
+            tbl, mode="append",
+        )
+
+    assert main(["table", tbl, "drop-constraint",
+                 "--name", "v_nonneg"]) == 0
+    capsys.readouterr()
+    assert V.list_constraints(tbl) == {}
+    # usage errors exit 1
+    assert main(["table", tbl, "add-constraint", "--name", "x"]) == 1
+    capsys.readouterr()

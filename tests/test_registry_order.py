@@ -39,7 +39,9 @@ MUST_BE_GATED = [
     # conditional update/delete, conditional inserts, NOT MATCHED BY
     # SOURCE) strictly generalizes the single-shape upsert
     "versioned_merge_multi",
-    "minhash_lsh_probe_md5",
+    # minhash_lsh_probe_md5 left round 9 session 2 (cdc_lsh_probe_md5
+    # carries the persisted-probe family) for COW UPDATE
+    "versioned_update",
     "domain_token_budget_cap",
     # round-7 flagships: partitioned commits, blooms, CDC-driven LSH
     # probe, the full PQ pipeline, leakage-safe splitting
@@ -79,6 +81,14 @@ MUST_BE_GATED = [
     # full_record_dedup + exact_dedup_docs carry first-wins dedup)
     "versioned_restore",
     "versioned_metadata_agg",
+    # the SQL front-end (VERSION AS OF resolution through
+    # read_snapshot; lookup_enrich left, its family carried by
+    # merge_with_previous + asof_join_events)
+    "sql_time_travel_join",
+    # CHECK constraints: reject-before-write on every data-adding
+    # path (default_fill_union left; rename_project +
+    # array_path_extract carry projections)
+    "versioned_constraints",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics

@@ -42,10 +42,17 @@ _op = st.one_of(
     # r9: partition-spec evolution mid-walk — metadata-only, model
     # unchanged; appends pick up the new spec via pb_now()
     st.tuples(st.just("respec"), st.integers(0, 2)),
-    # r9 session 2: RESTORE to a random earlier version (model jumps
-    # back to that version's recorded state), a multi-clause MERGE
-    # (conditional update-or-delete by key parity + inserts), and an
-    # orphan GC sweep after an abandoned write (state must not move)
+)
+
+# r9 session 2 ops, handled ONLY by the base walk (the partitioned /
+# transform walks keep the shared `_op` vocabulary): RESTORE to a
+# random earlier version (model jumps back to that version's recorded
+# state), a multi-clause MERGE (conditional update-or-delete by key
+# parity + inserts), an orphan GC sweep after an abandoned write
+# (state must not move), and COW UPDATE (add 1000·(payload+1) to ver
+# where k >= payload, pruned on the key range).
+_op2 = st.one_of(
+    _op,
     st.tuples(st.just("restore"), st.integers(0, 30)),
     st.tuples(
         st.just("merge_multi"),
@@ -55,6 +62,7 @@ _op = st.one_of(
         ),
     ),
     st.tuples(st.just("orphans"), st.none()),
+    st.tuples(st.just("update"), st.integers(0, 19)),
 )
 
 
@@ -72,7 +80,7 @@ def _dv_live(table: str) -> bool:
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(ops=st.lists(_op, min_size=1, max_size=5))
+@given(ops=st.lists(_op2, min_size=1, max_size=5))
 def test_versioned_matches_model(spark, tmp_path_factory, ops):
     table = str(tmp_path_factory.mktemp("prop") / "tbl")
     tag = {"n": 0}
@@ -195,6 +203,21 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
                 # unmatched by target -> inserted
                 + [(k, v) for k, v in src_rows if k not in existing]
             )
+        elif kind == "update":
+            if V.latest_version(table) is None:
+                continue
+            if _dv_live(table):
+                V.compact_dv(spark, table)
+                history.append(_snap(model))
+            delta = 1000 * (payload + 1)
+            V.update_where(
+                spark, table, {"ver": f"ver + {delta}"},
+                F.col("k") >= payload, prune=[("k", ">=", payload)],
+            )
+            model = [
+                (k, v + delta) if k >= payload else (k, v)
+                for k, v in model
+            ]
         elif kind == "orphans":
             if V.latest_version(table) is None:
                 continue
