@@ -64,6 +64,10 @@ STRESS_QUERIES = [
     # two LWW batches + the accumulated-delete read — phase-split
     # below so the O(batch) commit claim is a measured number.
     "versioned_stream_upsert",
+    # COW UPDATE (r9 session 2): stats-pruned rewrite of the matched
+    # top-range files — phase-split so the O(matched files) claim is
+    # a measured number (op ratio should track the matched delta).
+    "versioned_update",
 ]
 # The most expensive stress queries re-run at 30× — the closest
 # local[32] gets to evidencing the 100× extrapolation. r6 adds the
@@ -94,6 +98,7 @@ _VERSIONED_STRESS_TABLES = {
     "versioned_partition_prune": "part",
     "versioned_wap_publish": "wap",
     "versioned_stream_upsert": "ups",
+    "versioned_update": "upd",
 }
 
 
@@ -244,6 +249,7 @@ _PHASE_SPLIT = {
     "versioned_dv_delete",
     "versioned_wap_publish",
     "versioned_stream_upsert",
+    "versioned_update",
 }
 
 
@@ -296,6 +302,18 @@ def _versioned_phases(spark, data_dir: str, name: str) -> dict:
             timed_read(lambda: V.read_snapshot(
                 spark, tbl, where=[("source", "=", target)]
             ).filter(F.col("source") == target))
+        elif name == "versioned_update":
+            d = docs.select("doc_id", "lang", "n_chars")
+            cutoff = int(0.9 * d.agg(F.max("doc_id")).first()[0])
+            timed("build_s", lambda: V.commit_snapshot(
+                d.repartitionByRange(8, "doc_id"), tbl, mode="overwrite"
+            ))
+            timed("op_s", lambda: V.update_where(
+                spark, tbl, {"n_chars": "n_chars + 1000000"},
+                f"doc_id >= {cutoff} AND lang = 'en'",
+                prune=[("doc_id", ">=", cutoff)],
+            ))
+            timed_read(lambda: V.read_snapshot(spark, tbl))
         elif name == "versioned_dv_delete":
             d = docs.select("doc_id", "n_chars")
             timed("build_s", lambda: V.commit_snapshot(

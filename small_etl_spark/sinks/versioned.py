@@ -3056,6 +3056,47 @@ def remove_orphan_files(
     return sorted(removed)
 
 
+def expire_snapshots(
+    table: str,
+    older_than_ms: int,
+    keep_last: int = 1,
+    min_age_ms: int = 0,
+) -> int:
+    """Age-based retention (Iceberg's ``expire_snapshots(older_than)``):
+    drop every untagged version whose commit timestamp is older than
+    ``older_than_ms`` ago, always keeping the newest ``keep_last``
+    regardless of age, then reclaim the files only they referenced.
+    The count-based :func:`vacuum` answers "keep the last N"; this
+    answers the operational contract real tables run on — "time travel
+    works for 7 days" — independent of commit rate (a streaming table
+    commits thousands of versions a day; N is meaningless there).
+    Tags still pin their versions forever; ``min_age_ms`` is the same
+    in-flight-writer data guard vacuum takes. Returns files deleted."""
+    v = latest_version(table)
+    if v is None:
+        return 0
+    cutoff = _now_ms() - older_than_ms
+    keep_n = 0
+    for cand in range(v, -1, -1):
+        p = _manifest_path(table, cand)
+        if not os.path.exists(p):
+            continue
+        keep_n += 1
+        if keep_n <= keep_last:
+            continue
+        if int(_read_record(table, cand).get("committed_at_ms", 0)) >= (
+            cutoff
+        ):
+            continue
+        # everything at and below the first too-old version expires
+        # (timestamps are monotone along the log); vacuum's keep-set
+        # arithmetic is count-based, so translate: keep newest (v-cand)
+        return vacuum(
+            table, keep_last=v - cand, min_age_ms=min_age_ms
+        )
+    return 0
+
+
 def vacuum(table: str, keep_last: int = 1, min_age_ms: int = 0) -> int:
     """Delete data files unreferenced by the ``keep_last`` newest
     manifests or by any TAG (older untagged manifests are dropped
@@ -3228,6 +3269,7 @@ def auto_maintain(
     eq_backlog: int = 8,
     commit_dir_trigger: int = 8,
     vacuum_keep_last: int | None = None,
+    orphans_older_than_ms: int | None = None,
     branch_name: str = "__maintenance",
 ) -> dict[str, Any]:
     """Opt-in maintenance policy hook (VERDICT r8 #7): read ONE
@@ -3301,6 +3343,12 @@ def auto_maintain(
         n = vacuum(table, keep_last=vacuum_keep_last)
         if n:
             actions.append(f"vacuum:{n}")
+    if orphans_older_than_ms is not None:
+        removed = remove_orphan_files(
+            table, older_than_ms=orphans_older_than_ms
+        )
+        if removed:
+            actions.append(f"orphans:{len(removed)}")
     return {
         "actions": actions,
         "conflict": conflict,

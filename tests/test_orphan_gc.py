@@ -125,3 +125,18 @@ def test_empty_table_and_no_orphans(spark, table):
     assert V.remove_orphan_files(table, older_than_ms=0) == []
     V.commit_snapshot(_kv(spark, 0, 5), table, mode="overwrite")
     assert V.remove_orphan_files(table, older_than_ms=0) == []
+
+
+def test_auto_maintain_orphan_sweep_opt_in(spark, table):
+    """auto_maintain(orphans_older_than_ms=...) sweeps lost-race
+    debris as part of the periodic policy call."""
+    V.commit_snapshot(_kv(spark, 0, 10), table, mode="overwrite")
+    _abandoned_write(spark, table)
+    out = V.auto_maintain(spark, table, orphans_older_than_ms=0)
+    assert any(a.startswith("orphans:") for a in out["actions"])
+    assert V.remove_orphan_files(table, older_than_ms=0) == []
+    assert V.read_snapshot(spark, table).count() == 10
+    # without the opt-in, nothing is swept
+    _abandoned_write(spark, table, 200, 205)
+    out = V.auto_maintain(spark, table)
+    assert not any(a.startswith("orphans:") for a in out["actions"])

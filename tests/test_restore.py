@@ -165,3 +165,53 @@ def test_restore_partitioned_table(spark, table):
     assert m.get("partition_by") == ["part"]
     got = V.read_snapshot(spark, table, where=[("part", "=", 2)])
     assert got.count() == 10
+
+
+def test_expire_snapshots_age_based(spark, table):
+    """expire_snapshots drops versions older than the horizon (keeping
+    keep_last regardless of age), honors tags, leaves young ones."""
+    import json
+    import os as _os
+
+    for i in range(4):
+        # overwrite lineages so expired versions own reclaimable files
+        V.commit_snapshot(_kv(spark, 10 * i, 10 * i + 5), table,
+                          mode="append" if i == 3 else "overwrite")
+    # age v0/v1 artificially (3 days old); v2/v3 stay fresh
+    for ver in (0, 1):
+        p = V._manifest_path(table, ver)
+        rec = json.load(open(p))
+        rec["committed_at_ms"] -= 3 * 24 * 3600 * 1000
+        _os.remove(p)
+        json.dump(rec, open(p, "w"))
+    V.create_tag(table, "pin0", version=0)
+    # 1-day horizon: v0 (tagged -> survives), v1 expires
+    deleted = V.expire_snapshots(table, older_than_ms=24 * 3600 * 1000)
+    assert deleted > 0
+    assert V.read_snapshot(spark, table, version=0).count() == 5  # tag
+    with pytest.raises(FileNotFoundError):
+        V.read_snapshot(spark, table, version=1)
+    for ver in (2, 3):
+        V.read_snapshot(spark, table, version=ver).count()
+    # huge horizon: nothing else expires
+    assert V.expire_snapshots(table,
+                              older_than_ms=30 * 24 * 3600 * 1000) == 0
+
+
+def test_expire_snapshots_keep_last_overrides_age(spark, table):
+    import json
+    import os as _os
+
+    V.commit_snapshot(_kv(spark, 0, 5), table, mode="overwrite")
+    V.commit_snapshot(_kv(spark, 5, 10), table, mode="append")
+    for ver in (0, 1):  # BOTH ancient
+        p = V._manifest_path(table, ver)
+        rec = json.load(open(p))
+        rec["committed_at_ms"] -= 10 * 24 * 3600 * 1000
+        _os.remove(p)
+        json.dump(rec, open(p, "w"))
+    V.expire_snapshots(table, older_than_ms=24 * 3600 * 1000,
+                       keep_last=2)
+    # both inside keep_last -> both survive their age
+    assert V.read_snapshot(spark, table, version=0).count() == 5
+    assert V.read_snapshot(spark, table, version=1).count() == 10

@@ -773,6 +773,14 @@ _ups_op = st.one_of(
     # the policy hook (r9): whatever combination of compactions it
     # decides to run (possibly WAP-staged), contents must not move
     st.tuples(st.just("auto_maintain"), st.none()),
+    # CHECK constraints interleaved with live eq-deletes (r9 s2): the
+    # add is a metadata-only commit the LWW replay must survive, and
+    # a violating batch must bounce without moving version or state
+    st.tuples(st.just("constraint"), st.none()),
+    st.tuples(
+        st.just("bad_upsert"),
+        st.lists(st.integers(0, 9), min_size=1, max_size=2),
+    ),
 )
 
 
@@ -822,6 +830,26 @@ def test_stream_upserts_match_lww_model(spark, tmp_path_factory, ops):
         elif kind == "optimize":
             if V.optimize_snapshot(spark, table) is None:
                 continue
+        elif kind == "constraint":
+            if "ver_pos" in V.list_constraints(table):
+                continue
+            V.add_constraint(spark, table, "ver_pos", "ver >= 0")
+        elif kind == "bad_upsert":
+            if "ver_pos" not in V.list_constraints(table):
+                continue
+            head = V.latest_version(table)
+            bad = spark.createDataFrame(
+                [(k, -1) for k in sorted(set(payload))], "k LONG, ver LONG"
+            )
+            with pytest.raises(V.ConstraintViolation):
+                V.stream_upsert_batch(bad, batch, table, key="k")
+            assert V.latest_version(table) == head
+            got = sorted(
+                (r.k, r.ver)
+                for r in V.read_snapshot(spark, table).collect()
+            )
+            assert got == sorted(model.items())
+            continue  # no commit: no history entry
         elif kind == "auto_maintain":
             out = V.auto_maintain(
                 spark, table, eq_backlog=1, small_file_trigger=2
