@@ -1170,6 +1170,70 @@ def q_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "matview_realtime_read",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    final AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE NOT (n_chars < 100)
+      UNION ALL
+      SELECT doc_id + m + 1 AS doc_id, lang, n_chars
+      FROM documents, mx WHERE doc_id % 13 = 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars
+    FROM final GROUP BY lang
+    """,
+)
+def q_matview_realtime_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate
+    (sinks/matview.py::read_matview_realtime): a per-lang view is
+    materialized, then an append AND a COW delete (which drops each
+    lang's minimum — the non-self-maintainable case) land in the
+    UN-refreshed tail; the real-time read must equal a full recompute
+    of the defining query over the base head — untouched groups from
+    state, touched groups rescanned via a pruned semi-join — with NO
+    refresh commit (asserted in-band: the state watermark is
+    unchanged). The public TimescaleDB real-time-aggregate contract;
+    DuckDB recomputes the final grouping from the source table."""
+    from small_etl_spark.sinks import matview as M
+    from small_etl_spark.sinks import versioned as V
+
+    base = _versioned_table_path(sf_dir, "rtbase")
+    view = _versioned_table_path(sf_dir, "rtview")
+    V.drop_table(base)
+    V.drop_table(view)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), base, mode="overwrite"
+    )
+    M.create_matview(
+        spark, view, base, group_by=["lang"],
+        aggs={
+            "n_docs": ("count", "*"),
+            "sum_chars": ("sum", "n_chars"),
+            "min_chars": ("min", "n_chars"),
+        },
+    )
+    V.delete_where(spark, base, F.col("n_chars") < 100)
+    V.commit_snapshot(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + max_id + 1).alias("doc_id"),
+            "lang", "n_chars",
+        ),
+        base, mode="append",
+    )
+    out = M.read_matview_realtime(spark, view)
+    assert M.matview_info(view)["refreshed_to"] == 0  # read-only
+    return out
+
+
+@register(
     "sql_time_travel_join",
     """
     WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),

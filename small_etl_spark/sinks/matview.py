@@ -218,13 +218,8 @@ def matview_info(view_root: str) -> dict[str, Any]:
     }
 
 
-def read_matview(spark: SparkSession, view_root: str) -> DataFrame:
-    """The view contents under the user-facing aggregate names."""
-    _, extra = _head_extra(view_root)
-    defn = extra["matview"]
-    st = V.read_snapshot(spark, _state_root(view_root)).filter(
-        F.col(_N) > 0
-    )
+def _user_select(defn: dict[str, Any]) -> list[F.Column]:
+    """State columns -> the user-facing view columns."""
     sel: list[F.Column] = [F.col(c) for c in defn["group_by"]]
     for name, (func, expr) in defn["aggs"].items():
         if func == "count" and expr == "*":
@@ -246,7 +241,99 @@ def read_matview(spark: SparkSession, view_root: str) -> DataFrame:
             )
         else:
             sel.append(F.col(_mcol(name)).alias(name))
-    return st.select(*sel)
+    return sel
+
+
+def read_matview(spark: SparkSession, view_root: str) -> DataFrame:
+    """The view contents under the user-facing aggregate names."""
+    _, extra = _head_extra(view_root)
+    defn = extra["matview"]
+    st = V.read_snapshot(spark, _state_root(view_root)).filter(
+        F.col(_N) > 0
+    )
+    return st.select(*_user_select(defn))
+
+
+def read_matview_realtime(spark: SparkSession, view_root: str) -> DataFrame:
+    """The view AS IF refreshed to the base's current head, without
+    committing anything — the public "real-time continuous aggregate"
+    contract (TimescaleDB real-time aggregates / Materialize reads):
+    ``materialized state ∪ the un-refreshed tail``, generalized from
+    time-bucketed tails to arbitrary group keys.
+
+    Plan shape, all read-only: the CDC delta since the watermark
+    yields the TOUCHED group keys (O(changed files)); untouched
+    groups serve straight from the state (anti-join on the group
+    hash); touched groups — including ones born after the watermark —
+    recompute from the base head via a null-safe broadcast semi-join,
+    which manifest stats/partition/bloom pruning bound to the files
+    that can hold them. Groups deleted to extinction fall out
+    naturally (no base rows). Correct for every supported aggregate
+    including min/max under deletes (the rescan IS the runner-up
+    lookup). Cost tracks the un-refreshed tail, so a periodic
+    ``refresh_matview`` keeps real-time reads cheap — exactly the
+    Timescale cadence contract."""
+    _, extra = _head_extra(view_root)
+    defn = extra["matview"]
+    base = defn["base_table"]
+    group_by = list(defn["group_by"])
+    aggs = {k: tuple(v) for k, v in defn["aggs"].items()}
+    where = defn.get("where")
+    from_v = int(extra["refreshed_to"])
+    to_v = V.latest_version(base)
+    if to_v is None:
+        raise FileNotFoundError(f"base table vanished: {base!r}")
+    if to_v == from_v:
+        return read_matview(spark, view_root)
+    if to_v < from_v:
+        raise MatviewError(
+            f"base head v{to_v} is behind the view watermark v{from_v} "
+            f"(base table replaced?); drop + recreate the view"
+        )
+    changes = V.table_changes(spark, base, from_v, to_v)
+    if where:
+        changes = changes.filter(F.expr(where))
+    touched = (
+        changes.select(_gk_expr(group_by), *group_by).distinct()
+    ).localCheckpoint(eager=True)
+
+    state = V.read_snapshot(spark, _state_root(view_root)).filter(
+        F.col(_N) > 0
+    )
+    untouched = state.join(
+        touched.select(_GK), on=_GK, how="left_anti"
+    ).select(*_user_select(defn))
+
+    base_df = V.read_snapshot(spark, base, version=to_v)
+    if where:
+        base_df = base_df.filter(F.expr(where))
+    tg = F.broadcast(
+        touched.select(
+            *[F.col(c).alias(f"__tg{i}__") for i, c in enumerate(group_by)]
+        ).distinct()
+    )
+    cond = None
+    for i, c in enumerate(group_by):
+        e = F.col(c).eqNullSafe(F.col(f"__tg{i}__"))
+        cond = e if cond is None else (cond & e)
+    live_aggs: list[F.Column] = []
+    for name, (func, expr) in aggs.items():
+        if func == "count" and expr == "*":
+            live_aggs.append(F.count(F.lit(1)).alias(name))
+        elif func == "count":
+            live_aggs.append(F.count(F.expr(expr)).alias(name))
+        elif func == "avg":
+            live_aggs.append(
+                F.avg(F.expr(expr)).cast("double").alias(name)
+            )
+        else:
+            live_aggs.append(getattr(F, func)(F.expr(expr)).alias(name))
+    live = (
+        base_df.join(tg, on=cond, how="left_semi")
+        .groupBy(*group_by)
+        .agg(*live_aggs)
+    )
+    return untouched.unionByName(live)
 
 
 def refresh_matview(

@@ -240,6 +240,41 @@ def _stream_high(parent_manifest: dict[str, Any] | None) -> int:
     return int(parent_manifest.get("stream_batch_high", -1))
 
 
+# String min/max longer than this are TRUNCATED in manifest entries
+# (the public Iceberg write.metadata.metrics truncate(16) design): the
+# lower bound keeps a prefix (any string extending it sorts >= it), the
+# upper bound keeps a prefix with its last character incremented (any
+# string extending the original prefix sorts < it). Range pruning stays
+# conservative-correct; the entry is flagged ``trunc`` so manifest_agg
+# never serves a truncated bound as an EXACT min/max. Without this, a
+# text column's stats embed two whole documents PER FILE ENTRY — at
+# 100 TB the manifest would carry gigabytes of stats for one column.
+_STR_STAT_MAX = 64
+
+
+def _truncate_str_stats(lo: str, hi: str) -> tuple[str, str, bool]:
+    trunc = False
+    if len(lo) > _STR_STAT_MAX:
+        lo = lo[:_STR_STAT_MAX]
+        trunc = True
+    if len(hi) > _STR_STAT_MAX:
+        t = hi[:_STR_STAT_MAX]
+        up = None
+        for i in range(len(t) - 1, -1, -1):
+            c = ord(t[i])
+            if c < 0x10FFFF:
+                nc = c + 1
+                if 0xD800 <= nc <= 0xDFFF:  # skip the surrogate gap
+                    nc = 0xE000
+                up = t[:i] + chr(nc)
+                break
+        if up is not None:
+            hi = up
+            trunc = True
+        # else: every char is U+10FFFF (pathological) — keep full max
+    return lo, hi, trunc
+
+
 def _footer_stats(path: str, columns: list[str]) -> dict[str, Any]:
     """Per-file stats from the parquet footer (metadata-only read)."""
     import pyarrow.parquet as pq
@@ -270,7 +305,17 @@ def _footer_stats(path: str, columns: list[str]) -> dict[str, Any]:
                     continue
             if not isinstance(lo, (int, float, str, bool)):
                 lo, hi = str(lo), str(hi)  # dates etc. — JSON-safe
-            stats[col] = {"min": lo, "max": hi, "nulls": nulls}
+            entry = {"min": lo, "max": hi, "nulls": nulls}
+            if isinstance(lo, str) and (
+                len(lo) > _STR_STAT_MAX or len(hi) > _STR_STAT_MAX
+            ):
+                tlo, thi, tr = _truncate_str_stats(lo, hi)
+                if tr:
+                    entry = {
+                        "min": tlo, "max": thi, "nulls": nulls,
+                        "trunc": True,
+                    }
+            stats[col] = entry
     return {"rows": md.num_rows, "bytes": os.path.getsize(path), "stats": stats}
 
 
@@ -946,8 +991,14 @@ def _constraints_of(manifest: dict[str, Any] | None) -> dict[str, str]:
 def _carry_constraints(
     payload: dict[str, Any], pm: dict[str, Any] | None
 ) -> None:
+    """Carry table-level properties (CHECK constraints + batch-writer
+    txn high-water marks) from the parent record into a new commit —
+    they are table properties, not snapshot properties, so every
+    commit mode forwards them."""
     if pm and pm.get("constraints"):
         payload["constraints"] = pm["constraints"]
+    if pm and pm.get("txns") and "txns" not in payload:
+        payload["txns"] = pm["txns"]
 
 
 def _enforce_constraints(
@@ -1140,8 +1191,19 @@ def commit_snapshot(
     extra: dict[str, Any] | None = None,
     bloom_columns: list[str] | None = None,
     partition_by: list[str] | None = None,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Write ``df`` as a new snapshot of ``table``; returns the version.
+
+    ``txn=(app_id, txn_version)`` makes BATCH writers idempotent (the
+    public Delta ``txn`` action): the manifest header carries a
+    per-app high-water map, and a commit whose ``txn_version`` is at
+    or below the recorded mark returns ``None`` without writing — so
+    a retried Airflow task / replayed job run cannot double-append.
+    The map is bounded by the number of distinct writer apps, carried
+    through every commit mode, and checked BEFORE data files land.
+    (Streaming micro-batches get the same guarantee from
+    ``stream_batch_high`` in :func:`stream_commit_batch`.)
 
     ``mode="append"`` stacks on the parent snapshot's file list;
     ``mode="overwrite"`` starts a fresh lineage (old files stay on disk
@@ -1191,12 +1253,15 @@ def commit_snapshot(
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     head0 = latest_version(table)
     if head0 is not None:
+        rec0 = _read_record(table, head0)
+        if txn is not None and txn[1] <= int(
+            (rec0.get("txns") or {}).get(txn[0], -(1 << 62))
+        ):
+            return None  # this app txn already committed: replay no-op
         # CHECK constraints gate the batch BEFORE any data is written
         # (one agg over the batch; constraints survive overwrite —
         # they are a table property, not a snapshot property)
-        _enforce_constraints(
-            df, _read_record(table, head0), f"commit_snapshot({mode})"
-        )
+        _enforce_constraints(df, rec0, f"commit_snapshot({mode})")
     cols = stats_columns if stats_columns is not None else df.columns
     commit_id, new_files = _write_data_files(
         df, table, cols, bloom_columns, partition_by
@@ -1251,6 +1316,18 @@ def commit_snapshot(
             # (= this version) exceeds every live delete's, so the
             # appended rows are untouched by construction
             manifest["eq_deletes"] = pm["eq_deletes"]
+        if txn is not None:
+            marks = dict((pm or {}).get("txns") or {})
+            if txn[1] <= int(marks.get(txn[0], -(1 << 62))):
+                # a concurrent same-app writer won the race: drop our
+                # (never-referenced) data files and report the no-op
+                shutil.rmtree(
+                    os.path.join(table, _DATA_DIR, commit_id),
+                    ignore_errors=True,
+                )
+                return None
+            marks[txn[0]] = int(txn[1])
+            manifest["txns"] = marks
         _carry_constraints(manifest, pm)
         if extra is not None:
             # caller-owned JSON metadata rides the atomic commit (e.g.
@@ -1546,7 +1623,9 @@ def _evolution_commit(
             "next_column_id": updates.get("next_column_id", nxt),
         }
         _header_row_ids(payload, manifest.get("next_row_id"))
-        for k in ("partition_by", "dv", "eq_deletes", "constraints"):
+        for k in (
+            "partition_by", "dv", "eq_deletes", "constraints", "txns",
+        ):
             if k in updates:
                 if updates[k]:
                     payload[k] = updates[k]
@@ -2122,6 +2201,8 @@ def restore_snapshot(
     for k in ("partition_by", "dv", "eq_deletes", "constraints"):
         if tm.get(k):
             payload[k] = tm[k]
+    if hm.get("txns"):
+        payload["txns"] = hm["txns"]  # idempotence marks never rewind
     ids = tm.get("column_ids")
     if ids is not None or hm.get("column_ids") is not None:
         payload["column_ids"] = ids if ids is not None else {}
@@ -2702,6 +2783,11 @@ def manifest_agg(
                 st = e.get("stats", {}).get(phys)
                 if st is None:
                     ok = False  # stats-less file could hide the answer
+                    break
+                if st.get("trunc"):
+                    # truncated string bounds are conservative, not
+                    # exact — only a real scan can answer min/max
+                    ok = False
                     break
                 if int(st.get("nulls", 0)) == int(e["rows"]):
                     continue  # all-null file: contributes nothing

@@ -393,3 +393,76 @@ def test_matview_matches_recompute(spark, tmp_path_factory, ops):
             _check(spark, base, view)
     M.refresh_matview(spark, view)
     _check(spark, base, view)
+
+
+def _check_rt(spark, base, view, where=None):
+    got = _key(M.read_matview_realtime(spark, view).collect())
+    exp = _key(_expected(spark, base, where))
+    assert got == exp
+
+
+def test_realtime_equals_recompute_without_refresh(spark, roots):
+    """Appends + a merge land AFTER the watermark; the real-time read
+    must equal a full recompute while read_matview stays stale."""
+    base, view = roots
+    V.commit_snapshot(_df(spark, _rows(range(12))), base,
+                      mode="overwrite")
+    M.create_matview(spark, view, base, group_by=["g"], aggs=AGGS)
+    V.commit_snapshot(_df(spark, _rows(range(12, 20))), base,
+                      mode="append")
+    V.merge_upsert(
+        spark, base, _df(spark, _rows([3, 4], g="zz")), key="id"
+    )
+    _check_rt(spark, base, view)
+    # the materialized read still reflects the watermark (stale)
+    stale = _key(M.read_matview(spark, view).collect())
+    assert stale != _key(_expected(spark, base))
+    # a refresh converges all three
+    assert M.refresh_matview(spark, view)["mode"] == "incremental"
+    _check(spark, base, view)
+    _check_rt(spark, base, view)
+
+
+def test_realtime_at_watermark_is_materialized_read(spark, roots):
+    base, view = roots
+    V.commit_snapshot(_df(spark, _rows(range(9))), base, mode="overwrite")
+    M.create_matview(spark, view, base, group_by=["g"], aggs=AGGS)
+    got = _key(M.read_matview_realtime(spark, view).collect())
+    assert got == _key(M.read_matview(spark, view).collect())
+
+
+def test_realtime_minmax_under_tail_deletes(spark, roots):
+    """A delete of the current max in the UN-refreshed tail: the
+    touched group's rescan must find the runner-up."""
+    base, view = roots
+    V.commit_snapshot(_df(spark, _rows(range(12))), base,
+                      mode="overwrite")
+    M.create_matview(spark, view, base, group_by=["g"], aggs=AGGS)
+    V.delete_where(spark, base, F.col("id") >= 9)  # drops each g's max
+    _check_rt(spark, base, view)
+
+
+def test_realtime_extinct_and_new_groups(spark, roots):
+    base, view = roots
+    V.commit_snapshot(_df(spark, _rows(range(6))), base, mode="overwrite")
+    M.create_matview(spark, view, base, group_by=["g"], aggs=AGGS)
+    # extinguish group 'a' (ids 0,3) and birth group 'q' — both in the
+    # un-refreshed tail
+    V.delete_where(spark, base, F.col("g") == "a")
+    V.commit_snapshot(_df(spark, _rows([100, 101], g="q")), base,
+                      mode="append")
+    got = M.read_matview_realtime(spark, view)
+    groups = {r.g for r in got.collect()}
+    assert "a" not in groups and "q" in groups
+    _check_rt(spark, base, view)
+
+
+def test_realtime_respects_where(spark, roots):
+    base, view = roots
+    V.commit_snapshot(_df(spark, _rows(range(10))), base,
+                      mode="overwrite")
+    M.create_matview(spark, view, base, group_by=["g"], aggs=AGGS,
+                     where="id % 2 = 0")
+    V.commit_snapshot(_df(spark, _rows(range(10, 16))), base,
+                      mode="append")
+    _check_rt(spark, base, view, where="id % 2 = 0")

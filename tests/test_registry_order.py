@@ -49,7 +49,9 @@ MUST_BE_GATED = [
     "versioned_bloom_lookup",
     "cdc_lsh_probe_md5",
     "pq_ann_topk",
-    "leakage_safe_split",
+    # real-time matview reads (leakage_safe_split left; the sampling
+    # family is carried by domain_token_budget_cap)
+    "matview_realtime_read",
     # round-8 flagships: WAP staging branches, hidden partitioning,
     # equality-delete streaming upserts, the pca value-oracle upgrade
     # (exclude_fields/computed_markers/semi_anti_join/
