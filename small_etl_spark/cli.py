@@ -97,6 +97,11 @@ def _table_admin(args) -> int:
         v = V.branch_publish(args.path, args.name)
         print(json.dumps({"published_branch": args.name, "version": v}))
         return 0
+    if args.action == "set-sort-order":
+        cols = args.column.split(",") if args.column else None
+        v = V.set_sort_order(args.path, cols)
+        print(json.dumps({"sort_order": cols, "version": v}))
+        return 0
     if args.action == "constraints":
         print(json.dumps(V.list_constraints(args.path)))
         return 0
@@ -248,7 +253,7 @@ def main(argv: list[str] | None = None) -> int:
             "publish", "rename-column", "drop-column", "widen-type",
             "add-column", "auto-maintain", "remove-orphans",
             "restore", "files", "partitions", "add-constraint",
-            "drop-constraint", "constraints",
+            "drop-constraint", "constraints", "set-sort-order",
         ],
     )
     tbl_p.add_argument(

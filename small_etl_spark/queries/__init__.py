@@ -164,7 +164,12 @@ _GATED = [
     "versioned_stream_upsert",
     "pca_project",
     "sessionize",
-    "window_agg_hourly",
+    # window_agg_hourly left the window round 9 session 2 (tumbling
+    # aggregation is carried by sessionize + window_topk_per_group +
+    # the streaming equivalence suite; stays registered + swept +
+    # benched) for versioned_clustered_maintain — declared clustering
+    # columns: maintenance converges unsorted ingest to Z-order
+    "versioned_clustered_maintain",
     # session_window_agg left round 8 (window_agg_hourly + sessionize
     # carry the family) for pca_project's new full value oracle.
     "salted_agg",

@@ -1170,6 +1170,67 @@ def q_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_clustered_maintain",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS clustered,
+           CAST(1 AS BOOLEAN) AS pruned
+    FROM documents
+    WHERE doc_id <= (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) / 8
+                     FROM documents)
+      AND n_chars <= (SELECT MIN(n_chars) +
+                      (MAX(n_chars) - MIN(n_chars)) / 8 FROM documents)
+    """,
+)
+def q_versioned_clustered_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declared clustering columns (sinks/versioned.py::set_sort_order
+    + auto_maintain): the corpus is ingested UNSORTED across many
+    small files, ``set_sort_order(["doc_id", "n_chars"])`` is one
+    metadata commit, and the next auto_maintain upgrades its
+    compaction to a Z-order rewrite whose value ranges come from
+    manifest stats alone (``clustered`` asserts the action). A 2-D
+    box predicate must then PRUNE files at the manifest level
+    (``pruned`` — impossible under hash layout, where every file
+    spans both full ranges) and return exactly what DuckDB computes
+    from the data. This is the write-unsorted / converge-by-
+    maintenance contract Delta's clusterBy ships."""
+    from small_etl_spark.sinks import versioned as V
+
+    path = _versioned_table_path(sf_dir, "clus")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    lo_id, hi_id, lo_ch, hi_ch = docs.agg(
+        F.min("doc_id"), F.max("doc_id"),
+        F.min("n_chars"), F.max("n_chars"),
+    ).first()
+    V.commit_snapshot(docs.repartition(16), path, mode="overwrite")
+    V.set_sort_order(path, ["doc_id", "n_chars"])
+    out = V.auto_maintain(
+        spark, path, small_file_trigger=4, target_bytes=2048
+    )
+    clustered = "cluster" in out["actions"]
+    bid = lo_id + (hi_id - lo_id) // 8
+    bch = lo_ch + (hi_ch - lo_ch) // 8
+    where = [("doc_id", "<=", bid), ("n_chars", "<=", bch)]
+    kept, total = V.plan_files(path, where=where)
+    return (
+        V.read_snapshot(spark, path, where=where)
+        .filter((F.col("doc_id") <= bid) & (F.col("n_chars") <= bch))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.lit(clustered).alias("clustered"),
+            F.lit(len(kept) < total).alias("pruned"),
+        )
+    )
+
+
+@register(
     "matview_realtime_read",
     """
     WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),

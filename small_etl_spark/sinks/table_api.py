@@ -165,6 +165,10 @@ class Table:
         V.set_partition_spec(self.path, spec)
         return self
 
+    def set_sort_order(self, columns: list[str] | None) -> "Table":
+        V.set_sort_order(self.path, columns)
+        return self
+
     def add_constraint(self, name: str, expr: str) -> "Table":
         V.add_constraint(self.spark, self.path, name, expr)
         return self

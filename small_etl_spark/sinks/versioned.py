@@ -999,6 +999,8 @@ def _carry_constraints(
         payload["constraints"] = pm["constraints"]
     if pm and pm.get("txns") and "txns" not in payload:
         payload["txns"] = pm["txns"]
+    if pm and pm.get("sort_order"):
+        payload["sort_order"] = pm["sort_order"]
 
 
 def _enforce_constraints(
@@ -1043,6 +1045,68 @@ def _enforce_constraints(
                 f"{n!r} ({cons[n]}): {c} row(s)" for n, c in bad.items()
             )
         )
+
+
+def set_sort_order(table: str, columns: list[str] | None) -> int:
+    """Declare the table's CLUSTERING COLUMNS as a metadata-only
+    property (the public Delta ``clusterBy`` / Iceberg write
+    sort-order design): maintenance — :func:`auto_maintain`'s
+    compaction phase — then rewrites with :func:`cluster_snapshot`
+    along these columns instead of plain bin-packing, deriving the
+    Z-order value ranges from MANIFEST stats (no data scan). Columns
+    must be numeric (the Morton encoding buckets numeric ranges).
+    ``None`` clears the property. Writers are unaffected — ingest
+    stays fast and unsorted; the layout converges to clustered as
+    maintenance churns files, which is exactly how clustering keys
+    behave in the public systems."""
+
+    def mutate(schema: StructType, hdr: dict[str, Any]):
+        numeric = {"byte", "short", "int", "integer", "long", "bigint",
+                   "float", "double"}
+        for c in columns or []:
+            if c not in schema.fieldNames():
+                raise SchemaEvolutionError(
+                    f"set_sort_order: no column {c!r} in schema"
+                )
+            t = schema[c].dataType.simpleString()
+            if t not in numeric:
+                raise SchemaEvolutionError(
+                    f"set_sort_order: {c!r} is {t}; clustering "
+                    "columns must be numeric"
+                )
+        return schema, {"sort_order": list(columns) if columns else {}}
+
+    return _evolution_commit(table, "set_sort_order", mutate)
+
+
+def _sort_order_bounds(
+    manifest: dict[str, Any],
+) -> list[tuple[str, Any, Any]] | None:
+    """(col, lo, hi) for each declared clustering column, from
+    manifest stats alone — None when any bound is unavailable (a
+    stats-less or all-null column falls back to plain compaction)."""
+    order = manifest.get("sort_order") or []
+    if not order:
+        return None
+    cids = manifest.get("column_ids")
+    out: list[tuple[str, Any, Any]] = []
+    for col in order:
+        lo = hi = None
+        for e in manifest["files"]:
+            if int(e["rows"]) == 0:
+                continue
+            phys = _phys_name(e, col, cids)
+            st = e.get("stats", {}).get(phys) if phys else None
+            if st is None or st.get("trunc"):
+                return None
+            if int(st.get("nulls", 0)) == int(e["rows"]):
+                continue
+            lo = st["min"] if lo is None else min(lo, st["min"])
+            hi = st["max"] if hi is None else max(hi, st["max"])
+        if lo is None or not isinstance(lo, (int, float)):
+            return None
+        out.append((col, lo, hi))
+    return out
 
 
 def add_constraint(
@@ -1625,6 +1689,7 @@ def _evolution_commit(
         _header_row_ids(payload, manifest.get("next_row_id"))
         for k in (
             "partition_by", "dv", "eq_deletes", "constraints", "txns",
+            "sort_order",
         ):
             if k in updates:
                 if updates[k]:
@@ -2198,7 +2263,8 @@ def restore_snapshot(
         "stream_batch_high": _stream_high(hm),
         "committed_at_ms": _now_ms(),
     }
-    for k in ("partition_by", "dv", "eq_deletes", "constraints"):
+    for k in ("partition_by", "dv", "eq_deletes", "constraints",
+              "sort_order"):
         if tm.get(k):
             payload[k] = tm[k]
     if hm.get("txns"):
@@ -3022,16 +3088,12 @@ def branch_publish(
         "commit_id": uuid.uuid4().hex[:16],
         "branch": name,
         "branch_commits": bh - base,
-        **(
-            {"constraints": bm["constraints"]}
-            if bm.get("constraints")
-            else {}
-        ),
         "stream_batch_high": max(
             _stream_high(parent_manifest), _stream_high(bm)
         ),
         "committed_at_ms": _now_ms(),
     }
+    _carry_constraints(payload, bm)  # branch's table properties win
     _header_ids(payload, bm.get("column_ids"), bm.get("next_column_id"))
     _header_row_ids(payload, bm.get("next_row_id"))
     if bm.get("partition_by"):
@@ -3411,10 +3473,25 @@ def auto_maintain(
                 actions.append("compact_dv")
             if need_eq and compact_eq_deletes(spark, root) is not None:
                 actions.append("compact_eq_deletes")
-            if need_opt and optimize_snapshot(
-                spark, root, target_bytes
-            ) is not None:
-                actions.append("optimize")
+            if need_opt:
+                # declared clustering columns upgrade the compaction
+                # to a Z-order rewrite, bounds from manifest stats —
+                # ingest stays unsorted, maintenance converges layout
+                hm2 = read_manifest(root, latest_version(root))
+                zb = (
+                    _sort_order_bounds(hm2)
+                    if not _live_dv(hm2) and not _live_eq_deletes(hm2)
+                    else None
+                )
+                if zb:
+                    cluster_snapshot(
+                        spark, root, zorder=zb, target_bytes=target_bytes
+                    )
+                    actions.append("cluster")
+                elif optimize_snapshot(
+                    spark, root, target_bytes
+                ) is not None:
+                    actions.append("optimize")
             if stage:
                 if actions:
                     branch_publish(table, branch_name)
@@ -4946,11 +5023,6 @@ def _delete_where_mor_once(
         "parent": parent,
         "mode": "delete_mor",
         "schema": manifest["schema"],
-        **(
-            {"constraints": manifest["constraints"]}
-            if manifest.get("constraints")
-            else {}
-        ),
         # data files untouched: the commit is a pure-header delta (the
         # whole point of MoR — only the DV pointer changes)
         "add": [],
@@ -4959,6 +5031,7 @@ def _delete_where_mor_once(
         "stream_batch_high": _stream_high(manifest),
         "committed_at_ms": _now_ms(),
     }
+    _carry_constraints(payload, manifest)
     _header_ids(
         payload,
         manifest.get("column_ids"),

@@ -140,3 +140,46 @@ def test_auto_maintain_orphan_sweep_opt_in(spark, table):
     _abandoned_write(spark, table, 200, 205)
     out = V.auto_maintain(spark, table)
     assert not any(a.startswith("orphans:") for a in out["actions"])
+
+
+def test_sort_order_property_upgrades_maintenance_to_cluster(
+    spark, table
+):
+    """set_sort_order is metadata-only; auto_maintain's compaction
+    becomes a Z-order rewrite with bounds derived from manifest stats,
+    and the clustered layout then prunes on the declared columns."""
+    df = spark.range(0, 400).select(
+        (F.col("id") % 20).alias("x"), (F.col("id") / 20).cast(
+            "long"
+        ).alias("y"),
+    )
+    V.commit_snapshot(df.repartition(12), table, mode="overwrite")
+    V.set_sort_order(table, ["x", "y"])
+    assert V.read_manifest(table, 1)["mode"] == "set_sort_order"
+    out = V.auto_maintain(spark, table, small_file_trigger=2,
+                          target_bytes=2048)
+    assert "cluster" in out["actions"]
+    # clustered: a 2-D box predicate prunes files at the manifest level
+    kept, total = V.plan_files(
+        table, where=[("x", "<=", 2), ("y", "<=", 2)]
+    )
+    assert len(kept) < total
+    got = V.read_snapshot(spark, table).count()
+    assert got == 400
+    # property survives maintenance; clearing it reverts to optimize
+    assert V.read_manifest(
+        table, V.latest_version(table)
+    )["sort_order"] == ["x", "y"]
+    V.set_sort_order(table, None)
+    V.commit_snapshot(df.repartition(9), table, mode="append")
+    out = V.auto_maintain(spark, table, small_file_trigger=2)
+    assert "optimize" in out["actions"]
+
+
+def test_sort_order_validation(spark, table):
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    V.commit_snapshot(df, table, mode="overwrite")
+    with pytest.raises(V.SchemaEvolutionError, match="numeric"):
+        V.set_sort_order(table, ["s"])
+    with pytest.raises(V.SchemaEvolutionError, match="no column"):
+        V.set_sort_order(table, ["zz"])

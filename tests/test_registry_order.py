@@ -91,6 +91,9 @@ MUST_BE_GATED = [
     # path (default_fill_union left; rename_project +
     # array_path_extract carry projections)
     "versioned_constraints",
+    # declared clustering columns (window_agg_hourly left; sessionize
+    # + window_topk_per_group carry the window family)
+    "versioned_clustered_maintain",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics
