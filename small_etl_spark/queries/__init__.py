@@ -79,7 +79,12 @@ _GATED = [
     # rename/widen/add/drop) and versioned_optimize_live_eq (eq-aware
     # compaction) — VERDICT r8 item 5.
     "extract_filters",
-    "limit_sorted",
+    # limit_sorted left the window round 9 session 2 (ordered-limit is
+    # carried by window_topk_per_group and the TPC-H ORDER+LIMIT
+    # shapes q3/q18; stays registered + swept) for
+    # versioned_shallow_clone — zero-copy table forks that diverge
+    # independently while the source stays untouched
+    "versioned_shallow_clone",
     # threshold_filter / dedup_first_wins left the window round 9
     # session 2 (extract_filters carries the filter family;
     # full_record_dedup + exact_dedup_docs carry first-wins dedup;

@@ -1170,6 +1170,58 @@ def q_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_shallow_clone",
+    """
+    WITH clone_final AS (
+      SELECT doc_id, n_chars FROM documents WHERE n_chars >= 200
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS src_docs,
+           CAST(1 AS BOOLEAN) AS zero_copy
+    FROM clone_final
+    """,
+)
+def q_versioned_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (sinks/versioned.py::clone_table): the
+    corpus table is cloned without moving a byte (``zero_copy``
+    asserts the clone owns NO data directory and every entry is an
+    external ``../`` reference), a COW delete then diverges the clone
+    while the source must stay untouched — the oracle recomputes the
+    clone's final state AND the source's count from the data. At
+    100 TB this is how a team forks a production table for an
+    experiment in one ~KB commit (the public Delta SHALLOW CLONE
+    design; Iceberg add_files is the same mechanism for imports)."""
+    import os as _os
+
+    from small_etl_spark.sinks import versioned as V
+
+    src = _versioned_table_path(sf_dir, "clsrc")
+    dst = _versioned_table_path(sf_dir, "cldst")
+    V.drop_table(src)
+    V.drop_table(dst)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), src, mode="overwrite"
+    )
+    V.clone_table(src, dst)
+    zero_copy = not _os.path.isdir(_os.path.join(dst, "data")) and all(
+        e["path"].startswith("..")
+        for e in V.read_manifest(dst, 0)["files"]
+    )
+    V.delete_where(spark, dst, F.col("n_chars") < 200)
+    src_docs = V.read_snapshot(spark, src).count()
+    return V.read_snapshot(spark, dst).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.lit(src_docs).cast("long").alias("src_docs"),
+        F.lit(zero_copy).alias("zero_copy"),
+    )
+
+
+@register(
     "versioned_clustered_maintain",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

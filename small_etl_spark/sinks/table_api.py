@@ -208,5 +208,18 @@ class Table:
             self.path, older_than_ms=older_than_ms, dry_run=dry_run
         )
 
+    def clone_to(self, dst: str, version: int | None = None) -> "Table":
+        """Zero-copy shallow clone; returns a handle on the clone."""
+        V.clone_table(self.path, dst, version=version)
+        return Table(self.spark, dst)
+
+    @staticmethod
+    def from_parquet(
+        spark: SparkSession, src_dir: str, table: str
+    ) -> "Table":
+        """In-place import of a plain parquet directory (add_files)."""
+        V.add_parquet_files(spark, src_dir, table)
+        return Table(spark, table)
+
     def drop(self) -> None:
         V.drop_table(self.path)

@@ -795,8 +795,23 @@ def _read_files(
             # value is layout metadata only — read the files directly
             direct.append(os.path.join(table, p))
 
+    ext_pairs = sorted(
+        {
+            (
+                os.path.normpath(
+                    os.path.join(os.path.abspath(table), os.path.dirname(p))
+                ),
+                os.path.dirname(p),
+            )
+            for p in rel_paths
+            if p.startswith("..")
+        }
+    )
+
     def _deco(df: DataFrame) -> DataFrame:
-        df = _with_position(df, table) if with_position else df
+        df = (
+            _with_position(df, table, ext_pairs) if with_position else df
+        )
         keep = list(schema.fieldNames()) + (
             ["__file__", "__pos__"] if with_position else []
         )
@@ -1001,6 +1016,10 @@ def _carry_constraints(
         payload["txns"] = pm["txns"]
     if pm and pm.get("sort_order"):
         payload["sort_order"] = pm["sort_order"]
+    if pm and pm.get("external_files") and "external_files" not in payload:
+        # appends/header-only commits never remove an external file,
+        # so the flag rides sticky; list-bearing commits recompute it
+        payload["external_files"] = True
 
 
 def _enforce_constraints(
@@ -1236,6 +1255,11 @@ def _commit_rewrite(
     _header_row_ids(payload, rid)
     if partition_by:
         payload["partition_by"] = list(partition_by)
+    # set explicitly (even False): the sticky carry below must not
+    # resurrect the flag after a full rewrite localized every file
+    payload["external_files"] = any(
+        e["path"].startswith("..") for e in files
+    )
     _carry_constraints(payload, parent_manifest)
     if extra_header:
         payload.update(extra_header)
@@ -1689,7 +1713,7 @@ def _evolution_commit(
         _header_row_ids(payload, manifest.get("next_row_id"))
         for k in (
             "partition_by", "dv", "eq_deletes", "constraints", "txns",
-            "sort_order",
+            "sort_order", "external_files",
         ):
             if k in updates:
                 if updates[k]:
@@ -2181,6 +2205,139 @@ def version_as_of(table: str, timestamp_ms: int) -> int:
     )
 
 
+def _has_external_entries(manifest: dict[str, Any]) -> bool:
+    return any(e["path"].startswith("..") for e in manifest["files"])
+
+
+def clone_table(src: str, dst: str, version: int | None = None) -> int:
+    """Zero-copy SHALLOW CLONE (the public Delta ``CREATE TABLE ...
+    SHALLOW CLONE`` design): ``dst`` is born as a full table whose v0
+    references ``src``'s data files by RELATIVE path — no bytes move,
+    however large the source. The clone then lives its own life:
+    appends/merges/evolution land in its own log and data dir, and
+    normal maintenance (optimize/cluster) progressively replaces the
+    external references with local files. Stats/blooms/schema/column
+    ids/row-id counters copy from the source manifest, so pruning and
+    lineage work from the first read.
+
+    Contracts, stated not hidden: (a) the clone is only as durable as
+    the source's files — a source ``vacuum``/``expire_snapshots`` can
+    reclaim data the clone still references (the same hazard Delta
+    documents; copy-clone by reading+writing when you need
+    independence); (b) sources with a live deletion vector, live
+    equality deletes, or identity-partitioned files are refused in
+    this version (positions and hive-path reconstruction do not
+    resolve across roots); (c) MoR deletes and streaming upserts
+    refuse while any external file remains (see
+    :func:`_require_no_external`)."""
+    sv = latest_version(src)
+    if sv is None:
+        raise FileNotFoundError(f"no snapshots committed at {src!r}")
+    if latest_version(dst) is not None:
+        raise ValueError(f"clone target {dst!r} already exists")
+    version = sv if version is None else version
+    sm = read_manifest(src, version)
+    _require_no_dv(sm, "clone_table")
+    _require_no_eq_deletes(sm, "clone_table")
+    spec = _parse_partition_spec(sm.get("partition_by") or [])
+    if any(s["transform"] == "identity" for s in spec):
+        raise ValueError(
+            "clone_table: identity-partitioned sources need per-commit "
+            "basePath reconstruction that does not resolve across "
+            "table roots; clone a transform-partitioned or flat table"
+        )
+    os.makedirs(os.path.join(dst, _MANIFEST_DIR), exist_ok=True)
+    rel_src = os.path.relpath(os.path.abspath(src), os.path.abspath(dst))
+    files = [
+        dict(e, path=os.path.join(rel_src, e["path"]))
+        for e in sm["files"]
+    ]
+    payload: dict[str, Any] = {
+        "snapshot": 0,
+        "parent": None,
+        "mode": "clone",
+        "external_files": True,
+        "cloned_from": {"table": os.path.abspath(src), "version": version},
+        "schema": sm["schema"],
+        "files": files,
+        "commit_id": uuid.uuid4().hex[:16],
+        "stream_batch_high": -1,
+        "committed_at_ms": _now_ms(),
+    }
+    for k in ("partition_by", "constraints", "sort_order"):
+        if sm.get(k):
+            payload[k] = sm[k]
+    _header_ids(payload, sm.get("column_ids"), sm.get("next_column_id"))
+    _header_row_ids(payload, sm.get("next_row_id"))
+    if not _atomic_create(_manifest_path(dst, 0), payload):
+        raise CommitConflict(f"lost the commit race on {dst!r}")
+    return 0
+
+
+def add_parquet_files(
+    spark: SparkSession,
+    src_dir: str,
+    table: str,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Import an existing plain-parquet directory as a versioned table
+    WITHOUT rewriting a byte (the public Iceberg ``add_files`` /
+    Delta ``CONVERT TO DELTA`` shape): v0 references the files in
+    place (relative external paths), footer stats are harvested
+    metadata-only, and the schema comes from the files themselves.
+    From then on the directory is a real table — snapshots, time
+    travel, MERGE/UPDATE, constraints — and maintenance gradually
+    localizes the data. Same caveats as :func:`clone_table`: the
+    import is only as durable as the source files, and position-based
+    ops refuse until files are localized. Hive-partitioned source
+    layouts are refused (import the flattened read instead)."""
+    if latest_version(table) is not None:
+        raise ValueError(f"import target {table!r} already exists")
+    src_abs = os.path.abspath(src_dir)
+    names = sorted(
+        os.path.relpath(os.path.join(root, f), src_abs)
+        for root, _d, fs in os.walk(src_abs)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not names:
+        raise FileNotFoundError(f"no parquet files under {src_dir!r}")
+    if any("=" in n for n in names):
+        raise ValueError(
+            "add_parquet_files: hive-partitioned source layout; read "
+            "it with spark.read.parquet(basePath=...) and commit that "
+            "DataFrame instead"
+        )
+    schema = spark.read.parquet(src_abs).schema
+    cols = stats_columns if stats_columns is not None else (
+        schema.fieldNames()
+    )
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    rel_src = os.path.relpath(src_abs, os.path.abspath(table))
+    entries = _harvest_footer_entries(spark, src_abs, rel_src, names, cols)
+    ids, nxt = _column_ids_for(None, schema, "base")
+    entries, rid = _assign_row_ids(
+        _stamp_cols(_stamp_seq(entries, 0), schema, ids), 0
+    )
+    payload: dict[str, Any] = {
+        "snapshot": 0,
+        "parent": None,
+        "mode": "import",
+        "external_files": True,
+        "imported_from": src_abs,
+        "schema": schema.jsonValue(),
+        "files": entries,
+        "commit_id": uuid.uuid4().hex[:16],
+        "stream_batch_high": -1,
+        "committed_at_ms": _now_ms(),
+    }
+    _header_ids(payload, ids, nxt)
+    _header_row_ids(payload, rid)
+    if not _atomic_create(_manifest_path(table, 0), payload):
+        raise CommitConflict(f"lost the commit race on {table!r}")
+    return 0
+
+
 def restore_snapshot(
     table: str, version: int, verify_files: bool = False
 ) -> int:
@@ -2269,6 +2426,7 @@ def restore_snapshot(
             payload[k] = tm[k]
     if hm.get("txns"):
         payload["txns"] = hm["txns"]  # idempotence marks never rewind
+    payload["external_files"] = _has_external_entries(tm)
     ids = tm.get("column_ids")
     if ids is not None or hm.get("column_ids") is not None:
         payload["column_ids"] = ids if ids is not None else {}
@@ -3093,6 +3251,7 @@ def branch_publish(
         ),
         "committed_at_ms": _now_ms(),
     }
+    payload["external_files"] = _has_external_entries(bm)
     _carry_constraints(payload, bm)  # branch's table properties win
     _header_ids(payload, bm.get("column_ids"), bm.get("next_column_id"))
     _header_row_ids(payload, bm.get("next_row_id"))
@@ -4875,8 +5034,18 @@ def _dv_rows(spark: SparkSession, table: str, manifest: dict) -> DataFrame:
     )
 
 
-def _with_position(df: DataFrame, table: str) -> DataFrame:
+def _with_position(
+    df: DataFrame,
+    table: str,
+    ext_dirs: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     """Attach the manifest-relative file path + row index.
+
+    ``ext_dirs`` maps EXTERNAL directories (shallow clones / in-place
+    imports reference files outside the table root by ``../`` paths)
+    as (absolute dir, manifest-relative dir) pairs; their files
+    extract to the same ``../``-style strings the manifest records,
+    so DV anti-joins and lineage work across roots.
 
     ``_metadata.file_path`` is a URI, so roots with characters Spark
     percent-encodes (a space → ``%20``) would never match a pattern
@@ -4890,10 +5059,16 @@ def _with_position(df: DataFrame, table: str) -> DataFrame:
     decoded = F.url_decode(
         F.replace(F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B"))
     )
-    rel = F.regexp_extract(decoded, _rel_path_pattern(table), 1)
+    cands = [F.regexp_extract(decoded, _rel_path_pattern(table), 1)]
+    for abs_dir, rel_dir in ext_dirs or []:
+        pat = r"^file:/+" + re.escape(abs_dir.strip("/")) + r"/([^/]+)$"
+        e = F.regexp_extract(decoded, pat, 1)
+        cands.append(F.concat(F.lit(rel_dir + "/"), e))
+        cands[-1] = F.when(e != "", cands[-1])
+    rel = F.coalesce(*[F.when(c != "", c) for c in cands])
     return df.select(
         "*",
-        F.when(rel != "", rel)
+        F.when(rel.isNotNull() & (rel != ""), rel)
         .otherwise(
             F.raise_error(
                 F.concat(

@@ -94,6 +94,9 @@ MUST_BE_GATED = [
     # declared clustering columns (window_agg_hourly left; sessionize
     # + window_topk_per_group carry the window family)
     "versioned_clustered_maintain",
+    # zero-copy shallow clones (limit_sorted left; ordered-limit is
+    # carried by window_topk_per_group + the TPC-H LIMIT shapes)
+    "versioned_shallow_clone",
     # multi-stage sequencer behind the oracle gate
     "sequence_two_stage",
     # the TPC-H-shape headline analytics
