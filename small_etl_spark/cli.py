@@ -24,7 +24,8 @@ def _table_admin(args) -> int:
     """``table <path> history|report|vacuum|optimize|compact-dv|
     compact-eq|tags|tag|untag|branches|abandon|publish|
     rename-column|drop-column|widen-type|add-column|auto-maintain|
-    remove-orphans|restore|files|partitions``
+    remove-orphans|restore|files|partitions|add-constraint|
+    drop-constraint|constraints|set-sort-order``
     — the maintenance + evolution surface of the versioned sink,
     runnable without writing a config. history prints one JSON line
     per snapshot; report prints the metadata-only health advisor;

@@ -470,6 +470,7 @@ def execute_pipeline(
             single_file=spec.load.single_file,
             partition_by=spec.load.partition_by or None,
             branch=spec.load.branch,
+            constraints=spec.load.constraints or None,
         )
         output_path = out_dir
         if spec.load.zip_outputs:

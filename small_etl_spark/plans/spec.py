@@ -159,6 +159,13 @@ class LoadSpec:
     # on success — main only ever observes complete stage outputs, and
     # a concurrent writer costs a re-staged retry, never a torn table.
     branch: str | None = None
+    # CHECK constraints for the "versioned" format: {name = "sql
+    # expr"} — added to the table once (validating existing data),
+    # then every batch this or any other writer commits is rejected
+    # if a row violates. The reference only DECLARES validation
+    # (sequence_config.rs:102-108); this enforces it AT THE TABLE, so
+    # it also protects writers that bypass the pipeline.
+    constraints: dict[str, str] = field(default_factory=dict)
     single_file: bool = True  # coalesce(1); False = partition-parallel
     # reference [load.filenames] csv/tsv/json = explicit per-format
     # output names (production-example.toml) — overrides the default

@@ -146,6 +146,7 @@ def write_outputs(
     single_file: bool = True,
     partition_by: list[str] | None = None,
     branch: str | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Write ``df`` in each format under ``out_dir/<fmt>/``.
 
@@ -193,7 +194,11 @@ def write_outputs(
             # staged on an ephemeral branch off the named one, then
             # atomically fast-forwarded, so main never shows a torn
             # stage output and a concurrent writer costs one re-stage.
-            from small_etl_spark.sinks.versioned import commit_snapshot
+            from small_etl_spark.sinks.versioned import (
+                add_constraint,
+                commit_snapshot,
+                list_constraints,
+            )
 
             if branch:
                 _wap_append(
@@ -207,6 +212,18 @@ def write_outputs(
                     mode="append",
                     partition_by=partition_by or None,
                 )
+            if constraints:
+                # declared once, enforced forever: add any configured
+                # CHECK constraint the table does not carry yet (the
+                # add validates all existing data first); subsequent
+                # runs' batches are then gated inside commit_snapshot
+                have = list_constraints(_local_path(path))
+                for cname, cexpr in constraints.items():
+                    if cname not in have:
+                        add_constraint(
+                            df.sparkSession, _local_path(path),
+                            cname, cexpr,
+                        )
         else:
             raise ValueError(f"invalid output format {fmt!r}")
         written[fmt] = path

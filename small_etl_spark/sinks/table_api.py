@@ -201,6 +201,16 @@ class Table:
         V.vacuum(self.path, keep_last=keep_last, min_age_ms=min_age_ms)
         return self
 
+    def expire_snapshots(
+        self, older_than_ms: int, keep_last: int = 1,
+        min_age_ms: int = 0,
+    ) -> "Table":
+        V.expire_snapshots(
+            self.path, older_than_ms, keep_last=keep_last,
+            min_age_ms=min_age_ms,
+        )
+        return self
+
     def remove_orphans(
         self, older_than_ms: int = 24 * 3600 * 1000, dry_run: bool = False
     ) -> list[str]:

@@ -1505,3 +1505,40 @@ def test_versioned_sink_wap_retries_lost_publish_race(
     got = V.read_snapshot(spark, table)
     assert got.count() == 11  # 5 base + 3 racer + 3 staged
     assert V.list_branches(table) == {}  # both branches abandoned
+
+
+def test_versioned_sink_constraints_in_sequence(spark, tmp_path):
+    """load.constraints on the versioned sink: declared once in the
+    config, added to the TABLE on first run (validating existing
+    data), enforced on every later batch — including writers that
+    bypass the pipeline entirely."""
+    import pytest as _pytest
+
+    from small_etl_spark.sinks import versioned as V
+
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "snap",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {
+                        "formats": ["versioned"],
+                        "constraints": {"value_pos": "value > 0"},
+                    },
+                }
+            ]
+        }
+    )
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    table = str(tmp_path / "snap" / "versioned")
+    assert V.list_constraints(table) == {"value_pos": "value > 0"}
+    # a second run re-declares idempotently and appends
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    assert V.latest_version(table) == 2  # commit, add_constraint, commit
+    # the table now protects itself from ANY writer
+    bad = spark.createDataFrame(
+        [(9, "x", -1)], "id bigint, name string, value bigint"
+    )
+    with _pytest.raises(V.ConstraintViolation):
+        V.commit_snapshot(bad, table, mode="append")
