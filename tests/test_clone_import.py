@@ -160,3 +160,122 @@ def test_add_parquet_files_refuses_hive_and_existing(spark, roots):
     V.commit_snapshot(_kv(spark, 0, 3), dst, mode="overwrite")
     with pytest.raises(ValueError, match="already exists"):
         V.add_parquet_files(spark, src, dst)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_cl_op = st.tuples(
+    st.sampled_from(["src", "dst"]),
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.integers(0, 19), min_size=1, max_size=4)),
+        st.tuples(st.just("merge"),
+                  st.lists(st.integers(0, 19), min_size=1, max_size=3)),
+        st.tuples(st.just("delete"), st.integers(0, 19)),
+        st.tuples(st.just("update"), st.integers(0, 19)),
+        st.tuples(st.just("delete_mor"), st.integers(0, 19)),
+        st.tuples(st.just("compact_dv"), st.none()),
+        st.tuples(st.just("optimize"), st.none()),
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_cl_op, min_size=1, max_size=6))
+def test_cloned_table_matches_model(spark, tmp_path_factory, ops):
+    """Source and shallow clone evolve independently under random DML
+    (append / upsert-merge / COW delete / UPDATE / MoR delete +
+    compact / optimize), each tracked against its own dict model —
+    divergence in either direction, or any cross-contamination, fails.
+    Time travel on the clone's v0 must keep serving the fork state
+    (through the source's files) however far both sides move on."""
+    root = tmp_path_factory.mktemp("clw")
+    src, dst = str(root / "src"), str(root / "dst")
+    tag = {"n": 0}
+
+    def mk(keys):
+        tag["n"] += 1
+        rows = sorted({(k, tag["n"]) for k in keys})
+        return (
+            spark.createDataFrame(rows, "k LONG, ver LONG"), dict(rows)
+        )
+
+    df, m0 = mk(range(0, 12))
+    V.commit_snapshot(df.repartition(3), src, mode="overwrite")
+    V.clone_table(src, dst)
+    models = {"src": dict(m0), "dst": dict(m0)}
+    fork_state = sorted(m0.items())
+
+    def dv_live(t):
+        v = V.latest_version(t)
+        return bool(V.read_manifest(t, v).get("dv"))
+
+    for target, (kind, payload) in ops:
+        t = src if target == "src" else dst
+        model = models[target]
+        if kind == "append":
+            df, rows = mk(payload)
+            fresh = {k: v for k, v in rows.items() if k not in model}
+            if not fresh:
+                continue
+            V.commit_snapshot(
+                spark.createDataFrame(sorted(fresh.items()),
+                                      "k LONG, ver LONG"),
+                t, mode="append",
+            )
+            model.update(fresh)
+        elif kind == "merge":
+            if dv_live(t):
+                V.compact_dv(spark, t)
+            df, rows = mk(payload)
+            V.merge_upsert(
+                spark, t,
+                spark.createDataFrame(sorted(rows.items()),
+                                      "k LONG, ver LONG"),
+                key="k",
+            )
+            model.update(rows)
+        elif kind == "delete":
+            if dv_live(t):
+                V.compact_dv(spark, t)
+            V.delete_where(spark, t, F.col("k") >= payload,
+                           prune=[("k", ">=", payload)])
+            for k in [k for k in model if k >= payload]:
+                del model[k]
+        elif kind == "update":
+            if dv_live(t):
+                V.compact_dv(spark, t)
+            V.update_where(spark, t, {"ver": "ver + 1000"},
+                           F.col("k") >= payload)
+            for k in list(model):
+                if k >= payload:
+                    model[k] += 1000
+        elif kind == "delete_mor":
+            V.delete_where_mor(spark, t, F.col("k") >= payload)
+            for k in [k for k in model if k >= payload]:
+                del model[k]
+        elif kind == "compact_dv":
+            V.compact_dv(spark, t)
+        elif kind == "optimize":
+            if dv_live(t):
+                V.compact_dv(spark, t)
+            V.optimize_snapshot(spark, t)
+
+        for name, tbl in (("src", src), ("dst", dst)):
+            got = sorted(
+                (r.k, r.ver)
+                for r in V.read_snapshot(spark, tbl).collect()
+            )
+            assert got == sorted(models[name].items()), (
+                f"{name} diverged after {kind} on {target}"
+            )
+    # the fork point still serves through the source's files
+    got0 = sorted(
+        (r.k, r.ver)
+        for r in V.read_snapshot(spark, dst, version=0).collect()
+    )
+    assert got0 == fork_state, "clone v0 lost the fork state"
