@@ -195,11 +195,28 @@ def write_outputs(
             # atomically fast-forwarded, so main never shows a torn
             # stage output and a concurrent writer costs one re-stage.
             from small_etl_spark.sinks.versioned import (
+                _enforce_constraints,
                 add_constraint,
                 commit_snapshot,
                 list_constraints,
             )
 
+            missing_cons = {
+                cname: cexpr
+                for cname, cexpr in (constraints or {}).items()
+                if cname not in list_constraints(_local_path(path))
+            }
+            if missing_cons:
+                # declared constraints the table does not carry yet
+                # gate THIS batch too (one agg pass, same as every
+                # later commit_snapshot) — without this the first
+                # run's own batch bypassed the CHECK: a violating
+                # batch landed durably and the add_constraint below
+                # then failed every subsequent run (ADVICE r9)
+                _enforce_constraints(
+                    target, {"constraints": missing_cons},
+                    "load.constraints(declared)",
+                )
             if branch:
                 _wap_append(
                     target, _local_path(path), branch,

@@ -999,6 +999,12 @@ class ConstraintViolation(ValueError):
     """Incoming rows violate a table CHECK constraint."""
 
 
+class _StaleValidation(Exception):
+    """Internal: an add_constraint data scan was validated against a
+    head that advanced before the metadata commit could attach —
+    the caller re-validates against the new head and retries."""
+
+
 def _constraints_of(manifest: dict[str, Any] | None) -> dict[str, str]:
     return (manifest or {}).get("constraints") or {}
 
@@ -1139,32 +1145,51 @@ def add_constraint(
     same contract Delta's ADD CONSTRAINT has) so a constraint can
     never be born already broken. NOT NULL is the special case
     ``col IS NOT NULL``."""
-    head = latest_version(table)
-    if head is None:
-        raise FileNotFoundError(f"no snapshots committed at {table!r}")
-    hm = read_manifest(table, head)
-    if name in _constraints_of(hm):
-        raise ValueError(f"constraint {name!r} already exists")
-    snap = read_snapshot(spark, table)
-    try:
-        snap.filter(F.expr(expr) | F.lit(True)).limit(0).collect()
-    except Exception as exc:  # noqa: BLE001 - surface parse errors
-        raise ValueError(
-            f"constraint expression {expr!r} does not resolve against "
-            f"the table schema: {exc}"
-        ) from None
-    _enforce_constraints(
-        snap, {"constraints": {name: expr}}, "add_constraint(existing data)"
-    )
-
-    def mutate(schema: StructType, hdr: dict[str, Any]):
-        cons = dict(_constraints_of(hdr))
-        if name in cons:
+    for _ in range(5):
+        head = latest_version(table)
+        if head is None:
+            raise FileNotFoundError(
+                f"no snapshots committed at {table!r}"
+            )
+        hm = read_manifest(table, head)
+        if name in _constraints_of(hm):
             raise ValueError(f"constraint {name!r} already exists")
-        cons[name] = expr
-        return schema, {"constraints": cons}
+        snap = read_snapshot(spark, table, version=head)
+        try:
+            snap.filter(F.expr(expr) | F.lit(True)).limit(0).collect()
+        except Exception as exc:  # noqa: BLE001 - surface parse errors
+            raise ValueError(
+                f"constraint expression {expr!r} does not resolve "
+                f"against the table schema: {exc}"
+            ) from None
+        _enforce_constraints(
+            snap, {"constraints": {name: expr}},
+            "add_constraint(existing data)",
+        )
+        validated = head
 
-    return _evolution_commit(table, "add_constraint", mutate)
+        def mutate(schema: StructType, hdr: dict[str, Any]):
+            # TOCTOU guard (ADVICE r9): the scan above validated the
+            # table AS OF ``validated``; if a concurrent writer
+            # advanced the head, rows landed that this constraint
+            # never checked — abort the attach and re-validate against
+            # the new head instead of stamping an unchecked predicate.
+            if int(hdr.get("snapshot", -1)) != validated:
+                raise _StaleValidation()
+            cons = dict(_constraints_of(hdr))
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            cons[name] = expr
+            return schema, {"constraints": cons}
+
+        try:
+            return _evolution_commit(table, "add_constraint", mutate)
+        except _StaleValidation:
+            continue  # head moved: validate the newer data and retry
+    raise CommitConflict(
+        f"add_constraint on {table!r}: head kept advancing past the "
+        "validated version after 5 validate-then-attach attempts"
+    )
 
 
 def drop_constraint(table: str, name: str) -> int:
@@ -1340,6 +1365,7 @@ def commit_snapshot(
                 )
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     head0 = latest_version(table)
+    validated_cons: dict[str, str] = {}
     if head0 is not None:
         rec0 = _read_record(table, head0)
         if txn is not None and txn[1] <= int(
@@ -1350,6 +1376,7 @@ def commit_snapshot(
         # (one agg over the batch; constraints survive overwrite —
         # they are a table property, not a snapshot property)
         _enforce_constraints(df, rec0, f"commit_snapshot({mode})")
+        validated_cons = dict(_constraints_of(rec0))
     cols = stats_columns if stats_columns is not None else df.columns
     commit_id, new_files = _write_data_files(
         df, table, cols, bloom_columns, partition_by
@@ -1363,6 +1390,22 @@ def commit_snapshot(
         # FLAT in table file count — the new entries ride as a delta
         # record; the full list is never re-serialized per commit
         pm = _read_record(table, parent) if parent is not None else None
+        cur_cons = _constraints_of(pm)
+        if any(validated_cons.get(n) != e for n, e in cur_cons.items()):
+            # a concurrent add_constraint landed between the pre-write
+            # validation and this attempt: the batch was never checked
+            # against the grown constraint set — re-validate before
+            # attaching to this parent, or _carry_constraints would
+            # stamp an unchecked predicate onto our rows (ADVICE r9)
+            try:
+                _enforce_constraints(df, pm, f"commit_snapshot({mode})")
+            except ConstraintViolation:
+                shutil.rmtree(
+                    os.path.join(table, _DATA_DIR, commit_id),
+                    ignore_errors=True,
+                )
+                raise
+            validated_cons = dict(cur_cons)
         manifest = {
             "snapshot": version,
             "parent": parent,
@@ -3335,6 +3378,18 @@ def remove_orphan_files(
         if rec.get("dv"):
             referenced.add(rec["dv"]["path"])
         referenced.update(d["path"] for d in rec.get("eq_deletes") or [])
+        # After a vacuum dropped older base/delta manifests, files
+        # carried into a retained delta version are referenced ONLY by
+        # the vN.checkpoint.json vacuum pinned — the surviving raw
+        # records hold just that version's own add list. Union every
+        # retained checkpoint's folded file list or those live files
+        # look orphaned and get deleted, corrupting the table.
+        cp = _checkpoint_path(table, ver)
+        if os.path.exists(cp):
+            with open(cp) as fh:
+                referenced.update(
+                    e["path"] for e in json.load(fh)["files"]
+                )
     cutoff = _now_ms() - older_than_ms
     removed: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
@@ -3962,12 +4017,28 @@ def merge(
     # matched/insert merges only read files overlapping the source's
     # first-key range (conservative and exact for range-clustered
     # tables — the untouched majority carries by reference)
+    # ``overlap`` = files whose key range can hold a source key; the
+    # NOT MATCHED anti-join must always read these. ``touched`` = files
+    # actually rewritten through the join.
     if not_matched_by_source:
         touched, untouched = list(manifest["files"]), []
+        overlap = touched
     else:
-        touched, untouched = _files_touching_keys(
+        overlap, rest = _files_touching_keys(
             table, parent, source, keys[0]
         )
+        if matched:
+            touched, untouched = overlap, rest
+        else:
+            # insert-only merge: no matched/BY SOURCE clause can mutate
+            # a target row, so NOTHING is rewritten — every file
+            # carries by reference and only the anti-join inserts
+            # commit. (Previously overlap files were rewritten through
+            # the left_outer join, where duplicate source keys matching
+            # a target row fanned that row out with __act=0 and all
+            # copies survived — duplicated target rows and _row_id
+            # lineage.)
+            touched, untouched = [], list(manifest["files"])
 
     cids = manifest.get("column_ids")
     lineage = manifest.get("next_row_id") is not None
@@ -3998,7 +4069,21 @@ def merge(
                 )
 
     t = tdf.alias("t")
-    s = source.withColumn("__m", F.lit(True)).alias("s")
+    if matched:
+        s = source.withColumn("__m", F.lit(True)).alias("s")
+    else:
+        # only BY SOURCE clauses rewrite here and they reference ``t``
+        # alone (docstring contract), so the join side needs just the
+        # match MARKER: dedupe to distinct keys. Duplicate source keys
+        # are legal SQL in this shape — without the dedupe the
+        # left_outer join would fan matched target rows out N× and
+        # every copy would survive with __act=0.
+        s = (
+            source.select(*keys)
+            .distinct()
+            .withColumn("__m", F.lit(True))
+            .alias("s")
+        )
     jcond = None
     for k in keys:
         c = F.col(f"t.{k}") == F.col(f"s.{k}")
@@ -4065,9 +4150,17 @@ def merge(
 
     inserts = None
     if not_matched:
-        anti = source.join(
-            tdf.select(*keys).distinct(), on=keys, how="left_anti"
-        ).alias("s")
+        # anti-join against every file that can hold a source key —
+        # for the insert-only shape nothing is rewritten (touched is
+        # empty) but the overlap files must still be read or existing
+        # keys would be re-inserted
+        tkeys = (
+            tdf if touched
+            else _read_entries(
+                spark, table, overlap, schema, column_ids=cids
+            )
+        ).select(*keys).distinct()
+        anti = source.join(tkeys, on=keys, how="left_anti").alias("s")
         ichain = None
         ivals: list[tuple[int, Any]] = []
         for i, c in enumerate(not_matched):

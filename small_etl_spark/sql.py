@@ -24,9 +24,10 @@ still overrides per reference.
 
 Scope (documented, not hidden): table references are recognized after
 ``FROM``/``JOIN`` only, so a subquery alias shadowing a registered
-table name would be rewritten too — choose distinct names. This is a
-resolver in front of Spark SQL, not a SQL parser; everything after
-resolution is Catalyst's.
+table name would be rewritten too — choose distinct names. Text
+inside string literals is never rewritten (quoted spans are skipped).
+This is a resolver in front of Spark SQL, not a SQL parser;
+everything after resolution is Catalyst's.
 
 Reference parity note: the reference has no SQL at all (row-at-a-time
 Rust transforms, contextual_pipeline.rs:879-1121); this front-end is
@@ -48,6 +49,9 @@ from small_etl_spark.sinks import versioned as V
 def _ts_to_ms(raw: str) -> int:
     if raw.isdigit():
         return int(raw)
+    # 'Z' suffix: fromisoformat only learned it in Python 3.11
+    if raw.endswith(("Z", "z")):
+        raw = raw[:-1] + "+00:00"
     dt = datetime.fromisoformat(raw)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
@@ -93,8 +97,21 @@ def sql(
         re.IGNORECASE,
     )
     views: list[str] = []
+    # string-literal spans ('' / "" escapes respected): a FROM/JOIN
+    # that merely appears INSIDE a literal (WHERE note = 'copied from
+    # docs archive') must not be rewritten — it is data, not syntax.
+    # Matches are checked by START position, so a real time-travel
+    # reference whose own timestamp literal follows still rewrites.
+    spans = [
+        (m.start(), m.end())
+        for m in re.finditer(
+            r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", query
+        )
+    ]
 
     def _repl(m: re.Match) -> str:
+        if any(s <= m.start() < e for s, e in spans):
+            return m.group(0)
         kw, name, ver, ts_s, ts_n = m.groups()
         root = tables[name]
         if ver is not None:

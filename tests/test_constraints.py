@@ -197,3 +197,93 @@ def test_branch_staged_writes_enforced_and_publish_adopts(spark, table):
     V.commit_snapshot(_kv(spark, 50, 55), root, mode="append")
     V.branch_publish(table, "stage")
     assert set(V.list_constraints(table)) == {"v_nonneg", "v_cap"}
+
+
+def test_commit_revalidates_when_constraint_lands_mid_commit(
+    spark, table, monkeypatch
+):
+    """ADVICE r9 (medium): commit_snapshot validates against the head
+    read BEFORE writing data; if a concurrent add_constraint attaches
+    between that read and the manifest race, the retry loop must
+    re-validate — otherwise _carry_constraints stamps a predicate the
+    batch was never checked against."""
+    V.commit_snapshot(_kv(spark, 0, 20), table, mode="overwrite")
+    real_write = V._write_data_files
+    fired = {"done": False}
+
+    def write_then_race(df, tbl, *a, **kw):
+        out = real_write(df, tbl, *a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent ALTER TABLE lands after our validation,
+            # before our manifest attempt
+            V.add_constraint(spark, table, "v_nonneg", "v >= 0")
+        return out
+
+    monkeypatch.setattr(V, "_write_data_files", write_then_race)
+    bad = spark.createDataFrame([(99, -1)], "k bigint, v bigint")
+    with pytest.raises(V.ConstraintViolation):
+        V.commit_snapshot(bad, table, mode="append")
+    # the table still reads clean and the loser's data files are not
+    # left as orphan debris
+    assert V.read_snapshot(spark, table).count() == 20
+    assert V.remove_orphan_files(table, older_than_ms=0) == []
+    # a passing batch against the new constraint still lands
+    monkeypatch.setattr(V, "_write_data_files", real_write)
+    V.commit_snapshot(
+        spark.createDataFrame([(99, 1)], "k bigint, v bigint"),
+        table, mode="append",
+    )
+    assert V.read_snapshot(spark, table).count() == 21
+
+
+def test_add_constraint_revalidates_when_head_advances(
+    spark, table, monkeypatch
+):
+    """Mirror TOCTOU: add_constraint validated the table AS OF head,
+    then a concurrent append landed a violating row before the
+    metadata attach. The attach must abort, re-validate the new head,
+    and reject the constraint instead of stamping it unchecked."""
+    V.commit_snapshot(_kv(spark, 0, 20), table, mode="overwrite")
+    real_enforce = V._enforce_constraints
+    state = {"raced": False}
+
+    def enforce_then_race(df, pm, op):
+        real_enforce(df, pm, op)
+        if op == "add_constraint(existing data)" and not state["raced"]:
+            state["raced"] = True
+            V.commit_snapshot(
+                spark.createDataFrame([(99, -1)], "k bigint, v bigint"),
+                table, mode="append",
+            )
+
+    monkeypatch.setattr(V, "_enforce_constraints", enforce_then_race)
+    with pytest.raises(V.ConstraintViolation):
+        V.add_constraint(spark, table, "v_nonneg", "v >= 0")
+    # no constraint attached; the violating row is durable (it won)
+    assert V.list_constraints(table) == {}
+    assert V.read_snapshot(spark, table).count() == 21
+
+
+def test_add_constraint_retries_when_clean_writer_advances(
+    spark, table, monkeypatch
+):
+    """Head advancing with CLEAN data must not fail the attach — the
+    validate-then-attach loop re-validates and lands the constraint."""
+    V.commit_snapshot(_kv(spark, 0, 20), table, mode="overwrite")
+    real_enforce = V._enforce_constraints
+    state = {"raced": False}
+
+    def enforce_then_race(df, pm, op):
+        real_enforce(df, pm, op)
+        if op == "add_constraint(existing data)" and not state["raced"]:
+            state["raced"] = True
+            V.commit_snapshot(
+                spark.createDataFrame([(99, 7)], "k bigint, v bigint"),
+                table, mode="append",
+            )
+
+    monkeypatch.setattr(V, "_enforce_constraints", enforce_then_race)
+    v = V.add_constraint(spark, table, "v_nonneg", "v >= 0")
+    assert V.list_constraints(table) == {"v_nonneg": "v >= 0"}
+    assert V.read_manifest(table, v)["mode"] == "add_constraint"

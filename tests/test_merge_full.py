@@ -341,3 +341,75 @@ def test_cdc_over_conditional_merge(spark, table):
     assert ch == {
         ("delete", 2, 20), ("insert", 2, 200), ("delete", 3, 30),
     }
+
+
+def test_insert_only_dup_source_keys_matching_target_no_fanout(
+    spark, table
+):
+    """ADVICE r9 (high): insert-only merge with duplicate source keys
+    that MATCH an existing target row. The old path rewrote overlap
+    files through the left_outer join, fanning the matched target row
+    out N× with __act=0 — every copy survived. Now insert-only merges
+    rewrite nothing: the matched row must appear exactly once and the
+    duplicates must not insert."""
+    _base(spark, table)
+    src = spark.createDataFrame(
+        [(2, "X", 1), (2, "Y", 2), (9, "n", 9)],
+        "k bigint, name string, v bigint",
+    )
+    v = V.merge(
+        spark, table, src, on="k",
+        not_matched=[{"action": "insert", "values": "all"}],
+    )
+    st = _state(spark, table)
+    assert sum(1 for k, _, _ in st if k == 2) == 1
+    assert (2, "b", 20) in st and (9, "n", 9) in st
+    # and nothing was rewritten: every v0 file carries by reference
+    f0 = {e["path"] for e in V.read_manifest(table, 0)["files"]}
+    f1 = {e["path"] for e in V.read_manifest(table, v)["files"]}
+    assert f0 <= f1
+
+
+def test_insert_only_merge_with_lineage_no_row_id_duplication(
+    spark, table
+):
+    """Same shape on a lineage-tracked table: existing _row_ids must
+    stay unique and stable; only the insert claims fresh ids."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k bigint, name string, v bigint"
+    )
+    V.commit_snapshot(df, table, mode="overwrite")
+    before = {
+        r.k: r._row_id
+        for r in V.read_snapshot(spark, table, with_lineage=True)
+        .collect()
+    }
+    src = spark.createDataFrame(
+        [(2, "X", 1), (2, "Y", 2), (3, "c", 30)],
+        "k bigint, name string, v bigint",
+    )
+    V.merge(
+        spark, table, src, on="k",
+        not_matched=[{"action": "insert", "values": "all"}],
+    )
+    rows = V.read_snapshot(spark, table, with_lineage=True).collect()
+    ids = [r._row_id for r in rows]
+    assert len(ids) == len(set(ids)) == 3
+    after = {r.k: r._row_id for r in rows}
+    assert after[1] == before[1] and after[2] == before[2]
+
+
+def test_by_source_only_dup_source_keys_no_fanout(spark, table):
+    """Duplicate source keys with ONLY a BY SOURCE clause: the join
+    side is deduped to distinct keys (clauses reference t alone), so
+    matched rows survive exactly once — legal SQL, no cardinality
+    error, no duplication."""
+    _base(spark, table)
+    src = spark.createDataFrame(
+        [(2, "X", 1), (2, "Y", 2)], "k bigint, name string, v bigint"
+    )
+    V.merge(
+        spark, table, src, on="k",
+        not_matched_by_source=[{"action": "delete"}],
+    )
+    assert _state(spark, table) == {(2, "b", 20)}

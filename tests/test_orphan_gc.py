@@ -183,3 +183,49 @@ def test_sort_order_validation(spark, table):
         V.set_sort_order(table, ["s"])
     with pytest.raises(V.SchemaEvolutionError, match="no column"):
         V.set_sort_order(table, ["zz"])
+
+
+def test_vacuum_then_orphan_gc_keeps_checkpoint_carried_files(
+    spark, table
+):
+    """ADVICE r9 (high): after vacuum drops older base/delta
+    manifests, files carried into retained DELTA versions are
+    referenced only by the vN.checkpoint.json vacuum pinned — the
+    surviving raw records hold just their own ``add`` lists. The
+    orphan sweep must union retained checkpoints or it deletes live
+    data files older than the cutoff, corrupting the table.
+    auto_maintain(vacuum_keep_last=..., orphans_older_than_ms=...)
+    runs exactly this sequence."""
+    V.commit_snapshot(_kv(spark, 0, 10), table, mode="overwrite")
+    for lo in range(10, 40, 10):
+        V.commit_snapshot(_kv(spark, lo, lo + 10), table, mode="append")
+    head = V.latest_version(table)
+    assert "add" in V._read_record(table, head)  # delta-headed
+    V.vacuum(table, keep_last=2)
+    # base manifest v0 is gone; v0's data files are carried by the
+    # retained deltas' pinned checkpoints only
+    assert not os.path.exists(V._manifest_path(table, 0))
+    assert V.remove_orphan_files(table, older_than_ms=0) == []
+    assert V.read_snapshot(spark, table).count() == 40
+    # the combined policy call must be equally safe
+    V.commit_snapshot(_kv(spark, 40, 50), table, mode="append")
+    V.auto_maintain(
+        spark, table, vacuum_keep_last=2, orphans_older_than_ms=0
+    )
+    assert V.read_snapshot(spark, table).count() == 50
+
+
+def test_orphan_gc_after_vacuum_still_removes_true_orphans(
+    spark, table
+):
+    """The checkpoint union must not over-retain: a genuinely
+    abandoned write is still reclaimed after a vacuum."""
+    V.commit_snapshot(_kv(spark, 0, 10), table, mode="overwrite")
+    for lo in range(10, 40, 10):
+        V.commit_snapshot(_kv(spark, lo, lo + 10), table, mode="append")
+    V.vacuum(table, keep_last=2)
+    orphans = _abandoned_write(spark, table)
+    assert V.remove_orphan_files(table, older_than_ms=0) == sorted(
+        orphans
+    )
+    assert V.read_snapshot(spark, table).count() == 40

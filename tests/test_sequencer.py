@@ -1542,3 +1542,43 @@ def test_versioned_sink_constraints_in_sequence(spark, tmp_path):
     )
     with _pytest.raises(V.ConstraintViolation):
         V.commit_snapshot(bad, table, mode="append")
+
+
+def test_versioned_sink_constraints_gate_the_first_batch(
+    spark, tmp_path
+):
+    """ADVICE r9 (low): the FIRST run's own batch must pass the
+    declared CHECK too. Previously the first batch committed before
+    add_constraint ran — a violating first batch landed durably and
+    the add_constraint validation then failed every later run."""
+    import pytest as _pytest
+
+    from small_etl_spark.sinks import versioned as V
+
+    bad_sample = [
+        {"id": 1, "name": "ok", "value": 10},
+        {"id": 2, "name": "bad", "value": -5},
+    ]
+    seq = sequence_from_dict(
+        {
+            "pipelines": [
+                {
+                    "name": "snap",
+                    "source": {"type": "sample",
+                               "sample_data": bad_sample},
+                    "load": {
+                        "formats": ["versioned"],
+                        "constraints": {"value_pos": "value > 0"},
+                    },
+                }
+            ]
+        }
+    )
+    from small_etl_spark.plans.sequencer import PipelineExecutionError
+
+    with _pytest.raises(PipelineExecutionError) as ei:
+        run_sequence(spark, seq, output_root=str(tmp_path))
+    assert isinstance(ei.value.cause, V.ConstraintViolation)
+    # nothing landed: no table version exists
+    table = str(tmp_path / "snap" / "versioned")
+    assert V.latest_version(table) is None

@@ -116,3 +116,51 @@ def test_views_are_cleaned_up(spark, roots):
 def test_needs_tables_or_catalog(spark):
     with pytest.raises(ValueError, match="tables"):
         sql(spark, "SELECT 1")
+
+
+def test_table_name_inside_string_literal_not_rewritten(spark, roots):
+    """ADVICE r9 (low): FROM/JOIN appearing INSIDE a string literal is
+    data, not syntax — the resolver must not rewrite it."""
+    got = sql(
+        spark,
+        "SELECT COUNT(*) AS n, 'copied from docs archive' AS note "
+        "FROM docs VERSION AS OF 0",
+        roots,
+    ).first()
+    assert got.n == 10
+    assert got.note == "copied from docs archive"
+    # double-quoted literals too (Spark default: "..." is a string)
+    got = sql(
+        spark,
+        'SELECT "join events later" AS note, COUNT(*) AS n FROM docs',
+        roots,
+    ).first()
+    assert got.note == "join events later"
+    assert got.n == 15
+    # a literal with an escaped quote must not desync span tracking
+    got = sql(
+        spark,
+        "SELECT 'it''s from docs' AS note, COUNT(*) AS n "
+        "FROM docs VERSION AS OF 0",
+        roots,
+    ).first()
+    assert got.note == "it's from docs"
+    assert got.n == 10
+
+
+def test_timestamp_as_of_accepts_zulu_suffix(spark, roots):
+    """ISO timestamps with a trailing Z parse on every supported
+    Python (fromisoformat only learned Z in 3.11)."""
+    ms = V.read_manifest(roots["docs"], 0)["committed_at_ms"]
+    from datetime import datetime, timezone
+
+    iso_z = (
+        datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    )
+    got = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM docs TIMESTAMP AS OF '{iso_z}'",
+        roots,
+    ).first()
+    assert got.n == 10
