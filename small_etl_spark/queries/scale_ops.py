@@ -2781,3 +2781,143 @@ def q_matview_incremental_refresh(
             "rescanned"
         ),
     )
+
+
+@register(
+    "sql_merge_dml",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    src AS (
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + m + 1 AS doc_id, lang, n_chars
+      FROM documents, mx WHERE doc_id % 11 = 0
+    ),
+    merged AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN s.doc_id IS NOT NULL AND s.n_chars > d.n_chars
+                  THEN s.n_chars ELSE d.n_chars END AS n_chars
+      FROM documents d LEFT JOIN src s ON d.doc_id = s.doc_id
+      WHERE NOT (s.doc_id IS NULL AND d.doc_id % 13 = 0)
+      UNION ALL
+      SELECT s.doc_id, s.lang, s.n_chars FROM src s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM documents)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM merged GROUP BY lang
+    """,
+)
+def q_sql_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE INTO (small_etl_spark/sql.py DML front-end → the
+    multi-clause COW merge at sinks/versioned.py): one statement with
+    all three clause families — conditional MATCHED UPDATE, NOT
+    MATCHED INSERT *, and a conditional NOT MATCHED BY SOURCE DELETE —
+    whose USING source TIME-TRAVELS (``FROM docs VERSION AS OF 0``)
+    the target's own base snapshot. The statement dispatches to the
+    same primitive the Python API uses, so constraints, lineage, CDC
+    and the cardinality guard all apply; DuckDB replays the net
+    effect relationally. The reference has no SQL and no DML
+    (contextual_pipeline.rs:1017-1229 rewrites whole outputs)."""
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sql import sql as vsql
+
+    path = _versioned_table_path(sf_dir, "sqlmerge")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    vsql(
+        spark,
+        f"""
+        MERGE INTO docs t USING (
+          SELECT doc_id, lang, n_chars + 1000 AS n_chars
+          FROM docs VERSION AS OF 0 WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + {max_id} + 1 AS doc_id, lang, n_chars
+          FROM docs VERSION AS OF 0 WHERE doc_id % 11 = 0
+        ) s ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.n_chars > t.n_chars
+          THEN UPDATE SET n_chars = s.n_chars
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.doc_id % 13 = 0 THEN DELETE
+        """,
+        tables={"docs": path},
+    )
+    return V.read_snapshot(spark, path).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "sql_update_delete_insert",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    after_update AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN n_chars + 500 ELSE n_chars END
+               AS n_chars
+      FROM documents
+    ),
+    after_delete AS (
+      SELECT * FROM after_update WHERE NOT (doc_id % 17 = 0)
+    ),
+    final AS (
+      SELECT * FROM after_delete
+      UNION ALL
+      SELECT doc_id + m + 1 AS doc_id, 'xx' AS lang, n_chars
+      FROM documents, mx WHERE doc_id % 23 = 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM final GROUP BY lang
+    """,
+)
+def q_sql_update_delete_insert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL UPDATE / DELETE FROM / INSERT INTO (sql.py DML front-end →
+    update_where / delete_where / commit_snapshot): three statements
+    run in sequence against the versioned table — a conditional
+    UPDATE (COW, lineage-stable), a predicate DELETE, and an INSERT
+    INTO ... SELECT whose source time-travels the base snapshot.
+    DuckDB replays the pipeline as nested CTEs. Simple WHERE
+    conjuncts auto-derive manifest prune predicates, so the
+    statements rewrite O(matched files) exactly like the Python API."""
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sql import sql as vsql
+
+    path = _versioned_table_path(sf_dir, "sqludi")
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), path, mode="overwrite"
+    )
+    tb = {"docs": path}
+    vsql(
+        spark,
+        "UPDATE docs SET n_chars = n_chars + 500 WHERE lang = 'en'",
+        tb,
+    )
+    vsql(spark, "DELETE FROM docs WHERE doc_id % 17 = 0", tb)
+    vsql(
+        spark,
+        f"INSERT INTO docs SELECT doc_id + {max_id} + 1, 'xx', n_chars "
+        "FROM docs VERSION AS OF 0 WHERE doc_id % 23 = 0",
+        tb,
+    )
+    return V.read_snapshot(spark, path).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

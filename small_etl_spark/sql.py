@@ -29,6 +29,22 @@ inside string literals is never rewritten (quoted spans are skipped).
 This is a resolver in front of Spark SQL, not a SQL parser;
 everything after resolution is Catalyst's.
 
+DML statements dispatch to the versioned primitives with identical
+guarantees (constraints, lineage, CDC, OCC, stats-pruned rewrites)::
+
+    UPDATE t SET v = v + 1 WHERE k >= 100
+    DELETE FROM t WHERE k < 10
+    INSERT INTO t SELECT ... / INSERT INTO t (a, b) VALUES (1, 'x')
+    INSERT OVERWRITE t SELECT ...
+    MERGE INTO t USING (SELECT ...) s ON t.k = s.k
+      WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE
+
+``USING name VERSION AS OF n`` time-travels the merge source. See the
+DML section below for the exact clause grammar.
+
 Reference parity note: the reference has no SQL at all (row-at-a-time
 Rust transforms, contextual_pipeline.rs:879-1121); this front-end is
 engine-side extension surface making the versioned layer usable from
@@ -42,6 +58,8 @@ from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from small_etl_spark.sinks import versioned as V
 
@@ -86,6 +104,13 @@ def sql(
         pinned = {}
     if not tables:
         raise ValueError("sql() needs tables={{name: root}} or a catalog")
+
+    head_kw = re.match(r"\s*(MERGE|UPDATE|DELETE|INSERT)\b", query, re.I)
+    if head_kw:
+        return _dml(
+            spark, query, tables, pinned,
+            catalog_root=catalog_root, catalog_version=catalog_version,
+        )
 
     names = "|".join(
         re.escape(n) for n in sorted(tables, key=len, reverse=True)
@@ -135,3 +160,556 @@ def sql(
     finally:
         for v in views:
             spark.catalog.dropTempView(v)
+
+
+# --------------------------------------------------------------------
+# SQL DML: MERGE INTO / UPDATE / DELETE FROM / INSERT INTO
+#
+# Statement-level dispatch to the versioned primitives (merge,
+# update_where, delete_where, commit_snapshot) so a user coming from
+# Delta/Iceberg writes the same statements they write today and gets
+# the same guarantees the Python API gives — CHECK constraints, row
+# lineage, CDC, OCC, stats-pruned rewrites. This stays a resolver in
+# front of the primitives, not a SQL grammar: clause keywords are
+# recognized at parenthesis depth 0 outside string literals, and the
+# condition / assignment / select TEXT between them is handed to
+# Spark's own parser via F.expr / spark.sql. The reference engine is
+# declarative TOML with no SQL (contextual_pipeline.rs:879-1121);
+# this extends its "declare once, the engine enforces" story to SQL.
+# --------------------------------------------------------------------
+
+_QUOTED_RE = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
+
+
+def _mask_literals(s: str) -> str:
+    """Copy of ``s`` with string-literal INTERIORS blanked (length
+    preserved) so keyword/paren scans cannot match inside data."""
+    out = list(s)
+    for m in _QUOTED_RE.finditer(s):
+        for i in range(m.start() + 1, m.end() - 1):
+            out[i] = " "
+    return "".join(out)
+
+
+def _depth0(masked: str) -> list[bool]:
+    """Per-char: is this position at parenthesis depth 0?"""
+    d, out = 0, []
+    for ch in masked:
+        if ch == "(":
+            out.append(d == 0)
+            d += 1
+        elif ch == ")":
+            d -= 1
+            out.append(d == 0)
+        else:
+            out.append(d == 0)
+    return out
+
+
+def _find_top(
+    masked: str, pat: "re.Pattern[str]", start: int = 0
+) -> "re.Match[str] | None":
+    """First match of ``pat`` in ``masked`` at depth 0."""
+    top = _depth0(masked)
+    for m in pat.finditer(masked, start):
+        if top[m.start()]:
+            return m
+    return None
+
+
+def _split_top(orig: str, masked: str, sep: "re.Pattern[str]") -> list[str]:
+    """Split ``orig`` at depth-0 matches of ``sep`` (scanned on the
+    masked copy); returns the ORIGINAL text chunks."""
+    top = _depth0(masked)
+    cuts = [m for m in sep.finditer(masked) if top[m.start()]]
+    out, pos = [], 0
+    for m in cuts:
+        out.append(orig[pos:m.start()])
+        pos = m.end()
+    out.append(orig[pos:])
+    return out
+
+
+def _realias(expr: str, mapping: dict[str, str]) -> str:
+    """Rewrite ``alias.`` prefixes per ``mapping`` (case-insensitive,
+    literal-safe). An empty replacement strips the qualifier."""
+    if not mapping or not expr:
+        return expr
+    spans = [
+        (m.start(), m.end()) for m in _QUOTED_RE.finditer(expr)
+    ]
+    alts = "|".join(re.escape(a) for a in mapping)
+    pat = re.compile(rf"(?<![\w.`$])({alts})\s*\.", re.IGNORECASE)
+
+    def repl(m: re.Match) -> str:
+        if any(s <= m.start() < e for s, e in spans):
+            return m.group(0)
+        tgt = mapping[m.group(1).lower()]
+        return f"{tgt}." if tgt else ""
+
+    return pat.sub(repl, expr)
+
+
+_CMP_RE = re.compile(
+    r"^\s*`?(\w+)`?\s*(=|<=|>=|<|>)\s*"
+    r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _prune_preds(where_sql: str | None) -> "list[V.Predicate] | None":
+    """Manifest prune predicates implied by the WHERE clause: every
+    depth-0 conjunct of form ``col <op> literal`` prunes files whose
+    stats cannot match (pruning on a conjunct subset is always sound —
+    a file failing one conjunct holds no matching row). Anything more
+    complex contributes nothing; the rewrite stays correct, just
+    unpruned — same contract as passing prune=None to the Python API."""
+    if not where_sql:
+        return None
+    masked = _mask_literals(where_sql)
+    preds: list[V.Predicate] = []
+    for chunk in _split_top(
+        where_sql, masked, re.compile(r"\bAND\b", re.IGNORECASE)
+    ):
+        m = _CMP_RE.match(chunk)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        if lit.startswith("'"):
+            val: Any = lit[1:-1].replace("''", "'")
+        elif re.fullmatch(r"-?\d+", lit):
+            val = int(lit)
+        else:
+            val = float(lit)
+        preds.append((col, op, val))
+    return preds or None
+
+
+def _dml_result(
+    spark: SparkSession, op: str, table: str, version: int | None
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(op, table, -1 if version is None else int(version))],
+        "op string, table string, version bigint",
+    )
+
+
+def _target_root(name: str, tables: dict[str, str]) -> str:
+    if name not in tables:
+        raise ValueError(
+            f"DML target {name!r} is not a registered versioned table; "
+            f"known: {sorted(tables)}"
+        )
+    return tables[name]
+
+
+def _dml(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, str],
+    pinned: dict[str, Any],
+    catalog_root: str | None = None,
+    catalog_version: int | None = None,
+) -> DataFrame:
+    masked = _mask_literals(query)
+    kw = re.match(r"\s*(\w+)", masked).group(1).upper()
+    if kw == "UPDATE":
+        return _dml_update(spark, query, masked, tables)
+    if kw == "DELETE":
+        return _dml_delete(spark, query, masked, tables)
+    if kw == "INSERT":
+        return _dml_insert(
+            spark, query, masked, tables,
+            catalog_root=catalog_root, catalog_version=catalog_version,
+        )
+    return _dml_merge(
+        spark, query, masked, tables, pinned,
+        catalog_root=catalog_root, catalog_version=catalog_version,
+    )
+
+
+_ASSIGN_RE = re.compile(r"^\s*(?:`?\w+`?\s*\.\s*)?`?(\w+)`?\s*=\s*(.+)$", re.S)
+
+
+def _parse_assignments(
+    text: str, mapping: dict[str, str]
+) -> dict[str, str]:
+    masked = _mask_literals(text)
+    out: dict[str, str] = {}
+    for chunk in _split_top(text, masked, re.compile(r",")):
+        m = _ASSIGN_RE.match(chunk)
+        if not m:
+            raise ValueError(f"cannot parse SET assignment: {chunk!r}")
+        out[m.group(1)] = _realias(m.group(2).strip(), mapping)
+    return out
+
+
+def _dml_update(
+    spark: SparkSession, query: str, masked: str, tables: dict[str, str]
+) -> DataFrame:
+    """``UPDATE t [AS a] SET col = expr, ... [WHERE pred]`` →
+    :func:`versioned.update_where` (COW, constraint-checked, lineage-
+    stable, CDC delete+insert pairs), with manifest prune predicates
+    derived from simple WHERE conjuncts so a range-keyed UPDATE
+    rewrites O(matched files) from SQL exactly as from Python."""
+    hm = re.match(
+        r"\s*UPDATE\s+(\w+)(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?\s+SET\s+",
+        masked, re.IGNORECASE,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse UPDATE statement: {query!r}")
+    name, alias = hm.group(1), hm.group(2)
+    root = _target_root(name, tables)
+    rest, rest_masked = query[hm.end():], masked[hm.end():]
+    wm = _find_top(
+        rest_masked, re.compile(r"\bWHERE\b", re.IGNORECASE)
+    )
+    if wm:
+        set_text, where = rest[: wm.start()], rest[wm.end():].strip()
+    else:
+        set_text, where = rest, None
+    mapping = {name.lower(): ""}
+    if alias:
+        mapping[alias.lower()] = ""
+    sets = _parse_assignments(set_text, mapping)
+    pred = _realias(where, mapping) if where else None
+    v = V.update_where(
+        spark, root, set=sets, predicate=pred,
+        prune=_prune_preds(pred),
+    )
+    return _dml_result(spark, "update", name, v)
+
+
+def _dml_delete(
+    spark: SparkSession, query: str, masked: str, tables: dict[str, str]
+) -> DataFrame:
+    """``DELETE FROM t [AS a] [WHERE pred]`` →
+    :func:`versioned.delete_where` (COW), stats-pruned like UPDATE."""
+    hm = re.match(
+        r"\s*DELETE\s+FROM\s+(\w+)"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?\s*",
+        masked, re.IGNORECASE,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse DELETE statement: {query!r}")
+    name, alias = hm.group(1), hm.group(2)
+    root = _target_root(name, tables)
+    rest, rest_masked = query[hm.end():], masked[hm.end():]
+    wm = re.match(r"\s*WHERE\b", rest_masked, re.IGNORECASE)
+    if wm:
+        where = rest[wm.end():].strip()
+    elif rest.strip():
+        raise ValueError(
+            f"unexpected trailing text in DELETE: {rest.strip()!r}"
+        )
+    else:
+        where = None
+    mapping = {name.lower(): ""}
+    if alias:
+        mapping[alias.lower()] = ""
+    if where is None:
+        pred: Any = "true"
+        prune = None
+    else:
+        pred = _realias(where, mapping)
+        prune = _prune_preds(pred)
+    v = V.delete_where(spark, root, pred, prune=prune)
+    return _dml_result(spark, "delete", name, v)
+
+
+def _dml_insert(
+    spark: SparkSession,
+    query: str,
+    masked: str,
+    tables: dict[str, str],
+    catalog_root: str | None,
+    catalog_version: int | None,
+) -> DataFrame:
+    """``INSERT INTO|OVERWRITE t [(cols)] SELECT ...|VALUES ...`` →
+    :func:`versioned.commit_snapshot` append/overwrite. The SELECT
+    resolves through :func:`sql` itself, so it may reference versioned
+    tables with AS OF; binding is POSITIONAL with a cast to the target
+    schema (ANSI INSERT), and the commit path enforces constraints,
+    claims lineage ids and keeps OCC exactly as the Python API."""
+    hm = re.match(
+        r"\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*",
+        masked, re.IGNORECASE,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse INSERT statement: {query!r}")
+    mode = "append" if hm.group(1).upper() == "INTO" else "overwrite"
+    name = hm.group(2)
+    root = _target_root(name, tables)
+    rest, rest_masked = query[hm.end():], masked[hm.end():]
+    cols: list[str] | None = None
+    cm = re.match(r"\(([^)]*)\)\s*", rest_masked)
+    if cm:
+        cols = [
+            c.strip().strip("`")
+            for c in rest[cm.start(1): cm.end(1)].split(",")
+            if c.strip()
+        ]
+        # a bare (SELECT ...) body is a subquery, not a column list
+        if any(" " in c or c.upper().startswith("SELECT") for c in cols):
+            cols = None
+        else:
+            rest = rest[cm.end():]
+    body = rest.strip()
+    if re.match(r"VALUES\b", body, re.IGNORECASE):
+        src = spark.sql(body)
+    else:
+        src = sql(
+            spark, body, tables=tables,
+            catalog_root=catalog_root, catalog_version=catalog_version,
+        )
+    head = V.latest_version(root)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots committed at {root!r}")
+    schema = StructType.fromJson(V._read_record(root, head)["schema"])
+    targets = cols if cols is not None else [f.name for f in schema.fields]
+    if len(src.columns) != len(targets):
+        raise ValueError(
+            f"INSERT supplies {len(src.columns)} column(s) for "
+            f"{len(targets)} target column(s) {targets}"
+        )
+    for c in targets:
+        if c not in schema.fieldNames():
+            raise ValueError(f"INSERT column {c!r} not in target schema")
+    out = src.select(
+        *[
+            F.col(src.columns[i]).cast(schema[c].dataType).alias(c)
+            for i, c in enumerate(targets)
+        ]
+    )
+    if cols is not None and len(cols) < len(schema.fields):
+        # unlisted columns take NULL (ANSI): fill to the full schema
+        for f in schema.fields:
+            if f.name not in cols:
+                out = out.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        out = out.select(*[f.name for f in schema.fields])
+    v = V.commit_snapshot(out, root, mode=mode)
+    return _dml_result(spark, f"insert_{mode}", name, v)
+
+
+def _parse_on_keys(
+    on_text: str, t_alias: str, s_alias: str
+) -> list[str]:
+    """ON must be a conjunction of same-name equality key pairs
+    (``t.k = s.k``) — the shape the merge primitive shuffles on. A
+    general theta-ON would force an unbounded cross-file join; refuse
+    loudly rather than degrade silently at 100 TB."""
+    masked = _mask_literals(on_text)
+    keys: list[str] = []
+    side = re.compile(
+        r"^\s*(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s*$"
+    )
+    for chunk in _split_top(
+        on_text, masked, re.compile(r"\bAND\b", re.IGNORECASE)
+    ):
+        parts = chunk.split("=")
+        ok = False
+        if len(parts) == 2:
+            lm, rm = side.match(parts[0]), side.match(parts[1])
+            if lm and rm:
+                la, lc = lm.groups()
+                ra, rc = rm.groups()
+                aliases = {
+                    (la or "").lower(), (ra or "").lower()
+                } - {""}
+                if lc == rc and aliases <= {t_alias, s_alias}:
+                    keys.append(lc)
+                    ok = True
+        if not ok:
+            raise ValueError(
+                f"MERGE ON conjunct {chunk.strip()!r} is not a "
+                "same-name key equality (t.k = s.k); rename the "
+                "source column to match the target key"
+            )
+    if not keys:
+        raise ValueError("MERGE requires at least one ON key")
+    return keys
+
+
+_WHEN_HEAD = re.compile(
+    r"^\s*(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+    r"|MATCHED)\s*(?:AND\s+(.*?))?\s*THEN\s+(.*)$",
+    re.IGNORECASE | re.S,
+)
+
+
+def _dml_merge(
+    spark: SparkSession,
+    query: str,
+    masked: str,
+    tables: dict[str, str],
+    pinned: dict[str, Any],
+    catalog_root: str | None,
+    catalog_version: int | None,
+) -> DataFrame:
+    """``MERGE INTO t USING src ON ... WHEN ...`` →
+    :func:`versioned.merge` (multi-clause COW merge: clause order,
+    conditions, cardinality guard, constraints, lineage, CDC). USING
+    accepts a subquery (resolved through :func:`sql`, so it may time-
+    travel: ``USING docs VERSION AS OF 3 s``) or a registered
+    versioned table reference."""
+    hm = re.match(
+        r"\s*MERGE\s+INTO\s+(\w+)"
+        r"(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+",
+        masked, re.IGNORECASE,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse MERGE statement: {query!r}")
+    name = hm.group(1)
+    t_alias = hm.group(2) or name
+    root = _target_root(name, tables)
+    pos = hm.end()
+
+    # USING <source>: subquery or (possibly time-traveled) table ref
+    if masked[pos] == "(":
+        depth, end = 0, None
+        for i in range(pos, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            raise ValueError("unbalanced parens in MERGE USING")
+        src_df = sql(
+            spark, query[pos + 1: end], tables=tables,
+            catalog_root=catalog_root, catalog_version=catalog_version,
+        )
+        pos = end + 1
+        am = re.match(
+            r"\s*(?:AS\s+)?(?!ON\b)(\w+)\s*", masked[pos:], re.IGNORECASE
+        )
+        s_alias = "s"
+        if am:
+            s_alias = am.group(1)
+            pos += am.end()
+    else:
+        sm = re.match(
+            r"(\w+)"
+            r"(\s+VERSION\s+AS\s+OF\s+\d+"
+            r"|\s+TIMESTAMP\s+AS\s+OF\s+(?:'[^']+'|\d+))?"
+            r"(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s*",
+            masked[pos:], re.IGNORECASE,
+        )
+        if not sm:
+            raise ValueError("cannot parse MERGE USING source")
+        sname, suffix, s_alias = sm.group(1), sm.group(2), sm.group(3)
+        s_alias = s_alias or sname
+        src_df = sql(
+            spark,
+            f"SELECT * FROM {query[pos + sm.start(1): pos + sm.end(2 if suffix else 1)]}",
+            tables=tables,
+            catalog_root=catalog_root, catalog_version=catalog_version,
+        )
+        pos += sm.end()
+
+    om = re.match(r"ON\s+", masked[pos:], re.IGNORECASE)
+    if not om:
+        raise ValueError("MERGE requires ON after USING source")
+    pos += om.end()
+    when = _find_top(
+        masked, re.compile(r"\bWHEN\b", re.IGNORECASE), pos
+    )
+    if not when:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    on_text = query[pos: when.start()]
+    ta, sa = t_alias.lower(), s_alias.lower()
+    if ta == sa:
+        raise ValueError(
+            f"MERGE target and source aliases collide on {t_alias!r}"
+        )
+    keys = _parse_on_keys(on_text, ta, sa)
+    mapping = {ta: "t", sa: "s"}
+
+    matched: list[dict[str, Any]] = []
+    not_matched: list[dict[str, Any]] = []
+    by_source: list[dict[str, Any]] = []
+    clause_texts = _split_top(
+        query[when.end():], masked[when.end():],
+        re.compile(r"\bWHEN\b", re.IGNORECASE),
+    )
+    for text in clause_texts:
+        cm = _WHEN_HEAD.match(text)
+        if not cm:
+            raise ValueError(f"cannot parse MERGE clause: {text.strip()!r}")
+        head, cond, action = cm.groups()
+        head = re.sub(r"\s+", " ", head).upper()
+        cond = _realias(cond.strip(), mapping) if cond else None
+        action_m = _mask_literals(action)
+        clause: dict[str, Any] = {"condition": cond}
+        if re.match(r"DELETE\s*$", action_m, re.IGNORECASE):
+            clause["action"] = "delete"
+        elif re.match(r"UPDATE\s+SET\s+\*\s*$", action_m, re.IGNORECASE):
+            clause.update(action="update", set="all")
+        elif re.match(r"UPDATE\s+SET\s+", action_m, re.IGNORECASE):
+            um = re.match(r"UPDATE\s+SET\s+", action_m, re.IGNORECASE)
+            clause.update(
+                action="update",
+                set=_parse_assignments(action[um.end():], mapping),
+            )
+        elif re.match(r"INSERT\s+\*\s*$", action_m, re.IGNORECASE):
+            clause.update(action="insert", values="all")
+        elif re.match(r"INSERT\s*\(", action_m, re.IGNORECASE):
+            im = re.match(
+                r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\(", action_m,
+                re.IGNORECASE,
+            )
+            if not im:
+                raise ValueError(
+                    f"cannot parse INSERT clause: {action.strip()!r}"
+                )
+            icols = [
+                c.strip().strip("`")
+                for c in action[im.start(1): im.end(1)].split(",")
+            ]
+            vtext = action[im.end():]
+            vmask = action_m[im.end():]
+            close = vmask.rfind(")")
+            exprs = _split_top(
+                vtext[:close], vmask[:close], re.compile(r",")
+            )
+            if len(icols) != len(exprs):
+                raise ValueError(
+                    f"INSERT lists {len(icols)} column(s) but "
+                    f"{len(exprs)} value(s)"
+                )
+            clause.update(
+                action="insert",
+                values={
+                    c: _realias(e.strip(), mapping)
+                    for c, e in zip(icols, exprs)
+                },
+            )
+        else:
+            raise ValueError(
+                f"unsupported MERGE action: {action.strip()!r}"
+            )
+        if head == "MATCHED":
+            if clause["action"] == "insert":
+                raise ValueError("WHEN MATCHED cannot INSERT")
+            matched.append(clause)
+        elif head == "NOT MATCHED BY SOURCE":
+            if clause["action"] == "insert":
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE cannot INSERT"
+                )
+            by_source.append(clause)
+        else:
+            if clause["action"] != "insert":
+                raise ValueError("WHEN NOT MATCHED must INSERT")
+            not_matched.append(clause)
+
+    v = V.merge(
+        spark, root, src_df, on=keys,
+        matched=matched or None,
+        not_matched=not_matched or None,
+        not_matched_by_source=by_source or None,
+    )
+    return _dml_result(spark, "merge", name, v)
