@@ -2921,3 +2921,104 @@ def q_sql_update_delete_insert(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@register(
+    "catalog_txn_join",
+    """
+    WITH mo AS (SELECT MAX(o_orderkey) AS mo FROM orders),
+    mc AS (SELECT MAX(c_custkey) AS mc FROM customer),
+    new_dim AS (
+      SELECT c_custkey + mc + 1 AS c_custkey,
+             'TXNSEG' AS c_mktsegment
+      FROM customer, mc WHERE c_custkey % 10 = 0
+    ),
+    dim AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      UNION ALL SELECT * FROM new_dim
+    ),
+    new_fact AS (
+      SELECT o_orderkey + mo + 1 AS o_orderkey,
+             o_custkey + mc + 1 AS o_custkey,
+             o_totalprice
+      FROM orders, mo, mc
+      WHERE o_custkey % 10 = 0 AND o_orderkey % 7 = 0
+    ),
+    fact AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      UNION ALL SELECT * FROM new_fact
+    )
+    SELECT d.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(round(f.o_totalprice*100) AS BIGINT)) AS sum_cents,
+           CAST(1 AS BOOLEAN) AS no_dangling_keys
+    FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment
+    """,
+)
+def q_catalog_txn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table write transaction (sinks/txn.py): new dimension
+    members AND the fact rows referencing them stage on per-table WAP
+    branches and land through ONE atomic catalog swap — the classic
+    case where a torn commit means dangling foreign keys. The query
+    reads fact⋈dim THROUGH the transaction's catalog pin and asserts
+    referential integrity (``no_dangling_keys``: every fact row inner-
+    joins a dim row — guaranteed by atomicity, checked explicitly).
+    DuckDB replays both appends and the join relationally. The
+    reference writes outputs independently with no cross-output
+    coordination (simple_pipeline.rs:129-171)."""
+    from small_etl_spark.sinks import txn as T
+    from small_etl_spark.sinks import versioned as V
+
+    fact_p = _versioned_table_path(sf_dir, "txnfact")
+    dim_p = _versioned_table_path(sf_dir, "txndim")
+    cat_p = _versioned_table_path(sf_dir, "txncat")
+    for p in (fact_p, dim_p, cat_p):
+        V.drop_table(p)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    mo = orders.agg(F.max("o_orderkey")).first()[0]
+    mc = cust.agg(F.max("c_custkey")).first()[0]
+    V.commit_snapshot(
+        orders.repartitionByRange(8, "o_orderkey"), fact_p,
+        mode="overwrite",
+    )
+    V.commit_snapshot(cust, dim_p, mode="overwrite")
+    V.catalog_commit(cat_p, {"fact": fact_p, "dim": dim_p})
+
+    txn = T.begin_transaction(cat_p, {"fact": fact_p, "dim": dim_p})
+    V.commit_snapshot(
+        cust.filter(F.col("c_custkey") % 10 == 0).select(
+            (F.col("c_custkey") + mc + 1).alias("c_custkey"),
+            F.lit("TXNSEG").alias("c_mktsegment"),
+        ),
+        txn.stage("dim"), mode="append",
+    )
+    V.commit_snapshot(
+        orders.filter(
+            (F.col("o_custkey") % 10 == 0) & (F.col("o_orderkey") % 7 == 0)
+        ).select(
+            (F.col("o_orderkey") + mo + 1).alias("o_orderkey"),
+            (F.col("o_custkey") + mc + 1).alias("o_custkey"),
+            "o_totalprice",
+        ),
+        txn.stage("fact"), mode="append",
+    )
+    txn.commit()
+
+    fact = V.read_catalog(spark, cat_p, "fact")
+    dim = V.read_catalog(spark, cat_p, "dim")
+    n_fact = fact.count()
+    joined = fact.join(dim, fact.o_custkey == dim.c_custkey, "inner")
+    no_dangling = joined.count() == n_fact
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("sum_cents"),
+        F.lit(bool(no_dangling)).alias("no_dangling_keys"),
+    )

@@ -1,0 +1,404 @@
+"""Multi-table write transactions over versioned tables.
+
+``begin_transaction(catalog_root, tables)`` opens a transaction whose
+writes STAGE on ephemeral WAP branches (one per touched table, cut at
+the head captured at begin) and whose COMMIT point is a single atomic
+catalog-manifest swap (:func:`versioned.catalog_commit`'s O_EXCL
+create)::
+
+    txn = begin_transaction(cat, {"fact": fact_path, "dim": dim_path})
+    V.commit_snapshot(rows,  txn.stage("fact"), mode="append")
+    V.merge_upsert(spark, txn.stage("dim"), src, key="k")
+    txn.commit()     # fact + dim land together — or not at all
+
+Every table op accepts the branch handle in place of the table, so
+the full DML/DDL surface participates (append, MERGE, UPDATE, MoR
+deletes, constraints all enforced at stage time).
+
+Commit protocol (classic write-ahead intent + roll-forward — the
+public Iceberg REST-catalog transaction design re-implemented on the
+file catalog):
+
+1. OCC pre-check: every staged table's main must still be at its
+   begin version, else abort (branches abandoned, nothing durable).
+2. INTENT: one atomic record under ``catalog_root/_txn_intents/``
+   listing every table, its base version, and the staged set. From
+   this point the transaction is durable: a crash anywhere below is
+   ROLLED FORWARD by recovery, never half-applied to the catalog.
+3. Publish each staged branch to its table's main (fast-forward OCC,
+   one O(changed files) record per table).
+4. Catalog swap: ONE :func:`versioned.catalog_commit` pinning staged
+   tables at their published versions and unstaged tables at their
+   begin versions — the atomic commit point.
+5. Delete the intent, abandon the branches.
+
+Atomicity contract — stated exactly: readers that resolve through
+the catalog (:func:`versioned.read_catalog`, ``sql(catalog_root=...)``)
+see the transaction all-or-nothing, PROVIDED catalog versions are
+produced by this module (or by :func:`versioned.catalog_commit` after
+:func:`recover_transactions` has drained pending intents —
+``begin_transaction`` runs that recovery automatically, so
+transactional writers self-heal). A crash between publishes leaves
+per-table mains momentarily ahead of the catalog; each is a valid
+single-table snapshot, and recovery completes the publish sequence
+and the swap before any new transaction pins. A direct single-table
+reader may observe table A's publish before table B's for that
+window — cross-table consistency is exactly what catalog resolution
+is for.
+
+Residual window, documented not hidden: if a crash splits the
+publish sequence AND an independent non-transactional writer advances
+an unpublished table's main before recovery runs, the roll-forward's
+fast-forward publish conflicts and the intent is reported STUCK
+(:func:`recover_transactions` returns it; ``begin_transaction``
+refuses overlapping transactions). The published tables' batches are
+durable per-table state; :func:`force_abort_transaction` resolves by
+accepting them as independent appends. The same trade exists in
+every system that lets writers bypass the coordination point.
+
+Scale shape: staging costs what the ops themselves cost; commit adds
+one O(tables) intent record, one O(changed files) publish record per
+touched table, and one O(tables) catalog record — no data moves at
+commit. 100 TB-safe by construction.
+
+Reference parity note: the reference writes each pipeline's output
+independently with no cross-output coordination
+(simple_pipeline.rs:129-171); this is engine-side extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from small_etl_spark.sinks import versioned as V
+
+_INTENTS_DIR = "_txn_intents"
+
+
+class TransactionConflict(RuntimeError):
+    """A touched table's main advanced past the version captured at
+    begin — the transaction aborted and the catalog is untouched."""
+
+
+class TransactionError(RuntimeError):
+    """The transaction is no longer open (committed/aborted)."""
+
+
+def _intent_path(catalog_root: str, txn_id: str) -> str:
+    return os.path.join(catalog_root, _INTENTS_DIR, f"{txn_id}.json")
+
+
+def _list_intents(catalog_root: str) -> list[dict[str, Any]]:
+    d = os.path.join(catalog_root, _INTENTS_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            try:
+                with open(os.path.join(d, fn)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, ValueError):
+                continue  # racer deleted / partial — skip
+    return out
+
+
+class Transaction:
+    """Handle returned by :func:`begin_transaction`."""
+
+    def __init__(
+        self, catalog_root: str, tables: dict[str, str]
+    ) -> None:
+        if not tables:
+            raise ValueError("a transaction needs at least one table")
+        self.catalog_root = catalog_root
+        self.tables = dict(tables)
+        self.txn_id = uuid.uuid4().hex[:12]
+        self._state = "open"
+        # self-heal: drain interrupted transactions BEFORE capturing
+        # versions, so this txn's begin-time cut never reflects a
+        # half-rolled-forward peer
+        rep = recover_transactions(catalog_root)
+        stuck_tables = {
+            t["table"]
+            for info in rep["stuck"].values()
+            for t in info["intent"]["tables"].values()
+        }
+        overlap = stuck_tables & set(self.tables.values())
+        if overlap:
+            raise TransactionConflict(
+                f"stuck interrupted transaction(s) touch {sorted(overlap)}; "
+                "resolve with force_abort_transaction first "
+                f"(stuck: {sorted(rep['stuck'])})"
+            )
+        # snapshot-isolation capture: every table's version AS OF begin
+        self.base: dict[str, int] = {}
+        for name, path in self.tables.items():
+            v = V.latest_version(path)
+            if v is None:
+                raise FileNotFoundError(
+                    f"no snapshots committed at {path!r} ({name!r})"
+                )
+            self.base[name] = v
+        self._staged: dict[str, str] = {}  # name -> branch handle
+
+    # -------------------------------------------------------- staging
+
+    def stage(self, name: str) -> str:
+        """Branch handle for ``name`` — pass to any table op. Created
+        lazily at the begin-time version (first use wins the cut)."""
+        self._require_open()
+        if name not in self.tables:
+            raise KeyError(
+                f"table {name!r} not part of this transaction; "
+                f"declared: {sorted(self.tables)}"
+            )
+        if name not in self._staged:
+            self._staged[name] = V.branch_create(
+                self.tables[name],
+                f"_txn-{self.txn_id}",
+                version=self.base[name],
+            )
+        return self._staged[name]
+
+    def read(self, spark, name: str):
+        """Snapshot-isolation read: staged state if this transaction
+        wrote the table, else the begin-time version."""
+        self._require_open()
+        if name in self._staged:
+            return V.read_snapshot(spark, self._staged[name])
+        return V.read_snapshot(
+            spark, self.tables[name], version=self.base[name]
+        )
+
+    # ------------------------------------------------------- lifecycle
+
+    def commit(self) -> int:
+        """Run the intent + publish + catalog-swap protocol. Returns
+        the catalog version. On conflict the transaction aborts
+        (branches abandoned, catalog untouched) and
+        :class:`TransactionConflict` raises."""
+        self._require_open()
+        # OCC pre-check BEFORE the intent: refuse while nothing is
+        # durable yet, so a lost race costs a clean abort
+        for name in sorted(self._staged):
+            head = V.latest_version(self.tables[name])
+            if head != self.base[name]:
+                self.abort()
+                raise TransactionConflict(
+                    f"table {name!r} advanced v{self.base[name]}->"
+                    f"v{head} since begin; replay the transaction"
+                )
+        if not self._staged:
+            # read-only transaction: pin the begin-time cut
+            cat_v = V.catalog_commit(
+                self.catalog_root,
+                {
+                    name: (path, self.base[name])
+                    for name, path in self.tables.items()
+                },
+            )
+            self._state = "committed"
+            return cat_v
+        intent = {
+            "txn_id": self.txn_id,
+            "tables": {
+                name: {"table": path, "base": self.base[name]}
+                for name, path in self.tables.items()
+            },
+            "staged": sorted(self._staged),
+        }
+        os.makedirs(
+            os.path.join(self.catalog_root, _INTENTS_DIR), exist_ok=True
+        )
+        V._atomic_create(
+            _intent_path(self.catalog_root, self.txn_id), intent
+        )
+        # from here on a crash rolls FORWARD via recover_transactions
+        pins: dict[str, tuple[str, int | None]] = {
+            name: (path, self.base[name])
+            for name, path in self.tables.items()
+        }
+        for name in sorted(self._staged):
+            try:
+                new_v = V.branch_publish(
+                    self.tables[name], f"_txn-{self.txn_id}"
+                )
+            except V.CommitConflict as exc:
+                # photo-finish loss AFTER the intent became durable:
+                # leave intent + branches for recovery / force-abort
+                raise TransactionConflict(
+                    f"lost the publish race on {name!r} after the "
+                    f"intent landed; txn {self.txn_id} left for "
+                    f"recovery ({exc})"
+                ) from exc
+            if new_v is not None:
+                pins[name] = (self.tables[name], new_v)
+        cat_v = V.catalog_commit(self.catalog_root, pins)
+        try:
+            os.unlink(_intent_path(self.catalog_root, self.txn_id))
+        except FileNotFoundError:
+            pass  # concurrent recovery finished the cleanup
+        self._cleanup()
+        self._state = "committed"
+        return cat_v
+
+    def abort(self) -> None:
+        """Abandon staged branches; the catalog never saw anything.
+        Only valid before the intent landed (after that, recovery
+        owns the transaction's fate)."""
+        if self._state != "open":
+            return
+        self._cleanup()
+        self._state = "aborted"
+
+    def _cleanup(self) -> None:
+        for name in list(self._staged):
+            try:
+                V.branch_abandon(
+                    self.tables[name], f"_txn-{self.txn_id}"
+                )
+            except FileNotFoundError:
+                pass
+        self._staged.clear()
+
+    def _require_open(self) -> None:
+        if self._state != "open":
+            raise TransactionError(
+                f"transaction {self.txn_id} is {self._state}"
+            )
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None and self._state == "open":
+            self.commit()
+        else:
+            self.abort()
+
+
+def begin_transaction(
+    catalog_root: str, tables: dict[str, str]
+) -> Transaction:
+    """Open a multi-table transaction. ``tables`` maps logical names
+    (the catalog pin names) to versioned-table roots. Runs
+    :func:`recover_transactions` first, so interrupted peers are
+    rolled forward before this transaction captures its cut."""
+    return Transaction(catalog_root, tables)
+
+
+def recover_transactions(catalog_root: str) -> dict[str, Any]:
+    """Roll interrupted transactions FORWARD: for every pending
+    intent, finish the publish sequence from its surviving branches
+    (idempotent — already-published tables are detected by the
+    ``branch`` stamp on their ``base+1`` record) and perform the
+    catalog swap, then clean up. Returns
+    ``{"completed": [txn_id...], "stuck": {txn_id: info}}`` — an
+    intent is stuck when an independent writer advanced an
+    unpublished table's main, making fast-forward impossible; resolve
+    with :func:`force_abort_transaction`."""
+    completed: list[str] = []
+    stuck: dict[str, Any] = {}
+    for intent in _list_intents(catalog_root):
+        txn_id = intent["txn_id"]
+        branch = f"_txn-{txn_id}"
+        pins: dict[str, tuple[str, int | None]] = {}
+        blocked = None
+        for name in sorted(intent["tables"]):
+            entry = intent["tables"][name]
+            path, base = entry["table"], int(entry["base"])
+            if name not in intent["staged"]:
+                pins[name] = (path, base)
+                continue
+            nxt = base + 1
+            try:
+                published = (
+                    os.path.exists(V._manifest_path(path, nxt))
+                    and V._read_record(path, nxt).get("branch") == branch
+                )
+            except (OSError, ValueError):
+                published = False
+            if published:
+                pins[name] = (path, nxt)
+                continue
+            head = V.latest_version(path)
+            if head != base:
+                blocked = (
+                    f"{name}: main advanced v{base}->v{head} before "
+                    "roll-forward"
+                )
+                break
+            if branch not in V.list_branches(path):
+                blocked = f"{name}: staged branch {branch} is missing"
+                break
+            try:
+                new_v = V.branch_publish(path, branch)
+            except V.CommitConflict as exc:
+                blocked = f"{name}: {exc}"
+                break
+            pins[name] = (path, base if new_v is None else new_v)
+        if blocked is not None:
+            stuck[txn_id] = {"intent": intent, "reason": blocked}
+            continue
+        V.catalog_commit(catalog_root, pins)
+        _drop_intent(catalog_root, intent)
+        completed.append(txn_id)
+    return {"completed": completed, "stuck": stuck}
+
+
+def force_abort_transaction(catalog_root: str, txn_id: str) -> None:
+    """Resolve a STUCK interrupted transaction by accepting its
+    already-published tables as independent appends: drop the intent
+    and abandon surviving branches. The catalog was never swung, so
+    catalog history stays consistent; the published per-table
+    versions remain durable (documented residual — the price of
+    letting writers bypass the coordination point)."""
+    for intent in _list_intents(catalog_root):
+        if intent["txn_id"] == txn_id:
+            _drop_intent(catalog_root, intent)
+            return
+    raise FileNotFoundError(
+        f"no pending transaction {txn_id!r} at {catalog_root!r}"
+    )
+
+
+def _drop_intent(catalog_root: str, intent: dict[str, Any]) -> None:
+    branch = f"_txn-{intent['txn_id']}"
+    for name in intent["staged"]:
+        path = intent["tables"][name]["table"]
+        try:
+            V.branch_abandon(path, branch)
+        except FileNotFoundError:
+            pass
+    try:
+        os.unlink(_intent_path(catalog_root, intent["txn_id"]))
+    except FileNotFoundError:
+        pass
+
+
+def recover_orphan_transactions(
+    tables: "dict[str, str] | Any", catalog_root: str | None = None
+) -> int:
+    """Abandon ``_txn-*`` branches with NO pending intent (a crash
+    before the intent landed — nothing staged is or ever was
+    visible). Branches protected by an intent are left for
+    :func:`recover_transactions`. Returns branches dropped. Run on
+    the same cadence as vacuum."""
+    protected: set[str] = set()
+    if catalog_root is not None:
+        for intent in _list_intents(catalog_root):
+            protected.add(f"_txn-{intent['txn_id']}")
+    paths = (
+        tables.values() if isinstance(tables, dict) else list(tables)
+    )
+    dropped = 0
+    for path in paths:
+        for bname in V.list_branches(path):
+            if bname.startswith("_txn-") and bname not in protected:
+                V.branch_abandon(path, bname)
+                dropped += 1
+    return dropped

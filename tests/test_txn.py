@@ -1,0 +1,370 @@
+"""Multi-table write transactions (sinks/txn.py): WAP-staged writes
+per table, a durable intent record, per-table publishes, and one
+atomic catalog-manifest swap as the commit point, with roll-forward
+recovery. Catalog readers must see every transaction all-or-nothing
+under conflicts AND crashes injected at every protocol step
+(VERDICT r9 item #2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from small_etl_spark.sinks import txn as T
+from small_etl_spark.sinks import versioned as V
+
+
+@pytest.fixture()
+def env(tmp_path, spark):
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    cat = str(tmp_path / "cat")
+    V.commit_snapshot(
+        spark.createDataFrame([(0, 0)], "batch bigint, v bigint"),
+        fact, mode="overwrite",
+    )
+    V.commit_snapshot(
+        spark.createDataFrame([(0, "b0")], "batch bigint, tag string"),
+        dim, mode="overwrite",
+    )
+    V.catalog_commit(cat, {"fact": fact, "dim": dim})
+    return {"fact": fact, "dim": dim, "cat": cat}
+
+
+def _batch_sets(spark, env):
+    """(fact batches, dim batches) as seen THROUGH THE CATALOG."""
+    f = {
+        r.batch
+        for r in V.read_catalog(spark, env["cat"], "fact").collect()
+    }
+    d = {
+        r.batch
+        for r in V.read_catalog(spark, env["cat"], "dim").collect()
+    }
+    return f, d
+
+
+def _run_txn(spark, env, batch_id):
+    txn = T.begin_transaction(
+        env["cat"], {"fact": env["fact"], "dim": env["dim"]}
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(batch_id, batch_id * 10)], "batch bigint, v bigint"
+        ),
+        txn.stage("fact"), mode="append",
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(batch_id, f"b{batch_id}")], "batch bigint, tag string"
+        ),
+        txn.stage("dim"), mode="append",
+    )
+    return txn
+
+
+def test_commit_lands_both_tables_atomically(spark, env):
+    txn = _run_txn(spark, env, 1)
+    cat_v = txn.commit()
+    assert cat_v == 1
+    f, d = _batch_sets(spark, env)
+    assert f == d == {0, 1}
+    # branches + intent cleaned up; mains advanced once each
+    assert V.list_branches(env["fact"]) == {}
+    assert V.list_branches(env["dim"]) == {}
+    assert T._list_intents(env["cat"]) == []
+    assert V.latest_version(env["fact"]) == 1
+    assert V.read_manifest(env["fact"], 1)["mode"] == "publish"
+
+
+def test_unstaged_tables_pin_at_begin_version(spark, env):
+    txn = T.begin_transaction(
+        env["cat"], {"fact": env["fact"], "dim": env["dim"]}
+    )
+    V.commit_snapshot(
+        spark.createDataFrame([(1, 10)], "batch bigint, v bigint"),
+        txn.stage("fact"), mode="append",
+    )
+    # dim never staged: a concurrent writer advances it mid-txn
+    V.commit_snapshot(
+        spark.createDataFrame([(99, "x")], "batch bigint, tag string"),
+        env["dim"], mode="append",
+    )
+    txn.commit()
+    f, d = _batch_sets(spark, env)
+    assert f == {0, 1}
+    assert d == {0}  # pinned AS OF begin — not the racer's append
+
+
+def test_read_only_txn_pins_consistent_cut(spark, env):
+    txn = T.begin_transaction(
+        env["cat"], {"fact": env["fact"], "dim": env["dim"]}
+    )
+    V.commit_snapshot(
+        spark.createDataFrame([(42, 0)], "batch bigint, v bigint"),
+        env["fact"], mode="append",
+    )
+    cat_v = txn.commit()
+    assert cat_v == 1
+    f, d = _batch_sets(spark, env)
+    assert f == {0} and d == {0}
+
+
+def test_conflict_on_staged_table_aborts_catalog_untouched(spark, env):
+    txn = _run_txn(spark, env, 1)
+    # a racer advances fact's main before commit
+    V.commit_snapshot(
+        spark.createDataFrame([(50, 0)], "batch bigint, v bigint"),
+        env["fact"], mode="append",
+    )
+    with pytest.raises(T.TransactionConflict):
+        txn.commit()
+    f, d = _batch_sets(spark, env)
+    assert f == {0} and d == {0}  # catalog still on the old pin set
+    assert V.list_branches(env["fact"]) == {}  # staged work abandoned
+    assert V.list_branches(env["dim"]) == {}
+    assert T._list_intents(env["cat"]) == []  # never got durable
+    with pytest.raises(T.TransactionError):
+        txn.commit()  # not reusable after abort
+
+
+def test_snapshot_isolation_reads(spark, env):
+    txn = _run_txn(spark, env, 1)
+    # racer appends to dim after begin
+    V.commit_snapshot(
+        spark.createDataFrame([(77, "r")], "batch bigint, tag string"),
+        env["dim"], mode="append",
+    )
+    # txn.read sees its OWN staged dim rows, not the racer's
+    got = {r.batch for r in txn.read(spark, "dim").collect()}
+    assert got == {0, 1}
+    txn.abort()
+
+
+def test_context_manager_commits_and_aborts(spark, env):
+    with _run_txn(spark, env, 1):
+        pass  # clean exit commits
+    f, d = _batch_sets(spark, env)
+    assert f == d == {0, 1}
+    with pytest.raises(RuntimeError, match="boom"):
+        with _run_txn(spark, env, 2):
+            raise RuntimeError("boom")
+    f, d = _batch_sets(spark, env)
+    assert f == d == {0, 1}  # aborted txn invisible
+    assert V.list_branches(env["fact"]) == {}
+
+
+def test_constraints_enforced_at_stage_time(spark, env):
+    V.add_constraint(spark, env["fact"], "v_nonneg", "v >= 0")
+    txn = T.begin_transaction(env["cat"], {"fact": env["fact"]})
+    with pytest.raises(V.ConstraintViolation):
+        V.commit_snapshot(
+            spark.createDataFrame([(1, -1)], "batch bigint, v bigint"),
+            txn.stage("fact"), mode="append",
+        )
+    txn.abort()
+
+
+class _Crash(RuntimeError):
+    pass
+
+
+def _crash_commit(spark, env, batch_id, crash_step, monkeypatch):
+    """Run a txn and crash at publish #crash_step (0-based), or at
+    the catalog swap when crash_step equals the publish count (2)."""
+    txn = _run_txn(spark, env, batch_id)
+    calls = {"n": 0}
+    real_pub = V.branch_publish
+    real_cat = V.catalog_commit
+
+    def pub(*a, **kw):
+        if calls["n"] == crash_step:
+            raise _Crash(f"crash at publish {calls['n']}")
+        calls["n"] += 1
+        return real_pub(*a, **kw)
+
+    def cat(*a, **kw):
+        if crash_step == 2:
+            raise _Crash("crash before catalog swap")
+        return real_cat(*a, **kw)
+
+    monkeypatch.setattr(T.V, "branch_publish", pub)
+    monkeypatch.setattr(T.V, "catalog_commit", cat)
+    try:
+        with pytest.raises(_Crash):
+            txn.commit()
+    finally:
+        monkeypatch.setattr(T.V, "branch_publish", real_pub)
+        monkeypatch.setattr(T.V, "catalog_commit", real_cat)
+
+
+@pytest.mark.parametrize("crash_step", [0, 1, 2])
+def test_crash_at_every_step_rolls_forward_never_tears(
+    spark, env, crash_step, monkeypatch
+):
+    """Deterministic crash injection at each protocol step AFTER the
+    intent: publish #0, publish #1, the catalog swap. Before
+    recovery the catalog must still be consistent (old pin set);
+    recovery must then roll the transaction FORWARD — both tables
+    land, branches and intent cleaned."""
+    _crash_commit(spark, env, 1, crash_step, monkeypatch)
+    f, d = _batch_sets(spark, env)
+    assert f == {0} and d == {0}, (
+        f"torn catalog after crash at step {crash_step}: {f} vs {d}"
+    )
+    assert len(T._list_intents(env["cat"])) == 1  # durable intent
+    rep = T.recover_transactions(env["cat"])
+    assert len(rep["completed"]) == 1 and not rep["stuck"]
+    f, d = _batch_sets(spark, env)
+    assert f == d == {0, 1}, "roll-forward must complete the txn"
+    assert V.list_branches(env["fact"]) == {}
+    assert V.list_branches(env["dim"]) == {}
+    assert T._list_intents(env["cat"]) == []
+    # recovery is idempotent
+    rep = T.recover_transactions(env["cat"])
+    assert rep == {"completed": [], "stuck": {}}
+
+
+def test_begin_auto_recovers_interrupted_peer(
+    spark, env, monkeypatch
+):
+    _crash_commit(spark, env, 1, 1, monkeypatch)
+    # the next transactional writer self-heals at begin
+    txn2 = _run_txn(spark, env, 2)
+    txn2.commit()
+    f, d = _batch_sets(spark, env)
+    assert f == d == {0, 1, 2}
+
+
+def test_stuck_intent_reported_and_force_abort(
+    spark, env, monkeypatch
+):
+    """The documented residual: crash splits the publish sequence
+    (publishes run in sorted order, so dim lands and fact does not)
+    AND an independent writer advances the UNPUBLISHED fact main
+    before recovery. Roll-forward cannot fast-forward — the intent is
+    stuck, overlapping transactions refuse, and force_abort resolves
+    by accepting dim's batch as an independent append (catalog
+    history itself never tears)."""
+    _crash_commit(spark, env, 1, 1, monkeypatch)  # dim published
+    V.commit_snapshot(
+        spark.createDataFrame([(88, 0)], "batch bigint, v bigint"),
+        env["fact"], mode="append",
+    )
+    rep = T.recover_transactions(env["cat"])
+    assert not rep["completed"] and len(rep["stuck"]) == 1
+    (txn_id,) = rep["stuck"]
+    assert "advanced" in rep["stuck"][txn_id]["reason"]
+    # catalog untouched by the stuck txn
+    f, d = _batch_sets(spark, env)
+    assert f == {0} and d == {0}
+    # overlapping begins refuse while stuck
+    with pytest.raises(T.TransactionConflict, match="stuck"):
+        T.begin_transaction(env["cat"], {"fact": env["fact"]})
+    T.force_abort_transaction(env["cat"], txn_id)
+    assert T._list_intents(env["cat"]) == []
+    assert V.list_branches(env["fact"]) == {}
+    # life goes on: the next txn commits; dim's orphan batch 1 is
+    # durable per-table state and now enters the pinned cut
+    _run_txn(spark, env, 3).commit()
+    f, d = _batch_sets(spark, env)
+    assert f == {0, 88, 3} and d == {0, 1, 3}
+
+
+def test_orphan_branch_cleanup_respects_intents(
+    spark, env, monkeypatch
+):
+    # crash BEFORE any intent: a dangling branch with nothing durable
+    txn = _run_txn(spark, env, 5)
+    assert len(V.list_branches(env["fact"])) == 1
+    # crash AFTER intent on a second txn
+    del txn  # (no abort — simulates a dead process)
+    n = T.recover_orphan_transactions(
+        {"fact": env["fact"], "dim": env["dim"]},
+        catalog_root=env["cat"],
+    )
+    assert n == 2
+    assert V.list_branches(env["fact"]) == {}
+    assert V.list_branches(env["dim"]) == {}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    plan=st.lists(
+        st.sampled_from(["ok", "crash0", "crash1", "crashcat"]),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_walk_crashy_txns_catalog_always_consistent(
+    spark, tmp_path_factory, plan
+):
+    """Hypothesis walk: a random sequence of transactions, each either
+    committing cleanly or crashing at a random protocol step; after
+    every step + recovery the catalog's fact/dim batch sets must be
+    identical and contain every transaction that reached its intent
+    (roll-forward semantics: intent durable => transaction lands)."""
+    tmp = tmp_path_factory.mktemp("txnwalk")
+    env = {
+        "fact": str(tmp / "fact"),
+        "dim": str(tmp / "dim"),
+        "cat": str(tmp / "cat"),
+    }
+    spark_df = spark.createDataFrame
+    V.commit_snapshot(
+        spark_df([(0, 0)], "batch bigint, v bigint"),
+        env["fact"], mode="overwrite",
+    )
+    V.commit_snapshot(
+        spark_df([(0, "b0")], "batch bigint, tag string"),
+        env["dim"], mode="overwrite",
+    )
+    V.catalog_commit(env["cat"], {"fact": env["fact"], "dim": env["dim"]})
+    expected = {0}
+    step_of = {"crash0": 0, "crash1": 1, "crashcat": 2}
+    for i, mode in enumerate(plan, start=1):
+        if mode == "ok":
+            _run_txn(spark, env, i).commit()
+        else:
+            txn = _run_txn(spark, env, i)
+            crash_step = step_of[mode]
+            calls = {"n": 0}
+            real_pub, real_cat = V.branch_publish, V.catalog_commit
+
+            def pub(*a, **kw):
+                if calls["n"] == crash_step:
+                    raise _Crash()
+                calls["n"] += 1
+                return real_pub(*a, **kw)
+
+            def cat(*a, **kw):
+                if crash_step == 2:
+                    raise _Crash()
+                return real_cat(*a, **kw)
+
+            T.V.branch_publish, T.V.catalog_commit = pub, cat
+            try:
+                with pytest.raises(_Crash):
+                    txn.commit()
+            finally:
+                T.V.branch_publish, T.V.catalog_commit = (
+                    real_pub, real_cat,
+                )
+            # pre-recovery: consistent on the OLD cut
+            f, d = _batch_sets(spark, env)
+            assert f == d, f"torn mid-crash at step {i}: {f} vs {d}"
+            rep = T.recover_transactions(env["cat"])
+            assert rep["completed"] and not rep["stuck"]
+        expected.add(i)
+        f, d = _batch_sets(spark, env)
+        assert f == d == expected, (
+            f"step {i} ({mode}): {f} vs {d}, expected {expected}"
+        )
+    assert T._list_intents(env["cat"]) == []
