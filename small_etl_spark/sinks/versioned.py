@@ -1212,6 +1212,37 @@ def list_constraints(table: str) -> dict[str, str]:
     return dict(_constraints_of(_read_record(table, v)))
 
 
+# Row-preserving maintenance modes may validate-and-rebase onto a
+# moved head (Iceberg's rewrite validation); row-CHANGING rewrites
+# (merge/delete/update) target a snapshot's ROWS and never auto-rebase
+_REBASABLE_MODES = frozenset(
+    {"optimize", "cluster", "compact_dv", "compact_eq"}
+)
+
+
+def _rewrite_rebase_blocker(
+    base0: dict[str, Any],
+    head: dict[str, Any],
+    removed0: dict[str, dict[str, Any]],
+) -> str | None:
+    """None when a maintenance rewrite planned against ``base0`` can
+    re-attach at ``head`` unchanged; else the human-readable reason.
+    Sound because the rewrite's output depends only on its input
+    files' bytes plus the delete/schema state — all checked equal."""
+    for k in ("schema", "column_ids", "partition_by", "sort_order"):
+        if base0.get(k) != head.get(k):
+            return f"{k} changed"
+    if base0.get("dv") != head.get("dv"):
+        return "deletion-vector state changed"
+    if (base0.get("eq_deletes") or []) != (head.get("eq_deletes") or []):
+        return "equality-delete state changed"
+    head_entries = {e["path"]: e for e in head["files"]}
+    for p, e in removed0.items():
+        if head_entries.get(p) != e:
+            return f"input file {p!r} was rewritten or removed"
+    return None
+
+
 def _commit_rewrite(
     table: str,
     parent: int,
@@ -1223,75 +1254,106 @@ def _commit_rewrite(
     extra_header: dict[str, Any] | None = None,
 ) -> int:
     """Publish a rewrite-style commit (merge/delete/optimize/cluster)
-    at ``parent + 1``, aborting if the head moved — rewrites target a
-    specific snapshot's files and cannot be auto-rebased. Carries the
-    schema and the streaming high-water mark forward. ``partition_by``
-    carries the table's partitioning contract through the rewrite —
-    every rewrite op passes the parent's flag and writes its output
-    in the same hive layout, so partitioning survives maintenance."""
-    head = latest_version(table)
-    if head != parent:
-        raise CommitConflict(
-            f"snapshot advanced {parent}->{head} during {mode} on "
-            f"{table!r}; re-run against the new head"
-        )
-    version = parent + 1
-    # delta record: rewrites carry most files BY REFERENCE, so the
-    # commit serializes only what changed (a merge touching 3 of 10k
-    # files logs 3 adds + 3 removes, not 10k entries)
+    at ``head + 1``. Row-preserving MAINTENANCE rewrites (the modes in
+    :data:`_REBASABLE_MODES`) validate-and-rebase when the head moved
+    (the public Iceberg rewrite-validation model): if every input
+    file this rewrite removes is still live and byte-identical at the
+    new head — and schema / column ids / partitioning / DV /
+    eq-delete state are unchanged — the rewrite re-attaches there,
+    carrying the winner's disjoint changes (an append, a compaction
+    of OTHER partitions) untouched. Two concurrent compactions on
+    disjoint file sets therefore BOTH land; overlapping rewrites (the
+    loser's inputs were rewritten) still refuse. Row-CHANGING rewrites
+    (merge/delete/update) never auto-rebase — their output depends on
+    rows a winner may have changed — and abort on any head movement.
+    Carries the schema and the streaming high-water mark forward.
+    ``partition_by`` carries the table's partitioning contract through
+    the rewrite — every rewrite op passes the parent's flag and
+    writes its output in the same hive layout, so partitioning
+    survives maintenance."""
+    # the rewrite's delta, computed ONCE against the snapshot it ran
+    # on: inputs it consumed (removed/changed) + outputs it produced
     parent_entries = {e["path"]: e for e in parent_manifest["files"]}
     final_entries = {e["path"]: e for e in files}
-    add = _stamp_seq(
-        [e for e in files if parent_entries.get(e["path"]) != e], version
-    )
-    # rewrites materialize under the CURRENT schema: freshly written
-    # entries (no cols yet) get the parent's id mapping — this is how
-    # a rename "bakes in" as maintenance naturally churns files
-    ids = parent_manifest.get("column_ids")
-    if ids is not None:
-        schema = StructType.fromJson(parent_manifest["schema"])
-        stamped = _stamp_cols(
-            [e for e in add if e.get("cols") is None], schema, ids
-        )
-        by_path = {e["path"]: e for e in stamped}
-        add = [by_path.get(e["path"], e) for e in add]
-    remove = sorted(
-        p
+    removed0 = {
+        p: e
         for p, e in parent_entries.items()
         if final_entries.get(p) != e
-    )
-    # fresh rows in a rewrite (a merge's source half) claim new id
-    # ranges; materialized-lineage entries pass through untouched
-    add, rid = _assign_row_ids(
-        add, _parent_next_row_id(parent_manifest, "inherit")
-    )
-    payload = {
-        "snapshot": version,
-        "parent": parent,
-        "mode": mode,
-        "schema": parent_manifest["schema"],
-        "add": add,
-        "remove": remove,
-        "commit_id": commit_id,
-        "stream_batch_high": _stream_high(parent_manifest),
-        "committed_at_ms": _now_ms(),
     }
-    _header_ids(payload, ids, parent_manifest.get("next_column_id"))
-    _header_row_ids(payload, rid)
-    if partition_by:
-        payload["partition_by"] = list(partition_by)
-    # set explicitly (even False): the sticky carry below must not
-    # resurrect the flag after a full rewrite localized every file
-    payload["external_files"] = any(
-        e["path"].startswith("..") for e in files
+    added0 = [e for e in files if parent_entries.get(e["path"]) != e]
+    base, base_manifest = parent, parent_manifest
+    for _ in range(5):
+        head = latest_version(table)
+        if head != base:
+            if mode not in _REBASABLE_MODES:
+                raise CommitConflict(
+                    f"snapshot advanced {base}->{head} during {mode} "
+                    f"on {table!r}; re-run against the new head"
+                )
+            hm = read_manifest(table, head)
+            why = _rewrite_rebase_blocker(base_manifest, hm, removed0)
+            if why is not None:
+                raise CommitConflict(
+                    f"snapshot advanced {base}->{head} during {mode} "
+                    f"on {table!r} and the rewrite cannot rebase "
+                    f"({why}); re-run against the new head"
+                )
+            base, base_manifest = head, hm
+        version = base + 1
+        # delta record: rewrites carry most files BY REFERENCE, so the
+        # commit serializes only what changed (a merge touching 3 of
+        # 10k files logs 3 adds + 3 removes, not 10k entries)
+        add = _stamp_seq(list(added0), version)
+        # rewrites materialize under the CURRENT schema: freshly
+        # written entries (no cols yet) get the parent's id mapping —
+        # this is how a rename "bakes in" as maintenance churns files
+        ids = base_manifest.get("column_ids")
+        if ids is not None:
+            schema = StructType.fromJson(base_manifest["schema"])
+            stamped = _stamp_cols(
+                [e for e in add if e.get("cols") is None], schema, ids
+            )
+            by_path = {e["path"]: e for e in stamped}
+            add = [by_path.get(e["path"], e) for e in add]
+        remove = sorted(removed0)
+        # fresh rows in a rewrite (a merge's source half) claim new id
+        # ranges; materialized-lineage entries pass through untouched
+        add, rid = _assign_row_ids(
+            add, _parent_next_row_id(base_manifest, "inherit")
+        )
+        payload = {
+            "snapshot": version,
+            "parent": base,
+            "mode": mode,
+            "schema": base_manifest["schema"],
+            "add": add,
+            "remove": remove,
+            "commit_id": commit_id,
+            "stream_batch_high": _stream_high(base_manifest),
+            "committed_at_ms": _now_ms(),
+        }
+        _header_ids(payload, ids, base_manifest.get("next_column_id"))
+        _header_row_ids(payload, rid)
+        if partition_by:
+            payload["partition_by"] = list(partition_by)
+        # recompute from the REBASED final list (base minus inputs
+        # plus outputs): the sticky carry below must not resurrect the
+        # flag after a full rewrite localized every file
+        payload["external_files"] = any(
+            e["path"].startswith("..")
+            for e in base_manifest["files"]
+            if e["path"] not in removed0
+        ) or any(e["path"].startswith("..") for e in added0)
+        _carry_constraints(payload, base_manifest)
+        if extra_header:
+            payload.update(extra_header)
+        if _atomic_create(_manifest_path(table, version), payload):
+            _maybe_checkpoint(table, version)
+            return version
+        # lost the O_EXCL race: loop revalidates against the new head
+    raise CommitConflict(
+        f"lost 5 rewrite commit races during {mode} on {table!r}"
     )
-    _carry_constraints(payload, parent_manifest)
-    if extra_header:
-        payload.update(extra_header)
-    if not _atomic_create(_manifest_path(table, version), payload):
-        raise CommitConflict(f"lost the commit race on {table!r}")
-    _maybe_checkpoint(table, version)
-    return version
 
 
 def commit_snapshot(
@@ -4502,6 +4564,7 @@ def optimize_snapshot(
     spark: SparkSession,
     table: str,
     target_bytes: int = 128 * 1024 * 1024,
+    where: list[Predicate] | None = None,
 ) -> int | None:
     """OPTIMIZE: bin-pack the latest snapshot's small files into
     ~``target_bytes`` files and commit the rewrite as a new snapshot —
@@ -4529,6 +4592,14 @@ def optimize_snapshot(
     backlog shrinks naturally as maintenance churns files, and
     ``compact_eq_deletes`` remains the explicit backlog-clearing op.
     (Position DVs still refuse: run ``compact_dv`` first.)
+
+    ``where`` (manifest predicates, e.g. ``[("day", "=", 7)]``) SCOPES
+    the compaction to matching files — the operational shape at
+    100 TB, where maintenance runs per partition. Scoped compactions
+    on DISJOINT file sets validate-and-rebase through
+    :func:`_commit_rewrite`, so two concurrent partition compactions
+    both land (Iceberg's rewrite-validation model); overlapping ones
+    still refuse.
     """
     parent = latest_version(table)
     if parent is None:
@@ -4537,8 +4608,24 @@ def optimize_snapshot(
     _require_no_dv(manifest, "optimize_snapshot")
     eqds = _live_eq_deletes(manifest)
     schema = StructType.fromJson(manifest["schema"])
-    small = [e for e in manifest["files"] if e["bytes"] < target_bytes]
-    keep = [e for e in manifest["files"] if e["bytes"] >= target_bytes]
+    cand = manifest["files"]
+    out_of_scope: list[dict[str, Any]] = []
+    if where:
+        spec0 = _parse_partition_spec(manifest.get("partition_by") or [])
+        cids0 = manifest.get("column_ids")
+        cand = [
+            e
+            for e in manifest["files"]
+            if all(_file_may_match(e, p, spec0, cids0) for p in where)
+        ]
+        in_scope = {e["path"] for e in cand}
+        out_of_scope = [
+            e for e in manifest["files"] if e["path"] not in in_scope
+        ]
+    small = [e for e in cand if e["bytes"] < target_bytes]
+    keep = out_of_scope + [
+        e for e in cand if e["bytes"] >= target_bytes
+    ]
     if len(small) <= 1:
         return None
     # FFD over manifest sizes -> number of output files

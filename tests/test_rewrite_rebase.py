@@ -1,0 +1,250 @@
+"""Rewrite conflict validation (sinks/versioned.py::_commit_rewrite):
+row-preserving maintenance rewrites validate-and-rebase when the head
+moved — two concurrent compactions on DISJOINT file sets both land
+(the public Iceberg rewrite-validation model), overlapping rewrites
+still refuse, and row-changing rewrites (merge/delete/update) never
+auto-rebase (VERDICT r9 item #3)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from small_etl_spark.sinks import versioned as V
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _pkv(spark, lo, hi, part):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.lit(part).cast("long").alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def _fragmented(spark, table, batches=4, rows=20):
+    """Partitioned table (part 0/1) with `batches` small files each."""
+    for b in range(batches):
+        lo = b * rows
+        df = _pkv(spark, lo, lo + rows, 0).unionByName(
+            _pkv(spark, 1000 + lo, 1000 + lo + rows, 1)
+        )
+        V.commit_snapshot(
+            df, table,
+            mode="overwrite" if b == 0 else "append",
+            partition_by=["part"],
+        )
+    return V.latest_version(table)
+
+
+def _content(spark, table):
+    return {
+        (r.k, r.part, r.v)
+        for r in V.read_snapshot(spark, table).collect()
+    }
+
+
+def _files_of_part(table, version, part):
+    m = V.read_manifest(table, version)
+    return [
+        e for e in m["files"] if e.get("partition", {}).get("part") == part
+    ]
+
+
+def test_two_threads_disjoint_partition_compactions_both_land(
+    spark, table, monkeypatch
+):
+    """The real two-thread test: both compactions PLAN against the
+    same head (a barrier inside the data-write step guarantees it),
+    race the manifest create, and the loser validates + rebases —
+    both land, neither refuses."""
+    head = _fragmented(spark, table)
+    before = _content(spark, table)
+    barrier = threading.Barrier(2, timeout=60)
+    real_write = V._write_data_files
+
+    def write_sync(*a, **kw):
+        out = real_write(*a, **kw)
+        barrier.wait()  # both threads have planned + written
+        return out
+
+    monkeypatch.setattr(V, "_write_data_files", write_sync)
+    results: dict[int, object] = {}
+
+    def run(part):
+        try:
+            results[part] = V.optimize_snapshot(
+                spark, table, target_bytes=1 << 30,
+                where=[("part", "=", part)],
+            )
+        except Exception as exc:  # noqa: BLE001 - recorded for assert
+            results[part] = exc
+
+    t0 = threading.Thread(target=run, args=(0,))
+    t1 = threading.Thread(target=run, args=(1,))
+    t0.start(); t1.start(); t0.join(); t1.join()
+    assert sorted(
+        v for v in results.values() if isinstance(v, int)
+    ) == [head + 1, head + 2], f"both must land: {results}"
+    assert _content(spark, table) == before
+    # each partition collapsed to one file
+    final = V.latest_version(table)
+    assert len(_files_of_part(table, final, 0)) == 1
+    assert len(_files_of_part(table, final, 1)) == 1
+
+
+def _plan_against_stale(monkeypatch, interleaved):
+    """Make the NEXT optimize plan against the current head, then run
+    ``interleaved()`` (which advances the head) before it commits."""
+    real_write = V._write_data_files
+    fired = {"done": False}
+
+    def write_then_advance(*a, **kw):
+        out = real_write(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            interleaved()
+        return out
+
+    monkeypatch.setattr(V, "_write_data_files", write_then_advance)
+
+
+def test_overlapping_compactions_refuse(spark, table, monkeypatch):
+    _fragmented(spark, table)
+    _plan_against_stale(
+        monkeypatch,
+        lambda: V.optimize_snapshot(
+            spark, table, target_bytes=1 << 30, where=[("part", "=", 0)]
+        ),
+    )
+    with pytest.raises(V.CommitConflict, match="rewritten or removed"):
+        V.optimize_snapshot(
+            spark, table, target_bytes=1 << 30, where=[("part", "=", 0)]
+        )
+
+
+def test_rebase_carries_winner_append(spark, table, monkeypatch):
+    """A compaction racing an APPEND rebases: the appended file (not
+    part of its inputs) survives untouched in the rebased commit."""
+    head = _fragmented(spark, table)
+    before = _content(spark, table)
+    extra = [(5000, 0, 1), (5001, 1, 3)]
+
+    def append():
+        V.commit_snapshot(
+            spark.createDataFrame(
+                extra, "k bigint, part bigint, v bigint"
+            ),
+            table, mode="append", partition_by=["part"],
+        )
+
+    _plan_against_stale(monkeypatch, append)
+    v = V.optimize_snapshot(spark, table, target_bytes=1 << 30)
+    assert v == head + 2  # append landed head+1, rebase landed on top
+    assert _content(spark, table) == before | set(extra)
+    m = V.read_manifest(table, v)
+    assert m["parent"] == head + 1 and m["mode"] == "optimize"
+
+
+def test_lineage_ids_stable_through_rebased_compaction(
+    spark, table, monkeypatch
+):
+    head = _fragmented(spark, table)
+    ids_before = {
+        r.k: r._row_id
+        for r in V.read_snapshot(
+            spark, table, with_lineage=True
+        ).collect()
+    }
+    _plan_against_stale(
+        monkeypatch,
+        lambda: V.commit_snapshot(
+            spark.createDataFrame(
+                [(7000, 0, 0)], "k bigint, part bigint, v bigint"
+            ),
+            table, mode="append", partition_by=["part"],
+        ),
+    )
+    V.optimize_snapshot(spark, table, target_bytes=1 << 30)
+    ids_after = {
+        r.k: r._row_id
+        for r in V.read_snapshot(
+            spark, table, with_lineage=True
+        ).collect()
+    }
+    for k, rid in ids_before.items():
+        assert ids_after[k] == rid
+    assert len(set(ids_after.values())) == len(ids_after)
+
+
+def test_rebase_blocked_on_dv_change(spark, table, monkeypatch):
+    """A concurrent MoR delete changes the deletion-vector state the
+    compaction planned without — rebase must refuse."""
+    _fragmented(spark, table)
+    _plan_against_stale(
+        monkeypatch,
+        lambda: V.delete_where_mor(spark, table, F.col("k") < 5),
+    )
+    with pytest.raises(V.CommitConflict, match="deletion-vector"):
+        V.optimize_snapshot(spark, table, target_bytes=1 << 30)
+
+
+def test_rebase_blocked_on_schema_change(spark, table, monkeypatch):
+    _fragmented(spark, table)
+    _plan_against_stale(
+        monkeypatch, lambda: V.rename_column(table, "v", "val")
+    )
+    with pytest.raises(V.CommitConflict, match="changed"):
+        V.optimize_snapshot(spark, table, target_bytes=1 << 30)
+
+
+def test_merge_never_rebases(spark, table, monkeypatch):
+    """Row-changing rewrites abort on ANY head movement — a winner's
+    append could hold rows the merge should have seen."""
+    _fragmented(spark, table)
+    src = spark.createDataFrame(
+        [(0, 0, 999)], "k bigint, part bigint, v bigint"
+    )
+    real_write = V._write_data_files
+    fired = {"done": False}
+
+    def write_then_advance(*a, **kw):
+        out = real_write(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(V, "_write_data_files", real_write)
+            V.commit_snapshot(
+                spark.createDataFrame(
+                    [(9000, 0, 0)], "k bigint, part bigint, v bigint"
+                ),
+                table, mode="append", partition_by=["part"],
+            )
+        return out
+
+    monkeypatch.setattr(V, "_write_data_files", write_then_advance)
+    with pytest.raises(V.CommitConflict, match="re-run against"):
+        V.merge(
+            spark, table, src, on="k",
+            matched=[{"action": "update", "set": "all"}],
+        )
+
+
+def test_scoped_optimize_without_race_only_touches_scope(spark, table):
+    head = _fragmented(spark, table)
+    before = _content(spark, table)
+    v = V.optimize_snapshot(
+        spark, table, target_bytes=1 << 30, where=[("part", "=", 1)]
+    )
+    assert v == head + 1
+    assert _content(spark, table) == before
+    # part 0's files all carried by reference
+    f0_before = {e["path"] for e in _files_of_part(table, head, 0)}
+    f0_after = {e["path"] for e in _files_of_part(table, v, 0)}
+    assert f0_before == f0_after
+    assert len(_files_of_part(table, v, 1)) == 1

@@ -1047,7 +1047,7 @@ def test_evolving_schema_matches_model(spark, tmp_path_factory, ops):
 # interloper's rows are never lost, and the final table matches a
 # model that saw both writers.
 _race_op = st.tuples(
-    st.sampled_from(["append", "delete_mor", "rename"]),
+    st.sampled_from(["append", "delete_mor", "rename", "optimize"]),
     st.lists(st.integers(0, 19), min_size=1, max_size=3),
     st.booleans(),  # race this op?
 )
@@ -1114,6 +1114,17 @@ def test_interleaved_writers_match_model(spark, tmp_path_factory, ops):
                 new = f"ver{tag['n']}"
                 V.rename_column(table, cur["val"], new)
                 cur["val"] = new
+            elif kind == "optimize":
+                # row-preserving compaction: when raced, the new
+                # validate-and-rebase path must re-attach past the
+                # interloper's append WITHOUT losing its rows (r10:
+                # rewrites used to refuse on any lost race). A live
+                # DV blocks rebase by design, so fold it first.
+                if V.read_manifest(
+                    table, V.latest_version(table)
+                ).get("dv"):
+                    V.compact_dv(spark, table)
+                V.optimize_snapshot(spark, table, target_bytes=1 << 30)
             state["arm"] = False
             got = sorted(
                 (r.k, r[cur["val"]])
