@@ -840,6 +840,7 @@ def pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_err: bool = False,
 ) -> DataFrame:
     """Encode every vector as ``m`` codebook codes (long form:
     ``(id, sub_idx, code)``): per subspace, nearest-centroid via a
@@ -870,10 +871,12 @@ def pq_encode(
     scored = subs.join(F.broadcast(codebooks), "sub_idx").withColumn(
         "__d__", _sq_l2(F.col("sv").cast("array<double>"), F.col("__cent__"))
     )
-    return (
-        scored.groupBy(id_col, "sub_idx")
-        .agg(F.min_by("code", F.struct("__d__", "code")).alias("code"))
-    )
+    aggs = [F.min_by("code", F.struct("__d__", "code")).alias("code")]
+    if with_err:
+        # per-(id, sub) quantization error — the drift signal the
+        # incremental index maintenance (ivfpq_append) records
+        aggs.append(F.min("__d__").alias("__qe__"))
+    return scored.groupBy(id_col, "sub_idx").agg(*aggs)
 
 
 def pq_topk(
@@ -1384,7 +1387,11 @@ def ivfpq_save(
     Same training pipeline as :func:`ivfpq_topk` (L2 routing,
     residual encoding, localCheckpointed residuals), so a persisted
     index scores identically to the in-memory composite — pinned by
-    the oracled ``ivfpq_persisted_equivalence`` contract."""
+    the oracled ``ivfpq_persisted_equivalence`` contract.
+
+    The params file also records the build corpus's mean per-subspace
+    QUANTIZATION ERROR (``base_qe``) — the drift baseline
+    :func:`ivfpq_append` compares incremental batches against."""
     import json as _json
     import os as _os
 
@@ -1392,34 +1399,184 @@ def ivfpq_save(
         corpus, num_centroids=num_cells, id_col=id_col, vec_col=vec_col,
         seed=seed, metric="l2",
     )
-    sub = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        F.col("__cent__"),
-        lambda x, c: x - c,
-    )
-    residuals = (
-        assigned.join(F.broadcast(cents), "cell")
-        .select(id_col, "cell", sub.alias(vec_col))
-        .localCheckpoint(eager=False)
-    )
+    residuals = _ivfpq_residuals(assigned, cents, id_col, vec_col)
     books = pq_train(
         residuals, m=m, num_centroids=pq_centroids, id_col=id_col,
         vec_col=vec_col, seed=seed + 100, metric="l2",
     )
     codes = pq_encode(
-        residuals, books, m=m, id_col=id_col, vec_col=vec_col
+        residuals, books, m=m, id_col=id_col, vec_col=vec_col,
+        with_err=True,
     ).join(residuals.select(id_col, "cell"), id_col)
-    codes.write.mode("overwrite").partitionBy("cell").parquet(
-        path + "/codes"
-    )
+    base_qe = codes.agg(F.avg("__qe__")).first()[0]
+    codes.drop("__qe__").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path + "/codes")
     cents.write.mode("overwrite").parquet(path + "/centroids")
     books.write.mode("overwrite").parquet(path + "/codebooks")
     with open(_os.path.join(path, "_params.json"), "w") as fh:
         _json.dump(
             {"num_cells": num_cells, "m": m,
-             "pq_centroids": pq_centroids, "seed": seed},
+             "pq_centroids": pq_centroids, "seed": seed,
+             "base_qe": float(base_qe or 0.0), "appended": 0},
             fh,
         )
+
+
+def _ivfpq_residuals(
+    assigned: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Cell residuals (vector − its cell centroid) — the quantity PQ
+    encodes. Shared by build and incremental append so the two paths
+    are structurally identical (the delta-equivalence contract)."""
+    sub = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("__cent__"),
+        lambda x, c: x - c,
+    )
+    return (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(id_col, "cell", sub.alias(vec_col))
+        .localCheckpoint(eager=False)
+    )
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    retrain_ratio: float = 1.5,
+) -> dict:
+    """Incrementally maintain a persisted IVF-PQ index: encode the
+    ``delta`` vectors (new corpus rows — e.g. the INSERT half of a
+    versioned table's CDC feed) against the EXISTING coarse centroids
+    and PQ codebooks and append their byte codes into the
+    cell-partitioned codes table. No retrain, no rebuild: the append
+    costs one assignment pass + one encode over the delta — O(delta),
+    never O(corpus) — which is the nightly-crawl production story at
+    100 TB (a full rebuild re-reads every float vector).
+
+    Because assignment and encoding of a vector depend only on the
+    frozen (centroids, codebooks) geometry, the appended index is
+    ROW-IDENTICAL to encoding the grown corpus in one shot against
+    the same geometry — the oracled ``ivfpq_delta_equivalence``
+    contract. What an append can NOT do is adapt the geometry: as the
+    data distribution drifts, new vectors quantize worse. The
+    returned stats carry the measured signal — ``delta_qe`` (mean
+    per-subspace quantization error of this batch) vs the build-time
+    ``base_qe`` — and ``retrain_recommended`` fires when the ratio
+    exceeds ``retrain_ratio`` (default 1.5×): rebuild with
+    :func:`ivfpq_save` on the grown corpus, exactly FAISS's
+    re-train-when-drifted operational policy.
+
+    Deletes/updates are out of scope by design: a deleted vector's
+    codes are dropped at rebuild (or anti-joined at probe time);
+    an updated embedding is a delete + append.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_params.json")) as fh:
+        params = _json.load(fh)
+    m = int(params["m"])
+    cents = spark.read.parquet(path + "/centroids")
+    books = spark.read.parquet(path + "/codebooks")
+    from small_etl_spark.llm.util import ensure_parallelism
+
+    delta = ensure_parallelism(
+        delta.filter(F.col(vec_col).isNotNull())
+    )
+    if delta.limit(1).count() == 0:
+        # empty CDC batch: a no-op append, not an error
+        return {
+            "added": 0,
+            "delta_qe": 0.0,
+            "base_qe": float(params.get("base_qe") or 0.0),
+            "qe_ratio": 1.0,
+            "retrain_recommended": False,
+        }
+    assigned = _assign_cells_vectorized(
+        delta, cents, id_col, vec_col, "l2"
+    )
+    residuals = _ivfpq_residuals(assigned, cents, id_col, vec_col)
+    codes = pq_encode(
+        residuals, books, m=m, id_col=id_col, vec_col=vec_col,
+        with_err=True,
+    ).join(residuals.select(id_col, "cell"), id_col)
+    stats = codes.agg(
+        F.avg("__qe__").alias("qe"),
+        F.count_distinct(F.col(id_col)).alias("n"),
+    ).first()
+    added, delta_qe = int(stats["n"] or 0), float(stats["qe"] or 0.0)
+    if added:
+        codes.drop("__qe__").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(path + "/codes")
+    base_qe = float(params.get("base_qe") or 0.0)
+    ratio = (delta_qe / base_qe) if base_qe > 0 else 1.0
+    params["appended"] = int(params.get("appended", 0)) + added
+    params["last_delta_qe"] = delta_qe
+    params["last_qe_ratio"] = ratio
+    tmp = _os.path.join(path, "_params.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(params, fh)
+    _os.replace(tmp, _os.path.join(path, "_params.json"))
+    return {
+        "added": added,
+        "delta_qe": delta_qe,
+        "base_qe": base_qe,
+        "qe_ratio": ratio,
+        "retrain_recommended": bool(
+            base_qe > 0 and ratio > retrain_ratio
+        ),
+    }
+
+
+def ivfpq_reencode(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Rewrite the codes table from ``corpus`` against the index's
+    FROZEN geometry (no retraining): the full-scan sibling of
+    :func:`ivfpq_append` — post-delete cleanup, or the reference
+    rebuild the ``ivfpq_delta_equivalence`` contract compares the
+    append path against. O(corpus) encode, zero training cost.
+    Returns the number of vectors encoded."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_params.json")) as fh:
+        params = _json.load(fh)
+    m = int(params["m"])
+    cents = spark.read.parquet(path + "/centroids")
+    books = spark.read.parquet(path + "/codebooks")
+    from small_etl_spark.llm.util import ensure_parallelism
+
+    corpus = ensure_parallelism(
+        corpus.filter(F.col(vec_col).isNotNull())
+    )
+    assigned = _assign_cells_vectorized(
+        corpus, cents, id_col, vec_col, "l2"
+    )
+    residuals = _ivfpq_residuals(assigned, cents, id_col, vec_col)
+    codes = pq_encode(
+        residuals, books, m=m, id_col=id_col, vec_col=vec_col
+    ).join(residuals.select(id_col, "cell"), id_col)
+    n = codes.select(id_col).distinct().count()
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        path + "/codes"
+    )
+    params["appended"] = 0
+    tmp = _os.path.join(path, "_params.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(params, fh)
+    _os.replace(tmp, _os.path.join(path, "_params.json"))
+    return n
 
 
 def ivfpq_topk_persisted(

@@ -805,3 +805,92 @@ def q_ivfpq_persisted_equivalence(
         [(n_queries, identical, pruned)],
         "n_queries bigint, identical boolean, pruned boolean",
     )
+
+
+@register(
+    "ivfpq_delta_equivalence",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_delta, TRUE AS identical,
+           TRUE AS pruned, TRUE AS drift_measured
+    FROM embeddings WHERE vec_id >= 400
+    """,
+)
+def q_ivfpq_delta_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (llm/similarity.py::
+    ivfpq_append — VERDICT r9 #4): the corpus lives in a versioned
+    table; the index builds from the base snapshot; the nightly-crawl
+    delta arrives as the table's CDC INSERT feed and is encoded
+    against the FROZEN centroids/codebooks into the cell-partitioned
+    codes table — O(delta), never O(corpus). The contract asserts
+    (a) the appended index probes ROW-IDENTICALLY to re-encoding the
+    grown corpus in one shot against the same geometry (assignment +
+    encoding depend only on the frozen geometry, so append commutes
+    with full encode), (b) the codes scan still carries the
+    PartitionFilter on ``cell`` after the append, and (c) the drift
+    policy measured a finite quantization-error ratio for the batch
+    (the retrain trigger's input). FAISS's add-then-retrain-on-drift
+    operational story, Spark-native."""
+    import shutil
+    import tempfile
+
+    from small_etl_spark.llm.similarity import (
+        ivfpq_append,
+        ivfpq_reencode,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+    from small_etl_spark.sinks import versioned as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    cut = n_total - emb.filter(F.col("vec_id") >= 400).count()
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    assert cut > 0  # testdata always has vec_id 0..399
+    tbl = tempfile.mkdtemp(prefix="ivfpq_corpus_")
+    pa = tempfile.mkdtemp(prefix="ivfpq_a_")
+    pb = tempfile.mkdtemp(prefix="ivfpq_b_")
+    try:
+        shutil.rmtree(tbl, ignore_errors=True)
+        V.commit_snapshot(base, tbl, mode="overwrite")
+        v0 = V.latest_version(tbl)
+        for p in (pa, pb):
+            ivfpq_save(
+                V.read_snapshot(spark, tbl, version=v0), p,
+                num_cells=16, m=4, pq_centroids=16,
+            )
+        V.commit_snapshot(delta, tbl, mode="append")
+        feed = V.table_changes(spark, tbl, from_version=v0).filter(
+            F.col("_change_type") == "insert"
+        ).drop("_change_type")
+        stats = ivfpq_append(spark, pa, feed)
+        ivfpq_reencode(spark, pb, V.read_snapshot(spark, tbl))
+        got_a = ivfpq_topk_persisted(spark, pa, q, k=10, nprobe=4)
+        got_b = ivfpq_topk_persisted(spark, pb, q, k=10, nprobe=4)
+        identical = (
+            got_a.exceptAll(got_b).count() == 0
+            and got_b.exceptAll(got_a).count() == 0
+        )
+        plan = got_a._jdf.queryExecution().executedPlan().toString()
+        pruned = any(
+            "PartitionFilters" in ln and "cell" in ln
+            for ln in plan.splitlines()
+        )
+        drift_measured = (
+            stats["added"] == feed.count()
+            and stats["base_qe"] > 0
+            and stats["delta_qe"] > 0
+            and stats["qe_ratio"] > 0
+        )
+        n_delta = stats["added"]
+    finally:
+        for p in (tbl, pa, pb):
+            shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_delta, identical, pruned, drift_measured)],
+        "n_delta bigint, identical boolean, pruned boolean, "
+        "drift_measured boolean",
+    )

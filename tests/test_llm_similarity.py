@@ -750,3 +750,159 @@ def test_ivfpq_persisted_matches_memory_and_prunes(spark, tmp_path):
         "PartitionFilters" in ln and "cell" in ln
         for ln in plan.splitlines()
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF-PQ maintenance (VERDICT r9 item #4)
+# ---------------------------------------------------------------------------
+
+def _split_emb(spark, n_delta=100):
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") < 500 - n_delta)
+    delta = emb.filter(F.col("vec_id") >= 500 - n_delta)
+    return emb, base, delta
+
+
+def test_ivfpq_append_equals_reencode_same_geometry(spark, tmp_path):
+    """The delta-equivalence contract: save(base) + append(delta)
+    probes row-identically to the same geometry re-encoded over the
+    grown corpus in one shot (assignment/encoding depend only on the
+    frozen centroids+codebooks)."""
+    from small_etl_spark.llm.similarity import (
+        ivfpq_append,
+        ivfpq_reencode,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+
+    emb, base, delta = _split_emb(spark)
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (pa, pb):
+        ivfpq_save(base, p, num_cells=8, m=8, pq_centroids=8)
+    stats = ivfpq_append(spark, pa, delta)
+    assert stats["added"] == 100
+    assert stats["base_qe"] > 0 and stats["delta_qe"] > 0
+    n = ivfpq_reencode(spark, pb, emb)
+    assert n == 500
+    got_a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivfpq_topk_persisted(spark, pa, q, k=5, nprobe=4)
+        .collect()
+    )
+    got_b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivfpq_topk_persisted(spark, pb, q, k=5, nprobe=4)
+        .collect()
+    )
+    assert got_a == got_b and len(got_a) > 0
+    # appended vectors are actually findable: probing a delta vector
+    # with full coverage returns itself among the top hits
+    codes = spark.read.parquet(pa + "/codes")
+    assert codes.filter(F.col("vec_id") == 450).count() == 8  # m rows
+    dq = emb.filter(F.col("vec_id") == 450)
+    hits = {
+        r.vec_id
+        for r in ivfpq_topk_persisted(spark, pa, dq, k=5, nprobe=8)
+        .collect()
+    }
+    # appended vectors compete in the probe (PQ quantization means
+    # "self" need not rank top-5, but the delta range is reachable)
+    assert any(v >= 400 for v in hits)
+
+
+def test_ivfpq_append_chunked_equals_single(spark, tmp_path):
+    from small_etl_spark.llm.similarity import (
+        ivfpq_append,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+
+    emb, base, delta = _split_emb(spark)
+    q = emb.filter(F.col("vec_id") % 101 == 0)
+    pa, pb = str(tmp_path / "one"), str(tmp_path / "two")
+    for p in (pa, pb):
+        ivfpq_save(base, p, num_cells=8, m=8, pq_centroids=8)
+    ivfpq_append(spark, pa, delta)
+    ivfpq_append(spark, pb, delta.filter(F.col("vec_id") % 2 == 0))
+    ivfpq_append(spark, pb, delta.filter(F.col("vec_id") % 2 == 1))
+    a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivfpq_topk_persisted(spark, pa, q, k=5, nprobe=4)
+        .collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivfpq_topk_persisted(spark, pb, q, k=5, nprobe=4)
+        .collect()
+    )
+    assert a == b
+
+
+def test_ivfpq_drift_trigger_fires_on_distribution_shift(
+    spark, tmp_path
+):
+    """Drift contract: an out-of-distribution delta (scaled vectors)
+    quantizes measurably worse than the build corpus — qe_ratio
+    blows past the retrain threshold; an in-distribution delta does
+    not."""
+    from small_etl_spark.llm.similarity import ivfpq_append, ivfpq_save
+
+    emb, base, delta = _split_emb(spark)
+    p = str(tmp_path / "idx")
+    ivfpq_save(base, p, num_cells=8, m=8, pq_centroids=8)
+    ok = ivfpq_append(spark, p, delta)
+    assert not ok["retrain_recommended"], ok
+    shifted = delta.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * 25.0 + 40.0
+        ).alias("embedding"),
+    )
+    bad = ivfpq_append(spark, p, shifted)
+    assert bad["qe_ratio"] > 1.5 and bad["retrain_recommended"], bad
+    # the params file carries the running drift record
+    import json
+
+    with open(f"{p}/_params.json") as fh:
+        params = json.load(fh)
+    assert params["appended"] == 200
+    assert params["last_qe_ratio"] == pytest.approx(bad["qe_ratio"])
+
+
+def test_ivfpq_append_cdc_fed(spark, tmp_path):
+    """The production wiring: the corpus lives in a versioned table,
+    the index builds from v0, and each append batch is exactly the
+    INSERT half of the table's CDC feed — the same incremental-probe
+    pattern cdc_lsh_probe uses for the LSH index."""
+    from small_etl_spark.llm.similarity import (
+        ivfpq_append,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+    from small_etl_spark.sinks import versioned as V
+
+    emb, base, delta = _split_emb(spark)
+    tbl = str(tmp_path / "corpus")
+    V.commit_snapshot(base, tbl, mode="overwrite")
+    p = str(tmp_path / "idx")
+    ivfpq_save(V.read_snapshot(spark, tbl), p, num_cells=8, m=8,
+               pq_centroids=8)
+    v0 = V.latest_version(tbl)
+    V.commit_snapshot(delta, tbl, mode="append")
+    feed = V.table_changes(
+        spark, tbl, from_version=v0
+    ).filter(F.col("_change_type") == "insert").drop("_change_type")
+    stats = ivfpq_append(spark, p, feed)
+    assert stats["added"] == 100
+    codes = spark.read.parquet(p + "/codes")
+    assert codes.filter(F.col("vec_id") == 470).count() == 8  # m rows
+    dq = emb.filter(F.col("vec_id") == 470)
+    hits = {
+        r.vec_id
+        for r in ivfpq_topk_persisted(spark, p, dq, k=5, nprobe=8)
+        .collect()
+    }
+    assert any(v >= 400 for v in hits)
