@@ -742,59 +742,98 @@ def run_matview_bench(spark, sf_dir: str) -> dict:
     root = tempfile.mkdtemp(prefix="spark_graft_mv_")
     out: dict[str, object] = {}
     aggs = {"n_docs": ("count", "*"), "sum_chars": ("sum", "n_chars")}
-    try:
-        for label, copies in (("small", 1), ("big", 8)):
-            base = os.path.join(root, label, "base")
-            view = os.path.join(root, label, "view")
-            big = docs
-            for c in range(1, copies):
-                big = big.unionAll(
-                    docs.select(
-                        (F.col("doc_id") + c * n_docs).alias("doc_id"),
-                        "lang", "n_chars",
-                    )
-                )
-            t0 = time.perf_counter()
-            V.commit_snapshot(
-                big.repartitionByRange(4 * copies, "doc_id"),
-                base, mode="overwrite",
+
+    def tier(label: str, copies: int) -> dict:
+        base = os.path.join(root, label, "base")
+        view = os.path.join(root, label, "view")
+        big = docs
+        if copies > 1:
+            # one crossJoin against a copies-row range — NOT a
+            # copies-branch union (plan size stays O(1) at 512×)
+            big = docs.crossJoin(
+                spark.range(copies).withColumnRenamed("id", "c")
+            ).select(
+                (F.col("doc_id") + F.col("c") * n_docs).alias("doc_id"),
+                "lang", "n_chars",
             )
-            build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        V.commit_snapshot(
+            big.repartitionByRange(min(64, 4 * copies), "doc_id"),
+            base, mode="overwrite",
+        )
+        build_s = time.perf_counter() - t0
+        # min-of-2 recompute: a single create includes JVM/codegen
+        # warm-up at the big tiers and misreports the growth curve
+        recompute_s = None
+        for _ in range(2):
+            M.drop_matview(view)
             t0 = time.perf_counter()
             M.create_matview(
                 spark, view, base, group_by=["lang"], aggs=aggs
             )
-            recompute_s = time.perf_counter() - t0
-            # same fixed delta per tier: 3 append+refresh cycles,
-            # min refresh wall-clock (each cycle appends ~2k rows)
-            best = None
-            for c in range(3):
-                V.commit_snapshot(
-                    docs.filter(F.col("doc_id") % 31 == c).select(
-                        (
-                            F.col("doc_id") + (copies + 1 + c) * n_docs
-                        ).alias("doc_id"),
-                        "lang", "n_chars",
-                    ),
-                    base, mode="append",
-                )
-                t0 = time.perf_counter()
-                r = M.refresh_matview(spark, view)
-                el = time.perf_counter() - t0
-                assert r["mode"] == "incremental"
-                best = el if best is None else min(best, el)
-            out[label] = {
-                "base_rows": n_docs * copies,
-                "build_s": round(build_s, 3),
-                "recompute_s": round(recompute_s, 3),
-                "refresh_s": round(best, 3),
-            }
+            el = time.perf_counter() - t0
+            recompute_s = el if recompute_s is None else min(
+                recompute_s, el
+            )
+        # same fixed delta per tier: 3 append+refresh cycles,
+        # min refresh wall-clock (each cycle appends ~2k rows)
+        best = None
+        for c in range(3):
+            V.commit_snapshot(
+                docs.filter(F.col("doc_id") % 31 == c).select(
+                    (
+                        F.col("doc_id") + (copies + 1 + c) * n_docs
+                    ).alias("doc_id"),
+                    "lang", "n_chars",
+                ),
+                base, mode="append",
+            )
+            t0 = time.perf_counter()
+            r = M.refresh_matview(spark, view)
+            el = time.perf_counter() - t0
+            assert r["mode"] == "incremental"
+            best = el if best is None else min(best, el)
+        return {
+            "base_rows": n_docs * copies,
+            "build_s": round(build_s, 3),
+            "recompute_s": round(recompute_s, 3),
+            "refresh_s": round(best, 3),
+        }
+
+    try:
+        out["small"] = tier("small", 1)
+        out["big"] = tier("big", 8)
         out["refresh_ratio"] = round(
             out["big"]["refresh_s"] / out["small"]["refresh_s"], 2
         )
         out["recompute_ratio_big"] = round(
             out["big"]["recompute_s"] / out["big"]["refresh_s"], 2
         )
+        # VERDICT r9 #5: find the CROSSOVER — extend the base-size
+        # axis until a full recompute visibly costs more than the
+        # incremental refresh. At 40k rows fixed per-commit costs
+        # dominate and recompute wins; the matview pitch is that
+        # refresh stays FLAT while recompute grows with the base.
+        # Record both curves + the first size where recompute_s >
+        # refresh_s (null with a "not_crossed" marker if the cap is
+        # hit — silent truncation would read as "no crossover
+        # exists"). The cap (4096× ≈ 20M rows, ~30 s build) bounds
+        # the per-round bench cost; the measured shape past it is
+        # documented in sinks/matview.py.
+        curve = [
+            {"copies": 1, **out["small"]},
+            {"copies": 8, **out["big"]},
+        ]
+        out["crossover_rows"] = None
+        for copies in (512, 4096):
+            t = tier(f"x{copies}", copies)
+            curve.append({"copies": copies, **t})
+            if t["recompute_s"] > t["refresh_s"]:
+                out["crossover_rows"] = t["base_rows"]
+                break
+        out["curve"] = curve
+        if out["crossover_rows"] is None:
+            out["not_crossed_at_rows"] = curve[-1]["base_rows"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -933,12 +972,18 @@ def main() -> None:
     # its job when it exceeds 2 on a 0.2 s query: it LABELS the
     # recorded min as noise-adjacent; the min itself stabilizes with
     # the extra reps.
+    # r9 item 6: merge_with_previous (spread 2.07) and q5 (2.03)
+    # crossed the ≤2.0 bar — merge_with_previous joins the min-of-6
+    # set; q5 already had it, so the remaining lever is the warmup
+    # below (its recorded spread was first-rep codegen, not steady
+    # state).
     extra_reps = {
         "minhash_lsh_dedup": 6,
         "exact_dedup_docs": 6,
         "q5_local_supplier_volume": 6,
         "window_agg_hourly": 6,
         "cosine_topk": 6,
+        "merge_with_previous": 6,
     }
     meter = shuffle_write_meter(spark)
     timings: dict[str, object] = {}
@@ -952,6 +997,15 @@ def main() -> None:
         # Per-query fault isolation: one sick query must never zero the
         # whole round's perf signal — report it as "error" and move on.
         try:
+            # one UNTIMED warmup per query (r10): the first execution
+            # pays whole-stage codegen + temp-table build; recording
+            # it inflates spread (= max/min over reps) with a cost
+            # every steady-state run amortizes. The min was already
+            # warm-rep dominated, so totals stay comparable; spread
+            # now labels genuine run-to-run noise only.
+            spec.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             for _ in range(max(reps, extra_reps.get(name, 0))):
                 b0 = meter()
                 t0 = time.perf_counter()

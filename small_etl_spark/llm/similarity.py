@@ -354,11 +354,24 @@ def brute_force_topk_vectorized(
     The expression-tree ``brute_force_topk`` evaluates |corpus|×|q|
     zip_with folds element-by-element; here each Arrow batch becomes a
     numpy (batch × dim) matrix and one BLAS matmul scores all queries
-    at once — the standard "built-ins lose to vectorization" crossover
-    for dense float math. Each partition emits only its LOCAL top-k
-    per query (argpartition), so the final shuffle carries
-    partitions × |q| × k rows, not the full score matrix. Results are
-    identical to ``brute_force_topk`` (same doubles, same tiebreak).
+    at once. Each partition emits only its LOCAL top-k per query
+    (argpartition), so the final shuffle carries partitions × |q| × k
+    rows, not the full score matrix. Results are identical to
+    ``brute_force_topk`` (same doubles, same tiebreak).
+
+    WHICH TWIN WINS (measured, r10 — supersedes the r1 "4×" note):
+    since ``ensure_parallelism`` fixed the expression path's
+    single-core corpus scan, the codegen'd zip_with is FASTER at
+    small shapes — 0.37 s vs 0.58 s at sf0.1's 5k-corpus × 8-query
+    bench — because each Arrow batch pays JVM→Python transfer +
+    per-batch numpy setup that a few thousand pairs never amortize.
+    This path wins when |q| × batch_rows × dim is large enough for
+    one BLAS matmul to beat |q| codegen'd fold passes over the same
+    batch — in practice hundreds+ of queries or 10⁶+ corpus rows per
+    partition. Pick: expression path for interactive few-query
+    lookups; this for bulk scoring sweeps; IVF/IVF-PQ for large query
+    sets over large corpora (the bucketed path that avoids the full
+    cross product entirely).
     """
     import numpy as np
     import pandas as pd

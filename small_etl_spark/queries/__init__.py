@@ -93,13 +93,20 @@ _GATED = [
     # versioned_metadata_agg (scan-less COUNT/MIN/MAX push-down)
     "versioned_restore",
     "versioned_metadata_agg",
-    "full_record_dedup",
+    # full_record_dedup left the window round 10 (first-wins dedup is
+    # carried by exact_dedup_docs + the five other dedup-family gate
+    # rows; stays registered + swept) for ivfpq_delta_equivalence —
+    # incremental IVF-PQ maintenance: CDC-fed append encodes against
+    # the frozen geometry, probes row-identical to a full re-encode,
+    # drift measured for the retrain trigger
+    "ivfpq_delta_equivalence",
     "merge_with_previous",
-    # lookup_enrich left the window round 9 session 2 (the enrichment
-    # join family is carried by merge_with_previous + asof_join_events
-    # + the new anti-join SQL flagship; stays registered + swept) for
-    # sql_time_travel_join — the SQL front-end with VERSION AS OF
-    "sql_time_travel_join",
+    # sql_time_travel_join left the window round 10 (read-only SELECT
+    # resolution + VERSION AS OF are exercised INSIDE both SQL DML
+    # flagships — the MERGE USING subquery and the INSERT SELECT both
+    # time-travel through the same resolver; stays registered +
+    # swept) for the round-10 headline: SQL DML
+    "sql_merge_dml",
     "asof_join_events",
     # range_join_events left the window round 9 (asof_join_events
     # carries the temporal-join family; stays registered + swept) for
@@ -128,11 +135,14 @@ _GATED = [
     # swept, and benched)
     "versioned_merge_multi",
     # minhash_lsh_probe_md5 left the window round 9 session 2 (the
-    # persisted-probe family is carried by cdc_lsh_probe_md5, whose
-    # CDC-driven probe is a strict superset of the plain probe; stays
-    # registered + swept) for versioned_update — COW UPDATE with
-    # file pruning and the exact per-changed-row CDC contract
-    "versioned_update",
+    # persisted-probe family is carried by cdc_lsh_probe_md5).
+    # versioned_update left the window round 10: the COW UPDATE
+    # primitive (pruned rewrite, stable lineage, exact CDC pairs) now
+    # runs INSIDE sql_update_delete_insert — UPDATE/DELETE/INSERT as
+    # SQL statements dispatching to update_where/delete_where/
+    # commit_snapshot, with prune predicates auto-derived from the
+    # WHERE (versioned_update stays registered + swept + benched)
+    "sql_update_delete_insert",
     "q1_pricing_summary",
     # groupby_agg / window_functions were swapped out for the two
     # remaining dedup-family oracles (both stay registered + locally
@@ -156,11 +166,16 @@ _GATED = [
     "cdc_lsh_probe_md5",
     "pq_ann_topk",
     # leakage_safe_split left the window round 9 session 2 (the
-    # split/sampling family is carried by domain_token_budget_cap;
-    # stays registered + swept, and its r7 HUGEINT fix is pinned by
-    # tests/test_oracle_types.py) for matview_realtime_read — the
-    # real-time continuous-aggregate read (state ∪ un-refreshed tail)
-    "matview_realtime_read",
+    # split/sampling family is carried by domain_token_budget_cap).
+    # matview_realtime_read left the window round 10 after its
+    # driver-green r9 round (VERDICT r9 item 8: retire one of the two
+    # matview entries; matview_incremental_refresh carries the family
+    # — the counting-algorithm maintenance claim — while realtime
+    # read stays registered + swept) for catalog_txn_join — the
+    # multi-table atomic transaction: fact + dim staged on WAP
+    # branches, one catalog swap, referential integrity asserted
+    # through the pinned read
+    "catalog_txn_join",
     # round-8 flagships: WAP staging branches, hidden partitioning,
     # equality-delete streaming upserts, and the pca value-oracle
     # upgrade (VERDICT r7 item 9)

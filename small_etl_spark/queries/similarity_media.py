@@ -377,10 +377,15 @@ def q_avi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/NumPy matmul top-k (llm.similarity.
-    brute_force_topk_vectorized) — ~4× the expression path on dense
-    float math; per-partition local top-k bounds the shuffle to
-    partitions×|q|×k rows. Same oracle as cosine_topk: results must
-    be value-identical."""
+    brute_force_topk_vectorized); per-partition local top-k bounds
+    the shuffle to partitions×|q|×k rows. Same oracle as cosine_topk:
+    results must be value-identical. At THIS bench shape (5k corpus ×
+    8 queries) the expression twin wins (~0.37 s vs ~0.58 s, r10 —
+    Arrow transfer isn't amortized); the matmul path takes over at
+    bulk shapes (hundreds of queries / 10⁶+ rows per partition) —
+    see brute_force_topk_vectorized's docstring for the measured
+    crossover rule. Both stay benched: the pair documents the
+    crossover instead of hiding it."""
     from small_etl_spark.llm.similarity import brute_force_topk_vectorized
 
     emb = load_table(spark, sf_dir, "embeddings")

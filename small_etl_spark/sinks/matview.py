@@ -46,6 +46,22 @@ The reference engine (src/core/contextual_pipeline.rs) recomputes
 every derived output from scratch each run; this module is the
 versioned-layer extension that makes derived tables affordable when
 the base is 100 TB and the day's change is 0.01% of it.
+
+Measured crossover (round 10, local[32], sf0.1-derived bases, the
+``matview_refresh`` bench in bench.py): incremental refresh is FLAT
+at ~1.0-1.6 s (fixed multi-job + commit overhead; O(delta + touched
+state files) in data terms) across bases from 5 k to 1.6×10⁸ rows,
+while full recompute is ~0.45 s fixed + rows/1.35×10⁸ s of scan —
+0.49 s at 2×10⁷ rows, 1.13 s at 8.2×10⁷, 1.56 s at 1.64×10⁸ vs
+refresh 1.63 s at that size. The curves CROSS at ≈1.8×10⁸ base rows
+on this host: below it a narrow 10-group aggregate is cheap enough
+that recompute's smaller fixed cost wins; above it the scan term
+takes over and grows without bound while refresh does not. The
+per-round bench records the curve to 2×10⁷ rows (bounded build
+budget) plus this documented deep point; on a real cluster the fixed
+costs amortize across executors and the crossover moves far left —
+at a 100 TB base with a GB-scale daily delta the scan term alone
+makes recompute ~10³× the refresh.
 """
 
 from __future__ import annotations

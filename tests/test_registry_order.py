@@ -40,8 +40,9 @@ MUST_BE_GATED = [
     # SOURCE) strictly generalizes the single-shape upsert
     "versioned_merge_multi",
     # minhash_lsh_probe_md5 left round 9 session 2 (cdc_lsh_probe_md5
-    # carries the persisted-probe family) for COW UPDATE
-    "versioned_update",
+    # carries the persisted-probe family). versioned_update left
+    # round 10: its primitive runs inside the SQL DML flagship
+    "sql_update_delete_insert",
     "domain_token_budget_cap",
     # round-7 flagships: partitioned commits, blooms, CDC-driven LSH
     # probe, the full PQ pipeline, leakage-safe splitting
@@ -49,9 +50,10 @@ MUST_BE_GATED = [
     "versioned_bloom_lookup",
     "cdc_lsh_probe_md5",
     "pq_ann_topk",
-    # real-time matview reads (leakage_safe_split left; the sampling
-    # family is carried by domain_token_budget_cap)
-    "matview_realtime_read",
+    # matview_realtime_read left round 10 after its driver-green r9
+    # row (matview_incremental_refresh carries the family) for the
+    # multi-table atomic transaction flagship
+    "catalog_txn_join",
     # round-8 flagships: WAP staging branches, hidden partitioning,
     # equality-delete streaming upserts, the pca value-oracle upgrade
     # (exclude_fields/computed_markers/semi_anti_join/
@@ -83,10 +85,12 @@ MUST_BE_GATED = [
     # full_record_dedup + exact_dedup_docs carry first-wins dedup)
     "versioned_restore",
     "versioned_metadata_agg",
-    # the SQL front-end (VERSION AS OF resolution through
-    # read_snapshot; lookup_enrich left, its family carried by
-    # merge_with_previous + asof_join_events)
-    "sql_time_travel_join",
+    # round-10 headline: SQL DML (sql_time_travel_join left — SELECT
+    # resolution + VERSION AS OF run inside both DML flagships)
+    "sql_merge_dml",
+    # round-10: incremental IVF-PQ maintenance (full_record_dedup
+    # left; exact_dedup_docs + five dedup-family rows carry it)
+    "ivfpq_delta_equivalence",
     # CHECK constraints: reject-before-write on every data-adding
     # path (default_fill_union left; rename_project +
     # array_path_extract carry projections)
