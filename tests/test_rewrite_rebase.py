@@ -248,3 +248,39 @@ def test_scoped_optimize_without_race_only_touches_scope(spark, table):
     f0_after = {e["path"] for e in _files_of_part(table, v, 0)}
     assert f0_before == f0_after
     assert len(_files_of_part(table, v, 1)) == 1
+
+
+def test_auto_maintain_no_longer_starves_under_busy_writer(
+    spark, table, monkeypatch
+):
+    """auto_maintain used to yield when a writer won the publish race
+    — maintenance could starve forever. Now the conflict path
+    re-plans once and runs the ops DIRECTLY on main, where rewrites
+    validate-and-rebase past disjoint winners."""
+    _fragmented(spark, table, batches=6)
+    real_publish = V.branch_publish
+    raced = {"done": False}
+
+    def racing_publish(tbl, name, *a, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            V.commit_snapshot(
+                spark.createDataFrame(
+                    [(6000, 0, 0)], "k bigint, part bigint, v bigint"
+                ),
+                tbl, mode="append", partition_by=["part"],
+            )
+        return real_publish(tbl, name, *a, **kw)
+
+    monkeypatch.setattr(V, "branch_publish", racing_publish)
+    before = _content(spark, table)
+    out = V.auto_maintain(
+        spark, table, small_file_trigger=2, target_bytes=1 << 30
+    )
+    assert not out["conflict"], out
+    assert "optimize" in out["actions"], out
+    # the racer's row AND the maintained layout both landed
+    assert _content(spark, table) == before | {(6000, 0, 0)}
+    final = V.latest_version(table)
+    m = V.read_manifest(table, final)
+    assert m["mode"] == "optimize"
