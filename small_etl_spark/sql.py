@@ -43,7 +43,12 @@ guarantees (constraints, lineage, CDC, OCC, stats-pruned rewrites)::
       WHEN NOT MATCHED BY SOURCE THEN DELETE
 
 ``USING name VERSION AS OF n`` time-travels the merge source. See the
-DML section below for the exact clause grammar.
+DML section below for the exact clause grammar. Maintenance
+statements complete the Delta SQL admin surface::
+
+    RESTORE TABLE t TO VERSION AS OF 3
+    OPTIMIZE t WHERE day = 7 / OPTIMIZE t ZORDER BY (x, y)
+    VACUUM t RETAIN 168 HOURS
 
 Reference parity note: the reference has no SQL at all (row-at-a-time
 Rust transforms, contextual_pipeline.rs:879-1121); this front-end is
@@ -105,7 +110,10 @@ def sql(
     if not tables:
         raise ValueError("sql() needs tables={{name: root}} or a catalog")
 
-    head_kw = re.match(r"\s*(MERGE|UPDATE|DELETE|INSERT)\b", query, re.I)
+    head_kw = re.match(
+        r"\s*(MERGE|UPDATE|DELETE|INSERT|RESTORE|OPTIMIZE|VACUUM)\b",
+        query, re.I,
+    )
     if head_kw:
         return _dml(
             spark, query, tables, pinned,
@@ -321,6 +329,12 @@ def _dml(
             spark, query, masked, tables,
             catalog_root=catalog_root, catalog_version=catalog_version,
         )
+    if kw == "RESTORE":
+        return _dml_restore(spark, query, masked, tables)
+    if kw == "OPTIMIZE":
+        return _dml_optimize(spark, query, masked, tables)
+    if kw == "VACUUM":
+        return _dml_vacuum(spark, query, masked, tables)
     return _dml_merge(
         spark, query, masked, tables, pinned,
         catalog_root=catalog_root, catalog_version=catalog_version,
@@ -713,3 +727,129 @@ def _dml_merge(
         not_matched_by_source=by_source or None,
     )
     return _dml_result(spark, "merge", name, v)
+
+
+# Maintenance statements (the Delta SQL admin surface):
+#   RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF '...'
+#   OPTIMIZE t [WHERE <simple conjuncts>] [ZORDER BY (c1, c2)]
+#   VACUUM t [RETAIN <n> HOURS]
+# Each dispatches to the existing primitive (restore_snapshot,
+# optimize_snapshot / set_sort_order + auto-maintain clustering,
+# expire_snapshots) — metadata-only or input-bounded work, never a
+# statement-driven full rewrite.
+
+
+def _dml_restore(
+    spark: SparkSession, query: str, masked: str, tables: dict[str, str]
+) -> DataFrame:
+    hm = re.match(
+        r"\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(\d+)"
+        r"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
+        masked, re.IGNORECASE,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse RESTORE statement: {query!r}")
+    name, ver, ts = hm.groups()
+    root = _target_root(name, tables)
+    if ver is not None:
+        version = int(ver)
+    else:
+        # recover the timestamp TEXT from the original (masked blanks
+        # literal interiors)
+        ts = query[hm.start(3): hm.end(3)]
+        version = V.version_as_of(root, _ts_to_ms(ts))
+    v = V.restore_snapshot(root, version)
+    return _dml_result(spark, "restore", name, v)
+
+
+def _dml_optimize(
+    spark: SparkSession, query: str, masked: str, tables: dict[str, str]
+) -> DataFrame:
+    hm = re.match(
+        r"\s*OPTIMIZE\s+(\w+)\s*", masked, re.IGNORECASE
+    )
+    if not hm:
+        raise ValueError(f"cannot parse OPTIMIZE statement: {query!r}")
+    name = hm.group(1)
+    root = _target_root(name, tables)
+    rest, rest_masked = query[hm.end():], masked[hm.end():]
+    where = None
+    zcols: list[str] | None = None
+    wm = re.match(r"WHERE\s+", rest_masked, re.IGNORECASE)
+    if wm:
+        zm = _find_top(
+            rest_masked, re.compile(r"\bZORDER\s+BY\b", re.IGNORECASE)
+        )
+        end = zm.start() if zm else len(rest)
+        where = rest[wm.end(): end]
+        rest, rest_masked = rest[end:], rest_masked[end:]
+    zm = re.match(
+        r"\s*ZORDER\s+BY\s*\(([^)]*)\)\s*$", rest_masked, re.IGNORECASE
+    )
+    if zm:
+        zcols = [
+            c.strip().strip("`")
+            for c in rest[zm.start(1): zm.end(1)].split(",")
+            if c.strip()
+        ]
+    elif rest.strip() and not wm:
+        raise ValueError(
+            f"unexpected trailing text in OPTIMIZE: {rest.strip()!r}"
+        )
+    if zcols:
+        if where:
+            raise ValueError(
+                "OPTIMIZE ... ZORDER BY does not take WHERE (the "
+                "Z-order rewrite is whole-snapshot); scope plain "
+                "OPTIMIZE with WHERE instead"
+            )
+        # declare the clustering columns, then rewrite along them
+        # using manifest-stat bounds (no data scan for the bounds)
+        V.set_sort_order(root, zcols)
+        head = V.latest_version(root)
+        hm2 = V.read_manifest(root, head)
+        bounds = V._sort_order_bounds(hm2)
+        if bounds is None:
+            raise ValueError(
+                "ZORDER BY columns lack usable manifest stats "
+                "(non-numeric, all-null, or truncated); cluster via "
+                "the Python API with explicit bounds"
+            )
+        v = V.cluster_snapshot(spark, root, zorder=bounds)
+    else:
+        prune = _prune_preds(where) if where else None
+        if where and not prune:
+            raise ValueError(
+                "OPTIMIZE WHERE supports only AND-ed `col <op> "
+                f"literal` conjuncts (got {where.strip()!r}) — they "
+                "must prune via manifest stats"
+            )
+        v = V.optimize_snapshot(spark, root, where=prune)
+        if v is None:
+            # nothing to compact: report the unchanged head
+            v = V.latest_version(root)
+    return _dml_result(spark, "optimize", name, v)
+
+
+def _dml_vacuum(
+    spark: SparkSession, query: str, masked: str, tables: dict[str, str]
+) -> DataFrame:
+    hm = re.match(
+        r"\s*VACUUM\s+(\w+)"
+        r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$",
+        masked, re.IGNORECASE,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse VACUUM statement: {query!r}")
+    name, hours = hm.group(1), hm.group(2)
+    root = _target_root(name, tables)
+    # Delta's default retention: 7 days. Age-based expiry (not
+    # keep-last-N) is the contract streaming tables need.
+    ms = int(hours or 24 * 7) * 3600 * 1000
+    n = V.expire_snapshots(root, older_than_ms=ms)
+    out = spark.createDataFrame(
+        [("vacuum", name, int(n))],
+        "op string, table string, files_deleted bigint",
+    )
+    return out

@@ -349,3 +349,68 @@ def test_merge_literal_with_clause_keyword_inside(spark, t):
         t,
     )
     assert (9, "WHEN MATCHED THEN x", 0) in _state(spark, t)
+
+
+# ----------------------------------------- maintenance statements
+
+def test_restore_statement(spark, t):
+    sql(spark, "DELETE FROM t WHERE k >= 2", t)
+    out = sql(
+        spark, "RESTORE TABLE t TO VERSION AS OF 0", t
+    ).first()
+    assert out.op == "restore" and out.version == 2
+    assert _state(spark, t) == {
+        (1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40),
+    }
+    # timestamp form
+    ms = V.read_manifest(t["t"], 1)["committed_at_ms"]
+    sql(spark, f"RESTORE t TO TIMESTAMP AS OF '{ms}'", t)
+    assert {k for k, _, _ in _state(spark, t)} == {1}
+
+
+def test_optimize_statement_scoped_and_plain(spark, t):
+    for i in range(5, 9):
+        V.commit_snapshot(
+            spark.createDataFrame(
+                [(i, f"n{i}", i)], "k bigint, name string, v bigint"
+            ),
+            t["t"], mode="append",
+        )
+    head = V.latest_version(t["t"])
+    n_before = len(V.read_manifest(t["t"], head)["files"])
+    out = sql(spark, "OPTIMIZE t", t).first()
+    assert out.op == "optimize" and out.version == head + 1
+    m = V.read_manifest(t["t"], head + 1)
+    assert len(m["files"]) < n_before
+    # WHERE must be simple conjuncts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="conjuncts"):
+        sql(spark, "OPTIMIZE t WHERE k + 1 > 2", t)
+    # scoped form accepted (nothing small enough left: head returned)
+    out = sql(spark, "OPTIMIZE t WHERE k >= 5", t).first()
+    assert out.op == "optimize"
+
+
+def test_optimize_zorder_statement(spark, tmp_path):
+    root = str(tmp_path / "z")
+    df = spark.range(0, 400).selectExpr(
+        "id % 20 AS x", "CAST(id / 20 AS LONG) AS y", "id AS v"
+    )
+    V.commit_snapshot(df.repartition(8), root, mode="overwrite")
+    out = sql(
+        spark, "OPTIMIZE z ZORDER BY (x, y)", {"z": root}
+    ).first()
+    assert out.op == "optimize"
+    head = V.latest_version(root)
+    assert V.read_manifest(root, head)["mode"] == "cluster"
+    assert V.read_manifest(root, head)["sort_order"] == ["x", "y"]
+
+
+def test_vacuum_statement(spark, t):
+    sql(spark, "DELETE FROM t WHERE k = 1", t)
+    sql(spark, "DELETE FROM t WHERE k = 2", t)
+    out = sql(spark, "VACUUM t RETAIN 0 HOURS", t).first()
+    assert out.op == "vacuum" and out.files_deleted >= 1
+    # old versions expired; head still reads
+    assert {k for k, _, _ in _state(spark, t)} == {3, 4}
