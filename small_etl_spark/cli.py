@@ -25,7 +25,7 @@ def _table_admin(args) -> int:
     compact-eq|tags|tag|untag|branches|abandon|publish|
     rename-column|drop-column|widen-type|add-column|auto-maintain|
     remove-orphans|restore|files|partitions|add-constraint|
-    drop-constraint|constraints|set-sort-order``
+    drop-constraint|constraints|set-sort-order|sql``
     — the maintenance + evolution surface of the versioned sink,
     runnable without writing a config. history prints one JSON line
     per snapshot; report prints the metadata-only health advisor;
@@ -159,6 +159,21 @@ def _table_admin(args) -> int:
         for row in V.snapshot_history(spark, args.path).collect():
             print(json.dumps(row.asDict()))
         return 0
+    if args.action == "sql":
+        # run one SQL statement (SELECT with AS OF, DML, RESTORE /
+        # OPTIMIZE / VACUUM) against this table, registered under
+        # --name (default "t"); rows print as JSON lines
+        if not args.expr:
+            print("sql requires --expr '<statement>'", file=sys.stderr)
+            return 1
+        from small_etl_spark.sql import sql as vsql
+
+        out = vsql(
+            spark, args.expr, tables={(args.name or "t"): args.path}
+        )
+        for row in out.collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
     if args.action == "add-constraint":
         if not args.name or not args.expr:
             print("add-constraint requires --name and --expr",
@@ -254,7 +269,7 @@ def main(argv: list[str] | None = None) -> int:
             "publish", "rename-column", "drop-column", "widen-type",
             "add-column", "auto-maintain", "remove-orphans",
             "restore", "files", "partitions", "add-constraint",
-            "drop-constraint", "constraints", "set-sort-order",
+            "drop-constraint", "constraints", "set-sort-order", "sql",
         ],
     )
     tbl_p.add_argument(
@@ -287,7 +302,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     tbl_p.add_argument(
         "--expr", default=None,
-        help="add-constraint: SQL CHECK expression",
+        help="add-constraint: SQL CHECK expression; sql: the statement",
     )
     tbl_p.add_argument(
         "--dry-run-orphans", action="store_true",

@@ -333,3 +333,35 @@ def test_table_admin_constraints(spark, tmp_path, capsys):
     # usage errors exit 1
     assert main(["table", tbl, "add-constraint", "--name", "x"]) == 1
     capsys.readouterr()
+
+
+def test_table_admin_sql_statement(spark, tmp_path, capsys):
+    """``table <path> sql --expr`` runs one statement (SELECT with AS
+    OF, DML, maintenance) against the table registered as ``t``."""
+    from small_etl_spark.sinks import versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k bigint, v bigint"
+        ),
+        tbl, mode="overwrite",
+    )
+    assert main([
+        "table", tbl, "sql",
+        "--expr", "UPDATE t SET v = v + 1 WHERE k = 2",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["op"] == "update" and out["version"] == 1
+    got = {r.k: r.v for r in V.read_snapshot(spark, tbl).collect()}
+    assert got == {1: 10, 2: 21}
+
+    assert main([
+        "table", tbl, "sql",
+        "--expr", "SELECT COUNT(*) AS n FROM t VERSION AS OF 0",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"n": 2}
+    # usage error exits 1
+    assert main(["table", tbl, "sql"]) == 1
+    capsys.readouterr()
