@@ -1153,7 +1153,10 @@ def main() -> None:
     if isinstance(payload.get("matview_refresh"), dict):
         compact["matview_refresh"] = {
             k: payload["matview_refresh"][k]
-            for k in ("refresh_ratio", "recompute_ratio_big")
+            for k in (
+                "refresh_ratio", "recompute_ratio_big",
+                "crossover_rows", "not_crossed_at_rows", "curve",
+            )
             if k in payload["matview_refresh"]
         } or payload["matview_refresh"]
     if isinstance(payload.get("metadata_ops"), dict):

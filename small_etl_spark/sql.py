@@ -49,6 +49,7 @@ statements complete the Delta SQL admin surface::
     RESTORE TABLE t TO VERSION AS OF 3
     OPTIMIZE t WHERE day = 7 / OPTIMIZE t ZORDER BY (x, y)
     VACUUM t RETAIN 168 HOURS
+    DESCRIBE HISTORY t
 
 Reference parity note: the reference has no SQL at all (row-at-a-time
 Rust transforms, contextual_pipeline.rs:879-1121); this front-end is
@@ -111,7 +112,8 @@ def sql(
         raise ValueError("sql() needs tables={{name: root}} or a catalog")
 
     head_kw = re.match(
-        r"\s*(MERGE|UPDATE|DELETE|INSERT|RESTORE|OPTIMIZE|VACUUM)\b",
+        r"\s*(MERGE|UPDATE|DELETE|INSERT|RESTORE|OPTIMIZE|VACUUM"
+        r"|DESCRIBE\s+HISTORY)\b",
         query, re.I,
     )
     if head_kw:
@@ -335,6 +337,15 @@ def _dml(
         return _dml_optimize(spark, query, masked, tables)
     if kw == "VACUUM":
         return _dml_vacuum(spark, query, masked, tables)
+    if kw == "DESCRIBE":
+        hm = re.match(
+            r"\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", masked, re.IGNORECASE
+        )
+        if not hm:
+            raise ValueError(f"cannot parse DESCRIBE statement: {query!r}")
+        return V.snapshot_history(
+            spark, _target_root(hm.group(1), tables)
+        )
     return _dml_merge(
         spark, query, masked, tables, pinned,
         catalog_root=catalog_root, catalog_version=catalog_version,

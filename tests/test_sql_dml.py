@@ -414,3 +414,10 @@ def test_vacuum_statement(spark, t):
     assert out.op == "vacuum" and out.files_deleted >= 1
     # old versions expired; head still reads
     assert {k for k, _, _ in _state(spark, t)} == {3, 4}
+
+
+def test_describe_history_statement(spark, t):
+    sql(spark, "DELETE FROM t WHERE k = 1", t)
+    rows = sql(spark, "DESCRIBE HISTORY t", t).collect()
+    assert [r.snapshot for r in rows] == [0, 1]
+    assert rows[1].mode == "delete"
