@@ -2950,7 +2950,8 @@ def q_sql_update_delete_insert(
     )
     SELECT d.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           SUM(CAST(round(f.o_totalprice*100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(round(f.o_totalprice*100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
            CAST(1 AS BOOLEAN) AS no_dangling_keys
     FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
     GROUP BY d.c_mktsegment
