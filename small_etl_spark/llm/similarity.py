@@ -1484,9 +1484,10 @@ def ivfpq_append(
     :func:`ivfpq_save` on the grown corpus, exactly FAISS's
     re-train-when-drifted operational policy.
 
-    Deletes/updates are out of scope by design: a deleted vector's
-    codes are dropped at rebuild (or anti-joined at probe time);
-    an updated embedding is a delete + append.
+    Deletes go through :func:`ivfpq_delete` (tombstones anti-joined
+    at probe time, physically dropped by :func:`ivfpq_reencode` —
+    the DV merge-on-read pattern applied to the index); an updated
+    embedding is a delete + append of the new vector under a new id.
     """
     import json as _json
     import os as _os
@@ -1547,6 +1548,44 @@ def ivfpq_append(
     }
 
 
+def ivfpq_delete(spark, path: str, ids: "list[int] | DataFrame",
+                 id_col: str = "vec_id") -> int:
+    """Delete vectors from a persisted IVF-PQ index WITHOUT touching
+    the codes files: ids append to a tombstone table that
+    :func:`ivfpq_topk_persisted` anti-joins before scoring (the
+    merge-on-read pattern the versioned layer uses for DVs, applied
+    to the index). O(deleted ids) per call; the probe's extra cost is
+    one broadcast anti-join against the tombstone set.
+    :func:`ivfpq_reencode` physically drops tombstoned codes and
+    clears the table — run it when the tombstone fraction grows, the
+    same compaction trade as DV deletes. Returns ids tombstoned."""
+    import os as _os
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        )
+    ids = ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    n = ids.count()
+    if n:
+        ids.coalesce(1).write.mode("append").parquet(
+            _os.path.join(path, "tombstones")
+        )
+    return n
+
+
+def _ivfpq_live_codes(spark, path: str, codes: DataFrame,
+                      id_col: str) -> DataFrame:
+    """Codes minus tombstoned ids (no-op when none exist)."""
+    import os as _os
+
+    tpath = _os.path.join(path, "tombstones")
+    if not _os.path.isdir(tpath):
+        return codes
+    dead = spark.read.parquet(tpath).select(id_col).distinct()
+    return codes.join(F.broadcast(dead), id_col, "left_anti")
+
+
 def ivfpq_reencode(
     spark,
     path: str,
@@ -1589,6 +1628,13 @@ def ivfpq_reencode(
     with open(tmp, "w") as fh:
         _json.dump(params, fh)
     _os.replace(tmp, _os.path.join(path, "_params.json"))
+    # the re-encode materialized the corpus as passed — any tombstones
+    # for ids outside it are now physically gone; clear the table
+    import shutil as _shutil
+
+    _shutil.rmtree(
+        _os.path.join(path, "tombstones"), ignore_errors=True
+    )
     return n
 
 
@@ -1640,7 +1686,10 @@ def ivfpq_topk_persisted(
             .collect()
         )
     ]
-    pruned = codes.filter(F.col("cell").isin(probed_cells))
+    pruned = _ivfpq_live_codes(
+        spark, path,
+        codes.filter(F.col("cell").isin(probed_cells)), id_col,
+    )
     return _ivfpq_adc_topk(
         pruned, cents, books, queries, k=k, nprobe=nprobe, m=m,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,

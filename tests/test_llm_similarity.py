@@ -906,3 +906,66 @@ def test_ivfpq_append_cdc_fed(spark, tmp_path):
         .collect()
     }
     assert any(v >= 400 for v in hits)
+
+
+def test_ivfpq_delete_tombstones_and_reencode_compaction(
+    spark, tmp_path
+):
+    """MoR deletes on the persisted index: tombstoned ids vanish from
+    probes immediately (anti-join, no file rewrite); reencode with
+    the shrunken corpus physically drops them and clears tombstones;
+    an update = delete + append under a new id."""
+    from small_etl_spark.llm.similarity import (
+        ivfpq_append,
+        ivfpq_delete,
+        ivfpq_reencode,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+
+    emb, base, _delta = _split_emb(spark)
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    p = str(tmp_path / "idx")
+    ivfpq_save(base, p, num_cells=8, m=8, pq_centroids=8)
+    pre = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_persisted(spark, p, q, k=5, nprobe=8)
+        .collect()
+    }
+    victims = sorted({v for _, v in pre})[:3]
+    assert ivfpq_delete(spark, p, victims) == 3
+    post = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_persisted(spark, p, q, k=5, nprobe=8)
+        .collect()
+    }
+    assert not any(v in victims for _, v in post)
+    assert len(post) == len(pre)  # k still filled by runners-up
+    # physical compaction: reencode the corpus minus the victims
+    alive = base.filter(~F.col("vec_id").isin(victims))
+    n = ivfpq_reencode(spark, p, alive)
+    assert n == alive.count()
+    import os
+
+    assert not os.path.isdir(os.path.join(p, "tombstones"))
+    codes = spark.read.parquet(p + "/codes")
+    assert codes.filter(F.col("vec_id").isin(victims)).count() == 0
+    post2 = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_persisted(spark, p, q, k=5, nprobe=8)
+        .collect()
+    }
+    assert post2 == post
+    # update = delete + append under a new id
+    upd = base.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    ivfpq_delete(spark, p, [7])
+    ivfpq_append(spark, p, upd)
+    ids = {
+        r.vec_id
+        for r in ivfpq_topk_persisted(
+            spark, p, emb.filter(F.col("vec_id") == 7), k=50, nprobe=8
+        ).collect()
+    }
+    assert 7 not in ids and 9007 in ids
