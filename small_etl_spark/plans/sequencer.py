@@ -413,6 +413,7 @@ def execute_pipeline(
     spec: PipelineSpec,
     ctx: PipelineContext,
     output_root: str | None = None,
+    txn=None,
 ) -> PipelineResult:
     """One stage: source → extract processing → transforms → validate →
     intermediate/shared export → sinks."""
@@ -471,6 +472,8 @@ def execute_pipeline(
             partition_by=spec.load.partition_by or None,
             branch=spec.load.branch,
             constraints=spec.load.constraints or None,
+            txn=txn,
+            txn_name=spec.name,
         )
         output_path = out_dir
         if spec.load.zip_outputs:
@@ -561,6 +564,11 @@ def run_sequence_parallel(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    if seq.atomic:
+        raise ValueError(
+            "[sequence] atomic is serial-only: run_sequence stages "
+            "each versioned sink on the transaction in order"
+        )
     ctx = PipelineContext()
     workers = max_workers or max(seq.concurrent_requests, 1)
     for level in _dag_levels(seq.enabled_in_order(only, skip)):
@@ -690,6 +698,18 @@ def run_sequence(
     if mvp is not None:
         for spec in seq.pipelines:
             spec.source.first_record_only = mvp
+    txn = None
+    if seq.atomic and output_root and not dry_run:
+        # [sequence] atomic: every versioned sink stages on ONE
+        # multi-table transaction; the run's table outputs become
+        # visible through <output_root>/_catalog together or not at
+        # all (sinks/txn.py — intent + per-table publish + one
+        # catalog swap, roll-forward recovery)
+        from small_etl_spark.sinks.txn import begin_transaction
+
+        txn = begin_transaction(
+            os.path.join(output_root, "_catalog"), {}
+        )
     fp_chain: list[str] = []
     for spec in seq.enabled_in_order(only, skip):
         if dry_run:
@@ -738,7 +758,11 @@ def run_sequence(
         shared_before = dict(ctx.shared_data)
         for _ in range(attempts + 1):
             try:
-                ctx.add_result(execute_pipeline(spark, spec, ctx, output_root))
+                ctx.add_result(
+                    execute_pipeline(
+                        spark, spec, ctx, output_root, txn=txn
+                    )
+                )
                 if incremental_root and fp is not None:
                     from small_etl_spark.plans.increments import cache_store
 
@@ -775,7 +799,17 @@ def run_sequence(
                     )
                 )
                 continue
+            if txn is not None:
+                # atomic sequence: a failed stage under the "stop"
+                # policy aborts the whole transaction — no table the
+                # run touched becomes visible through the catalog
+                txn.abort()
             raise PipelineExecutionError(spec.name, last_err)
+    if txn is not None:
+        if txn.staged_tables:
+            ctx.shared_data["atomic_catalog_version"] = txn.commit()
+        else:
+            txn.abort()  # no versioned sink ran: nothing to pin
     return ctx
 
 

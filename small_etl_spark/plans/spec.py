@@ -203,6 +203,11 @@ class SequenceSpec:
     on_pipeline_failure: str = "stop"  # stop | continue | retry
     retry_attempts: int = 1
     concurrent_requests: int = 1
+    # [sequence] atomic = true: every versioned sink in the sequence
+    # stages on a multi-table transaction (sinks/txn.py) and lands
+    # through ONE catalog swap under <output_root>/_catalog — all of
+    # the run's table outputs become visible together or not at all
+    atomic: bool = False
 
     def __post_init__(self) -> None:
         if not self.execution_order:
@@ -361,6 +366,7 @@ def sequence_from_dict(
             err_tbl.get("retry_attempts", glob.get("retry_attempts", 1))
         ),
         concurrent_requests=int(glob.get("concurrent_requests", 1)),
+        atomic=bool(seq_tbl.get("atomic", glob.get("atomic", False))),
     )
     validate_sequence(seq, external_names)
     return seq

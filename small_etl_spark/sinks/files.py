@@ -147,6 +147,8 @@ def write_outputs(
     partition_by: list[str] | None = None,
     branch: str | None = None,
     constraints: dict[str, str] | None = None,
+    txn=None,
+    txn_name: str | None = None,
 ) -> dict[str, str]:
     """Write ``df`` in each format under ``out_dir/<fmt>/``.
 
@@ -217,7 +219,34 @@ def write_outputs(
                     target, {"constraints": missing_cons},
                     "load.constraints(declared)",
                 )
-            if branch:
+            if txn is not None and branch:
+                raise ValueError(
+                    "load.branch and [sequence] atomic are mutually "
+                    "exclusive — the transaction already WAP-stages"
+                )
+            # the root every post-commit action (constraints) targets:
+            # under a transaction that is the txn's staged branch, so
+            # publish adopts the properties atomically with the data
+            croot = _local_path(path)
+            if txn is not None:
+                from small_etl_spark.sinks.versioned import (
+                    latest_version,
+                )
+
+                if latest_version(croot) is None:
+                    # first run: bootstrap an (empty, schema-carrying)
+                    # v0 so the table can stage — the only state a
+                    # reader can observe before the catalog swap
+                    commit_snapshot(
+                        target.limit(0), croot, mode="overwrite",
+                        partition_by=partition_by or None,
+                    )
+                croot = txn.stage_lazy(txn_name or out_dir, croot)
+                commit_snapshot(
+                    target, croot, mode="append",
+                    partition_by=partition_by or None,
+                )
+            elif branch:
                 _wap_append(
                     target, _local_path(path), branch,
                     partition_by=partition_by or None,
@@ -234,12 +263,11 @@ def write_outputs(
                 # CHECK constraint the table does not carry yet (the
                 # add validates all existing data first); subsequent
                 # runs' batches are then gated inside commit_snapshot
-                have = list_constraints(_local_path(path))
+                have = list_constraints(croot)
                 for cname, cexpr in constraints.items():
                     if cname not in have:
                         add_constraint(
-                            df.sparkSession, _local_path(path),
-                            cname, cexpr,
+                            df.sparkSession, croot, cname, cexpr,
                         )
         else:
             raise ValueError(f"invalid output format {fmt!r}")

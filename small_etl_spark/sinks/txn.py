@@ -112,8 +112,9 @@ class Transaction:
     def __init__(
         self, catalog_root: str, tables: dict[str, str]
     ) -> None:
-        if not tables:
-            raise ValueError("a transaction needs at least one table")
+        # an empty mapping is legal: lazy flows (the sequencer's
+        # atomic mode) discover their tables during the run via
+        # stage_lazy; each is captured at first touch
         self.catalog_root = catalog_root
         self.tables = dict(tables)
         self.txn_id = uuid.uuid4().hex[:12]
@@ -164,6 +165,33 @@ class Transaction:
             )
         return self._staged[name]
 
+    def stage_lazy(self, name: str, path: str) -> str:
+        """Register ``path`` under ``name`` at FIRST TOUCH (capturing
+        its base version then — snapshot isolation from first
+        contact) and stage it. For declarative flows where the table
+        set is discovered during the run (the sequencer's atomic
+        mode); a name already registered must keep its path."""
+        self._require_open()
+        if name in self.tables:
+            if self.tables[name] != path:
+                raise ValueError(
+                    f"table {name!r} already registered at "
+                    f"{self.tables[name]!r}, not {path!r}"
+                )
+        else:
+            v = V.latest_version(path)
+            if v is None:
+                raise FileNotFoundError(
+                    f"no snapshots committed at {path!r} ({name!r})"
+                )
+            self.tables[name] = path
+            self.base[name] = v
+        return self.stage(name)
+
+    @property
+    def staged_tables(self) -> list[str]:
+        return sorted(self._staged)
+
     def read(self, spark, name: str):
         """Snapshot-isolation read: staged state if this transaction
         wrote the table, else the begin-time version."""
@@ -182,6 +210,10 @@ class Transaction:
         (branches abandoned, catalog untouched) and
         :class:`TransactionConflict` raises."""
         self._require_open()
+        if not self.tables:
+            raise TransactionError(
+                "transaction touched no tables; abort() it instead"
+            )
         # OCC pre-check BEFORE the intent: refuse while nothing is
         # durable yet, so a lost race costs a clean abort
         for name in sorted(self._staged):

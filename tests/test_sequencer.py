@@ -1582,3 +1582,135 @@ def test_versioned_sink_constraints_gate_the_first_batch(
     # nothing landed: no table version exists
     table = str(tmp_path / "snap" / "versioned")
     assert V.latest_version(table) is None
+
+
+def test_atomic_sequence_lands_all_versioned_sinks_together(
+    spark, tmp_path
+):
+    """[sequence] atomic = true: every versioned sink stages on one
+    multi-table transaction and the run's outputs become visible
+    through <output_root>/_catalog together."""
+    from small_etl_spark.sinks import versioned as V
+
+    seq = sequence_from_dict(
+        {
+            "sequence": {"atomic": True},
+            "pipelines": [
+                {
+                    "name": "a",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {"formats": ["versioned"]},
+                },
+                {
+                    "name": "b",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {"formats": ["versioned"]},
+                },
+            ],
+        }
+    )
+    ctx = run_sequence(spark, seq, output_root=str(tmp_path))
+    cat = str(tmp_path / "_catalog")
+    assert ctx.shared_data["atomic_catalog_version"] == 0
+    for name in ("a", "b"):
+        got = V.read_catalog(spark, cat, name)
+        assert got.count() == len(SAMPLE)
+    # second run: catalog advances, both tables gain one publish
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    assert V.latest_version(cat) == 1
+    for name in ("a", "b"):
+        assert V.read_catalog(spark, cat, name).count() == 2 * len(
+            SAMPLE
+        )
+
+
+def test_atomic_sequence_failure_aborts_everything(spark, tmp_path):
+    """A failing stage under the stop policy aborts the transaction:
+    nothing the run staged becomes visible through the catalog, even
+    though an earlier pipeline had already written."""
+    import pytest as _pytest
+
+    from small_etl_spark.plans.sequencer import PipelineExecutionError
+    from small_etl_spark.sinks import versioned as V
+
+    good = {
+        "name": "a",
+        "source": {"type": "sample", "sample_data": SAMPLE},
+        "load": {"formats": ["versioned"]},
+    }
+    ok_seq = sequence_from_dict(
+        {"sequence": {"atomic": True}, "pipelines": [dict(good)]}
+    )
+    run_sequence(spark, ok_seq, output_root=str(tmp_path))
+    cat = str(tmp_path / "_catalog")
+    assert V.read_catalog(spark, cat, "a").count() == len(SAMPLE)
+
+    bad_seq = sequence_from_dict(
+        {
+            "sequence": {"atomic": True},
+            "pipelines": [
+                dict(good),
+                {
+                    "name": "boom",
+                    "source": {
+                        "type": "file",
+                        "format": "parquet",
+                        "path": str(tmp_path / "no_such_dir"),
+                    },
+                    "load": {"formats": ["versioned"]},
+                },
+            ],
+        }
+    )
+    with _pytest.raises(PipelineExecutionError):
+        run_sequence(spark, bad_seq, output_root=str(tmp_path))
+    # catalog unchanged; a's staged second batch invisible
+    assert V.latest_version(cat) == 0
+    assert V.read_catalog(spark, cat, "a").count() == len(SAMPLE)
+    # and no leftover txn branches
+    assert V.list_branches(str(tmp_path / "a" / "versioned")) == {}
+
+
+def test_atomic_sequence_with_constraints_and_branch_refusal(
+    spark, tmp_path
+):
+    from small_etl_spark.sinks import versioned as V
+
+    seq = sequence_from_dict(
+        {
+            "sequence": {"atomic": True},
+            "pipelines": [
+                {
+                    "name": "snap",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {
+                        "formats": ["versioned"],
+                        "constraints": {"value_pos": "value > 0"},
+                    },
+                }
+            ],
+        }
+    )
+    run_sequence(spark, seq, output_root=str(tmp_path))
+    tbl = str(tmp_path / "snap" / "versioned")
+    # the constraint landed WITH the publish (branch properties win)
+    assert V.list_constraints(tbl) == {"value_pos": "value > 0"}
+    # atomic + load.branch is refused loudly
+    import pytest as _pytest
+
+    bad = sequence_from_dict(
+        {
+            "sequence": {"atomic": True},
+            "pipelines": [
+                {
+                    "name": "w",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {"formats": ["versioned"], "branch": "x"},
+                }
+            ],
+        }
+    )
+    from small_etl_spark.plans.sequencer import PipelineExecutionError
+
+    with _pytest.raises(PipelineExecutionError):
+        run_sequence(spark, bad, output_root=str(tmp_path / "w2"))
