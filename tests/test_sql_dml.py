@@ -421,3 +421,99 @@ def test_describe_history_statement(spark, t):
     rows = sql(spark, "DESCRIBE HISTORY t", t).collect()
     assert [r.snapshot for r in rows] == [0, 1]
     assert rows[1].mode == "delete"
+
+
+# --------------------------------- SQL ≡ primitives equivalence walk
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_walk_op = st.one_of(
+    st.tuples(st.just("update"), st.integers(0, 50), st.integers(1, 9)),
+    st.tuples(st.just("delete"), st.integers(0, 50), st.just(0)),
+    st.tuples(st.just("insert"), st.integers(100, 140), st.integers(1, 9)),
+    st.tuples(st.just("merge"), st.integers(0, 140), st.integers(1, 9)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(ops=st.lists(_walk_op, min_size=1, max_size=5))
+def test_walk_sql_statements_equal_primitives(
+    spark, tmp_path_factory, ops
+):
+    """Equivalence walk: the same random op sequence applied to twin
+    tables — one through SQL statements, one through the Python
+    primitives — must end in identical state after every step. Pins
+    the parser/dispatcher against the primitive semantics (clause
+    conditions, prune derivation, positional INSERT binding)."""
+    tmp = tmp_path_factory.mktemp("sqlwalk")
+    ts, tp = str(tmp / "sql"), str(tmp / "prim")
+    base = spark.range(0, 40).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id % 5 AS STRING) AS tag"
+    )
+    for p in (ts, tp):
+        V.commit_snapshot(base.repartitionByRange(3, "k"), p,
+                          mode="overwrite")
+    tb = {"t": ts}
+    for kind, a, b in ops:
+        if kind == "update":
+            sql(spark, f"UPDATE t SET v = v + {b} WHERE k >= {a}", tb)
+            V.update_where(
+                spark, tp, {"v": f"v + {b}"}, f"k >= {a}",
+                prune=[("k", ">=", a)],
+            )
+        elif kind == "delete":
+            sql(spark, f"DELETE FROM t WHERE k < {a} AND tag = '1'", tb)
+            V.delete_where(
+                spark, tp, f"k < {a} AND tag = '1'",
+                prune=[("k", "<", a)],
+            )
+        elif kind == "insert":
+            sql(
+                spark,
+                f"INSERT INTO t VALUES ({a}, {b}, 'new')", tb,
+            )
+            V.commit_snapshot(
+                spark.createDataFrame(
+                    [(a, b, "new")], "k bigint, v bigint, tag string"
+                ),
+                tp, mode="append",
+            )
+        elif kind == "merge":
+            stmt_src = (
+                f"SELECT {a} AS k, {b} AS v, 'm' AS tag"
+            )
+            sql(
+                spark,
+                f"""
+                MERGE INTO t USING ({stmt_src}) s ON t.k = s.k
+                WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+                WHEN NOT MATCHED THEN INSERT *
+                """,
+                tb,
+            )
+            V.merge(
+                spark, tp,
+                spark.createDataFrame(
+                    [(a, b, "m")], "k bigint, v bigint, tag string"
+                ),
+                on="k",
+                matched=[{
+                    "action": "update",
+                    "set": {"v": "s.v"},
+                    "condition": "s.v > t.v",
+                }],
+                not_matched=[{"action": "insert", "values": "all"}],
+            )
+        got_s = sorted(
+            (r.k, r.v, r.tag)
+            for r in V.read_snapshot(spark, ts).collect()
+        )
+        got_p = sorted(
+            (r.k, r.v, r.tag)
+            for r in V.read_snapshot(spark, tp).collect()
+        )
+        assert got_s == got_p, f"diverged after {kind}({a},{b})"

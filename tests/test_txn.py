@@ -368,3 +368,36 @@ def test_walk_crashy_txns_catalog_always_consistent(
             f"step {i} ({mode}): {f} vs {d}, expected {expected}"
         )
     assert T._list_intents(env["cat"]) == []
+
+
+def test_sql_dml_composes_with_transaction(spark, env):
+    """SQL statements run against a transaction's staged branch
+    handles — the two features compose: declarative DML, atomic
+    multi-table visibility."""
+    from small_etl_spark.sql import sql as vsql
+
+    txn = T.begin_transaction(
+        env["cat"], {"fact": env["fact"], "dim": env["dim"]}
+    )
+    vsql(
+        spark, "INSERT INTO f VALUES (1, 10)",
+        {"f": txn.stage("fact")},
+    )
+    vsql(
+        spark, "UPDATE d SET tag = 'patched' WHERE batch = 0",
+        {"d": txn.stage("dim")},
+    )
+    # nothing visible through the catalog pre-commit
+    f, d = _batch_sets(spark, env)
+    assert f == {0} and d == {0}
+    assert {
+        r.tag
+        for r in V.read_catalog(spark, env["cat"], "dim").collect()
+    } == {"b0"}
+    txn.commit()
+    f, d = _batch_sets(spark, env)
+    assert f == {0, 1} and d == {0}
+    assert {
+        r.tag
+        for r in V.read_catalog(spark, env["cat"], "dim").collect()
+    } == {"patched"}
