@@ -68,6 +68,14 @@ STRESS_QUERIES = [
     # top-range files — phase-split so the O(matched files) claim is
     # a measured number (op ratio should track the matched delta).
     "versioned_update",
+    # round-10 flagships on the curve: the full SQL DML statement
+    # pipeline (UPDATE→DELETE→INSERT dispatching through the parser
+    # to the same pruned primitives — near-linear here means the SQL
+    # layer adds no hidden scan), and the multi-table transaction
+    # (stage + intent + two publishes + catalog swap: commit overhead
+    # must stay O(changed files) per table, never O(table)).
+    "sql_update_delete_insert",
+    "catalog_txn_join",
 ]
 # The most expensive stress queries re-run at 30× — the closest
 # local[32] gets to evidencing the 100× extrapolation. r6 adds the
