@@ -1936,22 +1936,32 @@ def test_auto_maintain_upsert_backlog(spark, table):
     assert got == expect
 
 
-def test_auto_maintain_conflict_yields_to_writer(spark, table, monkeypatch):
-    """A writer landing while maintenance stages: the publish loses,
-    the branch is abandoned, the writer's commit is untouched."""
+def test_auto_maintain_conflict_rebases_past_writer(spark, table, monkeypatch):
+    """A writer landing while maintenance stages: the branch publish
+    loses, the branch is abandoned, and auto_maintain falls back to
+    direct rebasing ops on main — the writer's rows AND the
+    maintained layout both land (post-r10 contract; the old
+    yield-and-abandon semantics are gone — maintenance must not
+    starve under a busy writer)."""
     V.commit_snapshot(
         _df(spark, 0, 100, "a").repartition(10), table, mode="overwrite"
     )
     real_publish = V.branch_publish
+    raced = {"done": False}
 
-    def racing_publish(tbl, name, **kw):
-        V.commit_snapshot(_df(spark, 100, 105, "w"), table, mode="append")
-        return real_publish(tbl, name, **kw)
+    def racing_publish(tbl, name, *a, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            V.commit_snapshot(
+                _df(spark, 100, 105, "w"), table, mode="append"
+            )
+        return real_publish(tbl, name, *a, **kw)
 
     monkeypatch.setattr(V, "branch_publish", racing_publish)
     out = V.auto_maintain(spark, table, small_file_trigger=4)
-    assert out["conflict"] and out["actions"] == []
-    assert V.list_branches(table) == {}
+    assert not out["conflict"], out
+    assert out["actions"], "fallback must still run the maintenance ops"
+    assert V.list_branches(table) == {}, "staging branch abandoned"
     got = V.read_snapshot(spark, table)
     assert got.count() == 105, "the winning writer's rows survive"
 
