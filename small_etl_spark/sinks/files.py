@@ -236,11 +236,15 @@ def write_outputs(
                 if latest_version(croot) is None:
                     # first run: bootstrap an (empty, schema-carrying)
                     # v0 so the table can stage — the only state a
-                    # reader can observe before the catalog swap
+                    # reader can observe before the catalog swap; the
+                    # txn tracks it and drops it again on abort, so an
+                    # aborted atomic sequence leaves no new-table
+                    # residue (ADVICE r10)
                     commit_snapshot(
                         target.limit(0), croot, mode="overwrite",
                         partition_by=partition_by or None,
                     )
+                    txn.register_bootstrap(croot)
                 croot = txn.stage_lazy(txn_name or out_dir, croot)
                 commit_snapshot(
                     target, croot, mode="append",

@@ -48,13 +48,31 @@ is for.
 
 Residual window, documented not hidden: if a crash splits the
 publish sequence AND an independent non-transactional writer advances
-an unpublished table's main before recovery runs, the roll-forward's
-fast-forward publish conflicts and the intent is reported STUCK
+an unpublished table's main before recovery runs, the roll-forward
+first tries to VALIDATE-AND-REBASE the staged fast-forward past the
+interloper (``branch_publish(rebase_appends=True)`` — sound for
+pure-adds staged deltas against a winner that changed no
+schema/constraint state, which is the dominant atomic-load shape).
+Only when the rebase is unsound (a row-changing staged delta, or the
+winner moved schema/constraints) is the intent reported STUCK
 (:func:`recover_transactions` returns it; ``begin_transaction``
 refuses overlapping transactions). The published tables' batches are
 durable per-table state; :func:`force_abort_transaction` resolves by
 accepting them as independent appends. The same trade exists in
 every system that lets writers bypass the coordination point.
+
+Catalog-swap semantics: every swap MERGES with the latest catalog
+manifest — tables pinned by earlier catalog versions but untouched
+by this transaction carry forward verbatim, and a same-path pin
+never moves BACKWARD (a later-swapping transaction cannot roll back
+a concurrent transaction's committed pin). Liveness vs recovery: a
+live committer that loses a publish race to its own roll-forward
+recovery (a peer's ``begin_transaction`` drained the intent)
+detects its own branch stamp on the published record and reports
+SUCCESS instead of conflict — the caller never replays a committed
+transaction. ``recover_transactions`` additionally accepts a
+``grace_seconds`` knob for cron-cadence sweeps that should leave
+very fresh intents to their (probably live) owners.
 
 Scale shape: staging costs what the ops themselves cost; commit adds
 one O(tables) intent record, one O(changed files) publish record per
@@ -70,6 +88,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
 import uuid
 from typing import Any
 
@@ -89,6 +109,51 @@ class TransactionError(RuntimeError):
 
 def _intent_path(catalog_root: str, txn_id: str) -> str:
     return os.path.join(catalog_root, _INTENTS_DIR, f"{txn_id}.json")
+
+
+def _merged_catalog_pins(
+    catalog_root: str,
+    pins: dict[str, tuple[str, int]],
+) -> dict[str, tuple[str, int]]:
+    """The pin set a transaction's catalog swap actually writes:
+    the LATEST catalog manifest's tables carry forward (a transaction
+    declaring a subset of the catalog must not make the rest vanish),
+    and a same-path pin never moves backward (max of the existing and
+    the new version — a later-swapping transaction cannot roll back a
+    concurrent transaction's committed pin; ADVICE r10). A pin that
+    re-points a name at a DIFFERENT path wins outright (explicit
+    re-pointing stays possible through catalog_commit directly)."""
+    merged: dict[str, tuple[str, int]] = {}
+    cat_v = V.latest_version(catalog_root)
+    if cat_v is not None:
+        for name, entry in V.read_manifest(catalog_root, cat_v)[
+            "tables"
+        ].items():
+            merged[name] = (entry["table"], int(entry["version"]))
+    for name, (path, version) in pins.items():
+        prev = merged.get(name)
+        if prev is not None and prev[0] == path:
+            merged[name] = (path, max(prev[1], int(version)))
+        else:
+            merged[name] = (path, int(version))
+    return merged
+
+
+def _find_publish(path: str, base: int, branch: str) -> int | None:
+    """The main version at which ``branch`` published on ``path``
+    (its record carries the branch stamp), scanning past ``base`` —
+    a rebased publish lands ABOVE base+1, so detection walks to the
+    head. None when the branch never published."""
+    head = V.latest_version(path)
+    if head is None:
+        return None
+    for v in range(base + 1, head + 1):
+        try:
+            if V._read_record(path, v).get("branch") == branch:
+                return v
+        except (OSError, ValueError, FileNotFoundError):
+            continue
+    return None
 
 
 def _list_intents(catalog_root: str) -> list[dict[str, Any]]:
@@ -145,6 +210,7 @@ class Transaction:
                 )
             self.base[name] = v
         self._staged: dict[str, str] = {}  # name -> branch handle
+        self._bootstrapped: list[str] = []  # table roots we created
 
     # -------------------------------------------------------- staging
 
@@ -188,6 +254,18 @@ class Transaction:
             self.base[name] = v
         return self.stage(name)
 
+    def register_bootstrap(self, path: str) -> None:
+        """Record a table root this transaction CREATED as an empty
+        schema-carrying bootstrap (the sequencer's atomic first run,
+        sinks/files.py): :meth:`abort` drops it again — an aborted
+        atomic sequence leaves no half-created new tables behind.
+        Only dropped while main is still at the bootstrap v0 (an
+        independent writer adopting the table keeps it). A crash
+        (abort never runs) can still leave the empty bootstrap — the
+        same residual class as a stuck intent, resolved by dropping
+        the empty table."""
+        self._bootstrapped.append(path)
+
     @property
     def staged_tables(self) -> list[str]:
         return sorted(self._staged)
@@ -225,13 +303,18 @@ class Transaction:
                     f"v{head} since begin; replay the transaction"
                 )
         if not self._staged:
-            # read-only transaction: pin the begin-time cut
+            # read-only transaction: pin the begin-time cut, merged
+            # with the latest catalog (untouched tables carry forward,
+            # pins never move backward)
             cat_v = V.catalog_commit(
                 self.catalog_root,
-                {
-                    name: (path, self.base[name])
-                    for name, path in self.tables.items()
-                },
+                _merged_catalog_pins(
+                    self.catalog_root,
+                    {
+                        name: (path, self.base[name])
+                        for name, path in self.tables.items()
+                    },
+                ),
             )
             self._state = "committed"
             return cat_v
@@ -250,26 +333,38 @@ class Transaction:
             _intent_path(self.catalog_root, self.txn_id), intent
         )
         # from here on a crash rolls FORWARD via recover_transactions
-        pins: dict[str, tuple[str, int | None]] = {
+        branch = f"_txn-{self.txn_id}"
+        pins: dict[str, tuple[str, int]] = {
             name: (path, self.base[name])
             for name, path in self.tables.items()
         }
         for name in sorted(self._staged):
             try:
-                new_v = V.branch_publish(
-                    self.tables[name], f"_txn-{self.txn_id}"
+                new_v = V.branch_publish(self.tables[name], branch)
+            except (V.CommitConflict, FileNotFoundError) as exc:
+                # either a genuine photo-finish loss, or our OWN
+                # roll-forward recovery (a peer's begin drained the
+                # intent) already published this branch — detect the
+                # branch stamp and adopt the recovery's work instead
+                # of reporting conflict on a committed transaction
+                done_v = _find_publish(
+                    self.tables[name], self.base[name], branch
                 )
-            except V.CommitConflict as exc:
-                # photo-finish loss AFTER the intent became durable:
-                # leave intent + branches for recovery / force-abort
-                raise TransactionConflict(
-                    f"lost the publish race on {name!r} after the "
-                    f"intent landed; txn {self.txn_id} left for "
-                    f"recovery ({exc})"
-                ) from exc
+                if done_v is None:
+                    # real loss AFTER the intent became durable: leave
+                    # intent + branches for recovery / force-abort
+                    raise TransactionConflict(
+                        f"lost the publish race on {name!r} after the "
+                        f"intent landed; txn {self.txn_id} left for "
+                        f"recovery ({exc})"
+                    ) from exc
+                new_v = done_v
             if new_v is not None:
                 pins[name] = (self.tables[name], new_v)
-        cat_v = V.catalog_commit(self.catalog_root, pins)
+        cat_v = V.catalog_commit(
+            self.catalog_root,
+            _merged_catalog_pins(self.catalog_root, pins),
+        )
         try:
             os.unlink(_intent_path(self.catalog_root, self.txn_id))
         except FileNotFoundError:
@@ -280,11 +375,20 @@ class Transaction:
 
     def abort(self) -> None:
         """Abandon staged branches; the catalog never saw anything.
-        Only valid before the intent landed (after that, recovery
-        owns the transaction's fate)."""
+        Bootstrap-created tables (:meth:`register_bootstrap`) are
+        dropped while still at their empty v0. Only valid before the
+        intent landed (after that, recovery owns the transaction's
+        fate)."""
         if self._state != "open":
             return
         self._cleanup()
+        for root in self._bootstrapped:
+            try:
+                if V.latest_version(root) == 0:
+                    shutil.rmtree(root)
+            except OSError:
+                pass  # racer dropped it / adopted it — leave as-is
+        self._bootstrapped.clear()
         self._state = "aborted"
 
     def _cleanup(self) -> None:
@@ -323,22 +427,41 @@ def begin_transaction(
     return Transaction(catalog_root, tables)
 
 
-def recover_transactions(catalog_root: str) -> dict[str, Any]:
+def recover_transactions(
+    catalog_root: str, grace_seconds: float = 0.0
+) -> dict[str, Any]:
     """Roll interrupted transactions FORWARD: for every pending
     intent, finish the publish sequence from its surviving branches
     (idempotent — already-published tables are detected by the
-    ``branch`` stamp on their ``base+1`` record) and perform the
-    catalog swap, then clean up. Returns
-    ``{"completed": [txn_id...], "stuck": {txn_id: info}}`` — an
-    intent is stuck when an independent writer advanced an
-    unpublished table's main, making fast-forward impossible; resolve
-    with :func:`force_abort_transaction`."""
+    ``branch`` stamp on their record, wherever it landed) and perform
+    the merged catalog swap, then clean up. When an independent
+    writer advanced an unpublished table's main, the roll-forward
+    VALIDATES-AND-REBASES the staged fast-forward past it
+    (``branch_publish(rebase_appends=True)`` — sound for pure-adds
+    deltas, the dominant atomic-load shape); only an unsound rebase
+    (row-changing staged delta, schema/constraint drift) leaves the
+    intent STUCK. Returns ``{"completed": [txn_id...], "stuck":
+    {txn_id: info}, "pending": [txn_id...]}`` — ``pending`` lists
+    intents younger than ``grace_seconds`` that were left to their
+    (probably live) owners; resolve true stuck intents with
+    :func:`force_abort_transaction`."""
     completed: list[str] = []
     stuck: dict[str, Any] = {}
+    pending: list[str] = []
     for intent in _list_intents(catalog_root):
         txn_id = intent["txn_id"]
+        if grace_seconds > 0:
+            try:
+                age = time.time() - os.path.getmtime(
+                    _intent_path(catalog_root, txn_id)
+                )
+            except OSError:
+                continue  # racer drained it
+            if age < grace_seconds:
+                pending.append(txn_id)
+                continue
         branch = f"_txn-{txn_id}"
-        pins: dict[str, tuple[str, int | None]] = {}
+        pins: dict[str, tuple[str, int]] = {}
         blocked = None
         for name in sorted(intent["tables"]):
             entry = intent["tables"][name]
@@ -346,40 +469,35 @@ def recover_transactions(catalog_root: str) -> dict[str, Any]:
             if name not in intent["staged"]:
                 pins[name] = (path, base)
                 continue
-            nxt = base + 1
-            try:
-                published = (
-                    os.path.exists(V._manifest_path(path, nxt))
-                    and V._read_record(path, nxt).get("branch") == branch
-                )
-            except (OSError, ValueError):
-                published = False
-            if published:
-                pins[name] = (path, nxt)
+            done_v = _find_publish(path, base, branch)
+            if done_v is not None:
+                pins[name] = (path, done_v)
                 continue
-            head = V.latest_version(path)
-            if head != base:
-                blocked = (
-                    f"{name}: main advanced v{base}->v{head} before "
-                    "roll-forward"
-                )
-                break
             if branch not in V.list_branches(path):
                 blocked = f"{name}: staged branch {branch} is missing"
                 break
             try:
-                new_v = V.branch_publish(path, branch)
+                new_v = V.branch_publish(
+                    path, branch, rebase_appends=True
+                )
             except V.CommitConflict as exc:
-                blocked = f"{name}: {exc}"
-                break
+                # the live owner may have raced us to the publish —
+                # re-check the stamp before declaring the intent stuck
+                done_v = _find_publish(path, base, branch)
+                if done_v is None:
+                    blocked = f"{name}: {exc}"
+                    break
+                new_v = done_v
             pins[name] = (path, base if new_v is None else new_v)
         if blocked is not None:
             stuck[txn_id] = {"intent": intent, "reason": blocked}
             continue
-        V.catalog_commit(catalog_root, pins)
+        V.catalog_commit(
+            catalog_root, _merged_catalog_pins(catalog_root, pins)
+        )
         _drop_intent(catalog_root, intent)
         completed.append(txn_id)
-    return {"completed": completed, "stuck": stuck}
+    return {"completed": completed, "stuck": stuck, "pending": pending}
 
 
 def force_abort_transaction(catalog_root: str, txn_id: str) -> None:

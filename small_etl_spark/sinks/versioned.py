@@ -3281,11 +3281,46 @@ def list_branches(table: str) -> dict[str, dict[str, int]]:
     return out
 
 
+def _publish_rebase_blocker(
+    base_m: dict[str, Any],
+    head_m: dict[str, Any],
+    removed0: list[str],
+    bm: dict[str, Any],
+) -> str | None:
+    """None when a staged branch's squashed delta can re-attach at a
+    moved main head; else the human-readable reason. A rebase is
+    sound only when the delta is PURE ADDS — no removed/rewritten
+    inputs, no staged DV or equality-delete changes — because appends
+    commute with any disjoint winner, while a row-changing delta
+    (merge/delete/update) depends on rows the winner may have added
+    (the same refusal rule as :func:`_commit_rewrite`). The head must
+    also agree with the branch base on everything an append's
+    validity was checked against: schema, column ids, partitioning,
+    sort order, and CHECK constraints (staged rows were never
+    validated against a constraint the winner added)."""
+    if removed0:
+        return (
+            f"staged delta removes/rewrites {len(removed0)} input "
+            "file(s) — only pure appends rebase"
+        )
+    if bm.get("dv") != base_m.get("dv"):
+        return "staged deletion-vector changes"
+    if (bm.get("eq_deletes") or []) != (base_m.get("eq_deletes") or []):
+        return "staged equality-delete changes"
+    for k in ("schema", "column_ids", "partition_by", "sort_order"):
+        if base_m.get(k) != head_m.get(k):
+            return f"{k} changed on main"
+    if (base_m.get("constraints") or {}) != (head_m.get("constraints") or {}):
+        return "constraints changed on main"
+    return None
+
+
 def branch_publish(
     table: str,
     name: str,
     spark: SparkSession | None = None,
     rules: "list[tuple[str, F.Column]] | None" = None,
+    rebase_appends: bool = False,
 ) -> int | None:
     """Audit-then-publish: optionally evaluate expectation ``rules``
     against the BRANCH head (one aggregation scan — the audit step;
@@ -3296,8 +3331,15 @@ def branch_publish(
     OCC: the publish is the O_EXCL create of main's ``base+1`` record
     — if main advanced since the branch was cut, publish raises
     :class:`CommitConflict` (re-cut the branch from the new head and
-    replay). Returns the new main version, or None when the branch has
-    no staged commits."""
+    replay). With ``rebase_appends=True`` a PURE-ADDS staged delta
+    instead validates-and-rebases onto the new head (see
+    :func:`_publish_rebase_blocker`): the winner's disjoint commits
+    and the staged appends both land, with the staged entries'
+    ``first_row_id`` re-assigned from the head's lineage counter so
+    id ranges never collide with rows the winner claimed. Used by
+    transaction recovery (sinks/txn.py) so an interloper append can
+    no longer strand a crashed transaction. Returns the new main
+    version, or None when the branch has no staged commits."""
     root = _branch_root(table, name)
     if not _is_branch_root(root):
         raise FileNotFoundError(f"no branch {name!r} on {table!r}")
@@ -3322,57 +3364,107 @@ def branch_publish(
                 f"refusing to publish branch {name!r} to {table!r} — "
                 f"failed expectations: {detail}"
             )
-    head = latest_version(table)
-    if head != base:
-        raise CommitConflict(
-            f"main advanced {base}->{head} since branch {name!r} was "
-            f"cut; re-branch from the new head and replay"
-        )
     _require_no_eq_deletes(bm, "branch_publish")
-    parent_manifest = read_manifest(table, base)
-    parent_entries = {e["path"]: e for e in parent_manifest["files"]}
+    # the branch's own base record is materialized (self-contained
+    # log), so the delta is computable even if main checkpointed
+    base_manifest = read_manifest(root, base)
+    base_entries = {e["path"]: e for e in base_manifest["files"]}
     final_entries = {e["path"]: e for e in bm["files"]}
-    payload = {
-        "snapshot": base + 1,
-        "parent": base,
-        "mode": "publish",
-        "schema": bm["schema"],
+    added0 = [
+        e for e in bm["files"] if base_entries.get(e["path"]) != e
+    ]
+    removed0 = sorted(
+        p for p, e in base_entries.items() if final_entries.get(p) != e
+    )
+    for _ in range(5):
+        head = latest_version(table)
+        rebased = head != base
+        if rebased:
+            if not rebase_appends:
+                raise CommitConflict(
+                    f"main advanced {base}->{head} since branch "
+                    f"{name!r} was cut; re-branch from the new head "
+                    "and replay"
+                )
+            head_m = read_manifest(table, head)
+            why = _publish_rebase_blocker(
+                base_manifest, head_m, removed0, bm
+            )
+            if why is not None:
+                raise CommitConflict(
+                    f"main advanced {base}->{head} since branch "
+                    f"{name!r} was cut and the staged delta cannot "
+                    f"rebase ({why}); re-branch and replay"
+                )
+            attach, attach_m = head, head_m
+        else:
+            attach, attach_m = base, base_manifest
+        version = attach + 1
         # staged entries restamp to MAIN's sequence (the branch's own
         # version numbers mean nothing in main's log)
-        "add": _stamp_seq(
-            [e for e in bm["files"] if parent_entries.get(e["path"]) != e],
-            base + 1,
-        ),
-        "remove": sorted(
-            p
-            for p, e in parent_entries.items()
-            if final_entries.get(p) != e
-        ),
-        "commit_id": uuid.uuid4().hex[:16],
-        "branch": name,
-        "branch_commits": bh - base,
-        "stream_batch_high": max(
-            _stream_high(parent_manifest), _stream_high(bm)
-        ),
-        "committed_at_ms": _now_ms(),
-    }
-    payload["external_files"] = _has_external_entries(bm)
-    _carry_constraints(payload, bm)  # branch's table properties win
-    _header_ids(payload, bm.get("column_ids"), bm.get("next_column_id"))
-    _header_row_ids(payload, bm.get("next_row_id"))
-    if bm.get("partition_by"):
-        payload["partition_by"] = bm["partition_by"]
-    if bm.get("dv"):
-        # staged MoR deletes ride along: the DV store's files live in
-        # the SHARED data dir and its paths are manifest-relative
-        payload["dv"] = bm["dv"]
-    if not _atomic_create(_manifest_path(table, base + 1), payload):
-        raise CommitConflict(
-            f"lost the publish race on {table!r} (main moved to "
-            f"{latest_version(table)})"
+        add = _stamp_seq([dict(e) for e in added0], version)
+        if rebased:
+            # branch-assigned row-id ranges were claimed from the OLD
+            # head's counter — the winner may have claimed the same
+            # range, so fresh entries re-stamp from the new head's
+            for e in add:
+                if not e.get("lineage"):
+                    e.pop("first_row_id", None)
+            add, rid = _assign_row_ids(
+                add, _parent_next_row_id(attach_m, "inherit")
+            )
+        else:
+            rid = bm.get("next_row_id")
+        payload = {
+            "snapshot": version,
+            "parent": attach,
+            "mode": "publish",
+            "schema": bm["schema"],
+            "add": add,
+            "remove": removed0,
+            "commit_id": uuid.uuid4().hex[:16],
+            "branch": name,
+            "branch_commits": bh - base,
+            "stream_batch_high": max(
+                _stream_high(attach_m), _stream_high(bm)
+            ),
+            "committed_at_ms": _now_ms(),
+        }
+        if rebased:
+            payload["rebased_from"] = base
+        payload["external_files"] = _has_external_entries(bm) or (
+            rebased and _has_external_entries(attach_m)
         )
-    _maybe_checkpoint(table, base + 1)
-    return base + 1
+        # branch's table properties win on a fast-forward; a rebase
+        # verified head's properties match the base, so either source
+        # is the same set — carry the branch's
+        _carry_constraints(payload, bm)
+        _header_ids(payload, bm.get("column_ids"), bm.get("next_column_id"))
+        _header_row_ids(payload, rid)
+        if bm.get("partition_by"):
+            payload["partition_by"] = bm["partition_by"]
+        dv = attach_m.get("dv") if rebased else bm.get("dv")
+        if dv:
+            # staged MoR deletes ride along (fast-forward) / the
+            # winner's live DV carries (pure-adds rebase): the DV
+            # store's files live in the SHARED data dir and its paths
+            # are manifest-relative
+            payload["dv"] = dv
+        if rebased and attach_m.get("eq_deletes"):
+            # winner's live equality deletes carry; staged adds at
+            # seq=version postdate them, so no staged row is affected
+            payload["eq_deletes"] = attach_m["eq_deletes"]
+        if _atomic_create(_manifest_path(table, version), payload):
+            _maybe_checkpoint(table, version)
+            return version
+        if not rebase_appends:
+            raise CommitConflict(
+                f"lost the publish race on {table!r} (main moved to "
+                f"{latest_version(table)})"
+            )
+    raise CommitConflict(
+        f"lost 5 publish races on {table!r} for branch {name!r}"
+    )
 
 
 def branch_abandon(table: str, name: str) -> None:

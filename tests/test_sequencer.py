@@ -1671,6 +1671,62 @@ def test_atomic_sequence_failure_aborts_everything(spark, tmp_path):
     assert V.list_branches(str(tmp_path / "a" / "versioned")) == {}
 
 
+def test_atomic_sequence_abort_drops_bootstrapped_new_tables(
+    spark, tmp_path
+):
+    """An aborted atomic FIRST run must leave no half-created table:
+    the empty schema-carrying v0 bootstrap is tracked on the txn and
+    dropped on abort (ADVICE r10 low). Pre-existing tables are left
+    exactly as they were."""
+    import pytest as _pytest
+
+    from small_etl_spark.plans.sequencer import PipelineExecutionError
+    from small_etl_spark.sinks import versioned as V
+
+    good = {
+        "name": "a",
+        "source": {"type": "sample", "sample_data": SAMPLE},
+        "load": {"formats": ["versioned"]},
+    }
+    # a exists from a prior (non-atomic-failure) run
+    run_sequence(
+        spark,
+        sequence_from_dict(
+            {"sequence": {"atomic": True}, "pipelines": [dict(good)]}
+        ),
+        output_root=str(tmp_path),
+    )
+    bad_seq = sequence_from_dict(
+        {
+            "sequence": {"atomic": True},
+            "pipelines": [
+                dict(good),
+                {
+                    "name": "brand_new",
+                    "source": {"type": "sample", "sample_data": SAMPLE},
+                    "load": {"formats": ["versioned"]},
+                },
+                {
+                    "name": "boom",
+                    "source": {
+                        "type": "file",
+                        "format": "parquet",
+                        "path": str(tmp_path / "no_such_dir"),
+                    },
+                    "load": {"formats": ["versioned"]},
+                },
+            ],
+        }
+    )
+    with _pytest.raises(PipelineExecutionError):
+        run_sequence(spark, bad_seq, output_root=str(tmp_path))
+    # the brand-new table's bootstrap v0 is gone, not a durable stub
+    assert V.latest_version(str(tmp_path / "brand_new" / "versioned")) is None
+    # the pre-existing table is untouched (v0 bootstrap + published
+    # first batch = v1 from the successful run)
+    assert V.latest_version(str(tmp_path / "a" / "versioned")) == 1
+
+
 def test_atomic_sequence_with_constraints_and_branch_refusal(
     spark, tmp_path
 ):

@@ -225,7 +225,7 @@ def test_crash_at_every_step_rolls_forward_never_tears(
     assert T._list_intents(env["cat"]) == []
     # recovery is idempotent
     rep = T.recover_transactions(env["cat"])
-    assert rep == {"completed": [], "stuck": {}}
+    assert rep == {"completed": [], "stuck": {}, "pending": []}
 
 
 def test_begin_auto_recovers_interrupted_peer(
@@ -239,17 +239,78 @@ def test_begin_auto_recovers_interrupted_peer(
     assert f == d == {0, 1, 2}
 
 
+def test_recovery_rebases_past_interloper_append(
+    spark, env, monkeypatch
+):
+    """Crash splits the publish sequence (dim lands, fact does not)
+    AND an independent writer appends to the UNPUBLISHED fact main
+    before recovery. The staged fact delta is a pure append, so
+    roll-forward VALIDATES-AND-REBASES it past the interloper —
+    no stuck state for disjoint writers (VERDICT r10 #4): the
+    interloper's batch, the transaction's batch, and dim's batch all
+    land."""
+    _crash_commit(spark, env, 1, 1, monkeypatch)  # dim published
+    V.commit_snapshot(
+        spark.createDataFrame([(88, 0)], "batch bigint, v bigint"),
+        env["fact"], mode="append",
+    )
+    rep = T.recover_transactions(env["cat"])
+    assert len(rep["completed"]) == 1 and not rep["stuck"]
+    f, d = _batch_sets(spark, env)
+    assert f == {0, 88, 1} and d == {0, 1}
+    assert T._list_intents(env["cat"]) == []
+    assert V.list_branches(env["fact"]) == {}
+    # the rebased publish record sits ON TOP of the interloper's
+    head = V.latest_version(env["fact"])
+    rec = V._read_record(env["fact"], head)
+    assert rec["mode"] == "publish" and "rebased_from" in rec
+
+
+def _run_row_changing_txn(spark, env, batch_id):
+    """A txn whose FACT delta is row-changing (an UPDATE rewrites the
+    base file) — the shape that must never auto-rebase."""
+    txn = T.begin_transaction(
+        env["cat"], {"fact": env["fact"], "dim": env["dim"]}
+    )
+    V.update_where(
+        spark, txn.stage("fact"), {"v": "v + 1000"}, "batch = 0"
+    )
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(batch_id, f"b{batch_id}")], "batch bigint, tag string"
+        ),
+        txn.stage("dim"), mode="append",
+    )
+    return txn
+
+
 def test_stuck_intent_reported_and_force_abort(
     spark, env, monkeypatch
 ):
-    """The documented residual: crash splits the publish sequence
-    (publishes run in sorted order, so dim lands and fact does not)
-    AND an independent writer advances the UNPUBLISHED fact main
-    before recovery. Roll-forward cannot fast-forward — the intent is
-    stuck, overlapping transactions refuse, and force_abort resolves
-    by accepting dim's batch as an independent append (catalog
-    history itself never tears)."""
-    _crash_commit(spark, env, 1, 1, monkeypatch)  # dim published
+    """The documented residual, now narrowed to ROW-CHANGING staged
+    deltas: crash splits the publish sequence (publishes run in
+    sorted order, so dim lands and fact — whose staged delta is an
+    UPDATE rewriting the base file — does not) AND an independent
+    writer advances the unpublished fact main before recovery.
+    Roll-forward must refuse to rebase a row-changing delta (its
+    output depends on rows the winner may have added) — the intent
+    is stuck, overlapping transactions refuse, and force_abort
+    resolves by accepting dim's batch as an independent append
+    (catalog history itself never tears)."""
+    txn = _run_row_changing_txn(spark, env, 1)
+    calls = {"n": 0}
+    real_pub = V.branch_publish
+
+    def pub(*a, **kw):
+        if calls["n"] == 1:
+            raise _Crash("crash at publish 1")
+        calls["n"] += 1
+        return real_pub(*a, **kw)
+
+    monkeypatch.setattr(T.V, "branch_publish", pub)
+    with pytest.raises(_Crash):
+        txn.commit()
+    monkeypatch.setattr(T.V, "branch_publish", real_pub)
     V.commit_snapshot(
         spark.createDataFrame([(88, 0)], "batch bigint, v bigint"),
         env["fact"], mode="append",
@@ -257,7 +318,7 @@ def test_stuck_intent_reported_and_force_abort(
     rep = T.recover_transactions(env["cat"])
     assert not rep["completed"] and len(rep["stuck"]) == 1
     (txn_id,) = rep["stuck"]
-    assert "advanced" in rep["stuck"][txn_id]["reason"]
+    assert "cannot rebase" in rep["stuck"][txn_id]["reason"]
     # catalog untouched by the stuck txn
     f, d = _batch_sets(spark, env)
     assert f == {0} and d == {0}
@@ -272,6 +333,91 @@ def test_stuck_intent_reported_and_force_abort(
     _run_txn(spark, env, 3).commit()
     f, d = _batch_sets(spark, env)
     assert f == {0, 88, 3} and d == {0, 1, 3}
+
+
+def test_catalog_pins_carry_forward_for_subset_txn(spark, env):
+    """A transaction declaring a SUBSET of the catalog's tables must
+    not make the rest vanish from the latest catalog (ADVICE r10
+    high): after a fact-only txn, dim is still resolvable and keeps
+    its pin."""
+    txn = T.begin_transaction(env["cat"], {"fact": env["fact"]})
+    V.commit_snapshot(
+        spark.createDataFrame([(1, 10)], "batch bigint, v bigint"),
+        txn.stage("fact"), mode="append",
+    )
+    txn.commit()
+    f, d = _batch_sets(spark, env)  # read_catalog must not KeyError
+    assert f == {0, 1} and d == {0}
+
+
+def test_later_swap_never_rolls_back_concurrent_pin(spark, env):
+    """Txn B (fact-writer) commits while txn A (declared fact,
+    staged only dim) is open; A commits later pinning fact at its
+    begin version — the merged swap must keep B's newer fact pin
+    (lost visibility, ADVICE r10 high)."""
+    a = T.begin_transaction(
+        env["cat"], {"fact": env["fact"], "dim": env["dim"]}
+    )
+    V.commit_snapshot(
+        spark.createDataFrame([(7, "a")], "batch bigint, tag string"),
+        a.stage("dim"), mode="append",
+    )
+    b = T.begin_transaction(env["cat"], {"fact": env["fact"]})
+    V.commit_snapshot(
+        spark.createDataFrame([(9, 90)], "batch bigint, v bigint"),
+        b.stage("fact"), mode="append",
+    )
+    b.commit()
+    a.commit()  # pins fact at begin=0, but B's pin@1 must survive
+    f, d = _batch_sets(spark, env)
+    assert f == {0, 9}, "B's committed fact pin was rolled back"
+    assert d == {0, 7}
+
+
+def test_live_owner_adopts_its_own_recovery(spark, env, monkeypatch):
+    """A peer's recovery drains the intent while the owner is mid-
+    publish: the owner must detect its own branch stamp and report
+    SUCCESS — never TransactionConflict on a committed transaction
+    (the double-apply hazard, ADVICE r10 medium)."""
+    txn = _run_txn(spark, env, 1)
+    real_pub = V.branch_publish
+    fired = {"done": False}
+
+    def pub(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(T.V, "branch_publish", real_pub)
+            # a concurrent begin_transaction rolls the intent forward
+            rep = T.recover_transactions(env["cat"])
+            assert rep["completed"] == [txn.txn_id]
+        return real_pub(*a, **kw)
+
+    monkeypatch.setattr(T.V, "branch_publish", pub)
+    cat_v = txn.commit()  # adopts the recovery's work — no raise
+    assert isinstance(cat_v, int)
+    f, d = _batch_sets(spark, env)
+    assert f == d == {0, 1}, "exactly-once: no double apply"
+    assert T._list_intents(env["cat"]) == []
+    assert V.latest_version(env["fact"]) == 1  # one publish, not two
+
+
+def test_grace_period_leaves_young_intents_to_their_owner(
+    spark, env, monkeypatch
+):
+    """A cron-cadence recovery sweep with a grace period must not
+    touch fresh intents (their owner is probably alive and mid-
+    publish); with grace 0 the roll-forward proceeds."""
+    _crash_commit(spark, env, 1, 0, monkeypatch)
+    rep = T.recover_transactions(env["cat"], grace_seconds=3600.0)
+    assert rep["completed"] == [] and not rep["stuck"]
+    assert len(rep["pending"]) == 1
+    assert len(T._list_intents(env["cat"])) == 1
+    f, d = _batch_sets(spark, env)
+    assert f == {0} and d == {0}
+    rep = T.recover_transactions(env["cat"])
+    assert len(rep["completed"]) == 1
+    f, d = _batch_sets(spark, env)
+    assert f == d == {0, 1}
 
 
 def test_orphan_branch_cleanup_respects_intents(
