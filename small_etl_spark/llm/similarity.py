@@ -1612,6 +1612,12 @@ def ivfpq_reencode(
     corpus = ensure_parallelism(
         corpus.filter(F.col(vec_col).isNotNull())
     )
+    # deletes must survive the compaction: a caller that passes the
+    # full ORIGINAL corpus (tombstoned ids included) must not silently
+    # resurrect deleted vectors — anti-join the live tombstone set out
+    # BEFORE encoding (ADVICE r10); the table is then safely cleared
+    # below because nothing it named was materialized
+    corpus = _ivfpq_live_codes(spark, path, corpus, id_col)
     assigned = _assign_cells_vectorized(
         corpus, cents, id_col, vec_col, "l2"
     )
@@ -1628,8 +1634,9 @@ def ivfpq_reencode(
     with open(tmp, "w") as fh:
         _json.dump(params, fh)
     _os.replace(tmp, _os.path.join(path, "_params.json"))
-    # the re-encode materialized the corpus as passed — any tombstones
-    # for ids outside it are now physically gone; clear the table
+    # the re-encode materialized only LIVE rows (tombstones anti-
+    # joined out above), so every tombstoned code is physically gone;
+    # clear the table
     import shutil as _shutil
 
     _shutil.rmtree(

@@ -661,10 +661,16 @@ def _dml_merge(
         re.compile(r"\bWHEN\b", re.IGNORECASE),
     )
     for text in clause_texts:
-        cm = _WHEN_HEAD.match(text)
+        # scan the masked copy (consistent with the rest of the DML
+        # parser): a condition literal containing 'THEN' must not
+        # split the clause — slice the ORIGINAL by the match spans
+        # (masking is length-preserving)
+        cm = _WHEN_HEAD.match(_mask_literals(text))
         if not cm:
             raise ValueError(f"cannot parse MERGE clause: {text.strip()!r}")
-        head, cond, action = cm.groups()
+        head = text[cm.start(1): cm.end(1)]
+        cond = text[cm.start(2): cm.end(2)] if cm.group(2) else None
+        action = text[cm.start(3): cm.end(3)]
         head = re.sub(r"\s+", " ", head).upper()
         cond = _realias(cond.strip(), mapping) if cond else None
         action_m = _mask_literals(action)

@@ -969,3 +969,39 @@ def test_ivfpq_delete_tombstones_and_reencode_compaction(
         ).collect()
     }
     assert 7 not in ids and 9007 in ids
+
+
+def test_ivfpq_reencode_never_resurrects_tombstoned_ids(
+    spark, tmp_path
+):
+    """A caller that passes the FULL original corpus (tombstoned ids
+    included) to ivfpq_reencode must not silently undo deletes: the
+    reencode anti-joins the live tombstone set before encoding
+    (ADVICE r10). Deletes survive compaction."""
+    from small_etl_spark.llm.similarity import (
+        ivfpq_delete,
+        ivfpq_reencode,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+
+    emb, base, _delta = _split_emb(spark)
+    p = str(tmp_path / "idx")
+    ivfpq_save(base, p, num_cells=8, m=8, pq_centroids=8)
+    victims = [r.vec_id for r in base.limit(3).collect()]
+    assert ivfpq_delete(spark, p, victims) == 3
+    # the careless full-corpus reencode (NOT base minus victims)
+    n = ivfpq_reencode(spark, p, base)
+    assert n == base.count() - 3, "tombstoned ids were re-encoded"
+    codes = spark.read.parquet(p + "/codes")
+    assert codes.filter(F.col("vec_id").isin(victims)).count() == 0
+    import os
+
+    assert not os.path.isdir(os.path.join(p, "tombstones"))
+    q = emb.limit(5)
+    hits = {
+        r.vec_id
+        for r in ivfpq_topk_persisted(spark, p, q, k=50, nprobe=8)
+        .collect()
+    }
+    assert not (hits & set(victims)), "deleted vectors resurrected"

@@ -351,6 +351,29 @@ def test_merge_literal_with_clause_keyword_inside(spark, t):
     assert (9, "WHEN MATCHED THEN x", 0) in _state(spark, t)
 
 
+def test_merge_when_condition_literal_with_then(spark, t):
+    """A WHEN ... AND condition whose STRING LITERAL contains 'THEN'
+    must not split the clause at the literal (the head scanner runs
+    on the masked copy and slices the original by spans; ADVICE
+    r10)."""
+    spark.createDataFrame(
+        [(1, "do THEN that"), (2, "other")], "k bigint, note string"
+    ).createOrReplaceTempView("then_src")
+    sql(
+        spark,
+        """
+        MERGE INTO t USING (SELECT * FROM then_src) s ON t.k = s.k
+        WHEN MATCHED AND s.note = 'do THEN that' THEN
+          UPDATE SET v = 111
+        WHEN MATCHED THEN UPDATE SET v = 222
+        """,
+        t,
+    )
+    got = _state(spark, t)
+    assert (1, "a", 111) in got, got
+    assert (2, "b", 222) in got, got
+
+
 # ----------------------------------------- maintenance statements
 
 def test_restore_statement(spark, t):
