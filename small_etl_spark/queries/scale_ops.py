@@ -3023,3 +3023,232 @@ def q_catalog_txn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_cents"),
         F.lit(bool(no_dangling)).alias("no_dangling_keys"),
     )
+
+
+@register(
+    "sql_ddl_evolution",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    base AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS len_chars,
+             'v1' AS era
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    ins AS (
+      SELECT doc_id + m + 1 AS doc_id, lang,
+             CAST(n_chars AS BIGINT) AS len_chars, 'v2' AS era
+      FROM documents, mx WHERE doc_id % 3 = 0
+    ),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    SELECT lang, era,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS old_gen_served,
+           CAST(1 AS BOOLEAN) AS constraint_enforced
+    FROM final GROUP BY lang, era
+    """,
+)
+def q_sql_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DDL front-end (sql.py → the metadata-only schema-evolution
+    primitives; VERDICT r10 #2): one evolution story driven entirely
+    by statements — CTAS (a real v0 with column ids + lineage), RENAME
+    COLUMN (id-preserving), ALTER COLUMN TYPE (safe int→bigint
+    widening; old files keep their physical type and cast per file
+    group), ADD COLUMN ... DEFAULT (Iceberg v3 initial-default:
+    metadata-only backfill, pre-add rows read the constant), an ADD +
+    DROP COLUMN round trip, an INSERT INTO landing under the evolved
+    schema, and ADD CONSTRAINT ... CHECK whose violating batch is
+    REFUSED (``constraint_enforced``). Both schema generations stay
+    readable: time travel to the CTAS snapshot serves the pre-rename
+    name and pre-widen type (``old_gen_served``). DuckDB replays the
+    net relational effect across both generations. Every ALTER is one
+    O(record) commit — no data file moves, which is the only schema
+    evolution that works at 100 TB."""
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sql import sql as vsql
+
+    src = _versioned_table_path(sf_dir, "ddlsrc")
+    path = _versioned_table_path(sf_dir, "ddlevo")
+    V.drop_table(src)
+    V.drop_table(path)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    V.commit_snapshot(
+        docs.repartitionByRange(8, "doc_id"), src, mode="overwrite"
+    )
+    tb = {"docs": src, "t": path}
+    vsql(
+        spark,
+        "CREATE TABLE t AS SELECT doc_id, lang, "
+        "CAST(n_chars AS INT) AS chars FROM docs WHERE doc_id % 2 = 0",
+        tb,
+    )
+    vsql(spark, "ALTER TABLE t RENAME COLUMN chars TO len_chars", tb)
+    vsql(spark, "ALTER TABLE t ALTER COLUMN len_chars TYPE bigint", tb)
+    vsql(spark, "ALTER TABLE t ADD COLUMN era string DEFAULT 'v1'", tb)
+    # add/drop round trip: DROP is as metadata-only as ADD
+    vsql(spark, "ALTER TABLE t ADD COLUMN junk int", tb)
+    vsql(spark, "ALTER TABLE t DROP COLUMN junk", tb)
+    vsql(
+        spark,
+        f"INSERT INTO t SELECT doc_id + {max_id} + 1, lang, n_chars, "
+        "'v2' FROM docs WHERE doc_id % 3 = 0",
+        tb,
+    )
+    vsql(
+        spark,
+        "ALTER TABLE t ADD CONSTRAINT len_pos CHECK (len_chars >= 0)",
+        tb,
+    )
+    enforced = False
+    try:
+        vsql(spark, "INSERT INTO t VALUES (0, 'xx', -1, 'v3')", tb)
+    except V.ConstraintViolation:
+        enforced = True
+    # generation-1 still serves under its original name and type
+    gen0 = V.read_snapshot(spark, path, version=0)
+    old_gen = (
+        gen0.columns == ["doc_id", "lang", "chars"]
+        and dict(gen0.dtypes)["chars"] == "int"
+    )
+    return V.read_snapshot(spark, path).groupBy("lang", "era").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len_chars").alias("sum_chars"),
+        F.first(F.lit(bool(old_gen))).alias("old_gen_served"),
+        F.first(F.lit(bool(enforced))).alias("constraint_enforced"),
+    )
+
+
+@register(
+    "sql_txn_atomic",
+    """
+    WITH mo AS (SELECT MAX(o_orderkey) AS mo FROM orders),
+    mc AS (SELECT MAX(c_custkey) AS mc FROM customer),
+    fact0 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    dim0 AS (SELECT c_custkey, c_mktsegment FROM customer),
+    fact1 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN cents + 7
+                  ELSE cents END AS cents
+      FROM fact0
+    ),
+    new_dim AS (
+      SELECT c_custkey + mc + 1 AS c_custkey,
+             'SQLTXN' AS c_mktsegment
+      FROM dim0, mc WHERE c_custkey % 10 = 0
+    ),
+    dim1 AS (
+      SELECT * FROM dim0 UNION ALL SELECT * FROM new_dim
+    ),
+    new_fact AS (
+      SELECT o_orderkey + mo + 1 AS o_orderkey,
+             o_custkey + mc + 1 AS o_custkey, cents
+      FROM fact1, mo, mc
+      WHERE o_custkey % 10 = 0 AND o_orderkey % 7 = 0
+    ),
+    fact2 AS (
+      SELECT * FROM fact1 UNION ALL SELECT * FROM new_fact
+    )
+    SELECT d.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(f.cents) AS BIGINT) AS sum_cents,
+           CAST(1 AS BOOLEAN) AS rollback_invisible
+    FROM fact2 f JOIN dim1 d ON f.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment
+    """,
+)
+def q_sql_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL transaction block (sql.py ``BEGIN; ...; COMMIT`` →
+    sinks/txn.py; VERDICT r10 #3): TWO tables mutated by THREE
+    statements in one block — a fact UPDATE, new dimension members
+    INSERTed, and fact rows REFERENCING those new members INSERTed
+    from a SELECT that reads the block's OWN staged dim state — all
+    landing through one atomic catalog swap. A second block then
+    mutates both tables and ROLLS BACK; ``rollback_invisible``
+    asserts the catalog state hash is unchanged by it. The final
+    fact⋈dim read goes THROUGH the catalog pin, so a torn commit
+    (dangling foreign keys, missing dim members) would break the
+    oracle match. Commit cost is O(tables) records + one swap — no
+    data moves at COMMIT; protocol overhead measured flat at 10×
+    (bench scale_stress)."""
+    from small_etl_spark.sinks import versioned as V
+    from small_etl_spark.sql import sql as vsql
+
+    fact = _versioned_table_path(sf_dir, "sqltxnfact")
+    dim = _versioned_table_path(sf_dir, "sqltxndim")
+    cat = _versioned_table_path(sf_dir, "sqltxncat")
+    for p in (fact, dim, cat):
+        V.drop_table(p)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    mo = orders.agg(F.max("o_orderkey")).first()[0]
+    mc = cust.agg(F.max("c_custkey")).first()[0]
+    V.commit_snapshot(
+        orders.repartitionByRange(8, "o_orderkey"), fact,
+        mode="overwrite",
+    )
+    V.commit_snapshot(cust, dim, mode="overwrite")
+    V.catalog_commit(cat, {"fact": fact, "dim": dim})
+    vsql(
+        spark,
+        f"""
+        BEGIN;
+        UPDATE fact SET cents = cents + 7 WHERE o_orderkey % 5 = 0;
+        INSERT INTO dim SELECT c_custkey + {mc} + 1, 'SQLTXN'
+          FROM dim WHERE c_custkey % 10 = 0;
+        INSERT INTO fact SELECT o_orderkey + {mo} + 1,
+          o_custkey + {mc} + 1, cents
+          FROM fact WHERE o_custkey % 10 = 0 AND o_orderkey % 7 = 0;
+        COMMIT;
+        """,
+        catalog_root=cat,
+    )
+
+    def _state_hash():
+        f = V.read_catalog(spark, cat, "fact")
+        d = V.read_catalog(spark, cat, "dim")
+        return (
+            f.agg(
+                F.count(F.lit(1)), F.sum("cents"), F.sum("o_orderkey")
+            ).first(),
+            d.agg(F.count(F.lit(1)), F.sum("c_custkey")).first(),
+        )
+
+    before = _state_hash()
+    vsql(
+        spark,
+        """
+        BEGIN;
+        DELETE FROM fact WHERE o_orderkey % 3 = 0;
+        UPDATE dim SET c_mktsegment = 'GONE';
+        ROLLBACK;
+        """,
+        catalog_root=cat,
+    )
+    rollback_ok = _state_hash() == before
+    f = V.read_catalog(spark, cat, "fact").alias("f")
+    d = V.read_catalog(spark, cat, "dim").alias("d")
+    return (
+        f.join(d, F.col("f.o_custkey") == F.col("d.c_custkey"))
+        .groupBy("d.c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("f.cents").alias("sum_cents"),
+            F.first(F.lit(bool(rollback_ok))).alias(
+                "rollback_invisible"
+            ),
+        )
+    )
