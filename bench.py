@@ -307,9 +307,28 @@ def _versioned_phases(spark, data_dir: str, name: str) -> dict:
             timed("op_s", lambda: V.plan_files(
                 tbl, where=[("source", "=", target)]
             ))
+            # VERDICT r10 #6: split the read phase. read_s = plan
+            # (manifest load + stats eval, grows with manifest BYTES:
+            # ~8 KB base vs ~246 KB at 30×) + exec (the pruned scan,
+            # grows with MATCHED data). plan_s is min-of-2 like
+            # read_s, so `read_ratio` drift can be attributed: if
+            # plan_ratio carries it, the read is manifest-bound, not
+            # data-bound.
+            best_plan = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                V.plan_files(tbl, where=[("source", "=", target)])
+                el = time.perf_counter() - t0
+                best_plan = el if best_plan is None else min(
+                    best_plan, el
+                )
+            out["plan_s"] = round(best_plan, 4)
             timed_read(lambda: V.read_snapshot(
                 spark, tbl, where=[("source", "=", target)]
             ).filter(F.col("source") == target))
+            out["exec_s"] = round(
+                max(out["read_s"] - out["plan_s"], 0.0), 4
+            )
         elif name == "versioned_update":
             d = docs.select("doc_id", "lang", "n_chars")
             cutoff = int(0.9 * d.agg(F.max("doc_id")).first()[0])
@@ -445,7 +464,8 @@ def run_scale_stress(
                     pb = _versioned_phases(spark, sf_dir, name)
                     ps = _versioned_phases(spark, stress_dir, name)
                     phases = {"base": pb, "scaled": ps}
-                    for k in ("build_s", "op_s", "read_s"):
+                    for k in ("build_s", "op_s", "read_s", "plan_s",
+                              "exec_s"):
                         if pb.get(k) and ps.get(k):
                             phases[k.replace("_s", "_ratio")] = round(
                                 ps[k] / pb[k], 2
@@ -839,11 +859,83 @@ def run_matview_bench(spark, sf_dir: str) -> dict:
             if t["recompute_s"] > t["refresh_s"]:
                 out["crossover_rows"] = t["base_rows"]
                 break
+        # VERDICT r10 #7: the crossover sits past the 4096× cap on
+        # this host (~1.8×10⁸ rows, one-time measurement in
+        # sinks/matview.py) — one DEEP rep at 40960× (~2×10⁸ rows)
+        # regression-tracks it per round so crossover_rows is
+        # non-null at least once. Skippable for quick local loops
+        # with SPARK_GRAFT_DEEP_MATVIEW=0.
+        if out["crossover_rows"] is None and os.environ.get(
+            "SPARK_GRAFT_DEEP_MATVIEW", "1"
+        ) != "0":
+            t = tier("deep", 40960)
+            curve.append({"copies": 40960, **t})
+            if t["recompute_s"] > t["refresh_s"]:
+                out["crossover_rows"] = t["base_rows"]
         out["curve"] = curve
         if out["crossover_rows"] is None:
             out["not_crossed_at_rows"] = curve[-1]["base_rows"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def run_ann_refine_bench(spark, sf_dir: str) -> dict:
+    """IVF-PQ exact re-rank (VERDICT r10 #5): the refine's wall-clock
+    overhead over the raw ADC probe at the SAME nprobe, and the
+    recall each buys against exact brute force. The claim measured:
+    refine lifts recall to the probed-cells ceiling for one extra
+    bounded semi-join (candidates × floats, never a corpus scan)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from small_etl_spark.llm.similarity import (
+        brute_force_topk,
+        ivfpq_refine_topk,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    path = tempfile.mkdtemp(prefix="spark_graft_refine_")
+    out: dict[str, object] = {}
+    try:
+        t0 = time.perf_counter()
+        ivfpq_save(emb, path, num_cells=16, m=8, pq_centroids=16)
+        out["build_s"] = round(time.perf_counter() - t0, 3)
+        bf = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(emb, q, k=10).collect()
+        }
+
+        def best_of2(fn):
+            best, rows = None, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = fn().collect()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            return best, {(r.query_id, r.vec_id) for r in rows}
+
+        adc_s, adc = best_of2(
+            lambda: ivfpq_topk_persisted(spark, path, q, k=10, nprobe=4)
+        )
+        ref_s, ref = best_of2(
+            lambda: ivfpq_refine_topk(
+                spark, path, q, emb, k=10, nprobe=4, refine_factor=50
+            )
+        )
+        out["adc_probe_s"] = round(adc_s, 3)
+        out["refine_probe_s"] = round(ref_s, 3)
+        out["refine_overhead_ratio"] = round(ref_s / adc_s, 2)
+        out["recall_adc"] = round(len(adc & bf) / len(bf), 4)
+        out["recall_refine"] = round(len(ref & bf) / len(bf), 4)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return out
 
 
@@ -1121,6 +1213,14 @@ def main() -> None:
             payload["metadata_ops"] = {
                 "error": f"{type(exc).__name__}: {exc}"[:200]
             }
+        # r10 #5: IVF-PQ exact re-rank — refine overhead vs raw ADC
+        # probe, and the recall both buy at unchanged nprobe.
+        try:
+            payload["ann_refine"] = run_ann_refine_bench(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            payload["ann_refine"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
 
     # The driver's artifact capture keeps only the TAIL of stdout
     # (r5's headline total was lost to a 2,000-char truncation), so:
@@ -1167,6 +1267,8 @@ def main() -> None:
             )
             if k in payload["matview_refresh"]
         } or payload["matview_refresh"]
+    if isinstance(payload.get("ann_refine"), dict):
+        compact["ann_refine"] = payload["ann_refine"]
     if isinstance(payload.get("metadata_ops"), dict):
         compact["metadata_ops"] = {
             k: payload["metadata_ops"][k]

@@ -88,10 +88,17 @@ _GATED = [
     # threshold_filter / dedup_first_wins left the window round 9
     # session 2 (extract_filters carries the filter family;
     # full_record_dedup + exact_dedup_docs carry first-wins dedup;
-    # both stay registered + locally swept) for this session's
-    # flagships: versioned_restore (metadata-only rollback) and
-    # versioned_metadata_agg (scan-less COUNT/MIN/MAX push-down)
-    "versioned_restore",
+    # both stay registered + locally swept) for that session's
+    # flagships: versioned_restore and versioned_metadata_agg.
+    # versioned_restore left the window round 11 (the rollback family
+    # is carried by versioned_time_travel in the gate, the SQL
+    # RESTORE TABLE statement in the sweep, and the restore-record
+    # ratio in metadata_ops bench; stays registered + swept) for
+    # sql_ddl_evolution — the round-11 headline: CTAS → RENAME →
+    # widen → DEFAULT-backfill → add/drop round trip → INSERT →
+    # constraint-reject, replayed in DuckDB across both schema
+    # generations
+    "sql_ddl_evolution",
     "versioned_metadata_agg",
     # full_record_dedup left the window round 10 (first-wins dedup is
     # carried by exact_dedup_docs + the five other dedup-family gate
@@ -153,7 +160,13 @@ _GATED = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
-    "cube_agg",
+    # cube_agg left the window round 11 (the grouping-sets family is
+    # carried by q1_pricing_summary's agg shape in the gate plus
+    # rollup_agg/pivot_agg in the sweep; stays registered + swept)
+    # for sql_txn_atomic — SQL BEGIN; ...; COMMIT blocks: two tables,
+    # three statements, one atomic catalog swap, rollback
+    # invisibility asserted
+    "sql_txn_atomic",
     "simhash_dedup_md5",
     # rollup_agg / pivot_agg / distinct_agg / token_count / fingerprint
     # left the window round 8 (cube_agg carries the grouping-sets
@@ -210,10 +223,15 @@ _GATED = [
     # versioned-table layer's representative: commit + append + time
     # travel round-trip, oracle-replayed at both snapshots.
     "versioned_time_travel",
-    # round-9 flagships (VERDICT r8 item 5): the persisted IVF-PQ
-    # equivalence contract, column-id schema evolution, and
-    # eq-delete-aware OPTIMIZE
-    "ivfpq_persisted_equivalence",
+    # round-9 flagships (VERDICT r8 item 5): column-id schema
+    # evolution and eq-delete-aware OPTIMIZE.
+    # ivfpq_persisted_equivalence left the window round 11 (the
+    # persisted-index family is carried by ivfpq_delta_equivalence,
+    # and the refine contract below runs ivfpq_topk_persisted inside;
+    # stays registered + swept) for ivfpq_refine_topk — FAISS-style
+    # exact re-rank: recall to the probed-cells ceiling at unchanged
+    # nprobe, float corpus touched for candidates only
+    "ivfpq_refine_topk",
     "versioned_schema_evolution",
     "versioned_optimize_live_eq",
 ]

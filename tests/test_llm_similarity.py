@@ -1005,3 +1005,95 @@ def test_ivfpq_reencode_never_resurrects_tombstoned_ids(
         .collect()
     }
     assert not (hits & set(victims)), "deleted vectors resurrected"
+
+
+def test_ivfpq_refine_reaches_probe_ceiling(spark, tmp_path):
+    """Exact re-rank refinement (ivfpq_refine_topk, VERDICT r10 #5):
+    at unchanged nprobe the refined top-k must (a) beat raw ADC
+    recall, (b) equal the probed-cells CEILING exactly (every true
+    neighbor the probe reaches is recovered — quantization error
+    costs nothing once re-ranked), and (c) carry exact L2 distances
+    (matching brute force for shared hits)."""
+    from small_etl_spark.llm.similarity import (
+        brute_force_topk,
+        ivfpq_refine_topk,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    p = str(tmp_path / "idx")
+    ivfpq_save(emb, p, num_cells=16, m=8, pq_centroids=16)
+    bf = brute_force_topk(emb, q, k=10)
+    bf_set = {(r.query_id, r.vec_id) for r in bf.collect()}
+    adc = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_persisted(spark, p, q, k=10, nprobe=4)
+        .collect()
+    }
+    ref_rows = ivfpq_refine_topk(
+        spark, p, q, emb, k=10, nprobe=4, refine_factor=50
+    ).collect()
+    ref = {(r.query_id, r.vec_id) for r in ref_rows}
+    ceiling = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_persisted(
+            spark, p, q, k=emb.count(), nprobe=4
+        ).collect()
+    }
+    r_ref = len(ref & bf_set) / len(bf_set)
+    r_adc = len(adc & bf_set) / len(bf_set)
+    r_ceil = len(ceiling & bf_set) / len(bf_set)
+    assert r_ref > r_adc, (r_ref, r_adc)
+    assert r_ref == pytest.approx(r_ceil), "refine must hit the ceiling"
+    # exact distances: shared hits carry the brute-force L2 (cosine
+    # path differs; compare L2 recomputed driver-side)
+    import math
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id") < 600).collect()
+    }
+    qv = {r.vec_id: r.embedding for r in q.collect()}
+    for r in ref_rows[:20]:
+        want = sum(
+            (a - b) ** 2 for a, b in zip(qv[r.query_id], vecs[r.vec_id])
+        )
+        assert math.isclose(r.dist, want, rel_tol=1e-9)
+
+
+def test_ivfpq_refine_honors_tombstones_and_bounds_io(
+    spark, tmp_path
+):
+    """Refine must not resurrect deleted ids (the ADC stage anti-
+    joins tombstones before the re-rank) and must touch the float
+    corpus for at most n_queries x C candidate rows."""
+    from small_etl_spark.llm.similarity import (
+        ivfpq_delete,
+        ivfpq_refine_topk,
+        ivfpq_save,
+        ivfpq_topk_persisted,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    p = str(tmp_path / "idx")
+    ivfpq_save(emb, p, num_cells=8, m=8, pq_centroids=8)
+    pre = ivfpq_refine_topk(
+        spark, p, q, emb, k=5, nprobe=8, refine_factor=10
+    ).collect()
+    victims = sorted({r.vec_id for r in pre})[:3]
+    ivfpq_delete(spark, p, victims)
+    post = ivfpq_refine_topk(
+        spark, p, q, emb, k=5, nprobe=8, refine_factor=10
+    ).collect()
+    assert not any(r.vec_id in victims for r in post)
+    assert len(post) == len(pre), "k still filled by runners-up"
+    # I/O bound: the candidate stage yields <= n_queries * C rows
+    n_cand = ivfpq_topk_persisted(
+        spark, p, q, k=10 * 5, nprobe=8
+    ).count()
+    assert n_cand <= 4 * 10 * 5

@@ -64,12 +64,15 @@ MUST_BE_GATED = [
     "versioned_hidden_partition_prune",
     "versioned_stream_upsert",
     "pca_project",
-    # round-9 flagships: the persisted IVF-PQ index the driver never
-    # verified, column-id schema evolution, eq-delete-aware OPTIMIZE
-    # (equality_filter/top_k/json_path_extract left; extract_filters,
-    # limit_sorted+window_topk_per_group and array_path_extract carry
-    # those families)
-    "ivfpq_persisted_equivalence",
+    # round-9 flagships: column-id schema evolution, eq-delete-aware
+    # OPTIMIZE (equality_filter/top_k/json_path_extract left;
+    # extract_filters, limit_sorted+window_topk_per_group and
+    # array_path_extract carry those families).
+    # ivfpq_persisted_equivalence left round 11 (the persisted-index
+    # family is carried by ivfpq_delta_equivalence + the refine
+    # contract, which runs ivfpq_topk_persisted inside) for the
+    # exact re-rank flagship
+    "ivfpq_refine_topk",
     "versioned_schema_evolution",
     "versioned_optimize_live_eq",
     # round-9 second headline: stable row ids (range_join_events
@@ -82,12 +85,20 @@ MUST_BE_GATED = [
     # round-9 session-2 flagships: metadata-only RESTORE and the
     # scan-less COUNT/MIN/MAX push-down (threshold_filter and
     # dedup_first_wins left; extract_filters carries filters,
-    # full_record_dedup + exact_dedup_docs carry first-wins dedup)
-    "versioned_restore",
+    # full_record_dedup + exact_dedup_docs carry first-wins dedup).
+    # versioned_restore left round 11 (rollback carried by
+    # versioned_time_travel, SQL RESTORE in the sweep, and the
+    # restore-record ratio in metadata_ops bench) for the round-11
+    # SQL DDL headline
+    "sql_ddl_evolution",
     "versioned_metadata_agg",
     # round-10 headline: SQL DML (sql_time_travel_join left — SELECT
     # resolution + VERSION AS OF run inside both DML flagships)
     "sql_merge_dml",
+    # round-11: SQL BEGIN/COMMIT blocks over the multi-table
+    # transaction layer (cube_agg left; q1's agg shape +
+    # rollup/pivot in the sweep carry grouping-sets)
+    "sql_txn_atomic",
     # round-10: incremental IVF-PQ maintenance (full_record_dedup
     # left; exact_dedup_docs + five dedup-family rows carry it)
     "ivfpq_delta_equivalence",

@@ -444,7 +444,9 @@ def test_orphan_branch_cleanup_respects_intents(
 )
 @given(
     plan=st.lists(
-        st.sampled_from(["ok", "crash0", "crash1", "crashcat"]),
+        st.sampled_from(
+            ["ok", "crash0", "crash1", "crashcat", "crash1i"]
+        ),
         min_size=1,
         max_size=4,
     )
@@ -456,7 +458,12 @@ def test_walk_crashy_txns_catalog_always_consistent(
     committing cleanly or crashing at a random protocol step; after
     every step + recovery the catalog's fact/dim batch sets must be
     identical and contain every transaction that reached its intent
-    (roll-forward semantics: intent durable => transaction lands)."""
+    (roll-forward semantics: intent durable => transaction lands).
+    'crash1i' additionally lands an INTERLOPER append on the
+    unpublished fact main before recovery — roll-forward must REBASE
+    the pure-adds staged delta past it (VERDICT r10 #4: no STUCK
+    state for disjoint writers), with the interloper's batch
+    surviving alongside."""
     tmp = tmp_path_factory.mktemp("txnwalk")
     env = {
         "fact": str(tmp / "fact"),
@@ -474,7 +481,8 @@ def test_walk_crashy_txns_catalog_always_consistent(
     )
     V.catalog_commit(env["cat"], {"fact": env["fact"], "dim": env["dim"]})
     expected = {0}
-    step_of = {"crash0": 0, "crash1": 1, "crashcat": 2}
+    fact_extra: set[int] = set()  # interloper batches (fact only)
+    step_of = {"crash0": 0, "crash1": 1, "crashcat": 2, "crash1i": 1}
     for i, mode in enumerate(plan, start=1):
         if mode == "ok":
             _run_txn(spark, env, i).commit()
@@ -505,13 +513,25 @@ def test_walk_crashy_txns_catalog_always_consistent(
                 )
             # pre-recovery: consistent on the OLD cut
             f, d = _batch_sets(spark, env)
-            assert f == d, f"torn mid-crash at step {i}: {f} vs {d}"
+            assert f == d | fact_extra, (
+                f"torn mid-crash at step {i}: {f} vs {d}"
+            )
+            if mode == "crash1i":
+                # disjoint interloper on the UNPUBLISHED fact main
+                V.commit_snapshot(
+                    spark_df(
+                        [(1000 + i, 0)], "batch bigint, v bigint"
+                    ),
+                    env["fact"], mode="append",
+                )
+                fact_extra.add(1000 + i)
             rep = T.recover_transactions(env["cat"])
-            assert rep["completed"] and not rep["stuck"]
+            assert rep["completed"] and not rep["stuck"], rep
         expected.add(i)
         f, d = _batch_sets(spark, env)
-        assert f == d == expected, (
-            f"step {i} ({mode}): {f} vs {d}, expected {expected}"
+        assert d == expected and f == expected | fact_extra, (
+            f"step {i} ({mode}): {f} vs {d}, expected {expected} "
+            f"(+fact {fact_extra})"
         )
     assert T._list_intents(env["cat"]) == []
 
