@@ -49,13 +49,14 @@ statements complete the Delta SQL admin surface::
     RESTORE TABLE t TO VERSION AS OF 3
     OPTIMIZE t WHERE day = 7 / OPTIMIZE t ZORDER BY (x, y)
     VACUUM t RETAIN 168 HOURS
-    DESCRIBE HISTORY t
+    DESCRIBE HISTORY t / DESCRIBE DETAIL t / SHOW CREATE TABLE t
 
 DDL statements dispatch to the metadata-only schema-evolution
 primitives (one O(record) commit each; CTAS commits a real v0)::
 
     CREATE TABLE t (k bigint, v string) PARTITIONED BY (day(ts))
     CREATE [OR REPLACE] TABLE t [PARTITIONED BY (...)] AS SELECT ...
+    CREATE TABLE t LIKE src              -- shape only, no data
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t ADD COLUMN c bigint DEFAULT 0
     ALTER TABLE t DROP COLUMN c
@@ -149,7 +150,8 @@ def sql(
 
     head_kw = re.match(
         r"\s*(MERGE|UPDATE|DELETE|INSERT|RESTORE|OPTIMIZE|VACUUM"
-        r"|DESCRIBE\s+HISTORY|CREATE|ALTER|DROP)\b",
+        r"|DESCRIBE\s+(?:HISTORY|DETAIL)|SHOW\s+CREATE\s+TABLE"
+        r"|CREATE|ALTER|DROP)\b",
         query, re.I,
     )
     if head_kw:
@@ -384,12 +386,24 @@ def _dml(
         return _dml_vacuum(spark, query, masked, tables)
     if kw == "DESCRIBE":
         hm = re.match(
-            r"\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", masked, re.IGNORECASE
+            r"\s*DESCRIBE\s+(HISTORY|DETAIL)\s+(\w+)\s*$",
+            masked, re.IGNORECASE,
         )
         if not hm:
             raise ValueError(f"cannot parse DESCRIBE statement: {query!r}")
-        return V.snapshot_history(
-            spark, _target_root(hm.group(1), tables)
+        root = _target_root(hm.group(2), tables)
+        if hm.group(1).upper() == "HISTORY":
+            return V.snapshot_history(spark, root)
+        return _describe_detail(spark, hm.group(2), root)
+    if kw == "SHOW":
+        hm = re.match(
+            r"\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not hm:
+            raise ValueError(f"cannot parse SHOW statement: {query!r}")
+        return _show_create_table(
+            spark, hm.group(1), _target_root(hm.group(1), tables)
         )
     return _dml_merge(
         spark, query, masked, tables, pinned,
@@ -1020,6 +1034,23 @@ def _ddl_create(
         )
     root = tables[name]
     pos = hm.end()
+    lm = re.match(r"LIKE\s+(\w+)\s*$", masked[pos:], re.IGNORECASE)
+    like_schema = None
+    like_partition = None
+    if lm:
+        # CREATE TABLE t LIKE src: copy the SHAPE (schema + partition
+        # spec) from src's head — not its data, history, or
+        # constraints (same scope as Spark's CREATE TABLE LIKE)
+        src_root = _target_root(lm.group(1), tables)
+        src_head = V.latest_version(src_root)
+        if src_head is None:
+            raise FileNotFoundError(
+                f"no snapshots committed at {src_root!r}"
+            )
+        sm = V.read_manifest(src_root, src_head)
+        like_schema = StructType.fromJson(sm["schema"])
+        like_partition = list(sm.get("partition_by") or [])
+        pos += lm.end()
     schema_text = None
     if masked[pos: pos + 1] == "(":
         end = _match_paren(masked, pos)
@@ -1051,7 +1082,12 @@ def _ddl_create(
                 f"table {name!r} already exists at version {head} "
                 "(use OR REPLACE or IF NOT EXISTS)"
             )
-    if am:
+    if like_schema is not None:
+        # the LIKE regex is end-anchored, so no column list /
+        # PARTITIONED BY / AS SELECT can coexist with it
+        df = spark.createDataFrame([], like_schema)
+        partition_by = like_partition or None
+    elif am:
         if schema_text is not None:
             raise ValueError(
                 "CREATE TABLE takes a column list OR AS SELECT, not both"
@@ -1063,7 +1099,8 @@ def _ddl_create(
     else:
         if schema_text is None:
             raise ValueError(
-                "CREATE TABLE needs (col type, ...) or AS SELECT"
+                "CREATE TABLE needs (col type, ...), LIKE src, or "
+                "AS SELECT"
             )
         if masked[pos:].strip():
             raise ValueError(
@@ -1320,4 +1357,65 @@ def _sql_txn_block(
         raise
     return spark.createDataFrame(
         rows, "op string, target string, seq bigint"
+    )
+
+
+def _describe_detail(
+    spark: SparkSession, name: str, root: str
+) -> DataFrame:
+    """``DESCRIBE DETAIL t`` (Delta's admin one-liner): one row of
+    table facts straight from the manifest header — zero data files
+    touched."""
+    head = V.latest_version(root)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots committed at {root!r}")
+    m = V.read_manifest(root, head)
+    schema = StructType.fromJson(m["schema"])
+    return spark.createDataFrame(
+        [
+            (
+                name,
+                root,
+                int(head),
+                len(m["files"]),
+                int(sum(int(e["bytes"]) for e in m["files"])),
+                int(sum(int(e["rows"]) for e in m["files"])),
+                list(m.get("partition_by") or []),
+                sorted(m.get("constraints") or {}),
+                list(m.get("sort_order") or []),
+                schema.simpleString(),
+            )
+        ],
+        "name string, location string, version bigint, "
+        "num_files bigint, size_bytes bigint, num_rows bigint, "
+        "partition_by array<string>, constraints array<string>, "
+        "sort_order array<string>, schema string",
+    )
+
+
+def _show_create_table(
+    spark: SparkSession, name: str, root: str
+) -> DataFrame:
+    """``SHOW CREATE TABLE t``: reconstruct the CREATE statement
+    (columns + partition spec) plus ALTER lines for constraints /
+    sort order — the statements that would rebuild the table's
+    SHAPE (not its data or history) through this module."""
+    head = V.latest_version(root)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots committed at {root!r}")
+    m = V.read_manifest(root, head)
+    schema = StructType.fromJson(m["schema"])
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    stmt = f"CREATE TABLE {name} ({cols})"
+    if m.get("partition_by"):
+        stmt += f" PARTITIONED BY ({', '.join(m['partition_by'])})"
+    lines = [stmt]
+    for cname, expr in sorted((m.get("constraints") or {}).items()):
+        lines.append(
+            f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({expr})"
+        )
+    return spark.createDataFrame(
+        [("\n".join(lines),)], "create_statement string"
     )

@@ -250,3 +250,46 @@ def test_full_evolution_walk_sql_equals_primitives(spark, roots, tmp_path):
     a = {tuple(r) for r in V.read_snapshot(spark, p_sql).collect()}
     b = {tuple(r) for r in V.read_snapshot(spark, p_py).collect()}
     assert a == b and a
+
+
+# ------------------------------------------- admin statements
+
+def test_describe_detail_and_show_create(spark, roots):
+    _seed(spark, roots, "t")
+    sql(spark, "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)", roots)
+    d = sql(spark, "DESCRIBE DETAIL t", roots).collect()[0]
+    assert d.name == "t" and d.location == roots["t"]
+    assert d.num_rows == 3 and d.num_files >= 1 and d.size_bytes > 0
+    assert d.constraints == ["v_pos"]
+    assert "k:bigint" in d.schema.replace(" ", "")
+    stmt = sql(spark, "SHOW CREATE TABLE t", roots).collect()[0]
+    assert "CREATE TABLE t (k bigint, name string, v int)" in (
+        stmt.create_statement
+    )
+    assert (
+        "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)"
+        in stmt.create_statement
+    )
+
+
+def test_create_table_like(spark, roots, tmp_path):
+    V.commit_snapshot(
+        spark.createDataFrame(
+            [(1, 7, "x")], "k bigint, day int, v string"
+        ),
+        roots["src"], mode="overwrite", partition_by=["day"],
+    )
+    sql(spark, "CREATE TABLE t LIKE src", roots)
+    got = V.read_snapshot(spark, roots["t"])
+    assert got.count() == 0  # shape only, no data
+    # compare the MANIFEST schemas (a hive-partitioned read reorders
+    # partition columns last once data exists)
+    assert (
+        V.read_manifest(roots["t"], 0)["schema"]
+        == V.read_manifest(roots["src"], 0)["schema"]
+    )
+    head = V.latest_version(roots["t"])
+    assert V.read_manifest(roots["t"], head)["partition_by"] == ["day"]
+    # LIKE composes with nothing else — trailing clauses refuse
+    with pytest.raises(ValueError, match="CREATE TABLE needs"):
+        sql(spark, "CREATE TABLE other LIKE src AS SELECT 1", roots)
