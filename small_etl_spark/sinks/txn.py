@@ -340,7 +340,15 @@ class Transaction:
         }
         for name in sorted(self._staged):
             try:
-                new_v = V.branch_publish(self.tables[name], branch)
+                # rebase_appends: a disjoint interloper landing AFTER
+                # the intent must not strand a pure-adds transaction —
+                # the owner re-attaches inline exactly as recovery
+                # would, so the caller never sees a conflict on a
+                # transaction that is going to complete (replaying it
+                # would double-apply)
+                new_v = V.branch_publish(
+                    self.tables[name], branch, rebase_appends=True
+                )
             except (V.CommitConflict, FileNotFoundError) as exc:
                 # either a genuine photo-finish loss, or our OWN
                 # roll-forward recovery (a peer's begin drained the

@@ -401,6 +401,74 @@ def test_live_owner_adopts_its_own_recovery(spark, env, monkeypatch):
     assert V.latest_version(env["fact"]) == 1  # one publish, not two
 
 
+def test_commit_rebases_past_post_intent_interloper(
+    spark, env, monkeypatch
+):
+    """An interloper append landing AFTER the intent became durable
+    (past the OCC pre-check): the owner's publish rebases the
+    pure-adds staged delta inline — commit SUCCEEDS, no
+    TransactionConflict on a transaction that was going to complete
+    (the replay-double-apply hazard). The interloper's batch
+    survives alongside."""
+    txn = _run_txn(spark, env, 1)
+    real_pub = V.branch_publish
+    fired = {"done": False}
+
+    def pub(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            V.commit_snapshot(
+                spark.createDataFrame(
+                    [(77, 0)], "batch bigint, v bigint"
+                ),
+                env["fact"], mode="append",
+            )
+        return real_pub(*a, **kw)
+
+    monkeypatch.setattr(T.V, "branch_publish", pub)
+    cat_v = txn.commit()  # no raise
+    assert isinstance(cat_v, int)
+    f, d = _batch_sets(spark, env)
+    assert f == {0, 77, 1} and d == {0, 1}
+    assert T._list_intents(env["cat"]) == []
+    assert V.list_branches(env["fact"]) == {}
+
+
+def test_commit_with_row_changing_delta_still_conflicts_post_intent(
+    spark, env, monkeypatch
+):
+    """The same post-intent interloper against a ROW-CHANGING staged
+    delta must still raise (rebasing a rewrite past an append would
+    violate serial order); the intent stays durable for manual
+    resolution and recovery refuses identically — no path
+    double-applies."""
+    txn = _run_row_changing_txn(spark, env, 1)
+    real_pub = V.branch_publish
+    fired = {"done": False}
+
+    def pub(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            V.commit_snapshot(
+                spark.createDataFrame(
+                    [(77, 0)], "batch bigint, v bigint"
+                ),
+                env["fact"], mode="append",
+            )
+        return real_pub(*a, **kw)
+
+    monkeypatch.setattr(T.V, "branch_publish", pub)
+    with pytest.raises(T.TransactionConflict, match="recovery"):
+        txn.commit()
+    monkeypatch.setattr(T.V, "branch_publish", real_pub)
+    rep = T.recover_transactions(env["cat"])
+    assert len(rep["stuck"]) == 1  # same refusal from recovery
+    # catalog untouched; dim's publish (sorted first) is the
+    # documented per-table residual pending force_abort
+    f, d = _batch_sets(spark, env)
+    assert f == {0} and d == {0}
+
+
 def test_grace_period_leaves_young_intents_to_their_owner(
     spark, env, monkeypatch
 ):
