@@ -261,6 +261,18 @@ _PHASE_SPLIT = {
 }
 
 
+def _best_of(fn, reps: int = 2):
+    """(best wall-clock over ``reps`` runs, last result) — the one
+    measurement discipline every min-of-N site shares."""
+    best, result = None, None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = fn()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return best, result
+
+
 def _versioned_phases(spark, data_dir: str, name: str) -> dict:
     """(build_s, op_s, read_s) for one versioned stress entry at one
     data dir. Mirrors the registry builder's exact shape; reads are
@@ -288,12 +300,7 @@ def _versioned_phases(spark, data_dir: str, name: str) -> dict:
         return r
 
     def timed_read(fn):
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _noop_save(fn())
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
+        best, _ = _best_of(lambda: _noop_save(fn()))
         out["read_s"] = round(best, 3)
 
     try:
@@ -314,14 +321,9 @@ def _versioned_phases(spark, data_dir: str, name: str) -> dict:
             # read_s, so `read_ratio` drift can be attributed: if
             # plan_ratio carries it, the read is manifest-bound, not
             # data-bound.
-            best_plan = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                V.plan_files(tbl, where=[("source", "=", target)])
-                el = time.perf_counter() - t0
-                best_plan = el if best_plan is None else min(
-                    best_plan, el
-                )
+            best_plan, _ = _best_of(
+                lambda: V.plan_files(tbl, where=[("source", "=", target)])
+            )
             out["plan_s"] = round(best_plan, 4)
             timed_read(lambda: V.read_snapshot(
                 spark, tbl, where=[("source", "=", target)]
@@ -913,12 +915,7 @@ def run_ann_refine_bench(spark, sf_dir: str) -> dict:
         }
 
         def best_of2(fn):
-            best, rows = None, None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rows = fn().collect()
-                el = time.perf_counter() - t0
-                best = el if best is None else min(best, el)
+            best, rows = _best_of(lambda: fn().collect())
             return best, {(r.query_id, r.vec_id) for r in rows}
 
         adc_s, adc = best_of2(

@@ -111,34 +111,6 @@ def _intent_path(catalog_root: str, txn_id: str) -> str:
     return os.path.join(catalog_root, _INTENTS_DIR, f"{txn_id}.json")
 
 
-def _merged_catalog_pins(
-    catalog_root: str,
-    pins: dict[str, tuple[str, int]],
-) -> dict[str, tuple[str, int]]:
-    """The pin set a transaction's catalog swap actually writes:
-    the LATEST catalog manifest's tables carry forward (a transaction
-    declaring a subset of the catalog must not make the rest vanish),
-    and a same-path pin never moves backward (max of the existing and
-    the new version — a later-swapping transaction cannot roll back a
-    concurrent transaction's committed pin; ADVICE r10). A pin that
-    re-points a name at a DIFFERENT path wins outright (explicit
-    re-pointing stays possible through catalog_commit directly)."""
-    merged: dict[str, tuple[str, int]] = {}
-    cat_v = V.latest_version(catalog_root)
-    if cat_v is not None:
-        for name, entry in V.read_manifest(catalog_root, cat_v)[
-            "tables"
-        ].items():
-            merged[name] = (entry["table"], int(entry["version"]))
-    for name, (path, version) in pins.items():
-        prev = merged.get(name)
-        if prev is not None and prev[0] == path:
-            merged[name] = (path, max(prev[1], int(version)))
-        else:
-            merged[name] = (path, int(version))
-    return merged
-
-
 def _find_publish(path: str, base: int, branch: str) -> int | None:
     """The main version at which ``branch`` published on ``path``
     (its record carries the branch stamp), scanning past ``base`` —
@@ -211,6 +183,7 @@ class Transaction:
             self.base[name] = v
         self._staged: dict[str, str] = {}  # name -> branch handle
         self._bootstrapped: list[str] = []  # table roots we created
+        self._intent_durable = False  # recovery owns the fate after this
 
     # -------------------------------------------------------- staging
 
@@ -304,17 +277,16 @@ class Transaction:
                 )
         if not self._staged:
             # read-only transaction: pin the begin-time cut, merged
-            # with the latest catalog (untouched tables carry forward,
-            # pins never move backward)
+            # with the parent catalog (untouched tables carry forward,
+            # pins never move backward — the merge recomputes inside
+            # catalog_commit's O_EXCL retry, so racing swaps compose)
             cat_v = V.catalog_commit(
                 self.catalog_root,
-                _merged_catalog_pins(
-                    self.catalog_root,
-                    {
-                        name: (path, self.base[name])
-                        for name, path in self.tables.items()
-                    },
-                ),
+                {
+                    name: (path, self.base[name])
+                    for name, path in self.tables.items()
+                },
+                merge=True,
             )
             self._state = "committed"
             return cat_v
@@ -332,6 +304,7 @@ class Transaction:
         V._atomic_create(
             _intent_path(self.catalog_root, self.txn_id), intent
         )
+        self._intent_durable = True
         # from here on a crash rolls FORWARD via recover_transactions
         branch = f"_txn-{self.txn_id}"
         pins: dict[str, tuple[str, int]] = {
@@ -369,10 +342,7 @@ class Transaction:
                 new_v = done_v
             if new_v is not None:
                 pins[name] = (self.tables[name], new_v)
-        cat_v = V.catalog_commit(
-            self.catalog_root,
-            _merged_catalog_pins(self.catalog_root, pins),
-        )
+        cat_v = V.catalog_commit(self.catalog_root, pins, merge=True)
         try:
             os.unlink(_intent_path(self.catalog_root, self.txn_id))
         except FileNotFoundError:
@@ -384,10 +354,16 @@ class Transaction:
     def abort(self) -> None:
         """Abandon staged branches; the catalog never saw anything.
         Bootstrap-created tables (:meth:`register_bootstrap`) are
-        dropped while still at their empty v0. Only valid before the
-        intent landed (after that, recovery owns the transaction's
-        fate)."""
+        dropped while still at their empty v0. Once the INTENT is
+        durable, recovery owns the transaction's fate: abort then
+        leaves the intent and the staged branches exactly as they are
+        (destroying them would tear the roll-forward — a sibling
+        table may already be published) and only closes this handle;
+        resolve via recover_transactions / force_abort_transaction."""
         if self._state != "open":
+            return
+        if self._intent_durable:
+            self._state = "aborted"
             return
         self._cleanup()
         for root in self._bootstrapped:
@@ -500,9 +476,7 @@ def recover_transactions(
         if blocked is not None:
             stuck[txn_id] = {"intent": intent, "reason": blocked}
             continue
-        V.catalog_commit(
-            catalog_root, _merged_catalog_pins(catalog_root, pins)
-        )
+        V.catalog_commit(catalog_root, pins, merge=True)
         _drop_intent(catalog_root, intent)
         completed.append(txn_id)
     return {"completed": completed, "stuck": stuck, "pending": pending}

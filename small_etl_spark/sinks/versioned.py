@@ -3307,6 +3307,16 @@ def _publish_rebase_blocker(
         return "staged deletion-vector changes"
     if (bm.get("eq_deletes") or []) != (base_m.get("eq_deletes") or []):
         return "staged equality-delete changes"
+    # the branch's own METADATA must be unchanged too: a staged ADD
+    # CONSTRAINT / schema evolution has an empty file delta but its
+    # validity was only checked against the branch's data — rebasing
+    # it over interloper rows would publish a property those rows
+    # were never validated against
+    for k in ("schema", "column_ids", "partition_by", "sort_order"):
+        if bm.get(k) != base_m.get(k):
+            return f"staged {k} changes"
+    if (bm.get("constraints") or {}) != (base_m.get("constraints") or {}):
+        return "staged constraint changes"
     for k in ("schema", "column_ids", "partition_by", "sort_order"):
         if base_m.get(k) != head_m.get(k):
             return f"{k} changed on main"
@@ -3386,6 +3396,21 @@ def branch_publish(
                     f"{name!r} was cut; re-branch from the new head "
                     "and replay"
                 )
+            # idempotence guard: if THIS branch already published
+            # (a recovery sweep or the live owner raced us between
+            # our head check and theirs), adopt that commit instead
+            # of rebasing past our own record — rebasing would land
+            # the staged adds a second time (double-apply). Only
+            # records AFTER our cut can carry this name: branch
+            # names are create-once while live, so an older same-name
+            # publish sits at a version <= base and never enters the
+            # scan.
+            for v in range(base + 1, head + 1):
+                try:
+                    if _read_record(table, v).get("branch") == name:
+                        return v
+                except (OSError, ValueError, FileNotFoundError):
+                    continue
             head_m = read_manifest(table, head)
             why = _publish_rebase_blocker(
                 base_manifest, head_m, removed0, bm
@@ -5174,6 +5199,7 @@ def commit_snapshot_checked(
 def catalog_commit(
     catalog_root: str,
     pins: dict[str, "str | tuple[str, int | None]"],
+    merge: bool = False,
 ) -> int:
     """Multi-table consistent snapshot: atomically pin one version of
     EACH named table in a catalog manifest. ``pins`` maps a logical
@@ -5188,7 +5214,20 @@ def catalog_commit(
     more O_EXCL file. Individual tables stay independently writable;
     a catalog commit is a read-only pin, so it can never conflict
     with table writers — only with other catalog commits.
-    """
+
+    ``merge=True`` (the transaction layer's mode, ADVICE r10): the
+    written pin set merges with the PARENT catalog manifest — tables
+    the caller did not name carry forward, and a same-path pin never
+    moves backward, so a later-swapping transaction cannot roll back
+    a concurrent transaction's committed pin. The merge re-computes
+    INSIDE the O_EXCL retry loop against the parent that attempt is
+    building on — two racing merged commits therefore compose instead
+    of the loser overwriting the winner's pins with its stale view.
+    Carried-forward pins whose table was since dropped (DROP TABLE)
+    are pruned rather than wedging every future commit on a
+    validation error; explicitly named pins stay strictly validated.
+    Plain ``merge=False`` keeps the replace-the-set semantics
+    (re-pointing and unpinning stay possible)."""
     resolved: dict[str, dict[str, Any]] = {}
     for name, pin in pins.items():
         path, version = pin if isinstance(pin, tuple) else (pin, None)
@@ -5202,11 +5241,31 @@ def catalog_commit(
     for _ in range(10):
         parent = latest_version(catalog_root)
         version = 0 if parent is None else parent + 1
+        tables = resolved
+        if merge and parent is not None:
+            tables = {}
+            for name, entry in read_manifest(catalog_root, parent)[
+                "tables"
+            ].items():
+                if os.path.exists(
+                    _manifest_path(entry["table"], int(entry["version"]))
+                ):
+                    tables[name] = dict(entry)
+                # else: table dropped since it was pinned — prune
+            for name, entry in resolved.items():
+                prev = tables.get(name)
+                if (
+                    prev is not None
+                    and prev["table"] == entry["table"]
+                    and int(prev["version"]) > int(entry["version"])
+                ):
+                    continue  # never move a same-path pin backward
+                tables[name] = entry
         payload = {
             "snapshot": version,
             "parent": parent,
             "mode": "catalog",
-            "tables": resolved,
+            "tables": tables,
         }
         if _atomic_create(_manifest_path(catalog_root, version), payload):
             return version

@@ -284,3 +284,48 @@ def test_auto_maintain_no_longer_starves_under_busy_writer(
     final = V.latest_version(table)
     m = V.read_manifest(table, final)
     assert m["mode"] == "optimize"
+
+
+def test_rebase_publish_idempotent_against_own_record(spark, table):
+    """A branch whose publish ALREADY landed (recovery raced the
+    owner between head checks; branch not yet abandoned) must be
+    adopted, not rebased past — rebasing over our own record would
+    append the staged files a second time (review r11 finding)."""
+    V.commit_snapshot(
+        spark.createDataFrame([(1, 0, 10)], "k bigint, part bigint, v bigint"),
+        table, mode="overwrite",
+    )
+    br = V.branch_create(table, "once")
+    V.commit_snapshot(
+        spark.createDataFrame([(2, 0, 20)], "k bigint, part bigint, v bigint"),
+        br, mode="append",
+    )
+    v1 = V.branch_publish(table, "once")  # recovery's publish
+    # the owner's retry with the branch still on disk
+    v2 = V.branch_publish(table, "once", rebase_appends=True)
+    assert v2 == v1
+    assert V.latest_version(table) == v1, "no second commit"
+    got = [r.k for r in V.read_snapshot(spark, table).collect()]
+    assert sorted(got) == [1, 2], "staged rows must land exactly once"
+
+
+def test_rebase_refuses_staged_metadata_changes(spark, table):
+    """A staged delta with an EMPTY file delta but changed table
+    metadata (ADD CONSTRAINT on the branch) must refuse to rebase:
+    the constraint was validated only against the branch's data, and
+    interloper rows were never checked (review r11 finding)."""
+    V.commit_snapshot(
+        spark.createDataFrame([(1, 0, 10)], "k bigint, part bigint, v bigint"),
+        table, mode="overwrite",
+    )
+    br = V.branch_create(table, "meta")
+    V.add_constraint(spark, br, "v_pos", "v >= 0")
+    # interloper appends a VIOLATING row to main after staging
+    V.commit_snapshot(
+        spark.createDataFrame([(9, 0, -5)], "k bigint, part bigint, v bigint"),
+        table, mode="append",
+    )
+    with pytest.raises(V.CommitConflict, match="staged constraint"):
+        V.branch_publish(table, "meta", rebase_appends=True)
+    # main never gained the unvalidated constraint
+    assert V.list_constraints(table) == {}

@@ -635,3 +635,122 @@ def test_sql_dml_composes_with_transaction(spark, env):
         r.tag
         for r in V.read_catalog(spark, env["cat"], "dim").collect()
     } == {"patched"}
+
+
+def test_abort_after_durable_intent_preserves_recovery_state(
+    spark, env, monkeypatch
+):
+    """abort() (e.g. the context manager's exit after a post-intent
+    conflict) must NOT destroy the intent or the staged branches —
+    recovery owns the transaction's fate once the intent is durable;
+    abandoning branches would tear the roll-forward (review r11
+    finding). The row-changing delta stays STUCK with its branch
+    PRESENT, resolvable only by force_abort."""
+    txn = _run_row_changing_txn(spark, env, 1)
+    real_pub = V.branch_publish
+    fired = {"done": False}
+
+    def pub(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            V.commit_snapshot(
+                spark.createDataFrame(
+                    [(77, 0)], "batch bigint, v bigint"
+                ),
+                env["fact"], mode="append",
+            )
+        return real_pub(*a, **kw)
+
+    monkeypatch.setattr(T.V, "branch_publish", pub)
+    with pytest.raises(T.TransactionConflict):
+        txn.commit()
+    monkeypatch.setattr(T.V, "branch_publish", real_pub)
+    txn.abort()  # what __exit__ would do
+    # intent + the unpublished fact branch survive the abort
+    assert len(T._list_intents(env["cat"])) == 1
+    assert f"_txn-{txn.txn_id}" in V.list_branches(env["fact"])
+    rep = T.recover_transactions(env["cat"])
+    (txn_id,) = rep["stuck"]
+    assert "cannot rebase" in rep["stuck"][txn_id]["reason"]
+    assert "missing" not in rep["stuck"][txn_id]["reason"]
+    T.force_abort_transaction(env["cat"], txn_id)
+    assert T._list_intents(env["cat"]) == []
+
+
+def test_racing_merged_catalog_commits_compose(spark, env, monkeypatch):
+    """Two merged catalog swaps racing on the same parent: the loser
+    must re-merge against the WINNER's manifest inside the retry
+    loop, not rewrite its stale pre-race view (review r11 finding —
+    the lost-visibility rollback the merge exists to prevent)."""
+    fired = {"done": False}
+    real_create = V._atomic_create
+
+    def create(path, payload):
+        if (
+            not fired["done"]
+            and payload.get("mode") == "catalog"
+            and "cat" in path
+        ):
+            fired["done"] = True
+            # the winner lands BETWEEN our parent read and our create:
+            # pin fact at its head (v1 after the append below)
+            real_create(path, dict(payload))  # occupy OUR version slot
+            return False  # we lose the O_EXCL race and must retry
+        return real_create(path, payload)
+
+    # advance fact's main so the winner has something newer to pin
+    V.commit_snapshot(
+        spark.createDataFrame([(5, 50)], "batch bigint, v bigint"),
+        env["fact"], mode="append",
+    )
+    # winner's swap content: fact -> v1 (head); it wins version 1
+    monkeypatch.setattr(V, "_atomic_create", create)
+
+    def winner_first(path, payload):
+        return real_create(path, payload)
+
+    # loser: a merged swap pinning only dim at v0 — computed while the
+    # catalog was at v0 with fact@0
+    fired["done"] = False
+
+    def create2(path, payload):
+        if not fired["done"] and payload.get("mode") == "catalog":
+            fired["done"] = True
+            # winner swaps first: fact at its new head v1
+            V.catalog_commit(
+                env["cat"], {"fact": (env["fact"], 1)}, merge=True
+            )
+            return False  # loser's first attempt loses the race
+        return real_create(path, payload)
+
+    monkeypatch.setattr(V, "_atomic_create", create2)
+    V.catalog_commit(env["cat"], {"dim": (env["dim"], 0)}, merge=True)
+    monkeypatch.setattr(V, "_atomic_create", real_create)
+    head = V.latest_version(env["cat"])
+    tables = V.read_manifest(env["cat"], head)["tables"]
+    assert tables["fact"]["version"] == 1, (
+        "loser's retry rolled back the winner's committed pin"
+    )
+    assert tables["dim"]["version"] == 0
+
+
+def test_dropped_table_pin_prunes_instead_of_wedging(spark, env):
+    """A table pinned in the catalog then DROPPED must not wedge
+    every later transaction on a validation error: merged swaps
+    prune the dead carried-forward pin (review r11 finding)."""
+    V.drop_table(env["dim"])
+    txn = T.begin_transaction(env["cat"], {"fact": env["fact"]})
+    V.commit_snapshot(
+        spark.createDataFrame([(1, 10)], "batch bigint, v bigint"),
+        txn.stage("fact"), mode="append",
+    )
+    txn.commit()  # must not raise FileNotFoundError on dim's pin
+    head = V.latest_version(env["cat"])
+    tables = V.read_manifest(env["cat"], head)["tables"]
+    assert "dim" not in tables, "dead pin must prune"
+    assert {
+        r.batch
+        for r in V.read_catalog(spark, env["cat"], "fact").collect()
+    } == {0, 1}
+    with pytest.raises(KeyError):
+        V.read_catalog(spark, env["cat"], "dim")
