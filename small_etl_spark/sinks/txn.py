@@ -257,9 +257,14 @@ class Transaction:
 
     def commit(self) -> int:
         """Run the intent + publish + catalog-swap protocol. Returns
-        the catalog version. On conflict the transaction aborts
-        (branches abandoned, catalog untouched) and
-        :class:`TransactionConflict` raises."""
+        the catalog version. A conflict BEFORE the intent aborts
+        clean (branches abandoned, catalog untouched); a post-intent
+        interloper is rebased past inline when the staged delta is
+        pure adds, adopted when our own recovery already published
+        it, and otherwise raises :class:`TransactionConflict` with
+        the intent + branches left durable for recovery/force-abort
+        (never replay on that signal — the transaction may still
+        complete)."""
         self._require_open()
         if not self.tables:
             raise TransactionError(

@@ -91,19 +91,30 @@ def _manifest_path(table: str, version: int) -> str:
 def _atomic_create(path: str, payload: dict[str, Any]) -> bool:
     """Create ``path`` exclusively; False if another committer won.
 
-    Local-FS flavor of the commit primitive. Write-then-rename is NOT
-    used because rename overwrites silently on POSIX; ``O_EXCL`` is the
-    local equivalent of an object store's conditional PUT.
-    """
-    try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    except FileExistsError:
-        return False
-    with os.fdopen(fd, "w") as f:
+    Local-FS flavor of the commit primitive: the payload is fully
+    written + fsynced to a sibling temp file, then HARD-LINKED into
+    place — ``os.link`` fails with FileExistsError when the target
+    exists (the same create-once contract as ``O_EXCL``, the local
+    equivalent of an object store's conditional PUT) and makes the
+    complete bytes visible atomically. Writing through an O_EXCL fd
+    directly would expose the path name before its bytes: a
+    concurrent reader (two compactions racing a commit, recovery
+    scanning intents) could list the new version and read a
+    zero-byte/partial record — a real torn-JSON failure observed in
+    the two-thread compaction test. Plain write-then-rename is NOT
+    used because rename overwrites silently on POSIX."""
+    tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
+    with open(tmp, "w") as f:
         json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
-    return True
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def latest_version(table: str) -> int | None:
@@ -867,10 +878,18 @@ def _read_entries(
         with_position = True
         column_ids = column_ids or {}
     if not entries or column_ids is None:
-        return _read_files(
+        df = _read_files(
             spark, table, [e["path"] for e in entries], schema,
             with_position,
         )
+        if with_lineage:
+            # zero entries (a fully-emptied table being clustered /
+            # optimized) still must carry the lineage column — the
+            # caller's coalesce over ``_row_id`` would otherwise fail
+            # to resolve (with_lineage forces column_ids non-None, so
+            # this early return only fires for the empty case)
+            df = df.withColumn("_row_id", F.lit(None).cast("long"))
+        return df
     ident = tuple(
         (f.name, json.dumps(f.dataType.jsonValue(), sort_keys=True))
         for f in schema.fields

@@ -250,3 +250,33 @@ def test_lineage_walk(spark, tmp_path_factory, ops):
                 assert rid > high, f"reused id for {row} after {kind}"
         high = max([high] + ids)
         prev = cur
+
+
+def test_lineage_read_and_maintenance_on_emptied_table(spark, table):
+    """A table whose every row was deleted must still serve lineage
+    reads and survive maintenance: cluster/optimize read with
+    with_lineage=True over ZERO entries, and the `_row_id` column
+    must exist on the empty frame (hypothesis falsifier from the
+    round-11 full run: overwrite -> delete-all -> cluster crashed on
+    an unresolved `_row_id`)."""
+    V.commit_snapshot(
+        _kv(spark, 0, 10).withColumn("p", F.lit(0)),
+        table, mode="overwrite", partition_by=["p"],
+    )
+    V.delete_where(spark, table, "p = 0")
+    got = V.read_snapshot(spark, table, with_lineage=True)
+    assert "_row_id" in got.columns and got.count() == 0
+    # maintenance on the emptied table must not crash
+    V.cluster_snapshot(
+        spark, table, zorder=[("k", 0, 16)], target_bytes=1 << 20
+    )
+    V.optimize_snapshot(spark, table, target_bytes=1 << 20)
+    got = V.read_snapshot(spark, table, with_lineage=True)
+    assert "_row_id" in got.columns and got.count() == 0
+    # life continues: a fresh append mints ids past the old counter
+    V.commit_snapshot(
+        _kv(spark, 100, 103).withColumn("p", F.lit(1)),
+        table, mode="append", partition_by=["p"],
+    )
+    ids = _ids(spark, table)
+    assert len(ids) == 3 and min(ids.values()) >= 10
