@@ -22,6 +22,13 @@ resolve to the versions THAT CATALOG SNAPSHOT pinned — mutually
 consistent cross-table reads — while explicit ``VERSION AS OF``
 still overrides per reference.
 
+CDC reads use the ``CHANGES`` table reference — the row-level delta
+between two snapshots with a ``_change_type`` column (the Delta
+``table_changes`` TVF shape over :func:`versioned.table_changes`)::
+
+    SELECT _change_type, k FROM CHANGES(docs, 3)       -- v3 .. head
+    SELECT * FROM CHANGES(docs, 3, 5) WHERE _change_type = 'insert'
+
 Scope (documented, not hidden): table references are recognized after
 ``FROM``/``JOIN`` only, so a subquery alias shadowing a registered
 table name would be rewritten too — choose distinct names. Text
@@ -57,6 +64,7 @@ primitives (one O(record) commit each; CTAS commits a real v0)::
     CREATE TABLE t (k bigint, v string) PARTITIONED BY (day(ts))
     CREATE [OR REPLACE] TABLE t [PARTITIONED BY (...)] AS SELECT ...
     CREATE TABLE t LIKE src              -- shape only, no data
+    CREATE TABLE t SHALLOW CLONE src [VERSION AS OF n]  -- zero-copy
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t ADD COLUMN c bigint DEFAULT 0
     ALTER TABLE t DROP COLUMN c
@@ -163,24 +171,53 @@ def sql(
     names = "|".join(
         re.escape(n) for n in sorted(tables, key=len, reverse=True)
     )
+    views: list[str] = []
+
+    def _register(df: DataFrame) -> str:
+        view = f"__vsql_{uuid.uuid4().hex[:12]}"
+        df.createOrReplaceTempView(view)
+        views.append(view)
+        return view
+
+    def _literal_spans(s: str) -> list[tuple[int, int]]:
+        # string-literal spans ('' / "" escapes respected): a
+        # FROM/JOIN that merely appears INSIDE a literal (WHERE note =
+        # 'copied from docs archive') must not be rewritten — it is
+        # data, not syntax. Matches are checked by START position, so
+        # a real time-travel reference whose own timestamp literal
+        # follows still rewrites.
+        return [(m.start(), m.end()) for m in _QUOTED_RE.finditer(s)]
+
+    # CDC table references first: FROM/JOIN CHANGES(t, from [, to])
+    # resolves through versioned.table_changes — the row-level delta
+    # between two snapshots with a _change_type column (Delta's
+    # table_changes TVF shape)
+    ch_pat = re.compile(
+        rf"\b(FROM|JOIN)\s+CHANGES\s*\(\s*({names})\s*,\s*(\d+)"
+        r"(?:\s*,\s*(\d+))?\s*\)",
+        re.IGNORECASE,
+    )
+    spans = _literal_spans(query)
+
+    def _ch_repl(m: re.Match) -> str:
+        if any(s <= m.start() < e for s, e in spans):
+            return m.group(0)
+        kw, name, fv, tv = m.groups()
+        df = V.table_changes(
+            spark, tables[name], int(fv),
+            None if tv is None else int(tv),
+        )
+        return f"{kw} {_register(df)}"
+
+    query = ch_pat.sub(_ch_repl, query)
+
     pat = re.compile(
         rf"\b(FROM|JOIN)\s+({names})"
         r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
         r"|\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+)))?(?![\w.])",
         re.IGNORECASE,
     )
-    views: list[str] = []
-    # string-literal spans ('' / "" escapes respected): a FROM/JOIN
-    # that merely appears INSIDE a literal (WHERE note = 'copied from
-    # docs archive') must not be rewritten — it is data, not syntax.
-    # Matches are checked by START position, so a real time-travel
-    # reference whose own timestamp literal follows still rewrites.
-    spans = [
-        (m.start(), m.end())
-        for m in re.finditer(
-            r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", query
-        )
-    ]
+    spans = _literal_spans(query)
 
     def _repl(m: re.Match) -> str:
         if any(s <= m.start() < e for s, e in spans):
@@ -195,11 +232,7 @@ def sql(
             version = pinned[name]["version"]
         else:
             version = None  # head
-        view = f"__vsql_{uuid.uuid4().hex[:12]}"
-        V.read_snapshot(spark, root, version=version).createOrReplaceTempView(
-            view
-        )
-        views.append(view)
+        view = _register(V.read_snapshot(spark, root, version=version))
         return f"{kw} {view}"
 
     rewritten = pat.sub(_repl, query)
@@ -1034,6 +1067,30 @@ def _ddl_create(
         )
     root = tables[name]
     pos = hm.end()
+    cm = re.match(
+        r"SHALLOW\s+CLONE\s+(\w+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+        masked[pos:], re.IGNORECASE,
+    )
+    if cm:
+        # CREATE TABLE t SHALLOW CLONE src [VERSION AS OF n]: the
+        # zero-copy fork (versioned.clone_table — Delta's design); the
+        # clone references src's data files, no bytes move
+        if replace:
+            raise ValueError(
+                "OR REPLACE does not compose with SHALLOW CLONE "
+                "(drop the table first — a clone is a fresh fork)"
+            )
+        if V.latest_version(root) is not None and if_not_exists:
+            return _dml_result(
+                spark, "create_skipped", name, V.latest_version(root)
+            )
+        src_root = _target_root(cm.group(1), tables)
+        V.clone_table(
+            src_root, root,
+            version=None if cm.group(2) is None else int(cm.group(2)),
+        )
+        return _dml_result(spark, "clone", name, 0)
     lm = re.match(r"LIKE\s+(\w+)\s*$", masked[pos:], re.IGNORECASE)
     like_schema = None
     like_partition = None

@@ -293,3 +293,61 @@ def test_create_table_like(spark, roots, tmp_path):
     # LIKE composes with nothing else — trailing clauses refuse
     with pytest.raises(ValueError, match="CREATE TABLE needs"):
         sql(spark, "CREATE TABLE other LIKE src AS SELECT 1", roots)
+
+
+def test_shallow_clone_statement(spark, roots):
+    _seed(spark, roots)
+    V.commit_snapshot(
+        spark.createDataFrame([(9, "z", 90)], "k bigint, name string, v int"),
+        roots["src"], mode="append",
+    )
+    out = sql(spark, "CREATE TABLE t SHALLOW CLONE src", roots).collect()[0]
+    assert out.op == "clone" and out.version == 0
+    got = {r.k for r in V.read_snapshot(spark, roots["t"]).collect()}
+    assert got == {1, 2, 3, 9}
+    # the clone diverges independently; src untouched
+    sql(spark, "INSERT INTO t VALUES (50, 'c', 500)", roots)
+    assert V.read_snapshot(spark, roots["t"]).count() == 5
+    assert V.read_snapshot(spark, roots["src"]).count() == 4
+    # time-traveled clone forks the OLD snapshot
+    sql(
+        spark,
+        "CREATE TABLE other SHALLOW CLONE src VERSION AS OF 0",
+        roots,
+    )
+    assert V.read_snapshot(spark, roots["other"]).count() == 3
+    # IF NOT EXISTS skips; plain CREATE on existing refuses
+    out = sql(
+        spark, "CREATE TABLE IF NOT EXISTS t SHALLOW CLONE src", roots
+    ).collect()[0]
+    assert out.op == "create_skipped"
+    with pytest.raises(ValueError, match="OR REPLACE does not compose"):
+        sql(spark, "CREATE OR REPLACE TABLE t SHALLOW CLONE src", roots)
+
+
+def test_changes_table_reference(spark, roots):
+    _seed(spark, roots, "t")  # v0: k 1..3
+    sql(spark, "INSERT INTO t VALUES (4, 'd', 40)", roots)  # v1
+    sql(spark, "DELETE FROM t WHERE k = 1", roots)  # v2
+    rows = sql(
+        spark,
+        "SELECT _change_type, k FROM CHANGES(t, 0) "
+        "ORDER BY _change_type, k",
+        roots,
+    ).collect()
+    assert [(r._change_type, r.k) for r in rows] == [
+        ("delete", 1), ("insert", 4),
+    ]
+    # bounded range: only the v0->v1 insert
+    rows = sql(
+        spark, "SELECT _change_type, k FROM CHANGES(t, 0, 1)", roots
+    ).collect()
+    assert [(r._change_type, r.k) for r in rows] == [("insert", 4)]
+    # composes with joins + the literal guard
+    n = sql(
+        spark,
+        "SELECT c.k, s.name FROM CHANGES(t, 0, 1) c "
+        "JOIN t s ON c.k = s.k WHERE s.name != 'CHANGES(t, 0)'",
+        roots,
+    ).count()
+    assert n == 1
