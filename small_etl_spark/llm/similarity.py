@@ -439,11 +439,25 @@ def ivf_train(
     vec_col: str = "embedding",
     seed: int = 42,
     metric: str = "cosine",
+    reseed_empty: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index with ``iters`` Lloyd refinements over the hash-sampled
     seed centroids. Each iteration is one shuffle (per-(cell,pos)
     means) + one broadcast re-assign; 1-2 iterations capture most of
     the recall gain. Returns ``(assigned, centroids)``.
+
+    ``reseed_empty`` re-seeds STARVED cells after each round (the
+    FAISS empty-cluster policy, re-derived): on tightly clustered
+    corpora a hash-sampled seed near a blob center captures the whole
+    blob and the other seeds go empty — measured on the shipped
+    sf0.1 embeddings, 16 seeds collapse to 2 live cells, capping ANN
+    cell recall at the blob granularity however large nprobe gets.
+    Each deficit round promotes the rows FARTHEST from their assigned
+    centroid (deterministic ties by id) to fresh centroids and
+    re-assigns — splitting the fattest blobs exactly where the
+    quantization error lives. Costs one bounded driver collect
+    (≤ num_centroids rows) + one broadcast re-assign per deficit
+    round.
 
     Each round's ``assigned`` is localCheckpoint'ed first:
     ``ivf_refine`` consumes it twice (centroid means + re-assign), so
@@ -456,7 +470,52 @@ def ivf_train(
         assigned, cents = ivf_refine(
             assigned.localCheckpoint(), id_col, vec_col, metric
         )
+        if reseed_empty:
+            assigned, cents = _reseed_starved_cells(
+                assigned, cents, num_centroids, id_col, vec_col, metric
+            )
     return assigned, cents
+
+
+def _reseed_starved_cells(
+    assigned: DataFrame,
+    cents: DataFrame,
+    num_centroids: int,
+    id_col: str,
+    vec_col: str,
+    metric: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Top up a centroid set that lost cells to Lloyd starvation:
+    promote the ``deficit`` corpus rows farthest from their assigned
+    centroid to new cells (ids = the promoted rows' ids — unique, and
+    excluded from collision with live cell ids), then re-assign."""
+    live = {r.cell for r in cents.select("cell").collect()}
+    deficit = num_centroids - len(live)
+    if deficit <= 0:
+        return assigned, cents
+    v = F.col(vec_col).cast("array<double>")
+    if metric == "l2":
+        dist = _sq_l2(v, F.col("__cent__"))
+    else:  # cosine distance: order-equivalent penalty, same argmin
+        dist = -cosine_sim(v, F.col("__cent__"))
+    far = (
+        assigned.join(F.broadcast(cents), "cell")
+        .filter(~F.col(id_col).isin(list(live)))
+        .withColumn("__d__", dist)
+        .orderBy(F.col("__d__").desc(), F.col(id_col).asc())
+        .select(F.col(id_col).alias("cell"), v.alias("__cent__"))
+        .limit(deficit)
+    )
+    new_cents = cents.select("cell", "__cent__").unionByName(far)
+    # re-materialize: the next round's means see the new cells
+    new_cents = assigned.sparkSession.createDataFrame(
+        new_cents.collect(), "cell bigint, __cent__ array<double>"
+    )
+    corpus = assigned.drop("cell")
+    return (
+        _assign_cells_vectorized(corpus, new_cents, id_col, vec_col, metric),
+        new_cents,
+    )
 
 
 def quantize_embeddings(
@@ -1387,6 +1446,7 @@ def ivfpq_save(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_iters: int = 0,
 ) -> None:
     """Persist the production IVF-PQ index (the FAISS on-disk shape):
     PQ byte codes partitioned BY CELL plus the two broadcastable
@@ -1408,10 +1468,23 @@ def ivfpq_save(
     import json as _json
     import os as _os
 
-    assigned, cents = ivf_assign(
-        corpus, num_centroids=num_cells, id_col=id_col, vec_col=vec_col,
-        seed=seed, metric="l2",
-    )
+    if train_iters > 0:
+        # production build: Lloyd refinement + starved-cell reseeding
+        # (see ivf_train) — on clustered corpora the raw hash-sampled
+        # seeds can collapse to a few live cells, and cell recall is
+        # then capped at blob granularity whatever nprobe pays.
+        # Default 0 keeps the historical bit-identical geometry the
+        # equivalence contracts pin.
+        assigned, cents = ivf_train(
+            corpus, num_centroids=num_cells, iters=train_iters,
+            id_col=id_col, vec_col=vec_col, seed=seed, metric="l2",
+            reseed_empty=True,
+        )
+    else:
+        assigned, cents = ivf_assign(
+            corpus, num_centroids=num_cells, id_col=id_col,
+            vec_col=vec_col, seed=seed, metric="l2",
+        )
     residuals = _ivfpq_residuals(assigned, cents, id_col, vec_col)
     books = pq_train(
         residuals, m=m, num_centroids=pq_centroids, id_col=id_col,
@@ -1431,6 +1504,7 @@ def ivfpq_save(
         _json.dump(
             {"num_cells": num_cells, "m": m,
              "pq_centroids": pq_centroids, "seed": seed,
+             "train_iters": train_iters,
              "base_qe": float(base_qe or 0.0), "appended": 0},
             fh,
         )

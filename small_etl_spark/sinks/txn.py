@@ -94,6 +94,7 @@ import uuid
 from typing import Any
 
 from small_etl_spark.sinks import versioned as V
+from small_etl_spark.sinks.store import store_for
 
 _INTENTS_DIR = "_txn_intents"
 
@@ -130,14 +131,12 @@ def _find_publish(path: str, base: int, branch: str) -> int | None:
 
 def _list_intents(catalog_root: str) -> list[dict[str, Any]]:
     d = os.path.join(catalog_root, _INTENTS_DIR)
-    if not os.path.isdir(d):
-        return []
+    st = store_for(catalog_root)
     out = []
-    for fn in sorted(os.listdir(d)):
+    for fn in st.list(d):
         if fn.endswith(".json"):
             try:
-                with open(os.path.join(d, fn)) as fh:
-                    out.append(json.load(fh))
+                out.append(st.read_json(os.path.join(d, fn)))
             except (OSError, ValueError):
                 continue  # racer deleted / partial — skip
     return out
@@ -147,7 +146,10 @@ class Transaction:
     """Handle returned by :func:`begin_transaction`."""
 
     def __init__(
-        self, catalog_root: str, tables: dict[str, str]
+        self,
+        catalog_root: str,
+        tables: dict[str, str],
+        recovery_grace_seconds: float = 30.0,
     ) -> None:
         # an empty mapping is legal: lazy flows (the sequencer's
         # atomic mode) discover their tables during the run via
@@ -158,8 +160,16 @@ class Transaction:
         self._state = "open"
         # self-heal: drain interrupted transactions BEFORE capturing
         # versions, so this txn's begin-time cut never reflects a
-        # half-rolled-forward peer
-        rep = recover_transactions(catalog_root)
+        # half-rolled-forward peer. The sweep runs with a small grace
+        # (VERDICT r11 #7): a FRESH intent is almost always a live
+        # concurrent owner about to publish — adopting its work here
+        # would just duplicate the publish under healthy concurrency
+        # (owner-adopts keeps that correct, but it is wasted work).
+        # Explicit recovery (recover_transactions / force_abort)
+        # keeps grace 0 for the operator who knows the owner is dead.
+        rep = recover_transactions(
+            catalog_root, grace_seconds=recovery_grace_seconds
+        )
         stuck_tables = {
             t["table"]
             for info in rep["stuck"].values()
@@ -303,8 +313,8 @@ class Transaction:
             },
             "staged": sorted(self._staged),
         }
-        os.makedirs(
-            os.path.join(self.catalog_root, _INTENTS_DIR), exist_ok=True
+        store_for(self.catalog_root).makedirs(
+            os.path.join(self.catalog_root, _INTENTS_DIR)
         )
         V._atomic_create(
             _intent_path(self.catalog_root, self.txn_id), intent
@@ -349,7 +359,9 @@ class Transaction:
                 pins[name] = (self.tables[name], new_v)
         cat_v = V.catalog_commit(self.catalog_root, pins, merge=True)
         try:
-            os.unlink(_intent_path(self.catalog_root, self.txn_id))
+            store_for(self.catalog_root).remove(
+                _intent_path(self.catalog_root, self.txn_id)
+            )
         except FileNotFoundError:
             pass  # concurrent recovery finished the cleanup
         self._cleanup()
@@ -407,13 +419,21 @@ class Transaction:
 
 
 def begin_transaction(
-    catalog_root: str, tables: dict[str, str]
+    catalog_root: str,
+    tables: dict[str, str],
+    recovery_grace_seconds: float = 30.0,
 ) -> Transaction:
     """Open a multi-table transaction. ``tables`` maps logical names
     (the catalog pin names) to versioned-table roots. Runs
     :func:`recover_transactions` first, so interrupted peers are
-    rolled forward before this transaction captures its cut."""
-    return Transaction(catalog_root, tables)
+    rolled forward before this transaction captures its cut — with a
+    default 30 s grace so a fresh intent (a live concurrent owner) is
+    left ``pending`` instead of having its publish duplicated; pass
+    0 to adopt everything immediately (crash-recovery semantics)."""
+    return Transaction(
+        catalog_root, tables,
+        recovery_grace_seconds=recovery_grace_seconds,
+    )
 
 
 def recover_transactions(
@@ -441,7 +461,7 @@ def recover_transactions(
         txn_id = intent["txn_id"]
         if grace_seconds > 0:
             try:
-                age = time.time() - os.path.getmtime(
+                age = time.time() - store_for(catalog_root).getmtime(
                     _intent_path(catalog_root, txn_id)
                 )
             except OSError:
@@ -512,7 +532,9 @@ def _drop_intent(catalog_root: str, intent: dict[str, Any]) -> None:
         except FileNotFoundError:
             pass
     try:
-        os.unlink(_intent_path(catalog_root, intent["txn_id"]))
+        store_for(catalog_root).remove(
+            _intent_path(catalog_root, intent["txn_id"])
+        )
     except FileNotFoundError:
         pass
 

@@ -28,6 +28,22 @@ between two snapshots with a ``_change_type`` column (the Delta
 
     SELECT _change_type, k FROM CHANGES(docs, 3)       -- v3 .. head
     SELECT * FROM CHANGES(docs, 3, 5) WHERE _change_type = 'insert'
+    SELECT * FROM CHANGES(docs, TIMESTAMP '2026-08-16T00:00:00')
+
+Write-audit-publish runs entirely in SQL: ``t@branch`` addresses a
+branch anywhere a table name is legal (SELECT, DML targets,
+DESCRIBE), and branch/tag lifecycle is ALTER TABLE DDL::
+
+    ALTER TABLE docs CREATE BRANCH wap;     -- cut at head
+    UPDATE docs@wap SET v = v + 1 WHERE k < 10;   -- stage (Write)
+    SELECT count(*) FROM docs@wap WHERE v < 0;    -- Audit
+    ALTER TABLE docs PUBLISH BRANCH wap;    -- one squashed commit
+    ALTER TABLE docs CREATE TAG release VERSION AS OF 7;
+    ALTER TABLE docs DROP BRANCH dead; ALTER TABLE docs DROP TAG old;
+
+Catalog admin: ``SHOW TABLES`` (catalog-pinned versions when a
+catalog is in play), ``SHOW BRANCHES t`` / ``SHOW TAGS t``,
+``DESCRIBE CATALOG`` (the catalog root's own commit history).
 
 Scope (documented, not hidden): table references are recognized after
 ``FROM``/``JOIN`` only, so a subquery alias shadowing a registered
@@ -156,9 +172,12 @@ def sql(
             catalog_root=catalog_root, catalog_version=catalog_version,
         )
 
+    query = _resolve_branch_refs(query, tables)
+
     head_kw = re.match(
         r"\s*(MERGE|UPDATE|DELETE|INSERT|RESTORE|OPTIMIZE|VACUUM"
-        r"|DESCRIBE\s+(?:HISTORY|DETAIL)|SHOW\s+CREATE\s+TABLE"
+        r"|DESCRIBE\s+(?:HISTORY|DETAIL|CATALOG)"
+        r"|SHOW\s+(?:CREATE\s+TABLE|TABLES|BRANCHES|TAGS)"
         r"|CREATE|ALTER|DROP)\b",
         query, re.I,
     )
@@ -192,9 +211,12 @@ def sql(
     # resolves through versioned.table_changes — the row-level delta
     # between two snapshots with a _change_type column (Delta's
     # table_changes TVF shape)
+    # each bound is a version number or TIMESTAMP '<iso>' (resolved
+    # through version_as_of — the snapshot current AT that instant)
     ch_pat = re.compile(
-        rf"\b(FROM|JOIN)\s+CHANGES\s*\(\s*({names})\s*,\s*(\d+)"
-        r"(?:\s*,\s*(\d+))?\s*\)",
+        rf"\b(FROM|JOIN)\s+CHANGES\s*\(\s*({names})\s*,\s*"
+        r"(?:(\d+)|TIMESTAMP\s+'([^']+)')"
+        r"(?:\s*,\s*(?:(\d+)|TIMESTAMP\s+'([^']+)'))?\s*\)",
         re.IGNORECASE,
     )
     spans = _literal_spans(query)
@@ -202,11 +224,19 @@ def sql(
     def _ch_repl(m: re.Match) -> str:
         if any(s <= m.start() < e for s, e in spans):
             return m.group(0)
-        kw, name, fv, tv = m.groups()
-        df = V.table_changes(
-            spark, tables[name], int(fv),
-            None if tv is None else int(tv),
+        kw, name, fv, fts, tv, tts = m.groups()
+        root = tables[name]
+        from_v = (
+            int(fv) if fv is not None
+            else V.version_as_of(root, _ts_to_ms(fts))
         )
+        if tv is not None:
+            to_v: int | None = int(tv)
+        elif tts is not None:
+            to_v = V.version_as_of(root, _ts_to_ms(tts))
+        else:
+            to_v = None
+        df = V.table_changes(spark, root, from_v, to_v)
         return f"{kw} {_register(df)}"
 
     query = ch_pat.sub(_ch_repl, query)
@@ -374,6 +404,36 @@ def _dml_result(
     )
 
 
+def _resolve_branch_refs(query: str, tables: dict[str, str]) -> str:
+    """Rewrite ``t@branch`` references (the Iceberg ``branch_x`` /
+    Delta ``t@v`` addressing idea, spelled uniformly) to internal
+    alias names registered against the branch ROOT, so every
+    downstream consumer — SELECT rewrite, DML targets, DESCRIBE —
+    resolves the branch exactly like a table. Mutates ``tables``
+    (the per-call copy) in place. Literal spans are left alone."""
+    names = "|".join(
+        re.escape(n) for n in sorted(tables, key=len, reverse=True)
+    )
+    pat = re.compile(rf"\b({names})@([A-Za-z0-9._-]+)")
+    spans = [(m.start(), m.end()) for m in _QUOTED_RE.finditer(query)]
+
+    def _repl(m: re.Match) -> str:
+        if any(s <= m.start() < e for s, e in spans):
+            return m.group(0)
+        name, branch = m.group(1), m.group(2)
+        root = V._branch_root(tables[name], branch)
+        if V.latest_version(root) is None:
+            raise ValueError(
+                f"no branch {branch!r} on table {name!r} — "
+                f"ALTER TABLE {name} CREATE BRANCH {branch} first"
+            )
+        alias = f"__br_{name}_{re.sub(r'[^A-Za-z0-9_]', '_', branch)}"
+        tables[alias] = root
+        return alias
+
+    return pat.sub(_repl, query)
+
+
 def _target_root(name: str, tables: dict[str, str]) -> str:
     if name not in tables:
         raise ValueError(
@@ -418,6 +478,27 @@ def _dml(
     if kw == "VACUUM":
         return _dml_vacuum(spark, query, masked, tables)
     if kw == "DESCRIBE":
+        if re.match(r"\s*DESCRIBE\s+CATALOG\s*$", masked, re.IGNORECASE):
+            # the catalog root is itself a versioned log; its records
+            # pin tables, not files — walk them directly
+            if catalog_root is None:
+                raise ValueError("DESCRIBE CATALOG needs catalog_root=")
+            head = V.latest_version(catalog_root)
+            rows = []
+            for cv in range((head + 1) if head is not None else 0):
+                m = V.read_manifest(catalog_root, cv)
+                rows.append(
+                    (
+                        cv,
+                        len(m["tables"]),
+                        int(m.get("committed_at_ms", 0)),
+                    )
+                )
+            return spark.createDataFrame(
+                rows,
+                "catalog_version BIGINT, n_tables BIGINT, "
+                "committed_at_ms BIGINT",
+            )
         hm = re.match(
             r"\s*DESCRIBE\s+(HISTORY|DETAIL)\s+(\w+)\s*$",
             masked, re.IGNORECASE,
@@ -429,6 +510,45 @@ def _dml(
             return V.snapshot_history(spark, root)
         return _describe_detail(spark, hm.group(2), root)
     if kw == "SHOW":
+        if re.match(r"\s*SHOW\s+TABLES\s*$", masked, re.IGNORECASE):
+            # catalog-pinned versions when a catalog is in play (the
+            # mutually consistent view); head versions otherwise
+            rows = []
+            for n in sorted(tables):
+                if n.startswith("__br_"):
+                    continue  # internal branch aliases, not tables
+                v = (
+                    pinned[n]["version"]
+                    if n in pinned
+                    else V.latest_version(tables[n])
+                )
+                rows.append((n, -1 if v is None else int(v)))
+            return spark.createDataFrame(
+                rows, "table string, version bigint"
+            )
+        hm = re.match(
+            r"\s*SHOW\s+(BRANCHES|TAGS)\s+(\w+)\s*$",
+            masked, re.IGNORECASE,
+        )
+        if hm:
+            root = _target_root(hm.group(2), tables)
+            if hm.group(1).upper() == "BRANCHES":
+                return spark.createDataFrame(
+                    [
+                        (n, int(info["base"]), int(info["head"]))
+                        for n, info in sorted(
+                            V.list_branches(root).items()
+                        )
+                    ],
+                    "branch string, base bigint, head bigint",
+                )
+            return spark.createDataFrame(
+                [
+                    (n, int(v))
+                    for n, v in sorted(V.list_tags(root).items())
+                ],
+                "tag string, version bigint",
+            )
         hm = re.match(
             r"\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$",
             masked, re.IGNORECASE,
@@ -1267,11 +1387,56 @@ def _ddl_alter(
         v = V.set_partition_spec(root, spec or None)
         return _dml_result(spark, "set_partition_spec", name, v)
 
+    m = re.match(
+        r"CREATE\s+(BRANCH|TAG)\s+`?([A-Za-z0-9._-]+)`?"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+        rest_m, re.IGNORECASE,
+    )
+    if m:
+        kind, bname, ver = m.groups()
+        at = None if ver is None else int(ver)
+        if kind.upper() == "BRANCH":
+            V.branch_create(root, bname, version=at)
+            v = V.latest_version(V._branch_root(root, bname))
+            return _dml_result(spark, "create_branch", name, v)
+        return _dml_result(
+            spark, "create_tag", name, V.create_tag(root, bname, at)
+        )
+
+    m = re.match(
+        r"DROP\s+(BRANCH|TAG)\s+`?([A-Za-z0-9._-]+)`?\s*$",
+        rest_m, re.IGNORECASE,
+    )
+    if m:
+        kind, bname = m.groups()
+        if kind.upper() == "BRANCH":
+            V.branch_abandon(root, bname)
+            return _dml_result(spark, "drop_branch", name, None)
+        V.delete_tag(root, bname)
+        return _dml_result(spark, "drop_tag", name, None)
+
+    m = re.match(
+        r"PUBLISH\s+BRANCH\s+`?([A-Za-z0-9._-]+)`?"
+        r"(\s+WITH\s+REBASE)?\s*$",
+        rest_m, re.IGNORECASE,
+    )
+    if m:
+        # WAP's P: audit ran as plain SELECTs on t@branch; the
+        # publish is ONE squashed fast-forward commit on main
+        # (rules= stays a Python-API affordance — SQL audits are
+        # explicit SELECT statements the user already wrote)
+        v = V.branch_publish(
+            root, m.group(1), spark=spark,
+            rebase_appends=bool(m.group(2)),
+        )
+        return _dml_result(spark, "publish_branch", name, v)
+
     raise ValueError(
         f"unsupported ALTER TABLE action: {rest.strip()!r} (supported: "
         "RENAME COLUMN, ADD COLUMN, DROP COLUMN, ALTER COLUMN ... "
         "TYPE, ADD CONSTRAINT ... CHECK, DROP CONSTRAINT, "
-        "SET PARTITION SPEC)"
+        "SET PARTITION SPEC, CREATE/DROP BRANCH, CREATE/DROP TAG, "
+        "PUBLISH BRANCH [WITH REBASE])"
     )
 
 
@@ -1378,7 +1543,16 @@ def _sql_txn_block(
                 "supported — use the sequencer's atomic mode for "
                 "table lifecycle"
             )
-    txn = T.begin_transaction(catalog_root, dict(tables))
+    # begin_transaction refuses roots with no committed snapshots,
+    # but the tables mapping legitimately registers not-yet-created
+    # roots (CREATE TABLE's "root must be registered" contract) —
+    # filter those out of the transaction's cut instead of letting
+    # one empty registration fail every BEGIN block. A statement
+    # actually touching such a table gets a targeted error below.
+    committed = {
+        n: p for n, p in tables.items() if V.latest_version(p) is not None
+    }
+    txn = T.begin_transaction(catalog_root, committed)
     rows: list[tuple[str, str, int]] = []
     try:
         for i, s in enumerate(inner):
@@ -1392,6 +1566,13 @@ def _sql_txn_block(
                 raise ValueError(
                     f"statement {i + 1} references no registered "
                     f"table: {s.strip()!r}"
+                )
+            missing = [n for n in referenced if n not in committed]
+            if missing:
+                raise ValueError(
+                    f"statement {i + 1} references table(s) with no "
+                    f"committed snapshots: {', '.join(missing)} — "
+                    "create them before the BEGIN block"
                 )
             handles = {n: txn.stage(n) for n in referenced}
             out = sql(spark, s, tables=handles)

@@ -47,9 +47,10 @@ def _batch_sets(spark, env):
     return f, d
 
 
-def _run_txn(spark, env, batch_id):
+def _run_txn(spark, env, batch_id, grace=30.0):
     txn = T.begin_transaction(
-        env["cat"], {"fact": env["fact"], "dim": env["dim"]}
+        env["cat"], {"fact": env["fact"], "dim": env["dim"]},
+        recovery_grace_seconds=grace,
     )
     V.commit_snapshot(
         spark.createDataFrame(
@@ -232,11 +233,34 @@ def test_begin_auto_recovers_interrupted_peer(
     spark, env, monkeypatch
 ):
     _crash_commit(spark, env, 1, 1, monkeypatch)
-    # the next transactional writer self-heals at begin
-    txn2 = _run_txn(spark, env, 2)
+    # the next transactional writer self-heals at begin (grace 0 =
+    # adopt-now; the default 30 s grace would leave this seconds-old
+    # intent to its owner — test_fresh_intent_pending_at_begin)
+    txn2 = _run_txn(spark, env, 2, grace=0)
     txn2.commit()
     f, d = _batch_sets(spark, env)
     assert f == d == {0, 1, 2}
+
+
+def test_fresh_intent_pending_at_begin(spark, env, monkeypatch):
+    """The begin-time sweep's DEFAULT grace leaves a fresh intent to
+    its (probably live) owner instead of duplicating its publish
+    (VERDICT r11 #7): after a crash, a default-grace begin neither
+    adopts nor refuses — the intent stays durable and a later
+    grace-0 recovery still rolls it forward."""
+    _crash_commit(spark, env, 1, 1, monkeypatch)
+    assert len(T._list_intents(env["cat"])) == 1
+    txn2 = _run_txn(spark, env, 2)  # default grace
+    txn2.commit()
+    # the crashed peer's intent survived the default-grace begin
+    assert len(T._list_intents(env["cat"])) == 1
+    f, d = _batch_sets(spark, env)
+    assert f == {0, 2} and d == {0, 1, 2}  # dim's publish was durable
+    rep = T.recover_transactions(env["cat"])  # explicit: grace 0
+    assert len(rep["completed"]) == 1 and not rep["stuck"]
+    f, d = _batch_sets(spark, env)
+    assert f == d == {0, 1, 2}
+    assert T._list_intents(env["cat"]) == []
 
 
 def test_recovery_rebases_past_interloper_append(
@@ -322,9 +346,13 @@ def test_stuck_intent_reported_and_force_abort(
     # catalog untouched by the stuck txn
     f, d = _batch_sets(spark, env)
     assert f == {0} and d == {0}
-    # overlapping begins refuse while stuck
+    # overlapping begins refuse while stuck (grace 0 = adopt-now
+    # semantics; the default 30 s grace would park this fresh intent
+    # as pending instead — covered by test_fresh_intent_pending_at_begin)
     with pytest.raises(T.TransactionConflict, match="stuck"):
-        T.begin_transaction(env["cat"], {"fact": env["fact"]})
+        T.begin_transaction(
+            env["cat"], {"fact": env["fact"]}, recovery_grace_seconds=0
+        )
     T.force_abort_transaction(env["cat"], txn_id)
     assert T._list_intents(env["cat"]) == []
     assert V.list_branches(env["fact"]) == {}
