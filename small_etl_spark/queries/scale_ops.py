@@ -3365,3 +3365,106 @@ def q_sql_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first(F.lit(bool(published_v1))).alias("published_v1"),
         )
     )
+
+
+@register(
+    "matview_stream_maintain",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    base AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 10 < 6
+    ),
+    new_rows AS (
+      SELECT doc_id + m + 1 AS doc_id, lang, n_chars
+      FROM base, mx WHERE doc_id % 11 = 0
+    ),
+    upd AS (
+      SELECT doc_id, lang, n_chars + 1000000 AS n_chars
+      FROM base WHERE doc_id % 97 = 0
+    ),
+    final AS (
+      SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM new_rows
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BOOLEAN) AS streamed
+    FROM final GROUP BY lang
+    """,
+)
+def q_matview_stream_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-maintaining matview from a stream (sinks/matview.py::
+    stream_maintain_matview; VERDICT r11 #6): a foreachBatch loop
+    upserts each micro-batch into the view's base table
+    (stream_upsert_batch — replay-idempotent via the manifest's
+    stream_batch_high) and advances the view from its OWN durable
+    watermark (refreshed_to rides in the state commit), so the
+    aggregate tracks the stream with exactly-once semantics and no
+    scheduled refresh. Two micro-batches flow here — new members and
+    key updates — and the final view must equal DuckDB's from-scratch
+    GROUP BY of the replayed upsert history; ``streamed`` asserts the
+    view watermark reached the base head through the stream alone.
+    Per batch the cost is O(batch) base writes + O(delta ⋈ MV-sized
+    state) — never a base scan (crash-restart and checkpoint-replay
+    walks live in tests/test_matview_stream.py)."""
+    import shutil
+    import tempfile
+
+    from small_etl_spark.sinks import matview as M
+    from small_etl_spark.sinks import versioned as V
+
+    base = _versioned_table_path(sf_dir, "mvsb")
+    view = _versioned_table_path(sf_dir, "mvsv")
+    V.drop_table(base)
+    M.drop_matview(view)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    b = docs.filter(F.col("doc_id") % 10 < 6)
+    V.commit_snapshot(
+        b.repartitionByRange(4, "doc_id"), base, mode="overwrite"
+    )
+    M.create_matview(
+        spark, view, base, group_by=["lang"],
+        aggs={"n_docs": ("count", "*"), "sum_chars": ("sum", "n_chars")},
+    )
+    tmp = tempfile.mkdtemp(prefix="mv_stream_")
+    try:
+        src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+        b.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + max_id + 1).alias("doc_id"),
+            "lang", "n_chars",
+        ).coalesce(1).write.parquet(f"{src}/f0")
+        b.filter(F.col("doc_id") % 97 == 0).select(
+            "doc_id", "lang",
+            (F.col("n_chars") + 1000000).alias("n_chars"),
+        ).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, lang string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = M.stream_maintain_matview(
+            spark, stream, view, ckpt, key="doc_id"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream did not drain in 300s")
+        streamed = (
+            M.matview_info(view)["refreshed_to"]
+            == V.latest_version(base)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return M.read_matview(spark, view).select(
+        "lang", "n_docs", "sum_chars",
+        F.lit(bool(streamed)).alias("streamed"),
+    )
