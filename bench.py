@@ -933,6 +933,40 @@ def run_ann_refine_bench(spark, sf_dir: str) -> dict:
         out["recall_refine"] = round(len(ref & bf) / len(bf), 4)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+    # trained-geometry curve (VERDICT r11 #1): the production build
+    # (train_iters=2 — Lloyd + starved-cell reseeding) makes recall a
+    # budgetable nprobe knob; regression-track the curve + the exact
+    # probe-I/O fraction each point pays (nprobe/cells × m bytes per
+    # vector vs dim × 4 for the exact float scan). Gate twin:
+    # ivfpq_recall_budget asserts ≥ 0.9 at nprobe=12.
+    path2 = tempfile.mkdtemp(prefix="spark_graft_curve_")
+    try:
+        t0 = time.perf_counter()
+        ivfpq_save(
+            emb, path2, num_cells=16, m=8, pq_centroids=16,
+            train_iters=2,
+        )
+        out["trained_build_s"] = round(time.perf_counter() - t0, 3)
+        dim = len(emb.first()["embedding"])
+        curve: dict[str, float] = {}
+        io: dict[str, float] = {}
+        for nprobe in (4, 8, 12):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in ivfpq_refine_topk(
+                    spark, path2, q, emb, k=10, nprobe=nprobe
+                ).collect()
+            }
+            curve[str(nprobe)] = round(len(got & bf) / len(bf), 4)
+            io[str(nprobe)] = round((nprobe / 16) * 8 / (dim * 4), 4)
+        out["recall_curve_trained"] = curve
+        out["probe_io_fraction"] = io
+        out["live_cells_trained"] = (
+            spark.read.parquet(f"{path2}/codes")
+            .select("cell").distinct().count()
+        )
+    finally:
+        shutil.rmtree(path2, ignore_errors=True)
     return out
 
 

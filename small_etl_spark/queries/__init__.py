@@ -189,12 +189,20 @@ _GATED = [
     # branches, one catalog swap, referential integrity asserted
     # through the pinned read
     "catalog_txn_join",
-    # round-8 flagships: WAP staging branches, hidden partitioning,
-    # equality-delete streaming upserts, and the pca value-oracle
-    # upgrade (VERDICT r7 item 9)
-    "versioned_wap_publish",
+    # round-8 flagships: hidden partitioning and the pca value-oracle
+    # upgrade (VERDICT r7 item 9).
+    # versioned_wap_publish left the window round 12 (the WAP family
+    # is carried by sql_branch_wap — branch cut, staged DML, audit,
+    # squashed publish, all through SQL — and by catalog_txn_join's
+    # WAP staging; stays registered + swept) for the round-12
+    # WAP-in-SQL flagship
+    "sql_branch_wap",
     "versioned_hidden_partition_prune",
-    "versioned_stream_upsert",
+    # versioned_stream_upsert left the window round 12 (the streaming
+    # upsert write path runs INSIDE matview_stream_maintain's
+    # foreachBatch sink; stays registered + swept + benched) for the
+    # stream-fed matview flagship
+    "matview_stream_maintain",
     "pca_project",
     "sessionize",
     # window_agg_hourly left the window round 9 session 2 (tumbling
@@ -227,11 +235,14 @@ _GATED = [
     # evolution and eq-delete-aware OPTIMIZE.
     # ivfpq_persisted_equivalence left the window round 11 (the
     # persisted-index family is carried by ivfpq_delta_equivalence,
-    # and the refine contract below runs ivfpq_topk_persisted inside;
-    # stays registered + swept) for ivfpq_refine_topk — FAISS-style
-    # exact re-rank: recall to the probed-cells ceiling at unchanged
-    # nprobe, float corpus touched for candidates only
-    "ivfpq_refine_topk",
+    # and the refine contract runs ivfpq_topk_persisted inside;
+    # stays registered + swept) for ivfpq_refine_topk.
+    # ivfpq_refine_topk left the window round 12 (the exact re-rank
+    # runs INSIDE ivfpq_recall_budget at two nprobe points; stays
+    # registered + swept + benched) for the round-12 recall-budget
+    # contract: trained geometry (Lloyd + starved-cell reseeding),
+    # recall@10 ≥ 0.9 at nprobe=12/16, measured probe-I/O fraction
+    "ivfpq_recall_budget",
     "versioned_schema_evolution",
     "versioned_optimize_live_eq",
 ]

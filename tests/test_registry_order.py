@@ -60,9 +60,14 @@ MUST_BE_GATED = [
     # session_window_agg left; their families are carried by
     # rename/json_path/default_fill, lookup/merge/asof/range, and
     # window_agg_hourly/sessionize)
-    "versioned_wap_publish",
+    # versioned_wap_publish left round 12 (WAP carried by
+    # sql_branch_wap + catalog_txn_join's staging) for the
+    # WAP-in-SQL flagship; versioned_stream_upsert left round 12
+    # (the streaming upsert write path runs inside
+    # matview_stream_maintain's sink)
+    "sql_branch_wap",
     "versioned_hidden_partition_prune",
-    "versioned_stream_upsert",
+    "matview_stream_maintain",
     "pca_project",
     # round-9 flagships: column-id schema evolution, eq-delete-aware
     # OPTIMIZE (equality_filter/top_k/json_path_extract left;
@@ -71,8 +76,10 @@ MUST_BE_GATED = [
     # ivfpq_persisted_equivalence left round 11 (the persisted-index
     # family is carried by ivfpq_delta_equivalence + the refine
     # contract, which runs ivfpq_topk_persisted inside) for the
-    # exact re-rank flagship
-    "ivfpq_refine_topk",
+    # exact re-rank flagship; ivfpq_refine_topk left round 12 (the
+    # re-rank runs inside ivfpq_recall_budget at two nprobe points)
+    # for the recall-budget contract
+    "ivfpq_recall_budget",
     "versioned_schema_evolution",
     "versioned_optimize_live_eq",
     # round-9 second headline: stable row ids (range_join_events
