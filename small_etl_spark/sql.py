@@ -45,6 +45,16 @@ Catalog admin: ``SHOW TABLES`` (catalog-pinned versions when a
 catalog is in play), ``SHOW BRANCHES t`` / ``SHOW TAGS t``,
 ``DESCRIBE CATALOG`` (the catalog root's own commit history).
 
+Materialized views (sinks/matview.py — incrementally maintained,
+never recomputed) are plain DDL too::
+
+    CREATE MATERIALIZED VIEW v AS
+      SELECT lang, count(*) AS n, sum(n_chars) AS sc
+      FROM docs WHERE n_chars > 0 GROUP BY lang;
+    REFRESH MATERIALIZED VIEW v;     -- CDC-driven, O(delta)
+    SELECT * FROM v;                 -- resolves via read_matview
+    DROP MATERIALIZED VIEW v;
+
 Scope (documented, not hidden): table references are recognized after
 ``FROM``/``JOIN`` only, so a subquery alias shadowing a registered
 table name would be rewritten too — choose distinct names. Text
@@ -178,7 +188,7 @@ def sql(
         r"\s*(MERGE|UPDATE|DELETE|INSERT|RESTORE|OPTIMIZE|VACUUM"
         r"|DESCRIBE\s+(?:HISTORY|DETAIL|CATALOG)"
         r"|SHOW\s+(?:CREATE\s+TABLE|TABLES|BRANCHES|TAGS)"
-        r"|CREATE|ALTER|DROP)\b",
+        r"|CREATE|ALTER|DROP|REFRESH)\b",
         query, re.I,
     )
     if head_kw:
@@ -262,6 +272,15 @@ def sql(
             version = pinned[name]["version"]
         else:
             version = None  # head
+        if _is_matview_root(root):
+            if version is not None:
+                raise ValueError(
+                    f"{name!r} is a materialized view — time travel "
+                    "targets its BASE table, not the view"
+                )
+            from small_etl_spark.sinks import matview as M
+
+            return f"{kw} {_register(M.read_matview(spark, root))}"
         view = _register(V.read_snapshot(spark, root, version=version))
         return f"{kw} {view}"
 
@@ -471,6 +490,18 @@ def _dml(
         return _ddl_alter(spark, query, masked, tables)
     if kw == "DROP":
         return _ddl_drop(spark, query, masked, tables)
+    if kw == "REFRESH":
+        hm = re.match(
+            r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$",
+            masked, re.IGNORECASE,
+        )
+        if not hm:
+            raise ValueError(f"cannot parse REFRESH statement: {query!r}")
+        from small_etl_spark.sinks import matview as M
+
+        name = hm.group(1)
+        rep = M.refresh_matview(spark, _target_root(name, tables))
+        return _dml_result(spark, f"refresh_{rep['mode']}", name, rep["to"])
     if kw == "RESTORE":
         return _dml_restore(spark, query, masked, tables)
     if kw == "OPTIMIZE":
@@ -1150,6 +1181,104 @@ def _scalar_literal(text: str) -> Any:
     )
 
 
+def _is_matview_root(root: str) -> bool:
+    """A registered root whose ``state`` subtable carries matview
+    state reads through read_matview, not read_snapshot."""
+    from small_etl_spark.sinks import matview as M
+
+    try:
+        return V.latest_version(M._state_root(root)) is not None
+    except OSError:
+        return False
+
+
+def _ddl_create_matview(
+    spark: SparkSession,
+    query: str,
+    masked: str,
+    tables: dict[str, str],
+) -> DataFrame:
+    """``CREATE MATERIALIZED VIEW v AS SELECT g1, ..., agg(expr) AS
+    name, ... FROM base [WHERE pred] GROUP BY g1, ...`` →
+    :func:`matview.create_matview`. Select items are either bare
+    GROUP BY columns or ``func(expr) AS name`` with func in
+    count/sum/avg/min/max (``count(*)`` supported); the view then
+    maintains itself from the base's CDC (REFRESH MATERIALIZED VIEW,
+    or stream_maintain_matview for streams) — never by recompute."""
+    from small_etl_spark.sinks import matview as M
+
+    hm = re.match(
+        r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+",
+        masked, re.IGNORECASE,
+    )
+    name = hm.group(1)
+    root = _target_root(name, tables)
+    rest, rest_m = query[hm.end():], masked[hm.end():]
+    fm = _find_top(rest_m, re.compile(r"\bFROM\b", re.IGNORECASE))
+    if not fm:
+        raise ValueError(f"no FROM in CREATE MATERIALIZED VIEW: {query!r}")
+    select_list, select_m = rest[: fm.start()], rest_m[: fm.start()]
+    tail, tail_m = rest[fm.end():], rest_m[fm.end():]
+    gm = _find_top(tail_m, re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE))
+    if not gm:
+        raise ValueError(
+            "CREATE MATERIALIZED VIEW needs GROUP BY (aggregate views "
+            "are the incrementally maintainable shape)"
+        )
+    base_where, base_where_m = tail[: gm.start()], tail_m[: gm.start()]
+    group_by = [
+        c.strip().strip("`")
+        for c in _split_top(
+            tail[gm.end():], tail_m[gm.end():], re.compile(r",")
+        )
+        if c.strip()
+    ]
+    wm = _find_top(base_where_m, re.compile(r"\bWHERE\b", re.IGNORECASE))
+    if wm:
+        base_name = base_where[: wm.start()].strip().strip("`")
+        where = base_where[wm.end():].strip()
+    else:
+        base_name, where = base_where.strip().strip("`"), None
+    base_root = _target_root(base_name, tables)
+    aggs: dict[str, tuple[str, str]] = {}
+    for item, item_m in zip(
+        _split_top(select_list, select_m, re.compile(r",")),
+        _split_top(select_m, select_m, re.compile(r",")),
+    ):
+        it = item.strip()
+        if not it:
+            continue
+        am = re.match(
+            r"(count|sum|avg|min|max)\s*\(", item_m.strip(),
+            re.IGNORECASE,
+        )
+        if am:
+            lead = len(item_m) - len(item_m.lstrip())
+            open_pos = lead + am.end() - 1
+            close = _match_paren(item_m, open_pos)
+            expr = item[open_pos + 1: close].strip()
+            alias_m = re.match(
+                r"\s*AS\s+`?(\w+)`?\s*$", item_m[close + 1:],
+                re.IGNORECASE,
+            )
+            if not alias_m:
+                raise ValueError(
+                    f"aggregate needs AS <name>: {it!r}"
+                )
+            aggs[alias_m.group(1)] = (am.group(1).lower(), expr)
+        else:
+            col = it.strip("`")
+            if col not in group_by:
+                raise ValueError(
+                    f"non-aggregate select item {it!r} must appear "
+                    "in GROUP BY"
+                )
+    v = M.create_matview(
+        spark, root, base_root, group_by, aggs, where=where
+    )
+    return _dml_result(spark, "create_matview", name, v)
+
+
 def _ddl_create(
     spark: SparkSession,
     query: str,
@@ -1165,6 +1294,10 @@ def _ddl_create(
     established atomically). The new table's ROOT comes from the
     ``tables={name: root}`` mapping — the engine's catalog is
     explicit, so SQL never invents filesystem locations."""
+    if re.match(
+        r"\s*CREATE\s+MATERIALIZED\s+VIEW\b", masked, re.IGNORECASE
+    ):
+        return _ddl_create_matview(spark, query, masked, tables)
     hm = re.match(
         r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
         r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*",
@@ -1445,7 +1578,18 @@ def _ddl_drop(
 ) -> DataFrame:
     """``DROP TABLE [IF EXISTS] t`` — removes the versioned table
     root (manifest log + data). Irreversible by design; time travel
-    dies with the log, exactly like Delta's DROP TABLE."""
+    dies with the log, exactly like Delta's DROP TABLE.
+    ``DROP MATERIALIZED VIEW v`` removes the view's state table."""
+    mm = re.match(
+        r"\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$",
+        masked, re.IGNORECASE,
+    )
+    if mm:
+        from small_etl_spark.sinks import matview as M
+
+        name = mm.group(1)
+        M.drop_matview(_target_root(name, tables))
+        return _dml_result(spark, "drop_matview", name, None)
     hm = re.match(
         r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*$",
         masked, re.IGNORECASE,
