@@ -118,6 +118,29 @@ class LocalStore:
             for f in fs
         )
 
+    def walk_files_mtimes(self, root: str) -> list[tuple[str, float]]:
+        """(path, mtime) for every file under ``root``, sorted by
+        path. scandir's cached DirEntry.stat makes the mtime free —
+        the maintenance sweeps use this instead of walk_files + one
+        getmtime per candidate (on S3 that would be one HEAD per
+        object; here the listing already carries LastModified)."""
+        out: list[tuple[str, float]] = []
+        stack = [root]
+        while stack:
+            d = stack.pop()
+            try:
+                with os.scandir(d) as it:
+                    for ent in it:
+                        if ent.is_dir(follow_symlinks=False):
+                            stack.append(ent.path)
+                        elif ent.is_file(follow_symlinks=True):
+                            out.append(
+                                (ent.path, ent.stat().st_mtime)
+                            )
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+        return sorted(out)
+
     def cleanup_empty_dirs(self, root: str) -> None:
         """Remove now-empty subdirectories bottom-up (never root)."""
         for r, _d, _f in os.walk(root, topdown=False):
@@ -255,15 +278,35 @@ class S3Store:
         pass  # prefixes need no creation
 
     def getmtime(self, path: str) -> float:
+        from botocore.exceptions import ClientError
+
         bucket, key = _split_s3(path)
-        lm = self._c.head_object(Bucket=bucket, Key=key)["LastModified"]
+        try:
+            lm = self._c.head_object(Bucket=bucket, Key=key)[
+                "LastModified"
+            ]
+        except ClientError as e:
+            # os.path.getmtime raises OSError on a missing path;
+            # callers guard with `except OSError` (racer-drained
+            # intents, vacuum sweeps) — mirror the contract
+            if e.response.get("Error", {}).get("Code") in (
+                "404",
+                "NoSuchKey",
+            ):
+                raise FileNotFoundError(path) from e
+            raise
         return lm.timestamp()
 
     def walk_files(self, root: str) -> list[str]:
+        return [p for p, _m in self.walk_files_mtimes(root)]
+
+    def walk_files_mtimes(self, root: str) -> list[tuple[str, float]]:
+        """(path, LastModified) straight from the listing — no
+        per-object HEAD requests for the maintenance sweeps."""
         bucket, key = _split_s3(root)
         prefix = key.rstrip("/") + "/"
         scheme = urlparse(root).scheme
-        out: list[str] = []
+        out: list[tuple[str, float]] = []
         token: str | None = None
         while True:
             kw = dict(Bucket=bucket, Prefix=prefix)
@@ -271,7 +314,10 @@ class S3Store:
                 kw["ContinuationToken"] = token
             r = self._c.list_objects_v2(**kw)
             out.extend(
-                f"{scheme}://{bucket}/{o['Key']}"
+                (
+                    f"{scheme}://{bucket}/{o['Key']}",
+                    o["LastModified"].timestamp(),
+                )
                 for o in r.get("Contents", [])
             )
             if not r.get("IsTruncated"):

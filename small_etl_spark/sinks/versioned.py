@@ -2305,9 +2305,12 @@ def _file_may_match(
 # -store root has no cheap stat, so it skips caching entirely.
 
 from collections import OrderedDict as _ODict
+from threading import Lock as _Lock
 
 _SNAP_CACHE: "_ODict[tuple[str, int], dict[str, Any]]" = _ODict()
 _SNAP_CACHE_MAX = 8
+_SNAP_LOCK = _Lock()  # two-thread commit/read races are a supported
+# pattern (see tests) — LRU bookkeeping must not crash them
 
 
 def _snapshot_slot(table: str, version: int) -> dict[str, Any] | None:
@@ -2318,19 +2321,23 @@ def _snapshot_slot(table: str, version: int) -> dict[str, Any] | None:
         return None  # object-store root or vacuumed record
     key = (os.path.realpath(table), version)
     stamp = (stt.st_mtime_ns, stt.st_size)
-    slot = _SNAP_CACHE.get(key)
-    if slot is not None and slot["stamp"] == stamp:
-        _SNAP_CACHE.move_to_end(key)
-        return slot
+    with _SNAP_LOCK:
+        slot = _SNAP_CACHE.get(key)
+        if slot is not None and slot["stamp"] == stamp:
+            _SNAP_CACHE.move_to_end(key)
+            return slot
+    # fold outside the lock (it can be slow); a concurrent builder
+    # of the same slot just wins the last write — identical content
     slot = {
         "stamp": stamp,
         "manifest": read_manifest(table, version),
         "pidx": {},
     }
-    _SNAP_CACHE[key] = slot
-    _SNAP_CACHE.move_to_end(key)
-    while len(_SNAP_CACHE) > _SNAP_CACHE_MAX:
-        _SNAP_CACHE.popitem(last=False)
+    with _SNAP_LOCK:
+        _SNAP_CACHE[key] = slot
+        _SNAP_CACHE.move_to_end(key)
+        while len(_SNAP_CACHE) > _SNAP_CACHE_MAX:
+            _SNAP_CACHE.popitem(last=False)
     return slot
 
 
@@ -3796,7 +3803,7 @@ def remove_orphan_files(
     cutoff = _now_ms() - older_than_ms
     removed: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
-    for full in st.walk_files(data_root):
+    for full, mtime in st.walk_files_mtimes(data_root):
         name = os.path.basename(full)
         rel = _rel_path(full, table)
         if rel in referenced or os.path.dirname(rel) in referenced:
@@ -3807,7 +3814,7 @@ def remove_orphan_files(
         is_marker = name == "_SUCCESS" or name.endswith(".crc")
         if not (is_data or is_marker):
             continue
-        if int(st.getmtime(full) * 1000) > cutoff:
+        if int(mtime * 1000) > cutoff:
             continue  # possibly an in-flight commit's data
         if is_data:
             removed.append(rel)
@@ -3907,7 +3914,7 @@ def vacuum(table: str, keep_last: int = 1, min_age_ms: int = 0) -> int:
     deleted = 0
     age_cutoff = _now_ms() - min_age_ms
     data_root = os.path.join(table, _DATA_DIR)
-    for full in st.walk_files(data_root):
+    for full, mtime in st.walk_files_mtimes(data_root):
         name = os.path.basename(full)
         rel = _rel_path(full, table)
         # DV stores are Spark-written DIRECTORIES: their
@@ -3919,9 +3926,7 @@ def vacuum(table: str, keep_last: int = 1, min_age_ms: int = 0) -> int:
         )
         is_marker = name == "_SUCCESS" or name.endswith(".crc")
         if is_data or is_marker:
-            if min_age_ms and int(
-                st.getmtime(full) * 1000
-            ) > age_cutoff:
+            if min_age_ms and int(mtime * 1000) > age_cutoff:
                 continue  # possibly an in-flight commit
             st.remove(full)
             if is_data:
@@ -3937,17 +3942,20 @@ def vacuum(table: str, keep_last: int = 1, min_age_ms: int = 0) -> int:
                     st.remove(p)
     # sweep orphaned commit temp files: _atomic_create writes
     # `<path>.<hex>.tmp` then hard-links — a crash between the two
-    # leaks the temp forever (no other path removes it). Age-guarded
-    # like data files: a fresh .tmp may be a commit in flight.
+    # leaks the temp forever (no other path removes it). The age
+    # guard here has a FLOOR independent of min_age_ms (review r12):
+    # with min_age_ms=0 the data-file guard is a caller's explicit
+    # choice, but sweeping a milliseconds-old .tmp would crash a
+    # healthy concurrent commit between its write and its hard-link
+    # — a leaked temp is harmless for an hour, a torn commit is not.
+    tmp_cutoff = _now_ms() - max(min_age_ms, 3_600_000)
     mdir = os.path.join(table, _MANIFEST_DIR)
     for name in st.list(mdir):
         if not name.endswith(".tmp"):
             continue
         full = os.path.join(mdir, name)
         try:
-            if min_age_ms and int(
-                st.getmtime(full) * 1000
-            ) > age_cutoff:
+            if int(st.getmtime(full) * 1000) > tmp_cutoff:
                 continue
             st.remove(full)
         except FileNotFoundError:

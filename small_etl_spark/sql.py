@@ -1183,10 +1183,22 @@ def _scalar_literal(text: str) -> Any:
 
 def _is_matview_root(root: str) -> bool:
     """A registered root whose ``state`` subtable carries matview
-    state reads through read_matview, not read_snapshot."""
-    from small_etl_spark.sinks import matview as M
+    state reads through read_matview, not read_snapshot. The common
+    case (plain table) pays ONE failing stat/isdir probe on the
+    state manifest dir — not a directory listing — so hot SELECT
+    loops over plain tables stay I/O-trivial (review r12)."""
+    import os as _os
 
+    from small_etl_spark.sinks import matview as M
+    from small_etl_spark.sinks.store import is_object_store, store_for
+
+    mdir = _os.path.join(M._state_root(root), "_manifests")
     try:
+        if is_object_store(root):
+            if not store_for(root).isdir(mdir):  # MaxKeys=1 LIST
+                return False
+        elif not _os.path.isdir(mdir):
+            return False
         return V.latest_version(M._state_root(root)) is not None
     except OSError:
         return False
@@ -1211,6 +1223,12 @@ def _ddl_create_matview(
         r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+SELECT\s+",
         masked, re.IGNORECASE,
     )
+    if not hm:
+        raise ValueError(
+            f"cannot parse CREATE MATERIALIZED VIEW statement "
+            f"(expected: CREATE MATERIALIZED VIEW <name> AS SELECT "
+            f"... FROM <base> [WHERE ...] GROUP BY ...): {query!r}"
+        )
     name = hm.group(1)
     root = _target_root(name, tables)
     rest, rest_m = query[hm.end():], masked[hm.end():]

@@ -154,7 +154,14 @@ def test_vacuum_sweeps_stale_commit_tmp_files(spark, env):
     V.vacuum(env["fact"], keep_last=10, min_age_ms=3_600_000)
     assert not os.path.exists(stale), "old orphan must sweep"
     assert os.path.exists(fresh), "min_age_ms must protect in-flight"
-    V.vacuum(env["fact"], keep_last=10)  # default: sweep everything
+    # default min_age_ms=0 still does NOT sweep a fresh tmp: the tmp
+    # guard has a 1h floor (review r12 — sweeping an in-flight tmp
+    # would crash a healthy commit between write and hard-link)
+    V.vacuum(env["fact"], keep_last=10)
+    assert os.path.exists(fresh), "tmp floor must protect in-flight"
+    old2 = os.path.getmtime(fresh) - 7200
+    os.utime(fresh, (old2, old2))
+    V.vacuum(env["fact"], keep_last=10)
     assert not os.path.exists(fresh)
     # the table still reads fine
     assert V.read_snapshot(spark, env["fact"]).count() == 1
