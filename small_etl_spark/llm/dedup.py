@@ -127,6 +127,86 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _minhash_minima_arrow(
+    src: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
+    """``(id, __h__: array<bigint>)`` → ``(id, sig: array<bigint>)``:
+    the ``num_hashes`` affine minima of the xxhash64 family as one
+    Arrow ``mapInArrow`` kernel (guide §4.2 — dense integer math in a
+    vectorized native library instead of interpreted HOFs).
+
+    Bit-identical to the expression form in
+    :func:`minhash_signature`: same universal-hash params (seeded RNG),
+    same (h·a + b) mod p arithmetic — h < p = 2³¹−1 and a < p keep
+    every product under 2⁶², so int64 numpy never overflows and
+    ``np.mod`` equals Java ``pmod`` on the nonnegative operands. The
+    per-batch work is ``num_hashes`` passes of multiply+mod over the
+    flattened shingle-hash values plus one ``np.minimum.reduceat`` per
+    pass — replacing per-element interpreted ``transform``/``array_min``
+    evaluation, which profiling showed was ~70% of the whole query's
+    executor CPU at sf0.1 (see OPTIMIZATION_r12.md). Null or empty
+    hash arrays yield an all-null 32-element signature, exactly like
+    ``array_min(transform(NULL, …))`` in the expression form (those
+    docs band together and are always discarded by the exact-Jaccard
+    verify, in both paths).
+    """
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(seed)
+    params = [
+        (rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)
+    ]
+    id_type = src.schema["id"].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        a_arr = np.array([a for a, _ in params], dtype=np.int64)
+        b_arr = np.array([b for _, b in params], dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            lst = batch.column(1)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            values = lst.values.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            valid = (
+                lst.is_valid().to_numpy(zero_copy_only=False)
+                if lst.null_count
+                else np.ones(n, dtype=bool)
+            )
+            starts, ends = offsets[:-1], offsets[1:]
+            dead = (~valid) | (starts == ends)  # null or empty → null sig
+            safe_starts = np.minimum(
+                starts, max(len(values) - 1, 0)
+            )  # reduceat needs in-range indices even for dead rows
+            mins = np.empty((n, num_hashes), dtype=np.int64)
+            if len(values):
+                for i in range(num_hashes):
+                    v = (values * a_arr[i] + b_arr[i]) % p
+                    mins[:, i] = np.minimum.reduceat(v, safe_starts)
+            flat = mins.reshape(-1)
+            null_mask = np.repeat(dead, num_hashes)
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(n + 1, dtype=np.int32) * num_hashes
+                ),
+                pa.array(flat, mask=null_mask),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig], ["id", "sig"])
+
+    return src.mapInArrow(kernel, schema=f"id {id_type}, sig array<bigint>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -260,22 +340,27 @@ def _shingle_band_tables(
     # arrays through the ×bands candidate join. For the xxhash family,
     # materialize the per-shingle base-hash array as its own column
     # first: the minima run over it num_hashes times, and HOFs get no
-    # codegen CSE (measured ~1.9× on the signature stage at sf0.1).
+    # codegen CSE (measured ~1.9× on the signature stage at sf0.1) —
+    # then (round 12) hand the affine-minima loop to the Arrow numpy
+    # kernel: the per-element interpreted transform/array_min walk was
+    # ~70% of the query's executor CPU, and the kernel computes the
+    # same integers with `num_hashes` vectorized passes (bit-identity
+    # pinned in tests/test_llm_similarity.py). String xxhash64 of the
+    # shingles stays JVM-side — only the bigint array crosses Arrow.
     if hash_family == "md5":
         sig_src = sh
         sig = minhash_signature(F.col("sh"), num_hashes, seed, hash_family)
+        sig_df = sig_src.withColumn("sig", sig)
     else:
         p = (1 << 31) - 1
-        sig_src = sh.withColumn(
-            "__h__",
+        hashed = sh.select(
+            "id",
             F.transform(
                 F.col("sh"), lambda x: F.pmod(F.xxhash64(x, F.lit(seed)), F.lit(p))
-            ),
+            ).alias("__h__"),
         )
-        sig = minhash_signature(
-            F.col("sh"), num_hashes, seed, hash_family, base_col=F.col("__h__")
-        )
-    banded = sig_src.withColumn("sig", sig).select(
+        sig_df = _minhash_minima_arrow(hashed, num_hashes, seed)
+    banded = sig_df.select(
         "id",
         F.explode(
             F.array(
