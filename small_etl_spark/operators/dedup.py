@@ -97,6 +97,96 @@ def dedup_by_fields_first_wins(
     return out
 
 
+def dedup_by_fields_first_wins_packed(
+    df: DataFrame,
+    fields: list[str],
+    packed: list[tuple[str, int]],
+) -> DataFrame:
+    """A3 first-wins dedup, bit-packed execution path (round 12).
+
+    Same result as :func:`dedup_by_fields_first_wins` with
+    ``order_col = [c for c, _ in packed]`` when every non-key output
+    column appears in ``packed`` — but the whole candidate row is
+    packed into ONE bigint (most-significant field first), so the
+    aggregate is a plain fixed-width ``min`` that HashAggregate holds
+    in its UnsafeRow hash map. That buys what the min_by(struct…)
+    form structurally cannot have (see the cost note there): a true
+    partial (map-side) hash aggregation — no SortAggregate, no
+    per-partition sort of the raw input — and a shuffle of ~16 bytes
+    per surviving key instead of a struct row.
+
+    Contract (declared, validated per row): each packed column is a
+    non-negative integral value < 2^bits (doubles allowed when they
+    carry integer values — e.g. TPC-H quantities); total bits ≤ 63.
+    A violating row makes its packed value NULL, the per-key
+    NULL-count is carried through the aggregation, and the unpack
+    projection raises (``assert_true``) the moment any group lost a
+    row — loud failure, never a silently wrong survivor.
+
+    When the contract cannot be declared (strings, negatives,
+    unbounded values), use :func:`dedup_by_fields_first_wins` — this
+    variant is the narrow-types fast path, not a replacement.
+    """
+    total_bits = sum(b for _, b in packed)
+    if total_bits > 63:
+        raise ValueError(f"packed widths sum to {total_bits} > 63 bits")
+    if not packed:
+        raise ValueError("packed must name at least one column")
+    payload = [c for c, _ in packed]
+    extra = [c for c in df.columns if c not in fields and c not in payload]
+    if extra:
+        raise ValueError(
+            f"non-key columns not covered by packed spec: {extra}"
+        )
+
+    acc = F.lit(0).cast("bigint")
+    valid = F.lit(True)
+    for col, bits in packed:
+        c = F.col(col)
+        as_long = c.cast("bigint")
+        valid = (
+            valid
+            & c.isNotNull()
+            & (as_long >= 0)
+            & (as_long < F.lit(1 << bits).cast("bigint"))
+            & (c.cast("double") == as_long.cast("double"))  # integral
+        )
+        acc = F.shiftleft(acc, bits) + as_long
+    packed_col = F.when(valid, acc)
+
+    agg = df.groupBy(*[F.col(f) for f in fields]).agg(
+        F.min(packed_col).alias("__pk__"),
+        F.count(F.lit(1)).alias("__n__"),
+        F.count(packed_col).alias("__nv__"),
+    )
+    guard = F.assert_true(
+        F.col("__nv__") == F.col("__n__"),
+        F.lit(
+            "dedup_by_fields_first_wins_packed: a row violated the "
+            "declared width/integrality contract"
+        ),
+    )
+    shift = 0
+    unpack: dict[str, F.Column] = {}
+    for col, bits in reversed(packed):
+        expr = F.shiftrightunsigned(F.col("__pk__"), shift).bitwiseAND(
+            F.lit((1 << bits) - 1).cast("bigint")
+        )
+        unpack[col] = expr.cast(df.schema[col].dataType)
+        shift += bits
+    out_cols = []
+    first = True
+    for c in df.columns:
+        expr = F.col(c) if c in fields else unpack[c]
+        if first:
+            # fold the overflow guard into the first projected column
+            # so the optimizer can never prune it away
+            expr = F.when(guard.isNull(), expr)
+            first = False
+        out_cols.append(expr.alias(c))
+    return agg.select(*out_cols)
+
+
 def dedup_full_record(df: DataFrame, order_col: str | None = None) -> DataFrame:
     """A2: full-record dedup, first occurrence wins.
 

@@ -8,7 +8,7 @@ from small_etl_spark.queries._registry import register
 from small_etl_spark.functions.text import clean_text
 from small_etl_spark.functions.text import normalize_fields
 from small_etl_spark.functions.text import remove_html_tags
-from small_etl_spark.operators.dedup import dedup_by_fields_first_wins
+from small_etl_spark.operators.dedup import dedup_by_fields_first_wins_packed
 from small_etl_spark.operators.filters import equality_filter
 from small_etl_spark.operators.filters import extract_filters
 from small_etl_spark.operators.filters import limit_records
@@ -267,12 +267,25 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 dedup-by-fields, first occurrence wins
     (contextual_pipeline.rs:614-629); "first" = (l_linenumber,
     l_partkey, l_quantity) — the synthetic data duplicates shorter
-    prefixes, and a tie across all output columns is value-identical."""
+    prefixes, and a tie across all output columns is value-identical.
+
+    Round 12: runs the bit-packed execution path — every non-key
+    column is a bounded non-negative integer per the TPC-H column
+    spec (linenumber ≤ 7, quantity an integer ≤ 50, partkey < 2⁴⁷ at
+    any conceivable SF), so the whole candidate row packs into one
+    bigint and the aggregate is a fixed-width HashAggregate ``min``
+    with true map-side partial aggregation — where min_by(struct…)
+    forced SortAggregate on both sides of the exchange (see the cost
+    notes on both operators). Result identity vs the min_by form is
+    pinned in tests/test_operators.py and by this entry's unchanged
+    DuckDB oracle; a contract-violating row raises, never mis-dedups."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
-    return dedup_by_fields_first_wins(
-        li, ["l_orderkey"], order_col=["l_linenumber", "l_partkey", "l_quantity"]
+    return dedup_by_fields_first_wins_packed(
+        li,
+        ["l_orderkey"],
+        [("l_linenumber", 8), ("l_partkey", 47), ("l_quantity", 8)],
     )
 
 

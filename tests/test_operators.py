@@ -226,3 +226,62 @@ def test_upsert_merge_semantics(spark):
 
     with _pytest.raises(ValueError, match="missing target columns"):
         upsert(target, updates.drop("v"), "id")
+
+
+def test_packed_dedup_matches_minby_on_lineitem(spark):
+    """Round-12 pin: the bit-packed first-wins path equals the
+    min_by(struct) path row-for-row on real data, same schema."""
+    from small_etl_spark.operators.dedup import (
+        dedup_by_fields_first_wins,
+        dedup_by_fields_first_wins_packed,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    a = dedup_by_fields_first_wins(
+        li, ["l_orderkey"],
+        order_col=["l_linenumber", "l_partkey", "l_quantity"],
+    )
+    b = dedup_by_fields_first_wins_packed(
+        li, ["l_orderkey"],
+        [("l_linenumber", 8), ("l_partkey", 47), ("l_quantity", 8)],
+    )
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_packed_dedup_contract_violations_raise(spark):
+    """Width overflow, negatives and fractional doubles must raise
+    loudly — never silently pick a wrong survivor."""
+    import pytest as _pytest
+
+    from small_etl_spark.operators.dedup import (
+        dedup_by_fields_first_wins_packed,
+    )
+
+    for rows, schema in (
+        ([(1, 300)], "k bigint, v bigint"),      # > 2^8
+        ([(1, -1)], "k bigint, v bigint"),       # negative
+        ([(1, 2.5)], "k bigint, v double"),      # fractional
+        ([(1, None)], "k bigint, v bigint"),     # null payload
+    ):
+        df = spark.createDataFrame(rows, schema)
+        with _pytest.raises(Exception):
+            dedup_by_fields_first_wins_packed(df, ["k"], [("v", 8)]).collect()
+
+
+def test_packed_dedup_rejects_bad_specs(spark):
+    from small_etl_spark.operators.dedup import (
+        dedup_by_fields_first_wins_packed,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2, 3)], "k bigint, a bigint, b bigint")
+    with _pytest.raises(ValueError):  # >63 bits
+        dedup_by_fields_first_wins_packed(df, ["k"], [("a", 32), ("b", 32)])
+    with _pytest.raises(ValueError):  # column b not covered
+        dedup_by_fields_first_wins_packed(df, ["k"], [("a", 8)])
+    with _pytest.raises(ValueError):  # empty spec
+        dedup_by_fields_first_wins_packed(df, ["k", "a", "b"], [])
