@@ -165,9 +165,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
         100 - F.round(F.col("l_discount") * 100).cast("bigint")
     )
-    return (
+    # Eager aggregation (round 12): the grouping keys are all
+    # order-level and the orders/customer joins are 1:1 (unique PKs),
+    # so the per-order revenue sum commutes below both joins —
+    # aggregate the filtered fact scan down to one row per orderkey
+    # FIRST (exact bigint units; the /10000.0 division happens after
+    # the joins on the identical sum, so the double is bit-identical),
+    # then join the two dimensions. Catalyst does no eager-agg
+    # pushdown on its own; this hands it the reduced form — the joins
+    # see one row per late-shipped order instead of every line.
+    # Result identity pinned by the unchanged DuckDB oracle.
+    rev_per_order = (
         li.filter(F.col("l_shipdate") > cutoff)
-        .join(
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("__rev_units__"))
+    )
+    return (
+        rev_per_order.join(
             o.filter(F.col("o_orderdate") < cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -175,11 +189,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
         .select(
             "l_orderkey",
-            "revenue",
+            (F.col("__rev_units__").cast("double") / 10000.0).alias("revenue"),
             F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
             "o_orderpriority",
         )
@@ -258,30 +270,37 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape (north-star): grouped-HAVING subquery feeding a
-    LeftSemi filter on the fact scan, then a 3-table star join + final
-    agg + top-100. No forced broadcasts: the HAVING-derived semi set,
-    orders and customer all scale with the data (the semi set is
-    selective but still SF-proportional), so AQE's runtime stats pick
-    broadcast at small SF and shuffle join at 100 TB. AQE also turns
-    the semi join into a broadcast automatically once the HAVING
-    output materializes small."""
+    """TPC-H Q18 shape (north-star), eager-aggregation form (round 12).
+
+    The declared result groups ONLY by order-level keys, so the
+    per-order quantity sum the HAVING subquery computes IS the final
+    ``total_qty``: summing the semi-joined lineitem rows again per
+    (order, customer) group re-derives the same number, because
+    orders.o_orderkey and customer.c_custkey are unique (1:1 joins
+    fan nothing out). Catalyst cannot see that equivalence (it does
+    no eager aggregation pushdown), so the round-12 plan hands it the
+    already-reduced form: ONE lineitem scan → partial+final hash agg
+    per l_orderkey → HAVING filter → join orders → join customer →
+    top-100. vs the r11 plan this removes the second full lineitem
+    scan, the LeftSemi join against it, and the re-aggregation — at
+    100 TB the fact table is read once instead of twice and the star
+    joins see only qualifying ORDERS (selective), never raw lines.
+    No forced broadcasts: the agg output, orders and customer all
+    scale with the data; AQE picks broadcast at small SF and shuffle
+    join at 100 TB. Result identity is pinned by this entry's
+    unchanged DuckDB oracle (the IN-subquery SQL)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     qty = F.col("l_quantity").cast("bigint")
-    big = (
+    per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("tq"))
-        .filter(F.col("tq") > 250)
-        .select(F.col("l_orderkey").alias("big_okey"))
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
     )
     return (
-        li.join(big, F.col("l_orderkey") == F.col("big_okey"), "left_semi")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(qty).alias("total_qty"))
         .select(
             "c_name",
             "c_custkey",

@@ -85,8 +85,14 @@ def test_groupby_has_partial_aggregation(spark):
 
 
 def test_dedup_first_wins_is_aggregation_not_sort(spark):
+    """Round 12: the packed path must plan as a fixed-width
+    HashAggregate min with a map-side partial — no window sort, no
+    SortAggregate (the min_by struct buffer forced SortAggregate on
+    both sides of the exchange)."""
     plan = plan_of(spark, "dedup_first_wins")
-    assert "min_by" in plan
+    assert "partial_min" in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
     assert "Window" not in plan
 
 
@@ -215,10 +221,17 @@ def test_stratified_sample_filter_reaches_scan(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_q18_semi_join_broadcast(spark):
-    # AQE must convert the hint-free semi join to broadcast at this SF
+def test_q18_single_fact_scan_eager_agg(spark):
+    """Round 12: q18 runs the eager-aggregation form — ONE lineitem
+    scan feeding the per-order HAVING agg (the old shape scanned the
+    fact twice: once for the HAVING set, once for the LeftSemi probe),
+    and the hint-free dimension joins still resolve to broadcast at
+    this SF with no sort-merge fallback."""
     plan = final_plan_of(spark, "q18_large_orders")
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("FileScan parquet") == 3  # lineitem+orders+customer
+    assert "LeftSemi" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
