@@ -165,23 +165,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
         100 - F.round(F.col("l_discount") * 100).cast("bigint")
     )
-    # Eager aggregation (round 12): the grouping keys are all
-    # order-level and the orders/customer joins are 1:1 (unique PKs),
-    # so the per-order revenue sum commutes below both joins —
-    # aggregate the filtered fact scan down to one row per orderkey
-    # FIRST (exact bigint units; the /10000.0 division happens after
-    # the joins on the identical sum, so the double is bit-identical),
-    # then join the two dimensions. Catalyst does no eager-agg
-    # pushdown on its own; this hands it the reduced form — the joins
-    # see one row per late-shipped order instead of every line.
-    # Result identity pinned by the unchanged DuckDB oracle.
-    rev_per_order = (
-        li.filter(F.col("l_shipdate") > cutoff)
-        .groupBy("l_orderkey")
-        .agg(F.sum(rev).alias("__rev_units__"))
-    )
+    # Round-12 eager-aggregation experiment, REVERTED by measurement:
+    # pre-aggregating the shipdate-filtered fact per l_orderkey before
+    # the joins (the q18 rewrite) measured +30% here — q3's dimension
+    # filters (BUILDING segment × orderdate cut) prune ~90% of lines,
+    # so the post-join agg exchange carries far fewer rows than a
+    # pre-join agg exchange would. Eager agg pays off only when the
+    # aggregation reduces more than the joins filter (q18); here the
+    # join-first shape is the measured optimum (interleaved A/B,
+    # OPTIMIZATION_r12.md).
     return (
-        rev_per_order.join(
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
             o.filter(F.col("o_orderdate") < cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -189,9 +184,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
         .select(
             "l_orderkey",
-            (F.col("__rev_units__").cast("double") / 10000.0).alias("revenue"),
+            "revenue",
             F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
             "o_orderpriority",
         )
