@@ -417,9 +417,19 @@ def brute_force_topk_vectorized(
                 {query_id_col: out_q, id_col: out_id, "cosine": out_cos}
             )
 
-    from small_etl_spark.llm.util import ensure_parallelism
+    from small_etl_spark.llm.util import (
+        PY_KERNEL_BYTES_PER_TASK,
+        ensure_parallelism,
+    )
 
-    local = ensure_parallelism(corpus).select(id_col, vec_col).mapInPandas(
+    # Python-kernel width (round 12): size the repartition by input
+    # bytes, not core count — each mapInPandas task pays a fixed
+    # JVM↔Python boundary cost that a ~60-row batch never amortizes
+    # (measured −20% at sf0.1 going 32→4 tasks; the rule still yields
+    # full cluster width for any input over cores × 4 MB).
+    local = ensure_parallelism(
+        corpus, bytes_per_task=PY_KERNEL_BYTES_PER_TASK
+    ).select(id_col, vec_col).mapInPandas(
         score, schema=f"{query_id_col} bigint, {id_col} bigint, cosine double"
     )
     w = Window.partitionBy(query_id_col).orderBy(

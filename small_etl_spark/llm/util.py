@@ -5,7 +5,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, bytes_per_task: int | None = None
+) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy
     per-row math (signatures, vector scoring).
 
@@ -15,6 +17,20 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     (``df.inputFiles()`` + local file sizes vs maxPartitionBytes) —
     never ``df.rdd``, which would compile the plan to an RDD lineage
     just to read a partition count.
+
+    ``bytes_per_task`` (round 12) sizes the repartition for
+    Python-kernel consumers (``mapInPandas``/``mapInArrow``): each
+    Python task pays a fixed boundary cost (worker handshake, Arrow
+    setup, per-task numpy init), so a kilobyte-scale input split 32
+    ways buys no compute parallelism and pays the overhead 32×
+    (measured −20% at sf0.1 on the vectorized cosine top-k, min-of-4
+    interleaved: 32 tasks 0.99 s → 4 tasks 0.79 s). The width is
+    derived from input SIZE — ceil(bytes / bytes_per_task), clamped
+    to [2, defaultParallelism] — so a 100 TB input still saturates
+    the cluster; only tiny inputs get fewer, fatter batches. ``None``
+    keeps the JVM-consumer behavior: full defaultParallelism width
+    (codegen'd expression stages have no per-task boundary cost worth
+    avoiding).
     """
     files = df.inputFiles()
     if not files:
@@ -32,6 +48,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     import urllib.parse
 
     est_splits = 0
+    total_bytes = 0
     for uri in files:
         parsed = urllib.parse.urlparse(uri)
         if parsed.scheme not in ("file", ""):
@@ -40,7 +57,18 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
             size = os.path.getsize(parsed.path)
         except OSError:
             size = 0
+        total_bytes += size
         est_splits += max(1, size // max_bytes)
     if est_splits < floor:
+        if bytes_per_task:
+            width = min(
+                target, max(2, -(-total_bytes // bytes_per_task))
+            )
+            return df.repartition(width)
         return df.repartition(target)
     return df
+
+
+# Fixed per-task cost of a Python-boundary stage is amortized over at
+# least this many input bytes before another task is worth spawning.
+PY_KERNEL_BYTES_PER_TASK = 4 * 1024 * 1024

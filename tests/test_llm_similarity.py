@@ -1159,3 +1159,38 @@ def test_arrow_minima_kernel_empty_and_null_rows(spark):
     assert len(rows[1]) == 4 and all(v is not None for v in rows[1])
     assert rows[2] == [None] * 4
     assert rows[3] == [None] * 4
+
+
+def test_python_kernel_width_is_bytes_adaptive(spark):
+    """Round-12 pin: ensure_parallelism(bytes_per_task=…) sizes the
+    repartition by input bytes (few fat batches for tiny inputs, full
+    defaultParallelism once bytes/task exceeds the cluster width), and
+    the vectorized top-k result is identical at any width."""
+    from small_etl_spark.llm.util import (
+        PY_KERNEL_BYTES_PER_TASK,
+        ensure_parallelism,
+    )
+    from small_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    narrow = ensure_parallelism(
+        emb, bytes_per_task=PY_KERNEL_BYTES_PER_TASK
+    )
+    wide = ensure_parallelism(emb)
+    # sf0.001 embeddings are ~KBs: the python-kernel width must be the
+    # 2-task floor while the JVM width is full defaultParallelism
+    assert narrow.rdd.getNumPartitions() == 2
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    q = emb.filter(F.col("vec_id") < 4)
+    a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    )
+    from small_etl_spark.llm.similarity import brute_force_topk_vectorized
+
+    b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk_vectorized(emb, q, k=5).collect()
+    )
+    assert a == b
