@@ -94,6 +94,18 @@ def curate_corpus(
         id_col, F.round("avg_logprob", 6).alias("quality")
     )
     kept = kept.join(scores, id_col)
+    # Compute-once point (round 12, same storage discipline as
+    # minhash_lsh_pairs): everything above — the filtered scan, the
+    # fingerprint-dedup window and the corpus-LM score join — feeds
+    # THREE downstream actions (the percentile cut, the token-budget
+    # agg, and the pinned range exchange), and without a
+    # materialization each one re-executes the whole subtree
+    # (profiled: 3× ~0.4-1 s of repeated 1-task stages at sf0.1). A
+    # LAZY localCheckpoint materializes the survivor table on the
+    # first consumer and the other two read its blocks; nothing roots
+    # it in the CacheManager, so the ContextCleaner frees the blocks
+    # when the returned plan is collected.
+    kept = kept.localCheckpoint(eager=False)
     cut = kept.agg(
         F.expr(f"percentile(quality, {quality_quantile})").alias("c")
     )
