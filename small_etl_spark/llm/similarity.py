@@ -102,6 +102,16 @@ def brute_force_topk(
     The corpus side goes through ``ensure_parallelism`` first: a
     single-split parquet corpus would otherwise score |corpus|×|q|
     pairs on ONE core (measured 3.4× the whole-query time at sf0.1).
+
+    Round 12: the two L2 norms are hoisted out of the pair loop into
+    per-row columns computed BEFORE the cross join (query norms once
+    per query pre-broadcast, corpus norms once per corpus row), so the
+    |corpus|×|q| stage evaluates ONE interpreted ``aggregate`` fold
+    (the dot product) per pair instead of five — the norm folds were
+    re-evaluated per pair because lambda HOFs get no codegen and no
+    cross-row CSE. Bit-identical to ``cosine_sim``: the same
+    SQRT(aggregate(...)) doubles flow into the same ``dot/(na*nb)``
+    division, just computed in an earlier Project.
     """
     from small_etl_spark.llm.util import ensure_parallelism
 
@@ -109,18 +119,24 @@ def brute_force_topk(
         queries.select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).cast("array<double>").alias("__qv__"),
-        )
+        ).withColumn("__qn__", l2_norm("__qv__"))
     )
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias(id_col),
-        F.col(vec_col).cast("array<double>").alias("__cv__"),
+    c = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).cast("array<double>").alias("__cv__"),
+        )
+        .withColumn("__cn__", l2_norm("__cv__"))
     )
     pairs = c.crossJoin(q)
     if exclude_self:
         pairs = pairs.filter(F.col(query_id_col) != F.col(id_col))
-    scored = pairs.select(
-        query_id_col, id_col, cosine_sim("__qv__", "__cv__").alias("cosine")
-    )
+    cos = F.when(
+        (F.col("__qn__") > 0) & (F.col("__cn__") > 0),
+        dot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")),
+    ).otherwise(F.lit(0.0))
+    scored = pairs.select(query_id_col, id_col, cos.alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
