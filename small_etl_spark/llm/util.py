@@ -6,7 +6,9 @@ from pyspark.sql import DataFrame
 
 
 def ensure_parallelism(
-    df: DataFrame, bytes_per_task: int | None = None
+    df: DataFrame,
+    bytes_per_task: int | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy
     per-row math (signatures, vector scoring).
@@ -31,6 +33,21 @@ def ensure_parallelism(
     keeps the JVM-consumer behavior: full defaultParallelism width
     (codegen'd expression stages have no per-task boundary cost worth
     avoiding).
+
+    ``key_cols`` (round 12) repartitions BY THOSE COLUMNS instead of
+    round-robin, for consumers whose next operator requires a hash
+    distribution on the same keys (window functions, groupBy): the
+    explicit exchange then SATISFIES the operator's requirement
+    (ENSURE_REQUIREMENTS reuses it — guide §2.4, "two operations keyed
+    the same way share one exchange"), so the plan keeps its original
+    exchange count while any map-side sort the operator would have
+    pushed below the shuffle (e.g. the rank-pushdown partial
+    WindowGroupLimit's Sort) moves to the parallel post-shuffle side.
+    That trades the partial limit's shuffle reduction for map-side
+    parallelism — the right trade exactly when the scan side is
+    split-starved, which is the only case this helper acts on; at
+    scale (splits ≥ cores/2) it returns the input untouched and the
+    default partial-limit plan stands.
     """
     files = df.inputFiles()
     if not files:
@@ -60,6 +77,10 @@ def ensure_parallelism(
         total_bytes += size
         est_splits += max(1, size // max_bytes)
     if est_splits < floor:
+        if key_cols:
+            from pyspark.sql import functions as F
+
+            return df.repartition(*[F.col(c) for c in key_cols])
         if bytes_per_task:
             width = min(
                 target, max(2, -(-total_bytes // bytes_per_task))

@@ -119,13 +119,27 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group via window row_number (north-star; closest
-    reference op is record_index, contextual_pipeline.rs:968)."""
+    reference op is record_index, contextual_pipeline.rs:968).
+
+    Round 12: the input goes through ``ensure_parallelism(key_cols=
+    [window key])`` — a split-starved scan (one parquet row group at
+    bench SF) otherwise serializes the rank-pushdown's map-side
+    Sort+partial WindowGroupLimit on ONE core (guide §2.5: unsplittable
+    input → repartition after the read). The keyed exchange satisfies
+    the window's required distribution, so the plan keeps ONE exchange
+    and the sort moves to the 32-way post-shuffle side; at scale the
+    helper no-ops and Spark's default partial-limit plan stands."""
+    from small_etl_spark.llm.util import ensure_parallelism
+
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
     )
     return (
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        ensure_parallelism(
+            li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+            key_cols=["l_orderkey"],
+        )
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 2)
     )

@@ -1194,3 +1194,37 @@ def test_python_kernel_width_is_bytes_adaptive(spark):
         for r in brute_force_topk_vectorized(emb, q, k=5).collect()
     )
     assert a == b
+
+def test_keyed_parallelism_reuses_window_exchange(spark):
+    """Round-12 pin: ensure_parallelism(key_cols=[k]) on a split-starved
+    scan hash-partitions by k, the downstream window REUSES that single
+    exchange (no second Exchange, no map-side Sort in the scan stage),
+    and the result is identical to the plain window form."""
+    from pyspark.sql import Window
+
+    from small_etl_spark.llm.util import ensure_parallelism
+    from small_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    plain = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    keyed = (
+        ensure_parallelism(li, key_cols=["l_orderkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    plan = keyed._jdf.queryExecution().executedPlan().treeString()
+    # exactly one exchange, keyed, and the scan stage below it is sort-free
+    assert plan.count("Exchange") == 1
+    assert "REPARTITION_BY_COL" in plan
+    # the only Sort sits ABOVE the exchange (post-shuffle side): in the
+    # tree string parents print first, so Sort must appear before
+    # Exchange, and nothing between Exchange and FileScan may sort
+    assert plan.index("Sort") < plan.index("Exchange")
+    assert "Sort" not in plan.split("Exchange", 1)[1]
+    assert plain.exceptAll(keyed).count() == 0
+    assert keyed.exceptAll(plain).count() == 0
