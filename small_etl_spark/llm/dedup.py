@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from small_etl_spark.llm.textstats import tokens
+from small_etl_spark.llm.textstats import WORD_RE, tokens
 # re-exported under the historical name: queries.py imports it from here
 from small_etl_spark.llm.util import ensure_parallelism as _ensure_parallelism
 
@@ -46,6 +46,20 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), n_sh)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(sh)
+
+
+def _word_shingles_sql(col: str, n: int = 3) -> str:
+    """SQL-text twin of :func:`word_shingles` for hot builders (round
+    12): one ``F.expr`` parse replaces ~60 py4j round trips per call —
+    the driver-side plan-construction cost is part of every query's
+    latency, and the parsed tree is token-identical to the Column
+    build (same WORD_RE literal, same duplicated token subtree that
+    Catalyst CSEs later). ``col`` is a SQL expression string."""
+    toks = f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks})"
+        f" - {n - 1}, 1)), i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
 
 
 # Negative result, round 6 (do not retry): replacing string shingles
@@ -281,8 +295,8 @@ def minhash_lsh_pairs(
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter("a.id < b.id")
+        .selectExpr("a.id as id_a", "b.id as id_b")
         .dropDuplicates(["id_a", "id_b"])  # same pair can share several bands
     )
     return _verify_jaccard(cand, sh, sh, jaccard_threshold)
@@ -312,8 +326,14 @@ def _shingle_band_tables(
         raise ValueError("bands must divide num_hashes")
     rpb = num_hashes // bands
 
-    base = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t__")
+    # Built via selectExpr/expr strings (round 12): plan construction
+    # is timed per bench rep, and the Column-by-Column build cost
+    # ~1,100 py4j round trips here — the expr text parses to the
+    # token-identical tree in ONE call per select (measured 1545 → 451
+    # round trips, −32% build wall for the whole query; rows pinned
+    # identical in tests/test_llm_similarity.py).
+    base = _ensure_parallelism(df).selectExpr(
+        f"{id_col} as id", f"{text_col} as __t__"
     )
     # the repartition is the reuse/materialization point: see "Storage
     # discipline". EXPLICIT partition count: a bare repartition("id")
@@ -324,17 +344,17 @@ def _shingle_band_tables(
     n_part = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    sh = base.select(
-        "id", word_shingles("__t__", shingle_n).alias("sh")
+    sh = base.selectExpr(
+        "id", f"{_word_shingles_sql('__t__', shingle_n)} as sh"
     ).repartition(n_part, "id")
     if storage == "localckpt":
         sh = sh.localCheckpoint(eager=False)
 
-    def bucket_of(sig: Column, b: int) -> Column:
-        joined = F.concat_ws(",", F.slice(sig, b * rpb + 1, rpb))
+    def bucket_sql(b: int) -> str:
+        joined = f"concat_ws(',', slice(sig, {b * rpb + 1}, {rpb}))"
         if hash_family == "md5":
-            return F.md5(joined.cast("binary"))
-        return F.xxhash64(joined, F.lit(seed))
+            return f"md5(cast({joined} as binary))"
+        return f"xxhash64({joined}, {seed})"
 
     # slim (id, band, bucket) rows only — never shuffle the shingle
     # arrays through the ×bands candidate join. For the xxhash family,
@@ -353,27 +373,18 @@ def _shingle_band_tables(
         sig_df = sig_src.withColumn("sig", sig)
     else:
         p = (1 << 31) - 1
-        hashed = sh.select(
+        hashed = sh.selectExpr(
             "id",
-            F.transform(
-                F.col("sh"), lambda x: F.pmod(F.xxhash64(x, F.lit(seed)), F.lit(p))
-            ).alias("__h__"),
+            f"transform(sh, x -> pmod(xxhash64(x, {seed}), {p})) as __h__",
         )
         sig_df = _minhash_minima_arrow(hashed, num_hashes, seed)
-    banded = sig_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bucket_of(F.col("sig"), b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands_txt = ",".join(
+        f"struct({b} as band, {bucket_sql(b)} as bucket)"
+        for b in range(bands)
+    )
+    banded = sig_df.selectExpr(
+        "id", f"explode(array({bands_txt})) as bb"
+    ).selectExpr("id", "bb.band as band", "bb.bucket as bucket")
     return sh, banded
 
 
@@ -390,27 +401,27 @@ def _verify_jaccard(
     intersect + union."""
     return (
         cand.join(
-            sh_a.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            sh_a.selectExpr("id as id_a", "sh as sh_a"),
             "id_a",
         )
         .join(
-            sh_b.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            sh_b.selectExpr("id as id_b", "sh as sh_b"),
             "id_b",
         )
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i__"),
-            (F.size("sh_a") + F.size("sh_b")).alias("__n__"),
+            "size(array_intersect(sh_a, sh_b)) as __i__",
+            "(size(sh_a) + size(sh_b)) as __n__",
         )
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            (F.col("__i__") / (F.col("__n__") - F.col("__i__"))).alias(
-                "jaccard"
-            ),
+            "(__i__ / (__n__ - __i__)) as jaccard",
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        # the D suffix keeps the literal a DOUBLE, matching the old
+        # F.lit(float) build (a bare 0.8 parses as DECIMAL in SQL)
+        .filter(f"jaccard >= {jaccard_threshold!r}D")
     )
 
 
