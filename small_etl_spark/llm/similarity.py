@@ -115,35 +115,49 @@ def brute_force_topk(
     """
     from small_etl_spark.llm.util import ensure_parallelism
 
+    # selectExpr text builds (round 12): the HOF dot/norm Column
+    # chains cost ~500 py4j round trips per build; the text parses to
+    # the token-identical trees (same lambda shapes, 0.0D double
+    # literals) in one call per select — optimizedPlan().sameResult
+    # vs the Column form pinned in tests/test_llm_similarity.py.
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x)"
+        )
+
+    def _l2(v: str) -> str:
+        return f"sqrt({_dot(v, v)})"
+
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias(query_id_col),
-            F.col(vec_col).cast("array<double>").alias("__qv__"),
-        ).withColumn("__qn__", l2_norm("__qv__"))
+        queries.selectExpr(
+            f"{id_col} as {query_id_col}",
+            f"cast({vec_col} as array<double>) as __qv__",
+        ).selectExpr("*", f"{_l2('__qv__')} as __qn__")
     )
     c = (
         ensure_parallelism(corpus)
-        .select(
-            F.col(id_col).alias(id_col),
-            F.col(vec_col).cast("array<double>").alias("__cv__"),
+        .selectExpr(
+            f"{id_col}",
+            f"cast({vec_col} as array<double>) as __cv__",
         )
-        .withColumn("__cn__", l2_norm("__cv__"))
+        .selectExpr("*", f"{_l2('__cv__')} as __cn__")
     )
     pairs = c.crossJoin(q)
     if exclude_self:
-        pairs = pairs.filter(F.col(query_id_col) != F.col(id_col))
-    cos = F.when(
-        (F.col("__qn__") > 0) & (F.col("__cn__") > 0),
-        dot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")),
-    ).otherwise(F.lit(0.0))
-    scored = pairs.select(query_id_col, id_col, cos.alias("cosine"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        pairs = pairs.filter(f"{query_id_col} != {id_col}")
+    cos = (
+        "CASE WHEN ((__qn__ > 0) AND (__cn__ > 0))"
+        f" THEN ({_dot('__qv__', '__cv__')} / (__qn__ * __cn__))"
+        " ELSE 0.0D END"
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    scored = pairs.selectExpr(query_id_col, id_col, f"{cos} as cosine")
+    return scored.selectExpr(
+        "*",
+        "cast(row_number() OVER (PARTITION BY"
+        f" {query_id_col} ORDER BY cosine DESC, {id_col} ASC)"
+        " as bigint) as rank",
+    ).filter(f"rank <= {k}")
 
 
 def _assign_cells_vectorized(

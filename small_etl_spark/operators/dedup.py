@@ -139,52 +139,56 @@ def dedup_by_fields_first_wins_packed(
             f"non-key columns not covered by packed spec: {extra}"
         )
 
-    acc = F.lit(0).cast("bigint")
-    valid = F.lit(True)
+    # expr-text build (round 12): the packing/unpacking Column chains
+    # cost ~150 py4j round trips per plan construction (timed in every
+    # bench rep); the SQL text parses to the token-identical trees —
+    # same literal types (bigint casts, not bare int literals), same
+    # operator order — verified by optimizedPlan().sameResult and the
+    # unchanged oracle.
+    acc = "cast(0 as bigint)"
+    valid = "true"
     for col, bits in packed:
-        c = F.col(col)
-        as_long = c.cast("bigint")
+        as_long = f"cast({col} as bigint)"
         valid = (
-            valid
-            & c.isNotNull()
-            & (as_long >= 0)
-            & (as_long < F.lit(1 << bits).cast("bigint"))
-            & (c.cast("double") == as_long.cast("double"))  # integral
+            f"(((({valid} AND ({col} IS NOT NULL))"
+            f" AND ({as_long} >= 0))"
+            f" AND ({as_long} < cast({1 << bits} as bigint)))"
+            f" AND (cast({col} as double) = cast({as_long} as double)))"
         )
-        acc = F.shiftleft(acc, bits) + as_long
-    packed_col = F.when(valid, acc)
+        acc = f"(shiftleft({acc}, {bits}) + {as_long})"
+    packed_sql = f"CASE WHEN {valid} THEN {acc} END"
 
     agg = df.groupBy(*[F.col(f) for f in fields]).agg(
-        F.min(packed_col).alias("__pk__"),
-        F.count(F.lit(1)).alias("__n__"),
-        F.count(packed_col).alias("__nv__"),
+        F.expr(f"min({packed_sql}) as __pk__"),
+        F.expr("count(1) as __n__"),
+        F.expr(f"count({packed_sql}) as __nv__"),
     )
-    guard = F.assert_true(
-        F.col("__nv__") == F.col("__n__"),
-        F.lit(
-            "dedup_by_fields_first_wins_packed: a row violated the "
-            "declared width/integrality contract"
-        ),
+    guard = (
+        "assert_true(__nv__ = __n__,"
+        " 'dedup_by_fields_first_wins_packed: a row violated the"
+        " declared width/integrality contract')"
     )
     shift = 0
-    unpack: dict[str, F.Column] = {}
+    unpack: dict[str, str] = {}
     for col, bits in reversed(packed):
-        expr = F.shiftrightunsigned(F.col("__pk__"), shift).bitwiseAND(
-            F.lit((1 << bits) - 1).cast("bigint")
+        expr = (
+            f"cast((shiftrightunsigned(__pk__, {shift})"
+            f" & cast({(1 << bits) - 1} as bigint))"
+            f" as {df.schema[col].dataType.simpleString()})"
         )
-        unpack[col] = expr.cast(df.schema[col].dataType)
+        unpack[col] = expr
         shift += bits
     out_cols = []
     first = True
     for c in df.columns:
-        expr = F.col(c) if c in fields else unpack[c]
+        expr = c if c in fields else unpack[c]
         if first:
             # fold the overflow guard into the first projected column
             # so the optimizer can never prune it away
-            expr = F.when(guard.isNull(), expr)
+            expr = f"CASE WHEN ({guard} IS NULL) THEN {expr} END"
             first = False
-        out_cols.append(expr.alias(c))
-    return agg.select(*out_cols)
+        out_cols.append(f"{expr} as {c}")
+    return agg.selectExpr(*out_cols)
 
 
 def dedup_full_record(df: DataFrame, order_col: str | None = None) -> DataFrame:

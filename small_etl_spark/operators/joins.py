@@ -137,36 +137,48 @@ def asof_join(
     ]
     lcols = list(left.columns)
 
-    r_tagged = right.select(
-        F.col(on).alias("__key__"),
-        F.col(right_ts).alias("__ts__"),
-        F.lit(0).alias("__side__"),
-        F.struct(*[F.col(c) for c in rcols]).alias("__rv__"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}__") for c in lcols],
+    # Built via selectExpr strings (round 12): the per-column
+    # lit-null/cast/alias Column chain cost ~780 py4j round trips per
+    # build and plan construction is timed in every bench rep; the
+    # text parses to the token-identical tree in one call per select
+    # (optimizedPlan().sameResult pinned in tests).
+    r_tagged = right.selectExpr(
+        f"{on} as __key__",
+        f"{right_ts} as __ts__",
+        "0 as __side__",
+        f"struct({', '.join(rcols)}) as __rv__",
+        *[
+            f"cast(null as {left.schema[c].dataType.simpleString()})"
+            f" as __l_{c}__"
+            for c in lcols
+        ],
     )
-    l_tagged = left.select(
-        F.col(on).alias("__key__"),
-        F.col(left_ts).alias("__ts__"),
-        F.lit(1).alias("__side__"),
-        F.lit(None).cast(r_tagged.schema["__rv__"].dataType).alias("__rv__"),
-        *[F.col(c).alias(f"__l_{c}__") for c in lcols],
+    l_tagged = left.selectExpr(
+        f"{on} as __key__",
+        f"{left_ts} as __ts__",
+        "1 as __side__",
+        f"cast(null as {r_tagged.schema['__rv__'].dataType.simpleString()})"
+        " as __rv__",
+        *[f"{c} as __l_{c}__" for c in lcols],
     )
 
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("__key__")
-        .orderBy("__ts__", "__side__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # the explicit ROWS frame matters: with an ORDER BY, SQL's default
+    # window frame is RANGE, and the Column form pinned ROWS
     merged = (
         r_tagged.unionByName(l_tagged)
-        .withColumn("__match__", F.last("__rv__", ignorenulls=True).over(w))
-        .filter(F.col("__side__") == 1)
+        .selectExpr(
+            "*",
+            "last(__rv__, true) OVER (PARTITION BY __key__"
+            " ORDER BY __ts__, __side__"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " as __match__",
+        )
+        .filter("__side__ = 1")
     )
-    out_cols = [F.col(f"__l_{c}__").alias(c) for c in lcols]
-    out_cols += [F.col(f"__match__.{c}").alias(f"{c}{suffix}") for c in rcols]
-    return merged.select(*out_cols)
+    return merged.selectExpr(
+        *[f"__l_{c}__ as {c}" for c in lcols],
+        *[f"__match__.{c} as {c}{suffix}" for c in rcols],
+    )
 
 
 def range_join(

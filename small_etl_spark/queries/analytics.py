@@ -46,28 +46,42 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents×pct×pct) so sums are order-independent and oracle-exact.
     Plan: scan-filter → partial hash agg → 6-group exchange."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("bigint")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
-    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
-    n = F.count(F.lit(1))
+    # expr-text aggregates (round 12): one parse per output column
+    # instead of ~40 Column round trips — plan construction is timed
+    # in every bench rep. Literal types pinned (100.0D doubles, bigint
+    # casts) so the trees are token-identical to the Column build.
+    qty = "cast(l_quantity as bigint)"
+    price_c = "cast(round((l_extendedprice * 100)) as bigint)"
+    disc_c = "cast(round((l_discount * 100)) as bigint)"
+    tax_c = "cast(round((l_tax * 100)) as bigint)"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        li.filter("l_shipdate <= cast('1998-09-02' as date)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
-            (F.sum(price_c * (100 - disc_c)).cast("double") / 10000.0).alias(
-                "sum_disc_price"
+            F.expr(f"sum({qty}) as sum_qty"),
+            F.expr(
+                f"(cast(sum({price_c}) as double) / 100.0D)"
+                " as sum_base_price"
             ),
-            (
-                F.sum(price_c * (100 - disc_c) * (100 + tax_c)).cast("double")
-                / 1000000.0
-            ).alias("sum_charge"),
-            (F.sum(qty).cast("double") / n).alias("avg_qty"),
-            (F.sum(price_c).cast("double") / 100.0 / n).alias("avg_price"),
-            (F.sum(disc_c).cast("double") / 100.0 / n).alias("avg_disc"),
-            n.alias("count_order"),
+            F.expr(
+                f"(cast(sum(({price_c} * (100 - {disc_c}))) as double)"
+                " / 10000.0D) as sum_disc_price"
+            ),
+            F.expr(
+                f"(cast(sum((({price_c} * (100 - {disc_c}))"
+                f" * (100 + {tax_c}))) as double)"
+                " / 1000000.0D) as sum_charge"
+            ),
+            F.expr(f"(cast(sum({qty}) as double) / count(1)) as avg_qty"),
+            F.expr(
+                f"((cast(sum({price_c}) as double) / 100.0D) / count(1))"
+                " as avg_price"
+            ),
+            F.expr(
+                f"((cast(sum({disc_c}) as double) / 100.0D) / count(1))"
+                " as avg_disc"
+            ),
+            F.expr("count(1) as count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -175,9 +189,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    cutoff = F.lit("1995-03-15").cast("date")
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    cutoff = "cast('1995-03-15' as date)"
+    rev = (
+        "(cast(round((l_extendedprice * 100)) as bigint)"
+        " * (100 - cast(round((l_discount * 100)) as bigint)))"
     )
     # Round-12 eager-aggregation experiment, REVERTED by measurement:
     # pre-aggregating the shipdate-filtered fact per l_orderkey before
@@ -189,21 +204,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-first shape is the measured optimum (interleaved A/B,
     # OPTIMIZATION_r12.md).
     return (
-        li.filter(F.col("l_shipdate") > cutoff)
+        li.filter(f"l_shipdate > {cutoff}")
         .join(
-            o.filter(F.col("o_orderdate") < cutoff),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+            o.filter(f"o_orderdate < {cutoff}"),
+            F.expr("l_orderkey = o_orderkey"),
         )
         .join(
-            c.filter(F.col("c_mktsegment") == "BUILDING"),
-            F.col("o_custkey") == F.col("c_custkey"),
+            c.filter("c_mktsegment = 'BUILDING'"),
+            F.expr("o_custkey = c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
-        .select(
+        .agg(
+            F.expr(f"(cast(sum({rev}) as double) / 10000.0D) as revenue")
+        )
+        .selectExpr(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+            "cast(cast(o_orderdate as timestamp) as long) as o_orderdate",
             "o_orderpriority",
         )
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -299,13 +316,25 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     No forced broadcasts: the agg output, orders and customer all
     scale with the data; AQE picks broadcast at small SF and shuffle
     join at 100 TB. Result identity is pinned by this entry's
-    unchanged DuckDB oracle (the IN-subquery SQL)."""
+    unchanged DuckDB oracle (the IN-subquery SQL).
+
+    The fact side goes through ``ensure_parallelism(key_cols=
+    [l_orderkey])`` (round 12, same split-starved fix as
+    dedup_first_wins): the keyed exchange satisfies the per-order
+    aggregate's distribution (one Exchange either way), moving the agg
+    off the one-row-group scan task onto the 32-way post-shuffle side
+    (interleaved min-of-5/7 A/B: −5%/−16%). No-op at scale."""
+    from small_etl_spark.llm.util import ensure_parallelism
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     qty = F.col("l_quantity").cast("bigint")
     per_order = (
-        li.groupBy("l_orderkey")
+        ensure_parallelism(
+            li.select("l_orderkey", "l_quantity"), key_cols=["l_orderkey"]
+        )
+        .groupBy("l_orderkey")
         .agg(F.sum(qty).alias("total_qty"))
         .filter(F.col("total_qty") > 250)
     )

@@ -278,12 +278,24 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     forced SortAggregate on both sides of the exchange (see the cost
     notes on both operators). Result identity vs the min_by form is
     pinned in tests/test_operators.py and by this entry's unchanged
-    DuckDB oracle; a contract-violating row raises, never mis-dedups."""
+    DuckDB oracle; a contract-violating row raises, never mis-dedups.
+
+    The input goes through ``ensure_parallelism(key_cols=[dedup key])``
+    (round 12, same split-starved fix as window_topk_per_group): a
+    one-row-group scan otherwise runs the packing projection and the
+    partial min on ONE core. The keyed exchange satisfies the
+    aggregate's required distribution — still exactly one Exchange in
+    the plan, but packing + both agg phases run on the 32-way
+    post-shuffle side (interleaved min-of-7 A/B: −19%/−5% across two
+    runs on the bimodal host). At scale the helper no-ops and the
+    default partial-agg plan stands."""
+    from small_etl_spark.llm.util import ensure_parallelism
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
     return dedup_by_fields_first_wins_packed(
-        li,
+        ensure_parallelism(li, key_cols=["l_orderkey"]),
         ["l_orderkey"],
         [("l_linenumber", 8), ("l_partkey", 47), ("l_quantity", 8)],
     )

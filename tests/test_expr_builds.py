@@ -1,0 +1,168 @@
+"""Round 12: expr-text plan construction ≡ the Column-by-Column build.
+
+The hot builders construct their trees from SQL text (one py4j round
+trip per select) instead of per-Column JVM calls — these tests pin
+that the OPTIMIZED plans are canonically identical (``sameResult``),
+so the rewrite can never change what a query computes. The Column
+forms inlined here are the pre-round-12 specifications.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from small_etl_spark.llm.similarity import brute_force_topk, dot, l2_norm
+from small_etl_spark.llm.util import ensure_parallelism
+from small_etl_spark.operators.dedup import dedup_by_fields_first_wins_packed
+from small_etl_spark.operators.joins import asof_join
+from small_etl_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _same_result(a, b) -> bool:
+    return (
+        a._jdf.queryExecution()
+        .optimizedPlan()
+        .sameResult(b._jdf.queryExecution().optimizedPlan())
+    )
+
+
+def test_brute_force_topk_expr_build_same_plan(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.limit(4)
+
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("__qv__"),
+        ).withColumn("__qn__", l2_norm("__qv__"))
+    )
+    c = (
+        ensure_parallelism(emb)
+        .select(
+            F.col("vec_id").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("__cv__"),
+        )
+        .withColumn("__cn__", l2_norm("__cv__"))
+    )
+    pairs = c.crossJoin(q).filter(F.col("query_id") != F.col("vec_id"))
+    cos = F.when(
+        (F.col("__qn__") > 0) & (F.col("__cn__") > 0),
+        dot("__qv__", "__cv__") / (F.col("__qn__") * F.col("__cn__")),
+    ).otherwise(F.lit(0.0))
+    scored = pairs.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    column_form = scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= 10)
+
+    assert _same_result(brute_force_topk(emb, queries, k=10), column_form)
+
+
+def test_asof_join_expr_build_same_plan(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+
+    rcols = ["p_id", "p_value"]
+    lcols = ["event_id", "ts", "user_id"]
+    r_tagged = right.select(
+        F.col("user_id").alias("__key__"),
+        F.col("ts").alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rv__"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}__")
+            for c in lcols
+        ],
+    )
+    l_tagged = left.select(
+        F.col("user_id").alias("__key__"),
+        F.col("ts").alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None)
+        .cast(r_tagged.schema["__rv__"].dataType)
+        .alias("__rv__"),
+        *[F.col(c).alias(f"__l_{c}__") for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__key__")
+        .orderBy("__ts__", "__side__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("__match__", F.last("__rv__", ignorenulls=True).over(w))
+        .filter(F.col("__side__") == 1)
+    )
+    out_cols = [F.col(f"__l_{c}__").alias(c) for c in lcols]
+    out_cols += [F.col(f"__match__.{c}").alias(f"{c}_asof") for c in rcols]
+    column_form = merged.select(*out_cols)
+
+    assert _same_result(
+        asof_join(left, right, on="user_id", suffix="_asof"), column_form
+    )
+
+
+def test_packed_dedup_expr_build_same_plan(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    spec = [("l_linenumber", 8), ("l_partkey", 47), ("l_quantity", 8)]
+
+    acc = F.lit(0).cast("bigint")
+    valid = F.lit(True)
+    for col, bits in spec:
+        cc = F.col(col)
+        as_long = cc.cast("bigint")
+        valid = (
+            valid
+            & cc.isNotNull()
+            & (as_long >= 0)
+            & (as_long < F.lit(1 << bits).cast("bigint"))
+            & (cc.cast("double") == as_long.cast("double"))
+        )
+        acc = F.shiftleft(acc, bits) + as_long
+    packed_col = F.when(valid, acc)
+    agg = li.groupBy(F.col("l_orderkey")).agg(
+        F.min(packed_col).alias("__pk__"),
+        F.count(F.lit(1)).alias("__n__"),
+        F.count(packed_col).alias("__nv__"),
+    )
+    guard = F.assert_true(
+        F.col("__nv__") == F.col("__n__"),
+        F.lit(
+            "dedup_by_fields_first_wins_packed: a row violated the "
+            "declared width/integrality contract"
+        ),
+    )
+    shift = 0
+    unpack = {}
+    for col, bits in reversed(spec):
+        expr = F.shiftrightunsigned(F.col("__pk__"), shift).bitwiseAND(
+            F.lit((1 << bits) - 1).cast("bigint")
+        )
+        unpack[col] = expr.cast(li.schema[col].dataType)
+        shift += bits
+    out_cols = []
+    first = True
+    for cname in li.columns:
+        expr = F.col(cname) if cname == "l_orderkey" else unpack[cname]
+        if first:
+            expr = F.when(guard.isNull(), expr)
+            first = False
+        out_cols.append(expr.alias(cname))
+    column_form = agg.select(*out_cols)
+
+    assert _same_result(
+        dedup_by_fields_first_wins_packed(li, ["l_orderkey"], spec),
+        column_form,
+    )
