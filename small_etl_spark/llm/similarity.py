@@ -462,13 +462,13 @@ def brute_force_topk_vectorized(
     ).select(id_col, vec_col).mapInPandas(
         score, schema=f"{query_id_col} bigint, {id_col} bigint, cosine double"
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    # expr-text window (round 12, same trees as the Column build)
+    return local.selectExpr(
+        "*",
+        "cast(row_number() OVER (PARTITION BY"
+        f" {query_id_col} ORDER BY cosine DESC, {id_col} ASC)"
+        " as bigint) as rank",
+    ).filter(f"rank <= {k}")
 
 
 def ivf_train(

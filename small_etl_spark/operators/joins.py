@@ -41,20 +41,23 @@ def merge_with_previous(
     shared = [c for c in api_df.columns if c in set(prev_df.columns) and c != key]
     prev_only = [c for c in prev_df.columns if c not in set(api_df.columns) and c != key]
 
+    # expr-text build (round 12): one parse per select instead of
+    # per-column py4j chatter; trees token-identical to the Column
+    # form (optimizedPlan().sameResult pinned in tests).
     a = api_df.alias("a")
     p = prev.alias("p")
-    joined = a.join(p, F.col(f"a.{key}") == F.col(f"p.{key}"), "left")
+    joined = a.join(p, F.expr(f"a.{key} = p.{key}"), "left")
 
-    cols = [F.col(f"a.{key}").alias(key)]
+    cols = [f"a.{key} as {key}"]
     for c in api_df.columns:
         if c == key:
             continue
         if c in shared:
-            cols.append(F.coalesce(F.col(f"a.{c}"), F.col(f"p.{c}")).alias(c))
+            cols.append(f"coalesce(a.{c}, p.{c}) as {c}")
         else:
-            cols.append(F.col(f"a.{c}").alias(c))
-    cols.extend(F.col(f"p.{c}").alias(c) for c in prev_only)
-    return joined.select(*cols)
+            cols.append(f"a.{c} as {c}")
+    cols.extend(f"p.{c} as {c}" for c in prev_only)
+    return joined.selectExpr(*cols)
 
 
 def lookup_enrich_stub(df: DataFrame, lookup_data: dict[str, str]) -> DataFrame:

@@ -260,22 +260,24 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    r = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    rev = (
+        "(cast(round((l_extendedprice * 100)) as bigint)"
+        " * (100 - cast(round((l_discount * 100)) as bigint)))"
     )
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.expr("l_orderkey = o_orderkey"))
+        .join(c, F.expr("o_custkey = c_custkey"))
         .join(
             s,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            F.expr(
+                "(l_suppkey = s_suppkey) AND (c_nationkey = s_nationkey)"
+            ),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(r), F.expr("n_regionkey = r_regionkey"))
         .groupBy("n_name")
-        .agg((F.sum(rev).cast("double") / 10000.0).alias("revenue"))
+        .agg(F.expr(f"(cast(sum({rev}) as double) / 10000.0D) as revenue"))
     )
 
 
@@ -329,23 +331,22 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    qty = F.col("l_quantity").cast("bigint")
     per_order = (
         ensure_parallelism(
             li.select("l_orderkey", "l_quantity"), key_cols=["l_orderkey"]
         )
         .groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("total_qty"))
-        .filter(F.col("total_qty") > 250)
+        .agg(F.expr("sum(cast(l_quantity as bigint)) as total_qty"))
+        .filter("total_qty > 250")
     )
     return (
-        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
+        per_order.join(o, F.expr("l_orderkey = o_orderkey"))
+        .join(c, F.expr("o_custkey = c_custkey"))
+        .selectExpr(
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("timestamp").cast("long").alias("o_orderdate"),
+            "cast(cast(o_orderdate as timestamp) as long) as o_orderdate",
             "o_totalprice",
             "total_qty",
         )

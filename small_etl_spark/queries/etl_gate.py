@@ -379,17 +379,16 @@ def q_merge_with_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins, previous fills nulls, api rows all survive. Broadcast-hash
     join — zero shuffle on the fact side."""
     li = load_table(spark, sf_dir, "lineitem")
-    api = li.select(
-        F.col("l_orderkey").alias("id"),
-        F.col("l_quantity").alias("qty"),
-        F.when(F.col("l_quantity") > 30, F.lit(None).cast("double"))
-        .otherwise(F.col("l_extendedprice"))
-        .alias("total"),
+    api = li.selectExpr(
+        "l_orderkey as id",
+        "l_quantity as qty",
+        "CASE WHEN (l_quantity > 30) THEN cast(null as double)"
+        " ELSE l_extendedprice END as total",
     )
-    prev = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("id"),
-        F.col("o_totalprice").alias("total"),
-        F.col("o_orderstatus").alias("status"),
+    prev = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey as id",
+        "o_totalprice as total",
+        "o_orderstatus as status",
     )
     return merge_with_previous(api, prev, key="id")
 

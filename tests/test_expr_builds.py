@@ -14,7 +14,7 @@ from pyspark.sql import Window, functions as F
 from small_etl_spark.llm.similarity import brute_force_topk, dot, l2_norm
 from small_etl_spark.llm.util import ensure_parallelism
 from small_etl_spark.operators.dedup import dedup_by_fields_first_wins_packed
-from small_etl_spark.operators.joins import asof_join
+from small_etl_spark.operators.joins import asof_join, merge_with_previous
 from small_etl_spark.sources.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -109,6 +109,47 @@ def test_asof_join_expr_build_same_plan(spark):
 
     assert _same_result(
         asof_join(left, right, on="user_id", suffix="_asof"), column_form
+    )
+
+
+def test_merge_with_previous_expr_build_same_plan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    api = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_quantity").alias("qty"),
+    )
+    prev_df = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("qty"),  # shared col exercises coalesce
+    )
+    key = "id"
+    prev = F.broadcast(prev_df)
+    shared = [
+        c for c in api.columns if c in set(prev_df.columns) and c != key
+    ]
+    prev_only = [
+        c for c in prev_df.columns if c not in set(api.columns) and c != key
+    ]
+    a = api.alias("a")
+    p = prev.alias("p")
+    joined = a.join(p, F.col(f"a.{key}") == F.col(f"p.{key}"), "left")
+    cols = [F.col(f"a.{key}").alias(key)]
+    for c in api.columns:
+        if c == key:
+            continue
+        if c in shared:
+            cols.append(
+                F.coalesce(F.col(f"a.{c}"), F.col(f"p.{c}")).alias(c)
+            )
+        else:
+            cols.append(F.col(f"a.{c}").alias(c))
+    cols.extend(F.col(f"p.{c}").alias(c) for c in prev_only)
+    column_form = joined.select(*cols)
+
+    assert _same_result(
+        merge_with_previous(api, prev_df, key="id"), column_form
     )
 
 
