@@ -26,15 +26,64 @@ Scale shape, stage by stage (nothing here is new machinery):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from small_etl_spark.llm.sampling import hash_bucket
-from small_etl_spark.llm.textstats import (
-    fingerprint,
-    token_count,
-    unigram_logprob,
-)
+from small_etl_spark.llm.textstats import WORD_RE, unigram_logprob
 from small_etl_spark.operators.sort import global_cumsum
+
+
+def _survivor_docs(
+    df: DataFrame,
+    lang: str,
+    min_tokens: int,
+    max_tokens: int,
+    max_symbol_ratio: float,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Stages 1-3 of :func:`curate_corpus` (everything up to the
+    compute-once point): heuristic filters, fingerprint first-wins
+    dedup, corpus-LM score join.
+
+    Built via expr strings (round 12, same discipline as the minhash
+    builder): the Column-by-Column build of the five-stage chain cost
+    ~1,600 py4j round trips per bench rep; each expr below parses to
+    the token-identical tree in one call (pinned by
+    ``optimizedPlan().sameResult`` against the pre-round-12 Column
+    form in tests/test_expr_builds.py; the full pipeline is also
+    row-identity-pinned in tests/test_pipeline.py). Literal types
+    pinned: bare SQL floats are DECIMAL, so every float parameter is
+    written with the ``D`` double suffix.
+    """
+    n_toks = f"size(regexp_extract_all({text_col}, '{WORD_RE}', 0))"
+    sym_ratio = (
+        f"CASE WHEN (length({text_col}) > 0) THEN "
+        f"(CAST(length(regexp_replace({text_col}, '[A-Za-z0-9_\\\\s]', ''))"
+        f" AS double) / length({text_col})) ELSE 0.0D END"
+    )
+    kept = df.filter(
+        f"({lang_col} = '{lang}') AND ({n_toks} BETWEEN {min_tokens} AND"
+        f" {max_tokens}) AND ({sym_ratio} <= {max_symbol_ratio!r}D)"
+    )
+    fp = (
+        f"md5(CAST(trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+        f" AS binary))"
+    )
+    kept = (
+        kept.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {fp} ORDER BY {id_col})"
+            f" AS __rn__",
+        )
+        .filter("__rn__ = 1")
+        .drop("__rn__")
+    )
+
+    scores = unigram_logprob(df, text_col=text_col, id_col=id_col).selectExpr(
+        id_col, "round(avg_logprob, 6) AS quality"
+    )
+    return kept.join(scores, id_col)
 
 
 def curate_corpus(
@@ -70,30 +119,10 @@ def curate_corpus(
        distributed prefix sum, no single-task window;
     5. assign ``shard`` = md5-bucket % num_shards.
     """
-    n_toks = token_count(text_col)
-    sym_ratio = F.when(
-        F.length(text_col) > 0,
-        F.length(F.regexp_replace(text_col, r"[A-Za-z0-9_\s]", "")).cast(
-            "double"
-        )
-        / F.length(text_col),
-    ).otherwise(F.lit(0.0))
-    kept = df.filter(
-        (F.col(lang_col) == lang)
-        & n_toks.between(min_tokens, max_tokens)
-        & (sym_ratio <= max_symbol_ratio)
+    kept = _survivor_docs(
+        df, lang, min_tokens, max_tokens, max_symbol_ratio,
+        id_col, text_col, lang_col,
     )
-    w = Window.partitionBy(fingerprint(text_col)).orderBy(id_col)
-    kept = (
-        kept.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .drop("__rn__")
-    )
-
-    scores = unigram_logprob(df, text_col=text_col, id_col=id_col).select(
-        id_col, F.round("avg_logprob", 6).alias("quality")
-    )
-    kept = kept.join(scores, id_col)
     # Compute-once point (round 12, same storage discipline as
     # minhash_lsh_pairs): everything above — the filtered scan, the
     # fingerprint-dedup window and the corpus-LM score join — feeds
@@ -109,30 +138,26 @@ def curate_corpus(
     cut = kept.agg(
         F.expr(f"percentile(quality, {quality_quantile})").alias("c")
     )
-    kept = kept.crossJoin(F.broadcast(cut)).filter(
-        F.col("quality") >= F.col("c")
-    )
+    kept = kept.crossJoin(F.broadcast(cut)).filter("quality >= c")
 
-    keyed = kept.select(
+    keyed = kept.selectExpr(
         id_col,
-        token_count(text_col).cast("bigint").alias("n_tokens"),
+        f"CAST(size(regexp_extract_all({text_col}, '{WORD_RE}', 0))"
+        f" AS bigint) AS n_tokens",
         "quality",
-        hash_bucket(id_col, salt).alias("__h__"),
+        f"substring(md5(CAST(concat_ws('|', '{salt}',"
+        f" CAST({id_col} AS string)) AS binary)), 1, 4) AS __h__",
     )
     budget = keyed.agg(
-        F.floor(F.sum("n_tokens") * budget_fraction).alias("b")
+        F.expr(f"floor(sum(n_tokens) * {budget_fraction!r}D) AS b")
     )
     headed = global_cumsum(
         keyed, ["__h__", id_col], "n_tokens", cumsum_col="__cum__"
     )
-    headed = headed.crossJoin(F.broadcast(budget)).filter(
-        F.col("__cum__") <= F.col("b")
-    )
-    return headed.select(
+    headed = headed.crossJoin(F.broadcast(budget)).filter("__cum__ <= b")
+    return headed.selectExpr(
         id_col,
         "n_tokens",
         "quality",
-        (F.conv(F.col("__h__"), 16, 10).cast("bigint") % num_shards).alias(
-            "shard"
-        ),
+        f"(CAST(conv(__h__, 16, 10) AS bigint) % {num_shards}) AS shard",
     )

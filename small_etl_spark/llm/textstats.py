@@ -540,35 +540,43 @@ def unigram_logprob(
     token (vocab is ~millions of rows at 100 TB — a plain shuffle
     join, NO broadcast assumption). Everything is built-in functions.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    # Built via expr strings (round 12): one parse per select instead
+    # of per-Column py4j chatter — the tree is token-identical to the
+    # pre-round-12 Column build (pinned by ``sameResult`` in
+    # tests/test_expr_builds.py, where the Column form lives on as the
+    # specification).
+    toks = df.selectExpr(
+        id_col,
+        f"explode(regexp_extract_all(lower({text_col}), '{WORD_RE}', 0))"
+        f" AS tok",
     )
-    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    lm = toks.groupBy("tok").agg(F.expr("count(1) AS cnt"))
     sizes = lm.agg(
-        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+        F.expr("sum(cnt) AS n_total"), F.expr("count(1) AS vocab")
     )
-    lm = lm.crossJoin(F.broadcast(sizes)).select(
+    lm = lm.crossJoin(F.broadcast(sizes)).selectExpr(
         "tok",
-        F.log(
-            (F.col("cnt") + 1).cast("double")
-            / (F.col("n_total") + F.col("vocab")).cast("double")
-        ).alias("lp"),
+        # ln, not log: SQL's one-arg log parses to Logarithm(E, x)
+        # while the Column form's F.log is the Log node — ln maps to
+        # Log, keeping the tree token-identical.
+        "ln(CAST(cnt + 1 AS double) / CAST(n_total + vocab AS double))"
+        " AS lp",
     )
     scored = (
         toks.join(lm, "tok")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.avg("lp").alias("avg_logprob"),
+            F.expr("count(1) AS n_tokens"),
+            F.expr("avg(lp) AS avg_logprob"),
         )
     )
     # docs with zero tokens never reach the explode — restore them
     return (
         df.select(id_col)
         .join(scored, id_col, "left")
-        .select(
+        .selectExpr(
             id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "coalesce(n_tokens, 0) AS n_tokens",
             "avg_logprob",
         )
     )

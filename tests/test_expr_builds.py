@@ -207,3 +207,97 @@ def test_packed_dedup_expr_build_same_plan(spark):
         dedup_by_fields_first_wins_packed(li, ["l_orderkey"], spec),
         column_form,
     )
+
+
+def test_unigram_logprob_expr_build_same_plan(spark):
+    from small_etl_spark.llm.textstats import WORD_RE, unigram_logprob
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def toks_col(c):
+        return F.regexp_extract_all(c, F.lit(WORD_RE), 0)
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(toks_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    sizes = lm.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    lm = lm.crossJoin(F.broadcast(sizes)).select(
+        "tok",
+        F.log(
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("n_total") + F.col("vocab")).cast("double")
+        ).alias("lp"),
+    )
+    scored = (
+        toks.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+    )
+    column_form = (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "avg_logprob",
+        )
+    )
+
+    assert _same_result(unigram_logprob(docs), column_form)
+
+
+def test_curation_survivors_expr_build_same_plan(spark):
+    """Stages 1-3 of curate_corpus (filters, fingerprint dedup, LM
+    score join) — the pre-checkpoint subtree; the post-checkpoint
+    stages are row-identity-pinned in tests/test_pipeline.py (the
+    localCheckpoint's RDD scan defeats sameResult there)."""
+    from small_etl_spark.llm.pipeline import _survivor_docs
+    from small_etl_spark.llm.textstats import WORD_RE, unigram_logprob
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def toks_col(c):
+        return F.regexp_extract_all(c, F.lit(WORD_RE), 0)
+
+    n_toks = F.size(toks_col(F.col("text")))
+    sym_ratio = F.when(
+        F.length("text") > 0,
+        F.length(
+            F.regexp_replace("text", r"[A-Za-z0-9_\s]", "")
+        ).cast("double")
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    kept = docs.filter(
+        (F.col("lang") == "en")
+        & n_toks.between(20, 100000)
+        & (sym_ratio <= 0.3)
+    )
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast(
+            "binary"
+        )
+    )
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    kept = (
+        kept.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    scores = unigram_logprob(docs).select(
+        "doc_id", F.round("avg_logprob", 6).alias("quality")
+    )
+    column_form = kept.join(scores, "doc_id")
+
+    assert _same_result(
+        _survivor_docs(
+            docs, "en", 20, 100000, 0.3, "doc_id", "text", "lang"
+        ),
+        column_form,
+    )

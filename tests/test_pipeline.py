@@ -115,3 +115,79 @@ def test_curation_checkpoint_transparent(spark):
     # re-derive the budget from the pipeline's own survivors
     again = sorted(map(tuple, curate_corpus(docs).collect()))
     assert sorted(map(tuple, rows)) == again  # deterministic across runs
+
+
+def test_expr_build_rows_identical_to_column_form(spark, curated):
+    """Round 12: curate_corpus is built from expr strings; this pins
+    row identity against the pre-round-12 Column-by-Column build (the
+    spec below). The pre-checkpoint subtree is additionally
+    sameResult-pinned in tests/test_expr_builds.py; the end-to-end
+    row pin covers the post-checkpoint stages (percentile cut, keyed
+    select, budget head, shard map) that the localCheckpoint's RDD
+    scan hides from plan comparison."""
+    from pyspark.sql import Window
+
+    from small_etl_spark.llm.sampling import hash_bucket
+    from small_etl_spark.llm.textstats import WORD_RE, unigram_logprob
+    from small_etl_spark.operators.sort import global_cumsum
+
+    docs, out = curated
+
+    def toks_col(c):
+        return F.regexp_extract_all(c, F.lit(WORD_RE), 0)
+
+    n_toks = F.size(toks_col(F.col("text")))
+    sym_ratio = F.when(
+        F.length("text") > 0,
+        F.length(
+            F.regexp_replace("text", r"[A-Za-z0-9_\s]", "")
+        ).cast("double")
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    kept = docs.filter(
+        (F.col("lang") == "en")
+        & n_toks.between(20, 100000)
+        & (sym_ratio <= 0.3)
+    )
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+        ).cast("binary")
+    )
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    kept = (
+        kept.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    scores = unigram_logprob(docs).select(
+        "doc_id", F.round("avg_logprob", 6).alias("quality")
+    )
+    kept = kept.join(scores, "doc_id").localCheckpoint(eager=False)
+    cut = kept.agg(F.expr("percentile(quality, 0.25)").alias("c"))
+    kept = kept.crossJoin(F.broadcast(cut)).filter(
+        F.col("quality") >= F.col("c")
+    )
+    keyed = kept.select(
+        "doc_id",
+        F.size(toks_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+        "quality",
+        hash_bucket("doc_id", "curate-v1").alias("__h__"),
+    )
+    budget = keyed.agg(F.floor(F.sum("n_tokens") * 0.5).alias("b"))
+    headed = global_cumsum(
+        keyed, ["__h__", "doc_id"], "n_tokens", cumsum_col="__cum__"
+    )
+    headed = headed.crossJoin(F.broadcast(budget)).filter(
+        F.col("__cum__") <= F.col("b")
+    )
+    column_form = headed.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        (F.conv(F.col("__h__"), 16, 10).cast("bigint") % 8).alias("shard"),
+    )
+
+    assert out.exceptAll(column_form).count() == 0
+    assert column_form.exceptAll(out).count() == 0
+    assert out.count() == column_form.count()
