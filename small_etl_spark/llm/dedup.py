@@ -141,6 +141,27 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _minhash_minima_sql(num_hashes: int, seed: int) -> str:
+    """SQL-text of the ``num_hashes`` affine minima over the
+    materialized base-hash column ``__h__`` — the expr-string twin of
+    the ``base_col`` branch of :func:`minhash_signature` (same seeded
+    universal-hash params, same ``pmod(h·a + b, p)`` arithmetic), one
+    parse instead of ~250 py4j round trips. Plan identity vs the
+    Column form is pinned in tests/test_expr_builds.py; the Arrow
+    kernel below computes the same integers (bit-identity pinned in
+    tests/test_llm_similarity.py), so all three forms agree."""
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(seed)
+    mins = ",".join(
+        f"array_min(transform(__h__,"
+        f" h -> pmod(h * {rng.randrange(1, p)} + {rng.randrange(p)}, {p})))"
+        for _ in range(num_hashes)
+    )
+    return f"array({mins})"
+
+
 def _minhash_minima_arrow(
     src: DataFrame, num_hashes: int, seed: int
 ) -> DataFrame:
@@ -360,13 +381,16 @@ def _shingle_band_tables(
     # arrays through the ×bands candidate join. For the xxhash family,
     # materialize the per-shingle base-hash array as its own column
     # first: the minima run over it num_hashes times, and HOFs get no
-    # codegen CSE (measured ~1.9× on the signature stage at sf0.1) —
-    # then (round 12) hand the affine-minima loop to the Arrow numpy
-    # kernel: the per-element interpreted transform/array_min walk was
-    # ~70% of the query's executor CPU, and the kernel computes the
-    # same integers with `num_hashes` vectorized passes (bit-identity
-    # pinned in tests/test_llm_similarity.py). String xxhash64 of the
-    # shingles stays JVM-side — only the bigint array crosses Arrow.
+    # codegen CSE (measured ~1.9× on the signature stage at sf0.1).
+    # The affine minima stay JVM-side interpreted HOFs: the round-12
+    # Arrow numpy kernel (_minhash_minima_arrow, kept + bit-identity
+    # tested) cut executor CPU but LOST wall under solo bench
+    # conditions — interleaved min-of-5 at sf0.1: HOF 1.248 s vs
+    # kernel 1.484 s, HOF faster in all 5 rep pairs; the
+    # (id, ~300×bigint array) Arrow round trip outweighs the
+    # interpreted-math saving at this row width. The kernel's earlier
+    # win was measured under heavy host contention (see
+    # OPTIMIZATION_r12.md, minhash section, for both A/Bs).
     if hash_family == "md5":
         sig_src = sh
         sig = minhash_signature(F.col("sh"), num_hashes, seed, hash_family)
@@ -377,7 +401,9 @@ def _shingle_band_tables(
             "id",
             f"transform(sh, x -> pmod(xxhash64(x, {seed}), {p})) as __h__",
         )
-        sig_df = _minhash_minima_arrow(hashed, num_hashes, seed)
+        sig_df = hashed.selectExpr(
+            "id", f"{_minhash_minima_sql(num_hashes, seed)} as sig"
+        )
     bands_txt = ",".join(
         f"struct({b} as band, {bucket_sql(b)} as bucket)"
         for b in range(bands)

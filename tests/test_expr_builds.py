@@ -301,3 +301,48 @@ def test_curation_survivors_expr_build_same_plan(spark):
         ),
         column_form,
     )
+
+
+def test_minhash_minima_sql_same_plan_as_column_form(spark):
+    """The shipping xxhash-family signature (expr-text affine minima
+    over the materialized base-hash array) is plan-identical to the
+    minhash_signature Column form; the Arrow kernel's bit-identity to
+    that same Column form is pinned in tests/test_llm_similarity.py,
+    so all three implementations agree."""
+    import random
+
+    from small_etl_spark.llm.dedup import _minhash_minima_sql
+
+    num_hashes, seed = 32, 42
+    p = (1 << 31) - 1
+    hashed = (
+        load_table(spark, SF_DIR, "documents")
+        .selectExpr(
+            "doc_id as id",
+            "transform(split(text, ' '), x -> pmod(xxhash64(x, 42),"
+            f" {p})) as __h__",
+        )
+    )
+
+    rng = random.Random(seed)
+    params = [
+        (rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)
+    ]
+
+    def affine(a, b):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
+
+    column_form = hashed.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("__h__"), affine(a, b)))
+                for a, b in params
+            ]
+        ).alias("sig"),
+    )
+    expr_form = hashed.selectExpr(
+        "id", f"{_minhash_minima_sql(num_hashes, seed)} as sig"
+    )
+
+    assert _same_result(expr_form, column_form)
