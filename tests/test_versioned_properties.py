@@ -94,13 +94,26 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
             [(k, tag["n"]) for k in keys],
         )
 
+    def pb_now():
+        # appends must carry the table's CURRENT spec (the respec op
+        # can move it mid-walk — commit_snapshot refuses a mismatched
+        # append by contract); overwrite legitimately resets it. The
+        # partitioned/transform walks below already do this.
+        v = V.latest_version(table)
+        if v is None:
+            return None
+        return V.read_manifest(table, v).get("partition_by")
+
     history: list[list[tuple[int, int]]] = []  # model state per version
     model: list[tuple[int, int]] = []
 
     for kind, payload in ops:
         if kind in ("append", "overwrite"):
             df, rows = mk(payload)
-            V.commit_snapshot(df, table, mode=kind)
+            V.commit_snapshot(
+                df, table, mode=kind,
+                partition_by=None if kind == "overwrite" else pb_now(),
+            )
             model = (model + rows) if kind == "append" else list(rows)
         elif kind == "merge":
             if V.latest_version(table) is None:
