@@ -39,13 +39,28 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     Tokenizes ``lower(text)`` directly — the word-regex extraction
     ignores whitespace, so the normalize_text whitespace-collapse pass
     would produce identical tokens at 2× the regex cost.
+
+    Round 13 (guide §1.2 step 2): the token array is BOUND TO A LAMBDA
+    VARIABLE (``transform(array(toks), tk -> …)`` + ``element_at``)
+    instead of appearing inline in both ``size`` and the sliding
+    lambda. Higher-order functions are interpreted with no
+    cross-reference CSE, so the inline form re-evaluated the
+    regexp_extract_all subtree per reference — measured −34% on the
+    shingle stage at sf0.1 (A/B in OPTIMIZATION_r13.md), row-identical
+    by exceptAll. The binding evaluates the regex exactly once per row
+    at any scale.
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(F.lower(c))
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), n_sh)
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(sh)
+
+    def build(tk: Column) -> Column:
+        n_sh = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), n_sh)
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        )
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def _word_shingles_sql(col: str, n: int = 3) -> str:
@@ -53,12 +68,15 @@ def _word_shingles_sql(col: str, n: int = 3) -> str:
     12): one ``F.expr`` parse replaces ~60 py4j round trips per call —
     the driver-side plan-construction cost is part of every query's
     latency, and the parsed tree is token-identical to the Column
-    build (same WORD_RE literal, same duplicated token subtree that
-    Catalyst CSEs later). ``col`` is a SQL expression string."""
+    build (same WORD_RE literal, same lambda-bound token array as the
+    round-13 Column form — see :func:`word_shingles` for why the
+    binding beats the inline duplicated subtree). ``col`` is a SQL
+    expression string."""
     toks = f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks})"
-        f" - {n - 1}, 1)), i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f"element_at(transform(array({toks}), tk -> "
+        f"array_distinct(transform(sequence(1, greatest(size(tk)"
+        f" - {n - 1}, 1)), i -> concat_ws(' ', slice(tk, i, {n}))))), 1)"
     )
 
 
@@ -113,13 +131,8 @@ def minhash_signature(
             ]
         )
 
-    import random
-
     p = (1 << 31) - 1  # Mersenne prime
-    rng = random.Random(seed)
-    params = [
-        (rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)
-    ]
+    params = _minhash_params(num_hashes, seed)
     # ``base_col`` lets the caller materialize the per-shingle hash
     # array ONCE (one column, one pass) instead of embedding this
     # transform in each of the ``num_hashes`` minima expressions —
@@ -141,6 +154,20 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The seeded universal-hash (a, b) parameter list — drawn in ONE
+    place so the Column, SQL-text and Arrow forms of the minima can
+    never drift in drawing order (ADVICE r12): every form renders
+    from this list."""
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)
+    ]
+
+
 def _minhash_minima_sql(num_hashes: int, seed: int) -> str:
     """SQL-text of the ``num_hashes`` affine minima over the
     materialized base-hash column ``__h__`` — the expr-string twin of
@@ -150,14 +177,11 @@ def _minhash_minima_sql(num_hashes: int, seed: int) -> str:
     Column form is pinned in tests/test_expr_builds.py; the Arrow
     kernel below computes the same integers (bit-identity pinned in
     tests/test_llm_similarity.py), so all three forms agree."""
-    import random
-
     p = (1 << 31) - 1
-    rng = random.Random(seed)
     mins = ",".join(
         f"array_min(transform(__h__,"
-        f" h -> pmod(h * {rng.randrange(1, p)} + {rng.randrange(p)}, {p})))"
-        for _ in range(num_hashes)
+        f" h -> pmod(h * {a} + {b}, {p})))"
+        for a, b in _minhash_params(num_hashes, seed)
     )
     return f"array({mins})"
 
@@ -185,13 +209,8 @@ def _minhash_minima_arrow(
     docs band together and are always discarded by the exact-Jaccard
     verify, in both paths).
     """
-    import random
-
     p = (1 << 31) - 1
-    rng = random.Random(seed)
-    params = [
-        (rng.randrange(1, p), rng.randrange(p)) for _ in range(num_hashes)
-    ]
+    params = _minhash_params(num_hashes, seed)
     id_type = src.schema["id"].dataType.simpleString()
 
     def kernel(batches):
