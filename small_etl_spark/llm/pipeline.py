@@ -31,6 +31,49 @@ from pyspark.sql import DataFrame, functions as F
 from small_etl_spark.llm.textstats import WORD_RE, unigram_logprob
 from small_etl_spark.operators.sort import global_cumsum
 
+# The expr-text builds below embed regex patterns as SQL string
+# literals, written for the DEFAULT parser escaping
+# (spark.sql.parser.escapedStringLiterals=false: '\\s+' in the SQL
+# text parses to the regex \s+). WORD_RE is interpolated verbatim and
+# is only safe while it contains no quote or backslash — both
+# assumptions are asserted (once per session / at import) so a conf
+# or regex change fails loudly instead of silently altering the
+# dedup/filter semantics (ADVICE r12).
+assert "'" not in WORD_RE and "\\" not in WORD_RE, (
+    "WORD_RE is interpolated into SQL string literals verbatim; "
+    "quotes/backslashes would change the parsed regex — escape per "
+    "the active parser mode before relaxing this."
+)
+_ESCAPING_CHECKED: set[str] = set()
+
+
+def _sql_str(value: str) -> str:
+    """Escape a user-supplied string for embedding in a SQL string
+    literal under default parser escaping (backslash escapes ON).
+    No-op for the shipped parameter values, so plans are unchanged."""
+    return value.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _check_parser_escaping(df: DataFrame) -> None:
+    """Assert the session parses string literals with the default
+    backslash escaping the expr texts below were written for
+    (memoized per session — one conf round trip, not per build)."""
+    spark = df.sparkSession
+    key = spark.sparkContext.applicationId
+    if key in _ESCAPING_CHECKED:
+        return
+    mode = str(
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    ).lower()
+    if mode != "false":
+        raise RuntimeError(
+            "curate_corpus expr texts require the default "
+            "spark.sql.parser.escapedStringLiterals=false (the regex "
+            "literals '\\\\s+' / '[A-Za-z0-9_\\\\s]' would silently "
+            "parse to different patterns)."
+        )
+    _ESCAPING_CHECKED.add(key)
+
 
 def _survivor_docs(
     df: DataFrame,
@@ -63,8 +106,9 @@ def _survivor_docs(
         f" AS double) / length({text_col})) ELSE 0.0D END"
     )
     kept = df.filter(
-        f"({lang_col} = '{lang}') AND ({n_toks} BETWEEN {min_tokens} AND"
-        f" {max_tokens}) AND ({sym_ratio} <= {max_symbol_ratio!r}D)"
+        f"({lang_col} = '{_sql_str(lang)}') AND ({n_toks} BETWEEN"
+        f" {int(min_tokens)} AND {int(max_tokens)}) AND"
+        f" ({sym_ratio} <= {float(max_symbol_ratio)!r}D)"
     )
     fp = (
         f"md5(CAST(trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
@@ -119,6 +163,7 @@ def curate_corpus(
        distributed prefix sum, no single-task window;
     5. assign ``shard`` = md5-bucket % num_shards.
     """
+    _check_parser_escaping(df)
     kept = _survivor_docs(
         df, lang, min_tokens, max_tokens, max_symbol_ratio,
         id_col, text_col, lang_col,
@@ -145,11 +190,11 @@ def curate_corpus(
         f"CAST(size(regexp_extract_all({text_col}, '{WORD_RE}', 0))"
         f" AS bigint) AS n_tokens",
         "quality",
-        f"substring(md5(CAST(concat_ws('|', '{salt}',"
+        f"substring(md5(CAST(concat_ws('|', '{_sql_str(salt)}',"
         f" CAST({id_col} AS string)) AS binary)), 1, 4) AS __h__",
     )
     budget = keyed.agg(
-        F.expr(f"floor(sum(n_tokens) * {budget_fraction!r}D) AS b")
+        F.expr(f"floor(sum(n_tokens) * {float(budget_fraction)!r}D) AS b")
     )
     headed = global_cumsum(
         keyed, ["__h__", id_col], "n_tokens", cumsum_col="__cum__"
