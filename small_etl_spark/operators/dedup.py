@@ -132,6 +132,19 @@ def dedup_by_fields_first_wins_packed(
         raise ValueError(f"packed widths sum to {total_bits} > 63 bits")
     if not packed:
         raise ValueError("packed must name at least one column")
+    # Per-field width guard (VERDICT r12 #9): the per-row integrality
+    # check below compares both sides AS DOUBLES, which is exact only
+    # below 2^53 — a ≥53-bit field could let a fractional decimal
+    # (e.g. 2^59 + 0.5) round to equality, truncate silently, and
+    # elect a wrong survivor. Reject such specs up front; fields that
+    # wide should use dedup_by_fields_first_wins.
+    too_wide = [(c, b) for c, b in packed if b > 52]
+    if too_wide:
+        raise ValueError(
+            f"packed field widths {too_wide} exceed 52 bits: the "
+            "per-row integrality validation compares values as "
+            "doubles, which is exact only below 2^53"
+        )
     payload = [c for c, _ in packed]
     extra = [c for c in df.columns if c not in fields and c not in payload]
     if extra:

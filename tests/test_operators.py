@@ -285,3 +285,7 @@ def test_packed_dedup_rejects_bad_specs(spark):
         dedup_by_fields_first_wins_packed(df, ["k"], [("a", 8)])
     with _pytest.raises(ValueError):  # empty spec
         dedup_by_fields_first_wins_packed(df, ["k", "a", "b"], [])
+    with _pytest.raises(ValueError):  # r13: ≥53-bit field — the
+        # per-row integrality check compares as doubles (exact only
+        # below 2^53), so a 60-bit spec must be rejected up front
+        dedup_by_fields_first_wins_packed(df, ["k", "b"], [("a", 60)])
