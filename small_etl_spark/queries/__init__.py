@@ -55,6 +55,12 @@ from small_etl_spark.queries import stats_contracts  # noqa: E402,F401
 # position) means inserting a new @register anywhere in this module
 # cannot silently push a gated query out of the window —
 # tests/test_registry_order.py enforces the invariant.
+#
+# ROTATION POLICY (round 13, VERDICT r12 #7): _GATED rotates only in
+# BUILD rounds — optimization rounds FREEZE this list so the driver's
+# round-over-round set-diff (PERF queries_dropped/newly_passing) is
+# clean. Every rotation is recorded machine-readably in ROTATION.json
+# (old → new → which gated entry carries the rotated-out family).
 _GATED = [
     "rename_project",
     # exclude_fields and computed_markers left the window round 8
