@@ -416,8 +416,67 @@ def _time_noop(spark, name: str, data_dir: str, reps: int) -> float:
     return best
 
 
+def _low_core_stress(
+    spark, stress_dir: str, queries: list[str], main_s: dict
+) -> dict:
+    """Re-time the most compute-bound stress queries in a FRESH
+    subprocess session at a quarter of the core count (VERDICT r12
+    #2): the headline set at sf0.1 is overhead-bound (single-row-group
+    scans, 40-150 ms plan builds), so its low-core/high-core ratio is
+    ≈1 by construction and cannot evidence that $SPARK_GRAFT_CPUS is
+    honored. The 10×-inflated compute-bound queries CAN — their wall
+    clock is executor CPU, so quartering the cores should move them.
+    Reports the per-query seconds at both widths and the ratio; the
+    subprocess inherits this bench's own contract ($SPARK_GRAFT_CPUS,
+    $SPARK_GRAFT_SF_DIR)."""
+    import subprocess
+
+    cpus_main = spark.sparkContext.defaultParallelism
+    low = max(2, cpus_main // 4)
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(low)
+    env["SPARK_GRAFT_SF_DIR"] = stress_dir
+    env.pop("SPARK_GRAFT_EXP_CONF", None)
+    out: dict[str, object] = {"cpus_main": cpus_main, "cpus_low": low}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "exp_bench.py"),
+             "--reps=2", *queries],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        low_q = json.loads(line)["queries"]
+        out["queries"] = {}
+        for name in queries:
+            cell = {
+                "low_core_s": low_q.get(name),
+                "main_s": main_s.get(name),
+            }
+            if (
+                isinstance(cell["low_core_s"], (int, float))
+                and isinstance(cell["main_s"], (int, float))
+                and cell["low_core_s"] > 0
+                and cell["main_s"] > 0
+            ):
+                cell["low_over_main_ratio"] = round(
+                    cell["low_core_s"] / cell["main_s"], 2
+                )
+            out["queries"][name] = cell
+    except Exception as exc:  # noqa: BLE001 - evidence is best-effort
+        out["error"] = f"{type(exc).__name__}: {exc}"[:200]
+    return out
+
+
+# The compute-bound stress entries whose 10× wall clock is executor
+# CPU (not protocol/commit cost) — the right place to measure core
+# scaling. Kept to two so the low-core subprocess stays ~a minute.
+_LOW_CORE_QUERIES = ["minhash_lsh_dedup", "cc_star_components"]
+
+
 def run_scale_stress(
-    spark, sf_dir: str, timings: dict, factor: int, queries: list[str]
+    spark, sf_dir: str, timings: dict, factor: int, queries: list[str],
+    low_core: bool = False,
 ) -> dict:
     """Re-run the stress set against the inflated copy and report
     scaled/base wall-clock ratios — ratio ≲ factor ⇒ the plan grew
@@ -475,6 +534,15 @@ def run_scale_stress(
                     out["queries"][name]["phases"] = phases
             except Exception as exc:  # noqa: BLE001 - isolate per query
                 out["queries"][name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        if low_core:
+            out["low_core"] = _low_core_stress(
+                spark, stress_dir, _LOW_CORE_QUERIES,
+                {
+                    n: q.get("scaled_s")
+                    for n, q in out["queries"].items()
+                    if isinstance(q, dict)
+                },
+            )
     finally:
         import shutil
 
@@ -1166,6 +1234,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Scaling-evidence contract (VERDICT r12 #2): the bench
+        # carries its own proof that $SPARK_GRAFT_CPUS reached the
+        # session — the resolved parallelism and master string.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }
     if spreads:
         payload["spread"] = spreads
@@ -1184,7 +1257,8 @@ def main() -> None:
     stress_factor = int(os.environ.get("SPARK_GRAFT_STRESS_FACTOR", "10"))
     if stress_factor > 1 and "--no-scale-stress" not in sys.argv:
         payload["scale_stress"] = run_scale_stress(
-            spark, sf_dir, timings, stress_factor, STRESS_QUERIES
+            spark, sf_dir, timings, stress_factor, STRESS_QUERIES,
+            low_core=True,
         )
         payload["scale_stress_x30"] = run_scale_stress(
             spark, sf_dir, timings, 3 * stress_factor, STRESS30_QUERIES
@@ -1272,7 +1346,8 @@ def main() -> None:
     compact = {
         k: v
         for k, v in payload.items()
-        if k in ("metric", "value", "unit", "queries", "sf", "spread", "errors")
+        if k in ("metric", "value", "unit", "queries", "sf", "cpus",
+                 "master", "spread", "errors")
     }
     for skey in ("scale_stress", "scale_stress_x30"):
         if skey in payload:
@@ -1283,6 +1358,8 @@ def main() -> None:
                     for n, q in payload[skey]["queries"].items()
                 },
             }
+            if "low_core" in payload[skey]:
+                compact[skey]["low_core"] = payload[skey]["low_core"]
     if "delete_crossover" in payload:
         compact["delete_crossover"] = payload["delete_crossover"]
     if "manifest_paging" in payload:
@@ -1334,7 +1411,9 @@ def main() -> None:
     # per-query seconds. Everything else lives one line up and in
     # BENCH_SELF.json.
     core = {
-        k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")
+        k: payload[k]
+        for k in ("metric", "value", "unit", "queries", "sf", "cpus",
+                  "master")
     }
     if errors:
         core["errors"] = errors
