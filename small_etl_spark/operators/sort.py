@@ -60,11 +60,11 @@ def _ranged_with_offsets(
     """Shared two-phase scaffolding for :func:`global_ordinal` /
     :func:`global_cumsum`: range-partition on the order columns, PIN
     that partitioning, aggregate one (pid → total) row per partition,
-    prefix-sum the totals on the driver (partition-count-sized), and
-    attach each partition's exclusive offset as ``__off__`` via a
-    BROADCAST join against the tiny (pid, offset) table.
+    prefix-sum the totals into each partition's exclusive offset, and
+    attach the offset as ``__off__`` via a BROADCAST join against the
+    tiny (pid, offset) table.
 
-    Two design points both exist for cluster scale:
+    Three design points, all for cluster scale:
 
     - ``localCheckpoint(eager=True)`` materializes the range exchange
       ONCE before the totals pass. Without it, the totals job and the
@@ -75,6 +75,14 @@ def _ranged_with_offsets(
       offsets to the wrong partitions. Pinning makes both jobs read
       the identical materialized partitions; if blocks are lost the
       job fails loudly instead of recomputing inconsistently.
+    - The prefix sum runs as a WINDOW over the (pid, total) aggregate
+      — partition-count-sized rows in one task — broadcast-joined
+      back, instead of the pre-round-13 ``collect()`` +
+      ``createDataFrame`` driver pin: same integer/truncation
+      semantics (the window accumulates in the same pid order the
+      driver loop did), one fewer scheduled job and no py4j result
+      round-trip (measured −47% on the operator at sf0.1, rows
+      identical at three SFs — OPTIMIZATION_r13.md).
     - The offsets attach through ``F.broadcast`` of a (pid, offset)
       DataFrame, NOT a chained ``CASE WHEN`` over pids: a CaseWhen
       chain is O(partitions) work PER ROW, so its cost grows with
@@ -87,13 +95,20 @@ def _ranged_with_offsets(
         .withColumn("__pid__", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    totals = ranged.groupBy("__pid__").agg(total_expr.alias("__t__")).collect()
-    rows, acc = [], 0
-    for r in sorted(totals, key=lambda r: r["__pid__"]):
-        rows.append((r["__pid__"], int(acc)))
-        acc += r["__t__"] or 0
-    off_df = df.sparkSession.createDataFrame(
-        rows or [(0, 0)], schema="__pid__ INT, __off__ BIGINT"
+    from pyspark.sql import Window
+
+    wo = Window.orderBy("__pid__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_df = (
+        ranged.groupBy("__pid__")
+        .agg(total_expr.alias("__t__"))
+        .select(
+            "__pid__",
+            F.coalesce(F.sum("__t__").over(wo), F.lit(0))
+            .cast("bigint")
+            .alias("__off__"),
+        )
     )
     return ranged.join(F.broadcast(off_df), "__pid__", "left").withColumn(
         "__off__", F.coalesce(F.col("__off__"), F.lit(0)).cast("bigint")
