@@ -89,6 +89,26 @@ GLOBAL_WINDOW_OK = {
     "resample_interpolate",
     "cohort_retention",    # cohort×week matrix — bounded
     "global_ordinal_docs",  # the global_ordinal audit row itself
+    # Round 13: every _ranged_with_offsets consumer (operators/
+    # sort.py) now carries the partition-offset prefix sum as an
+    # in-plan window over the (pid, total) AGGREGATE — one row per
+    # partition of the pinned range exchange, partition-count-bounded
+    # by construction. Pre-r13 the same single-threaded prefix ran
+    # hidden on the driver (collect + createDataFrame); the audit now
+    # sees it, which is the point.
+    "computed_markers",
+    "pack_sequences",
+    "quality_tiers",
+    "shard_plan",
+    "curation_pipeline",
+    "prefix_dedup_keep_longest",
+    "length_bucketed_batches",
+    "train_shuffle_shards",
+    "snm_dup_customers",
+    "gini_user_activity",
+    "rrf_fusion_docs",
+    "clv_deciles",
+    "part_revenue_pareto",
     "corpus_mix_report",   # one row per (source,lang) — bounded
     "mixture_resample",    # same mixing table
     "temperature_mix",     # same mixing table
