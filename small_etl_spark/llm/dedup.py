@@ -49,15 +49,34 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     shingle stage at sf0.1 (A/B in OPTIMIZATION_r13.md), row-identical
     by exceptAll. The binding evaluates the regex exactly once per row
     at any scale.
+
+    Second per-task cut (same round, same A/B discipline): full
+    windows build each shingle with ``concat(element_at(tk, i), ' ',
+    …)`` instead of ``concat_ws(' ', slice(tk, i, n))`` — three O(1)
+    element reads replace a per-window array allocation; short docs
+    (< n tokens) keep the whole-text ``concat_ws`` branch, so output
+    is identical (tokens are never null, making concat ≡ concat_ws on
+    full windows). A further −18% on the shingle stage, winners 5/5.
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(F.lower(c))
 
     def build(tk: Column) -> Column:
-        n_sh = F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1))
-        idx = F.sequence(F.lit(1), n_sh)
+        def gram(i: Column) -> Column:
+            parts: list[Column] = []
+            for j in range(n):
+                if j:
+                    parts.append(F.lit(" "))
+                parts.append(F.element_at(tk, i + F.lit(j) if j else i))
+            return F.concat(*parts)
+
+        full = F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)), gram
+        )
         return F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+            F.when(F.size(tk) >= n, full).otherwise(
+                F.array(F.concat_ws(" ", tk))
+            )
         )
 
     return F.element_at(F.transform(F.array(toks), build), 1)
@@ -73,10 +92,14 @@ def _word_shingles_sql(col: str, n: int = 3) -> str:
     binding beats the inline duplicated subtree). ``col`` is a SQL
     expression string."""
     toks = f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
+    gram = ", ' ', ".join(
+        f"element_at(tk, i{f' + {j}' if j else ''})" for j in range(n)
+    )
     return (
-        f"element_at(transform(array({toks}), tk -> "
-        f"array_distinct(transform(sequence(1, greatest(size(tk)"
-        f" - {n - 1}, 1)), i -> concat_ws(' ', slice(tk, i, {n}))))), 1)"
+        f"element_at(transform(array({toks}), tk -> array_distinct("
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(1, size(tk) - {n - 1}), i -> concat({gram})) "
+        f"ELSE array(concat_ws(' ', tk)) END)), 1)"
     )
 
 
